@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Every query executes end-to-end into a noop sink (full compute, no
+result materialization on the driver), after a warm-up that triggers
+JVM + codegen warm paths.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from graphragpart1datapipeline_spark.session import get_spark
+
+# Headline set: the heavy representatives of each operator family
+# (joins/aggs, rollup, windows, sessionization, dedup families, text
+# analysis, vector search, graph traversal).
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_release_catalog",
+    "q03_segment_revenue_topn",
+    "q05_regional_revenue",
+    "q07_dedupe_priority",
+    "q12_top_words",
+    "q18_hourly_windows",
+    "q19_sessionization",
+    "q20_exact_dedup",
+    "q22_language_id",
+    "q24_minhash_lsh",
+    "q25_vector_topk",
+    "q27_moving_agg",
+    "q31_multi_hop_graph",
+]
+
+
+def run_query(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    spark = get_spark(app_name="graphrag-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entrymod.queries()
+
+    # Warm-up: JVM, codegen, parquet footer caches.
+    run_query(queries["q01_pricing_summary"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        run_query(queries[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

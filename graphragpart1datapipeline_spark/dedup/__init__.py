@@ -1,0 +1,10 @@
+from .exact import exact_dedup, exact_dup_groups  # noqa: F401
+from .minhash import (  # noqa: F401
+    minhash_signatures,
+    lsh_candidate_pairs,
+    minhash_lsh_dedup,
+    shingles,
+)
+from .simhash import simhash64, simhash_near_dup_pairs  # noqa: F401
+from .ngram import ngram_jaccard_pairs  # noqa: F401
+from .embedding import embedding_near_dup_pairs  # noqa: F401

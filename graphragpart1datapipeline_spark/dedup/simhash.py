@@ -1,0 +1,99 @@
+"""SimHash near-duplicate fingerprinting.
+
+64-bit SimHash over word tokens: each token hashes to 64 bits (xxhash64
+— JVM-side, no Python); per-document, every bit position accumulates
++1/-1 by the token's bit; the sign vector is the fingerprint. Near-dups
+= fingerprints within a small Hamming distance.
+
+Scale path: band the 64-bit fingerprint into k chunks; by pigeonhole,
+two docs within Hamming distance d share at least one of d+1 chunks —
+a bucket-join per chunk instead of an O(n²) Hamming scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BITS = 64
+
+
+def simhash64(col: Column | str) -> Column:
+    """64-bit SimHash of whitespace tokens as a signed long.
+
+    Implementation: tokens → xxhash64 per token → for each bit b, sum
+    (±1) via aggregate over the token-hash array → pack sign bits.
+    Pure higher-order functions; one pass over the token array per bit
+    group (packed 8 bits at a time to bound expression size).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.array_distinct(F.split(F.trim(c), r"\s+"))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def bit_sign(b: int) -> Column:
+        # count of tokens with bit b set, minus half the token count → sign
+        ones = F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)),
+        )
+        return (ones * 2 >= F.size(hashes)).cast("long")
+
+    out = F.lit(0).cast("long")
+    for b in range(BITS):
+        out = out + F.shiftleft(bit_sign(b), b)
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit longs via bit_count(xor)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by banded SimHash: split the 64-bit fingerprint
+    into ``bands`` 16-bit chunks, bucket-join on any equal chunk
+    (pigeonhole guarantees recall for distance < bands), verify exact
+    Hamming ≤ max_hamming. Returns (a, b, hamming)."""
+    width = BITS // bands
+    fp = df.select(F.col(id_col), simhash64(text_col).alias("fp"))
+    chunks = fp.select(
+        id_col,
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("fp"), i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("chunk"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bc"),
+    ).select(id_col, "fp", "bc.band", "bc.chunk")
+    left = chunks.select(
+        "band", "chunk", F.col(id_col).alias("a"), F.col("fp").alias("fp_a")
+    )
+    right = chunks.select(
+        "band", "chunk", F.col(id_col).alias("b"), F.col("fp").alias("fp_b")
+    )
+    cand = (
+        left.join(right, ["band", "chunk"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "fp_a", "fp_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", hamming64(F.col("fp_a"), F.col("fp_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )

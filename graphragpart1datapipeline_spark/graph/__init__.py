@@ -1,0 +1,7 @@
+from .build import build_graph_tables, validate_edges  # noqa: F401
+from .communities import (  # noqa: F401
+    community_rollup,
+    community_size_stats,
+    connected_components,
+    detect_communities,
+)

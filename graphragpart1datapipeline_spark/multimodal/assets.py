@@ -1,0 +1,102 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns with typed metadata (schemas.MEDIA_ASSETS).
+
+The Spark-side mechanics — schema, Arrow batch shape, mapInPandas
+signatures, partitioning by asset kind — are real and tested. The
+actual codec calls are STUBBED (image/audio libraries are not in this
+container): ``decode_image_features`` raises NotImplementedError unless
+given a decoder, and ``fake_decode_stats`` is the deterministic stand-in
+used by tests. A real deployment injects e.g. a PIL/ffmpeg-backed
+decoder with the identical signature.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+FEATURE_SCHEMA = (
+    "asset_id string, kind string, byte_len long, content_hash string, "
+    "feature array<float>"
+)
+
+
+def fake_decode_stats(payload: bytes) -> list[float]:
+    """Deterministic fake 'feature extractor': 8 floats derived from the
+    sha256 of the payload. Exercises the full Arrow path with stable
+    goldens."""
+    h = hashlib.sha256(payload or b"").digest()
+    return [b / 255.0 for b in h[:8]]
+
+
+def decode_image_features(
+    df: DataFrame,
+    decoder: Callable[[bytes], list[float]] | None = None,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+    kind_col: str = "kind",
+) -> DataFrame:
+    """Binary payloads → per-asset feature rows via Arrow-batched
+    mapInPandas. ``decoder`` maps raw bytes to a feature vector; real
+    image decode (resize / pixel stats) plugs in here.
+
+    STUB: raises NotImplementedError when no decoder is supplied —
+    the container has no image/audio libs; use ``fake_decode_stats``
+    in tests.
+    """
+    if decoder is None:
+        raise NotImplementedError(
+            "no media codec available in this environment; "
+            "inject a decoder (e.g. PIL-based) or use fake_decode_stats"
+        )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, kind, payload in zip(
+                pdf[id_col], pdf[kind_col], pdf[payload_col]
+            ):
+                raw = bytes(payload) if payload is not None else b""
+                rows.append(
+                    (
+                        aid,
+                        kind,
+                        len(raw),
+                        hashlib.sha256(raw).hexdigest(),
+                        decoder(raw),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, kind_col, "byte_len", "content_hash", "feature"],
+            )
+
+    return df.select(id_col, kind_col, payload_col).mapInPandas(
+        gen, schema=FEATURE_SCHEMA
+    )
+
+
+def frame_sample_plan(
+    df: DataFrame,
+    every_ms: int = 1000,
+    duration_col: str = "duration_ms",
+    id_col: str = "asset_id",
+) -> DataFrame:
+    """Video frame-sampling plan: one row per (asset, frame_ts_ms) —
+    pure sequence/explode, no codec needed. The decode of each sampled
+    frame is then a decode_image_features pass."""
+    from pyspark.sql import functions as F
+
+    return df.select(
+        id_col,
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.coalesce(F.col(duration_col), F.lit(0)) - 1, F.lit(0)),
+                F.lit(every_ms),
+            )
+        ).alias("frame_ts_ms"),
+    )

@@ -1,0 +1,12 @@
+from .relational import (  # noqa: F401
+    best_per_group,
+    dedupe_by_priority,
+    distinct_sorted,
+    duplicate_row_count,
+    null_counts,
+    positioned_rollup,
+    top_n_frequency,
+    top_n_per_group,
+    union_relaxed,
+)
+from .joins import multi_hop, name_or_alias_join  # noqa: F401

@@ -1,0 +1,90 @@
+"""Join operators beyond plain equi-joins.
+
+Both operators here replace driver-side Python patterns in the reference
+with shuffle-join plans that scale: the theta-join J6 is decomposed into
+a union of equi-joins (no nested loop), and multi-hop traversal is a
+chain of equi-joins on the edges table.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def name_or_alias_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_name_col: str,
+    right_name_col: str,
+    right_alias_col: str,
+    left_id: str = "id",
+    right_id: str = "id",
+) -> DataFrame:
+    """SIMILAR_TO-style resolution: match ``left.name`` against
+    ``right.name`` OR any element of ``right.aliases``, excluding
+    self-pairs (reference theta-join, ingest_graph_db.py:236-243:
+    ``target.name = sim OR sim IN target.aliases AND a.id <> target.id``).
+
+    Spark-first: instead of a nested-loop OR-join (which Catalyst would
+    execute as BroadcastNestedLoopJoin), decompose into
+      (a) equi-join on name
+      (b) equi-join on exploded aliases
+    then union + self-filter + distinct. Both branches are hash joins;
+    the whole thing is broadcast-able when ``right`` is a dimension.
+
+    Returns (src_id, dst_id) pairs.
+    """
+    by_name = left.select(
+        F.col(left_id).alias("src"), F.col(left_name_col).alias("__k")
+    ).join(
+        right.select(F.col(right_id).alias("dst"), F.col(right_name_col).alias("__k")),
+        "__k",
+    )
+    by_alias = left.select(
+        F.col(left_id).alias("src"), F.col(left_name_col).alias("__k")
+    ).join(
+        right.select(
+            F.col(right_id).alias("dst"),
+            F.explode(F.coalesce(F.col(right_alias_col), F.array())).alias("__k"),
+        ),
+        "__k",
+    )
+    return (
+        by_name.unionByName(by_alias)
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+def multi_hop(
+    edges: DataFrame,
+    rels: Sequence[str],
+    src_col: str = "src",
+    dst_col: str = "dst",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """N-hop traversal over an edges table: one equi-join per hop,
+    each hop filtered to its relationship type (reference multi-hop
+    Cypher MATCH, ingest_graph_db.py:366-377).
+
+    Returns (hop0, hop1, ..., hopN) node-id columns. Each hop is a
+    hash join on the node id; with a pre-bucketed edges table the
+    whole chain is shuffle-free.
+    """
+    if not rels:
+        raise ValueError("need at least one relationship type")
+    out = (
+        edges.filter(F.col(rel_col) == rels[0])
+        .select(F.col(src_col).alias("hop0"), F.col(dst_col).alias("hop1"))
+        .distinct()
+    )
+    for i, rel in enumerate(rels[1:], start=1):
+        nxt = edges.filter(F.col(rel_col) == rel).select(
+            F.col(src_col).alias(f"hop{i}"), F.col(dst_col).alias(f"hop{i + 1}")
+        )
+        out = out.join(nxt, f"hop{i}").distinct()
+    return out

@@ -1,0 +1,186 @@
+"""Relational operators re-expressed as idiomatic Spark window/agg plans.
+
+Each function is a pure ``DataFrame -> DataFrame`` transform with a
+SQL-expressible equivalent (see __spark_entry__.oracle_sql), so every
+operator is verifiable against a DuckDB oracle.
+
+Scale notes: all of these compile to single-shuffle Catalyst plans
+(window or hash-aggregate on the group key). None collect to the driver;
+none use Python UDFs. Skewed group keys are handled by AQE skew-join /
+partial aggregation (map-side combine happens automatically for the
+agg-based operators).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dedupe_by_priority(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column | str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Keep the first row per key after sorting — the reference's
+    sort-then-unique(keep="first") dedup, applied once per key column in
+    sequence (reference: utils/data_transformation_helpers.py:89-120,
+    used build_artist_index.py:189-195).
+
+    Spark-first: a row_number window per key instead of a global sort +
+    stateful unique — one shuffle per key column, deterministic via an
+    explicit ``tiebreak`` column (Polars' maintain_order has no cluster
+    analogue, so determinism must come from the sort key).
+    """
+    order_cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    if tiebreak is not None:
+        order_cols = order_cols + [F.col(tiebreak)]
+    out = df
+    for key in keys:
+        w = Window.partitionBy(key).orderBy(*order_cols)
+        out = (
+            out.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    return out
+
+
+def best_per_group(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column | str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Pick the single best row per group by a composite priority key —
+    the reference's best-release selection (min by
+    ``(status != 'Official', date)``; utils/musicbrainz_helpers.py:280-308).
+    Alias of :func:`dedupe_by_priority` with one key."""
+    return dedupe_by_priority(df, keys, order_by, tiebreak)
+
+
+def top_n_per_group(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column | str],
+    n: int,
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Top-N rows per group (reference: connectivity top-5 per community,
+    detect_communities.py:138-165). One shuffle; no global sort."""
+    w = Window.partitionBy(*keys).orderBy(
+        *[F.col(c) if isinstance(c, str) else c for c in order_by]
+    )
+    out = df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= n)
+    if rank_col:
+        return out.withColumnRenamed("__rn", rank_col)
+    return out.drop("__rn")
+
+
+def positioned_rollup(
+    df: DataFrame,
+    group_col: str,
+    order_col: str | Sequence[str],
+    entry_col: Column,
+    out_col: str = "entries",
+) -> DataFrame:
+    """Ordered list-aggregation per group: number rows within the group,
+    render each as a string, collect in order (reference tracklist rollup:
+    rank over album_id then group_by agg, ingest_graph_db.py:88-107).
+
+    Spark-first: ``sort_array(collect_list(struct(pos, entry)))`` gives a
+    deterministic ordered list with ONE shuffle (no window pass needed
+    for the final ordering — the struct sort restores it post-collect).
+    """
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    w = Window.partitionBy(group_col).orderBy(*order_cols)
+    numbered = df.withColumn("__pos", F.row_number().over(w)).withColumn(
+        "__entry", F.concat(F.col("__pos").cast("string"), F.lit(". "), entry_col)
+    )
+    return numbered.groupBy(group_col).agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct(F.col("__pos"), F.col("__entry")))),
+            lambda s: s.getField("__entry"),
+        ).alias(out_col)
+    )
+
+
+def union_relaxed(*dfs: DataFrame) -> DataFrame:
+    """Vertical union tolerating schema drift — missing columns become
+    null (reference: pl.concat(how="vertical_relaxed"),
+    merge_wikipedia_articles.py:56). Empty inputs are fine."""
+    frames = [df for df in dfs if df is not None]
+    if not frames:
+        raise ValueError("union_relaxed needs at least one DataFrame")
+    out = frames[0]
+    for df in frames[1:]:
+        out = out.unionByName(df, allowMissingColumns=True)
+    return out
+
+
+def duplicate_row_count(df: DataFrame, subset: Sequence[str] | None = None) -> DataFrame:
+    """Count fully-duplicated rows (reference data-quality check:
+    group by all columns, count, filter >1, sum; defs/checks.py:33-41).
+    Returns a 1-row frame ``(dup_groups, dup_rows)``."""
+    cols = list(subset or df.columns)
+    grouped = df.groupBy(*cols).count().filter(F.col("count") > 1)
+    return grouped.agg(
+        F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("dup_groups"),
+        F.coalesce(F.sum("count"), F.lit(0)).alias("dup_rows"),
+    )
+
+
+def null_counts(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """Per-column null counts in ONE pass (reference: col.null_count(),
+    defs/checks.py:26-30). Single partial-aggregated reduce, no shuffle
+    of the raw data."""
+    cols = list(cols or df.columns)
+    return df.agg(
+        *[
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}_nulls")
+            for c in cols
+        ]
+    )
+
+
+def top_n_frequency(
+    df: DataFrame,
+    group_keys: Sequence[str],
+    item_col: Column | str,
+    n: int,
+    out_col: str = "top_items",
+) -> DataFrame:
+    """Top-N most frequent items per group, collected as an ordered list
+    (reference: Counter.most_common over exploded list cols,
+    detect_communities.py:100-135). Ties break on item value (ascending)
+    for determinism — the reference's Counter is insertion-ordered, which
+    has no distributed analogue.
+
+    Plan: explode → count per (group, item) → row_number window → filter
+    → ordered collect. Two shuffles total; both partial-aggregated.
+    """
+    item = F.col(item_col) if isinstance(item_col, str) else item_col
+    counted = (
+        df.select(*group_keys, item.alias("__item"))
+        .groupBy(*group_keys, "__item")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    w = Window.partitionBy(*group_keys).orderBy(F.desc("__cnt"), F.asc("__item"))
+    ranked = counted.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= n
+    )
+    return ranked.groupBy(*group_keys).agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("__rn", "__item"))),
+            lambda s: s.getField("__item"),
+        ).alias(out_col)
+    )
+
+
+def distinct_sorted(df: DataFrame, col: str) -> DataFrame:
+    """Distinct values of one column, sorted (reference:
+    unique().sort() of community ids, detect_communities.py:296)."""
+    return df.select(col).distinct().orderBy(col)

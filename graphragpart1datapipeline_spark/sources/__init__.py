@@ -1,0 +1,9 @@
+from .io import (  # noqa: F401
+    read_jsonl,
+    read_parquet,
+    read_table,
+    read_testdata,
+    write_jsonl_sparse,
+    write_parquet,
+)
+from .cache import fetch_with_cache  # noqa: F401

@@ -1,0 +1,93 @@
+"""Parquet / JSONL sources and sinks.
+
+Reference: Polars I/O managers with streaming sinks, atomic tmp-rename
+commit, and multi-partition scans (io_managers.py:84-232). In Spark all
+three properties are native: the Parquet committer is atomic, scans
+accept path lists/globs, and writes stream through the task commit
+protocol. The one semantic worth porting explicitly is the *sparse*
+JSONL writer (None keys omitted per row — io_managers.py:165-183),
+which Spark's json writer does by default (ignoreNullFields=true).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+TESTDATA_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def read_parquet(
+    spark: SparkSession,
+    paths: str | Sequence[str],
+    schema: StructType | None = None,
+) -> DataFrame:
+    """Schema-enforced Parquet scan; accepts one path or a partition
+    list (reference S2, io_managers.py:122-140)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if isinstance(paths, str):
+        return reader.parquet(paths)
+    return reader.parquet(*paths)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: Sequence[str] | None = None,
+) -> None:
+    """Atomic overwrite Parquet sink (reference S1)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: StructType | None = None
+) -> DataFrame:
+    """JSONL scan; pass a schema in engine code (reference S4 infers —
+    io_managers.py:229-232 — but the engine proper always declares)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_jsonl_sparse(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Sparse JSONL sink: one JSON object per row, null fields omitted
+    (reference S3, io_managers.py:165-183). ignoreNullFields is Spark's
+    default, stated explicitly because it IS the contract."""
+    df.write.mode(mode).option("ignoreNullFields", "true").json(path)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver synthetic table, tolerating TIMESTAMP(NANOS)
+    parquet columns (the events table) that Spark rejects by default:
+    read nanos as long via the legacy conf, then truncate to micros —
+    exactly DuckDB's ns→us coercion, so oracle comparisons agree."""
+    from pyspark.sql import functions as F
+
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        df = spark.read.parquet(path)
+    except Exception:  # PARQUET_TYPE_ILLEGAL on TIMESTAMP(NANOS)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def read_testdata(
+    spark: SparkSession, sf_dir: str, tables: Sequence[str] = TESTDATA_TABLES
+) -> dict[str, DataFrame]:
+    """Load the driver's synthetic tables from an sf directory."""
+    return {t: read_table(spark, sf_dir, t) for t in tables}

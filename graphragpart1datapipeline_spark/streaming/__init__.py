@@ -1,0 +1,6 @@
+from .windows import (  # noqa: F401
+    session_windows,
+    sliding_window_agg,
+    stream_tumbling_counts,
+    tumbling_window_agg,
+)

@@ -1,0 +1,95 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language ID, quality scoring, token counting, document fingerprinting.
+
+Extension surface beyond the reference (sanctioned by BASELINE.json's
+north star); everything is pure column expressions — JVM-side,
+codegen-friendly, zero Python in the hot path — and each has an exact
+ANSI-SQL oracle equivalent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword inventories for the n-gram/stopword
+# heuristic language classifier. Deliberately small + deterministic so
+# the SQL oracle can replicate them verbatim.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "in", "is", "it", "that", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "den"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es", "no", "por"),
+    "fr": ("le", "la", "de", "et", "un", "est", "pas", "que", "pour", "dans"),
+}
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization of trimmed text → array<string>."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count, 0 for empty/null text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(
+        c.isNull() | (F.trim(c) == ""), F.lit(0)
+    ).otherwise(F.size(tokens(c)))
+
+
+def _stopword_hits(toks: Column, lang: str) -> Column:
+    words = STOPWORDS[lang]
+    return F.size(F.filter(toks, lambda t: F.lower(t).isin(*words)))
+
+
+def language_id(col: Column | str) -> Column:
+    """Heuristic language classifier: argmax of per-language stopword hit
+    counts over whitespace tokens; 'und' (undetermined) when no stopword
+    hits at all. Ties break by language code order en < de < es < fr via
+    strict-greater comparison, keeping the result deterministic."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(c)
+    hits = {lang: _stopword_hits(toks, lang) for lang in STOPWORDS}
+    best_lang = F.lit("en")
+    best_hits = hits["en"]
+    for lang in ("de", "es", "fr"):
+        cond = hits[lang] > best_hits
+        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(cond, hits[lang]).otherwise(best_hits)
+    return F.when(best_hits <= 0, F.lit("und")).otherwise(best_lang)
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite document-quality score in [0, 1]:
+    0.4 * length_score (tokens/100 capped at 1)
+    + 0.3 * (1 - punctuation_ratio)   (punct chars / total chars)
+    + 0.3 * stopword_ratio capped at 3x its 0.1 target.
+    Deterministic, SQL-expressible; round before comparing."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(c)
+    n_tok = F.size(toks).cast("double")
+    n_chars = F.length(c).cast("double")
+    n_punct = (
+        n_chars - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    ).cast("double")
+    sw = _stopword_hits(toks, "en").cast("double")
+    length_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(1.0))
+    sw_ratio = F.when(n_tok > 0, sw / n_tok).otherwise(F.lit(0.0))
+    sw_score = F.least(sw_ratio / F.lit(0.1), F.lit(1.0))
+    return (
+        F.lit(0.4) * length_score
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
+        + F.lit(0.3) * sw_score
+    )
+
+
+def document_fingerprint(col: Column | str, bits_hex: int = 16) -> Column:
+    """Stable content fingerprint: md5 of whitespace-normalized,
+    lowercased text, truncated to ``bits_hex`` hex chars. The
+    normalization makes the fingerprint robust to whitespace-only edits
+    (the rolling-hash analogue of reference F7's sha-based ids,
+    utils/io_helpers.py:105-115)."""
+    c = F.col(col) if isinstance(col, str) else col
+    normed = F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+    return F.substring(F.md5(normed), 1, bits_hex)

@@ -1,0 +1,128 @@
+"""Token-aware recursive text splitter — the engine's chunking operator.
+
+Reference: data_transformation_helpers.py:161-183 — HF tokenizer +
+RecursiveCharacterTextSplitter, chunk 2048 tokens / 512 overlap,
+separators ["\\n\\n", "\\n", ". ", "? ", "! ", " ", ""].
+
+The tokenizer is pluggable (reference couples to the Nomic HF tokenizer;
+that lib is not in this container). Default is a deterministic
+whitespace+punctuation tokenizer so chunking goldens are reproducible.
+Runs as ``mapInPandas`` (1 row → N chunk rows) with the tokenizer
+constructed once per Python worker, mirroring the reference's
+per-process model load.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+DEFAULT_SEPARATORS = ["\n\n", "\n", ". ", "? ", "! ", " ", ""]
+# BPE-ish approximation: words, numbers, or single non-space symbols.
+_TOKEN_RE = re.compile(r"\w+|[^\w\s]")
+
+
+def default_token_len(text: str) -> int:
+    return len(_TOKEN_RE.findall(text))
+
+
+def _split_with_sep(text: str, sep: str) -> list[str]:
+    """Split keeping the separator attached to the preceding piece."""
+    if sep == "":
+        return list(text)
+    parts = text.split(sep)
+    return [p + sep for p in parts[:-1]] + ([parts[-1]] if parts[-1] else [])
+
+
+def recursive_split(
+    text: str,
+    chunk_tokens: int = 2048,
+    overlap_tokens: int = 512,
+    separators: list[str] | None = None,
+    token_len: Callable[[str], int] = default_token_len,
+) -> list[str]:
+    """Pure-Python core: recursively split on the coarsest separator that
+    yields pieces under the budget, then greedily merge pieces into
+    chunks of ≤ chunk_tokens with ~overlap_tokens carried between
+    consecutive chunks."""
+    seps = separators if separators is not None else DEFAULT_SEPARATORS
+
+    def split_rec(t: str, sep_idx: int) -> list[str]:
+        if token_len(t) <= chunk_tokens or sep_idx >= len(seps):
+            return [t]
+        pieces = _split_with_sep(t, seps[sep_idx])
+        if len(pieces) <= 1:
+            return split_rec(t, sep_idx + 1)
+        out: list[str] = []
+        for p in pieces:
+            if token_len(p) > chunk_tokens:
+                out.extend(split_rec(p, sep_idx + 1))
+            else:
+                out.append(p)
+        return out
+
+    pieces = split_rec(text, 0)
+    chunks: list[str] = []
+    cur: list[str] = []
+    cur_tok = 0
+    for piece in pieces:
+        pt = token_len(piece)
+        if cur and cur_tok + pt > chunk_tokens:
+            chunks.append("".join(cur).strip())
+            # carry overlap: keep trailing pieces up to overlap_tokens
+            keep: list[str] = []
+            kept = 0
+            for q in reversed(cur):
+                qt = token_len(q)
+                if kept + qt > overlap_tokens:
+                    break
+                keep.append(q)
+                kept += qt
+            cur = list(reversed(keep))
+            cur_tok = kept
+        cur.append(piece)
+        cur_tok += pt
+    if cur:
+        tail = "".join(cur).strip()
+        if tail:
+            chunks.append(tail)
+    return [c for c in chunks if c]
+
+
+def recursive_split_chunks(
+    df: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    chunk_tokens: int = 2048,
+    overlap_tokens: int = 512,
+    token_len: Callable[[str], int] = default_token_len,
+) -> DataFrame:
+    """1 document row → N chunk rows with reference bookkeeping
+    (extract_artists_articles.py:195-217): ``chunk_id = "{id}_chunk_{i}"``,
+    1-based ``chunk_index``, ``total_chunks``."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ident, text in zip(pdf[id_col], pdf[text_col]):
+                chunks = recursive_split(
+                    text or "", chunk_tokens, overlap_tokens, token_len=token_len
+                )
+                total = len(chunks)
+                for i, chunk in enumerate(chunks, start=1):
+                    rows.append((f"{ident}_chunk_{i}", ident, chunk, i, total))
+            yield pd.DataFrame(
+                rows,
+                columns=["chunk_id", id_col, "chunk", "chunk_index", "total_chunks"],
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        gen,
+        schema=(
+            f"chunk_id string, {id_col} string, chunk string, "
+            "chunk_index long, total_chunks long"
+        ),
+    )

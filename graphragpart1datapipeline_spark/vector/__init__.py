@@ -1,0 +1,9 @@
+from .search import (  # noqa: F401
+    cosine_expr,
+    cosine_topk,
+    dot_expr,
+    hash_embed,
+    hyperplane_bucket,
+    l2_norm_expr,
+    lsh_topk,
+)

@@ -1,0 +1,169 @@
+"""Vector similarity search over an embedding column.
+
+Reference query surface: top-k cosine against a ChromaDB HNSW index
+(scripts/query_embeddings.py:52-58, cosine per README.md:456-459).
+
+Engine design:
+- ``cosine_topk`` — exact brute-force scan: score column (higher-order
+  fns, JVM-side, fold in array order → bit-reproducible) + TakeOrdered
+  top-k. This is the correctness baseline and is *stronger* than the
+  reference's approximate HNSW.
+- ``lsh_topk`` — random-hyperplane LSH bucketed variant: probe only the
+  query's bucket (+ optional multi-probe neighbors). At 100 TB the
+  bucket column is a partition/bucketing key so a probe touches a
+  single partition instead of the full corpus.
+- Embeddings are plain ``array<float>`` columns; no UDF in the hot path.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Dot product of two array<numeric> columns, computed in double via
+    an in-order fold (deterministic, oracle-reproducible)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm_expr(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a,
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
+    )
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    denom = l2_norm_expr(a) * l2_norm_expr(b)
+    return F.when(denom > 0, dot_expr(a, b) / denom).otherwise(F.lit(0.0))
+
+
+def _query_lit(query_vec: Sequence[float]) -> Column:
+    return F.array(*[F.lit(float(v)) for v in query_vec])
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    metadata_filter: Column | None = None,
+    normalized: bool = False,
+) -> DataFrame:
+    """Exact top-k by cosine. ``metadata_filter`` applies BEFORE scoring
+    so Catalyst pushes it into the scan (the reference applies metadata
+    filters inside Chroma the same way). With pre-normalized vectors,
+    pass normalized=True to skip the norm (dot == cosine).
+
+    Plan shape: scan → filter → project score → TakeOrderedAndProject
+    (no full sort, no shuffle of vectors; only k rows reach the driver).
+    """
+    q = _query_lit(query_vec)
+    scored = df if metadata_filter is None else df.filter(metadata_filter)
+    if normalized:
+        score = dot_expr(F.col(vec_col), q)
+    else:
+        qn = math.sqrt(sum(float(v) ** 2 for v in query_vec))
+        score = F.when(
+            l2_norm_expr(F.col(vec_col)) > 0,
+            dot_expr(F.col(vec_col), q) / (l2_norm_expr(F.col(vec_col)) * F.lit(qn)),
+        ).otherwise(F.lit(0.0))
+    return (
+        scored.withColumn("score", score)
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, bits: int, seed: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (LCG; no numpy RNG state
+    in the plan — the planes are plan literals broadcast with the
+    query)."""
+    state = seed & 0x7FFFFFFF or 1
+    planes = []
+    for _ in range(bits):
+        row = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) % (1 << 31)
+            row.append((state / float(1 << 31)) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def hyperplane_bucket(vec: Column, bits: int, seed: int = 42, dim: int = 128) -> Column:
+    """Random-hyperplane sign bucket id (0..2^bits-1) for an
+    array<float> column — the LSH partitioning key."""
+    planes = _hyperplanes(dim, bits, seed)
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        sign = (dot_expr(vec, _query_lit(plane)) >= 0).cast("long")
+        bucket = bucket + F.shiftleft(sign, i)
+    return bucket
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = 4,
+    seed: int = 42,
+    bucket_col: str | None = None,
+) -> DataFrame:
+    """Approximate top-k: score only rows in the query's hyperplane
+    bucket. If the table was pre-bucketed (``bucket_col`` persisted and
+    used as a partition key), the probe prunes partitions at scan time;
+    otherwise the bucket is computed on the fly (still a single scan,
+    but no pruning)."""
+    planes = _hyperplanes(len(query_vec), bits, seed)
+    qbucket = 0
+    for i, plane in enumerate(planes):
+        d = sum(float(a) * float(b) for a, b in zip(query_vec, plane))
+        qbucket |= int(d >= 0) << i
+    if bucket_col is None:
+        df = df.withColumn(
+            "__bucket", hyperplane_bucket(F.col(vec_col), bits, seed, len(query_vec))
+        )
+        bucket_col = "__bucket"
+    probed = df.filter(F.col(bucket_col) == qbucket)
+    out = cosine_topk(probed, query_vec, k, vec_col, id_col)
+    return out.drop("__bucket") if "__bucket" in out.columns else out
+
+
+def hash_embed(col: Column | str, dim: int = 32) -> Column:
+    """Deterministic pseudo-embedding for TEXT — a hashing-trick vector:
+    each whitespace token adds ±1 to one of ``dim`` components (sign and
+    slot from xxhash64). Stands in for the reference's sentence-
+    transformer encoder (chroma_helpers.py:36-81) in tests; the real
+    encoder drops into the same column type via a pandas_udf."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.trim(c), r"\s+")
+
+    def _slot_merge(i: int):
+        # closure factory (a default-arg lambda would change the arity
+        # pyspark infers for the higher-order function)
+        def merge(acc, t):
+            return acc + F.when(
+                F.pmod(F.xxhash64(t), F.lit(dim)) == i,
+                F.when(
+                    F.pmod(F.xxhash64(t, F.lit(1)), F.lit(2)) == 0, F.lit(1.0)
+                ).otherwise(F.lit(-1.0)),
+            ).otherwise(F.lit(0.0))
+
+        return merge
+
+    comps = [F.aggregate(toks, F.lit(0.0), _slot_merge(i)) for i in range(dim)]
+    return F.array(*comps).cast("array<float>")
