@@ -31,8 +31,7 @@ def normalize_text(col: Column | str) -> Column:
     return F.trim(c)
 
 
-@pandas_udf("string")
-def _deep_normalize(s: pd.Series) -> pd.Series:
+def _deep_normalize_impl(s: pd.Series) -> pd.Series:
     import unicodedata
 
     try:  # ftfy is optional; not present in this container
@@ -51,6 +50,19 @@ def _deep_normalize(s: pd.Series) -> pd.Series:
         return x
 
     return s.map(go)
+
+
+_deep_normalize_udf = None
+
+
+def _deep_normalize(c: Column) -> Column:
+    # built lazily: pandas_udf needs an active SparkSession to resolve
+    global _deep_normalize_udf
+    if _deep_normalize_udf is None:
+        from pyspark.sql.types import StringType
+
+        _deep_normalize_udf = pandas_udf(_deep_normalize_impl, StringType())
+    return _deep_normalize_udf(c)
 
 
 def normalize_text_deep(col: Column | str) -> Column:

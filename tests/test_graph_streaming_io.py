@@ -1,0 +1,238 @@
+"""Graph build/communities, streaming windows, sources, multimodal,
+and pipeline-runner tests."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from graphragpart1datapipeline_spark.graph import (
+    community_rollup,
+    community_size_stats,
+    connected_components,
+    detect_communities,
+)
+from graphragpart1datapipeline_spark.graph.build import (
+    build_graph_tables,
+    validate_edges,
+)
+from graphragpart1datapipeline_spark.multimodal import (
+    decode_image_features,
+    fake_decode_stats,
+    frame_sample_plan,
+)
+from graphragpart1datapipeline_spark.operators import multi_hop
+from graphragpart1datapipeline_spark.plans import Pipeline
+from graphragpart1datapipeline_spark.sources import (
+    fetch_with_cache,
+    write_jsonl_sparse,
+)
+from graphragpart1datapipeline_spark.streaming import (
+    session_windows,
+    tumbling_window_agg,
+)
+
+
+def _entity_frames(spark):
+    artists = spark.createDataFrame(
+        [
+            ("Q1", "Kraftwerk", "m1", "Germany", ["KW"], ["G1"], ["electro"], ["Neu!"]),
+            ("Q2", "Neu!", "m2", "Germany", None, ["G1", "G2"], None, ["Kraftwerk"]),
+            ("Q3", "Aphex Twin", "m3", "UK", None, ["G2"], None, None),
+        ],
+        "id string, name string, mbid string, country string, "
+        "aliases array<string>, genres array<string>, tags array<string>, "
+        "similar_artists array<string>",
+    )
+    genres = spark.createDataFrame(
+        [("G1", "Krautrock", None, None), ("G2", "Techno", None, ["G1"])],
+        "id string, name string, aliases array<string>, parent_ids array<string>",
+    )
+    countries = spark.createDataFrame(
+        [("C1", "Germany", None), ("C2", "UK", None)],
+        "id string, name string, aliases array<string>",
+    )
+    releases = spark.createDataFrame(
+        [("R1", "Autobahn", 1974, "Q1"), ("R2", "Neu! 75", 1975, "Q2")],
+        "id string, title string, year long, artist_id string",
+    )
+    tracks = spark.createDataFrame(
+        [("t1", "Autobahn", "R1"), ("t2", "Kometenmelodie", "R1")],
+        "id string, title string, album_id string",
+    )
+    return artists, genres, countries, releases, tracks
+
+
+def test_build_graph_tables(spark):
+    nodes, edges = build_graph_tables(*_entity_frames(spark))
+    labels = {r["label"] for r in nodes.select("label").distinct().collect()}
+    assert labels == {"Artist", "Genre", "Country", "Release"}
+    rels = {
+        (r["src"], r["dst"], r["rel"]) for r in edges.collect()
+    }
+    assert ("Q1", "G1", "PLAYS_GENRE") in rels
+    assert ("Q1", "Q2", "SIMILAR_TO") in rels and ("Q2", "Q1", "SIMILAR_TO") in rels
+    assert ("Q1", "C1", "FROM_COUNTRY") in rels
+    assert ("R1", "Q1", "PERFORMED_BY") in rels
+    assert ("G2", "G1", "SUBGENRE_OF") in rels
+    # release node got its ordered tracklist
+    r1 = nodes.filter(F.col("id") == "R1").head()
+    assert r1["tracks"] == ["1. Autobahn", "2. Kometenmelodie"]
+    # edge endpoint validation drops nothing here
+    assert validate_edges(nodes, edges).count() == edges.count()
+
+
+def test_validate_edges_drops_unknown(spark):
+    nodes = spark.createDataFrame([("a",), ("b",)], "id string")
+    edges = spark.createDataFrame(
+        [("a", "b", "X"), ("a", "ghost", "X")], "src string, dst string, rel string"
+    )
+    assert validate_edges(nodes, edges).count() == 1
+
+
+def test_multi_hop(spark):
+    edges = spark.createDataFrame(
+        [("a", "g1", "PLAYS"), ("b", "g1", "PLAYS"), ("g1", "p", "PARENT")],
+        "src string, dst string, rel string",
+    )
+    out = multi_hop(edges, ["PLAYS", "PARENT"]).collect()
+    assert sorted((r["hop0"], r["hop2"]) for r in out) == [("a", "p"), ("b", "p")]
+
+
+def test_connected_components_two_islands(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "src string, dst string"
+    )
+    out = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert out == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_detect_communities_two_cliques(spark):
+    clique1 = [("a" + str(i), "a" + str(j)) for i in range(4) for j in range(i + 1, 4)]
+    clique2 = [("b" + str(i), "b" + str(j)) for i in range(4) for j in range(i + 1, 4)]
+    bridge = [("a0", "b0")]
+    edges = spark.createDataFrame(
+        clique1 + clique2 + bridge, "src string, dst string"
+    )
+    out = detect_communities(spark, edges, resolutions=(1.0,), seed=42)
+    m = {r["id"]: r["community_L0"] for r in out.collect()}
+    assert len({m[f"a{i}"] for i in range(1, 4)}) == 1
+    assert len({m[f"b{i}"] for i in range(1, 4)}) == 1
+    assert m["a1"] != m["b1"]
+    # determinism under the same seed
+    out2 = detect_communities(spark, edges, resolutions=(1.0,), seed=42)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, out2.collect()))
+
+
+def test_community_rollup(spark):
+    members = spark.createDataFrame(
+        [
+            (0, "Q1", "Kraftwerk", ["electro", "krau"], ["Krautrock"], "Germany", ["Neu!"]),
+            (0, "Q2", "Neu!", ["krau"], ["Krautrock"], "Germany", []),
+            (1, "Q3", "Aphex Twin", ["idm"], ["Techno"], "UK", ["μ-Ziq", "Squarepusher"]),
+        ],
+        "community long, id string, name string, tags array<string>, "
+        "genres array<string>, country string, similar_artists array<string>",
+    )
+    out = {r["community"]: r for r in community_rollup(members).collect()}
+    assert out[0]["member_count"] == 2
+    assert out[0]["member_ids"] == ["Q1", "Q2"]
+    assert out[0]["top_tags"][0] == "krau"
+    assert out[0]["top_countries"] == ["Germany"]
+    assert out[1]["representative_artists"] == ["Aphex Twin"]
+    stats = community_size_stats(
+        members.select("community", "id"), "community"
+    ).head()
+    assert stats["n_communities"] == 2 and stats["largest"] == 2
+
+
+def test_tumbling_and_session_windows(spark):
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, base, 7, "click", 1.0),
+        (2, base + dt.timedelta(minutes=10), 7, "click", 2.0),
+        (3, base + dt.timedelta(minutes=70), 7, "click", 3.0),
+        (4, base + dt.timedelta(minutes=75), 8, "view", 4.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    tumb = tumbling_window_agg(
+        ev, "ts", "1 hour", ["event_type"], [F.count(F.lit(1)).alias("n")]
+    )
+    got = {
+        (r["window_start"].hour, r["event_type"]): r["n"] for r in tumb.collect()
+    }
+    assert got == {(0, "click"): 2, (1, "click"): 1, (1, "view"): 1}
+    sess = session_windows(ev, "ts", "user_id", gap_minutes=30)
+    m = {r["event_id"]: r["session_id"] for r in sess.collect()}
+    assert m[1] == 1 and m[2] == 1 and m[3] == 2 and m[4] == 1
+
+
+def test_fetch_with_cache(spark):
+    keys = spark.createDataFrame([("k1",), ("k2",), ("k3",)], "key string")
+    cache = spark.createDataFrame([("k1", "cached")], "key string, val string")
+    calls = []
+
+    def fetcher(batch):
+        calls.append(sorted(batch))
+        return pd.DataFrame({"key": batch, "val": [f"fetched-{k}" for k in batch]})
+
+    out = fetch_with_cache(
+        keys, cache, "key", fetcher, result_schema="key string, val string",
+        fetch_parallelism=1,
+    )
+    got = {r["key"]: r["val"] for r in out.collect()}
+    assert got == {"k1": "cached", "k2": "fetched-k2", "k3": "fetched-k3"}
+
+
+def test_write_jsonl_sparse(spark, tmp_path):
+    df = spark.createDataFrame([("a", None), ("b", 2)], "id string, n long")
+    path = str(tmp_path / "out_jsonl")
+    write_jsonl_sparse(df, path)
+    lines = sorted(
+        ln
+        for p in __import__("pathlib").Path(path).glob("*.json")
+        for ln in p.read_text().splitlines()
+    )
+    assert lines == ['{"id":"a"}', '{"id":"b","n":2}']
+
+
+def test_multimodal_plumbing(spark):
+    df = spark.createDataFrame(
+        [("img1", "image", bytearray(b"\x89PNG fake"), 2000)],
+        "asset_id string, kind string, payload binary, duration_ms long",
+    )
+    out = decode_image_features(df, decoder=fake_decode_stats).collect()
+    assert len(out) == 1
+    assert out[0]["byte_len"] == 9 and len(out[0]["feature"]) == 8
+    frames = frame_sample_plan(df, every_ms=500).collect()
+    assert [r["frame_ts_ms"] for r in frames] == [0, 500, 1000, 1500]
+
+
+def test_multimodal_stub_raises(spark):
+    df = spark.createDataFrame(
+        [("a", "image", bytearray(b"x"), 1)],
+        "asset_id string, kind string, payload binary, duration_ms long",
+    )
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        decode_image_features(df)
+
+
+def test_pipeline_runner(spark, tmp_path):
+    pipe = Pipeline()
+
+    @pipe.stage("base")
+    def base(s):
+        return s.createDataFrame([(1,), (2,)], "v long")
+
+    @pipe.stage("doubled", deps=["base"], checkpoint=str(tmp_path / "ck"))
+    def doubled(s, b):
+        return b.select((F.col("v") * 2).alias("v"))
+
+    out = pipe.run(spark)
+    assert sorted(r["v"] for r in out["doubled"].collect()) == [2, 4]

@@ -1,0 +1,164 @@
+"""Operator unit tests with the reference's golden cases (FIXTURES.md §5)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from graphragpart1datapipeline_spark.functions import (
+    format_list_natural,
+    latin_script_filter,
+    normalize_text,
+    qid_from_uri,
+    track_entry,
+    year_from_date_string,
+    year_from_wikidata_time,
+)
+from graphragpart1datapipeline_spark.operators import (
+    best_per_group,
+    dedupe_by_priority,
+    positioned_rollup,
+    top_n_frequency,
+    top_n_per_group,
+    union_relaxed,
+)
+
+
+def test_oxford_comma_goldens(spark):
+    """Reference golden (tests/.../test_data_transformation_helpers.py:10-29):
+    [] -> "", [a] -> a, [a,b] -> "a and b", [a,b,c] -> "a, b, and c",
+    dedup preserves first-seen order."""
+    rows = [
+        ([], ""),
+        (["techno"], "techno"),
+        (["techno", "house"], "techno and house"),
+        (["techno", "house", "ambient"], "techno, house, and ambient"),
+        (["b", "a", "b", "c"], "b, a, and c"),
+        (None, ""),
+    ]
+    df = spark.createDataFrame(
+        [(r[0],) for r in rows], "items array<string>"
+    ).withColumn("out", format_list_natural("items"))
+    got = [r["out"] for r in df.collect()]
+    assert got == [r[1] for r in rows]
+
+
+def test_latin_script_goldens(spark):
+    """Reference golden (tests/.../test_extract_artist.py:22-39): keep
+    Björk/Dvořák/Mötley Crüe, drop Cyrillic/CJK/mixed/empty/null."""
+    keep = ["The Beatles", "Björk", "Dvořák", "Mötley Crüe"]
+    drop = ["Битлз", "BTS (방탄소년단)", "坂本龍一", "", None]
+    df = spark.createDataFrame(
+        [(n,) for n in keep + drop], "name string"
+    ).filter(latin_script_filter("name"))
+    assert sorted(r["name"] for r in df.collect()) == sorted(keep)
+
+
+def test_tracklist_rollup_golden(spark):
+    """Reference golden (tests/.../test_ingest_graph_db.py:57): tracks
+    T1,T2 on album R1 -> ["1. Track1", "2. Track2"]."""
+    tracks = spark.createDataFrame(
+        [("t1", "Track1", "R1"), ("t2", "Track2", "R1"), ("t3", "Solo", "R2")],
+        "id string, title string, album_id string",
+    )
+    out = positioned_rollup(
+        tracks, "album_id", "id", F.col("title"), out_col="tracks"
+    )
+    got = {r["album_id"]: r["tracks"] for r in out.collect()}
+    assert got == {"R1": ["1. Track1", "2. Track2"], "R2": ["1. Solo"]}
+
+
+def test_union_relaxed_empty_sides(spark):
+    """Reference golden (test_merge_wikipedia_articles.py:73-160)."""
+    a = spark.createDataFrame([("x", 1)], "id string, n long")
+    empty = spark.createDataFrame([], "id string, n long")
+    extra = spark.createDataFrame([("y", "hi")], "id string, note string")
+    assert union_relaxed(a, empty).count() == 1
+    assert union_relaxed(empty, empty).count() == 0
+    out = union_relaxed(a, extra)
+    assert set(out.columns) == {"id", "n", "note"}
+    got = {r["id"]: (r["n"], r["note"]) for r in out.collect()}
+    assert got == {"x": (1, None), "y": (None, "hi")}
+
+
+def test_priority_dedup_golden(spark):
+    """Reference W2 (data_transformation_helpers.py:89-120): sort by
+    start_date asc, keep first per artist_uri, then first per name."""
+    df = spark.createDataFrame(
+        [
+            ("u1", "Kraftwerk", "1970-01-01"),
+            ("u1", "Kraftwerk", "1975-01-01"),  # dup uri, later date
+            ("u2", "Kraftwerk", "1968-01-01"),  # dup name, earlier date
+            ("u3", "Neu!", "1971-01-01"),
+        ],
+        "artist_uri string, name string, start_date string",
+    )
+    out = dedupe_by_priority(
+        df, keys=["artist_uri", "name"], order_by=["start_date"],
+        tiebreak="artist_uri",
+    )
+    got = sorted((r["artist_uri"], r["start_date"]) for r in out.collect())
+    # u1 keeps 1970 row; then name-dedup keeps u2 (1968) over u1 (1970)
+    assert got == [("u2", "1968-01-01"), ("u3", "1971-01-01")]
+
+
+def test_best_release_golden(spark):
+    """Reference W4 (musicbrainz_helpers.py:280-308): Official beats
+    non-Official; ties → oldest date; missing date = '9999-99-99'."""
+    df = spark.createDataFrame(
+        [
+            ("rg1", "r1", "Bootleg", "1980-01-01"),
+            ("rg1", "r2", "Official", "1990-01-01"),
+            ("rg1", "r3", "Official", "1985-01-01"),
+            ("rg2", "r4", "Promotion", "2000-01-01"),
+            ("rg2", "r5", "Promotion", None),
+        ],
+        "group_id string, id string, status string, date string",
+    )
+    out = best_per_group(
+        df,
+        keys=["group_id"],
+        order_by=[
+            F.when(F.col("status") == "Official", 0).otherwise(1),
+            F.coalesce("date", F.lit("9999-99-99")),
+        ],
+        tiebreak="id",
+    )
+    got = {r["group_id"]: r["id"] for r in out.collect()}
+    assert got == {"rg1": "r3", "rg2": "r4"}
+
+
+def test_top_n_frequency_ordering(spark):
+    df = spark.createDataFrame(
+        [("c1", t) for t in ["a", "b", "a", "c", "a", "b"]]
+        + [("c2", t) for t in ["z", "z", "y"]],
+        "comm string, tag string",
+    )
+    out = top_n_frequency(df, ["comm"], "tag", 2, out_col="top_tags")
+    got = {r["comm"]: r["top_tags"] for r in out.collect()}
+    assert got == {"c1": ["a", "b"], "c2": ["z", "y"]}
+
+
+def test_top_n_per_group_rank(spark):
+    df = spark.createDataFrame(
+        [("g", 5), ("g", 9), ("g", 7), ("h", 1)], "k string, v long"
+    )
+    out = top_n_per_group(df, ["k"], [F.desc("v")], 2, rank_col="rk")
+    got = sorted((r["k"], r["rk"], r["v"]) for r in out.collect())
+    assert got == [("g", 1, 9), ("g", 2, 7), ("h", 1, 1)]
+
+
+def test_scalar_functions(spark):
+    df = spark.createDataFrame(
+        [("http://www.wikidata.org/entity/Q111", "1988-06-01", "+1975-00-00T00:00:00Z")],
+        "uri string, d string, wd string",
+    ).select(
+        qid_from_uri("uri").alias("qid"),
+        year_from_date_string("d").alias("y1"),
+        year_from_wikidata_time("wd").alias("y2"),
+        track_entry(F.lit(3), F.lit("Autobahn")).alias("entry"),
+        normalize_text(F.lit("  a\n\nb\r  c  ")).alias("norm"),
+    )
+    r = df.head()
+    assert (r["qid"], r["y1"], r["y2"]) == ("Q111", 1988, 1975)
+    assert r["entry"] == "3. Autobahn"
+    assert r["norm"] == "a b c"

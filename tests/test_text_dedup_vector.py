@@ -1,0 +1,191 @@
+"""Text pipeline, dedup family, and vector search unit tests."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from graphragpart1datapipeline_spark.dedup import (
+    embedding_near_dup_pairs,
+    exact_dedup,
+    minhash_lsh_dedup,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+from graphragpart1datapipeline_spark.text import (
+    document_fingerprint,
+    language_id,
+    token_count,
+)
+from graphragpart1datapipeline_spark.text.chunking import (
+    recursive_split,
+    recursive_split_chunks,
+)
+from graphragpart1datapipeline_spark.text.sections import (
+    parse_sections,
+    split_sections,
+)
+from graphragpart1datapipeline_spark.vector import cosine_topk, lsh_topk
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and runs far away today "
+)
+
+
+def test_section_parser_golden():
+    text = (
+        "Intro text about the artist goes here, long enough to keep.\n"
+        "== Career ==\n"
+        "Career content that is definitely long enough to keep around.\n"
+        "== References ==\n"
+        "Should never appear because parsing stops here completely."
+    )
+    secs = parse_sections(text)
+    assert [s for s, _ in secs] == ["Introduction", "Career"]
+    assert secs[1][1].startswith("Career content")
+
+
+def test_section_parser_min_len_and_stop():
+    text = "tiny\n== See Also ==\nnever reached content here at all"
+    assert parse_sections(text) == []  # intro too short, stop at See Also
+
+
+def test_split_sections_spark(spark):
+    df = spark.createDataFrame(
+        [("a1", "Intro that is long enough to be kept as one section.")],
+        "id string, text string",
+    )
+    out = split_sections(df).collect()
+    assert len(out) == 1 and out[0]["section"] == "Introduction"
+
+
+def test_recursive_split_deterministic_and_bounded():
+    text = ("para one. " * 40 + "\n\n" + "para two. " * 40).strip()
+    chunks = recursive_split(text, chunk_tokens=50, overlap_tokens=10)
+    assert chunks == recursive_split(text, chunk_tokens=50, overlap_tokens=10)
+    assert len(chunks) >= 2
+    from graphragpart1datapipeline_spark.text.chunking import default_token_len
+
+    assert all(default_token_len(c) <= 50 + 10 for c in chunks)
+
+
+def test_chunking_bookkeeping(spark):
+    df = spark.createDataFrame(
+        [("d1", "word " * 300)], "id string, text string"
+    )
+    out = recursive_split_chunks(
+        df, chunk_tokens=64, overlap_tokens=16
+    ).collect()
+    assert len(out) > 1
+    idx = sorted(r["chunk_index"] for r in out)
+    assert idx == list(range(1, len(out) + 1))
+    assert all(r["total_chunks"] == len(out) for r in out)
+    assert out[0]["chunk_id"].startswith("d1_chunk_")
+
+
+def test_token_count_and_fingerprint(spark):
+    df = spark.createDataFrame(
+        [("a b  c", "a  b\nc"), ("", "x")], "t1 string, t2 string"
+    ).select(
+        token_count("t1").alias("n"),
+        (document_fingerprint("t1") == document_fingerprint("t2")).alias("same"),
+    )
+    rows = df.collect()
+    assert rows[0]["n"] == 3 and rows[0]["same"] is True
+    assert rows[1]["n"] == 0 and rows[1]["same"] is False
+
+
+def test_language_id_heuristic(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat is in the house and it is warm",),
+            ("der Hund ist nicht zu Hause und die Katze",),
+            ("el perro es de la casa y no es un gato",),
+            ("xyzzy qwerty plugh",),
+        ],
+        "text string",
+    ).select(language_id("text").alias("lang"))
+    assert [r["lang"] for r in df.collect()] == ["en", "de", "es", "und"]
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(1, "Same   text"), (2, "same text"), (3, "other text")],
+        "doc_id long, text string",
+    )
+    out = exact_dedup(df)  # normalized: whitespace+case insensitive
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 3]
+
+
+def test_minhash_lsh_finds_planted_near_dup(spark):
+    near = BASE * 4 + "slightly changed ending"
+    rows = [(1, BASE * 4 + "original ending right here"), (2, near)] + [
+        (i, f"totally different document number {i} " + "filler words " * 20)
+        for i in range(3, 15)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = minhash_lsh_dedup(df, jaccard_threshold=0.5)
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert 1 in kept and 2 not in kept and len(kept) == 13
+
+
+def test_simhash_near_dup(spark):
+    rows = [(1, BASE * 6), (2, BASE * 6 + "tail"), (3, "unrelated words entirely different topic altogether now")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = simhash_near_dup_pairs(df, max_hamming=8).collect()
+    assert any((p["a"], p["b"]) == (1, 2) for p in pairs)
+    assert not any(3 in (p["a"], p["b"]) for p in pairs)
+
+
+def test_ngram_jaccard_exact(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d f"), (3, "x y z w v")],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, threshold=0.0).collect()
+    }
+    # shingles(1)={abc,bcd,cde}, shingles(2)={abc,bcd,cdf}: J = 2/4
+    assert math.isclose(out[(1, 2)], 0.5)
+    assert out[(1, 3)] == 0.0
+
+
+def test_embedding_near_dup(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.999, 0.01]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = embedding_near_dup_pairs(df, threshold=0.99).collect()
+    assert [(p["a"], p["b"]) for p in pairs] == [(1, 2)]
+
+
+def test_cosine_topk_golden(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [-1.0, 0.0]), (4, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = cosine_topk(df, [1.0, 0.0], k=2).collect()
+    assert [r["vec_id"] for r in out] == [1, 2]
+    assert math.isclose(out[0]["score"], 1.0)
+
+
+def test_cosine_topk_metadata_filter(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], "a"), (2, [0.9, 0.1], "b")],
+        "vec_id long, embedding array<float>, tag string",
+    )
+    out = cosine_topk(
+        df, [1.0, 0.0], k=5, metadata_filter=F.col("tag") == "b"
+    ).collect()
+    assert [r["vec_id"] for r in out] == [2]
+
+
+def test_lsh_topk_contains_self(spark):
+    df = spark.createDataFrame(
+        [(i, [float(i == j) for j in range(8)]) for i in range(8)],
+        "vec_id long, embedding array<float>",
+    )
+    out = lsh_topk(df, [1.0] + [0.0] * 7, k=3, bits=2).collect()
+    assert out and out[0]["vec_id"] == 0  # exact match lands in own bucket
