@@ -37,19 +37,26 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig) where sig = array of num_hashes hex-string minima.
     Documents with fewer than one shingle get no signature (dropped)."""
+    from ..util import ensure_parallelism
+
+    df = ensure_parallelism(df)
     sh = shingles(text_col, shingle_n)
 
-    def _hasher(i: int):
-        # closure factory: a default-arg lambda would have arity 2 and
-        # pyspark would bind the array index to it instead
-        return lambda s: F.md5(F.concat(F.lit(f"{i}|"), s))
+    # ONE fold over the shingle array computes all k minima: per shingle
+    # build its k md5 candidates, zip_with(least) into the accumulator.
+    # (k separate array_min(transform(...)) expressions would make
+    # CollapseProject inline — and re-evaluate — the shingle expression
+    # k times; measured ~1.6x slower at sf0.1.)
+    def _merge(acc, s):
+        candidates = F.array(
+            *[F.md5(F.concat(F.lit(f"{i}|"), s)) for i in range(num_hashes)]
+        )
+        return F.zip_with(acc, candidates, lambda a, b: F.least(a, b))
 
-    sigs = F.array(
-        *[
-            F.array_min(F.transform(F.col("__sh"), _hasher(i))).alias(f"h{i}")
-            for i in range(num_hashes)
-        ]
-    )
+    # 'g' sorts after every md5 hex digest ('g' > 'f'), so it is the
+    # identity for lexicographic min
+    init = F.array_repeat(F.lit("g"), num_hashes)
+    sigs = F.aggregate(F.col("__sh"), init, _merge)
     return (
         df.select(F.col(id_col), sh.alias("__sh"))
         .filter(F.size("__sh") > 0)
@@ -80,6 +87,12 @@ def lsh_candidate_pairs(
             )
         ).alias("bk"),
     ).select(id_col, "bk.band", "bk.bucket")
+    # The self-join below reads this twice; a lazy cache() races when
+    # both sides compute in the same job, so materialize eagerly. The
+    # (id, band, bucket) projection is tiny relative to the md5 work
+    # that produces it. At 100 TB this is the stage you persist as a
+    # signatures table instead.
+    banded = banded.localCheckpoint(eager=True)
     left = banded.select(
         F.col("band"), F.col("bucket"), F.col(id_col).alias("a")
     )

@@ -61,8 +61,11 @@ def simhash_near_dup_pairs(
     into ``bands`` 16-bit chunks, bucket-join on any equal chunk
     (pigeonhole guarantees recall for distance < bands), verify exact
     Hamming ≤ max_hamming. Returns (a, b, hamming)."""
+    from ..util import ensure_parallelism
+
     width = BITS // bands
-    fp = df.select(F.col(id_col), simhash64(text_col).alias("fp"))
+    df = ensure_parallelism(df)
+    fp = df.select(F.col(id_col), simhash64(text_col).alias("fp")).cache()
     chunks = fp.select(
         id_col,
         "fp",

@@ -91,19 +91,23 @@ def positioned_rollup(
     render each as a string, collect in order (reference tracklist rollup:
     rank over album_id then group_by agg, ingest_graph_db.py:88-107).
 
-    Spark-first: ``sort_array(collect_list(struct(pos, entry)))`` gives a
-    deterministic ordered list with ONE shuffle (no window pass needed
-    for the final ordering — the struct sort restores it post-collect).
+    Spark-first: NO window pass at all — collect (sort_key, entry)
+    structs in one hash-aggregate shuffle, sort each group's array, and
+    derive the 1-based position from the array index. The reference's
+    rank-then-group two-pass plan becomes a single exchange; per-group
+    arrays are small so the in-array sort is cheap and deterministic.
     """
     order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
-    w = Window.partitionBy(group_col).orderBy(*order_cols)
-    numbered = df.withColumn("__pos", F.row_number().over(w)).withColumn(
-        "__entry", F.concat(F.col("__pos").cast("string"), F.lit(". "), entry_col)
+    sort_struct = F.struct(
+        *[F.col(c).alias(f"__k{i}") for i, c in enumerate(order_cols)],
+        entry_col.alias("__entry"),
     )
-    return numbered.groupBy(group_col).agg(
+    return df.groupBy(group_col).agg(
         F.transform(
-            F.sort_array(F.collect_list(F.struct(F.col("__pos"), F.col("__entry")))),
-            lambda s: s.getField("__entry"),
+            F.sort_array(F.collect_list(sort_struct)),
+            lambda s, i: F.concat(
+                (i + 1).cast("string"), F.lit(". "), s.getField("__entry")
+            ),
         ).alias(out_col)
     )
 

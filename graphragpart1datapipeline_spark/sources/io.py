@@ -68,12 +68,31 @@ def write_jsonl_sparse(df: DataFrame, path: str, mode: str = "overwrite") -> Non
     df.write.mode(mode).option("ignoreNullFields", "true").json(path)
 
 
+_SMALL_FILE_BYTES = 256 << 10
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one driver synthetic table, tolerating TIMESTAMP(NANOS)
-    parquet columns (the events table) that Spark rejects by default:
-    read nanos as long via the legacy conf, then truncate to micros —
-    exactly DuckDB's ns→us coercion, so oracle comparisons agree."""
+    """Load one driver synthetic table.
+
+    Two robustness/scale adaptations:
+    - TIMESTAMP(NANOS) parquet (the events table) is rejected by Spark's
+      vectorized reader: fall back to the nanos-as-long legacy conf and
+      truncate to micros — exactly DuckDB's ns→us coercion, so oracle
+      comparisons agree.
+    - The driver's tables are single-file/single-row-group parquet, so a
+      scan is ONE task no matter what maxPartitionBytes says. For the
+      CPU-heavy text/vector tables (documents, embeddings) repartition
+      to cluster parallelism — per-row hashing/shingling work dwarfs the
+      tiny shuffle. Relational tables stay as-is: their heavy lifting
+      happens after an agg/join shuffle anyway, and measurements show
+      the extra exchange costs more than the single-task scan. On real
+      multi-file datasets ensure_parallelism is a no-op.
+    """
+    import os as _os
+
     from pyspark.sql import functions as F
+
+    from ..util import ensure_parallelism
 
     path = f"{sf_dir}/{name}.parquet"
     try:
@@ -83,6 +102,13 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name in ("documents", "embeddings"):
+        try:
+            size = _os.path.getsize(path)
+        except OSError:
+            size = 0
+        if size > _SMALL_FILE_BYTES:
+            df = ensure_parallelism(df)
     return df
 
 
