@@ -990,6 +990,417 @@ def q32(spark, sf_dir):
     return connected_components(e1.unionByName(e2).unionByName(e3))
 
 
+@_register(
+    "q36_embedding_near_dup",
+    """
+    WITH n AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nm
+      FROM embeddings
+    ), u AS (
+      SELECT vec_id, list_transform(v, x -> x / nm) AS uv FROM n WHERE nm > 0
+    )
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           floor(list_dot_product(a.uv, b.uv) * 10000.0 + 0.5) / 10000.0 AS cosine
+    FROM u a JOIN u b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.uv, b.uv) >= 0.3
+    """,
+)
+def q36(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (exact; unit-normalize once
+    per row, fused dot per pair). The LSH-bucketed scale path is the
+    same operator with bucket_bits > 0."""
+    from graphragpart1datapipeline_spark.dedup.embedding import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(
+        emb, vec_col="embedding", id_col="vec_id", threshold=0.3
+    )
+    return pairs.select("a", "b", _round_det("cosine", 4).alias("cosine"))
+
+
+@_register(
+    "q37_section_split",
+    """
+    WITH a AS (
+      SELECT CAST(doc_id AS VARCHAR) AS id,
+             trim(substring(text, 1, 80)) AS intro,
+             trim(substring(text, 81)) AS details
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT id, 'Introduction' AS section, intro AS content
+    FROM a WHERE length(intro) >= 30
+    UNION ALL
+    SELECT id, 'Details' AS section, details AS content
+    FROM a WHERE length(details) >= 30
+    """,
+)
+def q37(spark, sf_dir):
+    """Wikipedia-style section splitter T1 (mapInPandas 1→N; reference
+    wikipedia_helpers.py:104-152). Articles are synthesized with real
+    ``== Header ==`` markers plus an excluded-header tail, so the split,
+    the stop-at-excluded rule, and the min-length drop all exercise."""
+    from graphragpart1datapipeline_spark.text.sections import split_sections
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    articles = docs.select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.concat(
+            F.substring("text", 1, 80),
+            F.lit("\n== Details ==\n"),
+            F.substring(F.col("text"), 81, 1 << 30),
+            F.lit("\n== References ==\nsee elsewhere"),
+        ).alias("text"),
+    )
+    return split_sections(articles, id_col="id", text_col="text")
+
+
+@_register(
+    "q38_media_metadata",
+    """
+    SELECT 'asset-' || CAST(doc_id AS VARCHAR) AS asset_id,
+           CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+                WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS byte_len,
+           sha256(coalesce(text, '')) AS content_hash
+    FROM documents
+    """,
+)
+def q38(spark, sf_dir):
+    """Multimodal binary-column plumbing: opaque payload bytes through
+    the Arrow-batched mapInPandas decode stage (schema/batch shape are
+    real; the codec is the deterministic stub — real decoders inject at
+    the same seam). Payloads here are the documents' UTF-8 bytes."""
+    from graphragpart1datapipeline_spark.multimodal.assets import (
+        decode_image_features,
+        fake_decode_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    assets = docs.select(
+        F.concat(F.lit("asset-"), F.col("doc_id").cast("string")).alias(
+            "asset_id"
+        ),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8").alias("payload"),
+    )
+    feats = decode_image_features(assets, decoder=fake_decode_stats)
+    return feats.select("asset_id", "kind", "byte_len", "content_hash")
+
+
+@_register("q39_communities")
+def q39(spark, sf_dir):
+    """Multi-resolution community detection G2 (driver-local stage with a
+    documented size bound, exactly the reference's contract —
+    utils/neo4j_helpers.py:237-268). Iterative/seeded: no SQL oracle;
+    determinism is pinned by unit tests."""
+    from graphragpart1datapipeline_spark.graph.communities import (
+        detect_communities,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    e1 = c.select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("n"), F.col("c_nationkey").cast("string")).alias("dst"),
+    )
+    e2 = n.select(
+        F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias("src"),
+        F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias("dst"),
+    )
+    return detect_communities(spark, e1.unionByName(e2))
+
+
+@_register(
+    "q40_community_rollup",
+    r"""
+    WITH m AS (
+      SELECT lang AS community, CAST(doc_id AS VARCHAR) AS id, source,
+             string_split_regex(trim(text), '\s+') AS words
+      FROM documents
+    ), base AS (
+      SELECT community, COUNT(*) AS member_count,
+             array_to_string((list(id ORDER BY id))[1:10], ', ') AS member_ids_top10
+      FROM m GROUP BY community
+    ), wc AS (
+      SELECT community, w, COUNT(*) AS c
+      FROM (SELECT community, unnest(words) AS w FROM m) GROUP BY 1, 2
+    ), wr AS (
+      SELECT community, w,
+             row_number() OVER (PARTITION BY community ORDER BY c DESC, w) AS rn
+      FROM wc
+    ), tw AS (
+      SELECT community, string_agg(w, ', ' ORDER BY rn) AS top_tags
+      FROM wr WHERE rn <= 10 GROUP BY community
+    ), sc AS (
+      SELECT community, source AS s, COUNT(*) AS c FROM m GROUP BY 1, 2
+    ), sr AS (
+      SELECT community, s,
+             row_number() OVER (PARTITION BY community ORDER BY c DESC, s) AS rn
+      FROM sc
+    ), tg AS (
+      SELECT community, string_agg(s, ', ' ORDER BY rn) AS top_genres
+      FROM sr WHERE rn <= 5 GROUP BY community
+    ), tc AS (
+      SELECT community, string_agg(s, ', ' ORDER BY rn) AS top_countries
+      FROM sr WHERE rn <= 3 GROUP BY community
+    ), rk AS (
+      SELECT community, id,
+             row_number() OVER (PARTITION BY community
+                                ORDER BY len(words) DESC, id) AS rn
+      FROM m
+    ), rp AS (
+      SELECT community, string_agg(id, ', ' ORDER BY rn) AS representatives
+      FROM rk WHERE rn <= 5 GROUP BY community
+    )
+    SELECT base.community, member_count, member_ids_top10,
+           top_tags, top_genres, top_countries, representatives
+    FROM base
+    LEFT JOIN tw USING (community) LEFT JOIN tg USING (community)
+    LEFT JOIN tc USING (community) LEFT JOIN rp USING (community)
+    """,
+)
+def q40(spark, sf_dir):
+    """Per-community rollup A9 in ONE distributed plan (reference loops
+    per community in Python, detect_communities.py:294-333): member
+    count/ids, top-10 tags, top-5 genres, top-3 countries, top-5
+    representatives by connectivity. Documents grouped by language stand
+    in for artists grouped by community."""
+    from graphragpart1datapipeline_spark.graph.communities import (
+        community_rollup,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    members = docs.select(
+        F.col("lang").alias("community"),
+        F.col("doc_id").cast("string").alias("id"),
+        F.col("source"),
+        F.split(F.trim(F.col("text")), r"\s+").alias("words"),
+        F.array(F.col("source")).alias("genres_arr"),
+    )
+    rolled = community_rollup(
+        members,
+        community_col="community",
+        id_col="id",
+        tags_col="words",
+        genres_col="genres_arr",
+        country_col="source",
+        similar_col="words",
+        name_col="id",
+    )
+    return rolled.select(
+        "community",
+        "member_count",
+        F.array_join(F.slice("member_ids", 1, 10), ", ").alias(
+            "member_ids_top10"
+        ),
+        F.array_join("top_tags", ", ").alias("top_tags"),
+        F.array_join("top_genres", ", ").alias("top_genres"),
+        F.array_join("top_countries", ", ").alias("top_countries"),
+        F.array_join("representative_artists", ", ").alias("representatives"),
+    )
+
+
+@_register(
+    "q41_text_functions",
+    r"""
+    WITH w AS (
+      SELECT doc_id, text,
+             (string_split_regex(trim(text), '\s+'))[1:3] AS w3
+      FROM documents
+    ), d AS (
+      SELECT doc_id, text,
+             list_filter(w3, (x, i) -> list_position(w3, x) = i) AS dw
+      FROM w
+    )
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(text, '[\n\r]+', ' ', 'g'),
+                               '\s+', ' ', 'g')) AS norm_text,
+           substring(sha256(text || '-' || CAST(doc_id AS VARCHAR)), 1, 32) AS stable_id,
+           replace('Artist_' || CAST(doc_id AS VARCHAR), '_', ' ') AS display_title,
+           'https://en.wikipedia.org/wiki/Artist_' || CAST(doc_id AS VARCHAR) AS wiki_url,
+           CASE WHEN len(dw) = 1 THEN dw[1]
+                WHEN len(dw) = 2 THEN dw[1] || ' and ' || dw[2]
+                ELSE array_to_string(dw[1:len(dw)-1], ', ') || ', and ' || dw[len(dw)]
+           END AS natural_list,
+           CAST(1900 + doc_id % 100 AS INTEGER) AS inception_year
+    FROM d
+    """,
+)
+def q41(spark, sf_dir):
+    """Scalar text-function suite F1/F2/F7/F9/F12/F6: whitespace
+    canonicalization, stable doc ids, title/URL round-trip, Oxford-comma
+    natural list with order-preserving dedup, Wikidata year parse."""
+    from graphragpart1datapipeline_spark.functions import (
+        doc_id_hash,
+        format_list_natural,
+        normalize_text,
+        sitelink_to_wikipedia_url,
+        title_underscores_to_spaces,
+        year_from_wikidata_time,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    title = F.concat(F.lit("Artist_"), F.col("doc_id").cast("string"))
+    display = title_underscores_to_spaces(title)
+    wd_time = F.concat(
+        F.lit("+"),
+        (F.lit(1900) + F.col("doc_id") % 100).cast("string"),
+        F.lit("-00-00T00:00:00Z"),
+    )
+    return docs.select(
+        "doc_id",
+        normalize_text("text").alias("norm_text"),
+        doc_id_hash(F.col("text"), F.col("doc_id").cast("string")).alias(
+            "stable_id"
+        ),
+        display.alias("display_title"),
+        sitelink_to_wikipedia_url(display).alias("wiki_url"),
+        format_list_natural(
+            F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 3)
+        ).alias("natural_list"),
+        year_from_wikidata_time(wd_time).alias("inception_year"),
+    )
+
+
+@_register(
+    "q42_ivf_topk",
+    """
+    WITH n AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), q AS (
+      SELECT v AS qv FROM n WHERE vec_id = 0
+    ), cents AS (
+      SELECT vec_id AS cid, v AS cv FROM n WHERE vec_id < 8
+    ), scored AS (
+      SELECT n.vec_id, c.cid,
+             CASE WHEN sqrt(list_dot_product(n.v, n.v))
+                       * sqrt(list_dot_product(c.cv, c.cv)) > 0
+                  THEN list_dot_product(n.v, c.cv)
+                       / (sqrt(list_dot_product(n.v, n.v))
+                          * sqrt(list_dot_product(c.cv, c.cv)))
+                  ELSE 0.0 END AS cos
+      FROM n CROSS JOIN cents c
+    ), assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+        FROM scored) WHERE rn = 1
+    ), probe AS (
+      SELECT cid FROM assign WHERE vec_id = 0
+    ), cand AS (
+      SELECT n.vec_id, n.v FROM n JOIN assign USING (vec_id) JOIN probe USING (cid)
+    ), final AS (
+      SELECT cand.vec_id,
+             CASE WHEN sqrt(list_dot_product(cand.v, cand.v))
+                       * sqrt(list_dot_product(q.qv, q.qv)) > 0
+                  THEN list_dot_product(cand.v, q.qv)
+                       / (sqrt(list_dot_product(cand.v, cand.v))
+                          * sqrt(list_dot_product(q.qv, q.qv)))
+                  ELSE 0.0 END AS score
+      FROM cand, q
+    )
+    SELECT vec_id, floor(score * 10000.0 + 0.5) / 10000.0 AS score
+    FROM final ORDER BY score DESC, vec_id LIMIT 5
+    """,
+)
+def q42(spark, sf_dir):
+    """IVF approximate nearest neighbors: coarse-quantizer assignment
+    (broadcast centroids, one corpus scan) + single-cluster probe. The
+    scale path for similarity search next to the exact q25 baseline."""
+    from graphragpart1datapipeline_spark.vector.search import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding")
+    )
+    out = ivf_topk(
+        emb,
+        qvec,
+        cents,
+        k=5,
+        vec_col="embedding",
+        id_col="vec_id",
+        cent_vec_col="embedding",
+        cent_id_col="cid",
+        nprobe=1,
+    )
+    return out.select("vec_id", _round_det("score", 4).alias("score"))
+
+
+@_register(
+    "q43_frame_samples",
+    """
+    SELECT event_id AS asset_id,
+           unnest(range(0, CAST(event_id % 5000 + 500 AS BIGINT), 1000)) AS frame_ts_ms
+    FROM events
+    """,
+)
+def q43(spark, sf_dir):
+    """Video frame-sampling plan (multimodal): one row per sampled frame
+    timestamp — pure sequence/explode, no codec. Durations are derived
+    deterministically from event ids."""
+    from graphragpart1datapipeline_spark.multimodal.assets import (
+        frame_sample_plan,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    assets = ev.select(
+        F.col("event_id").alias("asset_id"),
+        (F.col("event_id") % 5000 + 500).alias("duration_ms"),
+    )
+    return frame_sample_plan(
+        assets, every_ms=1000, duration_col="duration_ms", id_col="asset_id"
+    )
+
+
+@_register("q44_stream_tumbling")
+def q44(spark, sf_dir):
+    """TRUE Structured Streaming pass: readStream over the events
+    parquet → watermarked tumbling-window counts → availableNow trigger
+    into a memory sink; returns the completed batch result. Streaming
+    plans can't be oracled by DuckDB (rows-only check); the batch twin
+    q18 carries the value oracle for the identical window semantics."""
+    import uuid
+
+    from graphragpart1datapipeline_spark.streaming import (
+        stream_tumbling_counts,
+    )
+
+    spark.conf.set(
+        "spark.sql.legacy.parquet.nanosAsLong", "true"
+    )  # events ts is TIMESTAMP(NANOS)
+    sdf = (
+        spark.readStream.schema(
+            "event_id bigint, user_id bigint, ts bigint, event_type string, "
+            "value double, props string"
+        )
+        .parquet(f"{sf_dir}/events.*")  # glob keeps basePath = the dir
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    windowed = stream_tumbling_counts(
+        sdf, ts_col="ts", duration="1 hour", group_cols=["event_type"],
+        watermark="10 minutes",
+    )
+    name = f"q44_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        windowed.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 # --------------------------------------------------------------------------
 # Non-SQL-expressible operators (rows-only driver check)
 # --------------------------------------------------------------------------

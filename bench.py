@@ -39,6 +39,11 @@ HEADLINE = [
     "q25_vector_topk",
     "q27_moving_agg",
     "q31_multi_hop_graph",
+    "q36_embedding_near_dup",
+    "q37_section_split",
+    "q38_media_metadata",
+    "q40_community_rollup",
+    "q42_ivf_topk",
 ]
 
 

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..vector.search import cosine_expr
+from ..vector.search import dot_expr, l2_norm_expr
 
 
 def embedding_near_dup_pairs(
@@ -24,29 +24,44 @@ def embedding_near_dup_pairs(
     """Pairs with cosine ≥ threshold. With bucket_bits > 0, candidates
     are restricted to equal random-hyperplane sign-buckets (approximate,
     misses some pairs near hyperplanes; that's the documented trade).
-    Returns (a, b, cosine)."""
-    base = df.select(F.col(id_col), F.col(vec_col).alias("__v"))
+    Returns (a, b, cosine).
+
+    Scale design: each vector is L2-normalized ONCE on its own row
+    (cosine = dot of unit vectors), so the O(n²/buckets) pair stage does
+    a single fused dot per pair instead of dot + two norms — 3× less
+    arithmetic where it multiplies. Zero-norm vectors get a null unit
+    vector and can never reach a positive threshold (same outcome as
+    defining their cosine as 0)."""
+    base = df.select(F.col(id_col), F.col(vec_col).alias("__v")).withColumn(
+        "__n", l2_norm_expr(F.col("__v"))
+    )
+    base = base.select(
+        id_col,
+        F.when(
+            F.col("__n") > 0,
+            F.transform(F.col("__v"), lambda x: x.cast("double") / F.col("__n")),
+        ).alias("__u"),
+    )
     if bucket_bits > 0:
         from ..vector.search import hyperplane_bucket
 
         base = base.withColumn(
-            "__bkt", hyperplane_bucket(F.col("__v"), bucket_bits, seed)
+            "__bkt", hyperplane_bucket(F.col("__u"), bucket_bits, seed)
         )
-        join_keys = ["__bkt"]
         a = base.select(
-            *join_keys, F.col(id_col).alias("a"), F.col("__v").alias("va")
+            "__bkt", F.col(id_col).alias("a"), F.col("__u").alias("ua")
         )
         b = base.select(
-            *join_keys, F.col(id_col).alias("b"), F.col("__v").alias("vb")
+            "__bkt", F.col(id_col).alias("b"), F.col("__u").alias("ub")
         )
-        pairs = a.join(b, join_keys)
+        pairs = a.join(b, "__bkt")
     else:
-        a = base.select(F.col(id_col).alias("a"), F.col("__v").alias("va"))
-        b = base.select(F.col(id_col).alias("b"), F.col("__v").alias("vb"))
+        a = base.select(F.col(id_col).alias("a"), F.col("__u").alias("ua"))
+        b = base.select(F.col(id_col).alias("b"), F.col("__u").alias("ub"))
         pairs = a.crossJoin(b)
     return (
         pairs.filter(F.col("a") < F.col("b"))
-        .withColumn("cosine", cosine_expr(F.col("va"), F.col("vb")))
+        .withColumn("cosine", dot_expr(F.col("ua"), F.col("ub")))
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
     )

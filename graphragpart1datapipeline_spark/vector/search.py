@@ -143,6 +143,78 @@ def lsh_topk(
     return out.drop("__bucket") if "__bucket" in out.columns else out
 
 
+def ivf_assignments(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cent_vec_col: str = "embedding",
+    cent_id_col: str = "cid",
+) -> DataFrame:
+    """IVF index build: assign every vector to its max-cosine centroid
+    (ties → lowest centroid id). The centroid table is small by
+    definition (k ≪ n) so it broadcasts; the assignment is one scan of
+    the corpus with no shuffle of the vectors themselves. At 100 TB the
+    (id, centroid_id) output is persisted and the corpus is repartitioned
+    /bucketed BY centroid_id so a probe reads only its clusters.
+    Returns (id_col, centroid_id)."""
+    from pyspark.sql import Window
+
+    v = df.select(F.col(id_col), F.col(vec_col).alias("__v"))
+    c = centroids.select(
+        F.col(cent_id_col).alias("__cid"), F.col(cent_vec_col).alias("__cv")
+    )
+    scored = v.join(F.broadcast(c)).select(
+        id_col, "__cid", cosine_expr(F.col("__v"), F.col("__cv")).alias("__cos")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("__cos"), F.asc("__cid"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, F.col("__cid").alias("centroid_id"))
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    centroids: DataFrame,
+    k: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cent_vec_col: str = "embedding",
+    cent_id_col: str = "cid",
+    nprobe: int = 1,
+) -> DataFrame:
+    """IVF approximate top-k: score only the vectors assigned to the
+    ``nprobe`` centroids nearest the query (coarse quantizer probe).
+    The centroid ranking uses the same (cosine desc, cid asc) rule as
+    the assignment, computed driver-side over the collected centroid
+    table — identical double arithmetic, so a query vector that is
+    itself in the corpus probes exactly its own cluster."""
+    cents = centroids.select(cent_id_col, cent_vec_col).collect()
+    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec))
+
+    def _cos(vec) -> float:
+        dot = 0.0
+        nc = 0.0
+        for a, b in zip(vec, query_vec):
+            dot += float(a) * float(b)
+            nc += float(a) * float(a)
+        denom = math.sqrt(nc) * qn
+        return dot / denom if denom > 0 else 0.0
+
+    ranked = sorted(cents, key=lambda r: (-_cos(r[1]), r[0]))
+    probe_ids = [r[0] for r in ranked[:nprobe]]
+    assign = ivf_assignments(
+        df, centroids, vec_col, id_col, cent_vec_col, cent_id_col
+    )
+    cand = df.join(
+        assign.filter(F.col("centroid_id").isin(probe_ids)), id_col
+    )
+    return cosine_topk(cand, query_vec, k, vec_col, id_col).drop("centroid_id")
+
+
 def hash_embed(col: Column | str, dim: int = 32) -> Column:
     """Deterministic pseudo-embedding for TEXT — a hashing-trick vector:
     each whitespace token adds ±1 to one of ``dim`` components (sign and
