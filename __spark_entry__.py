@@ -731,14 +731,21 @@ def q23(spark, sf_dir):
 
 
 def _minhash_sql(num_hashes: int = 8, bands: int = 4, shingle_n: int = 3) -> str:
+    from graphragpart1datapipeline_spark.dedup.minhash import (
+        MERSENNE31,
+        perm_coeffs,
+    )
+
     r = num_hashes // bands
     sig_items = ", ".join(
-        f"list_aggregate([md5('{i}|' || s) FOR s IN shingles], 'min')"
-        for i in range(num_hashes)
+        f"min(({a} * h + {b}) % {MERSENNE31})"
+        for a, b in perm_coeffs(num_hashes)
     )
     band_parts = []
     for b in range(bands):
-        elems = " || '|' || ".join(f"sig[{b * r + j + 1}]" for j in range(r))
+        elems = " || '|' || ".join(
+            f"CAST(sig[{b * r + j + 1}] AS VARCHAR)" for j in range(r)
+        )
         band_parts.append(f"SELECT doc_id, {b} AS band, md5({elems}) AS bucket FROM sig")
     banded = " UNION ALL ".join(band_parts)
     return f"""
@@ -749,8 +756,13 @@ def _minhash_sql(num_hashes: int = 8, bands: int = 4, shingle_n: int = 3) -> str
              list_distinct([array_to_string(t[i:i+{shingle_n - 1}], ' ')
                             FOR i IN range(1, len(t) - {shingle_n - 2})]) AS shingles
       FROM toks WHERE len(t) >= {shingle_n}
+    ), hb AS (
+      SELECT doc_id,
+             CAST(CAST('0x' || substring(md5(s), 1, 15) AS UBIGINT)
+                  % {MERSENNE31} AS BIGINT) AS h
+      FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
     ), sig AS (
-      SELECT doc_id, [{sig_items}] AS sig FROM sh WHERE len(shingles) > 0
+      SELECT doc_id, [{sig_items}] AS sig FROM hb GROUP BY doc_id
     ), banded AS ({banded}),
     cand AS (
       SELECT DISTINCT x.doc_id AS a, y.doc_id AS b

@@ -5,12 +5,15 @@ bucket-join on (band, signature) → candidate pairs → (optional) exact
 Jaccard verification on candidates only.
 
 Design choices for scale AND cross-engine determinism:
-- MinHash_i(doc) = MIN over shingles of md5(i || "|" || shingle),
-  compared as *hex strings*. md5 is identical everywhere (so the DuckDB
-  oracle can replicate bit-for-bit), and lexicographic min over a
-  uniformly-distributed hex digest is a valid minwise permutation.
-- All array ops are higher-order functions (transform/filter/aggregate)
-  — no Python in the pipeline.
+- ONE base hash per shingle (md5 → first 15 hex digits → 60-bit int,
+  reduced mod 2^31-1), then k affine permutations
+  h_i = (a_i·h + b_i) mod 2^31-1 — the classic minwise family. One
+  cryptographic hash instead of k per shingle; the permutations are a
+  few integer ops each. md5 and 64-bit integer arithmetic are identical
+  in every engine, so the DuckDB oracle replicates bit-for-bit.
+- The signature is an explode → groupBy(id).agg(k × min) plan: the
+  explode is narrow (no shuffle), the aggregation partial-combines
+  map-side, so the shuffle carries one k-long row per document.
 - The bucket-join shuffles only (band_key, doc_id); the O(n²) pair space
   is never materialized — only same-bucket collisions are.
 """
@@ -21,6 +24,22 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .ngram import word_shingles
+
+MERSENNE31 = 2_147_483_647  # 2^31 - 1 (prime): permutation modulus
+
+
+def perm_coeffs(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs for the affine minwise permutations
+    (LCG from seed — reproducible in the SQL oracle as plain literals)."""
+    state = seed & 0x7FFFFFFF or 1
+    out = []
+    for _ in range(num_hashes):
+        state = (1103515245 * state + 12345) % (1 << 31)
+        a = state % (MERSENNE31 - 1) + 1
+        state = (1103515245 * state + 12345) % (1 << 31)
+        b = state % MERSENNE31
+        out.append((a, b))
+    return out
 
 
 def shingles(col: Column | str, n: int = 3) -> Column:
@@ -34,33 +53,38 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 8,
     shingle_n: int = 3,
+    seed: int = 42,
 ) -> DataFrame:
-    """(id, sig) where sig = array of num_hashes hex-string minima.
-    Documents with fewer than one shingle get no signature (dropped)."""
+    """(id, sig) where sig = array of num_hashes int64 minima.
+    Documents with no shingle produce no row (dropped by the explode)."""
     from ..util import ensure_parallelism
 
     df = ensure_parallelism(df)
-    sh = shingles(text_col, shingle_n)
-
-    # ONE fold over the shingle array computes all k minima: per shingle
-    # build its k md5 candidates, zip_with(least) into the accumulator.
-    # (k separate array_min(transform(...)) expressions would make
-    # CollapseProject inline — and re-evaluate — the shingle expression
-    # k times; measured ~1.6x slower at sf0.1.)
-    def _merge(acc, s):
-        candidates = F.array(
-            *[F.md5(F.concat(F.lit(f"{i}|"), s)) for i in range(num_hashes)]
+    # one md5 per shingle; a_i·h + b_i stays < 2^62 (no overflow)
+    base = (
+        df.select(
+            F.col(id_col),
+            F.explode(shingles(text_col, shingle_n)).alias("__s"),
         )
-        return F.zip_with(acc, candidates, lambda a, b: F.least(a, b))
-
-    # 'g' sorts after every md5 hex digest ('g' > 'f'), so it is the
-    # identity for lexicographic min
-    init = F.array_repeat(F.lit("g"), num_hashes)
-    sigs = F.aggregate(F.col("__sh"), init, _merge)
+        .select(
+            id_col,
+            (
+                F.conv(F.substring(F.md5("__s"), 1, 15), 16, 10).cast("long")
+                % MERSENNE31
+            ).alias("__h"),
+        )
+    )
+    aggs = [
+        F.min((F.lit(a) * F.col("__h") + F.lit(b)) % MERSENNE31).alias(f"__m{i}")
+        for i, (a, b) in enumerate(perm_coeffs(num_hashes, seed))
+    ]
     return (
-        df.select(F.col(id_col), sh.alias("__sh"))
-        .filter(F.size("__sh") > 0)
-        .select(F.col(id_col), sigs.alias("sig"))
+        base.groupBy(id_col)
+        .agg(*aggs)
+        .select(
+            F.col(id_col),
+            F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("sig"),
+        )
     )
 
 
@@ -81,7 +105,13 @@ def lsh_candidate_pairs(
                 lambda b: F.struct(
                     b.alias("band"),
                     F.md5(
-                        F.array_join(F.slice(F.col("sig"), b * r + 1, r), "|")
+                        F.array_join(
+                            F.transform(
+                                F.slice(F.col("sig"), b * r + 1, r),
+                                lambda x: x.cast("string"),
+                            ),
+                            "|",
+                        )
                     ).alias("bucket"),
                 ),
             )
