@@ -155,9 +155,24 @@ def q01(spark, sf_dir):
 def q02(spark, sf_dir):
     """Flagship slice (SURVEY §7.2): ordered tracklist rollup (W1+F3+A1)
     left-joined to its header table (J1), year filter (P5). The exact
-    plan of reference ingest_graph_db.py:88-115 on TPC-H analogs."""
+    plan of reference ingest_graph_db.py:88-115 on TPC-H analogs.
+
+    Scale note: Catalyst cannot push the orders-side year filter through
+    the left join into the rollup aggregate, so we do it by hand — a
+    broadcast LEFT SEMI join of lineitem against the filtered order keys
+    cuts the aggregated volume by the filter's selectivity with no extra
+    shuffle (the semi side broadcasts)."""
     li = _t(spark, sf_dir, "lineitem")
-    orders = _t(spark, sf_dir, "orders")
+    # year(o_orderdate) BETWEEN 1995 AND 1996, written as a range so the
+    # predicate reaches the parquet scan (year() does not push down)
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = li.join(
+        F.broadcast(orders.select("o_orderkey")),
+        li["l_orderkey"] == F.col("o_orderkey"),
+        "left_semi",
+    )
     roll = positioned_rollup(
         li,
         group_col="l_orderkey",
@@ -168,11 +183,9 @@ def q02(spark, sf_dir):
         entry_col=F.concat(F.lit("item-"), F.col("l_partkey").cast("string")),
         out_col="entries",
     ).select("l_orderkey", F.array_join("entries", " | ").alias("tracklist"))
-    return (
-        orders.join(roll, orders["o_orderkey"] == roll["l_orderkey"], "left")
-        .filter(F.year("o_orderdate").between(1995, 1996))
-        .select("o_orderkey", "o_orderdate", "tracklist")
-    )
+    return orders.join(
+        roll, orders["o_orderkey"] == roll["l_orderkey"], "left"
+    ).select("o_orderkey", "o_orderdate", "tracklist")
 
 
 @_register(
@@ -251,7 +264,9 @@ def q05(spark, sf_dir):
     r = _t(spark, sf_dir, "region")
     n = _t(spark, sf_dir, "nation")
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1995)
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1996-01-01")
+    )
     li = _t(spark, sf_dir, "lineitem")
     return (
         r.join(n, n["n_regionkey"] == r["r_regionkey"])
@@ -1370,6 +1385,83 @@ def q43(spark, sf_dir):
     )
     return frame_sample_plan(
         assets, every_ms=1000, duration_col="duration_ms", id_col="asset_id"
+    )
+
+
+@_register(
+    "q45_fulltext_search",
+    r"""
+    SELECT doc_id FROM documents
+    WHERE list_contains(list_transform(string_split_regex(trim(text), '\s+'),
+                                       x -> lower(x)), 'table')
+      AND list_contains(list_transform(string_split_regex(trim(text), '\s+'),
+                                       x -> lower(x)), 'spark')
+    """,
+)
+def q45(spark, sf_dir):
+    """Fulltext search G5 over an inverted-postings plan (reference:
+    Neo4j fulltext index README.md:414-418): explode distinct tokens,
+    probe the query terms, require all terms per document. At scale the
+    postings become a token-bucketed table so the probe prunes buckets."""
+    from graphragpart1datapipeline_spark.text import fulltext_search
+
+    docs = _t(spark, sf_dir, "documents")
+    return fulltext_search(
+        docs, ["table", "spark"], text_col="text", id_col="doc_id",
+        match_all=True,
+    )
+
+
+@_register(
+    "q46_context_headers",
+    r"""
+    WITH w AS (
+      SELECT doc_id, lang, source,
+             (string_split_regex(trim(text), '\s+'))[1:3] AS w3
+      FROM documents
+    ), d AS (
+      SELECT doc_id, lang, source,
+             list_filter(w3, (x, i) -> list_position(w3, x) = i) AS dw
+      FROM w
+    )
+    SELECT doc_id,
+           'search_document: Topic: Doc ' || CAST(doc_id AS VARCHAR)
+           || '. Context: '
+           || CASE WHEN len(dw) > 0 THEN 'Genres: ' ||
+                CASE WHEN len(dw) = 1 THEN dw[1]
+                     WHEN len(dw) = 2 THEN dw[1] || ' and ' || dw[2]
+                     ELSE array_to_string(dw[1:len(dw)-1], ', ') || ', and ' || dw[len(dw)]
+                END || '; '
+              ELSE '' END
+           || 'Country: ' || source || '; '
+           || 'Active since: ' || CAST(1900 + doc_id % 100 AS VARCHAR) || ' '
+           || '| ' || lang || ' (Section: Introduction) |' AS header,
+           CAST(doc_id AS VARCHAR) || '_chunk_1' AS chunk_id
+    FROM d
+    """,
+)
+def q46(spark, sf_dir):
+    """Context-header enrichment T3 + chunk-id bookkeeping T4 (reference
+    extract_artists_articles.py:146-217): the search_document prefix
+    line from sparse metadata columns, all JVM-side expressions."""
+    from graphragpart1datapipeline_spark.functions import context_header
+
+    docs = _t(spark, sf_dir, "documents")
+    genres = F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 3)
+    header = context_header(
+        topic=F.concat(F.lit("Doc "), F.col("doc_id").cast("string")),
+        genres=genres,
+        country=F.col("source"),
+        active_since=(F.lit(1900) + F.col("doc_id") % 100),
+        name=F.col("lang"),
+        section=F.lit("Introduction"),
+    )
+    return docs.select(
+        "doc_id",
+        header.alias("header"),
+        F.concat(F.col("doc_id").cast("string"), F.lit("_chunk_1")).alias(
+            "chunk_id"
+        ),
     )
 
 

@@ -105,6 +105,42 @@ def format_list_natural(col: Column | str) -> Column:
     )
 
 
+def context_header(
+    topic: Column,
+    genres: Column,
+    country: Column,
+    active_since: Column,
+    name: Column,
+    section: Column,
+) -> Column:
+    """RAG context-header enrichment T3 (reference
+    extract_artists_articles.py:146-193): the ``search_document:``
+    prefix line prepended to every chunk, built entirely from column
+    expressions — sparse parts (genres/country/year) drop out when
+    null/empty, exactly like the reference's conditional f-string."""
+    return F.concat(
+        F.lit("search_document: Topic: "),
+        topic,
+        F.lit(". Context: "),
+        F.when(
+            F.size(F.coalesce(genres, F.array())) > 0,
+            F.concat(F.lit("Genres: "), format_list_natural(genres), F.lit("; ")),
+        ).otherwise(F.lit("")),
+        F.when(
+            country.isNotNull(), F.concat(F.lit("Country: "), country, F.lit("; "))
+        ).otherwise(F.lit("")),
+        F.when(
+            active_since.isNotNull(),
+            F.concat(F.lit("Active since: "), active_since.cast("string"), F.lit(" ")),
+        ).otherwise(F.lit("")),
+        F.lit("| "),
+        name,
+        F.lit(" (Section: "),
+        section,
+        F.lit(") |"),
+    )
+
+
 def track_entry(pos: Column | str, title: Column | str) -> Column:
     """``"{position}. {title}"`` (reference F3, ingest_graph_db.py:100-102)."""
     p = F.col(pos) if isinstance(pos, str) else pos

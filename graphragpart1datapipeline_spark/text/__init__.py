@@ -1,6 +1,7 @@
 from .analysis import (  # noqa: F401
     STOPWORDS,
     document_fingerprint,
+    fulltext_search,
     language_id,
     quality_score,
     token_count,

@@ -84,6 +84,29 @@ def quality_score(col: Column | str) -> Column:
     )
 
 
+def fulltext_search(
+    df,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    match_all: bool = True,
+):
+    """Fulltext term search G5 (reference: Neo4j fulltext index,
+    README.md:414-418) as an inverted-index plan: explode distinct
+    tokens, keep postings matching the query terms, group by document
+    and demand all (or any) terms present. At scale the exploded
+    (token, doc_id) postings are a persisted table bucketed by token —
+    a probe then touches only the buckets of the query terms instead of
+    scanning the corpus. Returns matching (id_col) rows."""
+    toks = (
+        df.select(F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("__t"))
+        .filter(F.lower(F.col("__t")).isin(*[t.lower() for t in terms]))
+    )
+    hits = toks.groupBy(id_col).agg(F.countDistinct(F.lower("__t")).alias("__n"))
+    needed = len(set(t.lower() for t in terms)) if match_all else 1
+    return hits.filter(F.col("__n") >= needed).select(id_col)
+
+
 def document_fingerprint(col: Column | str, bits_hex: int = 16) -> Column:
     """Stable content fingerprint: md5 of whitespace-normalized,
     lowercased text, truncated to ``bits_hex`` hex chars. The

@@ -189,3 +189,91 @@ def test_lsh_topk_contains_self(spark):
     )
     out = lsh_topk(df, [1.0] + [0.0] * 7, k=3, bits=2).collect()
     assert out and out[0]["vec_id"] == 0  # exact match lands in own bucket
+
+
+def test_fulltext_search_all_vs_any(spark):
+    from graphragpart1datapipeline_spark.text import fulltext_search
+
+    df = spark.createDataFrame(
+        [(1, "spark table scan"), (2, "spark only here"), (3, "a table alone"), (4, "nothing")],
+        "doc_id long, text string",
+    )
+    both = {r["doc_id"] for r in fulltext_search(df, ["spark", "table"]).collect()}
+    assert both == {1}
+    any_ = {
+        r["doc_id"]
+        for r in fulltext_search(df, ["spark", "table"], match_all=False).collect()
+    }
+    assert any_ == {1, 2, 3}
+    # case-insensitive probe
+    upper = {r["doc_id"] for r in fulltext_search(df, ["SPARK"]).collect()}
+    assert upper == {1, 2}
+
+
+def test_context_header_sparse_parts(spark):
+    from graphragpart1datapipeline_spark.functions import context_header
+
+    df = spark.createDataFrame(
+        [
+            ("T", ["g1", "g2"], "DE", 1988, "N", "Intro"),
+            ("T2", [], None, None, "N2", "Main"),
+        ],
+        "topic string, genres array<string>, country string, "
+        "year int, name string, section string",
+    )
+    out = df.select(
+        context_header(
+            F.col("topic"), F.col("genres"), F.col("country"),
+            F.col("year"), F.col("name"), F.col("section"),
+        ).alias("h")
+    ).collect()
+    assert out[0]["h"] == (
+        "search_document: Topic: T. Context: Genres: g1 and g2; "
+        "Country: DE; Active since: 1988 | N (Section: Intro) |"
+    )
+    assert out[1]["h"] == "search_document: Topic: T2. Context: | N2 (Section: Main) |"
+
+
+def test_ivf_topk_probes_own_cluster(spark):
+    from graphragpart1datapipeline_spark.vector.search import (
+        ivf_assignments,
+        ivf_topk,
+    )
+
+    # two well-separated clusters around e1 and e2
+    rows = [
+        (0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.95, 0.05]),
+        (3, [0.0, 1.0]), (4, [0.1, 0.9]), (5, [0.05, 0.95]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (3, [0.0, 1.0])], "cid long, embedding array<float>"
+    )
+    assign = {
+        r["vec_id"]: r["centroid_id"]
+        for r in ivf_assignments(df, cents).collect()
+    }
+    assert assign == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 3}
+    out = ivf_topk(df, [0.0, 1.0], cents, k=10).collect()
+    # probe touches only the second cluster
+    assert {r["vec_id"] for r in out} == {3, 4, 5}
+    assert out[0]["vec_id"] == 3
+
+
+def test_minhash_signature_deterministic(spark):
+    from graphragpart1datapipeline_spark.dedup.minhash import (
+        MERSENNE31,
+        minhash_signatures,
+        perm_coeffs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "x y z w v")],
+        "doc_id long, text string",
+    )
+    sigs = {r["doc_id"]: r["sig"] for r in minhash_signatures(df, num_hashes=4).collect()}
+    assert sigs[1] == sigs[2]  # identical text -> identical signature
+    assert sigs[1] != sigs[3]
+    assert all(0 <= v < MERSENNE31 for v in sigs[1])
+    # coefficient generator is stable across calls (oracle embeds them)
+    assert perm_coeffs(4) == perm_coeffs(4)
