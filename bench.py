@@ -62,8 +62,18 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = entrymod.queries()
 
-    # Warm-up: JVM, codegen, parquet footer caches.
+    # Warm-up: JVM, codegen, parquet footer caches, and the Python
+    # worker pool (first mapInPandas otherwise pays worker spawn).
     run_query(queries["q01_pricing_summary"](spark, sf_dir))
+
+    def _ident(batches):
+        yield from batches
+
+    run_query(
+        spark.range(spark.sparkContext.defaultParallelism * 4)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(_ident, schema="id long")
+    )
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
