@@ -1389,6 +1389,87 @@ def q43(spark, sf_dir):
 
 
 @_register(
+    "q47_community_naming",
+    r"""
+    WITH m AS (
+      SELECT lang AS community, source,
+             string_split_regex(trim(text), '\s+') AS words
+      FROM documents
+    ), sc AS (
+      SELECT community, source AS s, COUNT(*) AS c FROM m GROUP BY 1, 2
+    ), s1 AS (
+      SELECT community, s FROM (
+        SELECT community, s,
+               row_number() OVER (PARTITION BY community ORDER BY c DESC, s) AS rn
+        FROM sc) WHERE rn = 1
+    ), wc AS (
+      SELECT community, w, COUNT(*) AS c
+      FROM (SELECT community, unnest(words) AS w FROM m) GROUP BY 1, 2
+    ), w1 AS (
+      SELECT community, w FROM (
+        SELECT community, w,
+               row_number() OVER (PARTITION BY community ORDER BY c DESC, w) AS rn
+        FROM wc) WHERE rn = 1
+    )
+    SELECT s1.community, concat_ws(' ', s1.s, coalesce(w1.w, 'Electronic')) AS name
+    FROM s1 LEFT JOIN w1 USING (community)
+    """,
+)
+def q47(spark, sf_dir):
+    """Community naming T10: '{top_country} {top_genre}' with
+    'Electronic' fallback, from the same one-pass top-N-frequency
+    aggregates the rollup uses."""
+    from graphragpart1datapipeline_spark.graph.communities import community_name
+    from graphragpart1datapipeline_spark.operators import top_n_frequency
+
+    docs = _t(spark, sf_dir, "documents")
+    members = docs.select(
+        F.col("lang").alias("community"),
+        F.col("source"),
+        F.split(F.trim(F.col("text")), r"\s+").alias("words"),
+    )
+    top_src = top_n_frequency(
+        members.select("community", F.col("source").alias("s")),
+        ["community"], "s", 1, out_col="countries",
+    )
+    top_word = top_n_frequency(
+        members.select("community", F.explode("words").alias("w")),
+        ["community"], "w", 1, out_col="genres",
+    )
+    joined = top_src.join(top_word, "community", "left")
+    return joined.select(
+        "community",
+        community_name(F.col("countries"), F.col("genres")).alias("name"),
+    )
+
+
+@_register(
+    "q48_community_size_stats",
+    """
+    WITH s AS (SELECT lang, COUNT(*) AS size FROM documents GROUP BY lang)
+    SELECT COUNT(*) AS n_communities, MAX(size) AS largest, MIN(size) AS smallest,
+           floor(avg(size) * 10000.0 + 0.5) / 10000.0 AS mean_size
+    FROM s
+    """,
+)
+def q48(spark, sf_dir):
+    """Community size distribution A10 (reference
+    utils/neo4j_helpers.py:271-290): two-level aggregate."""
+    from graphragpart1datapipeline_spark.graph.communities import (
+        community_size_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    stats = community_size_stats(
+        docs.select(F.col("lang").alias("community")), "community"
+    )
+    return stats.select(
+        "n_communities", "largest", "smallest",
+        _round_det("mean_size", 4).alias("mean_size"),
+    )
+
+
+@_register(
     "q45_fulltext_search",
     r"""
     SELECT doc_id FROM documents

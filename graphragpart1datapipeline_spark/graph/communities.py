@@ -275,6 +275,18 @@ def community_rollup(
     )
 
 
+def community_name(countries: "F.Column", genres: "F.Column") -> "F.Column":
+    """Human-readable community name T10 (reference
+    generate_community_summaries.py:28-49): ``"{top_country} {top_genre}"``
+    with 'Electronic' as the genre fallback; a missing country simply
+    drops out (concat_ws skips nulls)."""
+    return F.concat_ws(
+        " ",
+        F.get(countries, 0),
+        F.coalesce(F.get(genres, 0), F.lit("Electronic")),
+    )
+
+
 def community_size_stats(assignments: DataFrame, community_col: str) -> DataFrame:
     """Community count + size distribution (reference
     utils/neo4j_helpers.py:271-290)."""

@@ -9,4 +9,4 @@ from .relational import (  # noqa: F401
     top_n_per_group,
     union_relaxed,
 )
-from .joins import multi_hop, name_or_alias_join  # noqa: F401
+from .joins import multi_hop, name_or_alias_join, salted_join  # noqa: F401

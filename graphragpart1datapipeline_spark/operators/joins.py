@@ -60,6 +60,35 @@ def name_or_alias_join(
     )
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    how: str = "inner",
+    salt: int = 16,
+) -> DataFrame:
+    """Skew-mitigating equi-join: spread a hot key over ``salt`` shards.
+
+    The (large, skewed) left side gets a per-row shard id; the (smaller)
+    right side is replicated once per shard; the join runs on
+    (keys..., shard). Same result as a plain join, but a key holding X%
+    of the rows now occupies ``salt`` tasks instead of one straggler.
+    AQE's skew splitting handles sort-merge cases automatically — use
+    this when the skew is extreme or the join must stay hash-partitioned
+    for a downstream stage. The right side grows ``salt``×, so keep
+    salt × |right| well under the shuffle budget.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    shard = F.pmod(
+        F.xxhash64(F.monotonically_increasing_id(), F.lit(salt)), F.lit(salt)
+    ).cast("int")
+    salted_left = left.withColumn("__shard", shard)
+    salted_right = right.withColumn(
+        "__shard", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    return salted_left.join(salted_right, [*keys, "__shard"], how).drop("__shard")
+
+
 def multi_hop(
     edges: DataFrame,
     rels: Sequence[str],

@@ -162,3 +162,32 @@ def test_scalar_functions(spark):
     assert (r["qid"], r["y1"], r["y2"]) == ("Q111", 1988, 1975)
     assert r["entry"] == "3. Autobahn"
     assert r["norm"] == "a b c"
+
+
+def test_salted_join_matches_plain_join(spark):
+    from graphragpart1datapipeline_spark.operators import salted_join
+
+    left = spark.createDataFrame(
+        [(k, i) for i in range(200) for k in ("hot", f"k{i % 5}")],
+        "k string, v long",
+    )
+    right = spark.createDataFrame(
+        [("hot", 1), ("k0", 2), ("k3", 3), ("absent", 9)], "k string, w long"
+    )
+    plain = sorted(
+        (r["k"], r["v"], r["w"]) for r in left.join(right, "k").collect()
+    )
+    salted = sorted(
+        (r["k"], r["v"], r["w"])
+        for r in salted_join(left, right, "k", salt=8).collect()
+    )
+    assert salted == plain
+    # left join keeps unmatched rows exactly once
+    plain_l = sorted(
+        (r["k"], r["v"], r["w"]) for r in left.join(right, "k", "left").collect()
+    )
+    salted_l = sorted(
+        (r["k"], r["v"], r["w"])
+        for r in salted_join(left, right, "k", how="left", salt=8).collect()
+    )
+    assert salted_l == plain_l
