@@ -1546,6 +1546,36 @@ def q46(spark, sf_dir):
     )
 
 
+@_register(
+    "q49_sliding_windows",
+    """
+    SELECT window_start, event_type, COUNT(*) AS n_events
+    FROM (
+      SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                     time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
+               AS window_start,
+             event_type
+      FROM events)
+    GROUP BY 1, 2
+    """,
+)
+def q49(spark, sf_dir):
+    """Sliding (hopping) event-time windows — 1 hour every 30 minutes,
+    so each event lands in exactly two windows (identical shape under
+    Structured Streaming with a watermark)."""
+    from graphragpart1datapipeline_spark.streaming import sliding_window_agg
+
+    out = sliding_window_agg(
+        _t(spark, sf_dir, "events"),
+        ts_col="ts",
+        duration="1 hour",
+        slide="30 minutes",
+        group_cols=["event_type"],
+        aggs=[F.count(F.lit(1)).alias("n_events")],
+    )
+    return out.select("window_start", "event_type", "n_events")
+
+
 @_register("q44_stream_tumbling")
 def q44(spark, sf_dir):
     """TRUE Structured Streaming pass: readStream over the events

@@ -236,3 +236,71 @@ def test_pipeline_runner(spark, tmp_path):
 
     out = pipe.run(spark)
     assert sorted(r["v"] for r in out["doubled"].collect()) == [2, 4]
+
+
+def test_graphrag_demo_pipeline(spark, tmp_path):
+    from graphragpart1datapipeline_spark.plans.graphrag_demo import (
+        run_graphrag_demo,
+    )
+
+    out = run_graphrag_demo(
+        spark, "/root/testdata/sf0.001", checkpoint_dir=str(tmp_path)
+    )
+    n_docs = out["documents"].count()
+    assert out["deduped"].count() <= n_docs
+    assert out["sections"].count() >= out["deduped"].count()  # >=1 section/doc
+    chunks = out["chunks"]
+    assert chunks.count() >= out["sections"].count()
+    cols = set(chunks.columns)
+    assert {"chunk_id", "doc_id", "section", "chunk_index", "total_chunks", "text"} <= cols
+    # every chunk text carries the context header prefix
+    assert chunks.filter(~F.col("text").startswith("search_document: ")).count() == 0
+    # chunk table checkpointed to parquet (the inter-asset seam)
+    assert (tmp_path / "chunks").exists()
+    emb = out["chunk_embeddings"]
+    assert emb.count() == chunks.count()
+    meta = out["community_meta"]
+    assert meta.count() >= 1
+    assert {"member_count", "top_tags", "name"} <= set(meta.columns)
+    top = out["search_demo"].collect()
+    assert len(top) == 5 and top[0]["score"] >= top[-1]["score"]
+
+
+def test_stateful_running_totals_matches_batch(spark, tmp_path):
+    from graphragpart1datapipeline_spark.streaming import running_totals_by_key
+
+    # write a small events slice as a streamable directory
+    src = str(tmp_path / "events_src")
+    batch = (
+        spark.range(100)
+        .select(
+            (F.col("id") % 7).alias("user_id"),
+            (F.col("id") * 1.5).alias("value"),
+        )
+    )
+    batch.write.parquet(src)
+    sdf = spark.readStream.schema("user_id long, value double").parquet(src)
+    out = running_totals_by_key(sdf, "user_id", "value")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stateful_sink")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # last emitted row per key == batch aggregate
+    got = {
+        r["key"]: (r["n_events"], r["total_value"])
+        for r in spark.sql(
+            "SELECT key, n_events, total_value FROM stateful_sink"
+        ).collect()
+    }
+    expected = {
+        str(r["user_id"]): (r["n"], r["t"])
+        for r in batch.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    assert got == expected
