@@ -1,0 +1,122 @@
+"""Property-based tests (hypothesis) — beyond the reference's own test
+strategy (SURVEY §5 notes it has none): algebraic invariants of the
+relational operators that must hold for ANY input, checked against
+driver-side reference implementations on one shared SparkSession.
+
+Data strategies are kept small (Spark round-trips per example are the
+cost); hypothesis still explores edge shapes: empty groups, all-equal
+sort keys, duplicate rows, unicode text.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from graphragpart1datapipeline_spark.functions import format_list_natural  # noqa: E402
+from graphragpart1datapipeline_spark.operators import (  # noqa: E402
+    dedupe_by_priority,
+    top_n_per_group,
+)
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+rows = st.lists(
+    st.tuples(
+        st.integers(0, 3),  # key
+        st.integers(-5, 5),  # sort value
+        st.integers(0, 99),  # unique-ish id source
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+def _reference_dedupe(data):
+    # keep-first per key under (value asc, id asc) — driver-side oracle
+    best = {}
+    for k, v, i in data:
+        if k not in best or (v, i) < (best[k][1], best[k][2]):
+            best[k] = (k, v, i)
+    return sorted(best.values())
+
+
+@given(rows)
+@SETTINGS
+def test_dedupe_by_priority_keeps_exactly_min_per_key(spark, data):
+    # make ids unique (tiebreak column contract)
+    data = [(k, v, idx * 100 + i) for idx, (k, v, i) in enumerate(data)]
+    df = spark.createDataFrame(data, "k int, v int, id int") if data else None
+    if df is None:
+        return
+    got = sorted(
+        (r["k"], r["v"], r["id"])
+        for r in dedupe_by_priority(
+            df, keys=["k"], order_by=["v"], tiebreak="id"
+        ).collect()
+    )
+    assert got == _reference_dedupe(data)
+
+
+@given(rows, st.integers(1, 4))
+@SETTINGS
+def test_top_n_per_group_invariants(spark, data, n):
+    data = [(k, v, idx) for idx, (k, v, _) in enumerate(data)]
+    if not data:
+        return
+    df = spark.createDataFrame(data, "k int, v int, id int")
+    out = top_n_per_group(
+        df, keys=["k"], order_by=[F.desc("v"), F.asc("id")], n=n, rank_col="rk"
+    ).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r["k"], []).append(r)
+    for k, rs in by_key.items():
+        group = sorted((d for d in data if d[0] == k), key=lambda d: (-d[1], d[2]))
+        expect = group[:n]
+        got = sorted(((r["v"], r["id"]) for r in rs))
+        assert got == sorted((v, i) for _, v, i in expect)
+        assert sorted(r["rk"] for r in rs) == list(range(1, len(expect) + 1))
+
+
+def _reference_natural(items):
+    seen = []
+    for x in items:
+        if x not in seen:
+            seen.append(x)
+    if not seen:
+        return ""
+    if len(seen) == 1:
+        return seen[0]
+    if len(seen) == 2:
+        return f"{seen[0]} and {seen[1]}"
+    return ", ".join(seen[:-1]) + ", and " + seen[-1]
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(whitelist_categories=("L", "N")),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=0,
+        max_size=6,
+    )
+)
+@SETTINGS
+def test_format_list_natural_matches_reference(spark, items):
+    df = spark.createDataFrame([(items,)], "xs array<string>")
+    got = df.select(format_list_natural("xs").alias("s")).head()["s"]
+    assert got == _reference_natural(items)
