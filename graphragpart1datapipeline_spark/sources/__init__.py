@@ -3,6 +3,7 @@ from .io import (  # noqa: F401
     read_parquet,
     read_table,
     read_testdata,
+    write_bucketed,
     write_jsonl_sparse,
     write_parquet,
 )

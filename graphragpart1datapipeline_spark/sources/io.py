@@ -68,6 +68,32 @@ def write_jsonl_sparse(df: DataFrame, path: str, mode: str = "overwrite") -> Non
     df.write.mode(mode).option("ignoreNullFields", "true").json(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int,
+    path: str | None = None,
+    sort_cols: Sequence[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed Parquet table for co-located joins — THE 100 TB join
+    strategy: two tables bucketed (and optionally sorted) on the same
+    keys with the same bucket count join with NO Exchange (and no Sort,
+    if sorted) — the shuffle is paid once at write time and amortized
+    over every subsequent join/aggregation on those keys. Verified by a
+    plan-shape test (tests/test_plans.py).
+
+    Bucketing requires the table catalog, hence saveAsTable; pass
+    ``path`` to make it an external table at that location."""
+    writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.format("parquet").saveAsTable(table_name)
+
+
 _SMALL_FILE_BYTES = 256 << 10
 
 

@@ -1,0 +1,93 @@
+"""Plan-shape regression tests: the physical plans the engine PROMISES.
+
+These lock in the scale-critical properties .explain review established
+(README "Design for 100 TB"): predicate pushdown reaching parquet,
+broadcast joins for dimensions, top-k without a global sort, bucketed
+joins without an Exchange. A refactor that silently loses one of these
+fails here long before a benchmark notices.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as em  # noqa: E402
+
+SF = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q01_pushes_date_filter_to_scan(spark):
+    p = _formatted(em.queries()["q01_pricing_summary"](spark, SF))
+    assert "LessThanOrEqual(l_shipdate" in p  # in PushedFilters
+
+
+def test_q02_semi_join_broadcasts_and_filter_pushes(spark):
+    p = _formatted(em.queries()["q02_release_catalog"](spark, SF))
+    assert "BroadcastHashJoin LeftSemi" in p
+    assert "GreaterThanOrEqual(o_orderdate" in p  # range form pushed down
+
+
+def test_q05_dimensions_broadcast(spark):
+    p = _plan(em.queries()["q05_regional_revenue"](spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p or "lineitem" not in p.split("SortMergeJoin")[0]
+
+
+def test_cosine_topk_no_global_sort(spark):
+    p = _plan(em.queries()["q25_vector_topk"](spark, SF))
+    assert "TakeOrderedAndProject" in p
+    # no full Sort node feeding the limit
+    assert "Sort " not in p.replace("TakeOrderedAndProject", "")
+
+
+def test_exact_dedup_never_shuffles_text(spark):
+    # the aggregate side carries only (key, id); winners broadcast back
+    df = em.queries()["q20_exact_dedup"](spark, SF)
+    p = _plan(df)
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    from graphragpart1datapipeline_spark.sources import write_bucketed
+
+    left = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("a")
+    )
+    right = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("b")
+    )
+    write_bucketed(left, "t_left", ["k"], 4, path=str(tmp_path / "l"), sort_cols=["k"])
+    write_bucketed(right, "t_right", ["k"], 4, path=str(tmp_path / "r"), sort_cols=["k"])
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("t_left").join(spark.table("t_right"), "k")
+            p = _plan(joined)
+            assert "SortMergeJoin" in p
+            assert "Exchange" not in p  # bucket co-location: shuffle-free
+            assert joined.count() == 1000
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_left")
+        spark.sql("DROP TABLE IF EXISTS t_right")
