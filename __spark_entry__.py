@@ -1576,6 +1576,74 @@ def q49(spark, sf_dir):
     return out.select("window_start", "event_type", "n_events")
 
 
+@_register(
+    "q50_session_window_native",
+    """
+    WITH flagged AS (
+      SELECT user_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, CAST(SUM(is_new) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM flagged GROUP BY user_id
+    """,
+)
+def q50(spark, sf_dir):
+    """Native ``F.session_window`` sessionization (the state-backed
+    streaming-capable form; q19 is the lag+cumsum batch twin). Boundary
+    semantics: an event exactly gap after its predecessor starts a NEW
+    session (window end is exclusive) — hence >= in the oracle."""
+    ev = _t(spark, sf_dir, "events")
+    sw = ev.groupBy(
+        F.session_window("ts", "30 minutes"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n_in_session"))
+    return sw.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_in_session").alias("n_events"),
+    )
+
+
+@_register(
+    "q51_percentiles",
+    """
+    SELECT o_orderpriority,
+           quantile_cont(o_totalprice, 0.5) AS median_price,
+           quantile_cont(o_totalprice, 0.9) AS p90_price,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q51(spark, sf_dir):
+    """Exact interpolated percentiles per group — Spark ``percentile``
+    and DuckDB ``quantile_cont`` share the linear-interpolation
+    definition, so values match bit-for-bit (verified; no rounding
+    needed). The sketch-based scale path is q52."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", 0.5).alias("median_price"),
+        F.percentile("o_totalprice", 0.9).alias("p90_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@_register("q52_sketch_stats")
+def q52(spark, sf_dir):
+    """Sketch aggregates for 100 TB profiling: HyperLogLog distinct
+    counts and GK-sketch percentiles — the constant-memory analogues of
+    q11's countDistinct and q51's exact percentiles. Sketch internals
+    differ per engine, so rows-only (exact twins carry the oracles)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
 @_register("q44_stream_tumbling")
 def q44(spark, sf_dir):
     """TRUE Structured Streaming pass: readStream over the events
