@@ -1630,6 +1630,25 @@ def q51(spark, sf_dir):
     )
 
 
+@_register("q53_embedding_near_dup_lsh")
+def q53(spark, sf_dir):
+    """Embedding near-dup, LSH-bucketed scale path: candidates restricted
+    to equal random-hyperplane sign-buckets, shrinking the pair space by
+    ~2^bits at a documented recall cost near hyperplanes. The exact q36
+    is the correctness oracle; this registers rows-only (the bucketing
+    seed/planes are Spark-side literals)."""
+    from graphragpart1datapipeline_spark.dedup.embedding import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(
+        emb, vec_col="embedding", id_col="vec_id", threshold=0.3,
+        bucket_bits=4, dim=64,
+    )
+    return pairs.select("a", "b", _round_det("cosine", 4).alias("cosine"))
+
+
 @_register("q52_sketch_stats")
 def q52(spark, sf_dir):
     """Sketch aggregates for 100 TB profiling: HyperLogLog distinct

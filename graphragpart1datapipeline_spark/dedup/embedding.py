@@ -20,11 +20,13 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     bucket_bits: int = 0,
     seed: int = 42,
+    dim: int = 64,
 ) -> DataFrame:
     """Pairs with cosine ≥ threshold. With bucket_bits > 0, candidates
     are restricted to equal random-hyperplane sign-buckets (approximate,
-    misses some pairs near hyperplanes; that's the documented trade).
-    Returns (a, b, cosine).
+    misses some pairs near hyperplanes; that's the documented trade) —
+    ``dim`` must then match the embedding dimensionality (the planes are
+    plan literals). Returns (a, b, cosine).
 
     Scale design: each vector is L2-normalized ONCE on its own row
     (cosine = dot of unit vectors), so the O(n²/buckets) pair stage does
@@ -46,7 +48,7 @@ def embedding_near_dup_pairs(
         from ..vector.search import hyperplane_bucket
 
         base = base.withColumn(
-            "__bkt", hyperplane_bucket(F.col("__u"), bucket_bits, seed)
+            "__bkt", hyperplane_bucket(F.col("__u"), bucket_bits, seed, dim)
         )
         a = base.select(
             "__bkt", F.col(id_col).alias("a"), F.col("__u").alias("ua")

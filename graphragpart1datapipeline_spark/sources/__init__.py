@@ -8,3 +8,4 @@ from .io import (  # noqa: F401
     write_parquet,
 )
 from .cache import fetch_with_cache  # noqa: F401
+from .paginated import paginated_source  # noqa: F401

@@ -304,3 +304,27 @@ def test_stateful_running_totals_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == expected
+
+
+def test_paginated_source_fan_out(spark):
+    import pandas as pd
+
+    from graphragpart1datapipeline_spark.sources import paginated_source
+
+    PAGE, TOTAL = 10, 33  # 4 pages, last one partial, pages 4+ empty
+
+    def fetch_page(p):
+        lo = p * PAGE
+        hi = min(lo + PAGE, TOTAL)
+        if lo >= TOTAL:
+            return pd.DataFrame({"k": [], "v": []})
+        return pd.DataFrame(
+            {"k": list(range(lo, hi)), "v": [f"row{i}" for i in range(lo, hi)]}
+        )
+
+    out = paginated_source(
+        spark, fetch_page, n_pages=6, schema="k long, v string",
+        fetch_parallelism=3,
+    )
+    rows = sorted((r["k"], r["v"]) for r in out.collect())
+    assert rows == [(i, f"row{i}") for i in range(TOTAL)]

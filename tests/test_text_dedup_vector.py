@@ -277,3 +277,16 @@ def test_minhash_signature_deterministic(spark):
     assert all(0 <= v < MERSENNE31 for v in sigs[1])
     # coefficient generator is stable across calls (oracle embeds them)
     assert perm_coeffs(4) == perm_coeffs(4)
+
+
+def test_embedding_near_dup_bucketed_keeps_identical_pairs(spark):
+    # identical vectors always share every sign-bucket -> never lost
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.5]), (2, [1.0, 0.0, 0.5]), (3, [0.0, 1.0, -0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = embedding_near_dup_pairs(
+        df, threshold=0.99, bucket_bits=3, dim=3
+    ).collect()
+    assert [(p["a"], p["b"]) for p in pairs] == [(1, 2)]
+    assert abs(pairs[0]["cosine"] - 1.0) < 1e-9
