@@ -167,6 +167,26 @@ def build_graphrag_pipeline(sf_dir: str, checkpoint_dir: str | None = None) -> P
             "name", community_name(F.col("top_countries"), F.col("top_genres"))
         )
 
+    @p.stage("community_summaries", deps=["community_meta"])
+    def community_summaries(spark: SparkSession, meta: DataFrame) -> DataFrame:
+        from ..text.llm import build_summary_prompt, echo_summarizer, generate_with
+
+        prompted = meta.withColumn(
+            "prompt",
+            build_summary_prompt(
+                F.col("name"),
+                F.col("member_count"),
+                F.col("top_genres"),
+                F.col("top_countries"),
+                F.col("representative_artists"),
+            ),
+        )
+        return generate_with(
+            prompted.select("community", "name", "prompt"),
+            prompt_col="prompt",
+            generator=echo_summarizer,  # model-backed callable in prod
+        )
+
     @p.stage("search_demo", deps=["chunk_embeddings"])
     def search_demo(spark: SparkSession, emb: DataFrame) -> DataFrame:
         row = emb.orderBy("chunk_id").select("embedding").head()

@@ -290,3 +290,34 @@ def test_embedding_near_dup_bucketed_keeps_identical_pairs(spark):
     ).collect()
     assert [(p["a"], p["b"]) for p in pairs] == [(1, 2)]
     assert abs(pairs[0]["cosine"] - 1.0) < 1e-9
+
+
+def test_llm_generation_stage(spark):
+    from graphragpart1datapipeline_spark.text.llm import (
+        build_summary_prompt,
+        echo_summarizer,
+        generate_with,
+    )
+
+    df = spark.createDataFrame(
+        [("Berlin Techno", 12, ["techno"], ["DE"], ["a1", "a2"])],
+        "name string, member_count long, top_genres array<string>, "
+        "top_countries array<string>, reps array<string>",
+    ).withColumn(
+        "prompt",
+        build_summary_prompt(
+            F.col("name"), F.col("member_count"), F.col("top_genres"),
+            F.col("top_countries"), F.col("reps"),
+        ),
+    )
+    out = generate_with(df, "prompt", generator=echo_summarizer)
+    r = out.head()
+    assert r["prompt"] == (
+        "Summarize the music community 'Berlin Techno' with 12 members. "
+        "Top genres: techno. Countries: DE. Representative artists: a1, a2."
+    )
+    assert r["summary"] == " ".join(r["prompt"].split()[:12])
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        generate_with(df, "prompt")  # no model in this environment
