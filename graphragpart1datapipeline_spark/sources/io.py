@@ -129,6 +129,9 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     if name in ("documents", "embeddings"):
+        # NOTE: measured at sf0.1 — .cache() here is a LOSS (in-memory
+        # columnar scan + broken codegen fusion cost more than re-reading
+        # a small parquet the page cache already holds); repartition only.
         try:
             size = _os.path.getsize(path)
         except OSError:
