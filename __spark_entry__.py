@@ -1649,6 +1649,70 @@ def q53(spark, sf_dir):
     return pairs.select("a", "b", _round_det("cosine", 4).alias("cosine"))
 
 
+@_register(
+    "q54_label_fallback",
+    """
+    WITH j AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 4 AS INTEGER)
+               WHEN 0 THEN '{"en": "name-' || doc_id || '"}'
+               WHEN 1 THEN '{"de": "name-' || doc_id || '"}'
+               WHEN 2 THEN '{"fr": "name-' || doc_id || '", "de": "ignored"}'
+               ELSE '{}' END AS labels
+      FROM documents
+    )
+    SELECT doc_id,
+           COALESCE(json_extract_string(labels, '$.en'),
+                    json_extract_string(labels, '$.de'),
+                    json_extract_string(labels, '$.fr'),
+                    '[no label]') AS label
+    FROM j
+    """,
+)
+def q54(spark, sf_dir):
+    """Nested-JSON label extraction with a language fallback chain F13
+    (reference wikidata_helpers.py:348-494: labels.en.value ->
+    labels.de.value -> ... over the 20-language list): from_json into a
+    typed struct, then one coalesce chain — all JVM-side."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    docs = _t(spark, sf_dir, "documents")
+    labels_json = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit('{"en": "name-'), F.col("doc_id").cast("string"), F.lit('"}')),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit('{"de": "name-'), F.col("doc_id").cast("string"), F.lit('"}')),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.lit('{"fr": "name-'),
+                F.col("doc_id").cast("string"),
+                F.lit('", "de": "ignored"}'),
+            ),
+        )
+        .otherwise(F.lit("{}"))
+    )
+    schema = StructType(
+        [StructField(lang, StringType()) for lang in ("en", "de", "fr")]
+    )
+    parsed = docs.select(
+        "doc_id", F.from_json(labels_json, schema).alias("labels")
+    )
+    return parsed.select(
+        "doc_id",
+        F.coalesce(
+            F.col("labels.en"),
+            F.col("labels.de"),
+            F.col("labels.fr"),
+            F.lit("[no label]"),
+        ).alias("label"),
+    )
+
+
 @_register("q52_sketch_stats")
 def q52(spark, sf_dir):
     """Sketch aggregates for 100 TB profiling: HyperLogLog distinct
