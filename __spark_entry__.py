@@ -745,7 +745,7 @@ def q23(spark, sf_dir):
     )
 
 
-def _minhash_sql(num_hashes: int = 8, bands: int = 4, shingle_n: int = 3) -> str:
+def _minhash_cte(num_hashes: int = 8, bands: int = 4, shingle_n: int = 3) -> str:
     from graphragpart1datapipeline_spark.dedup.minhash import (
         MERSENNE31,
         perm_coeffs,
@@ -783,19 +783,20 @@ def _minhash_sql(num_hashes: int = 8, bands: int = 4, shingle_n: int = 3) -> str
       SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
       FROM banded x JOIN banded y
         ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+    ), verified AS (
+      SELECT cand.a, cand.b,
+             CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+               / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
+      FROM cand
+      JOIN sh sa ON sa.doc_id = cand.a
+      JOIN sh sb ON sb.doc_id = cand.b
+      WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+               / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= 0.7
     )
-    SELECT cand.a, cand.b,
-           CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-             / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
-    FROM cand
-    JOIN sh sa ON sa.doc_id = cand.a
-    JOIN sh sb ON sb.doc_id = cand.b
-    WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-             / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= 0.7
     """
 
 
-@_register("q24_minhash_lsh", _minhash_sql())
+@_register("q24_minhash_lsh", _minhash_cte() + "SELECT a, b, jaccard FROM verified")
 def q24(spark, sf_dir):
     """MinHash+LSH near-dup candidates, Jaccard-verified ≥ 0.7.
     Cross-engine-deterministic minwise scheme: min over md5 hex strings
@@ -805,6 +806,29 @@ def q24(spark, sf_dir):
     pairs = lsh_candidate_pairs(sigs, "doc_id", bands=4)
     verified = ngram_jaccard_on_pairs(pairs, docs, "text", "doc_id", n=3)
     return verified.filter(F.col("jaccard") >= 0.7).select("a", "b", "jaccard")
+
+
+@_register(
+    "q55_near_dup_survivors",
+    _minhash_cte()
+    + """
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT b FROM verified)
+    """,
+)
+def q55(spark, sf_dir):
+    """End-to-end near-dup DEDUP (not just pair detection): MinHash+LSH
+    candidates → exact-Jaccard verification ≥ 0.7 → keep-smallest-id
+    survivor rule (every larger id of a verified pair drops). The
+    1-row-per-kept-document output a training-data pipeline feeds
+    downstream."""
+    from graphragpart1datapipeline_spark.dedup import minhash_lsh_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_dedup(
+        docs, text_col="text", id_col="doc_id",
+        num_hashes=8, bands=4, shingle_n=3, jaccard_threshold=0.7,
+    ).select("doc_id")
 
 
 @_register(

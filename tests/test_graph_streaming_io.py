@@ -328,3 +328,39 @@ def test_paginated_source_fan_out(spark):
     )
     rows = sorted((r["k"], r["v"]) for r in out.collect())
     assert rows == [(i, f"row{i}") for i in range(TOTAL)]
+
+
+def test_entity_schemas_contract(spark, tmp_path):
+    """Every declared entity schema: all-nullable (reference msgspec
+    Optional contract, models.py:152-159), and survives a sparse-JSONL
+    round trip with nulls dropped on disk but restored on read."""
+    from graphragpart1datapipeline_spark import schemas as sch
+    from graphragpart1datapipeline_spark.sources import (
+        read_jsonl,
+        write_jsonl_sparse,
+    )
+    from pyspark.sql.types import StructType
+
+    entity_schemas = {
+        k: v for k, v in vars(sch).items()
+        if isinstance(v, StructType) and k.isupper()
+    }
+    assert len(entity_schemas) >= 15
+    for name, s in entity_schemas.items():
+        assert all(f.nullable for f in s.fields), name
+
+    # sparse round trip on ARTISTS: null fields omitted in the file
+    row = {"id": "Q1", "name": "Kraftwerk", "mbid": None, "country": None,
+           "aliases": None, "genres": ["electronic"], "tags": None,
+           "similar_artists": None}
+    df = spark.createDataFrame([row], sch.ARTISTS)
+    path = str(tmp_path / "artists")
+    write_jsonl_sparse(df, path)
+    import glob
+    raw = open(glob.glob(f"{path}/part-*.json")[0]).read()
+    assert '"mbid"' not in raw and '"genres"' in raw  # sparse on disk
+    back = read_jsonl(spark, path, sch.ARTISTS)
+    assert back.schema == sch.ARTISTS
+    r = back.head()
+    assert r["name"] == "Kraftwerk" and r["mbid"] is None
+    assert r["genres"] == ["electronic"]
