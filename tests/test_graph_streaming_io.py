@@ -364,3 +364,41 @@ def test_entity_schemas_contract(spark, tmp_path):
     r = back.head()
     assert r["name"] == "Kraftwerk" and r["mbid"] is None
     assert r["genres"] == ["electronic"]
+
+
+def test_foreach_batched_sink(spark, tmp_path):
+    """Every row lands exactly once; batches respect the size cap; the
+    per-partition connection bracket opens/closes symmetrically."""
+    import json
+    import os
+
+    from graphragpart1datapipeline_spark.sources import foreach_batched
+
+    out_dir = str(tmp_path / "sink")
+    os.makedirs(out_dir)
+
+    def open_conn():
+        import tempfile
+
+        fd, path = tempfile.mkstemp(dir=out_dir, suffix=".jsonl")
+        return os.fdopen(fd, "w")
+
+    def close_conn(f):
+        f.close()
+
+    def writer(f, batch):
+        assert len(batch) <= 7
+        f.write(json.dumps(batch) + "\n")
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    ).repartition(4)
+    foreach_batched(
+        df, writer, batch_size=7, open_conn=open_conn, close_conn=close_conn
+    )
+    seen = []
+    for fn in os.listdir(out_dir):
+        with open(os.path.join(out_dir, fn)) as f:
+            for line in f:
+                seen.extend(r["id"] for r in json.loads(line))
+    assert sorted(seen) == list(range(100))
