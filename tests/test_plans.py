@@ -91,3 +91,41 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_left")
         spark.sql("DROP TABLE IF EXISTS t_right")
+
+
+def test_lsh_probe_prunes_bucket_partitions(spark, tmp_path):
+    """The 100 TB vector-search layout: corpus partitioned by the
+    hyperplane bucket -> a probe's scan reads ONLY the query's bucket
+    (PartitionFilters prune at planning time)."""
+    from graphragpart1datapipeline_spark.vector.search import (
+        hyperplane_bucket,
+        lsh_topk,
+    )
+
+    dim, bits = 8, 3
+    df = spark.range(256).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[(F.hash(F.col("id"), F.lit(j)) % 100 / 50.0 - 1.0) for j in range(dim)]
+        ).cast("array<float>").alias("embedding"),
+    )
+    path = str(tmp_path / "emb_bucketed")
+    df.withColumn(
+        "bucket", hyperplane_bucket(F.col("embedding"), bits, dim=dim)
+    ).write.partitionBy("bucket").parquet(path)
+
+    corpus = spark.read.parquet(path)
+    n_buckets = corpus.select("bucket").distinct().count()
+    assert n_buckets > 2  # data actually spreads over buckets
+    q = [1.0] + [0.0] * (dim - 1)
+    out = lsh_topk(
+        corpus, q, k=3, bits=bits, bucket_col="bucket"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # partition pruning visible in the scan: exactly one bucket selected
+    assert "PartitionFilters" in plan
+    import re
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "bucket" in m.group(1), plan[:800]
+    rows = out.collect()
+    assert 0 < len(rows) <= 3
