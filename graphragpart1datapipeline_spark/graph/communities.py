@@ -34,12 +34,18 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 20,
+    shortcut: bool = True,
 ) -> DataFrame:
     """Distributed connected components: every node converges to the
-    minimum node-id in its component (iterated min-neighbor propagation
-    — the simple variant of large-star/small-star). Returns
-    (id, component). Iterations are shuffles on the node id; AQE
-    coalesces as the frontier shrinks."""
+    minimum node-id in its component. Returns (id, component).
+
+    Each round = min-neighbor propagation + (with ``shortcut``) one
+    pointer-jumping step: component := component(component). The jump
+    halves pointer-chain depth every round, so convergence is
+    O(log diameter) rounds instead of O(diameter) — the difference
+    between 4 shuffles and 40 on a long-path graph (property-tested
+    against a driver-side union-find). localCheckpoint per round keeps
+    the plan flat; AQE coalesces as the frontier shrinks."""
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -65,6 +71,17 @@ def connected_components(
                 ).alias("component"),
             )
         )
+        if shortcut:
+            # component := component(component)  (pointer jumping)
+            parents = new_labels.select(
+                F.col("id").alias("component"), F.col("component").alias("grand")
+            )
+            new_labels = new_labels.join(parents, "component", "left").select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("grand", F.col("component"))
+                ).alias("component"),
+            )
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")

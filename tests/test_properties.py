@@ -120,3 +120,59 @@ def test_format_list_natural_matches_reference(spark, items):
     df = spark.createDataFrame([(items,)], "xs array<string>")
     got = df.select(format_list_natural("xs").alias("s")).head()["s"]
     assert got == _reference_natural(items)
+
+
+def _union_find_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 20)),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_connected_components_matches_union_find(spark, edges):
+    from graphragpart1datapipeline_spark.graph.communities import (
+        connected_components,
+    )
+
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {
+        r["id"]: r["component"] for r in connected_components(df).collect()
+    }
+    expected = _union_find_components(edges)
+    # component representative = min node id of the component
+    assert got == expected
+
+
+def test_connected_components_long_path_converges_fast(spark):
+    """Pointer jumping: a 64-node path resolves well inside the default
+    20 rounds (min-propagation alone would need 63)."""
+    from graphragpart1datapipeline_spark.graph.communities import (
+        connected_components,
+    )
+
+    edges = [(i, i + 1) for i in range(63)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r["id"]: r["component"] for r in connected_components(df).collect()}
+    assert set(got.values()) == {0} and len(got) == 64
