@@ -4,4 +4,4 @@ from .windows import (  # noqa: F401
     stream_tumbling_counts,
     tumbling_window_agg,
 )
-from .stateful import running_totals_by_key  # noqa: F401
+from .stateful import running_totals_by_key, stream_dedup_registry  # noqa: F401

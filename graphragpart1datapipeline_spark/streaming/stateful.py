@@ -20,6 +20,9 @@ from pyspark.sql import functions as F
 RUNNING_SCHEMA = "key string, n_events bigint, total_value double"
 _STATE_SCHEMA = "n bigint, total double"
 
+REGISTRY_SCHEMA = "content_key string, keep_id bigint, n_seen bigint"
+_REGISTRY_STATE = "keep_id bigint, n bigint"
+
 
 def running_totals_by_key(
     sdf: DataFrame,
@@ -56,6 +59,50 @@ def running_totals_by_key(
         fn,
         outputStructType=RUNNING_SCHEMA,
         stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_dedup_registry(
+    sdf: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming exact-dedup registry: per normalized-content hash,
+    maintain the winning (smallest) document id in the state store and
+    emit the registry row whenever it changes. The incremental form of
+    ``dedup.exact_dedup`` for continuous ingest: downstream joins the
+    registry to keep only ``keep_id`` rows, so a duplicate arriving
+    hours later still loses to the first-kept document.
+
+    Batch twin (unit-tested equal after an availableNow run):
+    ``groupBy(content_key).agg(min(id), count(*))``."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..text.analysis import document_fingerprint
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: "GroupState"
+    ) -> Iterator[pd.DataFrame]:
+        keep, n = state.get if state.exists else (None, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            batch_min = int(pdf["__id"].min())
+            keep = batch_min if keep is None else min(keep, batch_min)
+        state.update((int(keep), int(n)))
+        yield pd.DataFrame(
+            {"content_key": [key[0]], "keep_id": [keep], "n_seen": [n]}
+        )
+
+    keyed = sdf.select(
+        document_fingerprint(text_col, 32).alias("__k"),
+        F.col(id_col).cast("long").alias("__id"),
+    )
+    return keyed.groupBy("__k").applyInPandasWithState(
+        fn,
+        outputStructType=REGISTRY_SCHEMA,
+        stateStructType=_REGISTRY_STATE,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -402,3 +402,40 @@ def test_foreach_batched_sink(spark, tmp_path):
             for line in f:
                 seen.extend(r["id"] for r in json.loads(line))
     assert sorted(seen) == list(range(100))
+
+
+def test_stream_dedup_registry_matches_batch(spark, tmp_path):
+    from graphragpart1datapipeline_spark.streaming import stream_dedup_registry
+    from graphragpart1datapipeline_spark.text import document_fingerprint
+
+    src = str(tmp_path / "docs_src")
+    batch = spark.createDataFrame(
+        [(i, f"text {i % 10}") for i in range(50)],  # 10 contents, 5 dups each
+        "doc_id long, text string",
+    )
+    batch.write.parquet(src)
+    sdf = spark.readStream.schema("doc_id long, text string").parquet(src)
+    out = stream_dedup_registry(sdf, text_col="text", id_col="doc_id")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("registry_sink")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["content_key"]: (r["keep_id"], r["n_seen"])
+        for r in spark.sql("SELECT * FROM registry_sink").collect()
+    }
+    expected = {
+        r["k"]: (r["keep"], r["n"])
+        for r in batch.select(
+            document_fingerprint("text", 32).alias("k"), "doc_id"
+        )
+        .groupBy("k")
+        .agg(F.min("doc_id").alias("keep"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == expected
