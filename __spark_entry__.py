@@ -1737,6 +1737,44 @@ def q54(spark, sf_dir):
     )
 
 
+@_register(
+    "q56_set_ops",
+    """
+    SELECT 'except' AS op, c_nationkey, COUNT(*) AS n FROM (
+      SELECT c_nationkey FROM customer WHERE c_acctbal > 0
+      EXCEPT ALL
+      SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    ) GROUP BY 2
+    UNION ALL
+    SELECT 'intersect' AS op, c_nationkey, COUNT(*) AS n FROM (
+      SELECT DISTINCT c_nationkey FROM customer WHERE c_acctbal > 0
+      INTERSECT
+      SELECT DISTINCT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    ) GROUP BY 2
+    """,
+)
+def q56(spark, sf_dir):
+    """Multiset difference (U3's exceptAll form) and set intersection
+    (free via Spark SQL, SURVEY §2.7 note) with per-key counts."""
+    c = _t(spark, sf_dir, "customer")
+    pos = c.filter(F.col("c_acctbal") > 0).select("c_nationkey")
+    bld = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
+    ex = (
+        pos.exceptAll(bld)
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except").alias("op"), "c_nationkey", "n")
+    )
+    it = (
+        pos.distinct()
+        .intersect(bld.distinct())
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect").alias("op"), "c_nationkey", "n")
+    )
+    return ex.unionByName(it)
+
+
 @_register("q52_sketch_stats")
 def q52(spark, sf_dir):
     """Sketch aggregates for 100 TB profiling: HyperLogLog distinct

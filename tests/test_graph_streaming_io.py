@@ -357,7 +357,7 @@ def test_entity_schemas_contract(spark, tmp_path):
     path = str(tmp_path / "artists")
     write_jsonl_sparse(df, path)
     import glob
-    raw = open(glob.glob(f"{path}/part-*.json")[0]).read()
+    raw = "".join(open(p).read() for p in glob.glob(f"{path}/part-*.json"))
     assert '"mbid"' not in raw and '"genres"' in raw  # sparse on disk
     back = read_jsonl(spark, path, sch.ARTISTS)
     assert back.schema == sch.ARTISTS
