@@ -1775,6 +1775,55 @@ def q56(spark, sf_dir):
     return ex.unionByName(it)
 
 
+@_register(
+    "q57_asof_join",
+    """
+    WITH l AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+    ), r AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'signup'
+    ), u AS (
+      SELECT user_id, ts, 0 AS side, ts AS r_ts, event_id AS r_id,
+             CAST(NULL AS BIGINT) AS l_id
+      FROM r
+      UNION ALL
+      SELECT user_id, ts, 1 AS side, CAST(NULL AS TIMESTAMP), CAST(NULL AS BIGINT),
+             event_id
+      FROM l
+    ), w AS (
+      SELECT user_id, ts, side, l_id,
+             last_value(r_ts IGNORE NULLS) OVER win AS asof_ts,
+             last_value(r_id IGNORE NULLS) OVER win AS asof_event_id
+      FROM u
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, side, r_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT l_id AS event_id, user_id, ts, asof_ts, asof_event_id
+    FROM w WHERE side = 1
+    """,
+)
+def q57(spark, sf_dir):
+    """Backward as-of join (custom operator — Spark has no native form;
+    one shuffle + one window pass, no range join): for every purchase,
+    the signup in effect at purchase time for that user."""
+    from graphragpart1datapipeline_spark.operators import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", "event_id"
+    )
+    out = asof_join(
+        purchases, signups, on="user_id", right_select=["event_id"]
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "asof_ts",
+        F.col("asof_event_id"),
+    )
+
+
 @_register("q52_sketch_stats")
 def q52(spark, sf_dir):
     """Sketch aggregates for 100 TB profiling: HyperLogLog distinct

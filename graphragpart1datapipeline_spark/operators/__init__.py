@@ -9,4 +9,5 @@ from .relational import (  # noqa: F401
     top_n_per_group,
     union_relaxed,
 )
+from .asof import asof_join  # noqa: F401
 from .joins import multi_hop, name_or_alias_join, salted_join  # noqa: F401

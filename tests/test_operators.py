@@ -191,3 +191,48 @@ def test_salted_join_matches_plain_join(spark):
         for r in salted_join(left, right, "k", how="left", salt=8).collect()
     )
     assert salted_l == plain_l
+
+
+def test_asof_join_backward(spark):
+    from graphragpart1datapipeline_spark.operators import asof_join
+
+    trades = spark.createDataFrame(
+        [("A", 10, 1), ("A", 25, 2), ("B", 5, 3), ("A", 4, 4)],
+        "sym string, ts long, trade_id long",
+    )
+    quotes = spark.createDataFrame(
+        [("A", 5, 100.0), ("A", 10, 101.0), ("A", 20, 102.0), ("B", 50, 9.0)],
+        "sym string, ts long, px double",
+    )
+    out = {
+        (r["sym"], r["trade_id"]): (r["asof_ts"], r["asof_px"])
+        for r in asof_join(
+            trades, quotes, on="sym", right_select=["px"]
+        ).collect()
+    }
+    assert out[("A", 1)] == (10, 101.0)   # equal ts matches (inclusive)
+    assert out[("A", 2)] == (20, 102.0)   # latest <= 25
+    assert out[("A", 4)] == (None, None)  # first quote (ts=5) is later
+    assert out[("B", 3)] == (None, None)  # no quote yet -> nulls
+
+
+def test_name_or_alias_join(spark):
+    from graphragpart1datapipeline_spark.operators import name_or_alias_join
+
+    left = spark.createDataFrame(
+        [("a1", "Kraftwerk"), ("a2", "Orbital"), ("a3", "Unknown")],
+        "id string, name string",
+    )
+    right = spark.createDataFrame(
+        [("a1", "Kraftwerk", ["KW"]), ("b1", "Mantronix", ["Orbital", "MX"]),
+         ("b2", "Orbital", None)],
+        "id string, name string, aliases array<string>",
+    )
+    pairs = {
+        (r["src"], r["dst"])
+        for r in name_or_alias_join(
+            left, right, "name", "name", "aliases"
+        ).collect()
+    }
+    # a2 matches b2 by name and b1 by alias; a1<->a1 self-pair excluded
+    assert pairs == {("a2", "b1"), ("a2", "b2")}
