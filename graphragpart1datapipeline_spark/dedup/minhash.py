@@ -11,11 +11,17 @@ Design choices for scale AND cross-engine determinism:
   cryptographic hash instead of k per shingle; the permutations are a
   few integer ops each. md5 and 64-bit integer arithmetic are identical
   in every engine, so the DuckDB oracle replicates bit-for-bit.
-- The signature is an explode → groupBy(id).agg(k × min) plan: the
-  explode is narrow (no shuffle), the aggregation partial-combines
-  map-side, so the shuffle carries one k-long row per document.
-- The bucket-join shuffles only (band_key, doc_id); the O(n²) pair space
-  is never materialized — only same-bucket collisions are.
+- The signature is a pure map-only stage — NO shuffle: shingles are
+  already an array per document, so each of the k minima is
+  ``array_min(transform(hashes, h -> (a_i*h + b_i) mod M))`` computed
+  row-local inside whole-stage codegen. (The naive explode → groupBy
+  plan shuffles one row per (doc, shingle); this shuffles nothing.)
+- Candidate generation is one shuffle: groupBy(band, bucket) collects
+  the sorted member ids, and the pairs are generated intra-bucket with
+  higher-order functions. The O(n²) pair space is never materialized —
+  only same-bucket collisions are. (A bucket with m members emits
+  m(m-1)/2 pairs; a degenerate mega-bucket means the corpus has that
+  many mutual near-dups, which is inherent to LSH, not to this plan.)
 """
 
 from __future__ import annotations
@@ -56,36 +62,41 @@ def minhash_signatures(
     seed: int = 42,
 ) -> DataFrame:
     """(id, sig) where sig = array of num_hashes int64 minima.
-    Documents with no shingle produce no row (dropped by the explode)."""
+    Documents with no shingle produce no row.
+
+    Map-only: the per-document shingle array is hashed once
+    (md5 → 60-bit int mod 2^31-1), then each permutation's minimum is an
+    ``array_min(transform(...))`` over that row-local array — zero
+    shuffle, fully inside whole-stage codegen."""
     from ..util import ensure_parallelism
 
     df = ensure_parallelism(df)
+    # "has at least one shingle" ⟺ "has at least n tokens" — filter on
+    # the cheap token count so Catalyst can push it below the
+    # repartition Exchange WITHOUT dragging the md5 work down to scan
+    # parallelism (a size(__hs) > 0 filter would recompute the whole
+    # hash chain pre-Exchange).
+    df = df.filter(
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")) >= shingle_n
+    )
     # one md5 per shingle; a_i·h + b_i stays < 2^62 (no overflow)
-    base = (
-        df.select(
-            F.col(id_col),
-            F.explode(shingles(text_col, shingle_n)).alias("__s"),
-        )
-        .select(
-            id_col,
-            (
-                F.conv(F.substring(F.md5("__s"), 1, 15), 16, 10).cast("long")
-                % MERSENNE31
-            ).alias("__h"),
-        )
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(
+            shingles(text_col, shingle_n),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+            % MERSENNE31,
+        ).alias("__hs"),
     )
-    aggs = [
-        F.min((F.lit(a) * F.col("__h") + F.lit(b)) % MERSENNE31).alias(f"__m{i}")
-        for i, (a, b) in enumerate(perm_coeffs(num_hashes, seed))
+    mins = [
+        F.array_min(
+            F.transform(
+                F.col("__hs"), lambda h: (F.lit(a) * h + F.lit(b)) % MERSENNE31
+            )
+        )
+        for (a, b) in perm_coeffs(num_hashes, seed)
     ]
-    return (
-        base.groupBy(id_col)
-        .agg(*aggs)
-        .select(
-            F.col(id_col),
-            F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("sig"),
-        )
-    )
+    return hashed.select(F.col(id_col), F.array(*mins).alias("sig"))
 
 
 def lsh_candidate_pairs(
@@ -93,8 +104,13 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     bands: int = 4,
 ) -> DataFrame:
-    """Band the signature (rows = num_hashes / bands), bucket-join on the
-    band key, emit distinct candidate (a, b) pairs with a < b."""
+    """Band the signature (rows = num_hashes / bands), group on the band
+    key, emit distinct candidate (a, b) pairs with a < b.
+
+    One shuffle total: groupBy(band, bucket) collects the sorted member
+    ids and the m(m-1)/2 intra-bucket pairs are generated row-local with
+    higher-order functions — no self-join, no double read of the
+    signature stage (the old plan needed an eager checkpoint for that)."""
     # band b covers sig[b*r+1 .. (b+1)*r]; r computed from size at runtime
     r = F.floor(F.size("sig") / F.lit(bands)).cast("int")
     banded = sig_df.select(
@@ -117,22 +133,24 @@ def lsh_candidate_pairs(
             )
         ).alias("bk"),
     ).select(id_col, "bk.band", "bk.bucket")
-    # The self-join below reads this twice; a lazy cache() races when
-    # both sides compute in the same job, so materialize eagerly. The
-    # (id, band, bucket) projection is tiny relative to the md5 work
-    # that produces it. At 100 TB this is the stage you persist as a
-    # signatures table instead.
-    banded = banded.localCheckpoint(eager=True)
-    left = banded.select(
-        F.col("band"), F.col("bucket"), F.col(id_col).alias("a")
+    members = (
+        banded.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
-    right = banded.select(
-        F.col("band"), F.col("bucket"), F.col(id_col).alias("b")
+    ids = F.col("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
     )
     return (
-        left.join(right, ["band", "bucket"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
+        members.select(F.explode(pair_structs).alias("p"))
+        .select("p.a", "p.b")
         .distinct()
     )
 
