@@ -1921,6 +1921,137 @@ def q35(spark, sf_dir):
     ).select("doc_id", _round_det("score", 4).alias("score"))
 
 
+@_register(
+    "q58_tfidf_top_terms",
+    """
+    WITH terms AS (
+      SELECT doc_id, lower(t) AS term
+      FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+            FROM documents)
+      WHERE t <> ''
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), n AS (
+      SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+             CAST(tf.tf * n.n_docs AS DOUBLE) / dfreq.df AS score
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, score, rank FROM (
+      SELECT scored.*, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+      FROM scored) WHERE rank <= 5
+    """,
+)
+def q58(spark, sf_dir):
+    """Per-document keyword extraction: top-5 terms by TF-IDF (linear
+    idf variant for bit-exact cross-engine scores; see
+    text.analysis.tfidf_top_terms). One corpus-sized shuffle total."""
+    from graphragpart1datapipeline_spark.text import tfidf_top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, "text", "doc_id", k=5, log_idf=False)
+
+
+def _pii_sql(col: str = "text") -> str:
+    from graphragpart1datapipeline_spark.text import PII_PATTERNS
+
+    expr = col
+    for pat, repl in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    return expr
+
+
+@_register(
+    "q59_hash_split",
+    """
+    WITH assigned AS (
+      SELECT doc_id,
+             CAST(CAST('0x' || substring(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                       AS UBIGINT) % 10000 AS BIGINT) AS b
+      FROM documents
+    )
+    SELECT CASE WHEN b < 8000 THEN 'train'
+                WHEN b < 9000 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs
+    FROM assigned GROUP BY 1
+    """,
+)
+def q59(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test split (hash of the doc id,
+    not randomSplit): stable across runs/cluster sizes/engines, and new
+    rows never migrate old rows between splits. Map-only + tiny agg."""
+    from graphragpart1datapipeline_spark.operators import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        hash_split(docs, "doc_id", seed=42)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@_register(
+    "q60_pii_redact",
+    f"""
+    WITH r AS (
+      SELECT doc_id, text, {_pii_sql("text")} AS redacted FROM documents
+    )
+    SELECT doc_id, redacted,
+           CAST(redacted <> text AS BIGINT) AS had_pii
+    FROM r
+    """,
+)
+def q60(spark, sf_dir):
+    """PII redaction pass (emails/URLs/phone-shaped digit runs →
+    placeholder tokens) — pre-training hygiene as a pure
+    regexp_replace chain, fully JVM-side."""
+    from graphragpart1datapipeline_spark.text import pii_redact
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        pii_redact("text").alias("redacted"),
+        (pii_redact("text") != F.col("text")).cast("long").alias("had_pii"),
+    )
+
+
+@_register(
+    "q61_range_join",
+    """
+    SELECT l.event_id, l.user_id, COUNT(*) AS n_clicks
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase') l
+    JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts - INTERVAL 1 HOUR AND r.ts <= l.ts
+    GROUP BY l.event_id, l.user_id
+    """,
+)
+def q61(spark, sf_dir):
+    """Range join (custom operator): clicks in the hour before each
+    purchase, per user — time-bucketized equi-join (bucket = window
+    span; each left row probes ≤2 buckets) + exact range filter, never
+    a per-key cross product."""
+    from graphragpart1datapipeline_spark.operators import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    joined = range_join(
+        purchases, clicks, on="user_id", lower=-3600, upper=0, right_select=[]
+    )
+    return joined.groupBy("event_id", "user_id").agg(
+        F.count(F.lit(1)).alias("n_clicks")
+    )
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------

@@ -1,4 +1,5 @@
 from .relational import (  # noqa: F401
+    hash_split,
     best_per_group,
     dedupe_by_priority,
     distinct_sorted,
@@ -10,4 +11,9 @@ from .relational import (  # noqa: F401
     union_relaxed,
 )
 from .asof import asof_join  # noqa: F401
-from .joins import multi_hop, name_or_alias_join, salted_join  # noqa: F401
+from .joins import (  # noqa: F401
+    multi_hop,
+    name_or_alias_join,
+    range_join,
+    salted_join,
+)

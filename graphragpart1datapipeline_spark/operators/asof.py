@@ -33,43 +33,51 @@ def asof_join(
     direction: str = "backward",
 ) -> DataFrame:
     """For each left row, the latest right row with right_ts <= left_ts
-    per key. Right columns come back prefixed ``asof_`` (plus
-    ``asof_ts``); unmatched left rows keep nulls. Only the backward
-    direction is implemented (the dominant case)."""
-    if direction != "backward":
-        raise NotImplementedError("only backward as-of is implemented")
+    per key (``direction="backward"``), or the earliest right row with
+    right_ts >= left_ts (``direction="forward"``). Right columns come
+    back prefixed ``asof_`` (plus ``asof_ts``); unmatched left rows keep
+    nulls. Both bounds are inclusive: a right row at exactly left_ts
+    matches in either direction."""
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    backward = direction == "backward"
     keys = [on] if isinstance(on, str) else list(on)
     rsel = list(right_select or [c for c in right.columns if c not in keys])
     payload = F.struct(
         F.col(right_ts).alias("asof_ts"),
         *[F.col(c).alias(f"asof_{c}") for c in rsel],
     )
+    # at equal ts the right row must fall inside the left row's frame:
+    # backward looks at preceding rows, so right sorts first; forward
+    # looks at following rows, so right sorts last
+    r_side, l_side = (0, 1) if backward else (1, 0)
     r = right.select(
         *keys,
         F.col(right_ts).alias("__ts"),
-        F.lit(0).alias("__side"),
+        F.lit(r_side).alias("__side"),
         payload.alias("__p"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}") for c in left.columns if c not in keys],
     )
     l = left.select(
         *keys,
         F.col(left_ts).alias("__ts"),
-        F.lit(1).alias("__side"),
+        F.lit(l_side).alias("__side"),
         F.lit(None).cast(r.schema["__p"].dataType).alias("__p"),
         *[F.col(c).alias(f"__l_{c}") for c in left.columns if c not in keys],
     )
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(F.col("__ts"), F.col("__side"), F.col("__p"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    matched = r.unionByName(l).withColumn(
-        "__match", F.last("__p", ignorenulls=True).over(w)
-    )
+    order = F.col("__p") if backward else F.col("__p").desc_nulls_last()
+    w = Window.partitionBy(*keys).orderBy(F.col("__ts"), F.col("__side"), order)
+    if backward:
+        w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        pick = F.last("__p", ignorenulls=True)
+    else:
+        w = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        pick = F.first("__p", ignorenulls=True)
+    matched = r.unionByName(l).withColumn("__match", pick.over(w))
     out_left = [
         F.col(f"__l_{c}").alias(c) for c in left.columns if c not in keys
     ]
-    return matched.filter(F.col("__side") == 1).select(
+    return matched.filter(F.col("__side") == l_side).select(
         *keys,
         *out_left,
         F.col("__match.asof_ts").alias("asof_ts"),

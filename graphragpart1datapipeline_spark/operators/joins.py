@@ -89,6 +89,67 @@ def salted_join(
     return salted_left.join(salted_right, [*keys, "__shard"], how).drop("__shard")
 
 
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lower: int = -3600,
+    upper: int = 0,
+    right_select: Sequence[str] | None = None,
+) -> DataFrame:
+    """Interval/range join: pairs where
+    ``right_ts - left_ts ∈ [lower, upper]`` seconds (both bounds
+    inclusive) for the same key. E.g. ``lower=-3600, upper=0`` = "right
+    events in the hour before each left event".
+
+    Spark-first: a naive formulation is an equi-join on the key plus a
+    range predicate, which Catalyst executes as a hash join followed by
+    a filter — fine per key, but a hot key degenerates to its full
+    cross product before filtering. This plan *bucketizes time* with
+    bucket width = the span (upper - lower): each left row joins its
+    (at most two) overlapping buckets, each right row lands in exactly
+    one, the equi-join runs on (key..., bucket), and the exact range
+    predicate prunes the remainder. Join fan-out per row is bounded by
+    bucket occupancy, not key cardinality.
+
+    Right payload columns come back prefixed ``r_``.
+    """
+    span = upper - lower
+    if span <= 0:
+        raise ValueError("upper must be greater than lower")
+    keys = [on] if isinstance(on, str) else list(on)
+    rsel = list(
+        right_select or [c for c in right.columns if c not in (*keys, right_ts)]
+    )
+    lts = F.unix_timestamp(F.col(left_ts))
+    rts = F.unix_timestamp(F.col(right_ts))
+    l = left.withColumn("__lts", lts).withColumn(
+        "__bkt",
+        F.explode(
+            F.sequence(
+                F.floor((F.col("__lts") + F.lit(lower)) / F.lit(span)),
+                F.floor((F.col("__lts") + F.lit(upper)) / F.lit(span)),
+            )
+        ),
+    )
+    r = right.select(
+        *keys,
+        rts.alias("__rts"),
+        F.col(right_ts).alias(f"r_{right_ts}"),
+        *[F.col(c).alias(f"r_{c}") for c in rsel],
+    ).withColumn("__bkt", F.floor(F.col("__rts") / F.lit(span)))
+    return (
+        l.join(r, [*keys, "__bkt"])
+        .filter(
+            (F.col("__rts") >= F.col("__lts") + F.lit(lower))
+            & (F.col("__rts") <= F.col("__lts") + F.lit(upper))
+        )
+        .drop("__bkt", "__lts", "__rts")
+    )
+
+
 def multi_hop(
     edges: DataFrame,
     rels: Sequence[str],

@@ -188,3 +188,54 @@ def distinct_sorted(df: DataFrame, col: str) -> DataFrame:
     """Distinct values of one column, sorted (reference:
     unique().sort() of community ids, detect_communities.py:296)."""
     return df.select(col).distinct().orderBy(col)
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: Sequence[tuple[str, float]] = (
+        ("train", 0.8),
+        ("val", 0.1),
+        ("test", 0.1),
+    ),
+    seed: str | int = 42,
+    buckets: int = 10_000,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment for training-data
+    pipelines: bucket = md5(seed ":" id) reduced mod ``buckets``, split
+    by cumulative weight thresholds.
+
+    Unlike ``randomSplit`` the assignment is a pure function of the row
+    id — stable across runs, cluster sizes, partitionings, and engines
+    (md5 is identical everywhere, so the DuckDB oracle reproduces it
+    bit-for-bit). New rows never reshuffle old ones between splits —
+    the property that keeps eval sets uncontaminated as a corpus grows.
+    Map-only, no shuffle.
+    """
+    total = sum(w for _, w in weights)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(str(seed)), F.lit(":"), F.col(id_col).cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % buckets
+    )
+    expr = None
+    acc = 0.0
+    for name, w in weights[:-1]:
+        acc += w
+        cond = bucket < int(round(acc / total * buckets))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(weights[-1][0])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)

@@ -1,9 +1,12 @@
 from .analysis import (  # noqa: F401
+    PII_PATTERNS,
     STOPWORDS,
     document_fingerprint,
     fulltext_search,
     language_id,
+    pii_redact,
     quality_score,
+    tfidf_top_terms,
     token_count,
     tokens,
 )

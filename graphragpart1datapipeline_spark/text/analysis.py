@@ -107,6 +107,71 @@ def fulltext_search(
     return hits.filter(F.col("__n") >= needed).select(id_col)
 
 
+def tfidf_top_terms(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    log_idf: bool = True,
+):
+    """Top-k characteristic terms per document by TF-IDF.
+
+    Plan shape (scale-first): one explode → groupBy(doc, term) computes
+    term frequencies with map-side partial aggregation — the only
+    corpus-sized shuffle; document frequencies reuse those already-unique
+    (doc, term) rows with a vocab-sized groupBy; the corpus size joins in
+    as a broadcast single-row frame (no driver round-trip); top-k is a
+    per-document window.
+
+    ``log_idf=False`` scores tf·(N/df) without the logarithm — integer
+    multiply + one IEEE division, bit-identical in every engine (what
+    the DuckDB oracle checks). The default tf·ln(N/df) is the standard
+    weighting (libm ln may differ across engines in the last ulp).
+    Ties rank deterministically by term.
+    """
+    from pyspark.sql import Window
+
+    terms = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__t"))
+        .select(id_col, F.lower("__t").alias("term"))
+        .filter(F.col("term") != "")
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    ndocs = df.select(F.countDistinct(id_col).alias("__n"))
+    scored = tf.join(dfreq, "term").crossJoin(F.broadcast(ndocs))
+    if log_idf:
+        score = F.col("tf") * F.log(F.col("__n") / F.col("df"))
+    else:
+        score = (F.col("tf") * F.col("__n")).cast("double") / F.col("df")
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "score", "rank")
+    )
+
+
+# (pattern, replacement) chain applied in order; kept RE2-compatible so
+# the SQL oracle replays them verbatim (no backrefs, no lookaround)
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"https?://[^\s]+", "[URL]"),
+    (r"\+?[0-9][0-9() -]{7,}[0-9]", "[PHONE]"),
+)
+
+
+def pii_redact(col: Column | str) -> Column:
+    """Scrub common PII shapes (emails, URLs, phone-like digit runs)
+    from text — the standard pre-training hygiene pass. Pure
+    regexp_replace chain: JVM-side, codegen-friendly, streamable."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
 def document_fingerprint(col: Column | str, bits_hex: int = 16) -> Column:
     """Stable content fingerprint: md5 of whitespace-normalized,
     lowercased text, truncated to ``bits_hex`` hex chars. The

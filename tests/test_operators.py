@@ -236,3 +236,81 @@ def test_name_or_alias_join(spark):
     }
     # a2 matches b2 by name and b1 by alias; a1<->a1 self-pair excluded
     assert pairs == {("a2", "b1"), ("a2", "b2")}
+
+
+def test_asof_join_forward(spark):
+    from graphragpart1datapipeline_spark.operators import asof_join
+
+    trades = spark.createDataFrame(
+        [("A", 10, 1), ("A", 25, 2), ("B", 5, 3)],
+        "sym string, ts long, trade_id long",
+    )
+    quotes = spark.createDataFrame(
+        [("A", 10, 100.0), ("A", 20, 102.0), ("B", 2, 9.0)],
+        "sym string, ts long, px double",
+    )
+    out = {
+        (r["sym"], r["trade_id"]): (r["asof_ts"], r["asof_px"])
+        for r in asof_join(
+            trades, quotes, on="sym", right_select=["px"], direction="forward"
+        ).collect()
+    }
+    assert out[("A", 1)] == (10, 100.0)   # equal ts matches (inclusive)
+    assert out[("A", 2)] == (None, None)  # nothing at/after 25
+    assert out[("B", 3)] == (None, None)  # only quote (ts=2) is earlier
+
+
+def test_range_join_matches_theta_join(spark):
+    from pyspark.sql import functions as F
+
+    from graphragpart1datapipeline_spark.operators import range_join
+
+    left = spark.createDataFrame(
+        [(1, 1, 1000), (2, 1, 5000), (3, 2, 100)],
+        "lid long, k long, epoch long",
+    ).withColumn("ts", F.timestamp_seconds(F.col("epoch"))).drop("epoch")
+    right = spark.createDataFrame(
+        [(10, 1, 400), (11, 1, 1000), (12, 1, 4500), (13, 2, 4000)],
+        "rid long, k long, epoch long",
+    ).withColumn("ts", F.timestamp_seconds(F.col("epoch"))).drop("epoch")
+
+    got = {
+        (r["lid"], r["r_rid"])
+        for r in range_join(
+            left, right, on="k", lower=-3600, upper=0, right_select=["rid"]
+        ).collect()
+    }
+    # brute-force theta join as the correctness oracle
+    want = {
+        (lf["lid"], rt["rid"])
+        for lf in left.collect()
+        for rt in right.collect()
+        if lf["k"] == rt["k"]
+        and lf["ts"].timestamp() - 3600 <= rt["ts"].timestamp() <= lf["ts"].timestamp()
+    }
+    assert got == want and len(want) == 3  # (1,10),(1,11),(2,12)
+
+
+def test_hash_split_deterministic_and_disjoint(spark):
+    from graphragpart1datapipeline_spark.operators import hash_split
+
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    a = hash_split(df, "doc_id", seed=42).groupBy("split").count().collect()
+    b = hash_split(df, "doc_id", seed=42).groupBy("split").count().collect()
+    counts = {r["split"]: r["count"] for r in a}
+    assert counts == {r["split"]: r["count"] for r in b}  # reproducible
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 2000                   # total partition
+    assert counts["train"] > counts["val"]                # ~80/10/10
+    # growing the corpus never reassigns existing rows
+    small = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(
+            spark.range(100).withColumnRenamed("id", "doc_id"), "doc_id", seed=42
+        ).collect()
+    }
+    big = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(df, "doc_id", seed=42).collect()
+    }
+    assert all(big[k] == v for k, v in small.items())

@@ -321,3 +321,44 @@ def test_llm_generation_stage(spark):
 
     with pytest.raises(NotImplementedError):
         generate_with(df, "prompt")  # no model in this environment
+
+
+def test_tfidf_top_terms(spark):
+    from graphragpart1datapipeline_spark.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana common"),
+            (2, "banana cherry common"),
+            (3, "common cherry cherry durian"),
+        ],
+        "doc_id long, text string",
+    )
+    top = tfidf_top_terms(docs, "text", "doc_id", k=1, log_idf=False).collect()
+    best = {r["doc_id"]: (r["term"], r["tf"], r["df"]) for r in top}
+    # apple: tf=2 and appears in 1 doc -> dominates doc 1; 'common' (df=3) never wins
+    assert best[1] == ("apple", 2, 1)
+    assert best[3] == ("cherry", 2, 2)
+    assert best[2][0] in ("banana", "cherry")  # tf=1, df=2 tie -> term order
+    assert best[2][0] == "banana"
+
+
+def test_pii_redact(spark):
+    from pyspark.sql import functions as F
+
+    from graphragpart1datapipeline_spark.text import pii_redact
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact bob.smith+x@example.co.uk now"),
+            (2, "see https://example.com/a?b=1 for details"),
+            (3, "call +1 (555) 123-4567 today"),
+            (4, "clean text stays untouched"),
+        ],
+        "id long, text string",
+    )
+    out = {r["id"]: r["red"] for r in df.select("id", pii_redact("text").alias("red")).collect()}
+    assert out[1] == "contact [EMAIL] now"
+    assert out[2] == "see [URL] for details"
+    assert out[3] == "call [PHONE] today"
+    assert out[4] == "clean text stays untouched"
