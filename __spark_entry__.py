@@ -2021,6 +2021,48 @@ def q60(spark, sf_dir):
 
 
 @_register(
+    "q62_repetition_signals",
+    """
+    WITH base AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t,
+             string_split(text, chr(10)) AS lines
+      FROM documents
+    ), row_local AS (
+      SELECT doc_id,
+             CAST(len(t) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+               / len(t) AS mean_word_len,
+             1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines)
+               AS dup_line_frac
+      FROM base
+    ), bi AS (
+      SELECT doc_id,
+             unnest([array_to_string(t[i:i+1], ' ') FOR i IN range(1, len(t))])
+               AS bg
+      FROM base WHERE len(t) >= 2
+    ), bic AS (
+      SELECT doc_id, bg, COUNT(*) AS c FROM bi GROUP BY doc_id, bg
+    ), bstat AS (
+      SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_bigram_frac
+      FROM bic GROUP BY doc_id
+    )
+    SELECT r.doc_id, r.n_words, r.mean_word_len, r.dup_line_frac,
+           COALESCE(b.top_bigram_frac, 0.0) AS top_bigram_frac
+    FROM row_local r LEFT JOIN bstat b USING (doc_id)
+    """,
+)
+def q62(spark, sf_dir):
+    """Gopher-style repetition/quality signals (mean word length,
+    duplicate-line fraction, top-bigram fraction): the standard
+    pre-training corpus filter pass. Word/line signals are row-local
+    (zero shuffle); only bigram multiplicity shuffles."""
+    from graphragpart1datapipeline_spark.text import repetition_signals
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_signals(docs, "text", "doc_id")
+
+
+@_register(
     "q61_range_join",
     """
     SELECT l.event_id, l.user_id, COUNT(*) AS n_clicks

@@ -172,6 +172,74 @@ def pii_redact(col: Column | str) -> Column:
     return c
 
 
+def repetition_signals(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Gopher-style repetition/quality signals per document — the
+    standard pre-training corpus filters (Rae et al. 2021, "Scaling
+    Language Models", §A1.1 quality heuristics):
+
+    - ``n_words``           whitespace token count
+    - ``mean_word_len``     total token chars / n_words
+    - ``dup_line_frac``     1 - distinct lines / total lines
+    - ``top_bigram_frac``   occurrences of the most frequent word
+                            bigram / total bigrams (0.0 when < 2 words)
+
+    Plan shape: the word/line signals are row-local higher-order
+    functions (zero shuffle, linear in document length — NOT the
+    quadratic row-local formulation of bigram counting); only the
+    bigram multiplicity needs a shuffle, done as explode →
+    groupBy(doc, bigram) → groupBy(doc) with map-side partial
+    aggregation, then a co-partitioned join back on the id. All output
+    fractions are single IEEE divisions of exact integers —
+    bit-identical across engines.
+    """
+    toks = tokens(text_col)
+    lines = F.split(F.col(text_col), "\n")
+    row_local = df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_words"),
+        (
+            F.aggregate(
+                toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+            ).cast("double")
+            / F.size(toks)
+        ).alias("mean_word_len"),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct(lines)).cast("double") / F.size(lines)
+        ).alias("dup_line_frac"),
+    )
+    bigrams = F.when(
+        F.size(toks) < 2, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.array_join(F.slice(toks, i, 2), " "),
+        )
+    )
+    bi = df.select(F.col(id_col), F.explode(bigrams).alias("__bg"))
+    bstat = (
+        bi.groupBy(id_col, "__bg")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy(id_col)
+        .agg(
+            (F.max("__c").cast("double") / F.sum("__c")).alias("top_bigram_frac")
+        )
+    )
+    return row_local.join(bstat, id_col, "left").select(
+        id_col,
+        "n_words",
+        "mean_word_len",
+        "dup_line_frac",
+        F.coalesce(F.col("top_bigram_frac"), F.lit(0.0)).alias(
+            "top_bigram_frac"
+        ),
+    )
+
+
 def document_fingerprint(col: Column | str, bits_hex: int = 16) -> Column:
     """Stable content fingerprint: md5 of whitespace-normalized,
     lowercased text, truncated to ``bits_hex`` hex chars. The

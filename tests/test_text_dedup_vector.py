@@ -362,3 +362,21 @@ def test_pii_redact(spark):
     assert out[2] == "see [URL] for details"
     assert out[3] == "call [PHONE] today"
     assert out[4] == "clean text stays untouched"
+
+
+def test_repetition_signals(spark):
+    from graphragpart1datapipeline_spark.text import repetition_signals
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb aa bb aa"),       # bigrams: "aa bb"x2, "bb aa"x2 -> 2/4
+            (2, "one\ntwo\none\nthree"), # 4 lines, 3 distinct -> 0.25
+            (3, "word"),                 # no bigrams -> 0.0
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_signals(docs).collect()}
+    assert out[1]["n_words"] == 5 and out[1]["top_bigram_frac"] == 0.5
+    assert out[1]["mean_word_len"] == 2.0
+    assert out[2]["dup_line_frac"] == 0.25
+    assert out[3]["top_bigram_frac"] == 0.0 and out[3]["n_words"] == 1
