@@ -1878,9 +1878,96 @@ def q44(spark, sf_dir):
     return spark.table(name)
 
 
+@_register(
+    "q64_transitive_near_dup",
+    # recursive closure needs the whole CTE chain under WITH RECURSIVE
+    _minhash_cte().replace("WITH toks", "WITH RECURSIVE toks", 1)
+    + """
+    , edges AS (
+      SELECT a, b FROM verified UNION ALL SELECT b, a FROM verified
+    ), reach AS (
+      SELECT a AS node, a AS r FROM edges
+      UNION
+      SELECT e.b AS node, reach.r FROM reach JOIN edges e ON e.a = reach.node
+    ), comp AS (
+      SELECT node, MIN(r) AS root FROM reach GROUP BY node
+    )
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT node FROM comp WHERE root < node)
+    """,
+)
+def q64(spark, sf_dir):
+    """EXACT transitive near-dup dedup: verified MinHash/LSH pairs →
+    distributed connected components (pointer-jumping min-label) → keep
+    only each component's minimum doc id. Closes the gap q55's
+    single-pass neighbor rule leaves open (A~B~C chains where (A,C)
+    was never a candidate pair); the DuckDB oracle replays the closure
+    with a recursive CTE."""
+    from graphragpart1datapipeline_spark.dedup import minhash_lsh_dedup  # noqa: F401
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "text", "doc_id", num_hashes=8, shingle_n=3)
+    pairs = lsh_candidate_pairs(sigs, "doc_id", bands=4)
+    verified = (
+        ngram_jaccard_on_pairs(pairs, docs, "text", "doc_id", n=3)
+        .filter(F.col("jaccard") >= 0.7)
+        .select("a", "b")
+    )
+    comp = connected_components(verified, src="a", dst="b")
+    losers = comp.filter(F.col("component") < F.col("id")).select(
+        F.col("id").alias("doc_id")
+    )
+    return docs.join(losers, "doc_id", "left_anti").select("doc_id")
+
+
 # --------------------------------------------------------------------------
 # Non-SQL-expressible operators (rows-only driver check)
 # --------------------------------------------------------------------------
+
+
+@_register("q63_stream_interval_join")
+def q63(spark, sf_dir):
+    """TRUE stream-stream interval join: watermarked purchases ⋈ clicks
+    within the preceding hour per user (the streaming twin of q61 —
+    identical pair semantics, which q61's DuckDB oracle value-checks;
+    this one is rows-only since streaming plans can't run in DuckDB).
+    The relative time bound + both-side watermarks let Spark evict join
+    state, keeping it O(span × rate)."""
+    import uuid
+
+    from graphragpart1datapipeline_spark.streaming import stream_interval_join
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = (
+        "event_id bigint, user_id bigint, ts bigint, event_type string, "
+        "value double, props string"
+    )
+
+    def _stream(event_type):
+        return (
+            spark.readStream.schema(schema)
+            .parquet(f"{sf_dir}/events.*")
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            .filter(F.col("event_type") == event_type)
+        )
+
+    joined = stream_interval_join(
+        _stream("purchase").select("event_id", "user_id", "ts"),
+        _stream("click").select("user_id", "ts"),
+        on="user_id",
+        lower=-3600,
+        upper=0,
+    ).select("event_id", "user_id", "ts", F.col("r_ts").alias("click_ts"))
+    name = f"q63_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
 
 
 @_register("q33_chunking")

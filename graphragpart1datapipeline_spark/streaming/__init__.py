@@ -1,6 +1,7 @@
 from .windows import (  # noqa: F401
     session_windows,
     sliding_window_agg,
+    stream_interval_join,
     stream_tumbling_counts,
     tumbling_window_agg,
 )

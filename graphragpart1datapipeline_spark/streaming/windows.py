@@ -103,3 +103,54 @@ def stream_tumbling_counts(
         [F.count(F.lit(1)).alias("n_events")],
         watermark=watermark,
     )
+
+
+def stream_interval_join(
+    left,
+    right,
+    on,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lower: int = -3600,
+    upper: int = 0,
+    watermark: str = "1 hour",
+):
+    """Stream-stream inner join with a time-range condition: pairs where
+    ``right_ts - left_ts ∈ [lower, upper]`` seconds for the same key —
+    the streaming twin of ``operators.range_join`` (same semantics the
+    batch DuckDB oracle checks on q61).
+
+    Both inputs are watermarked and the join condition bounds the two
+    event times relative to each other, which is exactly what Spark
+    needs to derive state eviction: each side's join state is dropped
+    once the other side's watermark passes the reachable time range, so
+    state stays O(window span × arrival rate) instead of growing
+    unboundedly. Right columns come back prefixed ``r_``.
+    """
+    from pyspark.sql import functions as F
+
+    keys = [on] if isinstance(on, str) else list(on)
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = (
+        right.withWatermark(right_ts, watermark)
+        .select(
+            *[F.col(k).alias(f"__rk_{k}") for k in keys],
+            *[
+                F.col(c).alias(f"r_{c}")
+                for c in right.columns
+                if c not in keys
+            ],
+        )
+        .alias("r")
+    )
+    cond = None
+    for k in keys:
+        c = F.col(f"l.{k}") == F.col(f"r.__rk_{k}")
+        cond = c if cond is None else cond & c
+    rts, lts = F.col(f"r.r_{right_ts}"), F.col(f"l.{left_ts}")
+    cond = (
+        cond
+        & (rts >= lts + F.expr(f"INTERVAL {lower} SECONDS"))
+        & (rts <= lts + F.expr(f"INTERVAL {upper} SECONDS"))
+    )
+    return l.join(r, cond, "inner").drop(*[f"__rk_{k}" for k in keys])

@@ -439,3 +439,59 @@ def test_stream_dedup_registry_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == expected
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from graphragpart1datapipeline_spark.operators import range_join
+    from graphragpart1datapipeline_spark.streaming import stream_interval_join
+
+    src = str(tmp_path / "ev_src")
+    rows = [
+        # (event_id, user_id, epoch_s, type): clicks at -2h, -30min, 0, +5min
+        (1, 1, 10000, "purchase"),
+        (10, 1, 2800, "click"),    # -2h   -> out
+        (11, 1, 8200, "click"),    # -30m  -> in
+        (12, 1, 10000, "click"),   # equal -> in (inclusive)
+        (13, 1, 10300, "click"),   # after -> out
+        (2, 2, 5000, "purchase"),  # no clicks for user 2
+        (14, 3, 5000, "click"),    # click without purchase
+    ]
+    batch = spark.createDataFrame(
+        rows, "event_id long, user_id long, epoch long, event_type string"
+    ).withColumn("ts", F.timestamp_seconds(F.col("epoch"))).drop("epoch")
+    batch.write.parquet(src)
+
+    def _split(df):
+        p = df.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts"
+        )
+        c = df.filter(F.col("event_type") == "click").select("user_id", "ts")
+        return p, c
+
+    sdf = spark.readStream.schema(batch.schema).parquet(src)
+    sp, sc = _split(sdf)
+    q = (
+        stream_interval_join(sp, sc, on="user_id", lower=-3600, upper=0)
+        .select("event_id", F.col("r_ts"))
+        .writeStream.format("memory")
+        .queryName("ij_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ij_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["event_id"], r["r_ts"])
+        for r in spark.sql("SELECT * FROM ij_sink").collect()
+    }
+    bp, bc = _split(batch)
+    want = {
+        (r["event_id"], r["r_ts"])
+        for r in range_join(
+            bp, bc, on="user_id", lower=-3600, upper=0, right_select=[]
+        ).select("event_id", "r_ts").collect()
+    }
+    assert got == want and len(want) == 2  # event 1 with clicks 11 and 12
