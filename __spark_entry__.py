@@ -1879,6 +1879,47 @@ def q44(spark, sf_dir):
 
 
 @_register(
+    "q65_knn_join",
+    """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), p AS (
+      SELECT a.vec_id AS a, b.vec_id AS b,
+             list_dot_product(a.v, b.v) AS score
+      FROM e a JOIN e b ON a.vec_id <> b.vec_id
+    )
+    SELECT a, b, score, rank FROM (
+      SELECT p.*, row_number() OVER (
+        PARTITION BY a ORDER BY score DESC, b) AS rank
+      FROM p) WHERE rank <= 5
+    """,
+)
+def q65(spark, sf_dir):
+    """Exact all-pairs k-NN self-join (every vector's 5 nearest
+    neighbors): the corpus-level similarity primitive behind semantic
+    dedup. Brute-force correctness baseline; knn_join_blocked (q66) is
+    the LSH-bucketed scale path."""
+    from graphragpart1datapipeline_spark.vector import knn_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_join(emb, k=5, vec_col="embedding", id_col="vec_id")
+
+
+@_register("q66_knn_join_blocked")
+def q66(spark, sf_dir):
+    """LSH-blocked approximate k-NN self-join: candidate pairs share a
+    random-hyperplane bucket, shrinking the pair space from n² to
+    Σ bucket² and turning the broadcast cross product into a
+    bucket-equi-join (rows-only check; q65 carries the exact oracle)."""
+    from graphragpart1datapipeline_spark.vector import knn_join_blocked
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_join_blocked(
+        emb, k=5, vec_col="embedding", id_col="vec_id", bits=2, dim=64
+    )
+
+
+@_register(
     "q64_transitive_near_dup",
     # recursive closure needs the whole CTE chain under WITH RECURSIVE
     _minhash_cte().replace("WITH toks", "WITH RECURSIVE toks", 1)

@@ -4,6 +4,8 @@ from .search import (  # noqa: F401
     dot_expr,
     hash_embed,
     hyperplane_bucket,
+    knn_join,
+    knn_join_blocked,
     l2_norm_expr,
     lsh_topk,
 )

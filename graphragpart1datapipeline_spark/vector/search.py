@@ -239,3 +239,73 @@ def hash_embed(col: Column | str, dim: int = 32) -> Column:
 
     comps = [F.aggregate(toks, F.lit(0.0), _slot_merge(i)) for i in range(dim)]
     return F.array(*comps).cast("array<float>")
+
+
+def knn_join(
+    df: DataFrame,
+    k: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact all-pairs k-NN self-join: for EVERY row, its top-k
+    neighbors by dot-product score (corpus-level semantic dedup /
+    SemDeDup-style curation needs this, not single-query top-k).
+
+    Brute force O(n²) — the CORRECTNESS BASELINE, oracle-checkable.
+    Catalyst broadcasts the smaller side of the cross product, and the
+    per-row top-k is one window. The scale path is
+    ``knn_join_blocked`` (LSH-bucketed candidates), same contract.
+    Returns (a, b, score, rank) with rank 1..k per ``a``.
+    """
+    from pyspark.sql import Window
+
+    a = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("__va"))
+    b = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("__vb"))
+    pairs = a.crossJoin(b).filter(F.col("a") != F.col("b"))
+    w = Window.partitionBy("a").orderBy(F.desc("score"), F.asc("b"))
+    return (
+        pairs.withColumn("score", dot_expr(F.col("__va"), F.col("__vb")))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("a", "b", "score", "rank")
+    )
+
+
+def knn_join_blocked(
+    df: DataFrame,
+    k: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = 2,
+    seed: int = 42,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate k-NN self-join, LSH-blocked: candidates are only
+    pairs sharing a random-hyperplane bucket, so the pair space shrinks
+    from n² to Σ bucket², and the bucket-equi-join shuffles instead of
+    broadcasting the corpus. With the bucket persisted as a
+    partitioning key, each task joins one bucket locally. Same output
+    contract as ``knn_join``; recall is tunable via ``bits`` (fewer
+    bits → bigger buckets → higher recall, more compute).
+    """
+    from pyspark.sql import Window
+
+    bucketed = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        hyperplane_bucket(F.col(vec_col), bits, seed, dim).alias("__bkt"),
+    )
+    a = bucketed.select(
+        F.col(id_col).alias("a"), F.col(vec_col).alias("__va"), "__bkt"
+    )
+    b = bucketed.select(
+        F.col(id_col).alias("b"), F.col(vec_col).alias("__vb"), "__bkt"
+    )
+    pairs = a.join(b, "__bkt").filter(F.col("a") != F.col("b"))
+    w = Window.partitionBy("a").orderBy(F.desc("score"), F.asc("b"))
+    return (
+        pairs.withColumn("score", dot_expr(F.col("__va"), F.col("__vb")))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("a", "b", "score", "rank")
+    )

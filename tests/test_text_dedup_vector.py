@@ -380,3 +380,29 @@ def test_repetition_signals(spark):
     assert out[1]["mean_word_len"] == 2.0
     assert out[2]["dup_line_frac"] == 0.25
     assert out[3]["top_bigram_frac"] == 0.0 and out[3]["n_words"] == 1
+
+
+def test_knn_join_exact_and_blocked(spark):
+    from graphragpart1datapipeline_spark.vector import knn_join, knn_join_blocked
+
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.9, 0.1]),
+            (3, [0.0, 1.0]),
+            (4, [-1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    nn1 = {
+        r["a"]: r["b"]
+        for r in knn_join(vecs, k=1, id_col="vec_id").collect()
+    }
+    assert nn1[1] == 2 and nn1[2] == 1   # mutual nearest
+    assert nn1[4] == 3                   # least-negative dot wins
+    # blocked variant: every returned pair shares a bucket and k is respected
+    blocked = knn_join_blocked(vecs, k=1, id_col="vec_id", bits=1, dim=2).collect()
+    assert all(r["rank"] == 1 for r in blocked)
+    assert {(r["a"], r["b"]) for r in blocked} <= {
+        (a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a != b
+    }
