@@ -1920,6 +1920,66 @@ def q66(spark, sf_dir):
 
 
 @_register(
+    "q67_stratified_sample",
+    """
+    WITH kept AS (
+      SELECT source FROM documents
+      WHERE CAST(CAST('0x' || substring(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                      AS UBIGINT) % 10000 AS BIGINT)
+            < CASE source WHEN 'src0' THEN 2500
+                          WHEN 'src1' THEN 5000
+                          ELSE 10000 END
+    )
+    SELECT source, COUNT(*) AS n_docs FROM kept GROUP BY source
+    """,
+)
+def q67(spark, sf_dir):
+    """Deterministic stratified downsampling: rebalance the corpus by
+    source (src0 → 25%, src1 → 50%, rest kept). Pure function of the
+    doc id — reproducible across runs/engines/cluster layouts, unlike
+    sampleBy's Bernoulli draw. Map-only."""
+    from graphragpart1datapipeline_spark.operators import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        stratified_sample(
+            docs, "source", {"src0": 0.25, "src1": 0.5}, id_col="doc_id", seed=7
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@_register(
+    "q68_percentile_filter",
+    """
+    WITH th AS (
+      SELECT lang, quantile_cont(n_chars, 0.25) AS p25
+      FROM documents GROUP BY lang
+    )
+    SELECT d.lang, COUNT(*) AS n_kept
+    FROM documents d JOIN th USING (lang)
+    WHERE d.n_chars > th.p25
+    GROUP BY d.lang
+    """,
+)
+def q68(spark, sf_dir):
+    """Quantile-threshold corpus filtering: drop each language's
+    shortest quartile (per-stratum cutoffs, not a global one — the
+    standard length-filter shape). Tiny percentile table broadcasts
+    back onto the corpus; Spark percentile and DuckDB quantile_cont
+    share the interpolation definition, so the cutoff is bit-exact."""
+    docs = _t(spark, sf_dir, "documents")
+    th = docs.groupBy("lang").agg(F.percentile("n_chars", 0.25).alias("p25"))
+    return (
+        docs.join(F.broadcast(th), "lang")
+        .filter(F.col("n_chars") > F.col("p25"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+
+
+@_register(
     "q64_transitive_near_dup",
     # recursive closure needs the whole CTE chain under WITH RECURSIVE
     _minhash_cte().replace("WITH toks", "WITH RECURSIVE toks", 1)

@@ -239,3 +239,53 @@ def hash_split(
     last = F.lit(weights[-1][0])
     expr = last if expr is None else expr.otherwise(last)
     return df.withColumn(split_col, expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    rates: dict[str, float],
+    id_col: str,
+    default_rate: float = 1.0,
+    seed: str | int = 42,
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling — rebalance a corpus by
+    source/language/domain with an exact, reproducible keep decision:
+    keep a row iff md5(seed ":" id) mod buckets < rate(stratum) ·
+    buckets.
+
+    Unlike ``sampleBy`` (Bernoulli draw per row, partition-order
+    dependent) the decision is a pure function of the row id, so the
+    sample is identical across runs, engines, and cluster layouts, and
+    composes with ``hash_split`` (different seeds give independent
+    bucketings). Map-only, no shuffle; the rate map ships as a literal
+    CASE chain, no join.
+    """
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(str(seed)), F.lit(":"), F.col(id_col).cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % buckets
+    )
+    thresh = None
+    for name, rate in rates.items():
+        cond = F.col(stratum_col) == name
+        val = F.lit(int(round(rate * buckets)))
+        thresh = F.when(cond, val) if thresh is None else thresh.when(cond, val)
+    thresh = (
+        F.lit(int(round(default_rate * buckets)))
+        if thresh is None
+        else thresh.otherwise(F.lit(int(round(default_rate * buckets))))
+    )
+    return df.filter(bucket < thresh)

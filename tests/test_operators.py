@@ -314,3 +314,19 @@ def test_hash_split_deterministic_and_disjoint(spark):
         for r in hash_split(df, "doc_id", seed=42).collect()
     }
     assert all(big[k] == v for k, v in small.items())
+
+
+def test_stratified_sample(spark):
+    from graphragpart1datapipeline_spark.operators import stratified_sample
+
+    df = spark.range(4000).selectExpr(
+        "id AS doc_id", "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS src"
+    )
+    out = stratified_sample(df, "src", {"a": 0.25}, id_col="doc_id", seed=7)
+    counts = {r["src"]: r["count"] for r in out.groupBy("src").count().collect()}
+    assert counts["b"] == 2000                 # default rate keeps everything
+    assert 350 < counts["a"] < 650             # ~25% of 2000
+    again = stratified_sample(df, "src", {"a": 0.25}, id_col="doc_id", seed=7)
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )                                          # exact reproducibility
