@@ -129,3 +129,51 @@ def test_lsh_probe_prunes_bucket_partitions(spark, tmp_path):
     assert m and "bucket" in m.group(1), plan[:800]
     rows = out.collect()
     assert 0 < len(rows) <= 3
+
+
+def test_minhash_signatures_map_only(spark):
+    # zero-shuffle claim: no Exchange beyond the parallelism repartition,
+    # and in particular no hash-partitioned aggregate exchange
+    from graphragpart1datapipeline_spark.dedup import minhash_signatures
+    from graphragpart1datapipeline_spark.sources import read_table
+
+    docs = read_table(spark, SF, "documents")
+    p = _formatted(minhash_signatures(docs, "text", "doc_id"))
+    assert "hashpartitioning" not in p
+    assert "HashAggregate" not in p
+
+
+def test_range_join_never_nested_loop(spark):
+    # the whole point of time-bucketization: an equi-join on
+    # (key, bucket), never a BroadcastNestedLoopJoin theta plan
+    p = _formatted(em.queries()["q61_range_join"](spark, SF))
+    assert "NestedLoop" not in p
+    assert "__bkt" in p
+
+
+def test_hash_split_and_sample_map_only(spark):
+    from graphragpart1datapipeline_spark.operators import (
+        hash_split,
+        stratified_sample,
+    )
+    from graphragpart1datapipeline_spark.sources import read_table
+
+    docs = read_table(spark, SF, "documents")
+    assert "Exchange" not in _plan(hash_split(docs, "doc_id"))
+    assert "Exchange" not in _plan(
+        stratified_sample(docs, "source", {"src0": 0.5}, id_col="doc_id")
+    )
+
+
+def test_asof_join_single_shuffle(spark):
+    # union-tag + one window: exactly one hash-partitioned exchange
+    from graphragpart1datapipeline_spark.operators import asof_join
+
+    left = spark.createDataFrame(
+        [("A", 10, 1)], "k string, ts long, lid long"
+    )
+    right = spark.createDataFrame(
+        [("A", 5, 2.0)], "k string, ts long, px double"
+    )
+    p = _plan(asof_join(left, right, on="k", right_select=["px"]))
+    assert p.count("hashpartitioning(k") == 1
