@@ -1980,6 +1980,49 @@ def q68(spark, sf_dir):
 
 
 @_register(
+    "q69_session_sequences",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, event_id, ts, event_type,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, MIN(ts) AS session_start,
+           COUNT(*) AS n_events,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS sequence
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def q69(spark, sf_dir):
+    """Behavior-sequence assembly: sessionize, then build each
+    session's ordered event-type string — the "training example per
+    session" shape (sequence models, next-event prediction). Ordered
+    aggregation via sorted-struct collect in ONE exchange (the A1
+    positioned-rollup pattern), with event_id as the unique tiebreak."""
+    ev = _t(spark, sf_dir, "events")
+    s = session_windows(ev, ts_col="ts", user_col="user_id", gap_minutes=30)
+    ordered = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ),
+        lambda x: x["event_type"],
+    )
+    return s.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.concat_ws(">", ordered).alias("sequence"),
+    )
+
+
+@_register(
     "q64_transitive_near_dup",
     # recursive closure needs the whole CTE chain under WITH RECURSIVE
     _minhash_cte().replace("WITH toks", "WITH RECURSIVE toks", 1)

@@ -1,4 +1,5 @@
 from .io import (  # noqa: F401
+    compact_parquet,
     read_jsonl,
     read_parquet,
     read_table,

@@ -495,3 +495,37 @@ def test_stream_interval_join_matches_batch(spark, tmp_path):
         ).select("event_id", "r_ts").collect()
     }
     assert got == want and len(want) == 2  # event 1 with clicks 11 and 12
+
+
+def test_compact_parquet_clusters_and_preserves_rows(spark, tmp_path):
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from graphragpart1datapipeline_spark.sources import compact_parquet
+
+    src = str(tmp_path / "fragmented")
+    out = str(tmp_path / "compacted")
+    df = spark.range(10_000).select(
+        F.col("id"), (F.col("id") % 97).alias("k"), F.sha2(F.col("id").cast("string"), 256).alias("pad")
+    )
+    df.repartition(64).write.parquet(src)  # simulate small-files ingest
+    assert len(glob.glob(f"{src}/part-*")) == 64
+
+    n = compact_parquet(
+        spark, src, out, target_file_bytes=10 * 1024 * 1024, cluster_by=["k"]
+    )
+    files = glob.glob(f"{out}/part-*")
+    assert len(files) == n and n < 64
+    got = spark.read.parquet(out)
+    assert got.count() == 10_000
+    # clustering: each output file covers a narrow, sorted k-range, so
+    # per-file (min, max) spans don't all cover the full domain
+    stats = (
+        got.withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg(F.min("k").alias("lo"), F.max("k").alias("hi"))
+        .collect()
+    )
+    if len(stats) > 1:
+        assert any(r["hi"] - r["lo"] < 96 for r in stats)
