@@ -2023,6 +2023,94 @@ def q69(spark, sf_dir):
 
 
 @_register(
+    "q70_snapshot_diff",
+    """
+    WITH old AS (
+      SELECT doc_id, text FROM documents
+    ), new AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 101 = 0 THEN text || ' v2' ELSE text END AS text
+      FROM documents WHERE doc_id % 97 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 499 = 0
+    )
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.doc_id IS NULL THEN 'added'
+                ELSE 'changed' END AS change
+    FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    WHERE n.doc_id IS NULL OR o.doc_id IS NULL OR o.text <> n.text
+    """,
+)
+def q70(spark, sf_dir):
+    """Corpus-version diff (added/removed/changed keys between two
+    snapshots) — the audit step before retraining on a dataset
+    refresh. The 'new' snapshot is synthesized deterministically from
+    documents so the oracle sees identical inputs. One full-outer hash
+    join; unchanged rows drop out."""
+    from graphragpart1datapipeline_spark.operators import snapshot_diff
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    new = (
+        docs.filter(F.col("doc_id") % 97 != 0)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 101 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 499 == 0).withColumn(
+                "doc_id", F.col("doc_id") + F.lit(1000000)
+            )
+        )
+    )
+    return snapshot_diff(docs, new, ["doc_id"], ["text"])
+
+
+@_register(
+    "q71_exact_correlation",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,4))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS syy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           (n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr_qty_price
+    FROM s
+    """,
+)
+def q71(spark, sf_dir):
+    """Exact distributed Pearson correlation per group — decimal-exact
+    moment sums (order-independent, unlike F.corr's double
+    accumulation) cast to double once, then one identical IEEE
+    expression on both engines. The pattern for any exact second-order
+    statistic at scale: single partial-aggregable shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dsum("l_quantity").alias("sx"),
+        _dsum("l_extendedprice").alias("sy"),
+        F.sum((q * p).cast("decimal(30,6)")).cast("double").alias("sxy"),
+        F.sum((q * q).cast("decimal(30,6)")).cast("double").alias("sxx"),
+        F.sum((p * p).cast("decimal(30,4)")).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    corr = (n * F.col("sxy") - sx * sy) / F.sqrt(
+        (n * F.col("sxx") - sx * sx) * (n * F.col("syy") - sy * sy)
+    )
+    return s.select("l_returnflag", "n", corr.alias("corr_qty_price"))
+
+
+@_register(
     "q64_transitive_near_dup",
     # recursive closure needs the whole CTE chain under WITH RECURSIVE
     _minhash_cte().replace("WITH toks", "WITH RECURSIVE toks", 1)

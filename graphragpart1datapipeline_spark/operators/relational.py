@@ -289,3 +289,60 @@ def stratified_sample(
         else thresh.otherwise(F.lit(int(round(default_rate * buckets))))
     )
     return df.filter(bucket < thresh)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Dataset-version diff: classify every key as ``added`` /
+    ``removed`` / ``changed`` between two snapshots (unchanged rows are
+    dropped). The audit step between corpus versions — what entered,
+    what left, what was edited — before retraining on a refresh.
+
+    One full-outer hash join on the keys; change detection is null-safe
+    column comparison (`eqNullSafe`), no row serialization. At scale
+    both snapshots shuffle once on the same key — with both stored
+    bucketed on the key the join is exchange-free.
+    """
+    keys = list(key_cols)
+    cmp_cols = list(
+        compare_cols or [c for c in old.columns if c not in keys]
+    )
+    o = old.select(
+        *[F.col(k).alias(f"__ok_{k}") for k in keys],
+        *[F.col(c).alias(f"__o_{c}") for c in cmp_cols],
+    )
+    n = new.select(
+        *[F.col(k).alias(f"__nk_{k}") for k in keys],
+        *[F.col(c).alias(f"__n_{c}") for c in cmp_cols],
+    )
+    cond = None
+    for k in keys:
+        c = F.col(f"__ok_{k}") == F.col(f"__nk_{k}")
+        cond = c if cond is None else cond & c
+    j = o.join(n, cond, "full_outer")
+    in_old = F.col(f"__ok_{keys[0]}").isNotNull()
+    in_new = F.col(f"__nk_{keys[0]}").isNotNull()
+    same = None
+    for c in cmp_cols:
+        eq = F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+        same = eq if same is None else same & eq
+    change = (
+        F.when(~in_new, F.lit("removed"))
+        .when(~in_old, F.lit("added"))
+        .when(~same, F.lit("changed"))
+    )
+    return (
+        j.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(
+            *[
+                F.coalesce(F.col(f"__ok_{k}"), F.col(f"__nk_{k}")).alias(k)
+                for k in keys
+            ],
+            "change",
+        )
+    )

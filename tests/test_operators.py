@@ -330,3 +330,19 @@ def test_stratified_sample(spark):
     assert sorted(r["doc_id"] for r in out.collect()) == sorted(
         r["doc_id"] for r in again.collect()
     )                                          # exact reproducibility
+
+
+def test_snapshot_diff(spark):
+    from graphragpart1datapipeline_spark.operators import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, None)],
+        "id long, v string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, None), (5, "e")],
+        "id long, v string",
+    )
+    got = {r["id"]: r["change"] for r in snapshot_diff(old, new, ["id"]).collect()}
+    # 1 unchanged (absent), 4 unchanged via null-safe compare (absent)
+    assert got == {2: "changed", 3: "removed", 5: "added"}
