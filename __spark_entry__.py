@@ -2082,8 +2082,9 @@ def q70(spark, sf_dir):
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag, n,
-           (n * sxy - sx * sy)
-             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr_qty_price
+           floor((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+             * 1e9 + 0.5) / 1e9 AS corr_qty_price
     FROM s
     """,
 )
@@ -2107,7 +2108,49 @@ def q71(spark, sf_dir):
     corr = (n * F.col("sxy") - sx * sy) / F.sqrt(
         (n * F.col("sxx") - sx * sx) * (n * F.col("syy") - sy * sy)
     )
-    return s.select("l_returnflag", "n", corr.alias("corr_qty_price"))
+    # the moment sums carry ~19 significant digits, and decimal→double
+    # conversion is not identically rounded across engines at that
+    # width — _round_det the OUTPUT (1e-9 ≫ the 1-ulp input wobble)
+    return s.select(
+        "l_returnflag", "n", _round_det(corr, 9).alias("corr_qty_price")
+    )
+
+
+@_register(
+    "q72_profile_table",
+    """
+    SELECT 'doc_id' AS col_name,
+           SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           COUNT(DISTINCT doc_id) AS n_distinct,
+           CAST(MIN(doc_id) AS VARCHAR) AS min_val,
+           CAST(MAX(doc_id) AS VARCHAR) AS max_val
+    FROM documents
+    UNION ALL
+    SELECT 'lang', SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END),
+           COUNT(DISTINCT lang), CAST(MIN(lang) AS VARCHAR),
+           CAST(MAX(lang) AS VARCHAR)
+    FROM documents
+    UNION ALL
+    SELECT 'source', SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END),
+           COUNT(DISTINCT source), CAST(MIN(source) AS VARCHAR),
+           CAST(MAX(source) AS VARCHAR)
+    FROM documents
+    UNION ALL
+    SELECT 'n_chars', SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END),
+           COUNT(DISTINCT n_chars), CAST(MIN(n_chars) AS VARCHAR),
+           CAST(MAX(n_chars) AS VARCHAR)
+    FROM documents
+    """,
+)
+def q72(spark, sf_dir):
+    """One-pass table profiler (ANALYZE-style): nulls/distinct/min/max
+    for every column from a SINGLE aggregation + stack unpivot —
+    never a job per column (the oracle's UNION ALL shape is the
+    anti-pattern at scale: four scans)."""
+    from graphragpart1datapipeline_spark.operators import profile_table
+
+    docs = _t(spark, sf_dir, "documents")
+    return profile_table(docs, ["doc_id", "lang", "source", "n_chars"])
 
 
 @_register(

@@ -1,5 +1,6 @@
 from .relational import (  # noqa: F401
     hash_split,
+    profile_table,
     snapshot_diff,
     stratified_sample,
     best_per_group,

@@ -346,3 +346,32 @@ def snapshot_diff(
             "change",
         )
     )
+
+
+def profile_table(
+    df: DataFrame, columns: Sequence[str] | None = None
+) -> DataFrame:
+    """One-pass column profiler: (col_name, n_nulls, n_distinct,
+    min_val, max_val) per column — the ANALYZE/data-audit step before
+    committing a corpus snapshot. All statistics for all columns come
+    from a SINGLE aggregation (one scan, one reduce), then unpivot via
+    ``stack`` — never one job per column. min/max are stringified so
+    heterogeneous column types share one output schema.
+    """
+    cols = list(columns or df.columns)
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nn_{c}"),
+            F.countDistinct(F.col(c)).alias(f"__nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    parts = ", ".join(
+        f"'{c}', __nn_{c}, __nd_{c}, __mn_{c}, __mx_{c}" for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {parts}) AS "
+        "(col_name, n_nulls, n_distinct, min_val, max_val)"
+    )
