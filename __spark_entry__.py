@@ -2154,6 +2154,43 @@ def q72(spark, sf_dir):
 
 
 @_register(
+    "q73_boilerplate_removal",
+    """
+    WITH spans AS (
+      SELECT doc_id, unnest([{'pos': i, 'span': l[i]}
+                             FOR i IN range(1, len(l) + 1)]) AS u
+      FROM (SELECT doc_id, string_split(text, '. ') AS l FROM documents)
+    ), flat AS (
+      SELECT doc_id, u.pos AS pos, u.span AS span FROM spans
+    ), boiler AS (
+      SELECT span FROM (
+        SELECT span, COUNT(DISTINCT doc_id) AS nd
+        FROM flat WHERE span <> '' GROUP BY span
+      ) WHERE nd >= 3
+    ), rebuilt AS (
+      SELECT doc_id, string_agg(span, '. ' ORDER BY pos) AS clean_text
+      FROM flat WHERE span NOT IN (SELECT span FROM boiler)
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id, COALESCE(r.clean_text, '') AS clean_text
+    FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+    """,
+)
+def q73(spark, sf_dir):
+    """Cross-document boilerplate removal (C4/CCNet line-dedup step,
+    sentence-granular here): drop every span occurring in ≥3 distinct
+    documents, rebuild survivors in original order. Span frequency is
+    one groupBy; reassembly is the single-exchange sorted-struct
+    collect."""
+    from graphragpart1datapipeline_spark.text import remove_boilerplate_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return remove_boilerplate_spans(
+        docs, "text", "doc_id", min_docs=3, sep=". ", sep_regex=r"\. "
+    )
+
+
+@_register(
     "q64_transitive_near_dup",
     # recursive closure needs the whole CTE chain under WITH RECURSIVE
     _minhash_cte().replace("WITH toks", "WITH RECURSIVE toks", 1)

@@ -6,6 +6,7 @@ from .analysis import (  # noqa: F401
     language_id,
     pii_redact,
     quality_score,
+    remove_boilerplate_spans,
     repetition_signals,
     tfidf_top_terms,
     token_count,

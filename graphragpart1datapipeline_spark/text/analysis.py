@@ -249,3 +249,57 @@ def document_fingerprint(col: Column | str, bits_hex: int = 16) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     normed = F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
     return F.substring(F.md5(normed), 1, bits_hex)
+
+
+def remove_boilerplate_spans(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 3,
+    sep: str = "\n",
+    sep_regex: str | None = None,
+):
+    """Cross-document boilerplate removal (the C4/CCNet line-dedup
+    step): split each document on ``sep``, drop every span that occurs
+    in ≥ ``min_docs`` DISTINCT documents (navigation chrome, license
+    headers, templated sentences), and rebuild the text in original
+    span order. Documents made of nothing but boilerplate come back
+    empty rather than disappearing.
+
+    Plan: posexplode keeps the span's position; span frequency is one
+    groupBy(span) with countDistinct(doc); the boilerplate set comes
+    back as a left-anti join (broadcast when small); reassembly is a
+    sorted-struct collect per document — the same single-exchange
+    ordered-agg pattern as the tracklist rollup. Splitting and
+    rejoining on the same separator is lossless for survivors.
+    """
+    c = F.col(text_col)
+    spans = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(c, sep_regex or sep)).alias("__pos", "__span"),
+    )
+    boiler = (
+        spans.filter(F.col("__span") != "")
+        .groupBy("__span")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__span")
+    )
+    kept = spans.join(boiler, "__span", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__span"))),
+                lambda x: x["__span"],
+            ),
+        ).alias("clean_text")
+    )
+    return (
+        df.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )

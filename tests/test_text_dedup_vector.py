@@ -406,3 +406,26 @@ def test_knn_join_exact_and_blocked(spark):
     assert {(r["a"], r["b"]) for r in blocked} <= {
         (a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a != b
     }
+
+
+def test_remove_boilerplate_spans(spark):
+    from graphragpart1datapipeline_spark.text import remove_boilerplate_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "COOKIE NOTICE\nreal content one\nfooter"),
+            (2, "COOKIE NOTICE\nreal content two\nfooter"),
+            (3, "COOKIE NOTICE\nunique text here"),
+            (4, "COOKIE NOTICE\nfooter"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["clean_text"]
+        for r in remove_boilerplate_spans(docs, min_docs=3).collect()
+    }
+    # "COOKIE NOTICE" in 4 docs and "footer" in 3 -> both removed
+    assert out[1] == "real content one"
+    assert out[2] == "real content two"
+    assert out[3] == "unique text here"
+    assert out[4] == ""  # all-boilerplate doc survives as empty
