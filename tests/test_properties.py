@@ -176,3 +176,72 @@ def test_connected_components_long_path_converges_fast(spark):
     df = spark.createDataFrame(edges, "src int, dst int")
     got = {r["id"]: r["component"] for r in connected_components(df).collect()}
     assert set(got.values()) == {0} and len(got) == 64
+
+
+temporal_rows = st.lists(
+    st.tuples(
+        st.integers(0, 2),      # key
+        st.integers(0, 100),    # ts (seconds)
+        st.integers(0, 9999),   # payload/id source
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+@given(left=temporal_rows, right=temporal_rows)
+@SETTINGS
+def test_asof_backward_matches_bruteforce(spark, left, right):
+    from graphragpart1datapipeline_spark.operators import asof_join
+
+    ldf = spark.createDataFrame(
+        [(k, t, i * 3 + 1000 * j) for j, (k, t, i) in enumerate(left)] or [(None, None, None)],
+        "k int, ts int, lid int",
+    ).filter(F.col("k").isNotNull())
+    rdf = spark.createDataFrame(
+        [(k, t, i * 7 + 1000 * j) for j, (k, t, i) in enumerate(right)] or [(None, None, None)],
+        "k int, ts int, rid int",
+    ).filter(F.col("k").isNotNull())
+    got = {
+        (r["k"], r["lid"]): r["asof_ts"]
+        for r in asof_join(ldf, rdf, on="k", right_select=["rid"]).collect()
+    }
+    rrows = rdf.collect()
+    for lr in ldf.collect():
+        cands = [r["ts"] for r in rrows if r["k"] == lr["k"] and r["ts"] <= lr["ts"]]
+        want = max(cands) if cands else None
+        assert got[(lr["k"], lr["lid"])] == want
+
+
+@given(left=temporal_rows, right=temporal_rows)
+@SETTINGS
+def test_range_join_matches_bruteforce(spark, left, right):
+    from graphragpart1datapipeline_spark.operators import range_join
+
+    ldf = spark.createDataFrame(
+        [(k, t, 1000 + j) for j, (k, t, _) in enumerate(left)] or [(None, None, None)],
+        "k int, epoch int, lid int",
+    ).filter(F.col("k").isNotNull()).withColumn(
+        "ts", F.timestamp_seconds(F.col("epoch"))
+    )
+    rdf = spark.createDataFrame(
+        [(k, t, 2000 + j) for j, (k, t, _) in enumerate(right)] or [(None, None, None)],
+        "k int, epoch int, rid int",
+    ).filter(F.col("k").isNotNull()).withColumn(
+        "ts", F.timestamp_seconds(F.col("epoch"))
+    )
+    got = {
+        (r["lid"], r["r_rid"])
+        for r in range_join(
+            ldf.select("k", "ts", "lid"),
+            rdf.select("k", "ts", "rid"),
+            on="k", lower=-30, upper=10, right_select=["rid"],
+        ).collect()
+    }
+    want = {
+        (lr["lid"], rr["rid"])
+        for lr in ldf.collect()
+        for rr in rdf.collect()
+        if lr["k"] == rr["k"] and -30 <= rr["epoch"] - lr["epoch"] <= 10
+    }
+    assert got == want
