@@ -2191,6 +2191,40 @@ def q73(spark, sf_dir):
 
 
 @_register(
+    "q74_per_group_cap",
+    """
+    WITH capped AS (
+      SELECT doc_id, source, row_number() OVER (
+        PARTITION BY source
+        ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    )
+    SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT doc_id) AS n_distinct
+    FROM capped WHERE rn <= 150 GROUP BY source
+    """,
+)
+def q74(spark, sf_dir):
+    """Per-domain document cap (C4-style "at most N docs per source"):
+    top_n_per_group ordered by a seeded hash of the id — a deterministic
+    uniform draw per group, stable across runs and engines, unlike a
+    random shuffle. One exchange, no global sort."""
+    docs = _t(spark, sf_dir, "documents")
+    capped = top_n_per_group(
+        docs,
+        keys=["source"],
+        order_by=[
+            F.md5(F.concat(F.lit("cap:"), F.col("doc_id").cast("string"))),
+            F.col("doc_id"),
+        ],
+        n=150,
+    )
+    return capped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("doc_id").alias("n_distinct"),
+    )
+
+
+@_register(
     "q64_transitive_near_dup",
     # recursive closure needs the whole CTE chain under WITH RECURSIVE
     _minhash_cte().replace("WITH toks", "WITH RECURSIVE toks", 1)
