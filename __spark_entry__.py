@@ -1068,7 +1068,7 @@ def q36(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     pairs = embedding_near_dup_pairs(
-        emb, vec_col="embedding", id_col="vec_id", threshold=0.3
+        emb, vec_col="embedding", id_col="vec_id", threshold=0.3, bucket_bits=0
     )
     return pairs.select("a", "b", _round_det("cosine", 4).alias("cosine"))
 
@@ -1362,15 +1362,25 @@ def q41(spark, sf_dir):
     """,
 )
 def q42(spark, sf_dir):
-    """IVF approximate nearest neighbors: coarse-quantizer assignment
-    (broadcast centroids, one corpus scan) + single-cluster probe. The
-    scale path for similarity search next to the exact q25 baseline."""
-    from graphragpart1datapipeline_spark.vector.search import ivf_topk
+    """IVF approximate nearest neighbors probing a PREBUILT index:
+    ivf_build_index persists (vec_id, centroid_id) partitioned by
+    centroid_id once (the corpus-snapshot build step), then the query
+    probes only the index + its cluster — no full-corpus assignment
+    recompute in the query plan (the 100 TB query-loop contract)."""
+    from graphragpart1datapipeline_spark.vector.search import (
+        ivf_build_index,
+        ivf_topk,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
     cents = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cid"), F.col("embedding")
+    )
+    idx_path = "/tmp/spark_graft_ivf_index/" + sf_dir.strip("/").replace("/", "_")
+    assign = ivf_build_index(
+        emb, cents, idx_path, vec_col="embedding", id_col="vec_id",
+        cent_vec_col="embedding", cent_id_col="cid",
     )
     out = ivf_topk(
         emb,
@@ -1382,6 +1392,7 @@ def q42(spark, sf_dir):
         cent_vec_col="embedding",
         cent_id_col="cid",
         nprobe=1,
+        assignments=assign,
     )
     return out.select("vec_id", _round_det("score", 4).alias("score"))
 
@@ -1838,13 +1849,24 @@ def q52(spark, sf_dir):
     )
 
 
-@_register("q44_stream_tumbling")
+@_register(
+    "q44_stream_tumbling",
+    """
+    SELECT event_type, COUNT(*) AS n_events,
+           date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end
+    FROM events
+    GROUP BY event_type, date_trunc('hour', ts)
+    """,
+)
 def q44(spark, sf_dir):
     """TRUE Structured Streaming pass: readStream over the events
     parquet → watermarked tumbling-window counts → availableNow trigger
-    into a memory sink; returns the completed batch result. Streaming
-    plans can't be oracled by DuckDB (rows-only check); the batch twin
-    q18 carries the value oracle for the identical window semantics."""
+    into a memory sink; returns the completed batch result. The
+    availableNow run drains the full input, so the finished memory-sink
+    table IS a deterministic batch result — the DuckDB oracle checks
+    the stream's values directly (stream==batch equivalence as a
+    first-class CORRECTNESS row, not a rows-only entry)."""
     import uuid
 
     from graphragpart1datapipeline_spark.streaming import (
@@ -2271,14 +2293,27 @@ def q64(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 
-@_register("q63_stream_interval_join")
+@_register(
+    "q63_stream_interval_join",
+    """
+    SELECT p.event_id, p.user_id, p.ts, c.ts AS click_ts
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase') p
+    JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+    """,
+)
 def q63(spark, sf_dir):
     """TRUE stream-stream interval join: watermarked purchases ⋈ clicks
-    within the preceding hour per user (the streaming twin of q61 —
-    identical pair semantics, which q61's DuckDB oracle value-checks;
-    this one is rows-only since streaming plans can't run in DuckDB).
-    The relative time bound + both-side watermarks let Spark evict join
-    state, keeping it O(span × rate)."""
+    within the preceding hour per user (the streaming twin of q61).
+    The availableNow trigger drains the bounded input, so the appended
+    result is deterministic and the DuckDB oracle value-checks the
+    stream output itself (interval arithmetic is µs-exact on both
+    engines: Spark's ts is nanos//1000, DuckDB's TIMESTAMP read of the
+    nanos parquet truncates identically). The relative time bound +
+    both-side watermarks let Spark evict join state, keeping it
+    O(span × rate)."""
     import uuid
 
     from graphragpart1datapipeline_spark.streaming import stream_interval_join

@@ -18,15 +18,19 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
-    bucket_bits: int = 0,
+    bucket_bits: int = 4,
     seed: int = 42,
     dim: int = 64,
 ) -> DataFrame:
-    """Pairs with cosine ≥ threshold. With bucket_bits > 0, candidates
-    are restricted to equal random-hyperplane sign-buckets (approximate,
-    misses some pairs near hyperplanes; that's the documented trade) —
-    ``dim`` must then match the embedding dimensionality (the planes are
-    plan literals). Returns (a, b, cosine).
+    """Pairs with cosine ≥ threshold. Returns (a, b, cosine).
+
+    The DEFAULT is the scale path: bucket_bits > 0 restricts candidates
+    to equal random-hyperplane sign-buckets (approximate, misses some
+    pairs near hyperplanes; that's the documented trade), shrinking the
+    pair space ~2^bits. ``dim`` must match the embedding dimensionality
+    (the planes are plan literals). Pass ``bucket_bits=0`` explicitly
+    for the exact all-pairs crossJoin — a correctness oracle, never the
+    default: at 100 TB the O(n²) pair space is a scale-killer.
 
     Scale design: each vector is L2-normalized ONCE on its own row
     (cosine = dot of unit vectors), so the O(n²/buckets) pair stage does

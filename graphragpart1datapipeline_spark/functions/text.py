@@ -65,11 +65,39 @@ def _deep_normalize(c: Column) -> Column:
     return _deep_normalize_udf(c)
 
 
-def normalize_text_deep(col: Column | str) -> Column:
+_WARNED_FTFY_FALLBACK = False
+
+
+def normalize_text_deep(col: Column | str, require_ftfy: bool = False) -> Column:
     """Full canonicalization incl. mojibake repair (if ftfy present) and
     Unicode NFKC, then the native whitespace chain. Arrow-batched
     pandas_udf — the one unavoidable Python stage (reference F1,
-    data_transformation_helpers.py:20-73)."""
+    data_transformation_helpers.py:20-73).
+
+    Without ftfy the mojibake-repair step degrades to identity — warned
+    once at plan-build time, never silent. Pass ``require_ftfy=True`` to
+    raise instead (two environments then cannot produce different
+    "normalized" text without one of them failing loudly)."""
+    try:
+        import ftfy  # noqa: F401  (driver-side probe; executors re-probe)
+    except ImportError:
+        if require_ftfy:
+            raise ImportError(
+                "normalize_text_deep(require_ftfy=True) but ftfy is not "
+                "installed; mojibake repair would silently degrade to identity"
+            ) from None
+        global _WARNED_FTFY_FALLBACK
+        if not _WARNED_FTFY_FALLBACK:
+            import warnings
+
+            warnings.warn(
+                "ftfy not installed: normalize_text_deep will apply NFKC + "
+                "whitespace normalization but skip mojibake repair. Install "
+                "ftfy or pass require_ftfy=True to make this an error.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            _WARNED_FTFY_FALLBACK = True
     c = F.col(col) if isinstance(col, str) else col
     return normalize_text(_deep_normalize(c))
 

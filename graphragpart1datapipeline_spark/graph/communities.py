@@ -9,9 +9,10 @@ distributed Leiden; the engine keeps the same contract:
 - :func:`connected_components` — fully distributed (alternating
   large-star/small-star DataFrame iterations; scales to the edge table).
 - :func:`detect_communities` — driver-local Leiden when igraph/leidenalg
-  are importable, else a deterministic seeded label-propagation
-  fallback (documented semantic difference). The membership comes back
-  as a DataFrame regardless, so downstream rollups stay distributed.
+  are importable, else a vendored pure-Python seeded Louvain maximizing
+  the SAME RB-configuration quality function at the same resolutions
+  (warned, never silent). The membership comes back as a DataFrame
+  regardless, so downstream rollups stay distributed.
 - :func:`community_rollup` — the reference's per-community Python loop
   (detect_communities.py:294-333) collapsed into ONE groupBy + window
   plan (A9): member counts, top tags/genres/countries, representative
@@ -21,12 +22,15 @@ distributed Leiden; the engine keeps the same contract:
 from __future__ import annotations
 
 import random
+import warnings
 from collections import defaultdict
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.relational import top_n_frequency, top_n_per_group
+
+_WARNED_LEIDEN_FALLBACK = False
 
 
 def connected_components(
@@ -82,6 +86,10 @@ def connected_components(
                     F.col("component"), F.coalesce("grand", F.col("component"))
                 ).alias("component"),
             )
+        # Checkpoint BEFORE the convergence probe: the probe and the next
+        # round then both read the materialized frame, instead of
+        # recomputing the propagation join twice per round.
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
@@ -89,7 +97,7 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels = new_labels.localCheckpoint(eager=True)
+        labels = new_labels
         if changed == 0:
             break
     return labels
@@ -119,62 +127,120 @@ def _leiden_driver_local(
     return {nodes[i]: part.membership[i] for i in range(len(nodes))}
 
 
-def _label_prop_driver_local(
+def _louvain_one_level(
+    adj: list[list[tuple[int, float]]],
+    degrees: list[float],
+    m2: float,
+    resolution: float,
+    rng: random.Random,
+) -> tuple[list[int], bool]:
+    """One Louvain local-moving level on the current (super)graph.
+
+    RB-configuration gain for moving node i into community c:
+    ``k_{i,c} - resolution * k_i * Σ_tot(c) / (2m)`` — the same quality
+    function as leidenalg.RBConfigurationVertexPartition, so the
+    resolution knob has identical semantics (higher → finer).
+    Deterministic: node order is seeded-shuffled once per sweep; tie on
+    gain breaks to the smaller community id.
+    """
+    n = len(adj)
+    labels = list(range(n))
+    comm_tot = degrees[:]
+    order = list(range(n))
+    improved = False
+    while True:
+        rng.shuffle(order)
+        moves = 0
+        for i in order:
+            ci = labels[i]
+            ki = degrees[i]
+            ncw: dict[int, float] = defaultdict(float)
+            for j, wt in adj[i]:
+                if j != i:
+                    ncw[labels[j]] += wt
+            comm_tot[ci] -= ki
+            best_c = ci
+            best_gain = ncw.get(ci, 0.0) - resolution * ki * comm_tot[ci] / m2
+            for c in sorted(ncw):
+                if c == ci:
+                    continue
+                gain = ncw[c] - resolution * ki * comm_tot[c] / m2
+                if gain > best_gain + 1e-12 or (
+                    abs(gain - best_gain) <= 1e-12 and c < best_c
+                ):
+                    best_c, best_gain = c, gain
+            comm_tot[best_c] += ki
+            if best_c != ci:
+                labels[i] = best_c
+                moves += 1
+                improved = True
+        if moves == 0:
+            break
+    return labels, improved
+
+
+def _louvain_driver_local(
     edge_list: list[tuple[str, str]],
     resolution: float,
     seed: int,
-    max_iter: int = 30,
+    max_levels: int = 20,
 ) -> dict[str, int]:
-    """Deterministic seeded label propagation fallback (igraph absent in
-    this container). Higher resolution → smaller communities, emulated
-    by damping label adoption for high-degree labels. Communities are
-    renumbered by (size desc, min-member) for stable ids."""
+    """Vendored seeded Louvain (pure Python, no igraph/leidenalg needed):
+    repeated local moving + graph aggregation maximizing RB modularity
+    at ``resolution``. Matches the reference's contract
+    (utils/neo4j_helpers.py:237-268: seeded, resolution-parameterized,
+    deterministic — determinism test test_neo4j_helpers.py:367) without
+    the native dependency. Communities renumbered by (size desc,
+    min-member) for stable ids across runs."""
     rng = random.Random(seed)
-    adj: dict[str, list[str]] = defaultdict(list)
+    nodes = sorted({n for e in edge_list for n in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    w: dict[tuple[int, int], float] = defaultdict(float)
     for a, b in edge_list:
-        adj[a].append(b)
-        adj[b].append(a)
-    nodes = sorted(adj)
-    labels = {n: i for i, n in enumerate(nodes)}
-    order = nodes[:]
-    for _ in range(max_iter):
-        rng.shuffle(order)
-        changed = 0
-        label_sizes: dict[int, int] = defaultdict(int)
-        for lbl in labels.values():
-            label_sizes[lbl] += 1
-        cap = max(2, int(len(nodes) / max(resolution, 1e-6) ** 0.5 / 2)) if resolution > 0 else len(nodes)
-        for n in order:
-            counts: dict[int, int] = defaultdict(int)
-            for m in adj[n]:
-                counts[labels[m]] += 1
-            if not counts:
-                continue
-            # deterministic argmax: count desc, label asc; respect cap
-            best = min(
-                (
-                    (-c, lbl)
-                    for lbl, c in counts.items()
-                    if label_sizes[lbl] < cap or lbl == labels[n]
-                ),
-                default=None,
-            )
-            if best is None:
-                continue
-            new = best[1]
-            if new != labels[n]:
-                label_sizes[labels[n]] -= 1
-                label_sizes[new] += 1
-                labels[n] = new
-                changed += 1
-        if changed == 0:
+        ia, ib = idx[a], idx[b]
+        w[(min(ia, ib), max(ia, ib))] += 1.0
+    mapping = list(range(len(nodes)))  # original index -> supernode
+    n = len(nodes)
+    for _ in range(max_levels):
+        if n == 0:
             break
-    # stable renumbering
+        adj: list[list[tuple[int, float]]] = [[] for _ in range(n)]
+        degrees = [0.0] * n
+        m2 = 0.0
+        for (a, b), wt in w.items():
+            if a == b:  # self-loop counts twice toward degree (igraph convention)
+                adj[a].append((a, 2 * wt))
+                degrees[a] += 2 * wt
+                m2 += 2 * wt
+            else:
+                adj[a].append((b, wt))
+                adj[b].append((a, wt))
+                degrees[a] += wt
+                degrees[b] += wt
+                m2 += 2 * wt
+        if m2 == 0:
+            break
+        labels, improved = _louvain_one_level(adj, degrees, m2, resolution, rng)
+        if not improved:
+            break
+        # compress labels to dense 0..k-1 (ascending label for determinism)
+        remap = {lbl: i for i, lbl in enumerate(sorted(set(labels)))}
+        labels = [remap[lbl] for lbl in labels]
+        k = len(remap)
+        if k == n:
+            break
+        mapping = [labels[s] for s in mapping]
+        new_w: dict[tuple[int, int], float] = defaultdict(float)
+        for (a, b), wt in w.items():
+            ca, cb = labels[a], labels[b]
+            new_w[(min(ca, cb), max(ca, cb))] += wt
+        w, n = new_w, k
+    # stable renumbering by (size desc, min original member)
     groups: dict[int, list[str]] = defaultdict(list)
-    for n, lbl in labels.items():
-        groups[lbl].append(n)
+    for orig, node in enumerate(nodes):
+        groups[mapping[orig]].append(node)
     ordered = sorted(groups.values(), key=lambda ms: (-len(ms), min(ms)))
-    return {n: i for i, ms in enumerate(ordered) for n in ms}
+    return {name: i for i, ms in enumerate(ordered) for name in ms}
 
 
 def detect_communities(
@@ -185,15 +251,23 @@ def detect_communities(
     src: str = "src",
     dst: str = "dst",
     max_driver_edges: int = 5_000_000,
+    algorithm: str = "auto",
 ) -> DataFrame:
     """Multi-resolution community membership: (id, community_L0,
     community_L1, community_L2) matching the reference's three levels
     (fine 2.0 / medium 0.5 / coarse 0.1; settings.py:137).
 
+    ``algorithm``: ``"leiden"`` (igraph/leidenalg, raises ImportError if
+    absent), ``"louvain"`` (vendored pure-Python seeded Louvain, same RB
+    quality function), or ``"auto"`` (leiden when importable, else
+    louvain with a one-time warning — never a silent swap).
+
     The edge list is collected to the driver (documented size bound —
     the reference graph is ~123k edges; raise/partition for bigger
     graphs or use :func:`connected_components` for the coarse level).
     """
+    if algorithm not in ("auto", "leiden", "louvain"):
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     rows = (
         edges.select(F.col(src).cast("string"), F.col(dst).cast("string"))
         .distinct()
@@ -206,19 +280,39 @@ def detect_communities(
             "pre-aggregate or use connected_components"
         )
     edge_list = [(r[0], r[1]) for r in rows]
-    try:
-        detector = _leiden_driver_local
-        detector(edge_list[:1] or [("a", "b")], 1.0, seed)  # import probe
-    except ImportError:
-        detector = _label_prop_driver_local
+    if algorithm == "louvain":
+        detector = _louvain_driver_local
+    else:
+        try:
+            detector = _leiden_driver_local
+            detector([("a", "b")], 1.0, seed)  # import probe
+        except ImportError:
+            if algorithm == "leiden":
+                raise
+            global _WARNED_LEIDEN_FALLBACK
+            if not _WARNED_LEIDEN_FALLBACK:
+                warnings.warn(
+                    "igraph/leidenalg not importable; detect_communities is "
+                    "using the vendored seeded Louvain (same RB quality "
+                    "function, different refinement than Leiden). Pass "
+                    "algorithm='louvain' to silence, or 'leiden' to require "
+                    "the native implementation.",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+                _WARNED_LEIDEN_FALLBACK = True
+            detector = _louvain_driver_local
+    cols = ["id"] + [f"community_L{i}" for i in range(len(resolutions))]
+    schema = "id string, " + ", ".join(f"{c} long" for c in cols[1:])
+    if not edge_list:
+        return spark.createDataFrame([], schema)
     memberships = [detector(edge_list, res, seed) for res in resolutions]
     nodes = sorted({n for e in edge_list for n in e})
     data = [
         (n, *[int(m.get(n, -1)) for m in memberships])
         for n in nodes
     ]
-    cols = ["id"] + [f"community_L{i}" for i in range(len(resolutions))]
-    return spark.createDataFrame(data, cols)
+    return spark.createDataFrame(data, schema)
 
 
 def community_rollup(

@@ -71,13 +71,26 @@ def salted_join(
 
     The (large, skewed) left side gets a per-row shard id; the (smaller)
     right side is replicated once per shard; the join runs on
-    (keys..., shard). Same result as a plain join, but a key holding X%
-    of the rows now occupies ``salt`` tasks instead of one straggler.
-    AQE's skew splitting handles sort-merge cases automatically — use
-    this when the skew is extreme or the join must stay hash-partitioned
-    for a downstream stage. The right side grows ``salt``×, so keep
-    salt × |right| well under the shuffle budget.
+    (keys..., shard). Same result as a plain join for inner/left-flavored
+    joins, but a key holding X% of the rows now occupies ``salt`` tasks
+    instead of one straggler. AQE's skew splitting handles sort-merge
+    cases automatically — use this when the skew is extreme or the join
+    must stay hash-partitioned for a downstream stage. The right side
+    grows ``salt``×, so keep salt × |right| well under the shuffle
+    budget.
+
+    Right/full-outer joins are rejected: replicating the right side
+    means every replica that misses its shard would null-extend, so the
+    salted plan is not equivalent for those join types.
     """
+    allowed = {"inner", "left", "leftouter", "left_outer", "left_semi",
+               "leftsemi", "left_anti", "leftanti", "cross"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: the replicated "
+            "right side breaks right/full outer null-extension semantics; "
+            f"use one of {sorted(allowed)} or a plain join with AQE skew handling"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     shard = F.pmod(
         F.xxhash64(F.monotonically_increasing_id(), F.lit(salt)), F.lit(salt)

@@ -326,10 +326,10 @@ def snapshot_diff(
     j = o.join(n, cond, "full_outer")
     in_old = F.col(f"__ok_{keys[0]}").isNotNull()
     in_new = F.col(f"__nk_{keys[0]}").isNotNull()
-    same = None
+    # Key-only snapshots (no compare columns): matched keys are unchanged.
+    same = F.lit(True)
     for c in cmp_cols:
-        eq = F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
-        same = eq if same is None else same & eq
+        same = same & F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
     change = (
         F.when(~in_new, F.lit("removed"))
         .when(~in_old, F.lit("added"))

@@ -10,4 +10,5 @@ from .io import (  # noqa: F401
 )
 from .cache import fetch_with_cache  # noqa: F401
 from .paginated import paginated_source  # noqa: F401
+from .retry import retry_call, with_retries  # noqa: F401
 from .sinks import foreach_batched, stream_foreach_batched  # noqa: F401

@@ -271,12 +271,19 @@ def remove_boilerplate_spans(
     back as a left-anti join (broadcast when small); reassembly is a
     sorted-struct collect per document — the same single-exchange
     ordered-agg pattern as the tracklist rollup. Splitting and
-    rejoining on the same separator is lossless for survivors.
+    rejoining on the same separator is lossless for survivors: when
+    ``sep_regex`` is not given, ``sep`` is quoted (Pattern.quote
+    semantics) before F.split so separators containing regex
+    metacharacters ('|', '. ') split on the literal boundary that
+    concat_ws later rejoins on.
     """
     c = F.col(text_col)
+    if sep_regex is None:
+        # java.util.regex.Pattern.quote: \Q...\E with embedded \E split out
+        sep_regex = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
     spans = df.select(
         F.col(id_col),
-        F.posexplode(F.split(c, sep_regex or sep)).alias("__pos", "__span"),
+        F.posexplode(F.split(c, sep_regex)).alias("__pos", "__span"),
     )
     boiler = (
         spans.filter(F.col("__span") != "")

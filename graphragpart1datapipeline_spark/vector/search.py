@@ -175,6 +175,31 @@ def ivf_assignments(
     )
 
 
+def ivf_build_index(
+    df: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cent_vec_col: str = "embedding",
+    cent_id_col: str = "cid",
+) -> DataFrame:
+    """Build AND persist the IVF index: compute assignments once, write
+    them partitioned by ``centroid_id``, and return the read-back frame.
+    At 100 TB this runs once per corpus snapshot; every subsequent query
+    probes the persisted index — partition pruning turns the
+    centroid-id filter into reading only the probed clusters' files,
+    never a full-corpus assignment recompute. Pass the result to
+    :func:`ivf_topk` via ``assignments=``."""
+    assign = ivf_assignments(df, centroids, vec_col, id_col, cent_vec_col, cent_id_col)
+    assign.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+    out = df.sparkSession.read.parquet(path)
+    # partitionBy writes centroid_id as a partition column (string-typed
+    # directory value) — restore the original type for downstream joins
+    cid_type = dict(assign.dtypes)["centroid_id"]
+    return out.select(id_col, F.col("centroid_id").cast(cid_type))
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: Sequence[float],
@@ -185,13 +210,22 @@ def ivf_topk(
     cent_vec_col: str = "embedding",
     cent_id_col: str = "cid",
     nprobe: int = 1,
+    assignments: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: score only the vectors assigned to the
     ``nprobe`` centroids nearest the query (coarse quantizer probe).
     The centroid ranking uses the same (cosine desc, cid asc) rule as
     the assignment, computed driver-side over the collected centroid
     table — identical double arithmetic, so a query vector that is
-    itself in the corpus probes exactly its own cluster."""
+    itself in the corpus probes exactly its own cluster.
+
+    ``assignments``: a prebuilt (id, centroid_id) index (from
+    :func:`ivf_build_index` / a persisted :func:`ivf_assignments`).
+    When given, the probe reads ONLY the index — no full-corpus
+    assignment recompute per query; with the index partitioned by
+    centroid_id the filter prunes to the probed clusters at scan time.
+    When omitted, assignments are computed inline (one corpus scan) —
+    fine for one-off queries, wrong for a query loop."""
     cents = centroids.select(cent_id_col, cent_vec_col).collect()
     qn = math.sqrt(sum(float(x) * float(x) for x in query_vec))
 
@@ -206,8 +240,10 @@ def ivf_topk(
 
     ranked = sorted(cents, key=lambda r: (-_cos(r[1]), r[0]))
     probe_ids = [r[0] for r in ranked[:nprobe]]
-    assign = ivf_assignments(
-        df, centroids, vec_col, id_col, cent_vec_col, cent_id_col
+    assign = (
+        assignments
+        if assignments is not None
+        else ivf_assignments(df, centroids, vec_col, id_col, cent_vec_col, cent_id_col)
     )
     cand = df.join(
         assign.filter(F.col("centroid_id").isin(probe_ids)), id_col

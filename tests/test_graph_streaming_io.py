@@ -126,6 +126,68 @@ def test_detect_communities_two_cliques(spark):
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, out2.collect()))
 
 
+def test_detect_communities_empty_graph(spark):
+    edges = spark.createDataFrame([], "src string, dst string")
+    out = detect_communities(spark, edges, resolutions=(2.0, 0.5))
+    assert out.columns == ["id", "community_L0", "community_L1"]
+    assert out.count() == 0
+
+
+def test_detect_communities_warns_on_leiden_fallback(spark):
+    import warnings
+
+    import pytest
+
+    from graphragpart1datapipeline_spark.graph import communities as comm
+
+    try:
+        import leidenalg  # noqa: F401
+
+        pytest.skip("leidenalg present; fallback path not reachable")
+    except ImportError:
+        pass
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    comm._WARNED_LEIDEN_FALLBACK = False
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        detect_communities(spark, edges, resolutions=(1.0,), algorithm="auto")
+    assert any("vendored seeded Louvain" in str(w.message) for w in rec)
+    # explicit algorithm='louvain' is silent; 'leiden' raises
+    comm._WARNED_LEIDEN_FALLBACK = False
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        detect_communities(spark, edges, resolutions=(1.0,), algorithm="louvain")
+    assert not any("Louvain" in str(w.message) for w in rec)
+    with pytest.raises(ImportError):
+        detect_communities(spark, edges, resolutions=(1.0,), algorithm="leiden")
+
+
+def test_louvain_resolution_semantics():
+    import itertools
+
+    from graphragpart1datapipeline_spark.graph.communities import (
+        _louvain_driver_local,
+    )
+
+    # ring of 10 six-cliques: high resolution -> one community per clique,
+    # very low resolution -> cliques merge (reference invariant: finer at
+    # 2.0, coarser at 0.1; utils/neo4j_helpers.py:237-268)
+    edges = []
+    for c in range(10):
+        ns = [f"c{c}n{i}" for i in range(6)]
+        edges += list(itertools.combinations(ns, 2))
+        edges.append((f"c{c}n0", f"c{(c + 1) % 10}n0"))
+    fine = _louvain_driver_local(edges, 2.0, 42)
+    coarse = _louvain_driver_local(edges, 0.05, 42)
+    assert len(set(fine.values())) == 10
+    assert len(set(coarse.values())) < 10
+    # members of one clique always land together at fine resolution
+    for c in range(10):
+        assert len({fine[f"c{c}n{i}"] for i in range(6)}) == 1
+    # seeded determinism (reference test_neo4j_helpers.py:367)
+    assert fine == _louvain_driver_local(edges, 2.0, 42)
+
+
 def test_community_rollup(spark):
     members = spark.createDataFrame(
         [

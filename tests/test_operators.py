@@ -164,6 +164,36 @@ def test_scalar_functions(spark):
     assert r["norm"] == "a b c"
 
 
+def test_normalize_text_deep_ftfy_fallback_warns(spark):
+    import warnings
+
+    import pytest
+
+    from graphragpart1datapipeline_spark.functions import text as textmod
+
+    try:
+        import ftfy  # noqa: F401
+
+        pytest.skip("ftfy present; fallback path not reachable")
+    except ImportError:
+        pass
+    textmod._WARNED_FTFY_FALLBACK = False
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        col = textmod.normalize_text_deep(F.lit("café  x"))
+    assert any("ftfy not installed" in str(w.message) for w in rec)
+    # warn-once: second call is silent
+    with warnings.catch_warnings(record=True) as rec2:
+        warnings.simplefilter("always")
+        textmod.normalize_text_deep(F.lit("y"))
+    assert not any("ftfy" in str(w.message) for w in rec2)
+    # NFKC + whitespace chain still applies without ftfy
+    row = spark.range(1).select(col.alias("t")).head()
+    assert row["t"] == "café x"
+    with pytest.raises(ImportError, match="require_ftfy"):
+        textmod.normalize_text_deep(F.lit("z"), require_ftfy=True)
+
+
 def test_salted_join_matches_plain_join(spark):
     from graphragpart1datapipeline_spark.operators import salted_join
 
@@ -191,6 +221,19 @@ def test_salted_join_matches_plain_join(spark):
         for r in salted_join(left, right, "k", how="left", salt=8).collect()
     )
     assert salted_l == plain_l
+
+
+def test_salted_join_rejects_right_and_full_outer(spark):
+    import pytest
+
+    from graphragpart1datapipeline_spark.operators import salted_join
+
+    left = spark.createDataFrame([("a", 1)], "k string, v long")
+    right = spark.createDataFrame([("a", 2), ("b", 3)], "k string, w long")
+    # replicated right side would null-extend once per missing shard
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="salted_join does not support"):
+            salted_join(left, right, "k", how=how, salt=4)
 
 
 def test_asof_join_backward(spark):
@@ -346,3 +389,13 @@ def test_snapshot_diff(spark):
     got = {r["id"]: r["change"] for r in snapshot_diff(old, new, ["id"]).collect()}
     # 1 unchanged (absent), 4 unchanged via null-safe compare (absent)
     assert got == {2: "changed", 3: "removed", 5: "added"}
+
+
+def test_snapshot_diff_key_only(spark):
+    from graphragpart1datapipeline_spark.operators import snapshot_diff
+
+    old = spark.createDataFrame([(1,), (2,)], "id long")
+    new = spark.createDataFrame([(2,), (3,)], "id long")
+    # every column is a key: matched keys classify as unchanged (dropped)
+    got = {r["id"]: r["change"] for r in snapshot_diff(old, new, ["id"]).collect()}
+    assert got == {1: "removed", 3: "added"}

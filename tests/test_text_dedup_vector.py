@@ -157,7 +157,7 @@ def test_embedding_near_dup(spark):
         [(1, [1.0, 0.0]), (2, [0.999, 0.01]), (3, [0.0, 1.0])],
         "vec_id long, embedding array<float>",
     )
-    pairs = embedding_near_dup_pairs(df, threshold=0.99).collect()
+    pairs = embedding_near_dup_pairs(df, threshold=0.99, bucket_bits=0).collect()
     assert [(p["a"], p["b"]) for p in pairs] == [(1, 2)]
 
 
@@ -258,6 +258,36 @@ def test_ivf_topk_probes_own_cluster(spark):
     # probe touches only the second cluster
     assert {r["vec_id"] for r in out} == {3, 4, 5}
     assert out[0]["vec_id"] == 3
+
+
+def test_ivf_prebuilt_index_probe(spark, tmp_path):
+    from graphragpart1datapipeline_spark.vector.search import (
+        ivf_build_index,
+        ivf_topk,
+    )
+
+    rows = [
+        (0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.95, 0.05]),
+        (3, [0.0, 1.0]), (4, [0.1, 0.9]), (5, [0.05, 0.95]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (3, [0.0, 1.0])], "cid long, embedding array<float>"
+    )
+    idx = ivf_build_index(df, cents, str(tmp_path / "ivf"))
+    assert dict(idx.dtypes)["centroid_id"] == "bigint"  # type restored
+    out = ivf_topk(df, [0.0, 1.0], cents, k=10, assignments=idx)
+    # the probe plan reads the persisted index, not an inline
+    # assignment recompute: no window (row_number) stage in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "row_number" not in plan.lower()
+    got = out.collect()
+    assert {r["vec_id"] for r in got} == {3, 4, 5}
+    # identical result to the inline-assignment path
+    inline = ivf_topk(df, [0.0, 1.0], cents, k=10).collect()
+    assert [(r["vec_id"], r["score"]) for r in got] == [
+        (r["vec_id"], r["score"]) for r in inline
+    ]
 
 
 def test_minhash_signature_deterministic(spark):
@@ -429,3 +459,25 @@ def test_remove_boilerplate_spans(spark):
     assert out[2] == "real content two"
     assert out[3] == "unique text here"
     assert out[4] == ""  # all-boilerplate doc survives as empty
+
+
+def test_remove_boilerplate_spans_metachar_separator(spark):
+    from graphragpart1datapipeline_spark.text import remove_boilerplate_spans
+
+    # '. ' is a regex metacharacter separator: split must treat it
+    # literally so the rejoin is lossless for surviving spans
+    docs = spark.createDataFrame(
+        [
+            (1, "SHARED HEADER. real one x. tail"),
+            (2, "SHARED HEADER. real two yz. tail"),
+            (3, "SHARED HEADER. unique abc"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["clean_text"]
+        for r in remove_boilerplate_spans(docs, min_docs=3, sep=". ").collect()
+    }
+    assert out[1] == "real one x. tail"
+    assert out[2] == "real two yz. tail"
+    assert out[3] == "unique abc"
