@@ -38,22 +38,29 @@ def embedding_near_dup_pairs(
     arithmetic where it multiplies. Zero-norm vectors get a null unit
     vector and can never reach a positive threshold (same outcome as
     defining their cosine as 0)."""
-    base = df.select(F.col(id_col), F.col(vec_col).alias("__v")).withColumn(
-        "__n", l2_norm_expr(F.col("__v"))
-    )
-    base = base.select(
+    base = df.select(F.col(id_col), F.col(vec_col).alias("__v"))
+    if bucket_bits > 0:
+        from ..vector.search import hyperplane_bucket
+
+        # Bucket the RAW vector: sign-buckets are invariant to positive
+        # scaling, so raw and unit vectors land identically (zero-norm
+        # rows get a real bucket but a null unit vector below — they can
+        # never reach a positive threshold either way). Bucketing before
+        # normalization keeps the UDF argument a plain column, so the
+        # join-key null filter Catalyst inserts reuses ONE ArrowEvalPython
+        # instead of duplicating the normalize+bucket chain per side.
+        base = base.withColumn(
+            "__bkt", hyperplane_bucket(F.col("__v"), bucket_bits, seed, dim)
+        ).filter(F.col("__bkt").isNotNull())
+    base = base.withColumn("__n", l2_norm_expr(F.col("__v"))).select(
         id_col,
+        *(["__bkt"] if bucket_bits > 0 else []),
         F.when(
             F.col("__n") > 0,
             F.transform(F.col("__v"), lambda x: x.cast("double") / F.col("__n")),
         ).alias("__u"),
     )
     if bucket_bits > 0:
-        from ..vector.search import hyperplane_bucket
-
-        base = base.withColumn(
-            "__bkt", hyperplane_bucket(F.col("__u"), bucket_bits, seed, dim)
-        )
         a = base.select(
             "__bkt", F.col(id_col).alias("a"), F.col("__u").alias("ua")
         )

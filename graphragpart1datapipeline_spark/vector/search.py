@@ -18,8 +18,9 @@ Engine design:
 from __future__ import annotations
 
 import math
-from collections.abc import Sequence
+from collections.abc import Iterator, Sequence
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -104,13 +105,41 @@ def _hyperplanes(dim: int, bits: int, seed: int) -> list[list[float]]:
 
 def hyperplane_bucket(vec: Column, bits: int, seed: int = 42, dim: int = 128) -> Column:
     """Random-hyperplane sign bucket id (0..2^bits-1) for an
-    array<float> column — the LSH partitioning key."""
+    array<float> column — the LSH partitioning key.
+
+    Arrow-batched numpy implementation: one (batch × dim) @ (dim × bits)
+    matmul per batch. A pure-expression version (bits × dim literal
+    array nodes folded per row) chokes Catalyst — analysis + codegen of
+    the ~bits·dim-literal tree costs seconds per plan and the generated
+    code is slower than BLAS anyway. The planes are derived from the
+    same seeded LCG either way, so bucket ids are stable across runs
+    and engines; vectors shorter than ``dim`` are zero-padded (matching
+    zip_with's shorter-array fold), longer ones truncated, null vectors
+    yield a null bucket."""
+    from pyspark.sql.functions import pandas_udf
+
     planes = _hyperplanes(dim, bits, seed)
-    bucket = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        sign = (dot_expr(vec, _query_lit(plane)) >= 0).cast("long")
-        bucket = bucket + F.shiftleft(sign, i)
-    return bucket
+
+    @pandas_udf("long")
+    def bucket(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import numpy as np
+
+        pm = np.asarray(planes, dtype=np.float64).T  # dim × bits
+        weights = (np.int64(1) << np.arange(bits, dtype=np.int64))
+        for s in batches:
+            vals = s.tolist()
+            mat = np.zeros((len(vals), dim), dtype=np.float64)
+            mask = np.ones(len(vals), dtype=bool)
+            for i, v in enumerate(vals):
+                if v is None:
+                    mask[i] = False
+                    continue
+                n = min(len(v), dim)
+                mat[i, :n] = v[:n]
+            ids = ((mat @ pm) >= 0) @ weights
+            yield pd.Series([int(b) if m else None for b, m in zip(ids, mask)])
+
+    return bucket(vec)
 
 
 def lsh_topk(
