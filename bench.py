@@ -84,6 +84,13 @@ def main() -> None:
         .mapInPandas(_ident, schema="id long")
     )
 
+    # Full warm-up pass: each headline query once, untimed. JIT of the
+    # codegen'd expression chains (md5/shingle minhash most of all)
+    # takes several executions to reach steady state; timing cold runs
+    # measures the JVM, not the plan.
+    for name in HEADLINE:
+        run_query(queries[name](spark, sf_dir))
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
