@@ -103,6 +103,7 @@ def lsh_candidate_pairs(
     sig_df: DataFrame,
     id_col: str = "doc_id",
     bands: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Band the signature (rows = num_hashes / bands), group on the band
     key, emit distinct candidate (a, b) pairs with a < b.
@@ -110,7 +111,17 @@ def lsh_candidate_pairs(
     One shuffle total: groupBy(band, bucket) collects the sorted member
     ids and the m(m-1)/2 intra-bucket pairs are generated row-local with
     higher-order functions — no self-join, no double read of the
-    signature stage (the old plan needed an eager checkpoint for that)."""
+    signature stage (the old plan needed an eager checkpoint for that).
+
+    ``max_bucket_size``: at 100 TB a degenerate band value (empty-ish
+    documents, templated boilerplate) can put millions of ids in ONE
+    bucket — its collect_set lands on a single executor and its m²/2
+    pair fan-out dwarfs the rest of the job. Buckets larger than the cap
+    are dropped entirely (standard MinHashLSH practice: a bucket that
+    big is non-discriminative — near-everything matches everything — so
+    its pairs are noise for dedup purposes; the documented recall trade).
+    None (default) keeps every bucket: exact reference semantics, the
+    correctness-oracle configuration."""
     # band b covers sig[b*r+1 .. (b+1)*r]; r computed from size at runtime
     r = F.floor(F.size("sig") / F.lit(bands)).cast("int")
     banded = sig_df.select(
@@ -138,6 +149,8 @@ def lsh_candidate_pairs(
         .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    if max_bucket_size is not None:
+        members = members.filter(F.size("ids") <= max_bucket_size)
     ids = F.col("ids")
     pair_structs = F.flatten(
         F.transform(
@@ -163,17 +176,19 @@ def minhash_lsh_dedup(
     bands: int = 4,
     shingle_n: int = 3,
     jaccard_threshold: float | None = 0.7,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup dedup: LSH candidates (optionally verified by exact
     shingle Jaccard) → connected "keep the smallest id per duplicate
-    pair-group" rule → surviving rows.
+    pair-group" rule → surviving rows. ``max_bucket_size`` passes
+    through to :func:`lsh_candidate_pairs` (mega-bucket guard at scale).
 
     Note: survivor selection collapses pairs by min-id per component
     *approximated* as min over direct neighbors (single pass). For full
     transitive closure use graph.connected_components on the pair list.
     """
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
-    pairs = lsh_candidate_pairs(sigs, id_col, bands)
+    pairs = lsh_candidate_pairs(sigs, id_col, bands, max_bucket_size)
     if jaccard_threshold is not None:
         from .ngram import ngram_jaccard_on_pairs
 

@@ -130,6 +130,28 @@ def test_minhash_lsh_finds_planted_near_dup(spark):
     assert 1 in kept and 2 not in kept and len(kept) == 13
 
 
+def test_lsh_mega_bucket_cap(spark):
+    from graphragpart1datapipeline_spark.dedup.minhash import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    # 10 identical docs (one mega-bucket) + 2 planted near-dups
+    rows = [(i, "common boilerplate text repeated everywhere") for i in range(10)]
+    rows += [(100, BASE * 4 + "ending one"), (101, BASE * 4 + "ending two")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(df)
+    uncapped = lsh_candidate_pairs(sigs).collect()
+    capped = lsh_candidate_pairs(sigs, max_bucket_size=5).collect()
+    # uncapped: 45 boilerplate pairs + the planted pair
+    assert (100, 101) in {(r["a"], r["b"]) for r in uncapped}
+    assert len(uncapped) >= 46
+    # capped: the 10-member bucket is dropped, planted pair survives
+    capped_pairs = {(r["a"], r["b"]) for r in capped}
+    assert (100, 101) in capped_pairs
+    assert all(a >= 100 for a, _ in capped_pairs)
+
+
 def test_simhash_near_dup(spark):
     rows = [(1, BASE * 6), (2, BASE * 6 + "tail"), (3, "unrelated words entirely different topic altogether now")]
     df = spark.createDataFrame(rows, "doc_id long, text string")
