@@ -177,3 +177,55 @@ def test_asof_join_single_shuffle(spark):
     )
     p = _plan(asof_join(left, right, on="k", right_select=["px"]))
     assert p.count("hashpartitioning(k") == 1
+
+
+def test_embedding_near_dup_default_is_bucketed(spark):
+    # the DEFAULT plan must never contain an all-pairs product; the
+    # exact variant (bucket_bits=0) is the opt-in oracle and may
+    from graphragpart1datapipeline_spark.dedup import embedding_near_dup_pairs
+    from graphragpart1datapipeline_spark.sources import read_table
+
+    emb = read_table(spark, SF, "embeddings")
+    bucketed = _plan(embedding_near_dup_pairs(emb, id_col="vec_id"))
+    assert "CartesianProduct" not in bucketed
+    assert "BroadcastNestedLoopJoin" not in bucketed
+    exact = _plan(
+        embedding_near_dup_pairs(emb, id_col="vec_id", bucket_bits=0)
+    )
+    assert "CartesianProduct" in exact or "BroadcastNestedLoopJoin" in exact
+
+
+def test_knn_join_blocked_is_equi_join(spark):
+    # the LSH-blocked k-NN self-join must run as a hash equi-join on
+    # the bucket key, never a nested-loop pair space
+    from graphragpart1datapipeline_spark.sources import read_table
+    from graphragpart1datapipeline_spark.vector.search import knn_join_blocked
+
+    emb = read_table(spark, SF, "embeddings")
+    p = _plan(knn_join_blocked(emb, k=3, dim=64))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_ivf_prebuilt_probe_reads_only_index(spark, tmp_path):
+    # with a prebuilt assignments index, the probe plan must not
+    # contain the assignment recompute (window over all centroids)
+    from graphragpart1datapipeline_spark.sources import read_table
+    from graphragpart1datapipeline_spark.vector.search import (
+        ivf_build_index,
+        ivf_topk,
+    )
+
+    emb = read_table(spark, SF, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cid"), F.col("embedding")
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    idx = ivf_build_index(emb, cents, str(tmp_path / "ivf"), id_col="vec_id")
+    p = _plan(
+        ivf_topk(
+            emb, qv, cents, k=3, id_col="vec_id", assignments=idx, nprobe=1
+        )
+    )
+    assert "row_number" not in p.lower()
+    assert "ivf" in p  # scans the persisted index path
