@@ -2255,6 +2255,86 @@ def q74(spark, sf_dir):
 
 
 @_register(
+    "q75_decontamination",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id,
+               unnest([array_to_string(t[i:i+4], ' ')
+                       FOR i IN range(1, len(t) - 3)]) AS s
+        FROM toks WHERE len(t) >= 5
+      )
+    ), bench AS (
+      SELECT DISTINCT s FROM sh WHERE doc_id % 41 = 0
+    )
+    SELECT sh.doc_id, COUNT(DISTINCT sh.s) AS n_matching_shingles
+    FROM sh JOIN bench USING (s)
+    WHERE sh.doc_id % 41 <> 0
+    GROUP BY sh.doc_id
+    HAVING COUNT(DISTINCT sh.s) >= 1
+    """,
+)
+def q75(spark, sf_dir):
+    """Test-set decontamination: corpus documents sharing any 5-gram
+    with the pseudo-benchmark subset (doc_id % 41 == 0) are flagged
+    with their distinct overlapping-shingle count — the n-gram-overlap
+    eval-leakage rule. Benchmark shingles broadcast (small side by
+    definition); corpus is never shuffled by shingle, only the per-doc
+    countDistinct aggregates."""
+    from graphragpart1datapipeline_spark.dedup import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 41 == 0)
+    corpus = docs.filter(F.col("doc_id") % 41 != 0)
+    return decontaminate(
+        corpus, bench, text_col="text", id_col="doc_id", n=5, min_matches=1
+    )
+
+
+@_register(
+    "q76_sequence_packing",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), '\\s+')) AS tokens,
+             CAST(CAST('0x' || substring(
+                    md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT)
+                  % 8 AS BIGINT) AS stream_id
+      FROM documents
+    ), c AS (
+      SELECT doc_id, stream_id, tokens,
+             SUM(tokens) OVER (PARTITION BY stream_id ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) - tokens AS start
+      FROM t
+    )
+    SELECT doc_id, stream_id,
+           CAST(floor(start / 512.0) AS BIGINT) AS seq_id,
+           CAST(start % 512 AS BIGINT) AS seq_offset
+    FROM c
+    """,
+)
+def q76(spark, sf_dir):
+    """Deterministic sequence packing: documents concatenated in id
+    order within 8 md5-hashed streams, cut every 512 tokens; each doc
+    assigned the sequence holding its first token. One hash-partitioned
+    window (running token sum) per stream — n_streams-way parallel,
+    never a global ordering."""
+    from graphragpart1datapipeline_spark.operators import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("tokens"),
+    )
+    packed = pack_sequences(
+        docs, id_col="doc_id", token_count_col="tokens",
+        capacity=512, n_streams=8, seed=42,
+    )
+    return packed.select("doc_id", "stream_id", "seq_id", "seq_offset")
+
+
+@_register(
     "q64_transitive_near_dup",
     # recursive closure needs the whole CTE chain under WITH RECURSIVE
     _minhash_cte().replace("WITH toks", "WITH RECURSIVE toks", 1)

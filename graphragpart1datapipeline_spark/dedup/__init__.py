@@ -6,5 +6,5 @@ from .minhash import (  # noqa: F401
     shingles,
 )
 from .simhash import simhash64, simhash_near_dup_pairs  # noqa: F401
-from .ngram import ngram_jaccard_pairs  # noqa: F401
+from .ngram import decontaminate, ngram_jaccard_pairs  # noqa: F401
 from .embedding import embedding_near_dup_pairs  # noqa: F401

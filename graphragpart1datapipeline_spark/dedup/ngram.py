@@ -79,3 +79,45 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    n: int = 8,
+    min_matches: int = 1,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Test-set decontamination: flag corpus documents sharing at least
+    ``min_matches`` distinct ``n``-gram shingles with ANY benchmark
+    document — the standard pre-training hygiene step (remove eval-set
+    leakage before training; the n-gram-overlap rule used by GPT-3/PaLM/
+    Llama dataset reports).
+
+    Returns (id_col, n_matching_shingles) for contaminated documents
+    only; anti-join the corpus against it to clean.
+
+    Scale shape: the benchmark side is distinct shingles of the eval
+    sets — small by definition — broadcast to every executor, so the
+    corpus-side probe is map-only; the single shuffle is the per-doc
+    countDistinct. At 100 TB the corpus is never shuffled by shingle.
+    Set ``broadcast_benchmark=False`` if the benchmark shingle set is
+    too big to broadcast (falls back to a hash join).
+    """
+    doc_sh = docs.select(
+        F.col(id_col), F.explode(word_shingles(text_col, n)).alias("__sh")
+    )
+    bench_sh = benchmark.select(
+        F.explode(word_shingles(bench_text_col, n)).alias("__sh")
+    ).distinct()
+    if broadcast_benchmark:
+        bench_sh = F.broadcast(bench_sh)
+    return (
+        doc_sh.join(bench_sh, "__sh")
+        .groupBy(id_col)
+        .agg(F.countDistinct("__sh").alias("n_matching_shingles"))
+        .filter(F.col("n_matching_shingles") >= min_matches)
+    )

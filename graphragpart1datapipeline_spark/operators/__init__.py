@@ -1,5 +1,6 @@
 from .relational import (  # noqa: F401
     hash_split,
+    pack_sequences,
     profile_table,
     snapshot_diff,
     stratified_sample,

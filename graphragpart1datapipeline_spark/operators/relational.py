@@ -375,3 +375,68 @@ def profile_table(
         f"stack({len(cols)}, {parts}) AS "
         "(col_name, n_nulls, n_distinct, min_val, max_val)"
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_count_col: str,
+    capacity: int,
+    n_streams: int = 64,
+    seed: str | int = 42,
+) -> DataFrame:
+    """Deterministic sequence packing for training-data pipelines:
+    documents are concatenated in id order within ``n_streams``
+    hash-assigned streams and cut every ``capacity`` tokens; each
+    document is assigned the sequence in which it STARTS (standard
+    concat-then-chunk packing — a document straddling a boundary belongs
+    to the sequence holding its first token).
+
+    Returns the input plus (stream_id, seq_id, seq_offset): seq_id is
+    the per-stream sequence index, seq_offset the document's token
+    offset inside that sequence. Assignment is a pure function of
+    (seed, id, token counts) — stable across runs, partitionings, and
+    engines (md5 stream hash; the DuckDB oracle reproduces it exactly).
+
+    Scale shape: ONE window per stream (hash-partitioned running sum,
+    ``n_streams``-way parallel — never a single global ordering), no
+    join, no driver state. Raise ``n_streams`` until each stream's rows
+    fit an executor's window comfortably; packing quality is unaffected
+    (streams are independent pack targets).
+    """
+    if capacity <= 0:
+        raise ValueError("capacity must be positive")
+    stream = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(str(seed)), F.lit(":"), F.col(id_col).cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n_streams
+    ).alias("stream_id")
+    w = (
+        Window.partitionBy("stream_id")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum(token_count_col).over(w) - F.col(token_count_col)).alias(
+        "__start"
+    )
+    out = df.withColumn("stream_id", stream).withColumn("__start", start)
+    return (
+        out.withColumn(
+            "seq_id", F.floor(F.col("__start") / F.lit(capacity)).cast("long")
+        )
+        .withColumn(
+            "seq_offset", (F.col("__start") % F.lit(capacity)).cast("long")
+        )
+        .drop("__start")
+    )

@@ -399,3 +399,54 @@ def test_snapshot_diff_key_only(spark):
     # every column is a key: matched keys classify as unchanged (dropped)
     got = {r["id"]: r["change"] for r in snapshot_diff(old, new, ["id"]).collect()}
     assert got == {1: "removed", 3: "added"}
+
+
+def test_pack_sequences_golden(spark):
+    from graphragpart1datapipeline_spark.operators import pack_sequences
+
+    # single stream so the packing order is the full id order
+    df = spark.createDataFrame(
+        [(1, 4), (2, 5), (3, 3), (4, 10), (5, 2)], "doc_id long, tokens long"
+    )
+    out = {
+        r["doc_id"]: (r["stream_id"], r["seq_id"], r["seq_offset"])
+        for r in pack_sequences(
+            df, "doc_id", "tokens", capacity=10, n_streams=1
+        ).collect()
+    }
+    # starts: 0, 4, 9, 12, 22 -> seq floor(start/10), offset start%10
+    assert out == {
+        1: (0, 0, 0),
+        2: (0, 0, 4),
+        3: (0, 0, 9),
+        4: (0, 1, 2),
+        5: (0, 2, 2),
+    }
+    # deterministic across reruns and stream counts partition the corpus
+    multi = pack_sequences(df, "doc_id", "tokens", capacity=10, n_streams=4)
+    assert multi.count() == 5
+    assert multi.select("stream_id").distinct().count() <= 4
+
+
+def test_decontaminate_golden(spark):
+    from graphragpart1datapipeline_spark.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "totally unrelated content about spark plans here"),
+            (2, "he said the quick brown fox appeared"),  # shares one 4-gram
+            (3, "quick brown fox jumps over the lazy dog indeed"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["n_matching_shingles"]
+        for r in decontaminate(docs, bench, n=4).collect()
+    }
+    assert 1 not in out
+    assert out[2] == 1  # "the quick brown fox"
+    assert out[3] >= 4  # long shared span -> many 4-grams
