@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""Empirical scaling check for the scale-path operators.
+
+Generates a synthetic corpus K× the size of $SPARK_GRAFT_SF_DIR's
+documents/embeddings tables (in /tmp — never touches the source data),
+runs the scale-path representatives at 1× and K×, and prints one JSON
+line with the timing ratio per operator. A scale-correct plan shows a
+ratio near K (linear work, constant parallel overhead); a quadratic
+plan shows ~K².
+
+The K× corpus is NOT a verbatim replication: each copy gets a distinct
+id range and a copy-marker token appended to the text (so near-dup
+structure survives but exact-dup collapse does not trivialize dedup),
+and embedding copies are rotated by copy index so LSH buckets stay
+balanced.
+
+Usage: python scale_check.py [K]   (default K=10)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from graphragpart1datapipeline_spark.session import get_spark
+from graphragpart1datapipeline_spark.sources import read_table
+
+
+def build_scaled(spark, sf_dir: str, k: int, out_dir: str) -> None:
+    docs = read_table(spark, sf_dir, "documents")
+    emb = read_table(spark, sf_dir, "embeddings")
+    copies = spark.range(k).withColumnRenamed("id", "__copy")
+    n_docs = docs.count()
+    n_vecs = emb.count()
+    (
+        docs.crossJoin(copies)
+        .withColumn("doc_id", F.col("doc_id") + F.col("__copy") * n_docs)
+        .withColumn(
+            "text",
+            F.concat(F.col("text"), F.lit(" copymark"), F.col("__copy")),
+        )
+        .drop("__copy")
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/documents.parquet")
+    )
+    (
+        emb.crossJoin(copies)
+        .withColumn("vec_id", F.col("vec_id") + F.col("__copy") * n_vecs)
+        .withColumn(
+            "embedding",
+            # rotate by copy index so replicas are not bit-identical
+            F.concat(
+                F.slice(F.col("embedding"), F.col("__copy") + 1, F.lit(64)),
+                F.slice(F.col("embedding"), 1, F.col("__copy")),
+            ),
+        )
+        .drop("__copy")
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/embeddings.parquet")
+    )
+
+
+def ops(spark, base: str, extra_bits: int = 0):
+    """The scale-path representatives, each ending in a full noop write.
+
+    ``extra_bits``: LSH bucket width grows with log2(corpus growth) so
+    per-bucket occupancy — and with it per-bucket quadratic pair work —
+    stays constant. That is the documented operating rule for these
+    operators at scale (fixed bits would grow pair work K²/2^bits).
+    """
+    from graphragpart1datapipeline_spark.dedup import (
+        embedding_near_dup_pairs,
+        exact_dedup,
+        minhash_lsh_dedup,
+    )
+    from graphragpart1datapipeline_spark.text.analysis import tfidf_top_terms
+    from graphragpart1datapipeline_spark.vector.search import knn_join_blocked
+
+    def docs():
+        return read_table(spark, base, "documents")
+
+    def emb():
+        return read_table(spark, base, "embeddings")
+
+    return {
+        "exact_dedup": lambda: exact_dedup(docs()),
+        "minhash_lsh": lambda: minhash_lsh_dedup(
+            docs(), jaccard_threshold=0.7, max_bucket_size=200
+        ),
+        "embedding_near_dup_lsh": lambda: embedding_near_dup_pairs(
+            emb(), id_col="vec_id", threshold=0.3,
+            bucket_bits=4 + extra_bits, dim=64,
+        ),
+        "knn_join_blocked": lambda: knn_join_blocked(
+            emb(), k=8, id_col="vec_id", bits=4 + extra_bits, dim=64
+        ),
+        "tfidf": lambda: tfidf_top_terms(docs(), k=5),
+    }
+
+
+def time_ops(spark, base: str, extra_bits: int = 0) -> dict[str, float]:
+    out = {}
+    for name, fn in ops(spark, base, extra_bits).items():
+        fn().write.format("noop").mode("overwrite").save()  # warm
+        t0 = time.perf_counter()
+        fn().write.format("noop").mode("overwrite").save()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out_dir = f"/tmp/spark_graft_scale_{k}x"
+    spark = get_spark(app_name="scale-check")
+    spark.sparkContext.setLogLevel("ERROR")
+    build_scaled(spark, sf_dir, k, out_dir)
+    extra_bits = max(0, (k - 1).bit_length())  # ceil(log2(k))
+    base_t = time_ops(spark, sf_dir)
+    big_t = time_ops(spark, out_dir, extra_bits)
+    print(
+        json.dumps(
+            {
+                "k": k,
+                "base_sec": base_t,
+                "scaled_sec": big_t,
+                "ratio": {
+                    n: round(big_t[n] / base_t[n], 2) if base_t[n] > 0 else None
+                    for n in base_t
+                },
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
