@@ -245,3 +245,46 @@ def test_range_join_matches_bruteforce(spark, left, right):
         if lr["k"] == rr["k"] and -30 <= rr["epoch"] - lr["epoch"] <= 10
     }
     assert got == want
+
+
+pack_rows = st.lists(
+    st.tuples(st.integers(0, 60), st.integers(0, 30)),  # (id source, tokens)
+    min_size=0,
+    max_size=25,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(data=pack_rows, capacity=st.integers(1, 40), n_streams=st.integers(1, 4))
+@SETTINGS
+def test_pack_sequences_invariants(spark, data, capacity, n_streams):
+    from graphragpart1datapipeline_spark.operators import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in data] or [(0, 0)], "doc_id long, tokens long"
+    )
+    if not data:
+        df = df.limit(0)
+    out = pack_sequences(
+        df, "doc_id", "tokens", capacity=capacity, n_streams=n_streams
+    ).collect()
+    assert len(out) == len(data)
+    by_stream: dict = {}
+    for r in out:
+        assert 0 <= r["stream_id"] < n_streams
+        assert 0 <= r["seq_offset"] < capacity
+        by_stream.setdefault(r["stream_id"], []).append(r)
+    tokens_of = dict(data)
+    for rows_ in by_stream.values():
+        rows_.sort(key=lambda r: r["doc_id"])
+        # replay the packing driver-side: running start over id order
+        start = 0
+        for r in rows_:
+            assert r["seq_id"] == start // capacity
+            assert r["seq_offset"] == start % capacity
+            start += tokens_of[r["doc_id"]]
+    # determinism: identical assignment on rerun
+    again = pack_sequences(
+        df, "doc_id", "tokens", capacity=capacity, n_streams=n_streams
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
