@@ -12,6 +12,9 @@ a bucket-join per chunk instead of an O(n²) Hamming scan.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -21,28 +24,41 @@ BITS = 64
 def simhash64(col: Column | str) -> Column:
     """64-bit SimHash of whitespace tokens as a signed long.
 
-    Implementation: tokens → xxhash64 per token → for each bit b, sum
-    (±1) via aggregate over the token-hash array → pack sign bits.
-    Pure higher-order functions; one pass over the token array per bit
-    group (packed 8 bits at a time to bound expression size).
+    Token hashing stays JVM-side (one ``xxhash64`` per distinct token);
+    the 64-way bit-count accumulation runs as ONE Arrow-batched numpy
+    pass per batch — the per-bit pure-expression formulation (64
+    separate ``aggregate`` folds) bloats Catalyst codegen past the JIT
+    budget and evaluates interpreted, seconds-slow. Bit-for-bit the
+    same fingerprints: same hashes, same ``2·ones ≥ T`` majority rule
+    (empty token set → all bits set → -1; null text → null).
     """
+    from pyspark.sql.functions import pandas_udf
+
     c = F.col(col) if isinstance(col, str) else col
     toks = F.array_distinct(F.split(F.trim(c), r"\s+"))
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
 
-    def bit_sign(b: int) -> Column:
-        # count of tokens with bit b set, minus half the token count → sign
-        ones = F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc + F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)),
-        )
-        return (ones * 2 >= F.size(hashes)).cast("long")
+    @pandas_udf("long")
+    def pack(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import numpy as np
 
-    out = F.lit(0).cast("long")
-    for b in range(BITS):
-        out = out + F.shiftleft(bit_sign(b), b)
-    return out
+        shifts = np.arange(BITS, dtype=np.uint64)
+        for s in batches:
+            out = []
+            for h in s:
+                if h is None:
+                    out.append(None)
+                    continue
+                arr = np.asarray(h, dtype=np.int64).view(np.uint64)
+                ones = ((arr[:, None] >> shifts) & 1).sum(axis=0)
+                # majority rule; T=0 -> every bit true (matches the
+                # expression form's 0 >= 0)
+                sign_bits = (2 * ones >= len(arr)).astype(np.uint64)
+                fp = (sign_bits << shifts).sum(dtype=np.uint64)
+                out.append(int(fp.astype(np.int64)))
+            yield pd.Series(out, dtype="Int64")
+
+    return pack(hashes)
 
 
 def hamming64(a: Column, b: Column) -> Column:

@@ -285,25 +285,47 @@ def hash_embed(col: Column | str, dim: int = 32) -> Column:
     each whitespace token adds ±1 to one of ``dim`` components (sign and
     slot from xxhash64). Stands in for the reference's sentence-
     transformer encoder (chroma_helpers.py:36-81) in tests; the real
-    encoder drops into the same column type via a pandas_udf."""
+    encoder drops into the same column type via a pandas_udf.
+
+    Slot/sign hashing stays JVM-side (one xxhash64 pair per token); the
+    binning runs as a numpy bincount per Arrow batch — the per-slot
+    expression form (``dim`` separate aggregate folds, each re-hashing
+    every token) bloats codegen and re-does dim× the hash work.
+    Identical output values (same hashes, exact ±1.0 float sums)."""
+    from pyspark.sql.functions import pandas_udf
+
     c = F.col(col) if isinstance(col, str) else col
     toks = F.split(F.trim(c), r"\s+")
+    slots = F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(dim)))
+    signs = F.transform(
+        toks,
+        lambda t: F.when(
+            F.pmod(F.xxhash64(t, F.lit(1)), F.lit(2)) == 0, F.lit(1.0)
+        ).otherwise(F.lit(-1.0)),
+    )
 
-    def _slot_merge(i: int):
-        # closure factory (a default-arg lambda would change the arity
-        # pyspark infers for the higher-order function)
-        def merge(acc, t):
-            return acc + F.when(
-                F.pmod(F.xxhash64(t), F.lit(dim)) == i,
-                F.when(
-                    F.pmod(F.xxhash64(t, F.lit(1)), F.lit(2)) == 0, F.lit(1.0)
-                ).otherwise(F.lit(-1.0)),
-            ).otherwise(F.lit(0.0))
+    @pandas_udf("array<float>")
+    def bin_tokens(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.Series]:
+        import numpy as np
 
-        return merge
+        for pdf in batches:
+            out = []
+            for sl, sg in zip(pdf.iloc[:, 0], pdf.iloc[:, 1]):
+                if sl is None:
+                    out.append(None)
+                    continue
+                vec = np.zeros(dim, dtype=np.float64)
+                np.add.at(
+                    vec,
+                    np.asarray(sl, dtype=np.int64),
+                    np.asarray(sg, dtype=np.float64),
+                )
+                out.append([float(x) for x in vec])
+            yield pd.Series(out, dtype="object")
 
-    comps = [F.aggregate(toks, F.lit(0.0), _slot_merge(i)) for i in range(dim)]
-    return F.array(*comps).cast("array<float>")
+    return bin_tokens(F.struct(slots.alias("s"), signs.alias("g")))
 
 
 def knn_join(
