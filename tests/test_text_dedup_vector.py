@@ -503,3 +503,31 @@ def test_remove_boilerplate_spans_metachar_separator(spark):
     assert out[1] == "real one x. tail"
     assert out[2] == "real two yz. tail"
     assert out[3] == "unique abc"
+
+
+def test_ann_recall_at_k(spark):
+    from graphragpart1datapipeline_spark.sources import read_table
+    from graphragpart1datapipeline_spark.vector.search import (
+        cosine_topk,
+        ivf_topk,
+        lsh_topk,
+        recall_at_k,
+    )
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    exact = cosine_topk(emb, qv, k=10, id_col="vec_id")
+    # LSH probe of the query's own bucket always contains the query
+    # vector itself; deterministic planes -> deterministic recall
+    approx = lsh_topk(emb, qv, k=10, id_col="vec_id", bits=2)
+    r_lsh = recall_at_k(exact, approx)
+    assert 0.0 < r_lsh <= 1.0
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding")
+    )
+    ivf = ivf_topk(emb, qv, cents, k=10, id_col="vec_id", nprobe=4)
+    r_ivf = recall_at_k(exact, ivf)
+    assert 0.0 < r_ivf <= 1.0
+    # recall is monotone in probe width: probing ALL centroids = exact
+    ivf_all = ivf_topk(emb, qv, cents, k=10, id_col="vec_id", nprobe=8)
+    assert recall_at_k(exact, ivf_all) == 1.0
