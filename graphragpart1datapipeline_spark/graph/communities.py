@@ -28,7 +28,7 @@ from collections import defaultdict
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.relational import top_n_frequency, top_n_per_group
+from ..operators.relational import top_n_per_group
 
 _WARNED_LEIDEN_FALLBACK = False
 
@@ -328,37 +328,77 @@ def community_rollup(
     """Per-community metadata in one distributed plan (reference loops
     per community in Python, detect_communities.py:294-333):
     member_count, member_ids, top-10 tags, top-5 genres, top-3
-    countries, top-5 representative artists by connectivity."""
+    countries, top-5 representative artists by connectivity.
+
+    The three frequency families (tags, genres, countries) are MELTED
+    into one (community, kind, item) stream before aggregation: one
+    explode over a concatenated struct array, ONE count shuffle, one
+    ranking window, one collect, one pivot-back — instead of three
+    independent explode→count→window→collect chains over the members
+    table (3× the scans and 3× the shuffles at 100 TB). Per-kind top-N
+    caps and (count desc, item asc) tie-breaks are identical to the
+    separate top_n_frequency calls."""
     base = members.groupBy(community_col).agg(
         F.count(F.lit(1)).alias("member_count"),
         F.sort_array(F.collect_list(id_col)).alias("member_ids"),
     )
-    top_tags = top_n_frequency(
-        members.select(
-            community_col, F.explode(F.coalesce(tags_col, F.array())).alias("t")
+    empty = F.array().cast("array<struct<kind:string,item:string>>")
+    kinds = F.concat(
+        F.transform(
+            F.coalesce(tags_col, F.array()),
+            lambda t: F.struct(F.lit("t").alias("kind"), t.alias("item")),
         ),
-        [community_col],
-        "t",
-        10,
-        out_col="top_tags",
+        F.transform(
+            F.coalesce(genres_col, F.array()),
+            lambda g: F.struct(F.lit("g").alias("kind"), g.alias("item")),
+        ),
+        F.coalesce(
+            F.when(
+                F.col(country_col).isNotNull(),
+                F.array(
+                    F.struct(
+                        F.lit("c").alias("kind"),
+                        F.col(country_col).alias("item"),
+                    )
+                ),
+            ),
+            empty,
+        ),
     )
-    top_genres = top_n_frequency(
-        members.select(
-            community_col, F.explode(F.coalesce(genres_col, F.array())).alias("g")
-        ),
-        [community_col],
-        "g",
-        5,
-        out_col="top_genres",
+    from pyspark.sql import Window
+
+    counted = (
+        members.select(community_col, F.explode(kinds).alias("kv"))
+        .groupBy(community_col, F.col("kv.kind").alias("__kind"), F.col("kv.item").alias("__item"))
+        .agg(F.count(F.lit(1)).alias("__cnt"))
     )
-    top_countries = top_n_frequency(
-        members.filter(F.col(country_col).isNotNull()).select(
-            community_col, F.col(country_col).alias("c")
-        ),
-        [community_col],
-        "c",
-        3,
-        out_col="top_countries",
+    w = Window.partitionBy(community_col, "__kind").orderBy(
+        F.desc("__cnt"), F.asc("__item")
+    )
+    cap = (
+        F.when(F.col("__kind") == "t", 10)
+        .when(F.col("__kind") == "g", 5)
+        .otherwise(3)
+    )
+    ranked = counted.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= cap
+    )
+    coll = ranked.groupBy(community_col, "__kind").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("__rn", "__item"))),
+            lambda s: s.getField("__item"),
+        ).alias("__items")
+    )
+    tops = coll.groupBy(community_col).agg(
+        F.first(
+            F.when(F.col("__kind") == "t", F.col("__items")), ignorenulls=True
+        ).alias("top_tags"),
+        F.first(
+            F.when(F.col("__kind") == "g", F.col("__items")), ignorenulls=True
+        ).alias("top_genres"),
+        F.first(
+            F.when(F.col("__kind") == "c", F.col("__items")), ignorenulls=True
+        ).alias("top_countries"),
     )
     reps = (
         top_n_per_group(
@@ -378,11 +418,8 @@ def community_rollup(
             ).alias("representative_artists")
         )
     )
-    return (
-        base.join(top_tags, community_col, "left")
-        .join(top_genres, community_col, "left")
-        .join(top_countries, community_col, "left")
-        .join(reps, community_col, "left")
+    return base.join(tops, community_col, "left").join(
+        reps, community_col, "left"
     )
 
 
