@@ -369,32 +369,63 @@ def knn_join_blocked(
 ) -> DataFrame:
     """Approximate k-NN self-join, LSH-blocked: candidates are only
     pairs sharing a random-hyperplane bucket, so the pair space shrinks
-    from n² to Σ bucket², and the bucket-equi-join shuffles instead of
-    broadcasting the corpus. With the bucket persisted as a
-    partitioning key, each task joins one bucket locally. Same output
-    contract as ``knn_join``; recall is tunable via ``bits`` (fewer
-    bits → bigger buckets → higher recall, more compute).
-    """
-    from pyspark.sql import Window
+    from n² to Σ bucket². Same output contract as ``knn_join``
+    ((a, b, score, rank), rank 1..k per ``a``, ties score-desc/b-asc);
+    recall is tunable via ``bits`` (fewer bits → bigger buckets →
+    higher recall, more compute — grow bits with log2(corpus) to hold
+    bucket occupancy constant).
 
+    Execution: ONE shuffle groups each bucket onto an executor, then
+    the intra-bucket scoring is a single BLAS gram matmul + per-row
+    top-k inside applyInPandas — instead of materializing the m²
+    pair rows and folding a dot product per pair (the matmul is
+    10×+ faster and the m² pair space never hits the shuffle)."""
+    id_type = df.schema[id_col].dataType.simpleString()
     bucketed = df.select(
         F.col(id_col),
         F.col(vec_col),
         hyperplane_bucket(F.col(vec_col), bits, seed, dim).alias("__bkt"),
     )
-    a = bucketed.select(
-        F.col(id_col).alias("a"), F.col(vec_col).alias("__va"), "__bkt"
-    )
-    b = bucketed.select(
-        F.col(id_col).alias("b"), F.col(vec_col).alias("__vb"), "__bkt"
-    )
-    pairs = a.join(b, "__bkt").filter(F.col("a") != F.col("b"))
-    w = Window.partitionBy("a").orderBy(F.desc("score"), F.asc("b"))
-    return (
-        pairs.withColumn("score", dot_expr(F.col("__va"), F.col("__vb")))
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("a", "b", "score", "rank")
+
+    def topk_in_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame(columns=["a", "b", "score", "rank"])
+        ids = pdf[id_col].to_numpy()
+        mat = np.zeros((m, dim), dtype=np.float64)
+        for i, v in enumerate(pdf[vec_col]):
+            n = min(len(v), dim)
+            mat[i, :n] = v[:n]
+        gram = mat @ mat.T
+        # deterministic (score desc, b asc): sort by id first, then a
+        # STABLE sort by -score keeps id order among equal scores
+        id_order = np.argsort(ids, kind="stable")
+        kk = min(k, m - 1)
+        rows_a, rows_b, rows_s, rows_r = [], [], [], []
+        for i in range(m):
+            scores = gram[i, id_order]
+            cand = np.argsort(-scores, kind="stable")
+            rank = 0
+            for j in cand:
+                orig = id_order[j]
+                if orig == i:
+                    continue
+                rank += 1
+                rows_a.append(ids[i])
+                rows_b.append(ids[orig])
+                rows_s.append(float(gram[i, orig]))
+                rows_r.append(rank)
+                if rank == kk:
+                    break
+        return pd.DataFrame(
+            {"a": rows_a, "b": rows_b, "score": rows_s, "rank": rows_r}
+        )
+
+    return bucketed.groupBy("__bkt").applyInPandas(
+        topk_in_bucket,
+        schema=f"a {id_type}, b {id_type}, score double, rank long",
     )
 
 
