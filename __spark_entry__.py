@@ -2335,6 +2335,48 @@ def q76(spark, sf_dir):
 
 
 @_register(
+    "q77_stream_dedup_registry",
+    """
+    WITH f AS (
+      SELECT substring(md5(lower(trim(
+               regexp_replace(text, '\\s+', ' ', 'g')))), 1, 32) AS content_key,
+             doc_id
+      FROM documents
+    )
+    SELECT content_key, MIN(doc_id) AS keep_id, COUNT(*) AS n_seen
+    FROM f GROUP BY content_key
+    """,
+)
+def q77(spark, sf_dir):
+    """TRUE stateful streaming (applyInPandasWithState): the incremental
+    exact-dedup registry — per content-fingerprint state keeping the
+    smallest doc id — run with availableNow over the bounded corpus.
+    The drained registry equals the batch groupBy(min, count), which
+    the DuckDB oracle value-checks (md5 fingerprints are engine-
+    portable), giving the custom-stateful-operator surface a
+    first-class CORRECTNESS row."""
+    import uuid
+
+    from graphragpart1datapipeline_spark.streaming.stateful import (
+        stream_dedup_registry,
+    )
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    sdf = spark.readStream.schema(schema).parquet(f"{sf_dir}/documents.*")
+    registry = stream_dedup_registry(sdf, text_col="text", id_col="doc_id")
+    name = f"q77_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        registry.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@_register(
     "q64_transitive_near_dup",
     # recursive closure needs the whole CTE chain under WITH RECURSIVE
     _minhash_cte().replace("WITH toks", "WITH RECURSIVE toks", 1)
