@@ -50,10 +50,15 @@ def connected_components(
     between 4 shuffles and 40 on a long-path graph (property-tested
     against a driver-side union-find). localCheckpoint per round keeps
     the plan flat; AQE coalesces as the frontier shrinks."""
+    # Materialize the symmetric edge list ONCE: every round joins
+    # against it, and without the checkpoint each round re-executes the
+    # whole upstream plan that produced `edges` (for a near-dup pair
+    # graph that is the entire minhash pipeline, re-run per iteration).
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = (
         sym.select(F.col("a").alias("id"))
