@@ -157,11 +157,19 @@ def lsh_topk(
     used as a partition key), the probe prunes partitions at scan time;
     otherwise the bucket is computed on the fly (still a single scan,
     but no pruning)."""
+    import numpy as np
+
     planes = _hyperplanes(len(query_vec), bits, seed)
-    qbucket = 0
-    for i, plane in enumerate(planes):
-        d = sum(float(a) * float(b) for a, b in zip(query_vec, plane))
-        qbucket |= int(d >= 0) << i
+    # compute the query's bucket with the SAME matmul formulation the
+    # corpus-side UDF uses (not a Python fold) so the float summation
+    # order matches and a query vector present in the corpus probes its
+    # own bucket even when a hyperplane dot is within rounding of zero
+    qrow = np.asarray([list(map(float, query_vec))], dtype=np.float64)
+    pm = np.asarray(planes, dtype=np.float64).T
+    signs = (qrow @ pm >= 0)[0]
+    qbucket = int(
+        (signs.astype(np.int64) << np.arange(bits, dtype=np.int64)).sum()
+    )
     if bucket_col is None:
         df = df.withColumn(
             "__bucket", hyperplane_bucket(F.col(vec_col), bits, seed, len(query_vec))
@@ -385,7 +393,9 @@ def knn_join_blocked(
         F.col(id_col),
         F.col(vec_col),
         hyperplane_bucket(F.col(vec_col), bits, seed, dim).alias("__bkt"),
-    )
+    ).filter(F.col("__bkt").isNotNull())
+    # ^ null vectors bucket to null; dropping them here matches the old
+    # join-based plan, where a null key never equi-joined.
 
     def topk_in_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
@@ -394,10 +404,12 @@ def knn_join_blocked(
         if m < 2:
             return pd.DataFrame(columns=["a", "b", "score", "rank"])
         ids = pdf[id_col].to_numpy()
-        mat = np.zeros((m, dim), dtype=np.float64)
+        # score on the FULL vectors (dim parameterizes bucketing only —
+        # same contract as knn_join's exact dot product)
+        width = max(len(v) for v in pdf[vec_col])
+        mat = np.zeros((m, width), dtype=np.float64)
         for i, v in enumerate(pdf[vec_col]):
-            n = min(len(v), dim)
-            mat[i, :n] = v[:n]
+            mat[i, : len(v)] = v
         gram = mat @ mat.T
         # deterministic (score desc, b asc): sort by id first, then a
         # STABLE sort by -score keeps id order among equal scores
