@@ -2377,6 +2377,82 @@ def q77(spark, sf_dir):
 
 
 @_register(
+    "q78_global_shuffle_shards",
+    """
+    WITH keyed AS (
+      SELECT doc_id,
+             md5('42:' || CAST(doc_id AS VARCHAR)) AS k,
+             CAST(CAST('0x' || substring(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                       AS UBIGINT) % 16 AS BIGINT) AS shard
+      FROM documents
+    )
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) - 1
+                AS BIGINT) AS pos
+    FROM keyed
+    """,
+)
+def q78(spark, sf_dir):
+    """Deterministic global shuffle for training-shard writing: every
+    document gets a (shard, pos) address — shard = md5 bucket, pos =
+    rank within shard by the full md5 key. Reading shards in (shard,
+    pos) order is a reproducible pseudorandom permutation of the whole
+    corpus (breaks crawl/source locality before training) with ONE
+    hash-partition exchange, never a global sort. Seed-stable: the
+    oracle replays the exact permutation in SQL."""
+    from graphragpart1datapipeline_spark.operators import global_shuffle_shards
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return global_shuffle_shards(docs, "doc_id", n_shards=16, seed=42)
+
+
+@_register(
+    "q79_mixture_rebalance",
+    """
+    WITH tgt(lang, t) AS (
+      VALUES ('en', CAST(0.25 AS DOUBLE)), ('zh', CAST(0.25 AS DOUBLE)),
+             ('es', CAST(0.25 AS DOUBLE)), ('de', CAST(0.125 AS DOUBLE)),
+             ('fr', CAST(0.125 AS DOUBLE))
+    ), n AS (
+      SELECT d.lang, COUNT(*) AS cnt FROM documents d
+      JOIN tgt ON d.lang = tgt.lang GROUP BY d.lang
+    ), p AS (
+      SELECT min(cnt / (t / 1.0)) AS feasible FROM n JOIN tgt USING (lang)
+    ), thr AS (
+      SELECT n.lang,
+             CAST(floor(t / 1.0 * (SELECT feasible FROM p) / cnt * 10000 + 0.5)
+                  AS BIGINT) AS thresh
+      FROM n JOIN tgt USING (lang)
+    )
+    SELECT d.doc_id, d.lang FROM documents d
+    JOIN thr ON d.lang = thr.lang
+    WHERE CAST(CAST('0x' || substring(md5('42:' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+                    AS UBIGINT) % 10000 AS BIGINT) < thr.thresh
+    """,
+)
+def q79(spark, sf_dir):
+    """Domain-mixture rebalancing: keep the LARGEST sub-corpus whose
+    language proportions match the target mix (en/zh/es/de/fr =
+    .25/.25/.25/.125/.125) without upsampling — the binding language
+    keeps 100%, the rest downsample by deterministic md5 buckets. One
+    k-row count agg; the corpus itself is filtered map-only. Target
+    shares are power-of-two floats so `t/total`, `n/t`, and the rate
+    chain are bit-identical across engines (the SQL twin evaluates the
+    same left-associative expression)."""
+    from graphragpart1datapipeline_spark.operators import rebalance_to_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = rebalance_to_weights(
+        docs,
+        stratum_col="lang",
+        targets={"en": 0.25, "zh": 0.25, "es": 0.25, "de": 0.125, "fr": 0.125},
+        id_col="doc_id",
+        seed=42,
+    )
+    return kept.select("doc_id", "lang")
+
+
+@_register(
     "q64_transitive_near_dup",
     # recursive closure needs the whole CTE chain under WITH RECURSIVE
     _minhash_cte().replace("WITH toks", "WITH RECURSIVE toks", 1)

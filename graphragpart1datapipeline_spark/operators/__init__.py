@@ -1,5 +1,7 @@
 from .relational import (  # noqa: F401
+    global_shuffle_shards,
     hash_split,
+    rebalance_to_weights,
     pack_sequences,
     profile_table,
     snapshot_diff,

@@ -13,10 +13,35 @@ agg-based operators).
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+import math
+from collections.abc import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _hash_bucket(id_col: str, seed: str | int, buckets: int) -> Column:
+    """md5-derived bucket in [0, buckets): the engine-portable routing/
+    keep key shared by hash_split / stratified_sample /
+    global_shuffle_shards. DuckDB twin (bit-identical):
+    ``CAST(CAST('0x' || substring(md5(seed || ':' || id), 1, 8) AS
+    UBIGINT) % buckets AS BIGINT)``."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(str(seed)), F.lit(":"), F.col(id_col).cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % buckets
+    )
 
 
 def dedupe_by_priority(
@@ -214,22 +239,7 @@ def hash_split(
     Map-only, no shuffle.
     """
     total = sum(w for _, w in weights)
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit(str(seed)), F.lit(":"), F.col(id_col).cast("string")
-                    )
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % buckets
-    )
+    bucket = _hash_bucket(id_col, seed, buckets)
     expr = None
     acc = 0.0
     for name, w in weights[:-1]:
@@ -262,33 +272,101 @@ def stratified_sample(
     bucketings). Map-only, no shuffle; the rate map ships as a literal
     CASE chain, no join.
     """
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit(str(seed)), F.lit(":"), F.col(id_col).cast("string")
-                    )
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % buckets
-    )
+    bucket = _hash_bucket(id_col, seed, buckets)
+    # half-up (floor(x + 0.5)), NOT Python round (banker's): this is the
+    # rounding SQL floor(rate*buckets + 0.5) reproduces, so data-derived
+    # rates (rebalance_to_weights) stay oracle-exact at .5 boundaries
     thresh = None
     for name, rate in rates.items():
         cond = F.col(stratum_col) == name
-        val = F.lit(int(round(rate * buckets)))
+        val = F.lit(int(math.floor(rate * buckets + 0.5)))
         thresh = F.when(cond, val) if thresh is None else thresh.when(cond, val)
-    thresh = (
-        F.lit(int(round(default_rate * buckets)))
-        if thresh is None
-        else thresh.otherwise(F.lit(int(round(default_rate * buckets))))
-    )
+    default_thresh = F.lit(int(math.floor(default_rate * buckets + 0.5)))
+    thresh = default_thresh if thresh is None else thresh.otherwise(default_thresh)
     return df.filter(bucket < thresh)
+
+
+def global_shuffle_shards(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    seed: str | int = 42,
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Deterministic global shuffle + shard layout for training-data
+    writers: each row gets ``(shard, pos)`` where shard is the md5
+    bucket of its id and pos is its rank within the shard ordered by
+    the full md5 key (id tiebreak). Reading shards in ``(shard, pos)``
+    order yields a reproducible pseudorandom permutation of the corpus
+    — breaking crawl/source locality before training without
+    ``orderBy(rand())`` (nondeterministic AND a global total sort).
+
+    One hash-partition exchange (the window on ``shard_col``) plus an
+    in-partition sort — never a global ordering. At 100 TB, write with
+    ``partitionBy(shard)`` and the on-disk layout IS the shuffle; a
+    re-run with the same seed reproduces it byte-for-byte, and new rows
+    append to stable shards instead of reshuffling old ones.
+    """
+    key = F.md5(
+        F.concat(F.lit(str(seed)), F.lit(":"), F.col(id_col).cast("string"))
+    )
+    out = df.withColumn("__key", key).withColumn(
+        shard_col, _hash_bucket(id_col, seed, n_shards)
+    )
+    w = Window.partitionBy(shard_col).orderBy(F.col("__key"), F.col(id_col))
+    return out.withColumn(
+        pos_col, (F.row_number().over(w) - 1).cast("long")
+    ).drop("__key")
+
+
+def rebalance_to_weights(
+    df: DataFrame,
+    stratum_col: str,
+    targets: Mapping[str, float],
+    id_col: str,
+    seed: str | int = 42,
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Rebalance a corpus to a target domain/language mixture WITHOUT
+    upsampling: keep the largest sub-corpus whose stratum proportions
+    match ``targets`` (normalized). With ``n_d`` rows in stratum ``d``
+    and target share ``t_d``, the feasible total is
+    ``T = min_d(n_d / t_d)`` and the keep rate is ``t_d * T / n_d``
+    (the binding stratum keeps 100%). Keep decisions use the md5-bucket
+    rule, so the sample is identical across runs, engines, and cluster
+    layouts. Strata absent from ``targets`` are dropped.
+
+    One tiny count aggregation (collected driver-side — one row per
+    stratum, k rows for k domains) then a map-only filter: no shuffle
+    of the corpus itself.
+
+    Oracle parity: rates are computed as ``(t / total) * T / n`` in
+    exactly that order; a SQL twin must evaluate
+    ``t / total * T / n * buckets`` left-associatively and threshold
+    with ``floor(x + 0.5)`` to reproduce the keep set bit-for-bit.
+    """
+    total = float(sum(targets.values()))
+    counts = {
+        row[0]: row[1]
+        for row in df.groupBy(stratum_col).count().collect()
+        if row[0] in targets
+    }
+    if not counts:
+        return df.filter(F.lit(False))
+    feasible_total = min(counts[d] / (targets[d] / total) for d in counts)
+    rates = {
+        d: (targets[d] / total) * feasible_total / counts[d] for d in counts
+    }
+    return stratified_sample(
+        df,
+        stratum_col,
+        rates,
+        id_col,
+        default_rate=0.0,
+        seed=seed,
+        buckets=buckets,
+    )
 
 
 def snapshot_diff(

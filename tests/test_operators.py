@@ -450,3 +450,74 @@ def test_decontaminate_golden(spark):
     assert 1 not in out
     assert out[2] == 1  # "the quick brown fox"
     assert out[3] >= 4  # long shared span -> many 4-grams
+
+
+def test_global_shuffle_shards(spark):
+    from graphragpart1datapipeline_spark.operators import global_shuffle_shards
+
+    df = spark.range(1000).withColumnRenamed("id", "doc_id")
+    out = global_shuffle_shards(df, "doc_id", n_shards=8, seed=42)
+    rows = out.collect()
+    assert len(rows) == 1000
+    assert {r["shard"] for r in rows} == set(range(8))
+    # positions are dense 0..n_s-1 within every shard
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(len(poss)))
+    # the permutation is a pure function of (id, seed): identical after
+    # an adversarial repartition, different under another seed
+    again = global_shuffle_shards(
+        df.repartition(13), "doc_id", n_shards=8, seed=42
+    ).collect()
+    assert {(r["doc_id"], r["shard"], r["pos"]) for r in rows} == {
+        (r["doc_id"], r["shard"], r["pos"]) for r in again
+    }
+    other = global_shuffle_shards(df, "doc_id", n_shards=8, seed=7).collect()
+    assert {(r["doc_id"], r["shard"], r["pos"]) for r in rows} != {
+        (r["doc_id"], r["shard"], r["pos"]) for r in other
+    }
+    # the shard ordering actually shuffles: within a shard, consecutive
+    # positions are not consecutive ids
+    s0 = sorted(
+        ((r["pos"], r["doc_id"]) for r in rows if r["shard"] == 0)
+    )
+    ids_in_order = [i for _, i in s0]
+    assert ids_in_order != sorted(ids_in_order)
+
+
+def test_rebalance_to_weights(spark):
+    from graphragpart1datapipeline_spark.operators import rebalance_to_weights
+
+    df = spark.range(3000).selectExpr(
+        "id AS doc_id",
+        "CASE WHEN id % 6 < 3 THEN 'en' WHEN id % 6 < 5 THEN 'de' "
+        "ELSE 'fr' END AS lang",
+    )  # en 1500, de 1000, fr 500
+    out = rebalance_to_weights(
+        df, "lang", {"en": 0.5, "de": 0.25, "fr": 0.25}, id_col="doc_id"
+    )
+    counts = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    # fr binds: T = min(1500/.5, 1000/.25, 500/.25) = 2000
+    assert counts["fr"] == 500                      # binding stratum kept 100%
+    assert abs(counts["en"] - 1000) < 80            # ~.5 * 2000
+    assert abs(counts["de"] - 500) < 60             # ~.25 * 2000
+    # achieved mixture ~ targets
+    total = sum(counts.values())
+    assert abs(counts["en"] / total - 0.5) < 0.05
+    # strata not in targets are dropped
+    extra = df.unionByName(
+        spark.range(3000, 3100).selectExpr("id AS doc_id", "'zh' AS lang")
+    )
+    out2 = rebalance_to_weights(
+        extra, "lang", {"en": 0.5, "de": 0.25, "fr": 0.25}, id_col="doc_id"
+    )
+    assert out2.filter("lang = 'zh'").count() == 0
+    # reproducible
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"]
+        for r in rebalance_to_weights(
+            df, "lang", {"en": 0.5, "de": 0.25, "fr": 0.25}, id_col="doc_id"
+        ).collect()
+    )
