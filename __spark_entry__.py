@@ -2452,6 +2452,79 @@ def q79(spark, sf_dir):
     return kept.select("doc_id", "lang")
 
 
+def _kmeans_oracle_sql(k: int = 4, iters: int = 2, dim: int = 64) -> str:
+    """Compose the DuckDB replay of kmeans_fit: seeded-hash init, then
+    per iteration an argmax-cosine assignment (same fold-order floats
+    as cosine_expr) and an exact scaled-integer centroid mean — every
+    round is bit-identical to the engine, so the final assignment
+    hash-matches."""
+    cos = """CASE WHEN sqrt(list_dot_product(e.v, e.v))
+                   * sqrt(list_dot_product(c.cv, c.cv)) > 0
+              THEN list_dot_product(e.v, c.cv)
+                   / (sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(c.cv, c.cv)))
+              ELSE 0.0 END"""
+    assign = """SELECT vec_id, cid, v FROM (
+        SELECT e.vec_id, c.cid, e.v,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos} DESC, c.cid ASC) AS rn
+        FROM e CROSS JOIN {cents} c) WHERE rn = 1"""
+    update = f"""SELECT cid, t.i AS d,
+             SUM(CAST(floor(v[CAST(t.i AS INTEGER)] * 1000000 + 0.5)
+                      AS BIGINT)) AS s,
+             COUNT(*) AS n
+      FROM {{assign}} CROSS JOIN range(1, {dim + 1}) t(i)
+      GROUP BY cid, t.i"""
+    sql = f"""
+    WITH init AS (
+      SELECT CAST(row_number() OVER (
+               ORDER BY md5('42:' || CAST(vec_id AS VARCHAR)), vec_id) - 1
+             AS INTEGER) AS cid,
+             CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings
+      ORDER BY md5('42:' || CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT {k}
+    ), e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    )"""
+    prev = "init"
+    for i in range(iters):
+        sql += f""", a{i} AS ({assign.format(cos=cos, cents=prev)}
+    ), u{i} AS ({update.format(assign=f'a{i}')}
+    ), c{i + 1} AS (
+      SELECT cid, list(s / (n * 1000000) ORDER BY d) AS cv
+      FROM u{i} GROUP BY cid
+    )"""
+        prev = f"c{i + 1}"
+    sql += f"""
+    SELECT vec_id, cid AS centroid_id FROM (
+      SELECT e.vec_id, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {cos} DESC, c.cid ASC) AS rn
+      FROM e CROSS JOIN {prev} c) WHERE rn = 1
+    """
+    return sql
+
+
+@_register("q80_kmeans_clustering", _kmeans_oracle_sql())
+def q80(spark, sf_dir):
+    """Distributed k-means (Lloyd's, k=4, 2 rounds) over the embedding
+    corpus — the engine-native trainer for IVF centroid tables. The
+    iterations are bit-reproducible across engines AND partitionings:
+    assignment uses the in-order-fold cosine (argmax = cos desc, cid
+    asc) and the centroid mean is an exact scaled-integer sum, so the
+    DuckDB oracle replays the entire iterative run and hash-matches
+    the final (vec_id, centroid_id) table. Per round: one corpus scan,
+    one groupBy(id) argmax, one k·dim-sized update shuffle."""
+    from graphragpart1datapipeline_spark.vector.kmeans import kmeans_fit
+
+    emb = _t(spark, sf_dir, "embeddings")
+    _, assign = kmeans_fit(
+        emb, vec_col="embedding", id_col="vec_id", k=4, iters=2, seed=42
+    )
+    return assign.select("vec_id", F.col("centroid_id").cast("int").alias("centroid_id"))
+
+
 @_register(
     "q64_transitive_near_dup",
     # recursive closure needs the whole CTE chain under WITH RECURSIVE

@@ -9,3 +9,4 @@ from .search import (  # noqa: F401
     l2_norm_expr,
     lsh_topk,
 )
+from .kmeans import centroids_df, kmeans_fit  # noqa: F401

@@ -531,3 +531,44 @@ def test_ann_recall_at_k(spark):
     # recall is monotone in probe width: probing ALL centroids = exact
     ivf_all = ivf_topk(emb, qv, cents, k=10, id_col="vec_id", nprobe=8)
     assert recall_at_k(exact, ivf_all) == 1.0
+
+
+def test_kmeans_fit_matches_driver_replay(spark):
+    from graphragpart1datapipeline_spark.vector.kmeans import (
+        kmeans_fit,
+        kmeans_fit_reference,
+    )
+
+    # 3 well-separated direction clusters + noise dims
+    base = {0: [1.0, 0.0, 0.0], 1: [0.0, 1.0, 0.0], 2: [0.0, 0.0, 1.0]}
+    vectors = {}
+    for i in range(30):
+        b = base[i % 3]
+        vectors[i] = [x + 0.01 * ((i * 7 + d) % 5) for d, x in enumerate(b)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vectors.items()], "vec_id long, embedding array<double>"
+    )
+    cents, assign = kmeans_fit(df, k=3, iters=2, seed=42)
+    got = {r["vec_id"]: r["centroid_id"] for r in assign.collect()}
+    assert got == kmeans_fit_reference(vectors, k=3, iters=2, seed=42)
+    # converged clustering recovers the 3 direction groups
+    groups = {}
+    for i, cid in got.items():
+        groups.setdefault(cid, set()).add(i % 3)
+    assert all(len(g) == 1 for g in groups.values())
+    # pure function of the data: same under adversarial repartitioning
+    _, again = kmeans_fit(df.repartition(7), k=3, iters=2, seed=42)
+    assert got == {r["vec_id"]: r["centroid_id"] for r in again.collect()}
+
+
+def test_kmeans_fit_empty_cluster_keeps_previous_centroid(spark):
+    from graphragpart1datapipeline_spark.vector.kmeans import kmeans_fit
+
+    # all rows identical: every vector ties -> all go to cid 0; cid 1
+    # never gets members and must keep its (identical) init centroid
+    df = spark.createDataFrame(
+        [(i, [1.0, 2.0]) for i in range(6)], "vec_id long, embedding array<double>"
+    )
+    cents, assign = kmeans_fit(df, k=2, iters=2, seed=42)
+    assert {r["centroid_id"] for r in assign.collect()} == {0}
+    assert dict(cents)[1] == [1.0, 2.0]
