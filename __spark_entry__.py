@@ -2452,6 +2452,36 @@ def q79(spark, sf_dir):
     return kept.select("doc_id", "lang")
 
 
+@_register(
+    "q81_incremental_near_dup",
+    _minhash_cte()
+    + """
+    SELECT CASE WHEN a % 3 = 0 THEN a ELSE b END AS new_id,
+           CASE WHEN a % 3 = 0 THEN b ELSE a END AS corpus_id,
+           jaccard
+    FROM verified
+    WHERE (a % 3 = 0) <> (b % 3 = 0)
+    """,
+)
+def q81(spark, sf_dir):
+    """Incremental near-dup: flag a NEW batch (doc_id % 3 == 0) against
+    the EXISTING corpus without re-pairing the corpus with itself — the
+    daily-crawl-increment pattern. The new batch's banding joins the
+    corpus's (persistable) LSH bucket index; only collisions are
+    Jaccard-verified. The oracle replays full-corpus LSH and keeps the
+    mixed-membership verified pairs — provably the same pair set, since
+    a new×corpus bucket collision is identical either way."""
+    from graphragpart1datapipeline_spark.dedup import minhash_lsh_incremental
+
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    return minhash_lsh_incremental(
+        new, corpus, "text", "doc_id",
+        num_hashes=8, bands=4, shingle_n=3, jaccard_threshold=0.7,
+    )
+
+
 def _kmeans_oracle_sql(k: int = 4, iters: int = 2, dim: int = 64) -> str:
     """Compose the DuckDB replay of kmeans_fit: seeded-hash init, then
     per iteration an argmax-cosine assignment (same fold-order floats

@@ -1,8 +1,10 @@
 from .exact import exact_dedup, exact_dup_groups  # noqa: F401
 from .minhash import (  # noqa: F401
     minhash_signatures,
+    lsh_bucket_table,
     lsh_candidate_pairs,
     minhash_lsh_dedup,
+    minhash_lsh_incremental,
     shingles,
 )
 from .simhash import simhash64, simhash_near_dup_pairs  # noqa: F401

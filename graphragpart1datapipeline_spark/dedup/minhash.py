@@ -99,6 +99,41 @@ def minhash_signatures(
     return hashed.select(F.col(id_col), F.array(*mins).alias("sig"))
 
 
+def lsh_bucket_table(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+) -> DataFrame:
+    """Band a signature table into its LSH index rows ``(id, band,
+    bucket)`` — the PERSISTABLE side of incremental dedup. At 100 TB,
+    write this table once per corpus snapshot bucketed/partitioned by
+    ``(band, bucket)``; each new-crawl increment joins its own (small)
+    banding against it co-located, so corpus-vs-corpus pairing never
+    reruns. Map-only (the banding is a row-local explode)."""
+    # band b covers sig[b*r+1 .. (b+1)*r]; r computed from size at runtime
+    r = F.floor(F.size("sig") / F.lit(bands)).cast("int")
+    return sig_df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(
+                        F.array_join(
+                            F.transform(
+                                F.slice(F.col("sig"), b * r + 1, r),
+                                lambda x: x.cast("string"),
+                            ),
+                            "|",
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.bucket")
+
+
 def lsh_candidate_pairs(
     sig_df: DataFrame,
     id_col: str = "doc_id",
@@ -122,28 +157,7 @@ def lsh_candidate_pairs(
     its pairs are noise for dedup purposes; the documented recall trade).
     None (default) keeps every bucket: exact reference semantics, the
     correctness-oracle configuration."""
-    # band b covers sig[b*r+1 .. (b+1)*r]; r computed from size at runtime
-    r = F.floor(F.size("sig") / F.lit(bands)).cast("int")
-    banded = sig_df.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.md5(
-                        F.array_join(
-                            F.transform(
-                                F.slice(F.col("sig"), b * r + 1, r),
-                                lambda x: x.cast("string"),
-                            ),
-                            "|",
-                        )
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bk"),
-    ).select(id_col, "bk.band", "bk.bucket")
+    banded = lsh_bucket_table(sig_df, id_col, bands)
     members = (
         banded.groupBy("band", "bucket")
         .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
@@ -198,3 +212,69 @@ def minhash_lsh_dedup(
     # every doc appearing as the larger id of a pair is a duplicate
     losers = pairs.select(F.col("b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
+
+
+def minhash_lsh_incremental(
+    new_df: DataFrame,
+    corpus_df: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    jaccard_threshold: float | None = 0.7,
+    corpus_buckets: DataFrame | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Incremental near-dup detection: flag documents of a NEW batch
+    that duplicate the EXISTING corpus, without ever re-pairing the
+    corpus with itself — the daily-crawl-increment pattern. Cost is
+    O(new-batch signatures + bucket collisions), not
+    O((corpus + new)²) and not even a corpus re-scan when
+    ``corpus_buckets`` is a persisted index.
+
+    ``corpus_buckets``: the ``(id, band, bucket)`` table from
+    :func:`lsh_bucket_table`, persisted bucketed/partitioned by
+    ``(band, bucket)`` at the previous snapshot. When given,
+    ``corpus_df`` is only consulted for candidate verification texts
+    (pass the corpus documents table; only rows that collide are
+    joined). When absent, the index is computed from ``corpus_df``.
+
+    Returns verified ``(new_id, corpus_id, jaccard)`` pairs; anti-join
+    the new batch on ``new_id`` to admit only novel documents, then
+    append the admitted rows' bucket entries to the index — same
+    signature scheme (seed-stable), so increments compose.
+    """
+    if corpus_df is None and corpus_buckets is None:
+        raise ValueError("need corpus_df or corpus_buckets")
+    new_sigs = minhash_signatures(
+        new_df, text_col, id_col, num_hashes, shingle_n, seed
+    )
+    if corpus_buckets is None:
+        corpus_buckets = lsh_bucket_table(
+            minhash_signatures(
+                corpus_df, text_col, id_col, num_hashes, shingle_n, seed
+            ),
+            id_col,
+            bands,
+        )
+    new_buckets = lsh_bucket_table(new_sigs, id_col, bands)
+    cand = (
+        new_buckets.alias("n")
+        .join(corpus_buckets.alias("c"), ["band", "bucket"])
+        .select(
+            F.col(f"n.{id_col}").alias("a"), F.col(f"c.{id_col}").alias("b")
+        )
+        .distinct()
+    )
+    from .ngram import ngram_jaccard_on_pairs
+
+    docs = new_df.select(id_col, text_col)
+    if corpus_df is not None:
+        docs = docs.unionByName(corpus_df.select(id_col, text_col))
+    verified = ngram_jaccard_on_pairs(cand, docs, text_col, id_col, shingle_n)
+    if jaccard_threshold is not None:
+        verified = verified.filter(F.col("jaccard") >= jaccard_threshold)
+    return verified.select(
+        F.col("a").alias("new_id"), F.col("b").alias("corpus_id"), "jaccard"
+    )

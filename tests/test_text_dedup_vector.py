@@ -572,3 +572,50 @@ def test_kmeans_fit_empty_cluster_keeps_previous_centroid(spark):
     cents, assign = kmeans_fit(df, k=2, iters=2, seed=42)
     assert {r["centroid_id"] for r in assign.collect()} == {0}
     assert dict(cents)[1] == [1.0, 2.0]
+
+
+def test_minhash_lsh_incremental(spark):
+    from graphragpart1datapipeline_spark.dedup import (
+        lsh_bucket_table,
+        minhash_lsh_incremental,
+        minhash_signatures,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "an entirely different document about spark and scale"),
+            (3, "numbers one two three four five six seven eight nine"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            # near-dup of 1 (one word changed)
+            (10, "the quick brown fox jumps over the lazy cat tonight"),
+            # novel
+            (11, "completely novel content with no overlap whatsoever here"),
+            # exact dup of 3
+            (12, "numbers one two three four five six seven eight nine"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["new_id"], r["corpus_id"])
+        for r in minhash_lsh_incremental(
+            new, corpus, jaccard_threshold=0.5
+        ).collect()
+    }
+    assert (12, 3) in got
+    assert all(n != 11 for n, _ in got)
+    # prebuilt-index path: same result, corpus only consulted for texts
+    idx = lsh_bucket_table(minhash_signatures(corpus), "doc_id")
+    got_idx = {
+        (r["new_id"], r["corpus_id"])
+        for r in minhash_lsh_incremental(
+            new, corpus, jaccard_threshold=0.5, corpus_buckets=idx
+        ).collect()
+    }
+    assert got_idx == got
+    # never flags new-vs-new (10 and 12 are not corpus ids)
+    assert all(c in {1, 2, 3} for _, c in got)
