@@ -2677,12 +2677,49 @@ def q33(spark, sf_dir):
     )
 
 
-@_register("q34_simhash")
+@_register(
+    "q34_simhash",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_distinct(string_split_regex(trim(text), '\\s+')) AS t
+      FROM documents WHERE text IS NOT NULL
+    ), th AS (
+      SELECT doc_id, CAST('0x' || substring(md5(tok), 1, 16) AS UBIGINT) AS h
+      FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+    ), nt AS (
+      SELECT doc_id, COUNT(*) AS n FROM th GROUP BY doc_id
+    ), bits AS (
+      SELECT th.doc_id, b.i,
+             CASE WHEN 2 * SUM(CAST((h >> CAST(b.i AS INTEGER)) & 1 AS BIGINT))
+                       >= MAX(nt.n)
+                  THEN 1 ELSE 0 END AS bit
+      FROM th JOIN nt USING (doc_id) CROSS JOIN range(0, 64) b(i)
+      GROUP BY th.doc_id, b.i
+    ), fp AS (
+      SELECT doc_id,
+             SUM(CAST(bit AS HUGEINT)
+                 * (CAST(1 AS HUGEINT) << CAST(i AS INTEGER))) AS fpu
+      FROM bits GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(fpu - CASE WHEN fpu >= CAST(1 AS HUGEINT) << 63
+                           THEN CAST(1 AS HUGEINT) << 64 ELSE 0 END
+                AS BIGINT) AS fingerprint
+    FROM fp
+    """,
+)
 def q34(spark, sf_dir):
-    """SimHash fingerprints (xxhash64-based → Spark-only; rows-only
-    check). Near-dup pair surface in dedup.simhash_near_dup_pairs."""
+    """64-bit SimHash fingerprints in the engine-portable ``md5``
+    configuration — the DuckDB oracle replays token hashing (first 16
+    md5 hex digits as uint64), the per-bit majority rule, and the
+    two's-complement packing, so the whole fingerprint path is
+    hash-checked (was rows-only when xxhash64-only). Production
+    default stays xxhash64 (one JVM hash per token; unit goldens);
+    the packing UDF is shared byte-for-byte between the two."""
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", simhash64("text").alias("fingerprint"))
+    return docs.select(
+        "doc_id", simhash64("text", hash_fn="md5").alias("fingerprint")
+    )
 
 
 @_register("q35_lsh_ann")

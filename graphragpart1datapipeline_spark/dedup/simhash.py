@@ -21,22 +21,8 @@ from pyspark.sql import functions as F
 BITS = 64
 
 
-def simhash64(col: Column | str) -> Column:
-    """64-bit SimHash of whitespace tokens as a signed long.
-
-    Token hashing stays JVM-side (one ``xxhash64`` per distinct token);
-    the 64-way bit-count accumulation runs as ONE Arrow-batched numpy
-    pass per batch — the per-bit pure-expression formulation (64
-    separate ``aggregate`` folds) bloats Catalyst codegen past the JIT
-    budget and evaluates interpreted, seconds-slow. Bit-for-bit the
-    same fingerprints: same hashes, same ``2·ones ≥ T`` majority rule
-    (empty token set → all bits set → -1; null text → null).
-    """
+def _pack_udf(parse_hex: bool):
     from pyspark.sql.functions import pandas_udf
-
-    c = F.col(col) if isinstance(col, str) else col
-    toks = F.array_distinct(F.split(F.trim(c), r"\s+"))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
 
     @pandas_udf("long")
     def pack(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
@@ -49,7 +35,12 @@ def simhash64(col: Column | str) -> Column:
                 if h is None:
                     out.append(None)
                     continue
-                arr = np.asarray(h, dtype=np.int64).view(np.uint64)
+                if parse_hex:
+                    arr = np.asarray(
+                        [int(x, 16) for x in h], dtype=np.uint64
+                    )
+                else:
+                    arr = np.asarray(h, dtype=np.int64).view(np.uint64)
                 ones = ((arr[:, None] >> shifts) & 1).sum(axis=0)
                 # majority rule; T=0 -> every bit true (matches the
                 # expression form's 0 >= 0)
@@ -58,7 +49,34 @@ def simhash64(col: Column | str) -> Column:
                 out.append(int(fp.astype(np.int64)))
             yield pd.Series(out, dtype="Int64")
 
-    return pack(hashes)
+    return pack
+
+
+def simhash64(col: Column | str, hash_fn: str = "xxhash64") -> Column:
+    """64-bit SimHash of whitespace tokens as a signed long.
+
+    Token hashing stays JVM-side; the 64-way bit-count accumulation
+    runs as ONE Arrow-batched numpy pass per batch — the per-bit
+    pure-expression formulation (64 separate ``aggregate`` folds)
+    bloats Catalyst codegen past the JIT budget and evaluates
+    interpreted, seconds-slow. Bit-for-bit the same fingerprints: same
+    hashes, same ``2·ones ≥ T`` majority rule (empty token set → all
+    bits set → -1; null text → null).
+
+    ``hash_fn``: ``"xxhash64"`` (default — one JVM hash per token,
+    fastest) or ``"md5"`` (first 16 md5 hex digits as uint64 —
+    engine-portable, the DuckDB-oracle configuration; identical
+    packing logic, q34 hash-checks it end to end).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.array_distinct(F.split(F.trim(c), r"\s+"))
+    if hash_fn == "xxhash64":
+        hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    elif hash_fn == "md5":
+        hashes = F.transform(toks, lambda t: F.substring(F.md5(t), 1, 16))
+    else:
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
+    return _pack_udf(parse_hex=(hash_fn == "md5"))(hashes)
 
 
 def hamming64(a: Column, b: Column) -> Column:
