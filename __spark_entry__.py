@@ -2482,6 +2482,66 @@ def q81(spark, sf_dir):
     )
 
 
+def _pagerank_oracle_sql(iters: int = 3, scale: int = 10**12) -> str:
+    """Compose the DuckDB replay of graph.pagerank over the
+    supplier→customer order graph: exact integer arithmetic (scaled
+    ranks, DIV contributions, 17/20 damping) makes every iteration
+    engine-identical, so the top-20 hash-matches."""
+    sql = f"""
+    WITH e AS (
+      SELECT DISTINCT 's' || CAST(l.l_suppkey AS VARCHAR) AS src,
+                      'c' || CAST(o.o_custkey AS VARCHAR) AS dst
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), nodes AS (
+      SELECT src AS id FROM e UNION SELECT dst FROM e
+    ), deg AS (
+      SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src
+    ), p AS (
+      SELECT COUNT(*) AS n FROM nodes
+    ), r0 AS (
+      SELECT id, {scale} // (SELECT n FROM p) AS rank FROM nodes
+    )"""
+    prev = "r0"
+    for i in range(iters):
+        sql += f""", c{i} AS (
+      SELECT e.dst, SUM(r.rank // d.outdeg) AS cs
+      FROM e JOIN deg d ON e.src = d.src JOIN {prev} r ON r.id = e.src
+      GROUP BY e.dst
+    ), r{i + 1} AS (
+      SELECT nodes.id,
+             ({scale * 3} // (20 * (SELECT n FROM p)))
+             + (17 * COALESCE(c{i}.cs, 0)) // 20 AS rank
+      FROM nodes LEFT JOIN c{i} ON nodes.id = c{i}.dst
+    )"""
+        prev = f"r{i + 1}"
+    sql += f"""
+    SELECT id, rank FROM {prev} ORDER BY rank DESC, id LIMIT 20
+    """
+    return sql
+
+
+@_register("q82_pagerank", _pagerank_oracle_sql())
+def q82(spark, sf_dir):
+    """Entity-importance ranking: deterministic PageRank (3 rounds,
+    damping 17/20, scaled-integer ranks) over the supplier→customer
+    graph induced by orders, top 20. The iterative computation is
+    exact integer arithmetic end to end, so the DuckDB oracle replays
+    all three rounds and the ranks hash-match — a floating-point
+    PageRank could not be oracle-checked at all (per-dst summation
+    order would drift). Per round: one src-join shuffle + one
+    map-side-combined groupBy(dst)."""
+    from graphragpart1datapipeline_spark.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    edges = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+    )
+    ranks = pagerank(edges, iters=3)
+    return ranks.orderBy(F.desc("rank"), F.asc("id")).limit(20)
+
+
 def _kmeans_oracle_sql(k: int = 4, iters: int = 2, dim: int = 64) -> str:
     """Compose the DuckDB replay of kmeans_fit: seeded-hash init, then
     per iteration an argmax-cosine assignment (same fold-order floats

@@ -1,0 +1,92 @@
+"""Deterministic distributed PageRank over an edge DataFrame.
+
+The reference ranks entities only implicitly (community rollups by
+frequency, detect_communities.py); an entity-importance score is the
+natural next query a GraphRAG pipeline asks ("which entities anchor
+this community's summary?"). PageRank is THE canonical iterative
+DataFrame algorithm, so it doubles as the engine's showcase that
+iterative computation can be made bit-reproducible.
+
+Exact integer arithmetic throughout (same trick as vector/kmeans.py):
+ranks are scaled longs, per-edge contributions use true integer
+division (``DIV``), the damping factor is the exact rational 17/20,
+and the teleport term is an integer expression — so every iteration
+is identical under ANY partitioning, cluster size, or engine, and the
+DuckDB oracle replays the full iterative run hash-for-hash (q82).
+Floating-point PageRank cannot promise any of that (per-dst summation
+order changes the result).
+
+Scale shape per iteration: one shuffle join (ranks × edges on src —
+pre-partition/bucket the edge table by src at rest and the join is
+co-located) + one map-side-combined groupBy(dst) sum. Dangling-node
+mass leaks (documented standard variant); ranks are for ORDERING, not
+probability mass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pagerank"]
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    scale: int = 10**12,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Returns (id, rank) with rank a scaled long (initial mass
+    ``scale // n`` per node; damping 17/20 exactly).
+
+    update: rank'(v) = (scale*3) DIV (20*n)
+                     + (17 * Σ_{u→v} rank(u) DIV outdeg(u)) DIV 20
+
+    Every operation is integer, so the result is a pure function of
+    the graph — reproducible across engines (q82's DuckDB oracle
+    replays it) and safe to use as a deterministic ordering key.
+    ``checkpoint`` materializes the edge/degree table once so the
+    per-round join does not re-execute the upstream plan (same
+    rationale as connected_components)."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    e_deg = e.join(deg, "src")
+    if checkpoint:
+        e_deg = e_deg.localCheckpoint(eager=True)
+        nodes = nodes.localCheckpoint(eager=True)
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("id", F.lit(0).cast("long").alias("rank"))
+    teleport = (scale * 3) // (20 * n)
+    ranks = nodes.select("id", F.lit(int(scale // n)).cast("long").alias("rank"))
+    for _ in range(iters):
+        contribs = (
+            e_deg.join(ranks, e_deg["src"] == ranks["id"])
+            .select(
+                F.col("dst"),
+                F.expr("rank DIV outdeg").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("cs"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes["id"] == contribs["dst"], "left")
+            .select(
+                "id",
+                (
+                    F.lit(teleport)
+                    + F.expr("(17 * coalesce(cs, 0)) DIV 20")
+                ).cast("long").alias("rank"),
+            )
+        )
+        if checkpoint:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

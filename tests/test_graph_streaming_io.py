@@ -591,3 +591,33 @@ def test_compact_parquet_clusters_and_preserves_rows(spark, tmp_path):
     )
     if len(stats) > 1:
         assert any(r["hi"] - r["lo"] < 96 for r in stats)
+
+
+def test_pagerank_golden_and_invariance(spark):
+    from graphragpart1datapipeline_spark.graph import pagerank
+
+    # star: 1 -> {2,3}, 2 -> 3 ; n=3, scale small for hand-replay
+    edges = spark.createDataFrame(
+        [("1", "2"), ("1", "3"), ("2", "3")], "src string, dst string"
+    )
+    got = {
+        r["id"]: r["rank"]
+        for r in pagerank(edges, iters=2, scale=1000, checkpoint=False).collect()
+    }
+    # hand replay: n=3, r0 = 333 each; teleport = 3000 // 60 = 50
+    # iter1: c(2) = 333 // 2 = 166 ; c(3) = 166 + 333 = 499
+    #   r1(1)=50, r1(2)=50+(17*166)//20=50+141=191, r1(3)=50+(17*499)//20=474
+    # iter2: c(2) = 50 // 2 = 25 ; c(3) = 25 + 191 = 216
+    #   r2(1)=50, r2(2)=50+(17*25)//20=71, r2(3)=50+(17*216)//20=233
+    assert got == {"1": 50, "2": 71, "3": 233}
+    # pure function of the graph: identical under repartitioning
+    again = {
+        r["id"]: r["rank"]
+        for r in pagerank(
+            edges.repartition(5), iters=2, scale=1000, checkpoint=False
+        ).collect()
+    }
+    assert again == got
+    # empty graph returns an empty frame, not an error
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert pagerank(empty, iters=2, checkpoint=False).count() == 0
