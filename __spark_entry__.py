@@ -2534,9 +2534,16 @@ def q82(spark, sf_dir):
 
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
-    edges = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
-        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
-        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+    # distinct on the INT key pair first, node-id strings after — the
+    # dedup exchange moves 16 bytes/row instead of two strings
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select("l_suppkey", "o_custkey")
+        .distinct()
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+        )
     )
     ranks = pagerank(edges, iters=3)
     return ranks.orderBy(F.desc("rank"), F.asc("id")).limit(20)

@@ -48,6 +48,11 @@ HEADLINE = [
     "q38_media_metadata",
     "q40_community_rollup",
     "q42_ivf_topk",
+    # round-2 additions: the training-data scale paths
+    "q78_global_shuffle_shards",
+    "q80_kmeans_clustering",
+    "q81_incremental_near_dup",
+    "q82_pagerank",
 ]
 
 # Repetitions per query; report the min. The ambient swing on a shared

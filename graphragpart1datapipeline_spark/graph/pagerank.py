@@ -38,6 +38,7 @@ def pagerank(
     iters: int = 3,
     scale: int = 10**12,
     checkpoint: bool = True,
+    broadcast_ranks: bool | None = None,
 ) -> DataFrame:
     """Returns (id, rank) with rank a scaled long (initial mass
     ``scale // n`` per node; damping 17/20 exactly).
@@ -48,28 +49,52 @@ def pagerank(
     Every operation is integer, so the result is a pure function of
     the graph — reproducible across engines (q82's DuckDB oracle
     replays it) and safe to use as a deterministic ordering key.
-    ``checkpoint`` materializes the edge/degree table once so the
-    per-round join does not re-execute the upstream plan (same
-    rationale as connected_components)."""
+
+    ``checkpoint`` materializes the edge/degree and node tables ONCE
+    (each round joins them; without it every round re-executes the
+    upstream plan that produced ``edges`` — same rationale as
+    connected_components). The rounds themselves stay LAZY: with a
+    fixed small ``iters`` each rank frame feeds exactly one successor,
+    so the composed plan is linear — no per-round action, no
+    O(iters) job-submission overhead. (An unbounded convergence loop
+    would want per-round checkpoints instead.)
+
+    ``broadcast_ranks``: the rank frame is node-sized while the join
+    fans out edge-sized — when the node set fits an executor
+    (auto: n ≤ 5M), broadcasting ranks keeps the edge table UNSHUFFLED
+    through every round (one map-side-combined groupBy(dst) is the
+    round's only exchange). Past that, ranks shuffle-join the edge
+    table — pre-bucket the edges by src at rest and only the rank side
+    moves."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
-    nodes = (
-        e.select(F.col("src").alias("id"))
-        .unionByName(e.select(F.col("dst").alias("id")))
-        .distinct()
-    )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     e_deg = e.join(deg, "src")
     if checkpoint:
+        # ONE eager materialization executes the upstream edge plan
+        # exactly once; everything else (nodes, count, every round)
+        # derives from the in-memory frame. Checkpointing nodes/e_deg
+        # separately would re-execute the upstream plan per checkpoint.
         e_deg = e_deg.localCheckpoint(eager=True)
+    # every src survived the inner deg join, so the node set is
+    # recoverable from e_deg — no second pass over the input
+    nodes = (
+        e_deg.select(F.col("src").alias("id"))
+        .unionByName(e_deg.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    if checkpoint:
         nodes = nodes.localCheckpoint(eager=True)
     n = nodes.count()
     if n == 0:
         return nodes.select("id", F.lit(0).cast("long").alias("rank"))
     teleport = (scale * 3) // (20 * n)
+    if broadcast_ranks is None:
+        broadcast_ranks = n <= 5_000_000
+    hint = F.broadcast if broadcast_ranks else (lambda df: df)
     ranks = nodes.select("id", F.lit(int(scale // n)).cast("long").alias("rank"))
     for _ in range(iters):
         contribs = (
-            e_deg.join(ranks, e_deg["src"] == ranks["id"])
+            e_deg.join(hint(ranks), e_deg["src"] == ranks["id"])
             .select(
                 F.col("dst"),
                 F.expr("rank DIV outdeg").alias("c"),
@@ -78,7 +103,7 @@ def pagerank(
             .agg(F.sum("c").alias("cs"))
         )
         ranks = (
-            nodes.join(contribs, nodes["id"] == contribs["dst"], "left")
+            nodes.join(hint(contribs), nodes["id"] == contribs["dst"], "left")
             .select(
                 "id",
                 (
@@ -87,6 +112,4 @@ def pagerank(
                 ).cast("long").alias("rank"),
             )
         )
-        if checkpoint:
-            ranks = ranks.localCheckpoint(eager=True)
     return ranks

@@ -229,3 +229,37 @@ def test_ivf_prebuilt_probe_reads_only_index(spark, tmp_path):
     )
     assert "row_number" not in p.lower()
     assert "ivf" in p  # scans the persisted index path
+
+
+def test_global_shuffle_shards_single_exchange(spark):
+    # the deterministic shuffle is ONE hash-partition exchange (the
+    # window on shard) — never a global total sort (rangepartitioning)
+    p = _plan(em.queries()["q78_global_shuffle_shards"](spark, SF))
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "rangepartitioning" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark):
+    from graphragpart1datapipeline_spark.sources.io import read_table
+    from graphragpart1datapipeline_spark.vector.kmeans import kmeans_fit
+
+    emb = read_table(spark, SF, "embeddings")
+    _, assign = kmeans_fit(emb, k=4, iters=1, seed=42)
+    p = _plan(assign)
+    # the k-row centroid table broadcasts; the corpus vectors are never
+    # shuffled by a join key and never cross-joined pairwise
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_incremental_near_dup_no_corpus_self_pairing(spark):
+    # candidates come from new-banding ⨝ corpus-banding only: no
+    # corpus×corpus pair generation (no self-join of the corpus bucket
+    # table with itself -> no intra-bucket HOF pair expansion node)
+    p = _plan(em.queries()["q81_incremental_near_dup"](spark, SF))
+    assert "CartesianProduct" not in p
+    # the full-corpus path generates pairs via collect_set + flatten;
+    # the incremental path must not contain that aggregation
+    assert "collect_set" not in p
