@@ -2482,6 +2482,58 @@ def q81(spark, sf_dir):
     )
 
 
+@_register(
+    "q83_quantized_topk",
+    """
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                     x -> abs(x))) AS am
+      FROM embeddings
+    ), qe AS (
+      SELECT vec_id,
+             CASE WHEN am > 0
+                  THEN list_transform(v,
+                         x -> CAST(CAST(floor(x / am * 127 + 0.5) AS INTEGER)
+                                   AS DOUBLE))
+                  ELSE list_transform(v, x -> CAST(0 AS DOUBLE)) END AS qv
+      FROM base
+    ), q AS (SELECT qv FROM qe WHERE vec_id = 0)
+    SELECT vec_id, floor(score * 1000000 + 0.5) / 1000000.0 AS score
+    FROM (
+      SELECT e.vec_id,
+             CASE WHEN sqrt(list_dot_product(e.qv, e.qv)) > 0
+                  THEN list_dot_product(e.qv, q.qv)
+                       / (sqrt(list_dot_product(e.qv, e.qv))
+                          * sqrt(list_dot_product(q.qv, q.qv)))
+                  ELSE 0.0 END AS score
+      FROM qe e CROSS JOIN q
+    )
+    ORDER BY score DESC, vec_id LIMIT 10
+    """,
+)
+def q83(spark, sf_dir):
+    """Int8-quantized similarity search: symmetric per-vector
+    quantization (4× smaller embedding storage at 100 TB) then exact
+    top-k cosine ON THE INT ARRAYS — cosine is scale-invariant, and
+    integer dots ≤ 127²·dim are exact in double under any summation
+    order, so unlike the float ANN paths this one is hash-checkable
+    end to end. Same TakeOrdered plan as q25; quantizer is two array
+    HOFs, map-only."""
+    from graphragpart1datapipeline_spark.vector.search import (
+        cosine_topk,
+        quantize_embeddings,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qemb = quantize_embeddings(emb, "embedding", "vec_id")
+    qv = qemb.filter(F.col("vec_id") == 0).select("qvec").head()[0]
+    out = cosine_topk(
+        qemb, [float(x) for x in qv], k=10, vec_col="qvec", id_col="vec_id"
+    )
+    return out.select("vec_id", _round_det("score", 6).alias("score"))
+
+
 def _pagerank_oracle_sql(iters: int = 3, scale: int = 10**12) -> str:
     """Compose the DuckDB replay of graph.pagerank over the
     supplier→customer order graph: exact integer arithmetic (scaled

@@ -90,12 +90,23 @@ def kmeans_fit(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    spark = df.sparkSession
+    corpus = df.select(id_col, vec_col)
+    # iterative algorithm scanning the same frame iters+2 times:
+    # persist it (MEMORY_AND_DISK, same practice as Spark ML's KMeans —
+    # spills instead of failing when the corpus outgrows memory)
+    corpus.persist()
+    try:
+        return _lloyd(spark, corpus, vec_col, id_col, k, iters, seed, scale)
+    finally:
+        corpus.unpersist()
+
+
+def _lloyd(spark, corpus, vec_col, id_col, k, iters, seed, scale):
     from .search import cosine_expr
 
-    spark = df.sparkSession
-    cents = _seed_centroids(df, vec_col, id_col, k, seed)
+    cents = _seed_centroids(corpus, vec_col, id_col, k, seed)
     dim = len(cents[0][1]) if cents else 0
-    corpus = df.select(id_col, vec_col)
     for _ in range(iters):
         cdf = centroids_df(spark, cents).select(
             F.col("cid").alias("__cid"), F.col("embedding").alias("__cv")

@@ -619,3 +619,34 @@ def test_minhash_lsh_incremental(spark):
     assert got_idx == got
     # never flags new-vs-new (10 and 12 are not corpus ids)
     assert all(c in {1, 2, 3} for _, c in got)
+
+
+def test_quantize_embeddings(spark):
+    import math
+
+    from graphragpart1datapipeline_spark.vector.search import (
+        cosine_topk,
+        quantize_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.5, -1.0, 0.25]),
+            (2, [0.0, 0.0, 0.0]),          # zero vector
+            (3, [1.0, 1.0, 1.0]),
+            (4, [0.51, -0.99, 0.26]),      # near-dup of 1
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    # int8 range, max component hits ±127, scale reconstructs max|v|
+    assert rows[1]["qvec"] == [64, -127, 32]
+    assert all(-127 <= x <= 127 for r in rows.values() for x in r["qvec"])
+    assert math.isclose(rows[1]["qscale"] * 127, 1.0)
+    assert rows[2]["qvec"] == [0, 0, 0] and rows[2]["qscale"] == 0.0
+    # quantized cosine preserves neighborhood structure: 4 is 1's
+    # nearest non-self neighbor on the int arrays too
+    qdf = quantize_embeddings(df)
+    qv = [float(x) for x in rows[1]["qvec"]]
+    top = [r["vec_id"] for r in cosine_topk(qdf, qv, k=2, vec_col="qvec").collect()]
+    assert top == [1, 4]
