@@ -1,0 +1,117 @@
+"""End-to-end LLM pretraining data-prep pipeline composed from the
+engine's training-data operators — the 100 TB curation DAG the
+north-star extensions exist for:
+
+    read → quality gate (language/quality/repetition) → exact dedup →
+    near-dup dedup (MinHash+LSH survivors) → eval decontamination →
+    domain-mixture rebalancing → deterministic shard shuffle →
+    sequence packing
+
+Every stage is individually oracle-verified (COVERAGE.md: q20/q22/q23/
+q55/q62/q75/q78/q79/q76); this module verifies they COMPOSE, with each
+stage a pure DataFrame → DataFrame function on the previous one. Every
+keep/route decision downstream of the filters is an md5-bucket pure
+function of the row id, so the ENTIRE pipeline output — which documents
+survive, which shard and sequence each lands in — is reproducible
+across runs, cluster sizes, and engines. That is the property a
+pretraining data pipeline actually needs: re-running curation after a
+crawl increment must not silently reshuffle what the last run kept.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..dedup import decontaminate, exact_dedup, minhash_lsh_dedup
+from ..operators import (
+    global_shuffle_shards,
+    pack_sequences,
+    rebalance_to_weights,
+)
+from ..sources import read_table
+from ..text.analysis import language_id, quality_score, repetition_signals
+from .pipeline import Pipeline
+
+DEFAULT_MIX = {"en": 0.25, "zh": 0.25, "es": 0.25, "de": 0.125, "fr": 0.125}
+
+
+def build_pretrain_pipeline(
+    sf_dir: str,
+    target_mix: dict[str, float] | None = None,
+    quality_min: float = 0.2,
+    jaccard_threshold: float = 0.7,
+    n_shards: int = 16,
+    capacity: int = 512,
+) -> Pipeline:
+    p = Pipeline()
+    mix = DEFAULT_MIX if target_mix is None else target_mix
+
+    @p.stage("documents")
+    def documents(spark: SparkSession) -> DataFrame:
+        return read_table(spark, sf_dir, "documents")
+
+    @p.stage("quality_gated", deps=["documents"])
+    def quality_gated(spark: SparkSession, docs: DataFrame) -> DataFrame:
+        # row-local signals only — all three filters fuse into the scan
+        sig = repetition_signals(docs.select("doc_id", "text"), "text", "doc_id")
+        gated = (
+            docs.join(sig, "doc_id")
+            .filter(F.col("text").isNotNull())
+            .filter(language_id("text").isNotNull())
+            .filter(quality_score("text") >= quality_min)
+            .filter(F.col("dup_line_frac") <= 0.5)
+        )
+        return gated.select(docs.columns)
+
+    @p.stage("exact_deduped", deps=["quality_gated"])
+    def exact_deduped(spark: SparkSession, docs: DataFrame) -> DataFrame:
+        # cheapest cut first: one hash-groupBy removes byte-identical rows
+        return exact_dedup(docs, text_col="text", id_col="doc_id")
+
+    @p.stage("near_deduped", deps=["exact_deduped"])
+    def near_deduped(spark: SparkSession, docs: DataFrame) -> DataFrame:
+        return minhash_lsh_dedup(
+            docs, "text", "doc_id", jaccard_threshold=jaccard_threshold
+        )
+
+    @p.stage("decontaminated", deps=["near_deduped"])
+    def decontaminated(spark: SparkSession, docs: DataFrame) -> DataFrame:
+        # documents sharing any 5-gram with the held-out benchmark
+        # subset (same pseudo-benchmark rule as q75) are removed
+        bench = docs.filter(F.col("doc_id") % 41 == 0)
+        corpus = docs.filter(F.col("doc_id") % 41 != 0)
+        leaked = decontaminate(
+            corpus, bench, text_col="text", id_col="doc_id", n=5, min_matches=1
+        ).select("doc_id")
+        return corpus.join(leaked, "doc_id", "left_anti")
+
+    @p.stage("rebalanced", deps=["decontaminated"])
+    def rebalanced(spark: SparkSession, docs: DataFrame) -> DataFrame:
+        return rebalance_to_weights(
+            docs, stratum_col="lang", targets=mix, id_col="doc_id"
+        )
+
+    @p.stage("sharded", deps=["rebalanced"])
+    def sharded(spark: SparkSession, docs: DataFrame) -> DataFrame:
+        return global_shuffle_shards(docs, "doc_id", n_shards=n_shards)
+
+    @p.stage("packed", deps=["sharded"])
+    def packed(spark: SparkSession, docs: DataFrame) -> DataFrame:
+        counted = docs.select(
+            "doc_id",
+            "lang",
+            "shard",
+            "pos",
+            F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("tokens"),
+        )
+        seqs = pack_sequences(
+            counted.select("doc_id", "tokens"),
+            id_col="doc_id",
+            token_count_col="tokens",
+            capacity=capacity,
+            n_streams=n_shards // 2,
+        )
+        return counted.join(seqs.drop("tokens"), "doc_id")
+
+    return p

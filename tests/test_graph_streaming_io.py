@@ -621,3 +621,39 @@ def test_pagerank_golden_and_invariance(spark):
     # empty graph returns an empty frame, not an error
     empty = spark.createDataFrame([], "src string, dst string")
     assert pagerank(empty, iters=2, checkpoint=False).count() == 0
+
+
+def test_pretrain_demo_pipeline(spark):
+    from graphragpart1datapipeline_spark.plans.pretrain_demo import (
+        build_pretrain_pipeline,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = build_pretrain_pipeline(sf).run(spark)
+    n_docs = out["documents"].count()
+    n_gate = out["quality_gated"].count()
+    n_exact = out["exact_deduped"].count()
+    n_near = out["near_deduped"].count()
+    n_clean = out["decontaminated"].count()
+    n_bal = out["rebalanced"].count()
+    final = out["packed"]
+    n_final = final.count()
+    # monotone funnel, nothing degenerate
+    assert n_docs >= n_gate >= n_exact >= n_near > n_clean >= n_bal == n_final
+    assert n_final > 50
+    # packed schema carries shard/pos AND sequence addresses
+    assert {"doc_id", "shard", "pos", "stream_id", "seq_id", "seq_offset"} <= set(
+        final.columns
+    )
+    # achieved mixture matches the requested target shares (binding
+    # stratum exact, others within bucket granularity)
+    counts = {r["lang"]: r["count"] for r in final.groupBy("lang").count().collect()}
+    total = sum(counts.values())
+    assert abs(counts["en"] / total - 0.25) < 0.07
+    assert abs(counts["de"] / total - 0.125) < 0.05
+    # end-to-end determinism: a re-run reproduces every address
+    again = build_pretrain_pipeline(sf).run(spark)["packed"]
+    key = ["doc_id", "shard", "pos", "stream_id", "seq_id", "seq_offset"]
+    assert sorted(map(tuple, final.select(key).collect())) == sorted(
+        map(tuple, again.select(key).collect())
+    )
