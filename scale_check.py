@@ -78,7 +78,10 @@ def ops(spark, base: str, extra_bits: int = 0):
         embedding_near_dup_pairs,
         exact_dedup,
         minhash_lsh_dedup,
+        minhash_lsh_incremental,
     )
+    from graphragpart1datapipeline_spark.graph import pagerank
+    from graphragpart1datapipeline_spark.operators import global_shuffle_shards
     from graphragpart1datapipeline_spark.text.analysis import tfidf_top_terms
     from graphragpart1datapipeline_spark.vector.search import knn_join_blocked
 
@@ -88,10 +91,36 @@ def ops(spark, base: str, extra_bits: int = 0):
     def emb():
         return read_table(spark, base, "embeddings")
 
+    def _pagerank():
+        # synthetic doc→doc graph: md5-derived endpoints, |E| = 4·|docs|
+        d = docs().select("doc_id")
+        n = d.count()
+        edges = (
+            d.crossJoin(spark.range(4).withColumnRenamed("id", "__r"))
+            .select(
+                F.col("doc_id").cast("string").alias("src"),
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat("doc_id", F.lit(":"), "__r")), 1, 8
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % n
+                ).cast("string").alias("dst"),
+            )
+        )
+        return pagerank(edges, iters=3)
+
     return {
         "exact_dedup": lambda: exact_dedup(docs()),
         "minhash_lsh": lambda: minhash_lsh_dedup(
             docs(), jaccard_threshold=0.7, max_bucket_size=200
+        ),
+        "minhash_incremental": lambda: minhash_lsh_incremental(
+            docs().filter(F.col("doc_id") % 10 == 0),
+            docs().filter(F.col("doc_id") % 10 != 0),
         ),
         "embedding_near_dup_lsh": lambda: embedding_near_dup_pairs(
             emb(), id_col="vec_id", threshold=0.3,
@@ -101,6 +130,10 @@ def ops(spark, base: str, extra_bits: int = 0):
             emb(), k=8, id_col="vec_id", bits=4 + extra_bits, dim=64
         ),
         "tfidf": lambda: tfidf_top_terms(docs(), k=5),
+        "global_shuffle_shards": lambda: global_shuffle_shards(
+            docs().select("doc_id"), "doc_id", n_shards=64
+        ),
+        "pagerank": _pagerank,
     }
 
 
