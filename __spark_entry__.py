@@ -1673,13 +1673,64 @@ def q51(spark, sf_dir):
     )
 
 
-@_register("q53_embedding_near_dup_lsh")
+def _lsh_bucket_sql(qv: str, dim: int, bits: int, seed: int = 42) -> str:
+    """Render the quantized hyperplane bucket as a SQL expression: the
+    integer-valued planes become array literals, and every dot against
+    the int8-quantized vector is exact integer arithmetic — identical
+    to the engine's numpy matmul under any summation order."""
+    from graphragpart1datapipeline_spark.vector.search import _hyperplanes
+
+    planes = _hyperplanes(dim, bits, seed)
+    terms = []
+    for i, plane in enumerate(planes):
+        lit = "[" + ", ".join(str(int(x)) for x in plane) + "]::DOUBLE[]"
+        terms.append(
+            f"CASE WHEN list_dot_product({qv}, {lit}) >= 0"
+            f" THEN {1 << i} ELSE 0 END"
+        )
+    return "(" + "\n         + ".join(terms) + ")"
+
+
+_QUANTIZE_SQL = """CASE WHEN am > 0
+             THEN list_transform(v, x -> CAST(CAST(floor(x / am * 127 + 0.5)
+                                               AS INTEGER) AS DOUBLE))
+             ELSE list_transform(v, x -> CAST(0 AS DOUBLE)) END"""
+
+
+@_register(
+    "q53_embedding_near_dup_lsh",
+    f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                     x -> abs(x))) AS am,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nm
+      FROM embeddings
+    ), qb AS (
+      SELECT vec_id, nm, v, {_QUANTIZE_SQL} AS qv FROM base
+    ), bk AS (
+      SELECT vec_id, nm, v,
+         {_lsh_bucket_sql('qv', 64, 4)} AS bkt
+      FROM qb
+    ), u AS (
+      SELECT vec_id, bkt, list_transform(v, x -> x / nm) AS uv
+      FROM bk WHERE nm > 0
+    )
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           floor(list_dot_product(a.uv, b.uv) * 10000.0 + 0.5) / 10000.0
+             AS cosine
+    FROM u a JOIN u b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.uv, b.uv) >= 0.3
+    """,
+)
 def q53(spark, sf_dir):
     """Embedding near-dup, LSH-bucketed scale path: candidates restricted
     to equal random-hyperplane sign-buckets, shrinking the pair space by
-    ~2^bits at a documented recall cost near hyperplanes. The exact q36
-    is the correctness oracle; this registers rows-only (the bucketing
-    seed/planes are Spark-side literals)."""
+    ~2^bits at a documented recall cost near hyperplanes. Bucketing is
+    int8-quantized vectors × integer planes — exact integer dots — so
+    the DuckDB oracle replays buckets AND verified cosines bit-for-bit
+    (was rows-only when the bucket matmul was float-order-dependent)."""
     from graphragpart1datapipeline_spark.dedup.embedding import (
         embedding_near_dup_pairs,
     )
@@ -1935,18 +1986,56 @@ def q65(spark, sf_dir):
     return knn_join(emb, k=5, vec_col="embedding", id_col="vec_id")
 
 
-@_register("q66_knn_join_blocked")
+@_register(
+    "q66_knn_join_blocked",
+    f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                     x -> abs(x))) AS am
+      FROM embeddings
+    ), qb AS (
+      SELECT vec_id, {_QUANTIZE_SQL} AS qv FROM base
+    ), bk AS (
+      SELECT vec_id, qv,
+         {_lsh_bucket_sql('qv', 64, 2)} AS bkt
+      FROM qb
+    ), scored AS (
+      SELECT a.vec_id AS a, b.vec_id AS b,
+             CASE WHEN sqrt(list_dot_product(a.qv, a.qv))
+                       * sqrt(list_dot_product(b.qv, b.qv)) > 0
+                  THEN list_dot_product(a.qv, b.qv)
+                       / (sqrt(list_dot_product(a.qv, a.qv))
+                          * sqrt(list_dot_product(b.qv, b.qv)))
+                  ELSE 0.0 END AS score
+      FROM bk a JOIN bk b ON a.bkt = b.bkt AND a.vec_id <> b.vec_id
+    )
+    SELECT a, b, floor(score * 1000000 + 0.5) / 1000000.0 AS score, rank
+    FROM (
+      SELECT a, b, score,
+             row_number() OVER (PARTITION BY a
+                                ORDER BY score DESC, b) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
 def q66(spark, sf_dir):
     """LSH-blocked approximate k-NN self-join: candidate pairs share a
     random-hyperplane bucket, shrinking the pair space from n² to
     Σ bucket² and turning the broadcast cross product into a
-    bucket-equi-join (rows-only check; q65 carries the exact oracle)."""
+    bucket-equi-join. Runs in quantized mode — int8 gram matmul is
+    exact integer arithmetic, so buckets, scores, and rankings are
+    bit-reproducible and the DuckDB oracle replays the whole join
+    (was rows-only; q65 still carries the exact full-precision
+    oracle)."""
     from graphragpart1datapipeline_spark.vector import knn_join_blocked
 
     emb = _t(spark, sf_dir, "embeddings")
-    return knn_join_blocked(
-        emb, k=5, vec_col="embedding", id_col="vec_id", bits=2, dim=64
+    out = knn_join_blocked(
+        emb, k=5, vec_col="embedding", id_col="vec_id", bits=2, dim=64,
+        quantized=True,
     )
+    return out.select("a", "b", _round_det("score", 6).alias("score"), "rank")
 
 
 @_register(
@@ -2841,12 +2930,69 @@ def q34(spark, sf_dir):
     )
 
 
-@_register("q35_lsh_ann")
+def _q35_oracle_sql() -> str:
+    """Full replay of hash-embed → quantized-plane bucket → probe →
+    cosine top-k. Every number is exact: ±1 slot sums, integer plane
+    dots, integer-valued vector dots — no summation-order exposure
+    anywhere."""
+    from graphragpart1datapipeline_spark.vector.search import _hyperplanes  # noqa: F401
+
+    bucket = None  # rendered below via _lsh_bucket_sql
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents WHERE text IS NOT NULL
+    ), hs AS (
+      SELECT doc_id,
+             CAST(CAST('0x' || substring(md5(tok), 1, 8) AS UBIGINT)
+                  % 32 AS BIGINT) AS slot,
+             CASE WHEN CAST('0x' || substring(md5(tok), 9, 1) AS UBIGINT)
+                       % 2 = 0
+                  THEN 1.0 ELSE -1.0 END AS sgn
+      FROM tok
+    ), sums AS (
+      SELECT doc_id, slot, SUM(sgn) AS s FROM hs GROUP BY doc_id, slot
+    ), grid AS (
+      SELECT d.doc_id, r.i AS slot
+      FROM (SELECT DISTINCT doc_id FROM hs) d CROSS JOIN range(0, 32) r(i)
+    ), vec AS (
+      SELECT g.doc_id, list(COALESCE(s.s, 0.0) ORDER BY g.slot) AS v
+      FROM grid g LEFT JOIN sums s
+        ON s.doc_id = g.doc_id AND s.slot = g.slot
+      GROUP BY g.doc_id
+    ), base AS (
+      SELECT doc_id, v,
+             list_max(list_transform(v, x -> abs(x))) AS am
+      FROM vec
+    ), qb AS (
+      SELECT doc_id, v, {_QUANTIZE_SQL} AS qv FROM base
+    ), bk AS (
+      SELECT doc_id, v, {_lsh_bucket_sql('qv', 32, 2)} AS bkt FROM qb
+    ), q AS (
+      SELECT v AS qv2, bkt AS qbkt FROM bk WHERE doc_id = 0
+    )
+    SELECT doc_id, floor(score * 10000.0 + 0.5) / 10000.0 AS score
+    FROM (
+      SELECT e.doc_id,
+             CASE WHEN sqrt(list_dot_product(e.v, e.v)) > 0
+                  THEN list_dot_product(e.v, q.qv2)
+                       / (sqrt(list_dot_product(e.v, e.v))
+                          * sqrt(list_dot_product(q.qv2, q.qv2)))
+                  ELSE 0.0 END AS score
+      FROM bk e CROSS JOIN q WHERE e.bkt = q.qbkt
+    ) ORDER BY score DESC, doc_id LIMIT 5
+    """
+
+
+@_register("q35_lsh_ann", _q35_oracle_sql())
 def q35(spark, sf_dir):
     """LSH-bucketed approximate nearest neighbors over hash-trick
-    embeddings (scale path for similarity search; rows-only check)."""
+    embeddings — the similarity-search scale path, now hash-checked
+    end to end (was rows-only): the md5 hash-embed, the int8×integer-
+    plane bucket, and the integer-valued cosine scores are all exact
+    arithmetic, so the DuckDB oracle replays the whole probe."""
     docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", hash_embed("text", dim=32).alias("embedding")
+        "doc_id", hash_embed("text", dim=32, hash_fn="md5").alias("embedding")
     )
     q = docs.filter(F.col("doc_id") == 0).select("embedding").head()[0]
     return lsh_topk(

@@ -91,16 +91,37 @@ def cosine_topk(
 def _hyperplanes(dim: int, bits: int, seed: int) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (LCG; no numpy RNG state
     in the plan — the planes are plan literals broadcast with the
-    query)."""
+    query).
+
+    INTEGER-valued entries (uniform in [-1024, 1024]): against the
+    int8-quantized vectors the bucketer uses, every hyperplane dot is a
+    sum of integers ≪ 2^53 — EXACT in float64 under any summation
+    order, so bucket ids are bit-identical across numpy matmul, a SQL
+    fold, or any BLAS — which is what lets q53/q66 carry full DuckDB
+    oracles instead of rows-only checks. (Float planes would leave
+    near-zero dots at the mercy of summation order.)"""
     state = seed & 0x7FFFFFFF or 1
     planes = []
     for _ in range(bits):
         row = []
         for _ in range(dim):
             state = (1103515245 * state + 12345) % (1 << 31)
-            row.append((state / float(1 << 31)) * 2.0 - 1.0)
+            row.append(float(round(((state / float(1 << 31)) * 2.0 - 1.0) * 1024)))
         planes.append(row)
     return planes
+
+
+def _quantize_rows(mat):
+    """Row-wise symmetric int8 quantization (same formula as
+    :func:`quantize_embeddings`: floor(v / max|v| * 127 + 0.5); zero
+    rows stay zero), as integer-valued float64 — exact in matmuls."""
+    import numpy as np
+
+    am = np.abs(mat).max(axis=1)
+    safe = np.where(am > 0, am, 1.0)
+    return np.where(
+        (am > 0)[:, None], np.floor(mat / safe[:, None] * 127 + 0.5), 0.0
+    )
 
 
 def hyperplane_bucket(vec: Column, bits: int, seed: int = 42, dim: int = 128) -> Column:
@@ -111,11 +132,16 @@ def hyperplane_bucket(vec: Column, bits: int, seed: int = 42, dim: int = 128) ->
     matmul per batch. A pure-expression version (bits × dim literal
     array nodes folded per row) chokes Catalyst — analysis + codegen of
     the ~bits·dim-literal tree costs seconds per plan and the generated
-    code is slower than BLAS anyway. The planes are derived from the
-    same seeded LCG either way, so bucket ids are stable across runs
-    and engines; vectors shorter than ``dim`` are zero-padded (matching
-    zip_with's shorter-array fold), longer ones truncated, null vectors
-    yield a null bucket."""
+    code is slower than BLAS anyway.
+
+    The matmul is EXACT, not approximately reproducible: rows are int8-
+    quantized (sign buckets are invariant to the positive per-row
+    scale) and the planes are integer-valued, so every dot is an
+    integer ≪ 2^53 — identical under any summation order or engine
+    (the q53/q66 DuckDB oracles replay it with list_dot_product).
+    Vectors shorter than ``dim`` are zero-padded (matching zip_with's
+    shorter-array fold), longer ones truncated, null vectors yield a
+    null bucket."""
     from pyspark.sql.functions import pandas_udf
 
     planes = _hyperplanes(dim, bits, seed)
@@ -136,7 +162,7 @@ def hyperplane_bucket(vec: Column, bits: int, seed: int = 42, dim: int = 128) ->
                     continue
                 n = min(len(v), dim)
                 mat[i, :n] = v[:n]
-            ids = ((mat @ pm) >= 0) @ weights
+            ids = ((_quantize_rows(mat) @ pm) >= 0) @ weights
             yield pd.Series([int(b) if m else None for b, m in zip(ids, mask)])
 
     return bucket(vec)
@@ -160,11 +186,12 @@ def lsh_topk(
     import numpy as np
 
     planes = _hyperplanes(len(query_vec), bits, seed)
-    # compute the query's bucket with the SAME matmul formulation the
-    # corpus-side UDF uses (not a Python fold) so the float summation
-    # order matches and a query vector present in the corpus probes its
-    # own bucket even when a hyperplane dot is within rounding of zero
-    qrow = np.asarray([list(map(float, query_vec))], dtype=np.float64)
+    # quantize the query exactly like the corpus-side UDF does — the
+    # integer dots are then exact, so a query vector present in the
+    # corpus probes precisely its own bucket
+    qrow = _quantize_rows(
+        np.asarray([list(map(float, query_vec))], dtype=np.float64)
+    )
     pm = np.asarray(planes, dtype=np.float64).T
     signs = (qrow @ pm >= 0)[0]
     qbucket = int(
@@ -324,29 +351,52 @@ def quantize_embeddings(
     )
 
 
-def hash_embed(col: Column | str, dim: int = 32) -> Column:
+def hash_embed(
+    col: Column | str, dim: int = 32, hash_fn: str = "xxhash64"
+) -> Column:
     """Deterministic pseudo-embedding for TEXT — a hashing-trick vector:
     each whitespace token adds ±1 to one of ``dim`` components (sign and
-    slot from xxhash64). Stands in for the reference's sentence-
+    slot from the token hash). Stands in for the reference's sentence-
     transformer encoder (chroma_helpers.py:36-81) in tests; the real
     encoder drops into the same column type via a pandas_udf.
 
-    Slot/sign hashing stays JVM-side (one xxhash64 pair per token); the
+    Slot/sign hashing stays JVM-side (one hash per token); the
     binning runs as a numpy bincount per Arrow batch — the per-slot
     expression form (``dim`` separate aggregate folds, each re-hashing
     every token) bloats codegen and re-does dim× the hash work.
-    Identical output values (same hashes, exact ±1.0 float sums)."""
+    Identical output values (same hashes, exact ±1.0 float sums).
+
+    ``hash_fn``: ``"xxhash64"`` (default, fastest) or ``"md5"`` —
+    engine-portable slot/sign (first 8 md5 hex digits mod dim; 9th
+    digit parity), the DuckDB-oracle configuration (q35)."""
     from pyspark.sql.functions import pandas_udf
 
     c = F.col(col) if isinstance(col, str) else col
     toks = F.split(F.trim(c), r"\s+")
-    slots = F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(dim)))
-    signs = F.transform(
-        toks,
-        lambda t: F.when(
-            F.pmod(F.xxhash64(t, F.lit(1)), F.lit(2)) == 0, F.lit(1.0)
-        ).otherwise(F.lit(-1.0)),
-    )
+    if hash_fn == "xxhash64":
+        slots = F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(dim)))
+        signs = F.transform(
+            toks,
+            lambda t: F.when(
+                F.pmod(F.xxhash64(t, F.lit(1)), F.lit(2)) == 0, F.lit(1.0)
+            ).otherwise(F.lit(-1.0)),
+        )
+    elif hash_fn == "md5":
+        slots = F.transform(
+            toks,
+            lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+            % dim,
+        )
+        signs = F.transform(
+            toks,
+            lambda t: F.when(
+                F.conv(F.substring(F.md5(t), 9, 1), 16, 10).cast("long") % 2
+                == 0,
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0)),
+        )
+    else:
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
 
     @pandas_udf("array<float>")
     def bin_tokens(
@@ -410,6 +460,7 @@ def knn_join_blocked(
     bits: int = 2,
     seed: int = 42,
     dim: int = 64,
+    quantized: bool = False,
 ) -> DataFrame:
     """Approximate k-NN self-join, LSH-blocked: candidates are only
     pairs sharing a random-hyperplane bucket, so the pair space shrinks
@@ -423,7 +474,14 @@ def knn_join_blocked(
     the intra-bucket scoring is a single BLAS gram matmul + per-row
     top-k inside applyInPandas — instead of materializing the m²
     pair rows and folding a dot product per pair (the matmul is
-    10×+ faster and the m² pair space never hits the shuffle)."""
+    10×+ faster and the m² pair space never hits the shuffle).
+
+    ``quantized``: score by the int8-quantized COSINE instead of the
+    full-precision dot — the gram matmul becomes exact integer
+    arithmetic, making the whole join bit-reproducible across engines
+    and summation orders (q66's DuckDB oracle replays it; the float
+    default's near-tie rankings cannot promise that). The scale-
+    invariant cosine is the SemDeDup-standard similarity anyway."""
     id_type = df.schema[id_col].dataType.simpleString()
     bucketed = df.select(
         F.col(id_col),
@@ -446,7 +504,16 @@ def knn_join_blocked(
         mat = np.zeros((m, width), dtype=np.float64)
         for i, v in enumerate(pdf[vec_col]):
             mat[i, : len(v)] = v
-        gram = mat @ mat.T
+        if quantized:
+            qmat = _quantize_rows(mat)
+            g = qmat @ qmat.T  # exact: integer-valued operands
+            norms = np.sqrt(np.diag(g))
+            denom = np.outer(norms, norms)
+            gram = np.divide(
+                g, denom, out=np.zeros_like(g), where=denom > 0
+            )
+        else:
+            gram = mat @ mat.T
         # deterministic (score desc, b asc): sort by id first, then a
         # STABLE sort by -score keeps id order among equal scores
         id_order = np.argsort(ids, kind="stable")
