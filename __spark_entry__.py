@@ -1928,21 +1928,12 @@ def q44(spark, sf_dir):
     first-class CORRECTNESS row, not a rows-only entry)."""
     import uuid
 
+    from graphragpart1datapipeline_spark.sources import read_events_stream
     from graphragpart1datapipeline_spark.streaming import (
         stream_tumbling_counts,
     )
 
-    spark.conf.set(
-        "spark.sql.legacy.parquet.nanosAsLong", "true"
-    )  # events ts is TIMESTAMP(NANOS)
-    sdf = (
-        spark.readStream.schema(
-            "event_id bigint, user_id bigint, ts bigint, event_type string, "
-            "value double, props string"
-        )
-        .parquet(f"{sf_dir}/events.*")  # glob keeps basePath = the dir
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    sdf = read_events_stream(spark, sf_dir)
     windowed = stream_tumbling_counts(
         sdf, ts_col="ts", duration="1 hour", group_cols=["event_type"],
         watermark="10 minutes",
@@ -1956,7 +1947,14 @@ def q44(spark, sf_dir):
         .start()
     )
     q.awaitTermination()
-    return spark.table(name)
+    # memory-sink windows are TIMESTAMP (LTZ, UTC session); the oracle
+    # and the batch twin are naive timestamps — round-trip to ntz.
+    return spark.table(name).select(
+        "event_type",
+        "n_events",
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        F.col("window_end").cast("timestamp_ntz").alias("window_end"),
+    )
 
 
 @_register(
@@ -2833,20 +2831,12 @@ def q63(spark, sf_dir):
     O(span × rate)."""
     import uuid
 
+    from graphragpart1datapipeline_spark.sources import read_events_stream
     from graphragpart1datapipeline_spark.streaming import stream_interval_join
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = (
-        "event_id bigint, user_id bigint, ts bigint, event_type string, "
-        "value double, props string"
-    )
-
     def _stream(event_type):
-        return (
-            spark.readStream.schema(schema)
-            .parquet(f"{sf_dir}/events.*")
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-            .filter(F.col("event_type") == event_type)
+        return read_events_stream(spark, sf_dir).filter(
+            F.col("event_type") == event_type
         )
 
     joined = stream_interval_join(
@@ -2865,7 +2855,13 @@ def q63(spark, sf_dir):
         .start()
     )
     q.awaitTermination()
-    return spark.table(name)
+    # stream ts is TIMESTAMP (LTZ, UTC session); oracle is naive — ntz.
+    return spark.table(name).select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+    )
 
 
 @_register("q33_chunking")
@@ -3170,6 +3166,93 @@ def q61(spark, sf_dir):
     )
     return joined.groupBy("event_id", "user_id").agg(
         F.count(F.lit(1)).alias("n_clicks")
+    )
+
+
+@_register(
+    "q84_kmv_distinct",
+    """
+    WITH h AS (
+      SELECT DISTINCT l_returnflag,
+             CAST(CAST('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)
+                  AS UBIGINT) AS BIGINT) AS hv
+      FROM lineitem
+    ), r AS (
+      SELECT l_returnflag, hv,
+             row_number() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rn
+      FROM h
+    )
+    SELECT l_returnflag,
+           COUNT(*) AS sketch_size,
+           MAX(hv) AS kth_hash,
+           CASE WHEN COUNT(*) < 256 THEN CAST(COUNT(*) AS DOUBLE)
+                ELSE (255.0 * 1152921504606846976.0) / CAST(MAX(hv) AS DOUBLE)
+           END AS est_distinct
+    FROM r WHERE rn <= 256 GROUP BY l_returnflag
+    """,
+)
+def q84(spark, sf_dir):
+    """KMV distinct-count sketch (deterministic twin of q52's HLL):
+    distinct orders per returnflag estimated from the 256 smallest
+    md5-derived 60-bit hashes. Unlike HLL the whole sketch is
+    cross-engine reproducible — the oracle value-checks sketch size,
+    k-th hash, AND the IEEE-double estimate bit-for-bit. Mergeable
+    across shards (kmv_merge_sketches); see operators/sketches.py."""
+    from graphragpart1datapipeline_spark.operators import kmv_distinct
+
+    li = _t(spark, sf_dir, "lineitem")
+    return kmv_distinct(
+        li, value_col="l_orderkey", group_cols=["l_returnflag"], k=256
+    )
+
+
+@_register(
+    "q85_repeated_passages",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')
+               AS toks
+      FROM documents
+    ), w AS (
+      SELECT doc_id, s,
+             md5(array_to_string(toks[s+1:s+12], ' ')) AS h
+      FROM d, LATERAL (
+        SELECT unnest(range(0, greatest(len(toks) - 11, 0))) AS s) t
+    ), dup AS (
+      SELECT h FROM w GROUP BY h HAVING COUNT(*) >= 2
+    ), cov AS (
+      SELECT DISTINCT w.doc_id, w.s + j AS pos
+      FROM w JOIN dup USING (h),
+           LATERAL (SELECT unnest(range(0, 12)) AS j) u
+    ), covlist AS (
+      SELECT doc_id, list_sort(list(pos)) AS cl FROM cov GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(array_to_string(
+             list_filter(d.toks,
+                         (x, i) -> NOT coalesce(list_contains(cl, i - 1),
+                                                FALSE)),
+             ' '), '') AS text,
+           CAST(coalesce(len(cl), 0) AS BIGINT) AS n_tokens_removed
+    FROM d LEFT JOIN covlist USING (doc_id)
+    """,
+)
+def q85(spark, sf_dir):
+    """Exact repeated-passage removal (distributed ExactSubstr, Lee et
+    al. 2021): every 12-token window hashed; window hashes occurring
+    twice+ corpus-wide mark their token positions; covered tokens are
+    dropped and documents rebuilt. Sub-document dedup — the step
+    document-level dedup (q20/q24/q34) cannot express. The oracle
+    value-checks the rebuilt text itself. Note DuckDB's list lambda
+    index is 1-based, the engine's 0-based — hence the i-1."""
+    from graphragpart1datapipeline_spark.dedup import (
+        remove_repeated_passages,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return remove_repeated_passages(
+        docs, id_col="doc_id", text_col="text", window=12, min_occurrences=2
     )
 
 

@@ -10,3 +10,7 @@ from .minhash import (  # noqa: F401
 from .simhash import simhash64, simhash_near_dup_pairs  # noqa: F401
 from .ngram import decontaminate, ngram_jaccard_pairs  # noqa: F401
 from .embedding import embedding_near_dup_pairs  # noqa: F401
+from .passages import (  # noqa: F401
+    remove_repeated_passages,
+    repeated_passage_spans,
+)

@@ -17,6 +17,13 @@ from .relational import (  # noqa: F401
     union_relaxed,
 )
 from .asof import asof_join  # noqa: F401
+from .sketches import (  # noqa: F401
+    kmv_distinct,
+    kmv_estimate_from_sketch,
+    kmv_hash,
+    kmv_merge_sketches,
+    kmv_sketch,
+)
 from .joins import (  # noqa: F401
     multi_hop,
     name_or_alias_join,

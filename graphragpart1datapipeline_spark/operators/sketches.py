@@ -1,0 +1,153 @@
+"""Deterministic, mergeable sketches for 100 TB profiling.
+
+Spark's built-in sketches (HyperLogLog++ `approx_count_distinct`,
+GK `percentile_approx`) are the right defaults in production, but their
+internals are engine-specific — no cross-engine oracle can value-check
+them (q52 stays rows-only for exactly that reason). The KMV (k minimum
+values) distinct-count sketch here trades a slightly worse
+accuracy/space curve for *bit-reproducibility*: the sketch is just the
+k smallest md5-derived 60-bit hashes of the distinct values, so any
+engine that can md5 agrees on every intermediate AND on the final
+estimate (q84 value-checks it against DuckDB).
+
+Estimator (Bar-Yossef et al. 2002, "Counting distinct elements in a
+data stream"): with U_k the k-th smallest of n distinct hashes drawn
+uniformly from [0, 2^60), E[U_k] ≈ k/(n+1)·2^60, so
+``n̂ = (k-1)·2^60 / U_k`` (the unbiased form). When fewer than k
+distinct hashes exist the sketch is exhaustive and the count is exact.
+
+Why this matters at scale: the sketch is MERGEABLE — union the hash
+sets, keep the k smallest. Per-shard sketches roll up to the global
+sketch without re-reading data, which is what a 100 TB profiling pass
+needs (sketch each partition/day once, merge driver-side or in a
+second tiny agg). `kmv_merge_sketches` implements that rollup and the
+property test asserts merge(shard sketches) == sketch(union).
+
+Plan shape: one map-side-combined `distinct` on (group, hash) — the
+only full shuffle, and partial aggregation collapses duplicates before
+the exchange — then a per-group window over the (tiny) distinct-hash
+stream to keep the k smallest. No collect, no UDFs, whole-stage
+codegen end to end.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+TWO_60 = float(1 << 60)  # 2^60 as an exactly-representable double
+
+
+def kmv_hash(col: Column | str) -> Column:
+    """60-bit uniform hash: md5 → first 15 hex digits → bigint.
+
+    Identical in any engine with md5 (DuckDB:
+    ``CAST(CAST('0x' || substring(md5(x), 1, 15) AS UBIGINT) AS BIGINT)``).
+    60 bits keeps every downstream product inside signed-64 range.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    k: int = 256,
+) -> DataFrame:
+    """Per-group KMV distinct-count estimate.
+
+    Output: group cols + ``sketch_size`` (min(k, true distinct)),
+    ``kth_hash`` (the largest retained hash) and ``est_distinct``
+    (double; exact count when the sketch is exhaustive). The estimate
+    is computed as ``(k-1) * 2^60 / kth_hash`` in IEEE double — both
+    factors are exactly representable, so any engine reproduces it
+    bit-for-bit.
+    """
+    groups = list(group_cols)
+    hashes = (
+        df.select(*groups, kmv_hash(value_col).alias("__h"))
+        .distinct()  # map-side partial agg collapses dups pre-shuffle
+    )
+    w = Window.partitionBy(*[F.col(g) for g in groups] or [F.lit(1)]).orderBy(
+        "__h"
+    )
+    kept = hashes.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= k
+    )
+    return kept.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("sketch_size"),
+        F.max("__h").alias("kth_hash"),
+        F.when(
+            F.count(F.lit(1)) < k, F.count(F.lit(1)).cast("double")
+        )
+        .otherwise(
+            F.lit(float(k - 1)) * F.lit(TWO_60) / F.max("__h").cast("double")
+        )
+        .alias("est_distinct"),
+    )
+
+
+def kmv_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    k: int = 256,
+) -> DataFrame:
+    """Materialize the sketch itself: group cols + ``kmv`` (sorted array
+    of the k smallest distinct hashes). Store per shard/partition/day,
+    then roll up with :func:`kmv_merge_sketches`."""
+    groups = list(group_cols)
+    hashes = df.select(*groups, kmv_hash(value_col).alias("__h")).distinct()
+    w = Window.partitionBy(*[F.col(g) for g in groups] or [F.lit(1)]).orderBy(
+        "__h"
+    )
+    kept = hashes.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= k
+    )
+    return kept.groupBy(*groups).agg(
+        F.array_sort(F.collect_list("__h")).alias("kmv")
+    )
+
+
+def kmv_merge_sketches(
+    sketches: DataFrame,
+    group_cols: Sequence[str] = (),
+    k: int = 256,
+    sketch_col: str = "kmv",
+) -> DataFrame:
+    """Merge per-shard sketches to one sketch per group: explode, dedupe,
+    keep the k smallest — the associative/commutative rollup that lets a
+    100 TB profile run as per-partition sketches + a tiny second agg."""
+    groups = list(group_cols)
+    exploded = sketches.select(
+        *groups, F.explode(sketch_col).alias("__h")
+    ).distinct()
+    w = Window.partitionBy(*[F.col(g) for g in groups] or [F.lit(1)]).orderBy(
+        "__h"
+    )
+    kept = exploded.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= k
+    )
+    return kept.groupBy(*groups).agg(
+        F.array_sort(F.collect_list("__h")).alias(sketch_col)
+    )
+
+
+def kmv_estimate_from_sketch(
+    sketches: DataFrame, k: int = 256, sketch_col: str = "kmv"
+) -> DataFrame:
+    """Estimate column from a materialized sketch (same arithmetic as
+    :func:`kmv_distinct`)."""
+    size = F.size(sketch_col)
+    kth = F.element_at(F.col(sketch_col), size).cast("double")
+    return sketches.withColumn(
+        "est_distinct",
+        F.when(size < k, size.cast("double")).otherwise(
+            F.lit(float(k - 1)) * F.lit(TWO_60) / kth
+        ),
+    ).withColumn("sketch_size", size.cast("long"))

@@ -1,5 +1,6 @@
 from .io import (  # noqa: F401
     compact_parquet,
+    read_events_stream,
     read_jsonl,
     read_parquet,
     read_table,

@@ -142,6 +142,39 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming scan of the events table with ``ts`` normalized to a
+    TIMESTAMP column.
+
+    The driver has shipped this table in two physical forms across
+    rounds: TIMESTAMP(NANOS) (which Spark's vectorized reader only
+    admits as ``long`` under the legacy nanosAsLong conf) and plain
+    TIMESTAMP(MICROS). FileStreamSource needs an explicit schema, so
+    probe the batch footer first and adapt both the stream schema and
+    the ts conversion — downstream windowing code sees ``ts timestamp``
+    either way. The ``events.*`` glob keeps basePath = the directory
+    (FileStreamSource rejects a bare file as basePath).
+    """
+    path = f"{sf_dir}/events.parquet"
+    try:
+        batch = spark.read.parquet(path)
+    except Exception:  # PARQUET_TYPE_ILLEGAL on TIMESTAMP(NANOS)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        batch = spark.read.parquet(path)
+    sdf = spark.readStream.schema(batch.schema).parquet(f"{sf_dir}/events.*")
+    ts_type = dict(batch.dtypes).get("ts")
+    if ts_type == "bigint":
+        # nanos-as-long: truncate to micros, matching DuckDB's ns→us read
+        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # Watermarks require TIMESTAMP (LTZ). The cast interprets the
+        # naive value in the session timezone; pin it to UTC so window
+        # boundaries and downstream ntz round-trips are tz-independent.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        sdf = sdf.withColumn("ts", F.col("ts").cast("timestamp"))
+    return sdf
+
+
 def read_testdata(
     spark: SparkSession, sf_dir: str, tables: Sequence[str] = TESTDATA_TABLES
 ) -> dict[str, DataFrame]:

@@ -521,3 +521,37 @@ def test_rebalance_to_weights(spark):
             df, "lang", {"en": 0.5, "de": 0.25, "fr": 0.25}, id_col="doc_id"
         ).collect()
     )
+
+
+def test_kmv_distinct_exact_and_estimate(spark):
+    from graphragpart1datapipeline_spark.operators import kmv_distinct
+
+    # fewer distincts than k -> exact count
+    small = spark.range(1000).selectExpr("id % 100 AS v", "'g' AS g")
+    row = kmv_distinct(small, "v", ["g"], k=256).collect()[0]
+    assert row["sketch_size"] == 100
+    assert row["est_distinct"] == 100.0
+    # more distincts than k -> estimate within ~3/sqrt(k) relative error
+    big = spark.range(20_000).selectExpr("id AS v", "'g' AS g")
+    row = kmv_distinct(big, "v", ["g"], k=256).collect()[0]
+    assert row["sketch_size"] == 256
+    assert abs(row["est_distinct"] - 20_000) / 20_000 < 3 / (256 ** 0.5)
+
+
+def test_kmv_merge_equals_sketch_of_union(spark):
+    from graphragpart1datapipeline_spark.operators import (
+        kmv_estimate_from_sketch,
+        kmv_merge_sketches,
+        kmv_sketch,
+    )
+
+    k = 64
+    a = spark.range(0, 3000).selectExpr("id AS v")
+    b = spark.range(2000, 6000).selectExpr("id AS v")  # overlaps a
+    merged = kmv_merge_sketches(
+        kmv_sketch(a, "v", k=k).unionByName(kmv_sketch(b, "v", k=k)), k=k
+    )
+    direct = kmv_sketch(a.unionByName(b), "v", k=k)
+    assert merged.collect()[0]["kmv"] == direct.collect()[0]["kmv"]
+    est = kmv_estimate_from_sketch(merged, k=k).collect()[0]
+    assert abs(est["est_distinct"] - 6000) / 6000 < 3 / (k ** 0.5)

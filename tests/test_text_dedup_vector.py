@@ -650,3 +650,46 @@ def test_quantize_embeddings(spark):
     qv = [float(x) for x in rows[1]["qvec"]]
     top = [r["vec_id"] for r in cosine_topk(qdf, qv, k=2, vec_col="qvec").collect()]
     assert top == [1, 4]
+
+
+def test_remove_repeated_passages(spark):
+    from graphragpart1datapipeline_spark.dedup import (
+        remove_repeated_passages,
+        repeated_passage_spans,
+    )
+
+    boiler = "all rights reserved contact us for details"  # 7 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta gamma {boiler}"),
+            (2, f"{boiler} delta epsilon zeta"),
+            (3, "unique content that appears nowhere else at all"),
+            (4, "short doc"),  # shorter than window -> untouched
+            (5, f"{boiler} {boiler}"),  # fully boilerplate -> empty
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_repeated_passages(
+            docs, window=7, min_occurrences=2
+        ).collect()
+    }
+    assert out[1]["text"] == "alpha beta gamma"
+    assert out[2]["text"] == "delta epsilon zeta"
+    assert out[3]["text"] == "unique content that appears nowhere else at all"
+    assert out[3]["n_tokens_removed"] == 0
+    assert out[4]["text"] == "short doc"
+    assert out[5]["text"] == ""
+    assert out[5]["n_tokens_removed"] == 14
+    # spans table exposes the positions
+    spans = repeated_passage_spans(docs, window=7, min_occurrences=2)
+    assert spans.filter("doc_id = 3").count() == 0
+    assert spans.filter("doc_id = 1").count() >= 1
+    # within-doc repetition alone triggers removal (doc 5 repeats itself)
+    solo = spark.createDataFrame(
+        [(9, f"{boiler} {boiler} tail tokens here")],
+        "doc_id int, text string",
+    )
+    r = remove_repeated_passages(solo, window=7, min_occurrences=2).collect()[0]
+    assert r["text"] == "tail tokens here"
