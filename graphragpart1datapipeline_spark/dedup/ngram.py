@@ -38,8 +38,19 @@ def ngram_jaccard_on_pairs(
 ) -> DataFrame:
     """Exact shingle-set Jaccard for each (a, b) pair: two hash joins to
     attach shingle arrays, then array_intersect/array_union — all
-    JVM-side. Returns (a, b, jaccard)."""
-    sh = docs.select(
+    JVM-side. Returns (a, b, jaccard).
+
+    Shingling runs ONLY over documents that appear in a pair (left-semi
+    against the pair-id set, broadcast when small): candidates are a
+    tiny fraction of the corpus after LSH, so the expensive
+    split/transform/distinct chain never touches the clean majority —
+    and it would otherwise run twice (once per join side)."""
+    pair_ids = (
+        pairs.select(F.col("a").alias(id_col))
+        .unionByName(pairs.select(F.col("b").alias(id_col)))
+        .distinct()
+    )
+    sh = docs.join(pair_ids, id_col, "left_semi").select(
         F.col(id_col), word_shingles(text_col, n).alias("__sh")
     )
     j = (

@@ -8,10 +8,13 @@ distributed Leiden; the engine keeps the same contract:
 
 - :func:`connected_components` — fully distributed (alternating
   large-star/small-star DataFrame iterations; scales to the edge table).
-- :func:`detect_communities` — driver-local Leiden when igraph/leidenalg
-  are importable, else a vendored pure-Python seeded Louvain maximizing
-  the SAME RB-configuration quality function at the same resolutions
-  (warned, never silent). The membership comes back as a DataFrame
+- :func:`detect_communities` — driver-local native Leiden when
+  igraph/leidenalg are importable, else a vendored pure-Python seeded
+  Leiden (local move + γ-gated refinement + aggregation on the refined
+  partition; Traag et al. 2019, θ→0 greedy variant) maximizing the SAME
+  RB-configuration quality function at the same resolutions (noted,
+  never silent). A vendored Louvain (no refinement) stays available as
+  ``algorithm="louvain"``. The membership comes back as a DataFrame
   regardless, so downstream rollups stay distributed.
 - :func:`community_rollup` — the reference's per-community Python loop
   (detect_communities.py:294-333) collapsed into ONE groupBy + window
@@ -138,19 +141,28 @@ def _louvain_one_level(
     m2: float,
     resolution: float,
     rng: random.Random,
+    init_labels: list[int] | None = None,
 ) -> tuple[list[int], bool]:
-    """One Louvain local-moving level on the current (super)graph.
+    """One local-moving level on the current (super)graph.
 
     RB-configuration gain for moving node i into community c:
     ``k_{i,c} - resolution * k_i * Σ_tot(c) / (2m)`` — the same quality
     function as leidenalg.RBConfigurationVertexPartition, so the
     resolution knob has identical semantics (higher → finer).
     Deterministic: node order is seeded-shuffled once per sweep; tie on
-    gain breaks to the smaller community id.
+    gain breaks to the smaller community id. ``init_labels`` seeds the
+    starting partition (Leiden passes the previous level's partition;
+    Louvain starts from singletons).
     """
     n = len(adj)
-    labels = list(range(n))
-    comm_tot = degrees[:]
+    if init_labels is None:
+        labels = list(range(n))
+        comm_tot = degrees[:]
+    else:
+        labels = list(init_labels)
+        comm_tot = [0.0] * n
+        for i, c in enumerate(labels):
+            comm_tot[c] += degrees[i]
     order = list(range(n))
     improved = False
     while True:
@@ -248,6 +260,156 @@ def _louvain_driver_local(
     return {name: i for i, ms in enumerate(ordered) for name in ms}
 
 
+def _leiden_refine(
+    adj: list[list[tuple[int, float]]],
+    degrees: list[float],
+    m2: float,
+    resolution: float,
+    labels: list[int],
+    rng: random.Random,
+) -> list[int]:
+    """Leiden refinement phase (Traag/Waltman/van Eck 2019, alg. A2,
+    θ→0 deterministic-greedy variant): inside each local-move community,
+    start from singletons and merge a node into a sub-community only if
+    BOTH are γ-well-connected within the community and the RB gain is
+    positive. Aggregating on this refined partition is what prevents
+    Louvain's badly-connected (even disconnected) communities.
+
+    Well-connectedness (γ = resolution, 2m = total degree):
+      node v in C:   k_{v,C∖v}  ≥ γ · k_v · (Σtot(C) − k_v) / 2m
+      subset D ⊆ C:  E(D, C∖D) ≥ γ · Σtot(D) · (Σtot(C) − Σtot(D)) / 2m
+    Greedy merge target = max RB gain, ties to the smaller refined id.
+    Only still-singleton nodes move (per the paper), so one seeded pass
+    suffices and the result is deterministic.
+    """
+    n = len(adj)
+    ref = list(range(n))
+    ref_tot = degrees[:]            # Σtot per refined community
+    ref_size = [1] * n
+    comm_tot = [0.0] * n            # Σtot per local-move community
+    for i, c in enumerate(labels):
+        comm_tot[c] += degrees[i]
+    # E(D, C∖D): for a singleton D={v} it's v's edge weight into C∖v
+    ext = [0.0] * n
+    for i in range(n):
+        for j, wt in adj[i]:
+            if j != i and labels[j] == labels[i]:
+                ext[i] += wt
+    order = list(range(n))
+    rng.shuffle(order)
+    for v in order:
+        if ref_size[ref[v]] > 1 or ref[v] != v:
+            continue  # only singleton nodes merge (alg. A2 line 5)
+        c = labels[v]
+        kv = degrees[v]
+        # node well-connectedness gate
+        if ext[v] + 1e-12 < resolution * kv * (comm_tot[c] - kv) / m2:
+            continue
+        ncw: dict[int, float] = defaultdict(float)
+        for j, wt in adj[v]:
+            if j != v and labels[j] == c:
+                ncw[ref[j]] += wt
+        best_d, best_gain = -1, 0.0
+        for d in sorted(ncw):
+            if d == ref[v]:
+                continue
+            # candidate sub-community well-connectedness gate
+            if ext[d] + 1e-12 < resolution * ref_tot[d] * (
+                comm_tot[c] - ref_tot[d]
+            ) / m2:
+                continue
+            gain = ncw[d] - resolution * kv * ref_tot[d] / m2
+            if gain > best_gain + 1e-12:
+                best_d, best_gain = d, gain
+        if best_d >= 0:
+            # E(D∪{v}, C∖(D∪{v})) = ext(D) + ext(v) − 2·k_{v,D}
+            ext[best_d] = ext[best_d] + ext[v] - 2 * ncw[best_d]
+            ref_tot[best_d] += kv
+            ref_size[best_d] += 1
+            ref[v] = best_d
+    return ref
+
+
+def _leiden_driver_local_vendored(
+    edge_list: list[tuple[str, str]],
+    resolution: float,
+    seed: int,
+    max_levels: int = 20,
+) -> dict[str, int]:
+    """Vendored pure-Python seeded Leiden: local moving (same
+    RB-configuration quality as leidenalg) + γ-gated refinement +
+    aggregation on the REFINED partition, with the move partition
+    carried as the next level's initialization — the full Traag et al.
+    2019 loop, θ→0 greedy, no native deps. Deterministic for a given
+    (edge_list, resolution, seed); communities renumbered by
+    (size desc, min-member) for stable ids across runs. Matches the
+    reference's contract (utils/neo4j_helpers.py:237-268: leidenalg
+    RBConfiguration, seeded, resolution-parameterized; determinism test
+    test_neo4j_helpers.py:367)."""
+    rng = random.Random(seed)
+    nodes = sorted({n for e in edge_list for n in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    w: dict[tuple[int, int], float] = defaultdict(float)
+    for a, b in edge_list:
+        ia, ib = idx[a], idx[b]
+        w[(min(ia, ib), max(ia, ib))] += 1.0
+    mapping = list(range(len(nodes)))  # original index -> supernode
+    n = len(nodes)
+    init: list[int] | None = None
+    final_labels = list(range(n))
+    for _ in range(max_levels):
+        if n == 0:
+            break
+        adj: list[list[tuple[int, float]]] = [[] for _ in range(n)]
+        degrees = [0.0] * n
+        m2 = 0.0
+        for (a, b), wt in w.items():
+            if a == b:
+                adj[a].append((a, 2 * wt))
+                degrees[a] += 2 * wt
+                m2 += 2 * wt
+            else:
+                adj[a].append((b, wt))
+                adj[b].append((a, wt))
+                degrees[a] += wt
+                degrees[b] += wt
+                m2 += 2 * wt
+        if m2 == 0:
+            final_labels = init if init is not None else list(range(n))
+            break
+        labels, improved = _louvain_one_level(
+            adj, degrees, m2, resolution, rng, init_labels=init
+        )
+        final_labels = labels
+        if not improved and init is not None:
+            break
+        refined = _leiden_refine(adj, degrees, m2, resolution, labels, rng)
+        remap = {lbl: i for i, lbl in enumerate(sorted(set(refined)))}
+        refined = [remap[lbl] for lbl in refined]
+        k = len(remap)
+        if k == n:
+            break  # refinement is all singletons -> no aggregation left
+        # aggregate on the REFINED partition; the move partition becomes
+        # the next level's initial assignment of the supernodes
+        init_next = [0] * k
+        for v in range(n):
+            init_next[refined[v]] = labels[v]
+        dense = {lbl: i for i, lbl in enumerate(sorted(set(init_next)))}
+        init = [dense[lbl] for lbl in init_next]
+        mapping = [refined[s] for s in mapping]
+        final_labels = init
+        new_w: dict[tuple[int, int], float] = defaultdict(float)
+        for (a, b), wt in w.items():
+            ca, cb = refined[a], refined[b]
+            new_w[(min(ca, cb), max(ca, cb))] += wt
+        w, n = new_w, k
+    groups: dict[int, list[str]] = defaultdict(list)
+    for orig, node in enumerate(nodes):
+        groups[final_labels[mapping[orig]]].append(node)
+    ordered = sorted(groups.values(), key=lambda ms: (-len(ms), min(ms)))
+    return {name: i for i, ms in enumerate(ordered) for name in ms}
+
+
 def detect_communities(
     spark: SparkSession,
     edges: DataFrame,
@@ -262,16 +424,19 @@ def detect_communities(
     community_L1, community_L2) matching the reference's three levels
     (fine 2.0 / medium 0.5 / coarse 0.1; settings.py:137).
 
-    ``algorithm``: ``"leiden"`` (igraph/leidenalg, raises ImportError if
-    absent), ``"louvain"`` (vendored pure-Python seeded Louvain, same RB
-    quality function), or ``"auto"`` (leiden when importable, else
-    louvain with a one-time warning — never a silent swap).
+    ``algorithm``: ``"leiden"`` (native igraph/leidenalg, raises
+    ImportError if absent), ``"leiden-vendored"`` (pure-Python seeded
+    Leiden — local move + γ-gated refinement + aggregation on the
+    refined partition, Traag et al. 2019, no native deps),
+    ``"louvain"`` (vendored seeded Louvain, same RB quality function,
+    no refinement), or ``"auto"`` (native leiden when importable, else
+    the vendored Leiden with a one-time note — never a silent swap).
 
     The edge list is collected to the driver (documented size bound —
     the reference graph is ~123k edges; raise/partition for bigger
     graphs or use :func:`connected_components` for the coarse level).
     """
-    if algorithm not in ("auto", "leiden", "louvain"):
+    if algorithm not in ("auto", "leiden", "leiden-vendored", "louvain"):
         raise ValueError(f"unknown algorithm {algorithm!r}")
     rows = (
         edges.select(F.col(src).cast("string"), F.col(dst).cast("string"))
@@ -287,6 +452,8 @@ def detect_communities(
     edge_list = [(r[0], r[1]) for r in rows]
     if algorithm == "louvain":
         detector = _louvain_driver_local
+    elif algorithm == "leiden-vendored":
+        detector = _leiden_driver_local_vendored
     else:
         try:
             detector = _leiden_driver_local
@@ -298,15 +465,16 @@ def detect_communities(
             if not _WARNED_LEIDEN_FALLBACK:
                 warnings.warn(
                     "igraph/leidenalg not importable; detect_communities is "
-                    "using the vendored seeded Louvain (same RB quality "
-                    "function, different refinement than Leiden). Pass "
-                    "algorithm='louvain' to silence, or 'leiden' to require "
-                    "the native implementation.",
+                    "using the vendored pure-Python seeded Leiden (same RB "
+                    "quality function and refinement scheme, θ→0 greedy "
+                    "variant — community ids can differ from leidenalg's). "
+                    "Pass algorithm='leiden-vendored' to silence, or "
+                    "'leiden' to require the native implementation.",
                     RuntimeWarning,
                     stacklevel=2,
                 )
                 _WARNED_LEIDEN_FALLBACK = True
-            detector = _louvain_driver_local
+            detector = _leiden_driver_local_vendored
     cols = ["id"] + [f"community_L{i}" for i in range(len(resolutions))]
     schema = "id string, " + ", ".join(f"{c} long" for c in cols[1:])
     if not edge_list:

@@ -151,7 +151,7 @@ def test_detect_communities_warns_on_leiden_fallback(spark):
     with warnings.catch_warnings(record=True) as rec:
         warnings.simplefilter("always")
         detect_communities(spark, edges, resolutions=(1.0,), algorithm="auto")
-    assert any("vendored seeded Louvain" in str(w.message) for w in rec)
+    assert any("vendored pure-Python seeded Leiden" in str(w.message) for w in rec)
     # explicit algorithm='louvain' is silent; 'leiden' raises
     comm._WARNED_LEIDEN_FALLBACK = False
     with warnings.catch_warnings(record=True) as rec:
@@ -186,6 +186,59 @@ def test_louvain_resolution_semantics():
         assert len({fine[f"c{c}n{i}"] for i in range(6)}) == 1
     # seeded determinism (reference test_neo4j_helpers.py:367)
     assert fine == _louvain_driver_local(edges, 2.0, 42)
+
+
+def test_leiden_vendored_semantics():
+    import itertools
+    import random
+
+    from graphragpart1datapipeline_spark.graph.communities import (
+        _leiden_driver_local_vendored,
+    )
+
+    # same ring-of-cliques invariants as the Louvain test
+    edges = []
+    for c in range(10):
+        ns = [f"c{c}n{i}" for i in range(6)]
+        edges += list(itertools.combinations(ns, 2))
+        edges.append((f"c{c}n0", f"c{(c + 1) % 10}n0"))
+    fine = _leiden_driver_local_vendored(edges, 2.0, 42)
+    coarse = _leiden_driver_local_vendored(edges, 0.05, 42)
+    assert len(set(fine.values())) == 10
+    assert len(set(coarse.values())) < 10
+    for c in range(10):
+        assert len({fine[f"c{c}n{i}"] for i in range(6)}) == 1
+    # seeded determinism (reference test_neo4j_helpers.py:367)
+    assert fine == _leiden_driver_local_vendored(edges, 2.0, 42)
+
+    # THE Leiden guarantee Louvain lacks: every community is internally
+    # connected. Check on seeded random graphs at several resolutions.
+    rng = random.Random(7)
+    nodes = [f"n{i}" for i in range(120)]
+    redges = [
+        (a, b)
+        for a, b in itertools.combinations(nodes, 2)
+        if rng.random() < 0.04
+    ]
+    adj = {v: set() for v in nodes}
+    for a, b in redges:
+        adj[a].add(b)
+        adj[b].add(a)
+    for res in (2.0, 0.5, 0.1):
+        member = _leiden_driver_local_vendored(redges, res, 42)
+        comms = {}
+        for v, cid in member.items():
+            comms.setdefault(cid, set()).add(v)
+        for cid, ms in comms.items():
+            seen = {next(iter(sorted(ms)))}
+            frontier = list(seen)
+            while frontier:
+                v = frontier.pop()
+                for u in adj[v] & ms:
+                    if u not in seen:
+                        seen.add(u)
+                        frontier.append(u)
+            assert seen == ms, f"community {cid} disconnected at res {res}"
 
 
 def test_community_rollup(spark):
