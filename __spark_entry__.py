@@ -3207,6 +3207,91 @@ def q84(spark, sf_dir):
 
 
 @_register(
+    "q87_leakage_safe_split",
+    _minhash_cte().replace("WITH toks", "WITH RECURSIVE toks", 1)
+    + """
+    , edges AS (
+      SELECT a, b FROM verified UNION ALL SELECT b, a FROM verified
+    ), reach AS (
+      SELECT a AS node, a AS r FROM edges
+      UNION
+      SELECT e.b AS node, reach.r FROM reach JOIN edges e ON e.a = reach.node
+    ), comp AS (
+      SELECT node, MIN(r) AS root FROM reach GROUP BY node
+    ), bucketed AS (
+      SELECT d.doc_id,
+             CAST(CAST('0x' || substring(
+                    md5('42:' || CAST(coalesce(c.root, d.doc_id) AS VARCHAR)),
+                    1, 8) AS UBIGINT) % 10000 AS BIGINT) AS bkt
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    )
+    SELECT doc_id,
+           CASE WHEN bkt < 8000 THEN 'train'
+                WHEN bkt < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM bucketed
+    """,
+)
+def q87(spark, sf_dir):
+    """Leakage-safe train/val/test split: verified MinHash/LSH near-dup
+    pairs → distributed connected components → md5-bucket split on the
+    COMPONENT ROOT, so near-duplicate documents can never straddle
+    train and eval (the contamination a per-row split allows). The
+    oracle replays closure + assignment with a recursive CTE; a unit
+    test asserts the co-travel invariant directly."""
+    from graphragpart1datapipeline_spark.dedup import leakage_safe_split
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "text", "doc_id", num_hashes=8, shingle_n=3)
+    pairs = lsh_candidate_pairs(sigs, "doc_id", bands=4)
+    verified = (
+        ngram_jaccard_on_pairs(pairs, docs, "text", "doc_id", n=3)
+        .filter(F.col("jaccard") >= 0.7)
+        .select("a", "b")
+    )
+    return leakage_safe_split(
+        docs.select("doc_id"), verified, id_col="doc_id", seed=42
+    )
+
+
+@_register(
+    "q86_sampled_percentiles",
+    """
+    WITH s AS (
+      SELECT o_orderpriority, o_totalprice FROM orders
+      WHERE CAST(CAST('0x' || substring(md5('q86:' || CAST(o_orderkey AS VARCHAR)),
+                      1, 8) AS UBIGINT) % 10000 AS BIGINT) < 1250
+    )
+    SELECT o_orderpriority,
+           quantile_cont(o_totalprice, 0.5) AS median_price,
+           quantile_cont(o_totalprice, 0.9) AS p90_price,
+           COUNT(*) AS n_sampled
+    FROM s GROUP BY o_orderpriority
+    """,
+)
+def q86(spark, sf_dir):
+    """Percentiles at 100 TB, the deterministic way: exact interpolated
+    quantiles over a 12.5% md5-bucket sample (stratified_sample rule,
+    seed 'q86'). Sampling is a pure function of the row id — identical
+    across runs, engines, partitionings — so unlike approx sketches the
+    whole estimate is value-checkable, and the memory-heavy exact sort
+    touches ~1/8 of the data. The exact twin is q51; the engine-native
+    sketch is q52 (rows-only by nature)."""
+    from graphragpart1datapipeline_spark.operators import stratified_sample
+
+    o = _t(spark, sf_dir, "orders")
+    s = stratified_sample(
+        o, "o_orderpriority", {}, id_col="o_orderkey",
+        default_rate=0.125, seed="q86",
+    )
+    return s.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", 0.5).alias("median_price"),
+        F.percentile("o_totalprice", 0.9).alias("p90_price"),
+        F.count(F.lit(1)).alias("n_sampled"),
+    )
+
+
+@_register(
     "q85_repeated_passages",
     """
     WITH d AS (

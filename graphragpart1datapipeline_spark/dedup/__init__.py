@@ -14,3 +14,4 @@ from .passages import (  # noqa: F401
     remove_repeated_passages,
     repeated_passage_spans,
 )
+from .splits import leakage_safe_split  # noqa: F401

@@ -263,3 +263,28 @@ def test_incremental_near_dup_no_corpus_self_pairing(spark):
     # the full-corpus path generates pairs via collect_set + flatten;
     # the incremental path must not contain that aggregation
     assert "collect_set" not in p
+
+
+def test_kmv_distinct_two_exchanges_no_cartesian(spark):
+    from graphragpart1datapipeline_spark.operators import kmv_distinct
+    from graphragpart1datapipeline_spark.sources import read_table
+
+    li = read_table(spark, SF, "lineitem")
+    p = _plan(kmv_distinct(li, "l_orderkey", ["l_returnflag"], k=256))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+    # distinct (group,hash) + window repartition(group); the final
+    # groupBy reuses the window's partitioning
+    assert p.count("Exchange hashpartitioning") <= 2
+
+
+def test_repeated_passages_no_cartesian_bounded_shuffles(spark):
+    from graphragpart1datapipeline_spark.dedup import remove_repeated_passages
+    from graphragpart1datapipeline_spark.sources import read_table
+
+    docs = read_table(spark, SF, "documents").select("doc_id", "text")
+    p = _plan(remove_repeated_passages(docs, window=12, min_occurrences=2))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+    # window hashing itself must be map-side (explode before any exchange):
+    # the only shuffles are hash-count, join-back, coverage distinct,
+    # per-doc collect, and the final doc join
+    assert p.count("Exchange hashpartitioning") <= 6

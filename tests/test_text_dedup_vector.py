@@ -693,3 +693,38 @@ def test_remove_repeated_passages(spark):
     )
     r = remove_repeated_passages(solo, window=7, min_occurrences=2).collect()[0]
     assert r["text"] == "tail tokens here"
+
+
+def test_leakage_safe_split_co_travel(spark):
+    from graphragpart1datapipeline_spark.dedup import leakage_safe_split
+
+    docs = spark.range(100).selectExpr("id AS doc_id")
+    # chain 10-11-12 must co-travel; 50-51 pair; rest singletons
+    pairs = spark.createDataFrame(
+        [(10, 11), (11, 12), (50, 51)], "a long, b long"
+    )
+    out = leakage_safe_split(docs, pairs, id_col="doc_id")
+    rows = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert len(rows) == 100
+    assert rows[10] == rows[11] == rows[12]
+    assert rows[50] == rows[51]
+    # splits roughly follow weights and are deterministic
+    from collections import Counter
+
+    c = Counter(rows.values())
+    assert set(c) <= {"train", "val", "test"}
+    assert c["train"] > c["val"] and c["train"] > c["test"]
+    again = {
+        r["doc_id"]: r["split"]
+        for r in leakage_safe_split(docs, pairs, id_col="doc_id").collect()
+    }
+    assert rows == again
+    # singleton docs keep their own-root assignment: adding an unrelated
+    # pair must not move them
+    more = leakage_safe_split(
+        docs,
+        pairs.unionByName(spark.createDataFrame([(70, 71)], "a long, b long")),
+        id_col="doc_id",
+    )
+    rows2 = {r["doc_id"]: r["split"] for r in more.collect()}
+    assert all(rows2[d] == rows[d] for d in range(100) if d not in (70, 71))
