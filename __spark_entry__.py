@@ -3206,6 +3206,59 @@ def q84(spark, sf_dir):
     )
 
 
+def _bpe_oracle_sql(num_merges: int = 3) -> str:
+    """Unrolled DuckDB replay of bpe_train: per round, pair counts over
+    the vocab table, best pair by (freq desc, pair asc), merge applied
+    with the same greedy-left replace primitive the engine uses."""
+    sql = """
+    WITH words AS (
+      SELECT tok AS w, COUNT(*) AS wc FROM (
+        SELECT unnest(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'),
+                      ' ')) AS tok
+        FROM documents) WHERE tok <> '' GROUP BY tok
+    ), s0 AS (
+      SELECT wc, ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS s
+      FROM words
+    )"""
+    for r in range(num_merges):
+        sql += f""", p{r} AS (
+      SELECT sym[i] || ' ' || sym[i + 1] AS pair,
+             CAST(SUM(wc) AS BIGINT) AS freq
+      FROM (SELECT wc, string_split(trim(s), ' ') AS sym FROM s{r}),
+           LATERAL (SELECT unnest(range(1, len(sym))) AS i) t
+      GROUP BY 1
+    ), b{r} AS (SELECT pair, freq FROM p{r} ORDER BY freq DESC, pair LIMIT 1)"""
+        if r < num_merges - 1:
+            sql += f""", s{r + 1} AS (
+      SELECT wc,
+             replace(s, ' ' || (SELECT pair FROM b{r}) || ' ',
+                     ' ' || replace((SELECT pair FROM b{r}), ' ', '') || ' ')
+               AS s
+      FROM s{r}
+    )"""
+    sql += "\n    " + "\n    UNION ALL ".join(
+        f"SELECT {r + 1} AS rank, pair, replace(pair, ' ', '') AS merged, freq"
+        f" FROM b{r}"
+        for r in range(num_merges)
+    )
+    return sql
+
+
+@_register("q88_bpe_train", _bpe_oracle_sql(3))
+def q88(spark, sf_dir):
+    """Distributed BPE vocabulary training (3 merges): ONE corpus-sized
+    word-count shuffle, then vocab-table-sized merge rounds (pair-count
+    shuffle + 1-row collect each). Bit-reproducible — exact long
+    counts, lexicographic tie-break, and merge application via the
+    greedy-left string replace that exists identically in every engine,
+    so the oracle replays the entire training run (see text/bpe.py for
+    the documented back-to-back-repeat variant)."""
+    from graphragpart1datapipeline_spark.text import bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_train(docs, text_col="text", num_merges=3)
+
+
 @_register(
     "q87_leakage_safe_split",
     _minhash_cte().replace("WITH toks", "WITH RECURSIVE toks", 1)

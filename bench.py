@@ -53,6 +53,10 @@ HEADLINE = [
     "q80_kmeans_clustering",
     "q81_incremental_near_dup",
     "q82_pagerank",
+    "q84_kmv_distinct",
+    "q85_repeated_passages",
+    "q86_sampled_percentiles",
+    "q87_leakage_safe_split",
 ]
 
 # Repetitions per query; report the min. The ambient swing on a shared

@@ -12,5 +12,6 @@ from .analysis import (  # noqa: F401
     token_count,
     tokens,
 )
+from .bpe import bpe_apply, bpe_train  # noqa: F401
 from .chunking import recursive_split_chunks  # noqa: F401
 from .sections import split_sections  # noqa: F401

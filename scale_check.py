@@ -79,7 +79,9 @@ def ops(spark, base: str, extra_bits: int = 0):
         exact_dedup,
         minhash_lsh_dedup,
         minhash_lsh_incremental,
+        remove_repeated_passages,
     )
+    from graphragpart1datapipeline_spark.operators import kmv_distinct
     from graphragpart1datapipeline_spark.graph import pagerank
     from graphragpart1datapipeline_spark.operators import global_shuffle_shards
     from graphragpart1datapipeline_spark.text.analysis import tfidf_top_terms
@@ -130,6 +132,12 @@ def ops(spark, base: str, extra_bits: int = 0):
             emb(), k=8, id_col="vec_id", bits=4 + extra_bits, dim=64
         ),
         "tfidf": lambda: tfidf_top_terms(docs(), k=5),
+        "repeated_passages": lambda: remove_repeated_passages(
+            docs().select("doc_id", "text"), window=12, min_occurrences=2
+        ),
+        "kmv_distinct": lambda: kmv_distinct(
+            docs(), value_col="text", group_cols=["lang"], k=256
+        ),
         "global_shuffle_shards": lambda: global_shuffle_shards(
             docs().select("doc_id"), "doc_id", n_shards=64
         ),

@@ -728,3 +728,30 @@ def test_leakage_safe_split_co_travel(spark):
     )
     rows2 = {r["doc_id"]: r["split"] for r in more.collect()}
     assert all(rows2[d] == rows[d] for d in range(100) if d not in (70, 71))
+
+
+def test_bpe_train_and_apply_goldens(spark):
+    from graphragpart1datapipeline_spark.text import bpe_apply, bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest low low"), (2, "new newer newest new lower")],
+        "doc_id int, text string",
+    )
+    merges = bpe_train(docs, num_merges=5)
+    got = [(r["rank"], r["pair"], r["merged"], r["freq"]) for r in merges.orderBy("rank").collect()]
+    assert got == [
+        (1, "l o", "lo", 6),
+        (2, "lo w", "low", 6),
+        (3, "e w", "ew", 4),
+        (4, "n ew", "new", 4),
+        (5, "e r", "er", 3),
+    ]
+    out = {r["doc_id"]: r["bpe_symbols"] for r in bpe_apply(docs, merges).collect()}
+    assert out[1] == ["low", "low", "er", "low", "e", "s", "t", "low", "low"]
+    assert out[2] == ["new", "new", "er", "new", "e", "s", "t", "new", "low", "er"]
+    # deterministic
+    again = [(r["rank"], r["pair"]) for r in bpe_train(docs, num_merges=5).orderBy("rank").collect()]
+    assert again == [(g[0], g[1]) for g in got]
+    # stops early when no pair repeats
+    tiny = spark.createDataFrame([(1, "a b")], "doc_id int, text string")
+    assert bpe_train(tiny, num_merges=10).count() == 0
