@@ -3206,6 +3206,44 @@ def q84(spark, sf_dir):
     )
 
 
+@_register(
+    "q89_fixed_stride_chunks",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')
+               AS toks
+      FROM documents
+    ), m AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             CASE WHEN len(toks) <= 32 THEN 1
+                  ELSE (len(toks) - 32 + 23) // 24 + 1 END AS total_chunks
+      FROM d
+    )
+    SELECT doc_id || '_chunk_' || CAST(j + 1 AS VARCHAR) AS chunk_id,
+           doc_id,
+           array_to_string(toks[j * 24 + 1 : j * 24 + 32], ' ') AS chunk,
+           CAST(j + 1 AS BIGINT) AS chunk_index,
+           CAST(total_chunks AS BIGINT) AS total_chunks,
+           CAST(len(toks[j * 24 + 1 : j * 24 + 32]) AS BIGINT) AS n_tokens
+    FROM m, LATERAL (SELECT unnest(range(0, total_chunks)) AS j) t
+    """,
+)
+def q89(spark, sf_dir):
+    """Fixed-stride token chunking (32-token windows, 8 overlap): the
+    fully-JVM chunking scale path — HOF explode, map-only, no Python
+    workers — value-checked chunk by chunk. Complements q33's
+    separator-aware recursive splitter (mapInPandas, rows-only by
+    nature)."""
+    from graphragpart1datapipeline_spark.text import fixed_stride_chunks
+
+    docs = _t(spark, sf_dir, "documents")
+    return fixed_stride_chunks(
+        docs, id_col="doc_id", text_col="text",
+        chunk_tokens=32, overlap_tokens=8,
+    )
+
+
 def _bpe_oracle_sql(num_merges: int = 3) -> str:
     """Unrolled DuckDB replay of bpe_train: per round, pair counts over
     the vocab table, best pair by (freq desc, pair asc), merge applied

@@ -3,12 +3,13 @@ engine's training-data operators — the 100 TB curation DAG the
 north-star extensions exist for:
 
     read → quality gate (language/quality/repetition) → exact dedup →
-    near-dup dedup (MinHash+LSH survivors) → eval decontamination →
-    domain-mixture rebalancing → deterministic shard shuffle →
-    sequence packing
+    repeated-passage removal (sub-document dedup) → near-dup dedup
+    (MinHash+LSH survivors) → eval decontamination → domain-mixture
+    rebalancing → leakage-safe split assignment → deterministic shard
+    shuffle → sequence packing
 
 Every stage is individually oracle-verified (COVERAGE.md: q20/q22/q23/
-q55/q62/q75/q78/q79/q76); this module verifies they COMPOSE, with each
+q85/q55/q62/q75/q79/q87/q78/q76); this module verifies they COMPOSE, with each
 stage a pure DataFrame → DataFrame function on the previous one. Every
 keep/route decision downstream of the filters is an md5-bucket pure
 function of the row id, so the ENTIRE pipeline output — which documents
@@ -23,7 +24,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..dedup import decontaminate, exact_dedup, minhash_lsh_dedup
+from ..dedup import (
+    decontaminate,
+    exact_dedup,
+    leakage_safe_split,
+    minhash_lsh_dedup,
+    minhash_signatures,
+    remove_repeated_passages,
+)
+from ..dedup.minhash import lsh_candidate_pairs
+from ..dedup.ngram import ngram_jaccard_on_pairs
 from ..operators import (
     global_shuffle_shards,
     pack_sequences,
@@ -69,11 +79,34 @@ def build_pretrain_pipeline(
         # cheapest cut first: one hash-groupBy removes byte-identical rows
         return exact_dedup(docs, text_col="text", id_col="doc_id")
 
-    @p.stage("near_deduped", deps=["exact_deduped"])
+    @p.stage("passage_cleaned", deps=["exact_deduped"])
+    def passage_cleaned(spark: SparkSession, docs: DataFrame) -> DataFrame:
+        # sub-document dedup: strip passages repeated corpus-wide
+        # (licence blocks, navigation chrome); documents reduced to
+        # nothing but boilerplate drop out of the corpus here
+        cleaned = remove_repeated_passages(
+            docs.select("doc_id", "text"), window=12, min_occurrences=4
+        )
+        keep = cleaned.filter(F.col("text") != "").select(
+            "doc_id", F.col("text").alias("__clean_text")
+        )
+        return (
+            docs.drop("text")
+            .join(keep, "doc_id")
+            .withColumnRenamed("__clean_text", "text")
+        )
+
+    @p.stage("near_deduped", deps=["passage_cleaned"])
     def near_deduped(spark: SparkSession, docs: DataFrame) -> DataFrame:
+        # lazy stage materialization: everything downstream (decontam
+        # 5-gram join, the split's second LSH pass, shard/pack) fans out
+        # from this frame several times; without a checkpoint every
+        # action replays the whole quality→dedup prefix. Production
+        # would persist the stage table (Pipeline checkpoint=...); the
+        # demo keeps it in-memory.
         return minhash_lsh_dedup(
             docs, "text", "doc_id", jaccard_threshold=jaccard_threshold
-        )
+        ).localCheckpoint(eager=False)
 
     @p.stage("decontaminated", deps=["near_deduped"])
     def decontaminated(spark: SparkSession, docs: DataFrame) -> DataFrame:
@@ -92,9 +125,29 @@ def build_pretrain_pipeline(
             docs, stratum_col="lang", targets=mix, id_col="doc_id"
         )
 
-    @p.stage("sharded", deps=["rebalanced"])
+    @p.stage("split_assigned", deps=["rebalanced"])
+    def split_assigned(spark: SparkSession, docs: DataFrame) -> DataFrame:
+        # dedup removed duplicates ABOVE the threshold; pairs below it
+        # can still leak eval content, so split by near-dup component
+        # at a looser threshold — components co-travel by construction
+        sigs = minhash_signatures(docs, "text", "doc_id")
+        pairs = lsh_candidate_pairs(sigs, "doc_id", bands=4)
+        verified = (
+            ngram_jaccard_on_pairs(pairs, docs, "text", "doc_id")
+            .filter(F.col("jaccard") >= jaccard_threshold / 2)
+            .select("a", "b")
+        )
+        return leakage_safe_split(
+            docs, verified, id_col="doc_id"
+        ).localCheckpoint(eager=False)
+
+    @p.stage("sharded", deps=["split_assigned"])
     def sharded(spark: SparkSession, docs: DataFrame) -> DataFrame:
-        return global_shuffle_shards(docs, "doc_id", n_shards=n_shards)
+        # shards shuffle the TRAIN split only; val/test stay aside
+        return global_shuffle_shards(
+            docs.filter(F.col("split") == "train"), "doc_id",
+            n_shards=n_shards,
+        )
 
     @p.stage("packed", deps=["sharded"])
     def packed(spark: SparkSession, docs: DataFrame) -> DataFrame:

@@ -13,5 +13,5 @@ from .analysis import (  # noqa: F401
     tokens,
 )
 from .bpe import bpe_apply, bpe_train  # noqa: F401
-from .chunking import recursive_split_chunks  # noqa: F401
+from .chunking import fixed_stride_chunks, recursive_split_chunks  # noqa: F401
 from .sections import split_sections  # noqa: F401

@@ -126,3 +126,62 @@ def recursive_split_chunks(
             "chunk_index long, total_chunks long"
         ),
     )
+
+
+def fixed_stride_chunks(
+    df: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    chunk_tokens: int = 512,
+    overlap_tokens: int = 128,
+):
+    """Fixed-stride token windows — the fully-JVM chunking scale path.
+
+    The recursive splitter (above) respects separator structure but runs
+    as mapInPandas; this variant trades boundary awareness for a pure
+    higher-order-function plan: whitespace tokens, chunk j covers
+    [j·stride, j·stride + chunk_tokens) with stride = chunk_tokens −
+    overlap_tokens, total = 1 + ceil((n − chunk)/stride) — map-only,
+    whole-stage-codegen, engine-reproducible (integer arithmetic and
+    space re-joining only, so a SQL oracle can value-check every chunk;
+    q89). Same bookkeeping columns as recursive_split_chunks.
+    """
+    from pyspark.sql import functions as F
+
+    stride = chunk_tokens - overlap_tokens
+    if stride <= 0:
+        raise ValueError("chunk_tokens must exceed overlap_tokens")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    total = F.when(
+        n <= chunk_tokens, F.lit(1).cast("long")
+    ).otherwise(
+        (F.floor((n - chunk_tokens + (stride - 1)) / stride) + 1).cast("long")
+    )
+    chunk = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), total.cast("int") - 1),
+            lambda j: F.struct(
+                (j + 1).cast("long").alias("chunk_index"),
+                F.concat_ws(
+                    " ", F.slice(toks, j * stride + 1, chunk_tokens)
+                ).alias("chunk"),
+                F.size(F.slice(toks, j * stride + 1, chunk_tokens))
+                .cast("long")
+                .alias("n_tokens"),
+            ),
+        )
+    )
+    return df.select(
+        F.col(id_col), total.alias("total_chunks"), chunk.alias("c")
+    ).select(
+        F.concat(
+            F.col(id_col).cast("string"), F.lit("_chunk_"),
+            F.col("c.chunk_index").cast("string"),
+        ).alias("chunk_id"),
+        id_col,
+        F.col("c.chunk").alias("chunk"),
+        F.col("c.chunk_index").alias("chunk_index"),
+        "total_chunks",
+        F.col("c.n_tokens").alias("n_tokens"),
+    )

@@ -686,21 +686,36 @@ def test_pretrain_demo_pipeline(spark):
     n_docs = out["documents"].count()
     n_gate = out["quality_gated"].count()
     n_exact = out["exact_deduped"].count()
+    n_passage = out["passage_cleaned"].count()
     n_near = out["near_deduped"].count()
     n_clean = out["decontaminated"].count()
     n_bal = out["rebalanced"].count()
+    n_split = out["split_assigned"].count()
     final = out["packed"]
     n_final = final.count()
-    # monotone funnel, nothing degenerate
-    assert n_docs >= n_gate >= n_exact >= n_near > n_clean >= n_bal == n_final
+    # monotone funnel, nothing degenerate; splits partition the
+    # rebalanced set and only the train split is sharded/packed
+    assert (
+        n_docs >= n_gate >= n_exact >= n_passage >= n_near > n_clean
+        >= n_bal == n_split > n_final
+    )
     assert n_final > 50
+    splits = {
+        r["split"]: r["count"]
+        for r in out["split_assigned"].groupBy("split").count().collect()
+    }
+    assert splits.get("train", 0) == n_final
     # packed schema carries shard/pos AND sequence addresses
     assert {"doc_id", "shard", "pos", "stream_id", "seq_id", "seq_offset"} <= set(
         final.columns
     )
     # achieved mixture matches the requested target shares (binding
-    # stratum exact, others within bucket granularity)
-    counts = {r["lang"]: r["count"] for r in final.groupBy("lang").count().collect()}
+    # stratum exact, others within bucket granularity), measured on the
+    # full split-assigned set
+    counts = {
+        r["lang"]: r["count"]
+        for r in out["split_assigned"].groupBy("lang").count().collect()
+    }
     total = sum(counts.values())
     assert abs(counts["en"] / total - 0.25) < 0.07
     assert abs(counts["de"] / total - 0.125) < 0.05

@@ -755,3 +755,36 @@ def test_bpe_train_and_apply_goldens(spark):
     # stops early when no pair repeats
     tiny = spark.createDataFrame([(1, "a b")], "doc_id int, text string")
     assert bpe_train(tiny, num_merges=10).count() == 0
+
+
+def test_fixed_stride_chunks_invariants(spark):
+    from graphragpart1datapipeline_spark.text import fixed_stride_chunks
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(100))),
+         (2, "short doc only"),
+         (3, " ".join(f"x{i}" for i in range(32)))],
+        "doc_id int, text string",
+    )
+    out = fixed_stride_chunks(
+        docs, id_col="doc_id", text_col="text",
+        chunk_tokens=32, overlap_tokens=8,
+    ).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: n=100, stride 24 -> total = ceil((100-32)/24)+1 = 4
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_index"])
+    assert len(c1) == 4 and all(r["total_chunks"] == 4 for r in c1)
+    toks = [f"t{i}" for i in range(100)]
+    for j, r in enumerate(c1):
+        assert r["chunk"].split(" ") == toks[j * 24 : j * 24 + 32]
+        assert r["chunk_id"] == f"1_chunk_{j + 1}"
+    # consecutive chunks overlap by 8 tokens
+    assert c1[0]["chunk"].split(" ")[-8:] == c1[1]["chunk"].split(" ")[:8]
+    # every token covered
+    covered = {t for r in c1 for t in r["chunk"].split(" ")}
+    assert covered == set(toks)
+    # short doc and exact-fit doc -> single chunk
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["n_tokens"] == 3
+    assert len(by_doc[3]) == 1 and by_doc[3][0]["n_tokens"] == 32
