@@ -3207,6 +3207,97 @@ def q84(spark, sf_dir):
 
 
 @_register(
+    "q91_interval_lookup",
+    """
+    WITH tiers(tier, lo, hi) AS (
+      VALUES ('T0', 0.0, 50000.0), ('T1', 50000.0, 100000.0),
+             ('T2', 100000.0, 200000.0), ('T3', 200000.0, 300000.0),
+             ('T4', 300000.0, 1000000000.0)
+    )
+    SELECT t.tier, COUNT(*) AS n_orders,
+           floor(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(30,10))) AS DOUBLE)
+                 * 100 + 0.5) / 100.0 AS revenue
+    FROM orders o JOIN tiers t
+      ON o.o_totalprice >= t.lo AND o.o_totalprice < t.hi
+    GROUP BY t.tier
+    """,
+)
+def q91(spark, sf_dir):
+    """Interval-dimension lookup (price tiers): the dim ships as a
+    sorted array literal inside the expression tree — map-only, zero
+    shuffle, zero join nodes, whole-stage codegen — where Spark's
+    native plan for the same semantics is BroadcastNestedLoopJoin.
+    Revenue sums are decimal-accumulated for cross-engine exactness."""
+    from graphragpart1datapipeline_spark.operators import (
+        interval_lookup_join,
+    )
+
+    tiers = spark.createDataFrame(
+        [
+            ("T0", 0.0, 50_000.0),
+            ("T1", 50_000.0, 100_000.0),
+            ("T2", 100_000.0, 200_000.0),
+            ("T3", 200_000.0, 300_000.0),
+            ("T4", 300_000.0, 1_000_000_000.0),
+        ],
+        "tier string, lo double, hi double",
+    )
+    o = _t(spark, sf_dir, "orders")
+    tagged = interval_lookup_join(o, tiers, value_col="o_totalprice")
+    return (
+        tagged.filter(F.col("tier").isNotNull())
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _round_det(
+                F.sum(F.col("o_totalprice").cast("decimal(30,10)"))
+                .cast("double"), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+@_register(
+    "q90_histogram",
+    """
+    WITH counted AS (
+      SELECT l_returnflag,
+             CAST(least(greatest(floor(
+                    (CAST(l_extendedprice AS DOUBLE) - 0.0) / 5000.0), 0), 15)
+                  AS BIGINT) AS bin,
+             COUNT(*) AS n
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
+      GROUP BY 1, 2
+    ), bins AS (
+      SELECT l_returnflag, CAST(b AS BIGINT) AS bin
+      FROM (SELECT DISTINCT l_returnflag FROM lineitem),
+           LATERAL (SELECT unnest(range(0, 16)) AS b) t
+    )
+    SELECT bins.l_returnflag, bins.bin,
+           0.0 + bins.bin * 5000.0 AS bin_lo,
+           0.0 + (bins.bin + 1) * 5000.0 AS bin_hi,
+           CAST(COALESCE(n, 0) AS BIGINT) AS n
+    FROM bins LEFT JOIN counted USING (l_returnflag, bin)
+    """,
+)
+def q90(spark, sf_dir):
+    """Equi-width histogram per group (16 × 5000 bins of extendedprice
+    per returnflag, clamped tails, empty bins emitted): the
+    distribution profile of a corpus audit as ONE map-side-combined
+    shuffle — at most groups × bins rows move. Bin arithmetic is plain
+    IEEE floor division, so counts AND bin edges are value-checked."""
+    from graphragpart1datapipeline_spark.operators import (
+        equi_width_histogram,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return equi_width_histogram(
+        li, "l_extendedprice", bins=16, lo=0.0, hi=80_000.0,
+        group_cols=["l_returnflag"],
+    )
+
+
+@_register(
     "q89_fixed_stride_chunks",
     """
     WITH d AS (

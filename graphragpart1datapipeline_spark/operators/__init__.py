@@ -1,4 +1,5 @@
 from .relational import (  # noqa: F401
+    equi_width_histogram,
     global_shuffle_shards,
     hash_split,
     rebalance_to_weights,
@@ -25,6 +26,7 @@ from .sketches import (  # noqa: F401
     kmv_sketch,
 )
 from .joins import (  # noqa: F401
+    interval_lookup_join,
     multi_hop,
     name_or_alias_join,
     range_join,

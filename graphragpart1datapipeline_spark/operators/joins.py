@@ -191,3 +191,67 @@ def multi_hop(
         )
         out = out.join(nxt, f"hop{i}").distinct()
     return out
+
+
+def interval_lookup_join(
+    df: DataFrame,
+    dim: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    payload_cols: Sequence[str] | None = None,
+    max_dim_rows: int = 10_000,
+) -> DataFrame:
+    """Interval-DIMENSION lookup (price tiers, IP→geo ranges, SLA
+    bands): attach the payload of the dim row whose [lo, hi) interval
+    contains ``value_col``; no match → null payload (left semantics).
+
+    Spark's own answer to a `v >= lo AND v < hi` join against a small
+    dimension is BroadcastNestedLoopJoin — real join machinery, a row
+    copy per probe, and no codegen. At a bounded dimension size there
+    is a strictly better plan: ship the sorted intervals as an array
+    LITERAL inside the expression tree and resolve each row with an
+    array-filter — map-only, zero shuffle, zero join, whole-stage
+    codegen, and the plan cannot reorder into anything worse. The
+    driver-side collect is bounded by ``max_dim_rows`` (raises past
+    it); beyond that, fall back to `range_join` (bucketized) or an
+    explicit broadcast theta join.
+
+    Intervals are assumed non-overlapping (first match in lo-sorted
+    order wins otherwise — deterministic either way).
+    """
+    payload = list(
+        payload_cols
+        or [c for c in dim.columns if c not in (lo_col, hi_col)]
+    )
+    rows = (
+        dim.select(lo_col, hi_col, *payload)
+        .limit(max_dim_rows + 1)
+        .collect()
+    )
+    if len(rows) > max_dim_rows:
+        raise ValueError(
+            f"dim exceeds max_dim_rows={max_dim_rows}; use range_join or "
+            "a broadcast join instead"
+        )
+    rows = sorted(rows, key=lambda r: r[lo_col])
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(r[lo_col]).alias("__lo"),
+                F.lit(r[hi_col]).alias("__hi"),
+                *[F.lit(r[c]).alias(c) for c in payload],
+            )
+            for r in rows
+        ]
+    )
+    v = F.col(value_col)
+    # try_element_at: a row matching no interval yields NULL payload
+    # instead of INVALID_ARRAY_INDEX under ANSI mode
+    hit = F.try_element_at(
+        F.filter(arr, lambda s: (v >= s["__lo"]) & (v < s["__hi"])), F.lit(1)
+    )
+    out = df
+    for c in payload:
+        out = out.withColumn(c, hit[c])
+    return out

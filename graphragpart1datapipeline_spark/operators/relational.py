@@ -518,3 +518,48 @@ def pack_sequences(
         )
         .drop("__start")
     )
+
+def equi_width_histogram(
+    df: DataFrame,
+    value_col: str,
+    bins: int,
+    lo: float,
+    hi: float,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Equi-width histogram — the distribution half of a corpus profile
+    (profile_table gives min/max/nulls; this gives shape). Bin i covers
+    [lo + i·w, lo + (i+1)·w) with w = (hi − lo)/bins; values below lo
+    clamp into bin 0, values at/above hi into bin bins−1 (so the
+    histogram is total over non-null rows). One map-side-combined
+    groupBy — a single shuffle of at most ``bins`` rows per group.
+
+    Determinism: the bin index is ``floor((x − lo) / w)`` computed in
+    IEEE double exactly as any SQL engine writes it, so counts are
+    oracle-checkable; empty bins are emitted (count 0) via a
+    sequence-explode scaffold to keep the output shape fixed.
+    """
+    groups = list(group_cols)
+    w = (hi - lo) / bins
+    idx = F.floor((F.col(value_col).cast("double") - F.lit(lo)) / F.lit(w))
+    idx = F.least(F.greatest(idx, F.lit(0)), F.lit(bins - 1)).cast("long")
+    counted = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*groups, idx.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    scaffold = (
+        (df.select(*groups).distinct() if groups else df.sparkSession.range(1).select())
+        .select("*", F.explode(F.sequence(F.lit(0), F.lit(bins - 1))).alias("bin"))
+        .withColumn("bin", F.col("bin").cast("long"))
+    )
+    return (
+        scaffold.join(counted, [*groups, "bin"], "left")
+        .select(
+            *groups,
+            "bin",
+            (F.lit(lo) + F.col("bin") * F.lit(w)).alias("bin_lo"),
+            (F.lit(lo) + (F.col("bin") + 1) * F.lit(w)).alias("bin_hi"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        )
+    )

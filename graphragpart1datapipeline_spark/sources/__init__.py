@@ -1,5 +1,9 @@
 from .io import (  # noqa: F401
     compact_parquet,
+    read_csv,
+    read_orc,
+    write_csv,
+    write_orc,
     read_events_stream,
     read_jsonl,
     read_parquet,

@@ -142,6 +142,58 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def read_csv(
+    spark: SparkSession,
+    paths: str | Sequence[str],
+    schema: StructType | str,
+    header: bool = True,
+    **options: str,
+) -> DataFrame:
+    """Schema-REQUIRED CSV scan. Inference is deliberately not offered:
+    at 100 TB `inferSchema` is a full extra pass over the data before
+    the real one, and the inferred types drift between samples —
+    declare the schema and the scan is single-pass with column pruning
+    intact."""
+    reader = spark.read.schema(schema).option("header", str(header).lower())
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if isinstance(paths, str):
+        return reader.csv(paths)
+    return reader.csv(list(paths))
+
+
+def write_csv(
+    df: DataFrame, path: str, mode: str = "overwrite", header: bool = True
+) -> None:
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def read_orc(
+    spark: SparkSession,
+    paths: str | Sequence[str],
+    schema: StructType | str | None = None,
+) -> DataFrame:
+    """ORC scan (same pushdown/pruning properties as Parquet)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if isinstance(paths, str):
+        return reader.orc(paths)
+    return reader.orc(*paths)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: Sequence[str] | None = None,
+) -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming scan of the events table with ``ts`` normalized to a
     TIMESTAMP column.

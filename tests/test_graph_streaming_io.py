@@ -725,3 +725,25 @@ def test_pretrain_demo_pipeline(spark):
     assert sorted(map(tuple, final.select(key).collect())) == sorted(
         map(tuple, again.select(key).collect())
     )
+
+
+def test_csv_orc_roundtrip(spark, tmp_path):
+    from graphragpart1datapipeline_spark.sources import (
+        read_csv,
+        read_orc,
+        write_csv,
+        write_orc,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a,b", 1.5), (2, None, -2.0), (3, "c", 0.0)],
+        "id long, s string, v double",
+    )
+    csv_path = str(tmp_path / "csv")
+    write_csv(df, csv_path)
+    back = read_csv(spark, csv_path, "id long, s string, v double")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+    orc_path = str(tmp_path / "orc")
+    write_orc(df, orc_path, partition_by=["id"])
+    back = read_orc(spark, orc_path).select("id", "s", "v")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))

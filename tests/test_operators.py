@@ -555,3 +555,28 @@ def test_kmv_merge_equals_sketch_of_union(spark):
     assert merged.collect()[0]["kmv"] == direct.collect()[0]["kmv"]
     est = kmv_estimate_from_sketch(merged, k=k).collect()[0]
     assert abs(est["est_distinct"] - 6000) / 6000 < 3 / (k ** 0.5)
+
+
+def test_interval_lookup_join(spark):
+    import pytest
+
+    from graphragpart1datapipeline_spark.operators import interval_lookup_join
+
+    dim = spark.createDataFrame(
+        [("low", 0, 10, "L"), ("mid", 10, 20, "M"), ("high", 20, 30, "H")],
+        "name string, lo int, hi int, code string",
+    )
+    facts = spark.createDataFrame(
+        [(1, 5), (2, 10), (3, 29), (4, 30), (5, -1)], "id int, v int"
+    )
+    out = {
+        r["id"]: (r["name"], r["code"])
+        for r in interval_lookup_join(facts, dim, value_col="v").collect()
+    }
+    assert out[1] == ("low", "L")
+    assert out[2] == ("mid", "M")    # lo-inclusive
+    assert out[3] == ("high", "H")
+    assert out[4] == (None, None)    # hi-exclusive
+    assert out[5] == (None, None)    # below all intervals
+    with pytest.raises(ValueError):
+        interval_lookup_join(facts, dim, value_col="v", max_dim_rows=2)

@@ -288,3 +288,17 @@ def test_repeated_passages_no_cartesian_bounded_shuffles(spark):
     # the only shuffles are hash-count, join-back, coverage distinct,
     # per-doc collect, and the final doc join
     assert p.count("Exchange hashpartitioning") <= 6
+
+
+def test_interval_lookup_is_join_free(spark):
+    from graphragpart1datapipeline_spark.operators import interval_lookup_join
+    from graphragpart1datapipeline_spark.sources import read_table
+
+    tiers = spark.createDataFrame(
+        [("T0", 0.0, 100000.0), ("T1", 100000.0, 1e9)],
+        "tier string, lo double, hi double",
+    )
+    o = read_table(spark, SF, "orders")
+    p = _plan(interval_lookup_join(o, tiers, value_col="o_totalprice"))
+    # the dim resolved to an array literal: no join machinery at all
+    assert "Join" not in p and "Exchange" not in p
