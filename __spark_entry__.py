@@ -3207,6 +3207,94 @@ def q84(spark, sf_dir):
 
 
 @_register(
+    "q92_salted_join",
+    """
+    SELECT o.o_orderpriority, COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(25,6))) AS DOUBLE)
+             AS total_price
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q92(spark, sf_dir):
+    """Skew-salted join EQUIVALENCE row: the salted plan (left side
+    sharded over 8 salts, right side replicated per shard) must produce
+    exactly the rows of the plain join — the oracle IS the plain join.
+    This is the operator a 1000-executor job reaches for when one hot
+    key holds a double-digit share of the fact table and AQE's
+    skew-split can't apply (hash-partitioned downstream stage)."""
+    from graphragpart1datapipeline_spark.operators import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(li, o, on="l_orderkey", how="inner", salt=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("l_extendedprice").cast("decimal(25,6)"))
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
+@_register(
+    "q93_name_or_alias_join",
+    """
+    WITH r AS (
+      SELECT n_nationkey AS id, n_name AS name,
+             [lower(n_name), n_name || '_ALT'] AS aliases
+      FROM nation
+    ), l AS (
+      SELECT c_custkey AS id,
+             CASE WHEN c_custkey % 3 = 0 THEN (
+                    SELECT lower(n_name) FROM nation
+                    WHERE n_nationkey = c_nationkey)
+                  ELSE (
+                    SELECT n_name FROM nation
+                    WHERE n_nationkey = c_nationkey) END AS name
+      FROM customer
+    )
+    SELECT DISTINCT l.id AS src, r.id AS dst
+    FROM l JOIN r
+      ON (l.name = r.name OR list_contains(r.aliases, l.name))
+     AND l.id <> r.id   -- the operator's SIMILAR_TO self-pair guard
+    """,
+)
+def q93(spark, sf_dir):
+    """Name-or-alias resolution (J6, reference theta join
+    ingest_graph_db.py:236-243) as a hash-checked row: customers carry
+    a nation name in canonical or lowercased-alias form; the operator
+    resolves via two equi-joins (name, exploded aliases) + union —
+    never a BroadcastNestedLoopJoin — while the oracle runs the naive
+    OR-join. Same pair set, provably."""
+    from graphragpart1datapipeline_spark.operators import name_or_alias_join
+
+    n = _t(spark, sf_dir, "nation")
+    right = n.select(
+        F.col("n_nationkey").alias("id"),
+        F.col("n_name").alias("name"),
+        F.array(F.lower("n_name"), F.concat("n_name", F.lit("_ALT"))).alias(
+            "aliases"
+        ),
+    )
+    c = _t(spark, sf_dir, "customer").join(
+        n, F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    left = c.select(
+        F.col("c_custkey").alias("id"),
+        F.when(
+            F.col("c_custkey") % 3 == 0, F.lower("n_name")
+        ).otherwise(F.col("n_name")).alias("name"),
+    )
+    out = name_or_alias_join(
+        left, right, left_name_col="name", right_name_col="name",
+        right_alias_col="aliases",
+    )
+    return out.select("src", "dst")
+
+
+@_register(
     "q91_interval_lookup",
     """
     WITH tiers(tier, lo, hi) AS (
