@@ -3206,6 +3206,66 @@ def q84(spark, sf_dir):
     )
 
 
+def _lpa_oracle_sql(iters: int = 3) -> str:
+    """Unrolled replay of label_propagation_communities over the
+    customer→nation→region graph: per round, neighbor-label counts →
+    argmax with (count desc, label asc) tie-break."""
+    sql = """
+    WITH e0 AS (
+      SELECT 'c' || CAST(c_custkey AS VARCHAR) AS a,
+             'n' || CAST(c_nationkey AS VARCHAR) AS b
+      FROM customer
+      UNION
+      SELECT 'n' || CAST(n_nationkey AS VARCHAR),
+             'r' || CAST(n_regionkey AS VARCHAR)
+      FROM nation
+    ), e AS (
+      SELECT a, b FROM e0 UNION SELECT b, a FROM e0
+    ), l0 AS (
+      SELECT DISTINCT a AS id, a AS label FROM e
+    )"""
+    prev = "l0"
+    for i in range(iters):
+        sql += f""", c{i} AS (
+      SELECT e.a AS id, l.label, COUNT(*) AS c
+      FROM e JOIN {prev} l ON e.b = l.id
+      GROUP BY e.a, l.label
+    ), l{i + 1} AS (
+      SELECT id, label FROM (
+        SELECT id, label,
+               ROW_NUMBER() OVER (PARTITION BY id
+                                  ORDER BY c DESC, label) AS rn
+        FROM c{i}) WHERE rn = 1
+    )"""
+        prev = f"l{i + 1}"
+    return sql + f"\n    SELECT id, label FROM {prev}"
+
+
+@_register("q94_label_propagation", _lpa_oracle_sql(3))
+def q94(spark, sf_dir):
+    """FULLY-DISTRIBUTED community detection: synchronous label
+    propagation, 3 rounds, deterministic (count desc, label asc)
+    tie-break — the scale companion to driver-local Leiden (q39) for
+    graphs past max_driver_edges. No seed, no partitioning
+    sensitivity: the oracle replays all rounds and hash-matches every
+    node's label."""
+    from graphragpart1datapipeline_spark.graph.communities import (
+        label_propagation_communities,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    e1 = c.select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("n"), F.col("c_nationkey").cast("string")).alias("dst"),
+    )
+    e2 = n.select(
+        F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias("src"),
+        F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias("dst"),
+    )
+    return label_propagation_communities(e1.unionByName(e2), iters=3)
+
+
 @_register(
     "q92_salted_join",
     """

@@ -618,3 +618,64 @@ def community_size_stats(assignments: DataFrame, community_col: str) -> DataFram
         F.min("size").alias("smallest"),
         F.avg("size").alias("mean_size"),
     )
+
+
+def label_propagation_communities(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+) -> DataFrame:
+    """FULLY-DISTRIBUTED community detection: synchronous label
+    propagation with deterministic tie-breaks — the scale companion to
+    driver-local :func:`detect_communities` (which matches the
+    reference's Leiden contract but collects the edge list). Use this
+    when the graph exceeds ``max_driver_edges``.
+
+    Each round every node adopts the most frequent label among its
+    neighbors, ties to the LEXICOGRAPHICALLY SMALLEST label; updates
+    are synchronous (all nodes flip on the round boundary), so with a
+    fixed ``iters`` the result is a pure function of the edge set —
+    no seed, no partitioning sensitivity, replayable in SQL (q94
+    value-checks 3 unrolled rounds). Classic async LPA is famously
+    nondeterministic; the sync+tie-break variant trades some
+    convergence speed for bit-reproducibility, the same trade every
+    deterministic op in this engine makes.
+
+    Per round: one join (labels onto the symmetrized edge list — at
+    rest, bucket the edges by node and only the node-sized label frame
+    shuffles) + one map-side-combined groupBy argmax. localCheckpoint
+    per round cuts lineage exactly like connected_components.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+    )
+    for _ in range(iters):
+        neighbor = sym.join(
+            labels.select(F.col("id").alias("b"), "label"), "b"
+        )
+        counts = neighbor.groupBy(
+            F.col("a").alias("id"), "label"
+        ).agg(F.count(F.lit(1)).alias("c"))
+        labels = (
+            counts.groupBy("id")
+            .agg(
+                F.min(
+                    F.struct((-F.col("c")).alias("nc"), F.col("label"))
+                ).alias("best")
+            )
+            .select("id", F.col("best.label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return labels

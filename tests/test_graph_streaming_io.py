@@ -747,3 +747,25 @@ def test_csv_orc_roundtrip(spark, tmp_path):
     write_orc(df, orc_path, partition_by=["id"])
     back = read_orc(spark, orc_path).select("id", "s", "v")
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_label_propagation_communities(spark):
+    from graphragpart1datapipeline_spark.graph.communities import (
+        label_propagation_communities,
+    )
+
+    clique1 = [(f"a{i}", f"a{j}") for i in range(4) for j in range(i + 1, 4)]
+    clique2 = [(f"b{i}", f"b{j}") for i in range(4) for j in range(i + 1, 4)]
+    edges = spark.createDataFrame(
+        clique1 + clique2 + [("a0", "b0")], "src string, dst string"
+    )
+    out = {r["id"]: r["label"] for r in
+           label_propagation_communities(edges, iters=4).collect()}
+    # each clique converges to one label; the two cliques stay apart
+    assert len({out[f"a{i}"] for i in range(4)}) == 1
+    assert len({out[f"b{i}"] for i in range(4)}) == 1
+    assert out["a1"] != out["b1"]
+    # deterministic under re-run (no seed involved at all)
+    again = {r["id"]: r["label"] for r in
+             label_propagation_communities(edges, iters=4).collect()}
+    assert out == again
