@@ -3206,6 +3206,72 @@ def q84(spark, sf_dir):
     )
 
 
+@_register(
+    "q95_contrastive_triplets",
+    _minhash_cte()
+    + """
+    , ringsrc AS (
+      SELECT doc_id,
+             CAST(CAST('0x' || substring(md5('neg:' || CAST(doc_id AS VARCHAR)),
+                       1, 8) AS UBIGINT) % 256 AS BIGINT) AS shard,
+             md5('neg:' || CAST(doc_id AS VARCHAR)) AS key
+      FROM documents
+    ), ring AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY shard, key, doc_id) - 1 AS gpos
+      FROM ringsrc
+    ), trip0 AS (
+      SELECT v.a AS anchor, v.b AS positive, t.j,
+             (r.gpos + t.j) % (SELECT COUNT(*) FROM ring) AS target
+      FROM verified v JOIN ring r ON r.doc_id = v.a,
+           LATERAL (SELECT unnest(range(1, 4)) AS j) t
+    ), trip AS (
+      SELECT t0.anchor, t0.positive, rn.doc_id AS negative, t0.j
+      FROM trip0 t0 JOIN ring rn ON rn.gpos = t0.target
+      WHERE rn.doc_id <> t0.anchor
+    )
+    SELECT anchor, positive, negative, j FROM trip
+    WHERE NOT EXISTS (
+      SELECT 1 FROM verified v2
+      WHERE (v2.a = trip.anchor AND v2.b = trip.negative)
+         OR (v2.b = trip.anchor AND v2.a = trip.negative))
+    """,
+)
+def q95(spark, sf_dir):
+    """Contrastive training triplets, fully deterministic: positives =
+    verified MinHash near-dup pairs; negatives = ring sampling (each
+    anchor takes the next 3 corpus rows in deterministic pseudorandom
+    ring order — no rand(), no global sort, shard-local windows only),
+    anti-joined against the positive set so a near-duplicate can never
+    leak in as a negative. Every triplet hash-matched by the oracle's
+    full replay."""
+    from graphragpart1datapipeline_spark.operators import (
+        negative_ring_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "text", "doc_id", num_hashes=8, shingle_n=3)
+    pairs = lsh_candidate_pairs(sigs, "doc_id", bands=4)
+    verified = (
+        ngram_jaccard_on_pairs(pairs, docs, "text", "doc_id", n=3)
+        .filter(F.col("jaccard") >= 0.7)
+        .select("a", "b")
+    )
+    negs = negative_ring_sample(
+        docs, "doc_id", k=3, seed="neg", n_shards=256
+    ).withColumnRenamed("doc_id", "anchor")
+    pos = verified.select(
+        F.col("a").alias("anchor"), F.col("b").alias("positive")
+    )
+    trip = pos.join(negs, "anchor")
+    sym = verified.unionByName(
+        verified.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).select(F.col("a").alias("anchor"), F.col("b").alias("negative"))
+    return trip.join(sym, ["anchor", "negative"], "left_anti").select(
+        "anchor", "positive", "negative", "j"
+    )
+
+
 def _lpa_oracle_sql(iters: int = 3) -> str:
     """Unrolled replay of label_propagation_communities over the
     customer→nation→region graph: per round, neighbor-label counts →

@@ -1,6 +1,7 @@
 from .relational import (  # noqa: F401
     equi_width_histogram,
     global_shuffle_shards,
+    negative_ring_sample,
     hash_split,
     rebalance_to_weights,
     pack_sequences,

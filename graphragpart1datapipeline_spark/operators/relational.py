@@ -563,3 +563,71 @@ def equi_width_histogram(
             F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
         )
     )
+
+def negative_ring_sample(
+    df: DataFrame,
+    id_col: str,
+    k: int = 3,
+    seed: str | int = "neg",
+    n_shards: int = 256,
+    neg_col: str = "negative",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: every
+    row gets ``k`` pseudorandom partners — (anchor, negative, j) rows —
+    drawn WITHOUT replacement, without rand(), and without a global
+    sort.
+
+    Construction: the corpus is laid on a ring in deterministic
+    pseudorandom order (global_shuffle_shards addresses + per-shard
+    offsets collected driver-side — ``n_shards`` integers, not data);
+    anchor at ring position p takes the rows at positions
+    (p+1 .. p+k) mod N. Hash order makes the partners unrelated to any
+    corpus locality; determinism makes the training set reproducible
+    and incrementally auditable. Filter the output against a
+    known-positive pair table (anti-join) to enforce "negative".
+
+    Cost: one hash-partition window, one broadcast of shard offsets,
+    one self-join on ring position (k·N vs N rows) — no global
+    ordering anywhere.
+    """
+    addressed = global_shuffle_shards(
+        df.select(id_col), id_col, n_shards, seed=seed
+    )
+    sizes = {
+        r["shard"]: r["n"]
+        for r in addressed.groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    total = sum(sizes.values())
+    if total <= k:
+        raise ValueError(f"need more than k={k} rows, got {total}")
+    offsets = []
+    acc = 0
+    for s in sorted(sizes):
+        offsets.append((s, acc))
+        acc += sizes[s]
+    spark = df.sparkSession
+    off_df = F.broadcast(
+        spark.createDataFrame(offsets, "shard long, __off long")
+    )
+    ring = addressed.join(off_df, "shard").select(
+        F.col(id_col), (F.col("__off") + F.col("pos")).alias("__gpos")
+    )
+    anchors = ring.select(
+        F.col(id_col).alias("__anchor"), "__gpos"
+    ).withColumn("j", F.explode(F.sequence(F.lit(1), F.lit(k))))
+    probes = anchors.withColumn(
+        "__target", (F.col("__gpos") + F.col("j")) % total
+    )
+    return (
+        probes.join(
+            ring.select(
+                F.col(id_col).alias(neg_col),
+                F.col("__gpos").alias("__target"),
+            ),
+            "__target",
+        )
+        .filter(F.col("__anchor") != F.col(neg_col))
+        .select(F.col("__anchor").alias(id_col), neg_col, "j")
+    )

@@ -580,3 +580,38 @@ def test_interval_lookup_join(spark):
     assert out[5] == (None, None)    # below all intervals
     with pytest.raises(ValueError):
         interval_lookup_join(facts, dim, value_col="v", max_dim_rows=2)
+
+
+def test_negative_ring_sample(spark):
+    import pytest
+
+    from graphragpart1datapipeline_spark.operators import negative_ring_sample
+
+    docs = spark.range(50).selectExpr("id AS doc_id")
+    out = negative_ring_sample(docs, "doc_id", k=3, n_shards=8).collect()
+    by_anchor = {}
+    for r in out:
+        by_anchor.setdefault(r["doc_id"], []).append((r["j"], r["negative"]))
+    assert set(by_anchor) == set(range(50))       # every row is an anchor
+    for a, negs in by_anchor.items():
+        assert len(negs) == 3
+        vals = [n for _, n in negs]
+        assert a not in vals                      # never self
+        assert len(set(vals)) == 3                # without replacement
+    # deterministic
+    again = sorted(
+        (r["doc_id"], r["j"], r["negative"])
+        for r in negative_ring_sample(docs, "doc_id", k=3, n_shards=8).collect()
+    )
+    assert again == sorted((r["doc_id"], r["j"], r["negative"]) for r in out)
+    # different seed -> different partners (overwhelmingly)
+    other = {
+        (r["doc_id"], r["j"]): r["negative"]
+        for r in negative_ring_sample(
+            docs, "doc_id", k=3, seed="other", n_shards=8
+        ).collect()
+    }
+    base = {(r["doc_id"], r["j"]): r["negative"] for r in out}
+    assert sum(other[k] != base[k] for k in base) > len(base) // 2
+    with pytest.raises(ValueError):
+        negative_ring_sample(spark.range(2).selectExpr("id AS doc_id"), "doc_id", k=3)
