@@ -57,6 +57,8 @@ HEADLINE = [
     "q85_repeated_passages",
     "q86_sampled_percentiles",
     "q87_leakage_safe_split",
+    "q88_bpe_train",
+    "q94_label_propagation",
 ]
 
 # Repetitions per query; report the min. The ambient swing on a shared

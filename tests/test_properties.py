@@ -288,3 +288,93 @@ def test_pack_sequences_invariants(spark, data, capacity, n_streams):
         df, "doc_id", "tokens", capacity=capacity, n_streams=n_streams
     ).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+# ---- repeated-passage removal vs driver-side replay ----------------------
+
+passage_docs = st.lists(
+    st.lists(st.sampled_from(list("abcde")), min_size=0, max_size=24),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(docs=passage_docs, window=st.integers(2, 5))
+@SETTINGS
+def test_remove_repeated_passages_matches_replay(spark, docs, window):
+    from graphragpart1datapipeline_spark.dedup import remove_repeated_passages
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["n_tokens_removed"])
+        for r in remove_repeated_passages(
+            df, window=window, min_occurrences=2
+        ).collect()
+    }
+    # driver replay: hash every window, count occurrences, mask covered
+    from collections import Counter
+
+    wins = Counter()
+    per_doc = {}
+    for i, _ in rows:
+        toks = docs[i] if docs[i] != [] else [""]
+        starts = range(0, max(len(toks) - window + 1, 0))
+        per_doc[i] = [(s, tuple(toks[s : s + window])) for s in starts]
+        wins.update(h for _, h in per_doc[i])
+    for i, _ in rows:
+        toks = docs[i] if docs[i] != [] else [""]
+        covered = set()
+        for s, h in per_doc[i]:
+            if wins[h] >= 2:
+                covered.update(range(s, s + window))
+        kept = [t for p, t in enumerate(toks) if p not in covered]
+        assert got[i] == (" ".join(kept), len(covered))
+
+
+# ---- fixed-stride chunks vs driver-side replay ---------------------------
+
+chunk_docs = st.lists(
+    st.integers(0, 40), min_size=1, max_size=6
+)  # token counts per doc
+
+
+@given(
+    lens=chunk_docs,
+    chunk=st.integers(2, 10),
+    overlap=st.integers(0, 5),
+)
+@SETTINGS
+def test_fixed_stride_chunks_matches_replay(spark, lens, chunk, overlap):
+    from hypothesis import assume
+
+    from graphragpart1datapipeline_spark.text import fixed_stride_chunks
+
+    assume(overlap < chunk)
+    stride = chunk - overlap
+    rows = [
+        (i, " ".join(f"w{i}_{j}" for j in range(n)) if n else "")
+        for i, n in enumerate(lens)
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = fixed_stride_chunks(
+        df, id_col="doc_id", text_col="text",
+        chunk_tokens=chunk, overlap_tokens=overlap,
+    ).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, n in enumerate(lens):
+        toks = [f"w{i}_{j}" for j in range(n)] if n else [""]
+        total = (
+            1
+            if len(toks) <= chunk
+            else (len(toks) - chunk + stride - 1) // stride + 1
+        )
+        got = sorted(by_doc[i], key=lambda r: r["chunk_index"])
+        assert len(got) == total
+        for j, r in enumerate(got):
+            want = toks[j * stride : j * stride + chunk]
+            assert r["chunk"].split(" ") == want
+            assert r["n_tokens"] == len(want)
+            assert r["total_chunks"] == total
