@@ -3207,6 +3207,52 @@ def q84(spark, sf_dir):
 
 
 @_register(
+    "q96_quality_quota",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS n_tok,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) AS n_punct,
+             CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                    x -> list_contains([{{EN}}], lower(x)))) AS DOUBLE) AS sw
+      FROM documents
+    ), q AS (
+      SELECT doc_id, source,
+             floor((0.4 * least(n_tok / 100.0, 1.0)
+                 + 0.3 * (1.0 - CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 1.0 END)
+                 + 0.3 * least((CASE WHEN n_tok > 0 THEN sw / n_tok ELSE 0.0 END) / 0.1, 1.0)) * 10000.0 + 0.5) / 10000.0 AS quality
+      FROM t
+    )
+    SELECT source, doc_id, quality, rank FROM (
+      SELECT q.*, ROW_NUMBER() OVER (
+        PARTITION BY source ORDER BY quality DESC, doc_id) AS rank
+      FROM q) WHERE rank <= 5
+    """.replace("{EN}", _EN_WORDS_SQL),
+)
+def q96(spark, sf_dir):
+    """Per-source quality quota — the curation selection step: keep the
+    5 highest-quality documents per source (quality desc, doc_id
+    tiebreak). Ranking runs on the ROUNDED score so ordering is
+    engine-unambiguous; one shuffle (shard-local window), no global
+    sort."""
+    from graphragpart1datapipeline_spark.operators import top_n_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source", "doc_id",
+        _round_det(quality_score("text"), 4).alias("quality"),
+    )
+    return top_n_per_group(
+        scored,
+        keys=["source"],
+        order_by=[F.col("quality").desc(), F.col("doc_id")],
+        n=5,
+        rank_col="rank",
+    ).select("source", "doc_id", "quality", F.col("rank").cast("long"))
+
+
+@_register(
     "q95_contrastive_triplets",
     _minhash_cte()
     + """

@@ -302,3 +302,15 @@ def test_interval_lookup_is_join_free(spark):
     p = _plan(interval_lookup_join(o, tiers, value_col="o_totalprice"))
     # the dim resolved to an array literal: no join machinery at all
     assert "Join" not in p and "Exchange" not in p
+
+
+def test_negative_ring_sample_no_global_sort(spark):
+    from graphragpart1datapipeline_spark.operators import negative_ring_sample
+    from graphragpart1datapipeline_spark.sources import read_table
+
+    docs = read_table(spark, SF, "documents")
+    p = _plan(negative_ring_sample(docs, "doc_id", k=3, n_shards=64))
+    # ring order comes from shard-local windows + offsets, never a
+    # single-partition global sort
+    assert "SinglePartition" not in p
+    assert "CartesianProduct" not in p
