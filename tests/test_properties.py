@@ -378,3 +378,52 @@ def test_fixed_stride_chunks_matches_replay(spark, lens, chunk, overlap):
             assert r["chunk"].split(" ") == want
             assert r["n_tokens"] == len(want)
             assert r["total_chunks"] == total
+
+
+# ---- BPE training vs driver-side replay ----------------------------------
+
+bpe_corpora = st.lists(
+    st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=6),
+        min_size=1,
+        max_size=8,
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(docs=bpe_corpora, merges=st.integers(1, 4))
+@SETTINGS
+def test_bpe_train_matches_replay(spark, docs, merges):
+    from collections import Counter
+
+    from graphragpart1datapipeline_spark.text import bpe_train
+
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = [
+        (r["rank"], r["pair"], r["merged"], r["freq"])
+        for r in bpe_train(df, num_merges=merges).orderBy("rank").collect()
+    ]
+    # replay: word counts once, then per round pair counts over the
+    # space-joined symbol strings and the same greedy-left replace
+    wc = Counter(w for words in docs for w in words)
+    syms = {w: " " + " ".join(w) + " " for w in wc}
+    want = []
+    for rank in range(1, merges + 1):
+        pc = Counter()
+        for w, s in syms.items():
+            toks = s.split()
+            for a, b in zip(toks, toks[1:]):
+                pc[f"{a} {b}"] += wc[w]
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        pair, freq = best
+        merged = pair.replace(" ", "")
+        want.append((rank, pair, merged, freq))
+        syms = {
+            w: s.replace(f" {pair} ", f" {merged} ") for w, s in syms.items()
+        }
+    assert got == want
