@@ -83,7 +83,13 @@ def ops(spark, base: str, extra_bits: int = 0):
     )
     from graphragpart1datapipeline_spark.operators import kmv_distinct
     from graphragpart1datapipeline_spark.graph import pagerank
-    from graphragpart1datapipeline_spark.operators import global_shuffle_shards
+    from graphragpart1datapipeline_spark.graph.communities import (
+        label_propagation_communities,
+    )
+    from graphragpart1datapipeline_spark.operators import (
+        global_shuffle_shards,
+        negative_ring_sample,
+    )
     from graphragpart1datapipeline_spark.text.analysis import tfidf_top_terms
     from graphragpart1datapipeline_spark.vector.search import knn_join_blocked
 
@@ -142,6 +148,25 @@ def ops(spark, base: str, extra_bits: int = 0):
             docs().select("doc_id"), "doc_id", n_shards=64
         ),
         "pagerank": _pagerank,
+        "label_propagation": lambda: label_propagation_communities(
+            docs()
+            .select("doc_id")
+            .crossJoin(spark.range(4).withColumnRenamed("id", "__r"))
+            .select(
+                F.col("doc_id").cast("string").alias("src"),
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat("doc_id", F.lit(":"), "__r")), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("string").alias("dst"),
+            ),
+            iters=3,
+        ),
+        "negative_ring_sample": lambda: negative_ring_sample(
+            docs(), "doc_id", k=3, n_shards=256
+        ),
     }
 
 
