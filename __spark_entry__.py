@@ -3207,6 +3207,42 @@ def q84(spark, sf_dir):
 
 
 @_register(
+    "q97_funnel",
+    """
+    WITH s0 AS (
+      SELECT user_id, MIN(ts) AS t FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), s1 AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN s0 ON e.user_id = s0.user_id AND e.ts > s0.t
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT 1 AS stage, 'signup' AS event_type, COUNT(*) AS n_users FROM s0
+    UNION ALL SELECT 2, 'click', COUNT(*) FROM s1
+    UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s2
+    """,
+)
+def q97(spark, sf_dir):
+    """Ordered funnel (signup → click → purchase): users completing
+    each prefix in temporal order via earliest-completion min-chaining
+    — k aggs + k−1 user-key joins on ONE reused partitioning, never a
+    per-user sort or full-log window. The greedy earliest choice is
+    lossless: taking the first valid event per stage never eliminates
+    a later completion."""
+    from graphragpart1datapipeline_spark.operators import funnel_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_counts(
+        ev, stages=["signup", "click", "purchase"],
+        user_col="user_id", ts_col="ts", type_col="event_type",
+    )
+
+
+@_register(
     "q96_quality_quota",
     f"""
     WITH t AS (

@@ -1,5 +1,6 @@
 from .relational import (  # noqa: F401
     equi_width_histogram,
+    funnel_counts,
     global_shuffle_shards,
     negative_ring_sample,
     hash_split,

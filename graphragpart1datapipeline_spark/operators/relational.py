@@ -631,3 +631,52 @@ def negative_ring_sample(
         .filter(F.col("__anchor") != F.col(neg_col))
         .select(F.col("__anchor").alias(id_col), neg_col, "j")
     )
+
+def funnel_counts(
+    df: DataFrame,
+    stages: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel analysis: how many users completed stage k —
+    meaning they performed stages[0..k] in TEMPORAL ORDER (each stage
+    strictly after the previous one's earliest completion). Returns
+    (stage 1-based, event_type, n_users), monotone non-increasing.
+
+    Plan: stage 0 is one filtered groupBy(min ts); each later stage is
+    one join (user-hash, co-partitioned with the previous stage's
+    frame — the same key every round, so at scale the exchanges reuse
+    one partitioning) + filtered min. k-stage funnel = k map-side-
+    combined aggs + k−1 user-key joins; never a per-user sort or a
+    window over the whole event log. Earliest-completion semantics
+    (min-chaining) is the standard greedy funnel: if the user CAN
+    complete the sequence, min-chaining finds it, because taking the
+    earliest valid event at each stage never eliminates a later
+    completion."""
+    if not stages:
+        raise ValueError("stages must be non-empty")
+    cur = (
+        df.filter(F.col(type_col) == stages[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("__t"))
+    )
+    out_rows = [cur]
+    for st in stages[1:]:
+        cur = (
+            df.filter(F.col(type_col) == st)
+            .join(cur.select(user_col, "__t"), user_col)
+            .filter(F.col(ts_col) > F.col("__t"))
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias("__t"))
+        )
+        out_rows.append(cur)
+    counts = None
+    for i, (frame, name) in enumerate(zip(out_rows, stages), start=1):
+        c = frame.agg(
+            F.lit(i).alias("stage"),
+            F.lit(name).alias(type_col),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+        counts = c if counts is None else counts.unionByName(c)
+    return counts

@@ -615,3 +615,30 @@ def test_negative_ring_sample(spark):
     assert sum(other[k] != base[k] for k in base) > len(base) // 2
     with pytest.raises(ValueError):
         negative_ring_sample(spark.range(2).selectExpr("id AS doc_id"), "doc_id", k=3)
+
+
+def test_funnel_counts(spark):
+    from graphragpart1datapipeline_spark.operators import funnel_counts
+
+    rows = [
+        # u1 completes all three in order
+        (1, 1, "signup"), (1, 2, "click"), (1, 3, "purchase"),
+        # u2 clicks BEFORE signing up -> stops at stage 1
+        (2, 5, "click"), (2, 6, "signup"),
+        # u3 signup+click, purchase before click -> stops at stage 2
+        (3, 1, "signup"), (3, 3, "click"), (3, 2, "purchase"),
+        # u4 never signs up -> not even stage 1
+        (4, 1, "click"), (4, 2, "purchase"),
+        # u5: same-ts click as signup is NOT after it (strict >)
+        (5, 1, "signup"), (5, 1, "click"),
+    ]
+    ev = spark.createDataFrame(
+        [(u, float(t), ty) for u, t, ty in rows],
+        "user_id long, ts double, event_type string",
+    )
+    out = {r["stage"]: (r["event_type"], r["n_users"]) for r in funnel_counts(
+        ev, ["signup", "click", "purchase"]
+    ).collect()}
+    assert out[1] == ("signup", 4)   # u1 u2 u3 u5
+    assert out[2] == ("click", 2)    # u1, u3
+    assert out[3] == ("purchase", 1) # u1
