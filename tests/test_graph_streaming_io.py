@@ -769,3 +769,59 @@ def test_label_propagation_communities(spark):
     again = {r["id"]: r["label"] for r in
              label_propagation_communities(edges, iters=4).collect()}
     assert out == again
+
+
+def test_read_events_stream_nanos_and_ntz(spark, tmp_path):
+    """The driver has shipped the events table both as TIMESTAMP(NANOS)
+    and as TIMESTAMP_NTZ across rounds; read_events_stream must yield a
+    watermarkable TIMESTAMP ts either way."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from graphragpart1datapipeline_spark.sources import read_events_stream
+
+    base = {
+        "event_id": [1, 2],
+        "user_id": [1, 2],
+        "event_type": ["a", "b"],
+        "value": [1.0, 2.0],
+        "props": ["{}", "{}"],
+    }
+    micros = [1704067200_000_000, 1704070800_123_456]  # 2024-01-01 +1h
+    for name, ts_type, vals in (
+        ("nanos", pa.timestamp("ns"), [m * 1000 for m in micros]),
+        ("ntz", pa.timestamp("us"), micros),
+    ):
+        d = str(tmp_path / name)
+        import os
+
+        os.makedirs(d, exist_ok=True)
+        table = pa.table(
+            {
+                "event_id": pa.array(base["event_id"], pa.int64()),
+                "ts": pa.array(vals, ts_type),
+                "user_id": pa.array(base["user_id"], pa.int64()),
+                "event_type": pa.array(base["event_type"]),
+                "value": pa.array(base["value"], pa.float64()),
+                "props": pa.array(base["props"]),
+            }
+        )
+        pq.write_table(table, f"{d}/events.parquet", store_schema=False)
+        sdf = read_events_stream(spark, d)
+        assert dict(sdf.dtypes)["ts"] == "timestamp"
+        q = (
+            sdf.withWatermark("ts", "1 minute")
+            .groupBy("event_type")
+            .count()
+            .writeStream.format("memory")
+            .queryName(f"nanotest_{name}")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            r["event_type"]: r["count"]
+            for r in spark.table(f"nanotest_{name}").collect()
+        }
+        assert got == {"a": 1, "b": 1}
