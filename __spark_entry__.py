@@ -3207,6 +3207,83 @@ def q84(spark, sf_dir):
 
 
 @_register(
+    "q98_scd2_merge",
+    """
+    WITH cur AS (
+      SELECT c_custkey, c_acctbal, c_mktsegment,
+             CAST(0 AS BIGINT) AS valid_from,
+             CAST(NULL AS BIGINT) AS valid_to
+      FROM customer
+    ), upd AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 1000.0
+                  ELSE c_acctbal END AS c_acctbal,
+             c_mktsegment, CAST(10 AS BIGINT) AS version
+      FROM customer WHERE c_custkey % 5 = 0 OR c_custkey % 7 = 0
+      UNION ALL
+      SELECT c_custkey + 1000000, 1.0, 'NEW', 10
+      FROM customer WHERE c_custkey <= 5
+    ), changed AS (
+      SELECT u.* FROM upd u JOIN cur
+        ON cur.c_custkey = u.c_custkey
+      WHERE NOT (cur.c_acctbal = u.c_acctbal
+                 AND cur.c_mktsegment = u.c_mktsegment)
+    ), fresh AS (
+      SELECT u.* FROM upd u LEFT JOIN cur ON cur.c_custkey = u.c_custkey
+      WHERE cur.c_custkey IS NULL
+    )
+    SELECT cur.c_custkey, cur.c_acctbal, cur.c_mktsegment, cur.valid_from,
+           CASE WHEN changed.c_custkey IS NULL THEN NULL
+                ELSE changed.version END AS valid_to
+    FROM cur LEFT JOIN changed ON changed.c_custkey = cur.c_custkey
+    UNION ALL
+    SELECT c_custkey, c_acctbal, c_mktsegment, version, NULL
+    FROM changed
+    UNION ALL
+    SELECT c_custkey, c_acctbal, c_mktsegment, version, NULL FROM fresh
+    """,
+)
+def q98(spark, sf_dir):
+    """SCD2 versioned merge: customer dimension history with validity
+    intervals. Updates tweak acctbal for custkey%5 (real change), replay
+    identical rows for custkey%7 (idempotent no-op — closes nothing),
+    and add brand-new keys. Two key-hash joins + a union, no windows;
+    the oracle rebuilds the merged table row for row."""
+    from graphragpart1datapipeline_spark.operators import apply_scd2
+
+    c = _t(spark, sf_dir, "customer")
+    current = c.select(
+        "c_custkey", "c_acctbal", "c_mktsegment",
+        F.lit(0).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+    )
+    updates = (
+        c.filter((F.col("c_custkey") % 5 == 0) | (F.col("c_custkey") % 7 == 0))
+        .select(
+            "c_custkey",
+            F.when(
+                F.col("c_custkey") % 5 == 0, F.col("c_acctbal") + 1000.0
+            ).otherwise(F.col("c_acctbal")).alias("c_acctbal"),
+            "c_mktsegment",
+            F.lit(10).cast("long").alias("version"),
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") <= 5).select(
+                (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+                F.lit(1.0).alias("c_acctbal"),
+                F.lit("NEW").alias("c_mktsegment"),
+                F.lit(10).cast("long").alias("version"),
+            )
+        )
+    )
+    return apply_scd2(
+        current, updates,
+        key_cols=["c_custkey"],
+        compare_cols=["c_acctbal", "c_mktsegment"],
+    )
+
+
+@_register(
     "q97_funnel",
     """
     WITH s0 AS (

@@ -1,4 +1,5 @@
 from .relational import (  # noqa: F401
+    apply_scd2,
     equi_width_histogram,
     funnel_counts,
     global_shuffle_shards,

@@ -680,3 +680,68 @@ def funnel_counts(
         )
         counts = c if counts is None else counts.unionByName(c)
     return counts
+
+def apply_scd2(
+    current: DataFrame,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str],
+    version_col: str = "version",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 merge: corpus/dimension history
+    with validity intervals. ``current`` carries (keys, attrs,
+    valid_from, valid_to — NULL means open); ``updates`` carries
+    (keys, attrs, version). For each update whose attrs differ from the
+    key's open row (null-safe compare) — or whose key is new — the open
+    row closes (valid_to = version) and a new open row begins
+    (valid_from = version). Identical updates are no-ops, so re-applying
+    a batch is idempotent. History rows pass through untouched.
+
+    This is the audit-grade alternative to overwrite-in-place for
+    metadata that curation decisions depend on (source quality tiers,
+    licence status, domain labels): every past training run can be
+    reproduced against the table AS OF its cut. One update batch =
+    two key-hash joins + a union — no windows, no global ordering;
+    both sides bucketed by key at rest make the joins exchange-free.
+    """
+    keys = list(key_cols)
+    cmp_cols = list(compare_cols)
+    open_rows = current.filter(F.col(valid_to).isNull())
+    history = current.filter(F.col(valid_to).isNotNull())
+    u = updates.select(
+        *[F.col(k).alias(f"__uk_{k}") for k in keys],
+        *[F.col(c).alias(f"__u_{c}") for c in cmp_cols],
+        F.col(version_col).alias("__uv"),
+    )
+    cond = None
+    for k in keys:
+        c = F.col(k) == F.col(f"__uk_{k}")
+        cond = c if cond is None else cond & c
+    joined = open_rows.join(u, cond, "full_outer")
+    in_cur = F.col(keys[0]).isNotNull()
+    in_upd = F.col(f"__uk_{keys[0]}").isNotNull()
+    same = F.lit(True)
+    for c in cmp_cols:
+        same = same & F.col(c).eqNullSafe(F.col(f"__u_{c}"))
+    changed = in_cur & in_upd & ~same
+    # untouched opens: no update, or identical update
+    untouched = joined.filter(in_cur & (~in_upd | same)).select(
+        open_rows.columns
+    )
+    closing = joined.filter(changed).select(
+        *[F.col(c) for c in open_rows.columns if c != valid_to],
+        F.col("__uv").alias(valid_to),
+    ).select(open_rows.columns)
+    opening = joined.filter(changed | (~in_cur & in_upd)).select(
+        *[F.col(f"__uk_{k}").alias(k) for k in keys],
+        *[F.col(f"__u_{c}").alias(c) for c in cmp_cols],
+        F.col("__uv").alias(valid_from),
+        F.lit(None).cast(
+            dict(open_rows.dtypes)[valid_to]
+        ).alias(valid_to),
+    ).select(open_rows.columns)
+    return history.unionByName(untouched).unionByName(closing).unionByName(
+        opening
+    )

@@ -642,3 +642,37 @@ def test_funnel_counts(spark):
     assert out[1] == ("signup", 4)   # u1 u2 u3 u5
     assert out[2] == ("click", 2)    # u1, u3
     assert out[3] == ("purchase", 1) # u1
+
+
+def test_apply_scd2(spark):
+    from graphragpart1datapipeline_spark.operators import apply_scd2
+
+    cur = spark.createDataFrame(
+        [(1, "a", 0, None), (2, None, 0, None), (3, "c", 0, 5), (3, "c2", 5, None)],
+        "k int, attr string, valid_from long, valid_to long",
+    )
+    upd = spark.createDataFrame(
+        [(1, "a2", 10), (2, None, 10), (4, "new", 10)],
+        "k int, attr string, version long",
+    )
+    out = apply_scd2(cur, upd, key_cols=["k"], compare_cols=["attr"])
+    rows = sorted(map(tuple, out.collect()))
+    assert rows == sorted([
+        (1, "a", 0, 10),      # changed: old row closed
+        (1, "a2", 10, None),  # changed: new open row
+        (2, None, 0, None),   # identical (null-safe) update -> untouched
+        (3, "c", 0, 5),       # history passes through
+        (3, "c2", 5, None),   # open row without update -> untouched
+        (4, "new", 10, None), # brand-new key
+    ])
+    # idempotent: re-applying the same batch changes nothing
+    again = apply_scd2(out, upd, key_cols=["k"], compare_cols=["attr"])
+    assert sorted(map(tuple, again.collect())) == rows
+    # a later batch closes the 10-version row
+    upd2 = spark.createDataFrame([(1, "a3", 20)], "k int, attr string, version long")
+    final = apply_scd2(again, upd2, key_cols=["k"], compare_cols=["attr"])
+    hist1 = sorted(
+        (r["valid_from"], r["valid_to"], r["attr"])
+        for r in final.filter("k = 1").collect()
+    )
+    assert hist1 == [(0, 10, "a"), (10, 20, "a2"), (20, None, "a3")]
