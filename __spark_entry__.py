@@ -3207,6 +3207,55 @@ def q84(spark, sf_dir):
 
 
 @_register(
+    "q99_asof_forward",
+    """
+    WITH l AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+    ), r AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+    ), u AS (
+      SELECT user_id, ts, 1 AS side, ts AS r_ts, event_id AS r_id,
+             CAST(NULL AS BIGINT) AS l_id
+      FROM r
+      UNION ALL
+      SELECT user_id, ts, 0 AS side, CAST(NULL AS TIMESTAMP), CAST(NULL AS BIGINT),
+             event_id
+      FROM l
+    ), w AS (
+      SELECT user_id, ts, side, l_id,
+             first_value(r_ts IGNORE NULLS) OVER win AS asof_ts,
+             first_value(r_id IGNORE NULLS) OVER win AS asof_event_id
+      FROM u
+      WINDOW win AS (PARTITION BY user_id
+                     ORDER BY ts, side, r_ts DESC, r_id DESC
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT l_id AS event_id, user_id, ts, asof_ts, asof_event_id
+    FROM w WHERE side = 0
+    """,
+)
+def q99(spark, sf_dir):
+    """FORWARD as-of join (q57's mirror): for each click, the earliest
+    purchase at-or-after it per user — same union-tag + ONE window pass,
+    frame flipped to CURRENT ROW..FOLLOWING with first_value. Both
+    as-of directions now carry full oracles."""
+    from graphragpart1datapipeline_spark.operators import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    out = asof_join(
+        clicks, purchases, on="user_id", right_select=["event_id"],
+        direction="forward",
+    )
+    return out.select("event_id", "user_id", "ts", "asof_ts", "asof_event_id")
+
+
+@_register(
     "q98_scd2_merge",
     """
     WITH cur AS (
