@@ -3961,3 +3961,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return dict(_ORACLES)
+
+
+# Why the (few) oracle-less queries are rows-only — every one has an
+# oracle-checked exact twin covering the same operator surface.
+ROWS_ONLY_RATIONALE: dict[str, str] = {
+    "q33_chunking": (
+        "Model-coupled recursive splitter (mapInPandas 1→N); no SQL "
+        "equivalent. Determinism pinned by unit goldens + a property "
+        "test replaying the splitter; exact JVM twin q89_chunking_jvm "
+        "carries a full DuckDB oracle."
+    ),
+    "q39_communities": (
+        "Seeded iterative Leiden (driver-local stage, reference "
+        "contract utils/neo4j_helpers.py:237-268); no SQL equivalent. "
+        "Determinism + refinement invariants unit-locked; distributed "
+        "LPA twin q94 and distributed Louvain q101 are oracle/"
+        "invariant-checked."
+    ),
+    "q52_sketch_stats": (
+        "HyperLogLog++/GK sketch internals are engine-specific, so no "
+        "cross-engine value oracle can exist. Exact twins q11 "
+        "(countDistinct) and q51 (exact percentiles) carry oracles; "
+        "q84 provides the bit-reproducible KMV sketch WITH an oracle."
+    ),
+}
+
+
+def manifest() -> dict:
+    """Machine-readable query inventory: every registered query, whether
+    it carries a DuckDB oracle, and the documented rationale when it is
+    rows-only by design. Serialized to QUERIES.json at the repo root
+    (regenerate with ``python make_queries_manifest.py``; a unit test
+    fails if the file goes stale)."""
+    names = sorted(_QUERIES)
+    return {
+        "total_queries": len(names),
+        "with_oracle": sum(1 for n in names if n in _ORACLES),
+        "rows_only": [n for n in names if n not in _ORACLES],
+        "queries": {
+            n: {
+                "has_oracle": n in _ORACLES,
+                **(
+                    {"rows_only_rationale": ROWS_ONLY_RATIONALE[n]}
+                    if n in ROWS_ONLY_RATIONALE
+                    else {}
+                ),
+            }
+            for n in names
+        },
+    }

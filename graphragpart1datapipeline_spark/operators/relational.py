@@ -660,6 +660,12 @@ def funnel_counts(
         df.filter(F.col(type_col) == stages[0])
         .groupBy(user_col)
         .agg(F.min(ts_col).alias("__t"))
+        # Each stage frame is localCheckpoint'ed so stage k builds on the
+        # MATERIALIZED stage k-1 (and the final per-stage counts read the
+        # checkpoints), not on a re-execution of the whole join chain —
+        # a k-stage funnel costs O(k) passes over the event log, not
+        # O(k^2). Same pattern as label_propagation_communities.
+        .localCheckpoint(eager=True)
     )
     out_rows = [cur]
     for st in stages[1:]:
@@ -669,6 +675,7 @@ def funnel_counts(
             .filter(F.col(ts_col) > F.col("__t"))
             .groupBy(user_col)
             .agg(F.min(ts_col).alias("__t"))
+            .localCheckpoint(eager=True)
         )
         out_rows.append(cur)
     counts = None
@@ -689,6 +696,7 @@ def apply_scd2(
     version_col: str = "version",
     valid_from: str = "valid_from",
     valid_to: str = "valid_to",
+    on_duplicate: str = "latest",
 ) -> DataFrame:
     """Slowly-changing-dimension type-2 merge: corpus/dimension history
     with validity intervals. ``current`` carries (keys, attrs,
@@ -705,9 +713,44 @@ def apply_scd2(
     reproduced against the table AS OF its cut. One update batch =
     two key-hash joins + a union — no windows, no global ordering;
     both sides bucketed by key at rest make the joins exchange-free.
+
+    PRECONDITION: ``updates`` must carry at most ONE row per key — the
+    full_outer join fans out otherwise, closing the same open row
+    multiple times and opening several rows per key, which breaks the
+    one-open-row invariant everything above rests on. ``on_duplicate``
+    enforces it: ``"latest"`` (default) dedupes to the max-version row
+    per key (deterministic tiebreak on the compare columns — one extra
+    key-hash window, same partitioning the joins need anyway);
+    ``"error"`` eagerly raises if any key repeats.
     """
     keys = list(key_cols)
     cmp_cols = list(compare_cols)
+    if on_duplicate not in ("latest", "error"):
+        raise ValueError("on_duplicate must be 'latest' or 'error'")
+    if on_duplicate == "error":
+        dup = (
+            updates.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                "apply_scd2: updates has multiple rows for key "
+                f"{tuple(dup[0][k] for k in keys)}; dedupe first or use "
+                "on_duplicate='latest'"
+            )
+    else:
+        dw = Window.partitionBy(*keys).orderBy(
+            F.col(version_col).desc(),
+            *[F.col(c).desc_nulls_last() for c in cmp_cols],
+        )
+        updates = (
+            updates.withColumn("__dup_rn", F.row_number().over(dw))
+            .filter(F.col("__dup_rn") == 1)
+            .drop("__dup_rn")
+        )
     open_rows = current.filter(F.col(valid_to).isNull())
     history = current.filter(F.col(valid_to).isNotNull())
     u = updates.select(

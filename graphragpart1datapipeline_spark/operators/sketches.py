@@ -53,6 +53,31 @@ def kmv_hash(col: Column | str) -> Column:
     )
 
 
+def _k_smallest(hashes: DataFrame, groups: list[str], k: int) -> DataFrame:
+    """Rows with the k smallest ``__h`` per group. With no groups the
+    naive plan windows over ``partitionBy(lit(1))`` — ALL distinct
+    hashes through one task, O(distinct) in a single thread. So the
+    ungrouped path pre-reduces first: a local top-k per input partition
+    (window keyed by ``spark_partition_id`` — parallel, each task sorts
+    only its own slice), leaving the final single-task window at most
+    ``num_partitions * k`` rows. The global k-smallest set is invariant
+    to how rows were sliced locally, so results are unchanged."""
+    if not groups:
+        local_w = Window.partitionBy("__pid").orderBy("__h")
+        hashes = (
+            hashes.withColumn("__pid", F.spark_partition_id())
+            .withColumn("__lrn", F.row_number().over(local_w))
+            .filter(F.col("__lrn") <= k)
+            .drop("__pid", "__lrn")
+        )
+    w = Window.partitionBy(*[F.col(g) for g in groups] or [F.lit(1)]).orderBy(
+        "__h"
+    )
+    return hashes.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= k
+    )
+
+
 def kmv_distinct(
     df: DataFrame,
     value_col: str,
@@ -73,12 +98,7 @@ def kmv_distinct(
         df.select(*groups, kmv_hash(value_col).alias("__h"))
         .distinct()  # map-side partial agg collapses dups pre-shuffle
     )
-    w = Window.partitionBy(*[F.col(g) for g in groups] or [F.lit(1)]).orderBy(
-        "__h"
-    )
-    kept = hashes.withColumn("__rn", F.row_number().over(w)).filter(
-        F.col("__rn") <= k
-    )
+    kept = _k_smallest(hashes, groups, k)
     return kept.groupBy(*groups).agg(
         F.count(F.lit(1)).alias("sketch_size"),
         F.max("__h").alias("kth_hash"),
@@ -103,12 +123,7 @@ def kmv_sketch(
     then roll up with :func:`kmv_merge_sketches`."""
     groups = list(group_cols)
     hashes = df.select(*groups, kmv_hash(value_col).alias("__h")).distinct()
-    w = Window.partitionBy(*[F.col(g) for g in groups] or [F.lit(1)]).orderBy(
-        "__h"
-    )
-    kept = hashes.withColumn("__rn", F.row_number().over(w)).filter(
-        F.col("__rn") <= k
-    )
+    kept = _k_smallest(hashes, groups, k)
     return kept.groupBy(*groups).agg(
         F.array_sort(F.collect_list("__h")).alias("kmv")
     )
@@ -127,12 +142,7 @@ def kmv_merge_sketches(
     exploded = sketches.select(
         *groups, F.explode(sketch_col).alias("__h")
     ).distinct()
-    w = Window.partitionBy(*[F.col(g) for g in groups] or [F.lit(1)]).orderBy(
-        "__h"
-    )
-    kept = exploded.withColumn("__rn", F.row_number().over(w)).filter(
-        F.col("__rn") <= k
-    )
+    kept = _k_smallest(exploded, groups, k)
     return kept.groupBy(*groups).agg(
         F.array_sort(F.collect_list("__h")).alias(sketch_col)
     )

@@ -220,9 +220,24 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif ts_type == "timestamp_ntz":
         # Watermarks require TIMESTAMP (LTZ). The cast interprets the
-        # naive value in the session timezone; pin it to UTC so window
-        # boundaries and downstream ntz round-trips are tz-independent.
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # naive value in the session timezone; it must be UTC or window
+        # boundaries and downstream ntz round-trips become tz-dependent.
+        # session.py pins UTC at build time, so this is normally a
+        # no-op — but if the caller built a non-UTC session, flipping
+        # the conf here would silently change timestamp rendering for
+        # every later query, so mutate LOUDLY.
+        tz = spark.conf.get("spark.sql.session.timeZone", "")
+        if tz != "UTC":
+            import warnings
+
+            warnings.warn(
+                "read_events_stream: session timeZone was "
+                f"{tz!r}; setting it to UTC session-wide (ntz events "
+                "require UTC interpretation). Build the session with "
+                "spark.sql.session.timeZone=UTC to avoid this mutation.",
+                stacklevel=2,
+            )
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
         sdf = sdf.withColumn("ts", F.col("ts").cast("timestamp"))
     return sdf
 

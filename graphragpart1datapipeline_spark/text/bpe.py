@@ -123,7 +123,10 @@ def bpe_apply(
     characters and apply every merge in rank order (same replace
     primitive as training). Map-only — merges ship as literals in the
     expression tree, the corpus never shuffles. Output: ``out_col``
-    array<string> of symbols in document order."""
+    array<string> of symbols in document order. Rows whose text yields
+    no tokens are PRESERVED with an empty symbol array (posexplode_outer
+    keeps them as a null-token row — consistent with
+    remove_repeated_passages' keep-empty-documents contract)."""
     if isinstance(merges, DataFrame):
         rows = merges.orderBy("rank").collect()
         seq = [(r["pair"], r["merged"]) for r in rows]
@@ -136,9 +139,15 @@ def bpe_apply(
     for pair, merged in seq:
         expr = F.replace(expr, F.lit(f" {pair} "), F.lit(f" {merged} "))
     exploded = df.select(
-        "*", F.posexplode(tokens(text_col)).alias("__pos", "__w")
-    ).filter(F.col("__w") != "")
-    symbolized = exploded.withColumn("__syms", F.split(F.trim(expr), " "))
+        "*", F.posexplode_outer(tokens(text_col)).alias("__pos", "__w")
+    )
+    symbolized = exploded.withColumn(
+        "__syms",
+        F.when(
+            F.col("__w").isNull() | (F.col("__w") == ""),
+            F.array().cast("array<string>"),
+        ).otherwise(F.split(F.trim(expr), " ")),
+    ).withColumn("__pos", F.coalesce("__pos", F.lit(0)))
     keys = [c for c in df.columns]
     return (
         symbolized.groupBy(*keys)

@@ -34,6 +34,21 @@ def test_all_oracle_keys_have_queries():
     assert set(ORACLES) <= set(QUERIES)
 
 
+def test_queries_manifest_fresh():
+    """QUERIES.json at the repo root must match manifest() exactly
+    (regenerate with `python make_queries_manifest.py`), and every
+    rows-only query must carry a documented rationale."""
+    import json
+    import pathlib
+
+    path = pathlib.Path(__file__).parent.parent / "QUERIES.json"
+    on_disk = json.loads(path.read_text())
+    assert on_disk == entrymod.manifest(), (
+        "QUERIES.json is stale — run `python make_queries_manifest.py`"
+    )
+    assert set(on_disk["rows_only"]) == set(entrymod.ROWS_ONLY_RATIONALE)
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_oracle_match(spark, sf_dir, con, name):
     df = QUERIES[name](spark, sf_dir)

@@ -538,6 +538,26 @@ def test_kmv_distinct_exact_and_estimate(spark):
     assert abs(row["est_distinct"] - 20_000) / 20_000 < 3 / (256 ** 0.5)
 
 
+def test_kmv_ungrouped_prereduce_matches_grouped(spark):
+    """The ungrouped path pre-reduces per input partition before the
+    single-task global window; the result must be identical to the
+    naive single-group computation, and the plan must actually carry
+    the local spark_partition_id stage."""
+    from graphragpart1datapipeline_spark.operators import kmv_distinct
+
+    df = spark.range(5000).selectExpr("CAST(id % 1200 AS STRING) AS v") \
+        .repartition(8)
+    ung = kmv_distinct(df, "v", k=64)
+    grp = kmv_distinct(df.selectExpr("v", "1 AS g"), "v", ["g"], k=64)
+    a = ung.collect()[0]
+    b = grp.collect()[0]
+    assert (a["sketch_size"], a["kth_hash"], a["est_distinct"]) == (
+        b["sketch_size"], b["kth_hash"], b["est_distinct"]
+    )
+    plan = ung._jdf.queryExecution().optimizedPlan().toString()
+    assert "SPARK_PARTITION_ID" in plan.upper()
+
+
 def test_kmv_merge_equals_sketch_of_union(spark):
     from graphragpart1datapipeline_spark.operators import (
         kmv_estimate_from_sketch,
@@ -676,3 +696,44 @@ def test_apply_scd2(spark):
         for r in final.filter("k = 1").collect()
     )
     assert hist1 == [(0, 10, "a"), (10, 20, "a2"), (20, None, "a3")]
+
+
+def test_apply_scd2_duplicate_update_keys(spark):
+    """One batch with several rows for the same key must not fan out the
+    full_outer join: 'latest' keeps the max-version row per key (one
+    close + one open), 'error' raises eagerly."""
+    import pytest
+
+    from graphragpart1datapipeline_spark.operators import apply_scd2
+
+    cur = spark.createDataFrame(
+        [(1, "a", 0, None)], "k int, attr string, valid_from long, valid_to long"
+    )
+    upd = spark.createDataFrame(
+        [(1, "mid", 10), (1, "late", 20), (2, "x", 10), (2, "y", 20)],
+        "k int, attr string, version long",
+    )
+    out = sorted(map(tuple, apply_scd2(
+        cur, upd, key_cols=["k"], compare_cols=["attr"]
+    ).collect()))
+    assert out == sorted([
+        (1, "a", 0, 20),        # closed exactly once, at the winning version
+        (1, "late", 20, None),  # single new open row: the latest update
+        (2, "y", 20, None),     # new key: latest wins, one open row
+    ])
+    # one-open-row invariant holds per key
+    opens = apply_scd2(cur, upd, key_cols=["k"], compare_cols=["attr"]).filter(
+        "valid_to IS NULL"
+    ).groupBy("k").count().collect()
+    assert all(r["count"] == 1 for r in opens)
+    with pytest.raises(ValueError, match="multiple rows"):
+        apply_scd2(
+            cur, upd, key_cols=["k"], compare_cols=["attr"], on_duplicate="error"
+        )
+    # error mode passes clean batches through
+    clean = spark.createDataFrame(
+        [(1, "z", 30)], "k int, attr string, version long"
+    )
+    assert apply_scd2(
+        cur, clean, key_cols=["k"], compare_cols=["attr"], on_duplicate="error"
+    ).count() == 2

@@ -757,6 +757,23 @@ def test_bpe_train_and_apply_goldens(spark):
     assert bpe_train(tiny, num_merges=10).count() == 0
 
 
+def test_bpe_apply_preserves_tokenless_rows(spark):
+    """Rows whose text yields no tokens must come back with an empty
+    symbol array, not vanish (keep-empty-documents contract)."""
+    from graphragpart1datapipeline_spark.text import bpe_apply
+
+    docs = spark.createDataFrame(
+        [(1, "low low"), (2, ""), (3, "   "), (4, None)],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r["bpe_symbols"] for r in bpe_apply(
+        docs, [(1, "l o", "lo", 2), (2, "lo w", "low", 2)]
+    ).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1] == ["low", "low"]
+    assert out[2] == [] and out[3] == [] and out[4] == []
+
+
 def test_fixed_stride_chunks_invariants(spark):
     from graphragpart1datapipeline_spark.text import fixed_stride_chunks
 
