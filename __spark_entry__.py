@@ -3480,6 +3480,123 @@ def q95(spark, sf_dir):
     )
 
 
+def _louvain_oracle_sql(rounds: int = 2, levels: int = 2, res: str = "1.0") -> str:
+    """Unrolled replay of louvain_communities over the customer→nation→
+    region graph: per round, community degree totals + node→community
+    weights → RB-gain argmax under monotone label descent; per level, a
+    graph contraction. Every quantity is integer-valued (2m-scaled
+    gain), so the double arithmetic is exact and DuckDB replays the
+    whole multi-level run bit-for-bit."""
+    sql = """
+    WITH g AS (
+      SELECT 'c' || CAST(c_custkey AS VARCHAR) AS x,
+             'n' || CAST(c_nationkey AS VARCHAR) AS y
+      FROM customer
+      UNION ALL
+      SELECT 'n' || CAST(n_nationkey AS VARCHAR),
+             'r' || CAST(n_regionkey AS VARCHAR)
+      FROM nation
+    ), e0 AS MATERIALIZED (
+      SELECT LEAST(x, y) AS a, GREATEST(x, y) AS b, CAST(1 AS BIGINT) AS w
+      FROM g WHERE x <> y GROUP BY 1, 2
+    )"""
+    for lv in range(levels):
+        sql += f""", deg{lv} AS MATERIALIZED (
+      SELECT id, CAST(SUM(dw) AS BIGINT) AS deg FROM (
+        SELECT a AS id, CASE WHEN a = b THEN 2 * w ELSE w END AS dw FROM e{lv}
+        UNION ALL
+        SELECT b AS id, w AS dw FROM e{lv} WHERE a <> b
+      ) GROUP BY id
+    ), m2_{lv} AS MATERIALIZED (
+      SELECT CAST(SUM(deg) AS DOUBLE) AS m2 FROM deg{lv}
+    ), sym{lv} AS MATERIALIZED (
+      SELECT a AS i, b AS j, w FROM e{lv} WHERE a <> b
+      UNION ALL
+      SELECT b AS i, a AS j, w FROM e{lv} WHERE a <> b
+    ), lab{lv}_0 AS MATERIALIZED (
+      SELECT id, id AS lab FROM deg{lv}
+    )"""
+        for r in range(1, rounds + 1):
+            p = f"lab{lv}_{r - 1}"
+            sql += f""", tot{lv}_{r} AS MATERIALIZED (
+      SELECT l.lab, CAST(SUM(d.deg) AS BIGINT) AS tot
+      FROM {p} l JOIN deg{lv} d ON d.id = l.id GROUP BY l.lab
+    ), kic{lv}_{r} AS MATERIALIZED (
+      SELECT s.i AS id, lj.lab AS c, CAST(SUM(s.w) AS BIGINT) AS kic
+      FROM sym{lv} s JOIN {p} lj ON lj.id = s.j GROUP BY 1, 2
+    ), cand{lv}_{r} AS MATERIALIZED (
+      SELECT id, c, kic FROM kic{lv}_{r}
+      UNION
+      SELECT l.id, l.lab AS c, CAST(COALESCE(k.kic, 0) AS BIGINT) AS kic
+      FROM {p} l LEFT JOIN kic{lv}_{r} k ON k.id = l.id AND k.c = l.lab
+    ), lab{lv}_{r} AS MATERIALIZED (
+      SELECT id, c AS lab FROM (
+        SELECT id, c,
+               ROW_NUMBER() OVER (
+                 PARTITION BY id
+                 ORDER BY gain DESC, is_cur DESC, c ASC) AS rn
+        FROM (
+          SELECT s.*,
+                 MAX(CASE WHEN is_cur THEN gain END)
+                   OVER (PARTITION BY id) AS stayg
+          FROM (
+            SELECT cd.id, cd.c, l.lab AS cur_lab,
+                   (m.m2 * cd.kic - {res} * d.deg *
+                    (t.tot - CASE WHEN cd.c = l.lab
+                                  THEN d.deg ELSE 0 END)) AS gain,
+                   (cd.c = l.lab) AS is_cur
+            FROM cand{lv}_{r} cd
+            JOIN {p} l ON l.id = cd.id
+            JOIN deg{lv} d ON d.id = cd.id
+            JOIN tot{lv}_{r} t ON t.lab = cd.c
+            CROSS JOIN m2_{lv} m
+          ) s
+        ) WHERE c <= cur_lab OR stayg < 0
+      ) WHERE rn = 1
+    )"""
+        if lv < levels - 1:
+            sql += f""", e{lv + 1} AS MATERIALIZED (
+      SELECT LEAST(la.lab, lb.lab) AS a, GREATEST(la.lab, lb.lab) AS b,
+             CAST(SUM(e.w) AS BIGINT) AS w
+      FROM e{lv} e
+      JOIN lab{lv}_{rounds} la ON la.id = e.a
+      JOIN lab{lv}_{rounds} lb ON lb.id = e.b
+      GROUP BY 1, 2
+    )"""
+    final = f"lab0_{rounds} m0"
+    prev = "m0"
+    for lv in range(1, levels):
+        final += f" JOIN lab{lv}_{rounds} m{lv} ON m{lv}.id = {prev}.lab"
+        prev = f"m{lv}"
+    return sql + f"\n    SELECT m0.id AS id, {prev}.lab AS community FROM {final}"
+
+
+@_register("q101_louvain_distributed", _louvain_oracle_sql(2, 2))
+def q101(spark, sf_dir):
+    """FULLY-DISTRIBUTED Louvain (2 local-move rounds × 2 contraction
+    levels, RB gain γ=1): modularity communities with NO driver-side
+    graph — the scale path past detect_communities' driver bound when
+    LPA's frequency heuristic (q94) isn't enough. Deterministic via
+    monotone label descent (see graph/communities.py); the oracle
+    replays both levels, contraction included, and hash-matches every
+    node's community."""
+    from graphragpart1datapipeline_spark.graph import louvain_communities
+
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    e1 = c.select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("n"), F.col("c_nationkey").cast("string")).alias("dst"),
+    )
+    e2 = n.select(
+        F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias("src"),
+        F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias("dst"),
+    )
+    return louvain_communities(
+        e1.unionByName(e2), rounds_per_level=2, levels=2
+    )
+
+
 def _lpa_oracle_sql(iters: int = 3) -> str:
     """Unrolled replay of label_propagation_communities over the
     customer→nation→region graph: per round, neighbor-label counts →

@@ -5,4 +5,6 @@ from .communities import (  # noqa: F401
     community_size_stats,
     connected_components,
     detect_communities,
+    label_propagation_communities,
+    louvain_communities,
 )

@@ -429,15 +429,48 @@ def detect_communities(
     Leiden — local move + γ-gated refinement + aggregation on the
     refined partition, Traag et al. 2019, no native deps),
     ``"louvain"`` (vendored seeded Louvain, same RB quality function,
-    no refinement), or ``"auto"`` (native leiden when importable, else
+    no refinement), ``"louvain-distributed"`` (fully-distributed
+    :func:`louvain_communities` per resolution — NO driver-side graph,
+    no size bound; same RB gain function, deterministic monotone-
+    descent rounds; community ids densely renumbered by size desc /
+    min member), or ``"auto"`` (native leiden when importable, else
     the vendored Leiden with a one-time note — never a silent swap).
 
-    The edge list is collected to the driver (documented size bound —
-    the reference graph is ~123k edges; raise/partition for bigger
-    graphs or use :func:`connected_components` for the coarse level).
+    Except under ``"louvain-distributed"``, the edge list is collected
+    to the driver (documented size bound — the reference graph is
+    ~123k edges; use ``"louvain-distributed"`` past the bound).
     """
-    if algorithm not in ("auto", "leiden", "leiden-vendored", "louvain"):
+    if algorithm not in (
+        "auto", "leiden", "leiden-vendored", "louvain", "louvain-distributed"
+    ):
         raise ValueError(f"unknown algorithm {algorithm!r}")
+    if algorithm == "louvain-distributed":
+        from pyspark.sql import Window as _W
+
+        base = edges.select(
+            F.col(src).cast("string").alias("src"),
+            F.col(dst).cast("string").alias("dst"),
+        )
+        out = None
+        for i, res in enumerate(resolutions):
+            mem = louvain_communities(base, resolution=float(res))
+            sizes = mem.groupBy("community").agg(
+                F.count(F.lit(1)).alias("__n"), F.min("id").alias("__mn")
+            )
+            # dense ids by (size desc, min member): single-task window
+            # over the COMMUNITY table only (communities << nodes)
+            ids = sizes.withColumn(
+                f"community_L{i}",
+                (
+                    F.row_number().over(
+                        _W.orderBy(F.desc("__n"), F.asc("__mn"))
+                    )
+                    - 1
+                ).cast("long"),
+            ).select("community", f"community_L{i}")
+            lvl = mem.join(ids, "community").select("id", f"community_L{i}")
+            out = lvl if out is None else out.join(lvl, "id")
+        return out
     rows = (
         edges.select(F.col(src).cast("string"), F.col(dst).cast("string"))
         .distinct()
@@ -679,3 +712,195 @@ def label_propagation_communities(
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+def louvain_communities(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    resolution: float = 1.0,
+    rounds_per_level: int = 2,
+    levels: int = 2,
+) -> DataFrame:
+    """FULLY-DISTRIBUTED Louvain: modularity-based communities as
+    DataFrame-only local-moving rounds + graph contraction — the
+    100×-scale answer when LPA's label-frequency heuristic isn't enough
+    and the graph exceeds :func:`detect_communities`' driver bound.
+    Returns (id, community) with the community keyed by a member node
+    id (stable across runs; renumber downstream if dense ids needed).
+
+    Per round (synchronous, deterministic):
+      1. ``tot(c)`` = Σ degree of members  (one groupBy on the node set)
+      2. ``k_{i,c}`` = weight from node i into neighbor community c
+         (labels joined onto the symmetric edge list + one groupBy)
+      3. RB-configuration gain, scaled by 2m to stay in exact-integer
+         territory: ``gain(c) = 2m·k_{i,c} − γ·k_i·(tot(c) − [c=cᵢ]·k_i)``
+         — same argmax as leidenalg's RBConfiguration quality, and with
+         integer weights every product is exact in a double, so DuckDB
+         replays it bit-for-bit (q101).
+      4. MONOTONE LABEL DESCENT with negative-stay escape: a node may
+         adopt a community with a SMALLER id than its current one
+         (argmax over those + stay; tie-break gain desc /
+         stay-preferred / c asc), and may additionally move UPHILL
+         when its stay-gain is strictly negative (it is hurting its
+         current community). Naive synchronous updates oscillate — two
+         mutually-best neighbors swap into each other's community
+         forever. Under descent a swap needs both directions downhill
+         (impossible); the escape clause can't re-create the singleton
+         swap storm because a singleton's stay-gain is exactly 0. The
+         escape is what lets a bridge endpoint absorbed early into the
+         wrong side move back once its true community has formed.
+         Rounds are fixed-count and synchronous, so the result stays a
+         pure function of the edge set — the same determinism-for-
+         convergence-speed trade as the sync LPA above.
+    After ``rounds_per_level`` rounds the graph CONTRACTS (communities
+    → supernodes, edge weights summed, intra-edges → self-loops) and
+    the next level runs on the community graph — classic Louvain, but
+    every step a shuffle-bounded DataFrame op: labels and degrees are
+    node-sized, only the edge join is edge-sized, and localCheckpoint
+    per round keeps lineage flat. No driver-side graph ever exists;
+    the only collect is the 1-row 2m scalar per level.
+    """
+    spark = edges.sparkSession
+    can = (
+        edges.select(
+            F.least(F.col(src).cast("string"), F.col(dst).cast("string")).alias("a"),
+            F.greatest(F.col(src).cast("string"), F.col(dst).cast("string")).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .withColumn("w", F.lit(1).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    membership: DataFrame | None = None
+    for level in range(levels):
+        deg = (
+            can.select(
+                F.col("a").alias("id"),
+                F.when(F.col("a") == F.col("b"), 2 * F.col("w"))
+                .otherwise(F.col("w"))
+                .alias("dw"),
+            )
+            .unionByName(
+                can.filter(F.col("a") != F.col("b")).select(
+                    F.col("b").alias("id"), F.col("w").alias("dw")
+                )
+            )
+            .groupBy("id")
+            .agg(F.sum("dw").alias("deg"))
+            .localCheckpoint(eager=True)
+        )
+        m2_row = deg.agg(F.sum("deg")).collect()[0][0]
+        if m2_row is None or m2_row == 0:
+            break
+        m2 = float(m2_row)
+        sym = (
+            can.filter(F.col("a") != F.col("b"))
+            .select(F.col("a").alias("i"), F.col("b").alias("j"), "w")
+            .unionByName(
+                can.filter(F.col("a") != F.col("b")).select(
+                    F.col("b").alias("i"), F.col("a").alias("j"), "w"
+                )
+            )
+        )
+        labels = deg.select("id", F.col("id").alias("lab"))
+        for _ in range(rounds_per_level):
+            tot = (
+                labels.join(deg, "id")
+                .groupBy("lab")
+                .agg(F.sum("deg").alias("tot"))
+            )
+            kic = (
+                sym.join(
+                    labels.select(F.col("id").alias("j"), F.col("lab").alias("c")),
+                    "j",
+                )
+                .groupBy(F.col("i").alias("id"), "c")
+                .agg(F.sum("w").alias("kic"))
+            )
+            cur = (
+                labels.select("id", F.col("lab").alias("c"))
+                .join(kic, ["id", "c"], "left")
+                .select(
+                    "id",
+                    "c",
+                    F.coalesce("kic", F.lit(0).cast("long")).alias("kic"),
+                )
+            )
+            cand = kic.unionByName(cur).distinct()
+            scored = (
+                cand.join(labels.select("id", F.col("lab").alias("cur_lab")), "id")
+                .join(deg, "id")
+                .join(tot.select(F.col("lab").alias("c"), "tot"), "c")
+                .select(
+                    "id",
+                    "c",
+                    "cur_lab",
+                    (
+                        F.lit(m2) * F.col("kic").cast("double")
+                        - F.lit(resolution)
+                        * F.col("deg").cast("double")
+                        * (
+                            F.col("tot")
+                            - F.when(F.col("c") == F.col("cur_lab"), F.col("deg"))
+                            .otherwise(F.lit(0))
+                        ).cast("double")
+                    ).alias("gain"),
+                    (F.col("c") == F.col("cur_lab")).alias("is_cur"),
+                )
+            )
+            from pyspark.sql import Window as _W
+
+            stayg = F.max(F.when(F.col("is_cur"), F.col("gain"))).over(
+                _W.partitionBy("id")
+            )
+            best = (
+                scored.withColumn("stayg", stayg)
+                # monotone descent, unless staying is actively harmful
+                .filter(
+                    (F.col("c") <= F.col("cur_lab")) | (F.col("stayg") < 0)
+                )
+                .withColumn(
+                    "rn",
+                    F.row_number().over(
+                        _W.partitionBy("id").orderBy(
+                            F.col("gain").desc(),
+                            F.col("is_cur").desc(),
+                            F.col("c").asc(),
+                        )
+                    ),
+                )
+                .filter(F.col("rn") == 1)
+                .select("id", F.col("c").alias("best_c"))
+            )
+            labels = (
+                labels.join(best, "id")
+                .select("id", F.col("best_c").alias("lab"))
+                .localCheckpoint(eager=True)
+            )
+        membership = (
+            labels
+            if membership is None
+            else membership.join(
+                labels.select(F.col("id").alias("lab"), F.col("lab").alias("__new")),
+                "lab",
+            )
+            .select("id", F.col("__new").alias("lab"))
+            .localCheckpoint(eager=True)
+        )
+        if level < levels - 1:
+            la = labels.select(F.col("id").alias("a"), F.col("lab").alias("la"))
+            lb = labels.select(F.col("id").alias("b"), F.col("lab").alias("lb"))
+            can = (
+                can.join(la, "a")
+                .join(lb, "b")
+                .groupBy(
+                    F.least("la", "lb").alias("a"),
+                    F.greatest("la", "lb").alias("b"),
+                )
+                .agg(F.sum("w").alias("w"))
+                .localCheckpoint(eager=True)
+            )
+    if membership is None:
+        return spark.createDataFrame([], "id string, community string")
+    return membership.select("id", F.col("lab").alias("community"))

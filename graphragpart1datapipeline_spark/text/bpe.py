@@ -79,35 +79,62 @@ def bpe_train(
     df: DataFrame,
     text_col: str = "text",
     num_merges: int = 10,
+    merges_per_round: int = 1,
 ) -> DataFrame:
     """Learn ``num_merges`` BPE merges from a corpus. Returns the merge
     table (rank 1-based, ``pair`` space-separated, ``merged``, ``freq``
     at selection time) — the artifact a tokenizer is built from.
 
-    Per round: one pair-count shuffle over the vocab table + a 1-row
+    Per round: one pair-count shuffle over the vocab table + a tiny
     collect; the word table is localCheckpoint'ed per round so the plan
-    stays flat instead of stacking ``num_merges`` replaces."""
+    stays flat instead of stacking replaces.
+
+    ``merges_per_round``: at real tokenizer scale (30k+ merges) one
+    corpus-table pass per merge is the bottleneck, so each round may
+    select the top-M pairs by (freq desc, pair asc) whose SYMBOLS are
+    pairwise disjoint and apply them together — disjoint-symbol merges
+    commute (replacing ' a b ' can neither create nor destroy ' c d '
+    when {a,b} ∩ {c,d} = ∅), so the batch is order-independent and
+    deterministic. Counts for the 2nd..Mth pick are from the start of
+    the round (standard batched-BPE trade); with ``merges_per_round=1``
+    the output is exactly classic greedy BPE (property-tested), which
+    remains the oracle-replayable default (q88)."""
     spark = df.sparkSession
     words = _word_symbols(df, text_col).localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, int]] = []
-    for rank in range(1, num_merges + 1):
-        best = (
+    while len(merges) < num_merges:
+        want = min(merges_per_round, num_merges - len(merges))
+        top = (
             _pair_counts(words)
             .orderBy(F.col("freq").desc(), F.col("pair"))
-            .limit(1)
+            .limit(want * 4 + 8)  # headroom for overlap skips
             .collect()
         )
-        if not best or best[0]["freq"] < 1:
+        picked: list[tuple[str, int]] = []
+        used: set[str] = set()
+        for row in top:
+            if row["freq"] < 1:
+                break
+            a, b = row["pair"].split(" ")
+            if a in used or b in used:
+                continue
+            picked.append((row["pair"], int(row["freq"])))
+            used.update((a, b))
+            if len(picked) == want:
+                break
+        if not picked:
             break
-        pair, freq = best[0]["pair"], int(best[0]["freq"])
-        merged = pair.replace(" ", "")
-        merges.append((rank, pair, merged, freq))
-        words = words.withColumn(
-            "s",
-            F.replace(
-                F.col("s"), F.lit(f" {pair} "), F.lit(f" {merged} ")
-            ),
-        ).localCheckpoint(eager=True)
+        expr = F.col("s")
+        for pair, freq in picked:
+            merges.append(
+                (len(merges) + 1, pair, pair.replace(" ", ""), freq)
+            )
+            expr = F.replace(
+                expr,
+                F.lit(f" {pair} "),
+                F.lit(f" {pair.replace(' ', '')} "),
+            )
+        words = words.withColumn("s", expr).localCheckpoint(eager=True)
     return spark.createDataFrame(
         merges, "rank int, pair string, merged string, freq long"
     )

@@ -14,7 +14,14 @@ structure survives but exact-dup collapse does not trivialize dedup),
 and embedding copies are rotated by copy index so LSH buckets stay
 balanced.
 
-Usage: python scale_check.py [K]   (default K=10)
+Usage: python scale_check.py [K] [--assert]   (default K=10)
+
+With ``--assert`` the script exits non-zero if any operator's K×/1×
+wall-clock ratio exceeds its bound in ``SCALE_BOUNDS`` — a CI-style
+guard so a plan regression (a new shuffle, a lost broadcast, a
+pair-space blowup) fails loudly instead of drifting. Bounds are ~2×
+the measured round-2 ratios at K=10 to absorb ambient variance; a
+quadratic regression shows ~K× the measured ratio and still trips.
 """
 
 from __future__ import annotations
@@ -180,8 +187,29 @@ def time_ops(spark, base: str, extra_bits: int = 0) -> dict[str, float]:
     return out
 
 
+# Max allowed K×/1× wall-clock ratio at K=10 (≈2× the measured r2
+# ratios, rounded up). A linear-work/shuffle-bounded plan stays well
+# under these; a pair-space (quadratic) regression blows through them.
+SCALE_BOUNDS: dict[str, float] = {
+    "exact_dedup": 3.0,
+    "minhash_lsh": 7.5,
+    "minhash_incremental": 6.0,
+    "embedding_near_dup_lsh": 5.0,
+    "knn_join_blocked": 4.0,
+    "tfidf": 5.5,
+    "repeated_passages": 7.5,
+    "kmv_distinct": 3.0,
+    "global_shuffle_shards": 2.5,
+    "pagerank": 3.0,
+    "label_propagation": 2.5,
+    "negative_ring_sample": 2.0,
+}
+
+
 def main() -> None:
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    args = [a for a in sys.argv[1:] if a != "--assert"]
+    do_assert = "--assert" in sys.argv[1:]
+    k = int(args[0]) if args else 10
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = f"/tmp/spark_graft_scale_{k}x"
     spark = get_spark(app_name="scale-check")
@@ -190,20 +218,33 @@ def main() -> None:
     extra_bits = max(0, (k - 1).bit_length())  # ceil(log2(k))
     base_t = time_ops(spark, sf_dir)
     big_t = time_ops(spark, out_dir, extra_bits)
+    ratio = {
+        n: round(big_t[n] / base_t[n], 2) if base_t[n] > 0 else None
+        for n in base_t
+    }
+    violations = (
+        {
+            n: {"ratio": r, "bound": SCALE_BOUNDS[n]}
+            for n, r in ratio.items()
+            if r is not None and n in SCALE_BOUNDS and r > SCALE_BOUNDS[n]
+        }
+        if do_assert
+        else {}
+    )
     print(
         json.dumps(
             {
                 "k": k,
                 "base_sec": base_t,
                 "scaled_sec": big_t,
-                "ratio": {
-                    n: round(big_t[n] / base_t[n], 2) if base_t[n] > 0 else None
-                    for n in base_t
-                },
+                "ratio": ratio,
+                **({"violations": violations} if do_assert else {}),
             }
         )
     )
     spark.stop()
+    if do_assert and violations:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -126,6 +126,55 @@ def test_detect_communities_two_cliques(spark):
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, out2.collect()))
 
 
+def test_louvain_distributed_two_cliques(spark):
+    """Distributed Louvain: cliques unify, the bridge doesn't merge
+    them, the result is deterministic, and an empty graph yields an
+    empty frame."""
+    from graphragpart1datapipeline_spark.graph import louvain_communities
+
+    clique1 = [("a" + str(i), "a" + str(j)) for i in range(4) for j in range(i + 1, 4)]
+    clique2 = [("b" + str(i), "b" + str(j)) for i in range(4) for j in range(i + 1, 4)]
+    edges = spark.createDataFrame(
+        clique1 + clique2 + [("a0", "b0")], "src string, dst string"
+    )
+    out = louvain_communities(edges, rounds_per_level=2, levels=2)
+    m = {r["id"]: r["community"] for r in out.collect()}
+    assert len({m[f"a{i}"] for i in range(4)}) == 1
+    assert len({m[f"b{i}"] for i in range(4)}) == 1
+    assert m["a0"] != m["b0"]
+    again = louvain_communities(edges, rounds_per_level=2, levels=2)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert louvain_communities(empty).count() == 0
+    # self-loops and duplicate/reversed edges are canonicalized away
+    noisy = edges.unionByName(
+        spark.createDataFrame(
+            [("a1", "a0"), ("a0", "a0"), ("a0", "a1")], "src string, dst string"
+        )
+    )
+    m2 = {r["id"]: r["community"] for r in louvain_communities(noisy).collect()}
+    assert m2 == m
+
+
+def test_detect_communities_louvain_distributed_multires(spark):
+    """algorithm='louvain-distributed' keeps the driver-local schema
+    (dense long ids by size desc / min member) with no collected graph."""
+    clique1 = [("a" + str(i), "a" + str(j)) for i in range(4) for j in range(i + 1, 4)]
+    clique2 = [("b" + str(i), "b" + str(j)) for i in range(3) for j in range(i + 1, 3)]
+    edges = spark.createDataFrame(
+        clique1 + clique2 + [("a0", "b0")], "src string, dst string"
+    )
+    out = detect_communities(
+        spark, edges, resolutions=(1.0, 0.5), algorithm="louvain-distributed"
+    )
+    assert out.columns == ["id", "community_L0", "community_L1"]
+    rows = {r["id"]: (r["community_L0"], r["community_L1"]) for r in out.collect()}
+    assert len(rows) == 7
+    # dense ids: the larger (a) clique gets community 0
+    assert rows["a0"][0] == 0
+    assert {v[0] for v in rows.values()} == {0, 1}
+
+
 def test_detect_communities_empty_graph(spark):
     edges = spark.createDataFrame([], "src string, dst string")
     out = detect_communities(spark, edges, resolutions=(2.0, 0.5))

@@ -757,6 +757,57 @@ def test_bpe_train_and_apply_goldens(spark):
     assert bpe_train(tiny, num_merges=10).count() == 0
 
 
+def test_bpe_train_batched_rounds(spark):
+    """merges_per_round>1: picks per round are symbol-disjoint (so the
+    batch commutes), M=1 equals classic greedy exactly, and the batched
+    table is deterministic."""
+    from graphragpart1datapipeline_spark.text import bpe_apply, bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest low low"), (2, "new newer newest new lower"),
+         (3, "newest lowest slowest")],
+        "doc_id int, text string",
+    )
+    classic = [(r["rank"], r["pair"], r["merged"], r["freq"])
+               for r in bpe_train(docs, num_merges=6).orderBy("rank").collect()]
+    m1 = [(r["rank"], r["pair"], r["merged"], r["freq"])
+          for r in bpe_train(docs, num_merges=6, merges_per_round=1)
+          .orderBy("rank").collect()]
+    assert m1 == classic
+    batched = [(r["rank"], r["pair"], r["merged"], r["freq"])
+               for r in bpe_train(docs, num_merges=6, merges_per_round=3)
+               .orderBy("rank").collect()]
+    assert len(batched) == 6
+    assert [b[0] for b in batched] == [1, 2, 3, 4, 5, 6]
+    again = [(r["rank"], r["pair"], r["merged"], r["freq"])
+             for r in bpe_train(docs, num_merges=6, merges_per_round=3)
+             .orderBy("rank").collect()]
+    assert again == batched
+    # the batched table still tokenizes round-trippably
+    out = bpe_apply(docs, batched)
+    assert out.count() == 3
+    # disjoint-pick rule observable on a corpus whose top pairs are
+    # clearly separated: 'a b' > 'c d' > 'e f' all symbol-disjoint, so
+    # ONE round takes all three; the overlapping 'b c' (from 'abcd'?)
+    # never outranks them
+    sep = spark.createDataFrame(
+        [(1, " ".join(["ab"] * 9 + ["cd"] * 7 + ["ef"] * 5))],
+        "doc_id int, text string",
+    )
+    one_round = [(r["pair"], r["freq"]) for r in bpe_train(
+        sep, num_merges=3, merges_per_round=3).orderBy("rank").collect()]
+    assert one_round == [("a b", 9), ("c d", 7), ("e f", 5)]
+    # overlap forces a skip: in 'xy yz', 'x y' and 'y z' share y — the
+    # round picks 'x y' then skips 'y z', taking it next round with a
+    # RECOUNTED frequency
+    ov = spark.createDataFrame(
+        [(1, " ".join(["xy"] * 5 + ["yz"] * 4))], "doc_id int, text string"
+    )
+    got = [(r["rank"], r["pair"]) for r in bpe_train(
+        ov, num_merges=2, merges_per_round=2).orderBy("rank").collect()]
+    assert got == [(1, "x y"), (2, "y z")]
+
+
 def test_bpe_apply_preserves_tokenless_rows(spark):
     """Rows whose text yields no tokens must come back with an empty
     symbol array, not vanish (keep-empty-documents contract)."""
