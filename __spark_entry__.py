@@ -3480,6 +3480,305 @@ def q95(spark, sf_dir):
     )
 
 
+_MH_PERMS = [
+    (1250496028, 1116302264), (1000676754, 1668674806),
+    (908095736, 71666532), (896336334, 1736731266),
+    (1314989460, 1535244752), (391441866, 1108520142),
+    (1206814704, 534045436), (1974836614, 238077914),
+]
+_EN_SW = "['the', 'a', 'and', 'of', 'to', 'in', 'is', 'it', 'that', 'for']"
+
+
+def _mh_verified_block(prefix: str, src: str, thr: float) -> str:
+    """MinHash→LSH→verified-pairs CTE block (same constants/structure as
+    the proven q55/q87 oracles), parameterized by source CTE and Jaccard
+    threshold so the pretrain-DAG oracle can run it twice (near-dup at
+    0.7, split components at 0.35)."""
+    sig_items = ", ".join(
+        f"min(({a} * h + {b}) % 2147483647)" for a, b in _MH_PERMS
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band, md5(CAST(sig[{2 * bi + 1}] AS VARCHAR)"
+        f" || '|' || CAST(sig[{2 * bi + 2}] AS VARCHAR)) AS bucket"
+        f" FROM {prefix}sig"
+        for bi in range(4)
+    )
+    return f""", {prefix}toks AS MATERIALIZED (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM {src}
+    ), {prefix}sh AS MATERIALIZED (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ')
+                            FOR i IN range(1, len(t) - 1)]) AS shingles
+      FROM {prefix}toks WHERE len(t) >= 3
+    ), {prefix}hb AS (
+      SELECT doc_id,
+             CAST(CAST('0x' || substring(md5(s), 1, 15) AS UBIGINT)
+                  % 2147483647 AS BIGINT) AS h
+      FROM (SELECT doc_id, unnest(shingles) AS s FROM {prefix}sh)
+    ), {prefix}sig AS MATERIALIZED (
+      SELECT doc_id, [{sig_items}] AS sig FROM {prefix}hb GROUP BY doc_id
+    ), {prefix}banded AS MATERIALIZED ({bands}
+    ), {prefix}cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM {prefix}banded x JOIN {prefix}banded y
+        ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+    ), {prefix}verified AS MATERIALIZED (
+      SELECT c.a, c.b
+      FROM {prefix}cand c
+      JOIN {prefix}sh sa ON sa.doc_id = c.a
+      JOIN {prefix}sh sb ON sb.doc_id = c.b
+      WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+               / len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+            >= {thr}
+    )"""
+
+
+def _pretrain_funnel_oracle_sql() -> str:
+    """Full-SQL replay of plans/pretrain_demo.py — quality gate → exact
+    dedup → repeated-passage removal → MinHash near-dup → eval
+    decontamination → mixture rebalance → leakage-safe split → shard
+    shuffle → sequence packing — each stage a CTE chained off the
+    previous one (the per-stage logic is byte-compatible with the
+    proven single-stage oracles q20/q22/q23/q55/q62/q75/q76/q78/q79/
+    q85/q87). Output: one row per stage with the row count and a
+    bit_xor content checksum over stage-specific addressing, so the
+    driver's value hash pins WHICH documents survive each stage and
+    where sharding/packing routed them."""
+    h60 = (
+        "CAST(CAST('0x' || substring(md5({x}), 1, 15) AS UBIGINT) AS BIGINT)"
+    )
+    quality = f"""(0.4 * least(CAST(len(string_split_regex(trim(d.text), '\\s+')) AS DOUBLE) / 100.0, 1.0)
+       + 0.3 * (1.0 - CASE WHEN length(d.text) > 0
+                THEN CAST(length(d.text) - length(regexp_replace(d.text, '[^\\w\\s]', '', 'g')) AS DOUBLE) / length(d.text)
+                ELSE 1.0 END)
+       + 0.3 * least((CASE WHEN len(string_split_regex(trim(d.text), '\\s+')) > 0
+                THEN CAST(len(list_filter(string_split_regex(trim(d.text), '\\s+'),
+                       x -> list_contains({_EN_SW}, lower(x)))) AS DOUBLE)
+                     / len(string_split_regex(trim(d.text), '\\s+'))
+                ELSE 0.0 END) / 0.1, 1.0))"""
+    sql = f"""
+    WITH RECURSIVE d0 AS MATERIALIZED (
+      SELECT doc_id, text, lang FROM documents
+    ), rep AS (
+      SELECT doc_id,
+             1.0 - CAST(len(list_distinct(string_split(text, chr(10)))) AS DOUBLE)
+                 / len(string_split(text, chr(10))) AS dup_line_frac
+      FROM d0 WHERE text IS NOT NULL
+    ), qg AS MATERIALIZED (
+      -- language_id() is never NULL for non-null text, so that filter
+      -- reduces to text IS NOT NULL
+      SELECT d.doc_id, d.text, d.lang
+      FROM d0 d JOIN rep r USING (doc_id)
+      WHERE d.text IS NOT NULL
+        AND {quality} >= 0.2
+        AND r.dup_line_frac <= 0.5
+    ), ed AS MATERIALIZED (
+      SELECT doc_id, text, lang FROM (
+        SELECT qg.*, row_number() OVER (
+          PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+          ORDER BY doc_id) AS rn
+        FROM qg) WHERE rn = 1
+    ), pc_d AS MATERIALIZED (
+      SELECT doc_id, lang,
+             string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')
+               AS toks
+      FROM ed
+    ), pc_w AS MATERIALIZED (
+      SELECT doc_id, s, md5(array_to_string(toks[s+1:s+12], ' ')) AS h
+      FROM pc_d, LATERAL (
+        SELECT unnest(range(0, greatest(len(toks) - 11, 0))) AS s) t
+    ), pc_dup AS (
+      SELECT h FROM pc_w GROUP BY h HAVING COUNT(*) >= 4
+    ), pc_cov AS (
+      SELECT DISTINCT pc_w.doc_id, pc_w.s + j AS pos
+      FROM pc_w JOIN pc_dup USING (h),
+           LATERAL (SELECT unnest(range(0, 12)) AS j) u
+    ), pc_cl AS (
+      SELECT doc_id, list_sort(list(pos)) AS cl FROM pc_cov GROUP BY doc_id
+    ), pck AS MATERIALIZED (
+      SELECT * FROM (
+        SELECT d.doc_id, d.lang,
+               coalesce(array_to_string(
+                 list_filter(d.toks,
+                             (x, i) -> NOT coalesce(list_contains(cl, i - 1),
+                                                    FALSE)),
+                 ' '), '') AS text
+        FROM pc_d d LEFT JOIN pc_cl USING (doc_id)
+      ) WHERE text <> ''
+    ){_mh_verified_block("nd_", "pck", 0.7)}, nd AS MATERIALIZED (
+      SELECT doc_id, text, lang FROM pck
+      WHERE doc_id NOT IN (SELECT b FROM nd_verified)
+    ), dc_sh AS MATERIALIZED (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id,
+               unnest([array_to_string(t[i:i+4], ' ')
+                       FOR i IN range(1, len(t) - 3)]) AS s
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+              FROM nd) WHERE len(t) >= 5)
+    ), dc_leak AS (
+      SELECT DISTINCT dc_sh.doc_id
+      FROM dc_sh JOIN (SELECT DISTINCT s FROM dc_sh WHERE doc_id % 41 = 0)
+        bench USING (s)
+      WHERE dc_sh.doc_id % 41 <> 0
+    ), dc AS MATERIALIZED (
+      SELECT doc_id, text, lang FROM nd
+      WHERE doc_id % 41 <> 0 AND doc_id NOT IN (SELECT doc_id FROM dc_leak)
+    ), rb_tgt(lang, t) AS (
+      VALUES ('en', CAST(0.25 AS DOUBLE)), ('zh', CAST(0.25 AS DOUBLE)),
+             ('es', CAST(0.25 AS DOUBLE)), ('de', CAST(0.125 AS DOUBLE)),
+             ('fr', CAST(0.125 AS DOUBLE))
+    ), rb_n AS (
+      SELECT d.lang, COUNT(*) AS cnt FROM dc d
+      JOIN rb_tgt ON d.lang = rb_tgt.lang GROUP BY d.lang
+    ), rb_p AS (
+      SELECT min(cnt / (t / 1.0)) AS feasible FROM rb_n JOIN rb_tgt USING (lang)
+    ), rb_thr AS (
+      SELECT rb_n.lang,
+             CAST(floor(t / 1.0 * (SELECT feasible FROM rb_p) / cnt * 10000
+                        + 0.5) AS BIGINT) AS thresh
+      FROM rb_n JOIN rb_tgt USING (lang)
+    ), rb AS MATERIALIZED (
+      SELECT d.doc_id, d.text, d.lang FROM dc d
+      JOIN rb_thr ON d.lang = rb_thr.lang
+      WHERE CAST(CAST('0x' || substring(md5('42:' || CAST(d.doc_id AS VARCHAR)),
+                      1, 8) AS UBIGINT) % 10000 AS BIGINT) < rb_thr.thresh
+    ){_mh_verified_block("sp_", "rb", 0.35)}, sp_edges AS (
+      SELECT a, b FROM sp_verified UNION ALL SELECT b, a FROM sp_verified
+    ), sp_reach AS (
+      SELECT a AS node, a AS r FROM sp_edges
+      UNION
+      SELECT e.b AS node, sp_reach.r FROM sp_reach
+      JOIN sp_edges e ON e.a = sp_reach.node
+    ), sp_comp AS (
+      SELECT node, MIN(r) AS root FROM sp_reach GROUP BY node
+    ), sp AS MATERIALIZED (
+      SELECT doc_id, text, lang,
+             CASE WHEN bkt < 8000 THEN 'train'
+                  WHEN bkt < 9000 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT d.doc_id, d.text, d.lang,
+               CAST(CAST('0x' || substring(
+                      md5('42:' || CAST(coalesce(c.root, d.doc_id) AS VARCHAR)),
+                      1, 8) AS UBIGINT) % 10000 AS BIGINT) AS bkt
+        FROM rb d LEFT JOIN sp_comp c ON c.node = d.doc_id)
+    ), shd AS MATERIALIZED (
+      SELECT doc_id, text, shard,
+             CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) - 1
+                  AS BIGINT) AS pos
+      FROM (
+        SELECT sp.doc_id, sp.text,
+               md5('42:' || CAST(doc_id AS VARCHAR)) AS k,
+               CAST(CAST('0x' || substring(md5('42:' || CAST(doc_id AS VARCHAR)),
+                         1, 8) AS UBIGINT) % 16 AS BIGINT) AS shard
+        FROM sp WHERE split = 'train')
+    ), pk AS MATERIALIZED (
+      SELECT doc_id, stream_id,
+             CAST(floor(start / 512.0) AS BIGINT) AS seq_id,
+             CAST(start % 512 AS BIGINT) AS seq_offset
+      FROM (
+        SELECT doc_id, stream_id, tokens,
+               SUM(tokens) OVER (PARTITION BY stream_id ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - tokens AS start
+        FROM (
+          SELECT doc_id,
+                 len(string_split_regex(trim(text), '\\s+')) AS tokens,
+                 CAST(CAST('0x' || substring(
+                        md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT)
+                      % 8 AS BIGINT) AS stream_id
+          FROM shd))
+    )
+    SELECT 1 AS stage_ord, 'documents' AS stage, COUNT(*) AS n_rows,
+           COALESCE(BIT_XOR({h60.format(x="CAST(doc_id AS VARCHAR)")}), 0)
+             AS id_xor FROM d0
+    UNION ALL SELECT 2, 'quality_gated', COUNT(*),
+           COALESCE(BIT_XOR({h60.format(x="CAST(doc_id AS VARCHAR)")}), 0)
+             FROM qg
+    UNION ALL SELECT 3, 'exact_deduped', COUNT(*),
+           COALESCE(BIT_XOR({h60.format(x="CAST(doc_id AS VARCHAR)")}), 0)
+             FROM ed
+    UNION ALL SELECT 4, 'passage_cleaned', COUNT(*),
+           COALESCE(BIT_XOR({h60.format(x="CAST(doc_id AS VARCHAR)")}), 0)
+             FROM pck
+    UNION ALL SELECT 5, 'near_deduped', COUNT(*),
+           COALESCE(BIT_XOR({h60.format(x="CAST(doc_id AS VARCHAR)")}), 0)
+             FROM nd
+    UNION ALL SELECT 6, 'decontaminated', COUNT(*),
+           COALESCE(BIT_XOR({h60.format(x="CAST(doc_id AS VARCHAR)")}), 0)
+             FROM dc
+    UNION ALL SELECT 7, 'rebalanced', COUNT(*),
+           COALESCE(BIT_XOR({h60.format(x="CAST(doc_id AS VARCHAR)")}), 0)
+             FROM rb
+    UNION ALL SELECT 8, 'split_assigned', COUNT(*),
+           COALESCE(BIT_XOR({h60.format(
+               x="CAST(doc_id AS VARCHAR) || ':' || split")}), 0)
+             FROM sp
+    UNION ALL SELECT 9, 'sharded', COUNT(*),
+           COALESCE(BIT_XOR({h60.format(
+               x="CAST(doc_id AS VARCHAR) || ':' || CAST(shard AS VARCHAR)"
+                 " || ':' || CAST(pos AS VARCHAR)")}), 0)
+             FROM shd
+    UNION ALL SELECT 10, 'packed', COUNT(*),
+           COALESCE(BIT_XOR({h60.format(
+               x="CAST(doc_id AS VARCHAR) || ':' || CAST(seq_id AS VARCHAR)"
+                 " || ':' || CAST(seq_offset AS VARCHAR)")}), 0)
+             FROM pk
+    """
+    return sql
+
+
+@_register("q100_pretrain_dag_funnel", _pretrain_funnel_oracle_sql())
+def q100(spark, sf_dir):
+    """The COMPOSED curation DAG as one query: runs the full pretrain
+    pipeline (plans/pretrain_demo.py — quality gate → exact dedup →
+    passage removal → near-dup → decontaminate → rebalance → split →
+    shard → pack) and emits per-stage (count, bit_xor content
+    checksum). The oracle replays the entire composition in SQL, so a
+    divergence at ANY stage — a document surviving that shouldn't, a
+    shard/sequence address moving — flips the hash. This is the
+    determinism contract a 100 TB curation rerun needs."""
+    from graphragpart1datapipeline_spark.plans.pretrain_demo import (
+        build_pretrain_pipeline,
+    )
+
+    frames = build_pretrain_pipeline(sf_dir).run(spark)
+
+    def h60(col):
+        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+    did = F.col("doc_id").cast("string")
+    keys = {
+        "documents": did,
+        "quality_gated": did,
+        "exact_deduped": did,
+        "passage_cleaned": did,
+        "near_deduped": did,
+        "decontaminated": did,
+        "rebalanced": did,
+        "split_assigned": F.concat(did, F.lit(":"), F.col("split")),
+        "sharded": F.concat(
+            did, F.lit(":"), F.col("shard").cast("string"),
+            F.lit(":"), F.col("pos").cast("string"),
+        ),
+        "packed": F.concat(
+            did, F.lit(":"), F.col("seq_id").cast("string"),
+            F.lit(":"), F.col("seq_offset").cast("string"),
+        ),
+    }
+    out = None
+    for i, (name, key) in enumerate(keys.items(), start=1):
+        row = frames[name].agg(
+            F.lit(i).alias("stage_ord"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.coalesce(F.bit_xor(h60(key)), F.lit(0).cast("long")).alias(
+                "id_xor"
+            ),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 def _louvain_oracle_sql(rounds: int = 2, levels: int = 2, res: str = "1.0") -> str:
     """Unrolled replay of louvain_communities over the customer→nation→
     region graph: per round, community degree totals + node→community
@@ -3743,6 +4042,61 @@ def q93(spark, sf_dir):
         right_alias_col="aliases",
     )
     return out.select("src", "dst")
+
+
+@_register(
+    "q102_interval_lookup_overlap",
+    """
+    WITH bands(band, lo, hi) AS (
+      VALUES ('ALL',  0.0, 1000000000.0),
+             ('LOW',  0.0, 100000.0),
+             ('MID',  50000.0, 200000.0),
+             ('HIGH', 150000.0, 1000000000.0)
+    )
+    SELECT b.band, COUNT(*) AS n_orders,
+           floor(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(30,10))) AS DOUBLE)
+                 * 100 + 0.5) / 100.0 AS revenue
+    FROM orders o JOIN bands b
+      ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY b.band
+    """,
+)
+def q102(spark, sf_dir):
+    """OVERLAPPING interval-dimension lookup, mode='all' (stacked
+    promotion bands): one output row per matching interval (1→N),
+    resolved map-only — the filtered literal-array matches explode in
+    the same codegen stage, no join node. The oracle is the plain
+    theta join over the same bands, so the per-band counts verify the
+    exact match multiplicity."""
+    from graphragpart1datapipeline_spark.operators import (
+        interval_lookup_join,
+    )
+
+    bands = spark.createDataFrame(
+        [
+            ("ALL", 0.0, 1_000_000_000.0),
+            ("LOW", 0.0, 100_000.0),
+            ("MID", 50_000.0, 200_000.0),
+            ("HIGH", 150_000.0, 1_000_000_000.0),
+        ],
+        "band string, lo double, hi double",
+    )
+    o = _t(spark, sf_dir, "orders")
+    tagged = interval_lookup_join(
+        o, bands, value_col="o_totalprice", mode="all"
+    )
+    return (
+        tagged.filter(F.col("band").isNotNull())
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _round_det(
+                F.sum(F.col("o_totalprice").cast("decimal(30,10)"))
+                .cast("double"),
+                2,
+            ).alias("revenue"),
+        )
+    )
 
 
 @_register(

@@ -79,6 +79,39 @@ def decode_image_features(
     )
 
 
+def pillow_decoder(
+    resize: tuple[int, int] = (8, 8)
+) -> Callable[[bytes], list[float]]:
+    """Pillow-backed real decoder for :func:`decode_image_features`,
+    mirroring the HF adapters in text/adapters.py: importable only when
+    Pillow is installed (clear ImportError otherwise — this container
+    does not ship it, so the adapter test importorskips).
+
+    Feature = the ``resize`` grayscale thumbnail, row-major, scaled to
+    [0, 1] — the standard perceptual-hash precursor (64 floats at 8×8),
+    enough for near-dup image bucketing via the same LSH/cosine ops the
+    text embeddings use. The closure captures only ``resize``, so it is
+    picklable and cheap to ship to executors; PIL imports lazily inside
+    the task."""
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        raise ImportError(
+            "pillow_decoder requires the 'Pillow' package; install it or "
+            "inject another decoder / use fake_decode_stats"
+        ) from None
+
+    def decode(raw: bytes) -> list[float]:
+        import io
+
+        from PIL import Image
+
+        im = Image.open(io.BytesIO(raw)).convert("L").resize(resize)
+        return [p / 255.0 for p in im.getdata()]
+
+    return decode
+
+
 def frame_sample_plan(
     df: DataFrame,
     every_ms: int = 1000,

@@ -201,6 +201,7 @@ def interval_lookup_join(
     hi_col: str = "hi",
     payload_cols: Sequence[str] | None = None,
     max_dim_rows: int = 10_000,
+    mode: str = "first",
 ) -> DataFrame:
     """Interval-DIMENSION lookup (price tiers, IP→geo ranges, SLA
     bands): attach the payload of the dim row whose [lo, hi) interval
@@ -217,9 +218,19 @@ def interval_lookup_join(
     it); beyond that, fall back to `range_join` (bucketized) or an
     explicit broadcast theta join.
 
-    Intervals are assumed non-overlapping (first match in lo-sorted
-    order wins otherwise — deterministic either way).
+    ``mode``:
+      - ``"first"`` (default): one output row per input row; with
+        OVERLAPPING intervals the first match in (lo, hi, payload)-
+        sorted order wins — deterministic, but a silent pick. Right
+        for genuinely non-overlapping dims.
+      - ``"all"``: one output row PER MATCH (1→N) — the correct
+        semantics when the dimension legitimately overlaps (versioned
+        rates, stacked promotions, nested CIDR blocks). Still map-only:
+        the filtered match array explodes in the same codegen stage
+        (explode_outer, so no-match rows survive with null payload).
     """
+    if mode not in ("first", "all"):
+        raise ValueError("mode must be 'first' or 'all'")
     payload = list(
         payload_cols
         or [c for c in dim.columns if c not in (lo_col, hi_col)]
@@ -234,7 +245,10 @@ def interval_lookup_join(
             f"dim exceeds max_dim_rows={max_dim_rows}; use range_join or "
             "a broadcast join instead"
         )
-    rows = sorted(rows, key=lambda r: r[lo_col])
+    # full-tuple sort key: deterministic even when (lo, hi) repeats
+    rows = sorted(
+        rows, key=lambda r: (r[lo_col], r[hi_col], *[r[c] for c in payload])
+    )
     arr = F.array(
         *[
             F.struct(
@@ -246,11 +260,15 @@ def interval_lookup_join(
         ]
     )
     v = F.col(value_col)
+    matches = F.filter(arr, lambda s: (v >= s["__lo"]) & (v < s["__hi"]))
+    if mode == "all":
+        out = df.withColumn("__m", F.explode_outer(matches))
+        for c in payload:
+            out = out.withColumn(c, F.col("__m")[c])
+        return out.drop("__m")
     # try_element_at: a row matching no interval yields NULL payload
     # instead of INVALID_ARRAY_INDEX under ANSI mode
-    hit = F.try_element_at(
-        F.filter(arr, lambda s: (v >= s["__lo"]) & (v < s["__hi"])), F.lit(1)
-    )
+    hit = F.try_element_at(matches, F.lit(1))
     out = df
     for c in payload:
         out = out.withColumn(c, hit[c])

@@ -126,6 +126,39 @@ def test_detect_communities_two_cliques(spark):
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, out2.collect()))
 
 
+def test_leiden_vendored_matches_native_leidenalg():
+    """A/B parity with native leidenalg, skip-gated: proven
+    automatically the day igraph/leidenalg install (reference contract
+    utils/neo4j_helpers.py:237-268, seed 42; determinism test
+    tests/data_pipeline/utils/test_neo4j_helpers.py:367). Partitions
+    compared as set-of-member-sets (ids are arbitrary on both sides)."""
+    import pytest
+
+    pytest.importorskip("igraph")
+    pytest.importorskip("leidenalg")
+    from graphragpart1datapipeline_spark.graph.communities import (
+        _leiden_driver_local,
+        _leiden_driver_local_vendored,
+    )
+
+    # golden graph: two 5-cliques + a 4-clique, sparse bridges
+    edge_list = (
+        [(f"a{i}", f"a{j}") for i in range(5) for j in range(i + 1, 5)]
+        + [(f"b{i}", f"b{j}") for i in range(5) for j in range(i + 1, 5)]
+        + [(f"c{i}", f"c{j}") for i in range(4) for j in range(i + 1, 4)]
+        + [("a0", "b0"), ("b1", "c0")]
+    )
+    for res in (2.0, 0.5, 0.1):
+        native = _leiden_driver_local(edge_list, res, seed=42)
+        vendored = _leiden_driver_local_vendored(edge_list, res, seed=42)
+        def parts(m):
+            groups: dict[int, set] = {}
+            for node, c in m.items():
+                groups.setdefault(c, set()).add(node)
+            return {frozenset(g) for g in groups.values()}
+        assert parts(native) == parts(vendored), f"resolution {res}"
+
+
 def test_louvain_distributed_two_cliques(spark):
     """Distributed Louvain: cliques unify, the bridge doesn't merge
     them, the result is deterministic, and an empty graph yields an
@@ -374,6 +407,52 @@ def test_multimodal_plumbing(spark):
     assert out[0]["byte_len"] == 9 and len(out[0]["feature"]) == 8
     frames = frame_sample_plan(df, every_ms=500).collect()
     assert [r["frame_ts_ms"] for r in frames] == [0, 500, 1000, 1500]
+
+
+def test_pillow_decoder_real_images(spark):
+    """Pillow-backed decoder end to end, skip-gated like the HF
+    adapters: real PNG bytes → 8×8 grayscale features through the same
+    Arrow mapInPandas path."""
+    import pytest
+
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from graphragpart1datapipeline_spark.multimodal import pillow_decoder
+
+    def png_bytes(color):
+        buf = io.BytesIO()
+        Image.new("RGB", (32, 16), color).save(buf, format="PNG")
+        return bytearray(buf.getvalue())
+
+    df = spark.createDataFrame(
+        [("white", "image", png_bytes((255, 255, 255)), 0),
+         ("black", "image", png_bytes((0, 0, 0)), 0)],
+        "asset_id string, kind string, payload binary, duration_ms long",
+    )
+    out = {r["asset_id"]: r for r in decode_image_features(
+        df, decoder=pillow_decoder(resize=(8, 8))
+    ).collect()}
+    assert len(out["white"]["feature"]) == 64
+    assert all(f == 1.0 for f in out["white"]["feature"])
+    assert all(f == 0.0 for f in out["black"]["feature"])
+
+
+def test_pillow_decoder_import_error_without_pil():
+    import pytest
+
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("Pillow present; ImportError path not reachable")
+    except ImportError:
+        pass
+    from graphragpart1datapipeline_spark.multimodal import pillow_decoder
+
+    with pytest.raises(ImportError, match="Pillow"):
+        pillow_decoder()
 
 
 def test_multimodal_stub_raises(spark):

@@ -602,6 +602,36 @@ def test_interval_lookup_join(spark):
         interval_lookup_join(facts, dim, value_col="v", max_dim_rows=2)
 
 
+def test_interval_lookup_join_overlapping(spark):
+    """mode='all' emits one row per matching interval; mode='first'
+    picks the (lo, hi, payload)-sorted first match deterministically."""
+    import pytest
+
+    from graphragpart1datapipeline_spark.operators import interval_lookup_join
+
+    dim = spark.createDataFrame(
+        [("wide", 0, 30, "W"), ("low", 0, 10, "L"), ("mid", 5, 20, "M")],
+        "name string, lo int, hi int, code string",
+    )
+    facts = spark.createDataFrame(
+        [(1, 7), (2, 25), (3, 99)], "id int, v int"
+    )
+    rows = interval_lookup_join(
+        facts, dim, value_col="v", mode="all"
+    ).collect()
+    got = sorted((r["id"], r["name"]) for r in rows)
+    # v=7 ∈ wide+low+mid; v=25 ∈ wide only; v=99 ∈ nothing (row kept)
+    assert got == [(1, "low"), (1, "mid"), (1, "wide"), (2, "wide"), (3, None)]
+    first = {
+        r["id"]: r["name"]
+        for r in interval_lookup_join(facts, dim, value_col="v").collect()
+    }
+    # (lo, hi, payload) sort: (0,10,low) precedes (0,30,wide)
+    assert first == {1: "low", 2: "wide", 3: None}
+    with pytest.raises(ValueError, match="mode"):
+        interval_lookup_join(facts, dim, value_col="v", mode="nope")
+
+
 def test_negative_ring_sample(spark):
     import pytest
 
