@@ -4417,6 +4417,299 @@ def q85(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Round-3 additions: ranked retrieval + hybrid fusion, graph cohesion,
+# cohort analytics, n-gram LM scoring, Z-order layout stats
+# --------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "merge", "window")
+
+
+def _bm25_sql(k: int, terms=_BM25_TERMS) -> str:
+    """BM25 rational-idf oracle (k1=1.2, b=0.75): parenthesization
+    mirrors bm25_topk's column expression term by term so every IEEE
+    op sequence is identical; per-doc sums decimal-accumulate."""
+    inlist = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    return f"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents
+    ), dl AS (
+      SELECT doc_id, len(toks) AS dl FROM t
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl
+    ), posts AS (
+      SELECT doc_id, lower(unnest(toks)) AS term FROM t
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM posts
+      WHERE term IN ({inlist}) GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), bscored AS (
+      SELECT tf.doc_id,
+             ((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 *
+                    (dl.dl / (CAST(stats.sum_dl AS DOUBLE) / stats.n_docs))))
+               AS s
+      FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id), stats
+    ), bagg AS (
+      SELECT doc_id,
+             CAST(SUM(CAST(s AS DECIMAL(38,12))) AS DOUBLE) AS score,
+             COUNT(*) AS matched_terms
+      FROM bscored GROUP BY doc_id
+    )
+    SELECT doc_id, score, matched_terms,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+             AS rank
+    FROM bagg ORDER BY score DESC, doc_id LIMIT {k}
+    """
+
+
+@_register("q103_bm25_topk", _bm25_sql(10))
+def q103(spark, sf_dir):
+    """Ranked fulltext retrieval: BM25 top-10 (rational idf — every op
+    exactly-rounded IEEE, decimal-accumulated per-doc sums, so the
+    oracle replays bit-for-bit). The ranked upgrade of q45's boolean
+    fulltext match (reference Neo4j fulltext scoring, README.md:414-418).
+    Postings are filtered to the query terms before any shuffle; only k
+    rows leave via TakeOrderedAndProject."""
+    from graphragpart1datapipeline_spark.text.analysis import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(
+        docs, list(_BM25_TERMS), text_col="text", id_col="doc_id",
+        k=10, log_idf=False,
+    )
+
+
+@_register(
+    "q104_hybrid_rrf",
+    f"""
+    WITH q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+      WHERE vec_id = 0
+    ), vscored AS (
+      SELECT e.vec_id,
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(q.qv, q.qv))) AS score
+      FROM embeddings e, q
+    ), vrank AS (
+      SELECT vec_id AS id,
+             CAST(row_number() OVER (ORDER BY score DESC, vec_id)
+                  AS BIGINT) AS rank_1
+      FROM vscored ORDER BY score DESC, vec_id LIMIT 100
+    ), brank AS (
+      SELECT doc_id AS id, rank AS rank_2 FROM ({_bm25_sql(100)})
+    )
+    SELECT COALESCE(v.id, b.id) AS id, v.rank_1, b.rank_2,
+           COALESCE(1.0 / (60 + v.rank_1), 0.0)
+             + COALESCE(1.0 / (60 + b.rank_2), 0.0) AS rrf_score
+    FROM vrank v FULL OUTER JOIN brank b ON v.id = b.id
+    ORDER BY rrf_score DESC, COALESCE(v.id, b.id) LIMIT 20
+    """,
+)
+def q104(spark, sf_dir):
+    """Hybrid retrieval with reciprocal-rank fusion: dense top-100
+    (exact cosine vs the vec_id=0 query) ⊕ sparse BM25 top-100, fused
+    by RRF (Cormack 2009) — the standard RAG hybrid ranker. Both input
+    lists are k-sized by construction, so the fusion join is tiny at
+    any corpus scale; reciprocals are single IEEE divisions added in
+    fixed list order, hence exactly replayable."""
+    from graphragpart1datapipeline_spark.text.analysis import bm25_topk
+    from graphragpart1datapipeline_spark.vector.search import rrf_fuse
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    from graphragpart1datapipeline_spark.vector import cosine_topk as _ctk
+
+    vec = _ctk(emb, qvec, k=100, vec_col="embedding", id_col="vec_id")
+    wv = Window.orderBy(F.desc("score"), F.asc("vec_id"))
+    vecr = vec.withColumn(
+        "rank", F.row_number().over(wv).cast("long")
+    ).select(F.col("vec_id").alias("id"), "rank")
+    docs = _t(spark, sf_dir, "documents")
+    bm = bm25_topk(
+        docs, list(_BM25_TERMS), text_col="text", id_col="doc_id",
+        k=100, log_idf=False,
+    ).select(F.col("doc_id").alias("id"), "rank")
+    return rrf_fuse([vecr, bm], id_col="id", k0=60, k=20)
+
+
+@_register(
+    "q105_triangle_counts",
+    """
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1
+      JOIN e e2 ON e1.b = e2.a
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT node, COUNT(*) AS triangles
+    FROM (SELECT unnest([x, y, z]) AS node FROM tri)
+    GROUP BY node
+    """,
+)
+def q105(spark, sf_dir):
+    """Per-node triangle counts over the co-purchase graph (parts
+    sharing an order): canonical a<b orientation makes each triangle
+    materialize exactly once from the wedge self-join + closure join —
+    two equi-joins, exact integer counts (graph-cohesion G-op next to
+    q82 PageRank / q94 LPA; degree-based orientation available for
+    power-law graphs)."""
+    from graphragpart1datapipeline_spark.graph.triangles import (
+        triangle_counts,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("la")
+    b = li.alias("lb")
+    edges = (
+        a.join(b, F.col("la.l_orderkey") == F.col("lb.l_orderkey"))
+        .filter(F.col("la.l_partkey") < F.col("lb.l_partkey"))
+        .select(
+            F.col("la.l_partkey").alias("src"),
+            F.col("lb.l_partkey").alias("dst"),
+        )
+    )
+    return triangle_counts(edges)
+
+
+@_register(
+    "q106_cohort_retention",
+    """
+    WITH ev AS (
+      SELECT user_id AS u,
+             CAST(floor(date_diff('day', DATE '1970-01-05',
+                                  CAST(ts AS DATE)) / 7) AS BIGINT) AS p
+      FROM events
+    ), cohort AS (
+      SELECT u, MIN(p) AS cohort_period FROM ev GROUP BY u
+    ), active AS (
+      SELECT DISTINCT u, p FROM ev
+    ), cells AS (
+      SELECT cohort_period, p - cohort_period AS period_offset,
+             COUNT(DISTINCT u) AS n_users
+      FROM active JOIN cohort USING (u)
+      GROUP BY 1, 2
+    ), sizes AS (
+      SELECT cohort_period, COUNT(*) AS cohort_size FROM cohort GROUP BY 1
+    )
+    SELECT cohort_period, period_offset, n_users, cohort_size,
+           floor((n_users * 10000.0) / cohort_size + 0.5) / 100.0
+             AS retention_pct
+    FROM cells JOIN sizes USING (cohort_period)
+    """,
+)
+def q106(spark, sf_dir):
+    """Weekly cohort retention matrix over the event log (cohort = ISO
+    week of first event): pure integer date arithmetic, one user-keyed
+    groupBy + distinct sharing a hash partitioning, no windows over the
+    log. Companion readout to q97's ordered funnel."""
+    from graphragpart1datapipeline_spark.operators.relational import (
+        cohort_retention,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return cohort_retention(ev, user_col="user_id", ts_col="ts", period_days=7)
+
+
+@_register(
+    "q107_bigram_lm_score",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_transform(string_split_regex(trim(text), '\\s+'),
+                            x -> lower(x)) AS toks
+      FROM documents
+    ), b AS (
+      SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i) r
+    ), c2 AS (
+      SELECT w1, w2, COUNT(*) AS n2 FROM b GROUP BY w1, w2
+    ), c1 AS (
+      SELECT w1, SUM(n2) AS n1 FROM c2 GROUP BY w1
+    ), bs AS (
+      SELECT b.doc_id,
+             CAST(floor((c2.n2 * 1000000.0) / c1.n1 + 0.5) AS BIGINT) AS p
+      FROM b JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+    ), agg AS (
+      SELECT doc_id, COUNT(*) AS n_bigrams, SUM(p) AS s
+      FROM bs GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(agg.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(COALESCE(agg.s, 0) AS BIGINT) AS lm_score_micro,
+           CASE WHEN COALESCE(agg.n_bigrams, 0) > 0
+                THEN CAST(agg.s AS DOUBLE) / agg.n_bigrams
+           END AS mean_prob_micro
+    FROM documents d LEFT JOIN agg USING (doc_id)
+    """,
+)
+def q107(spark, sf_dir):
+    """N-gram LM quality scoring (the CCNet/KenLM corpus filter, bigram
+    variant): train the model on the corpus in one (w1,w2) groupBy,
+    score every document by its integer-scaled per-bigram probability
+    sum — order-independent BIGINT arithmetic, so the full train+score
+    pipeline replays exactly. Documents with < 2 tokens keep a row
+    (score 0, NULL mean)."""
+    from graphragpart1datapipeline_spark.text.lm import bigram_lm_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_lm_score(docs, text_col="text", id_col="doc_id")
+
+
+def _zorder_sql(cols, bits: int, bucket_bits: int) -> str:
+    """Replays zorder_value's interleave verbatim: bit j of column i
+    lands at output bit j·n + i; values clamp into [0, 2^bits)."""
+    n = len(cols)
+    cap = (1 << bits) - 1
+    terms = []
+    for i, c in enumerate(cols):
+        cl = f"least(greatest(CAST({c} AS BIGINT), 0), {cap})"
+        for j in range(bits):
+            terms.append(f"(({cl} >> {j}) & 1) * {1 << (j * n + i)}")
+    z = " + ".join(terms)
+    shift = bits * n - bucket_bits
+    stat_cols = ",\n           ".join(
+        f"MIN({c}) AS min_{c}, MAX({c}) AS max_{c}" for c in cols
+    )
+    return f"""
+    WITH z AS (SELECT {', '.join(cols)}, ({z}) AS zv FROM documents)
+    SELECT (zv >> {shift}) AS bucket, COUNT(*) AS n_rows,
+           {stat_cols}
+    FROM z GROUP BY bucket
+    """
+
+
+@_register(
+    "q108_zorder_layout",
+    _zorder_sql(["doc_id", "n_chars"], bits=16, bucket_bits=6),
+)
+def q108(spark, sf_dir):
+    """Z-order (Morton) layout stats: interleave doc_id × n_chars bits,
+    bucket by z-prefix, emit per-bucket footer min/max — the
+    data-skipping layout a Delta-style OPTIMIZE ZORDER write produces.
+    Pure per-row integer bit arithmetic (map-only) + one combined
+    groupBy; the min/max spans prove range predicates on EITHER column
+    prune buckets. The write path is repartitionByRange(z) +
+    sortWithinPartitions(z)."""
+    from graphragpart1datapipeline_spark.operators.layout import (
+        zorder_bucket_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return zorder_bucket_stats(
+        docs, ["doc_id", "n_chars"], bits=16, bucket_bits=6
+    )
+
+
+# --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
 

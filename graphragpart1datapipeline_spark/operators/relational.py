@@ -788,3 +788,63 @@ def apply_scd2(
     return history.unionByName(untouched).unionByName(closing).unionByName(
         opening
     )
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_days: int = 7,
+    epoch: str = "1970-01-05",
+) -> DataFrame:
+    """Cohort retention matrix over an event log: users are cohorted by
+    the period of their FIRST event; each (cohort_period, period_offset)
+    cell counts the cohort's users active in that later period. Returns
+    (cohort_period, period_offset, n_users, cohort_size,
+    retention_pct) — the standard product/corpus-freshness readout next
+    to funnel_counts.
+
+    Periods are floor(days_since_epoch / period_days) — pure integer
+    date arithmetic, timezone-free, bit-identical across engines (the
+    default epoch is a Monday so weekly periods align to ISO weeks).
+
+    Plan: one groupBy(user) for cohorts (map-side combined), one
+    distinct over (user, period) — both shuffles hash on user_col, so
+    AQE coalesces them into one exchange lineage — then a cohort join
+    on user (broadcast when the user dimension is small; otherwise
+    co-partitioned with the distinct's existing hashing) and a final
+    cells-sized groupBy. The event log is never sorted or windowed.
+    """
+    period = (
+        F.floor(
+            F.datediff(F.to_date(F.col(ts_col)), F.lit(epoch).cast("date"))
+            / F.lit(period_days)
+        ).cast("long")
+    )
+    ev = df.select(F.col(user_col).alias("u"), period.alias("p"))
+    cohort = ev.groupBy("u").agg(F.min("p").alias("cohort_period"))
+    active = ev.distinct()
+    cells = (
+        active.join(cohort, "u")
+        .groupBy(
+            "cohort_period",
+            (F.col("p") - F.col("cohort_period")).alias("period_offset"),
+        )
+        .agg(F.countDistinct("u").alias("n_users"))
+    )
+    sizes = cohort.groupBy("cohort_period").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return cells.join(sizes, "cohort_period").select(
+        "cohort_period",
+        "period_offset",
+        "n_users",
+        "cohort_size",
+        (
+            F.floor(
+                (F.col("n_users") * F.lit(10000.0)) / F.col("cohort_size")
+                + F.lit(0.5)
+            )
+            / F.lit(100.0)
+        ).alias("retention_pct"),
+    )

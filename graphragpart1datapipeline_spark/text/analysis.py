@@ -153,6 +153,82 @@ def tfidf_top_terms(
     )
 
 
+def bm25_topk(
+    df,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    log_idf: bool = True,
+):
+    """Ranked fulltext retrieval: BM25 top-k (Robertson/Spärck Jones;
+    the ranked upgrade of :func:`fulltext_search`'s boolean match —
+    reference: Neo4j fulltext index scoring, README.md:414-418).
+
+    Plan shape (scale-first): document lengths and corpus size come from
+    one map-side-combined agg (1-row broadcast, no driver round-trip);
+    postings are filtered to the query terms BEFORE any shuffle (the
+    isin() runs in the explode's codegen stage, so only matching
+    (doc, term) rows — a few per document — ever shuffle); per-term
+    document frequencies are a |terms|-row groupBy broadcast back; final
+    ranking is TakeOrderedAndProject (only k rows reach a single task,
+    never the scored set). At 100 TB the postings for the query terms
+    are the only corpus-sized data in flight, and they shrink with the
+    selectivity of the terms.
+
+    ``log_idf=False`` uses the rational idf (N - df + 0.5)/(df + 0.5)
+    without the logarithm — all exactly-rounded IEEE ops, bit-identical
+    across engines (what the DuckDB oracle replays; per-doc sums are
+    decimal-accumulated so term order can't matter). The default
+    ln(1 + rational) is standard BM25+ (libm ln may differ in the last
+    ulp across engines). Ties rank deterministically by id.
+    """
+    from pyspark.sql import Window
+
+    qterms = sorted({t.lower() for t in terms})
+    toks = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    dl = toks.select(id_col, F.size("__toks").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    posts = (
+        toks.select(F.col(id_col), F.explode("__toks").alias("__t"))
+        .select(id_col, F.lower("__t").alias("term"))
+        .filter(F.col("term").isin(*qterms))
+    )
+    tf = posts.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    rational = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (
+        F.col("df") + F.lit(0.5)
+    )
+    idf = F.log(F.lit(1.0) + rational) if log_idf else rational
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * (F.col("dl") / avgdl)
+    )
+    term_score = idf * (F.col("tf") * F.lit(k1 + 1.0)) / denom
+    per_doc = (
+        scored.withColumn("__s", term_score)
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("__s").cast("decimal(38,12)"))
+            .cast("double")
+            .alias("score"),
+            F.count(F.lit(1)).alias("matched_terms"),
+        )
+    )
+    topk = per_doc.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc(id_col))
+    return topk.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
 # (pattern, replacement) chain applied in order; kept RE2-compatible so
 # the SQL oracle replays them verbatim (no backrefs, no lookaround)
 PII_PATTERNS: tuple[tuple[str, str], ...] = (

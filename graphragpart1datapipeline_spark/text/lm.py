@@ -1,0 +1,131 @@
+"""N-gram language-model quality scoring for corpus curation.
+
+The standard pre-training filter (CCNet / Wenzek et al. 2020 use a
+KenLM 5-gram; Gopher and RefinedWeb use the same shape): train an
+n-gram model on the corpus (or a trusted reference slice), then score
+every document by its per-token model probability and drop the tails.
+This module implements the distributed bigram variant with an exactly
+replayable integer scoring scheme, so the whole train+score pipeline is
+verifiable against an ANSI-SQL oracle.
+
+Scale shape: bigram extraction is row-local (one ``transform`` over the
+token array — no posexplode self-join); the model is ONE
+(w1, w2)-groupBy with map-side partial aggregation (vocab²-bounded
+output, corpus-sized input); context totals reuse the already-unique
+model rows (vocab-sized groupBy). Scoring joins each document's bigrams
+against the model — at real scale the model is orders of magnitude
+smaller than the corpus, so the join broadcasts and the corpus is never
+shuffled (``spark.sql.autoBroadcastJoinThreshold`` governs; below it,
+AQE picks the broadcast side at runtime).
+
+Determinism: per-bigram probability c(w1,w2)/c(w1) is a single IEEE
+division of exact integers; it is scaled to ``floor(p * 1e6 + 0.5)``
+BIGINT "micro-probability" units so the per-document sum is integer
+arithmetic — order-independent and bit-identical in every engine. (A
+log-probability sum would hit libm ulp drift; the scaled linear mean
+ranks documents the same way for filtering purposes.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .analysis import tokens
+
+PROB_SCALE = 1_000_000
+
+
+def doc_bigrams(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"):
+    """Lower-cased word bigrams per document, row-local (no shuffle):
+    tokens → transform over the leading n-1 slots pairing each token
+    with its successor → explode. Documents with < 2 tokens produce no
+    rows here; scorers re-attach them with a left join."""
+    toks = F.transform(tokens(text_col), lambda t: F.lower(t))
+    return (
+        df.select(F.col(id_col), toks.alias("__toks"))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.slice(
+                        "__toks",
+                        1,
+                        F.greatest(F.size("__toks") - 1, F.lit(0)),
+                    ),
+                    lambda x, i: F.struct(
+                        x.alias("w1"),
+                        F.get("__toks", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("__bg"),
+        )
+        .select(id_col, F.col("__bg.w1").alias("w1"), F.col("__bg.w2").alias("w2"))
+    )
+
+
+def bigram_lm_train(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Train the bigram model: (w1, w2, n2, n1) where n2 = corpus count
+    of the bigram and n1 = corpus count of w1 as a bigram context
+    (= sum of n2 over w2 — derived from the model rows themselves, no
+    second corpus pass)."""
+    bg = doc_bigrams(df, text_col, id_col)
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = c2.groupBy("w1").agg(F.sum("n2").alias("n1"))
+    return c2.join(c1, "w1").select("w1", "w2", "n2", "n1")
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    model: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Score every document against a bigram model (default: trained on
+    ``df`` itself — self-perplexity, the dedup/outlier screen).
+
+    Returns (id_col, n_bigrams, lm_score_micro, mean_prob_micro):
+    lm_score_micro = Σ floor(c(w1,w2)/c(w1) · 1e6 + 0.5) over the
+    document's bigrams (BIGINT, exact); mean_prob_micro divides by the
+    bigram count (one IEEE division). Documents with < 2 tokens keep a
+    row with n_bigrams = 0 and NULL mean (the empty-row-preservation
+    contract shared with remove_repeated_passages / bpe_apply).
+    """
+    if model is None:
+        model = bigram_lm_train(df, text_col, id_col)
+    if broadcast_model:
+        model = F.broadcast(model)
+    bg = doc_bigrams(df, text_col, id_col)
+    p_micro = F.floor(
+        (F.col("n2") * F.lit(float(PROB_SCALE))) / F.col("n1") + F.lit(0.5)
+    ).cast("long")
+    per_doc = (
+        bg.join(model, ["w1", "w2"], "left")
+        .select(F.col(id_col), F.coalesce(p_micro, F.lit(0)).alias("__p"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("__p").alias("lm_score_micro"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("lm_score_micro", F.lit(0))
+            .cast("long")
+            .alias("lm_score_micro"),
+            (
+                F.when(
+                    F.coalesce("n_bigrams", F.lit(0)) > 0,
+                    F.col("lm_score_micro").cast("double")
+                    / F.col("n_bigrams"),
+                )
+            ).alias("mean_prob_micro"),
+        )
+    )

@@ -559,3 +559,47 @@ def recall_at_k(
         return 1.0
     a = {r[id_col] for r in approx.select(id_col).collect()}
     return len(e & a) / len(e)
+
+
+def rrf_fuse(
+    ranked: Sequence[DataFrame],
+    id_col: str = "id",
+    rank_col: str = "rank",
+    k0: int = 60,
+    k: int = 20,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of N ranked result
+    lists — the standard hybrid-retrieval combiner (BM25 ⊕ dense
+    vectors) in every RAG stack. score(d) = Σ_lists 1/(k0 + rank_i(d)),
+    items absent from a list contribute 0.
+
+    Each input is a (id_col, rank_col) frame that is top-k-sized by
+    construction (the output of bm25_topk / cosine_topk — k rows, not
+    corpus-sized), so the fusion is a join of tiny frames regardless of
+    corpus scale; the result is TakeOrderedAndProject'd to k rows.
+
+    Determinism: each reciprocal 1/(k0+rank) is one IEEE division of
+    exact integers and the contributions are added in fixed list order
+    (not a shuffled SUM), so the fused score is bit-identical across
+    engines. Ties break by id.
+    """
+    if not ranked:
+        raise ValueError("rrf_fuse needs at least one ranked list")
+    out = None
+    rank_cols = []
+    for i, df in enumerate(ranked):
+        rc = f"rank_{i + 1}"
+        rank_cols.append(rc)
+        part = df.select(F.col(id_col), F.col(rank_col).alias(rc))
+        out = part if out is None else out.join(part, id_col, "full_outer")
+    score = None
+    for rc in rank_cols:
+        contrib = F.coalesce(
+            F.lit(1.0) / (F.lit(k0) + F.col(rc)), F.lit(0.0)
+        )
+        score = contrib if score is None else score + contrib
+    return (
+        out.withColumn("rrf_score", score)
+        .orderBy(F.desc("rrf_score"), F.asc(id_col))
+        .limit(k)
+    )

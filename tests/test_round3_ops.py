@@ -1,0 +1,238 @@
+"""Round-3 operators: BM25 ranked retrieval, RRF hybrid fusion,
+triangle counting, cohort retention, bigram-LM scoring, Z-order layout.
+Goldens are tiny hand-checkable frames; plan tests lock the scale shape
+(broadcasts, TakeOrderedAndProject, exchange counts)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from graphragpart1datapipeline_spark.graph.triangles import (  # noqa: E402
+    triangle_counts,
+    triangle_total,
+)
+from graphragpart1datapipeline_spark.operators.layout import (  # noqa: E402
+    skipped_bucket_fraction,
+    zorder_bucket_stats,
+    zorder_value,
+)
+from graphragpart1datapipeline_spark.operators.relational import (  # noqa: E402
+    cohort_retention,
+)
+from graphragpart1datapipeline_spark.text.analysis import bm25_topk  # noqa: E402
+from graphragpart1datapipeline_spark.text.lm import (  # noqa: E402
+    bigram_lm_score,
+    bigram_lm_train,
+)
+from graphragpart1datapipeline_spark.vector.search import rrf_fuse  # noqa: E402
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ---------------------------------------------------------------- BM25
+
+
+def test_bm25_scores_and_ranks(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark"),
+            (2, "spark merge"),
+            (3, "other words only"),
+            (4, "merge merge merge merge"),
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(
+        docs, ["spark", "merge"], k=10, log_idf=False
+    ).collect()
+    # doc 3 matches nothing and must be absent
+    assert sorted(r["doc_id"] for r in out) == [1, 2, 4]
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[2]["matched_terms"] == 2
+    assert by_id[1]["matched_terms"] == 1
+    # ranks are 1..n, unique, ordered by score
+    ranks = sorted(r["rank"] for r in out)
+    assert ranks == [1, 2, 3]
+    top = min(out, key=lambda r: r["rank"])
+    assert top["score"] == max(r["score"] for r in out)
+
+
+def test_bm25_honors_k_and_is_take_ordered(spark):
+    docs = spark.createDataFrame(
+        [(i, "spark term%d" % i) for i in range(50)],
+        "doc_id long, text string",
+    )
+    df = bm25_topk(docs, ["spark"], k=5, log_idf=False)
+    assert df.count() == 5
+    assert "TakeOrderedAndProject" in _plan(df)
+
+
+# ----------------------------------------------------------------- RRF
+
+
+def test_rrf_fuse_golden(spark):
+    a = spark.createDataFrame([(10, 1), (11, 2)], "id long, rank long")
+    b = spark.createDataFrame([(11, 1), (12, 2)], "id long, rank long")
+    rows = {r["id"]: r for r in rrf_fuse([a, b], k0=60, k=10).collect()}
+    assert set(rows) == {10, 11, 12}
+    # doc 11 appears in both lists: 1/62 + 1/61
+    assert rows[11]["rrf_score"] == 1.0 / 62 + 1.0 / 61
+    assert rows[10]["rrf_score"] == 1.0 / 61
+    assert rows[12]["rrf_score"] == 1.0 / 62
+    assert rows[11]["rank_1"] == 2 and rows[11]["rank_2"] == 1
+    assert rows[10]["rank_2"] is None
+
+
+# ----------------------------------------------------------- triangles
+
+
+def test_triangle_counts_k4(spark):
+    # K4: C(4,3)=4 triangles, every node in exactly 3
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a < b],
+        "src long, dst long",
+    )
+    rows = {r["node"]: r["triangles"] for r in triangle_counts(edges).collect()}
+    assert rows == {0: 3, 1: 3, 2: 3, 3: 3}
+    assert triangle_total(edges).collect()[0]["triangles"] == 4
+
+
+def test_triangle_counts_orientation_invariant(spark):
+    # triangle 0-1-2 plus a pendant edge; reversed/duplicated edges
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 0), (1, 2), (2, 0), (2, 3), (3, 3)],
+        "src long, dst long",
+    )
+    plain = {
+        r["node"]: r["triangles"] for r in triangle_counts(edges).collect()
+    }
+    oriented = {
+        r["node"]: r["triangles"]
+        for r in triangle_counts(edges, orient_by_degree=True).collect()
+    }
+    assert plain == {0: 1, 1: 1, 2: 1}
+    assert oriented == plain
+
+
+# ------------------------------------------------------------- cohorts
+
+
+def test_cohort_retention_golden(spark):
+    # epoch 1970-01-05 is a Monday; week p = floor(days/7)
+    ev = spark.createDataFrame(
+        [
+            (1, "1970-01-05 10:00:00"),  # u1 week0
+            (1, "1970-01-13 10:00:00"),  # u1 week1
+            (2, "1970-01-06 10:00:00"),  # u2 week0
+            (3, "1970-01-13 10:00:00"),  # u3 week1
+        ],
+        "user_id long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    rows = {
+        (r["cohort_period"], r["period_offset"]): r
+        for r in cohort_retention(ev).collect()
+    }
+    assert rows[(0, 0)]["n_users"] == 2 and rows[(0, 0)]["cohort_size"] == 2
+    assert rows[(0, 1)]["n_users"] == 1
+    assert rows[(0, 1)]["retention_pct"] == 50.0
+    assert rows[(1, 0)]["n_users"] == 1 and rows[(1, 0)]["cohort_size"] == 1
+    assert set(rows) == {(0, 0), (0, 1), (1, 0)}
+
+
+# ------------------------------------------------------------ bigram LM
+
+
+def test_bigram_lm_train_and_score(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "a c"), (4, ""), (5, None)],
+        "doc_id long, text string",
+    )
+    model = {
+        (r["w1"], r["w2"]): (r["n2"], r["n1"])
+        for r in bigram_lm_train(docs).collect()
+    }
+    # contexts: 'a'→{b:3, c:1} (n1=4), 'b'→{a:1} (n1=1)
+    assert model[("a", "b")] == (3, 4)
+    assert model[("a", "c")] == (1, 4)
+    assert model[("b", "a")] == (1, 1)
+    rows = {r["doc_id"]: r for r in bigram_lm_score(docs).collect()}
+    # doc2: one bigram (a,b): floor(3/4*1e6+0.5) = 750000
+    assert rows[2]["n_bigrams"] == 1
+    assert rows[2]["lm_score_micro"] == 750000
+    assert rows[2]["mean_prob_micro"] == 750000.0
+    # doc1: (a,b)=750000, (b,a)=1000000, (a,b)=750000
+    assert rows[1]["lm_score_micro"] == 2500000
+    # empty/null docs preserved with zero score
+    for d in (4, 5):
+        assert rows[d]["n_bigrams"] == 0
+        assert rows[d]["lm_score_micro"] == 0
+        assert rows[d]["mean_prob_micro"] is None
+    assert set(rows) == {1, 2, 3, 4, 5}
+
+
+def test_bigram_lm_model_broadcasts(spark):
+    docs = spark.createDataFrame(
+        [(i, "w%d w%d w0" % (i, i + 1)) for i in range(20)],
+        "doc_id long, text string",
+    )
+    p = _plan(bigram_lm_score(docs))
+    assert "BroadcastHashJoin" in p
+
+
+# -------------------------------------------------------------- Z-order
+
+
+def test_zorder_value_interleave(spark):
+    # x=0b011 (3), y=0b101 (5), 3 bits, x at even bit slots:
+    # z = x0<<0 | y0<<1 | x1<<2 | y1<<3 | x2<<4 | y2<<5
+    #   = 1 | 2 | 4 | 0 | 0 | 32 = 39
+    row = (
+        spark.range(1)
+        .select(
+            zorder_value([F.lit(3), F.lit(5)], bits=3).alias("z"),
+            zorder_value([F.lit(0), F.lit(0)], bits=3).alias("z0"),
+            zorder_value([F.lit(7), F.lit(7)], bits=3).alias("zmax"),
+            # clamping: negative → 0, overflow → 2^bits-1
+            zorder_value([F.lit(-5), F.lit(9)], bits=3).alias("zclamp"),
+        )
+        .collect()[0]
+    )
+    assert row["z"] == 39
+    assert row["z0"] == 0
+    assert row["zmax"] == 63
+    # clamp(-5)=0, clamp(9)=7 → z = y bits only = 2+8+32 = 42
+    assert row["zclamp"] == 42
+
+
+def test_zorder_bucket_stats_single_exchange(spark):
+    df = spark.range(1000).select(
+        F.col("id").alias("x"), (F.col("id") * 7 % 1000).alias("y")
+    )
+    stats = zorder_bucket_stats(df, ["x", "y"], bits=10, bucket_bits=4)
+    p = _plan(stats)
+    assert p.count("Exchange") <= 2  # partial+final agg of one groupBy
+    rows = stats.collect()
+    assert sum(r["n_rows"] for r in rows) == 1000
+    # z-prefix buckets bound BOTH dimensions: every bucket's x-span and
+    # y-span must be < the full range (the skipping property), which a
+    # single-column sort cannot give for y.
+    for r in rows:
+        assert r["max_x"] - r["min_x"] < 999
+        assert r["max_y"] - r["min_y"] < 999
+
+
+def test_skipped_bucket_fraction(spark):
+    df = spark.range(1024).select(
+        F.col("id").alias("x"), F.col("id").alias("y")
+    )
+    stats = zorder_bucket_stats(df, ["x", "y"], bits=10, bucket_bits=4)
+    out = skipped_bucket_fraction(stats, "x", 0, 63).collect()[0]
+    assert out["n_buckets"] == out["scanned"] + out["skipped"]
+    assert out["skipped"] > 0
