@@ -4664,6 +4664,91 @@ def q107(spark, sf_dir):
     return bigram_lm_score(docs, text_col="text", id_col="doc_id")
 
 
+def _kcore_sql(k: int, rounds: int) -> str:
+    """Unrolled peeling rounds (the fixed-round-replay oracle pattern
+    shared with _louvain_oracle_sql): round r keeps nodes with degree
+    ≥ k in e_{r-1} and restricts edges to them; output = surviving
+    nodes of round `rounds` with their final degree."""
+    sql = [
+        """WITH e0 AS (
+      SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        sql.append(
+            f""", n{r} AS (
+      SELECT v FROM (SELECT a AS v FROM e{p} UNION ALL SELECT b AS v FROM e{p})
+      GROUP BY v HAVING COUNT(*) >= {k}
+    ), e{r} AS (
+      SELECT e{p}.a, e{p}.b FROM e{p}
+      JOIN n{r} x ON e{p}.a = x.v JOIN n{r} y ON e{p}.b = y.v
+    )"""
+        )
+    sql.append(
+        f"""
+    SELECT v AS node, COUNT(*) AS degree
+    FROM (SELECT a AS v FROM e{rounds} UNION ALL SELECT b AS v FROM e{rounds})
+    GROUP BY v HAVING COUNT(*) >= {k}"""
+    )
+    return "".join(sql)
+
+
+@_register("q109_kcore", _kcore_sql(70, 3))
+def q109(spark, sf_dir):
+    """k-core peeling (k=70, 3 fixed rounds) over the co-purchase
+    graph — corpus-graph denoising before community detection. Pure
+    function of the graph (no seeds), so the fixed-round run replays
+    exactly; per round one degree groupBy + two node-keyed semi-joins,
+    edges localCheckpoint'd to keep plans flat."""
+    from graphragpart1datapipeline_spark.graph.kcore import kcore_nodes
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("la")
+    b = li.alias("lb")
+    edges = (
+        a.join(b, F.col("la.l_orderkey") == F.col("lb.l_orderkey"))
+        .filter(F.col("la.l_partkey") < F.col("lb.l_partkey"))
+        .select(
+            F.col("la.l_partkey").alias("src"),
+            F.col("lb.l_partkey").alias("dst"),
+        )
+    )
+    return kcore_nodes(edges, k=70, rounds=3)
+
+
+@_register(
+    "q110_compaction_plan",
+    """
+    SELECT doc_id, n_chars,
+           CAST(floor(COALESCE(SUM(n_chars) OVER (
+                  ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ), 0) / 2000) AS BIGINT) AS "group"
+    FROM documents
+    """,
+)
+def q110(spark, sf_dir):
+    """Small-file compaction planning (table maintenance next to q108's
+    Z-order stats): greedy sequential fill of ~2000-byte output groups
+    by window cumsum over the file listing — metadata-sized input, so
+    the single-partition window is correct at any data scale; the
+    rewrite it plans parallelizes per group."""
+    from graphragpart1datapipeline_spark.operators.layout import (
+        compaction_plan,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return compaction_plan(
+        docs.select("doc_id", "n_chars"),
+        size_col="n_chars",
+        file_col="doc_id",
+        target_bytes=2000,
+    )
+
+
 def _zorder_sql(cols, bits: int, bucket_bits: int) -> str:
     """Replays zorder_value's interleave verbatim: bit j of column i
     lands at output bit j·n + i; values clamp into [0, 2^bits)."""

@@ -59,6 +59,13 @@ HEADLINE = [
     "q87_leakage_safe_split",
     "q88_bpe_train",
     "q94_label_propagation",
+    # round-3 additions: ranked retrieval, fusion, graph cohesion, LM
+    # scoring, layout stats — all scale paths
+    "q103_bm25_topk",
+    "q104_hybrid_rrf",
+    "q105_triangle_counts",
+    "q107_bigram_lm_score",
+    "q108_zorder_layout",
 ]
 
 # Repetitions per query; report the min. The ambient swing on a shared

@@ -95,3 +95,37 @@ def skipped_bucket_fraction(
         F.sum(overlaps.cast("long")).alias("scanned"),
         (F.count(F.lit(1)) - F.sum(overlaps.cast("long"))).alias("skipped"),
     )
+
+
+def compaction_plan(
+    files: DataFrame,
+    size_col: str = "bytes",
+    file_col: str = "path",
+    target_bytes: int = 128 * 1024 * 1024,
+) -> DataFrame:
+    """Small-file compaction planner — the table-maintenance companion
+    to Z-ordering: assign source files to output groups so each group's
+    total size ≈ ``target_bytes`` (greedy sequential fill in file order,
+    group = floor(bytes_before / target)). Returns (file_col, size_col,
+    group) ready to drive a per-group rewrite.
+
+    Deterministic: the running total is a window cumsum in
+    (file_col)-order — a pure function of the file listing, identical
+    in any engine. The global window runs single-partition, which is
+    correct AT SCALE because the input is file METADATA (one row per
+    file: ~1e-6 of the data volume; 100 TB at 128 MB/file is ~800k
+    rows — one task handles it). The data movement this plans is the
+    expensive part, and it parallelizes per group.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.orderBy(file_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum(size_col).over(w), F.lit(0))
+    return files.select(
+        file_col,
+        size_col,
+        F.floor(before / F.lit(target_bytes)).cast("long").alias("group"),
+    )

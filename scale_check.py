@@ -97,7 +97,15 @@ def ops(spark, base: str, extra_bits: int = 0):
         global_shuffle_shards,
         negative_ring_sample,
     )
-    from graphragpart1datapipeline_spark.text.analysis import tfidf_top_terms
+    from graphragpart1datapipeline_spark.text.analysis import (
+        bm25_topk,
+        tfidf_top_terms,
+    )
+    from graphragpart1datapipeline_spark.graph.triangles import triangle_counts
+    from graphragpart1datapipeline_spark.operators.layout import (
+        zorder_bucket_stats,
+    )
+    from graphragpart1datapipeline_spark.text.lm import bigram_lm_score
     from graphragpart1datapipeline_spark.vector.search import knn_join_blocked
 
     def docs():
@@ -127,6 +135,29 @@ def ops(spark, base: str, extra_bits: int = 0):
             )
         )
         return pagerank(edges, iters=3)
+
+    def _triangles():
+        # md5 graph with constant expected degree (~16): node space n/4,
+        # |E| = 4n — wedge work grows linearly with the corpus
+        d = docs().select("doc_id")
+        n = max(d.count() // 4, 1)
+        edges = (
+            d.crossJoin(spark.range(4).withColumnRenamed("id", "__r"))
+            .select(
+                (F.col("doc_id") % n).alias("src"),
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat("doc_id", F.lit(":"), "__r")), 1, 8
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % n
+                ).alias("dst"),
+            )
+        )
+        return triangle_counts(edges)
 
     return {
         "exact_dedup": lambda: exact_dedup(docs()),
@@ -174,6 +205,14 @@ def ops(spark, base: str, extra_bits: int = 0):
         "negative_ring_sample": lambda: negative_ring_sample(
             docs(), "doc_id", k=3, n_shards=256
         ),
+        "bm25_topk": lambda: bm25_topk(
+            docs(), ["spark", "merge", "window"], k=100, log_idf=False
+        ),
+        "bigram_lm": lambda: bigram_lm_score(docs()),
+        "triangle_counts": _triangles,
+        "zorder_stats": lambda: zorder_bucket_stats(
+            docs(), ["doc_id", "n_chars"], bits=16, bucket_bits=6
+        ),
     }
 
 
@@ -203,6 +242,10 @@ SCALE_BOUNDS: dict[str, float] = {
     "pagerank": 3.0,
     "label_propagation": 2.5,
     "negative_ring_sample": 2.0,
+    "bm25_topk": 2.5,
+    "bigram_lm": 3.0,
+    "triangle_counts": 3.0,
+    "zorder_stats": 2.5,
 }
 
 

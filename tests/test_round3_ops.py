@@ -236,3 +236,64 @@ def test_skipped_bucket_fraction(spark):
     out = skipped_bucket_fraction(stats, "x", 0, 63).collect()[0]
     assert out["n_buckets"] == out["scanned"] + out["skipped"]
     assert out["skipped"] > 0
+
+
+# --------------------------------------------------------------- k-core
+
+
+def test_kcore_peels_pendant_chain(spark):
+    # triangle 0-1-2 with pendant chain 2-3-4: 2-core = the triangle,
+    # but only after TWO peel rounds (removing 4 drops 3's degree)
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4)],
+        "src long, dst long",
+    )
+    from graphragpart1datapipeline_spark.graph.kcore import kcore_nodes
+
+    # rounds=1 peels node 4; the output degree filter then hides node 3,
+    # but its edge survives in the round-1 edge set — node 2 still
+    # reports degree 3 (the partially-peeled state)
+    one = {
+        r["node"]: r["degree"]
+        for r in kcore_nodes(edges, k=2, rounds=1).collect()
+    }
+    assert one == {0: 2, 1: 2, 2: 3}
+    rows = {
+        r["node"]: r["degree"]
+        for r in kcore_nodes(edges, k=2, rounds=2).collect()
+    }
+    assert rows == {0: 2, 1: 2, 2: 2}
+    fixed = {
+        r["node"]: r["degree"]
+        for r in kcore_nodes(
+            edges, k=2, until_fixed_point=True
+        ).collect()
+    }
+    assert fixed == rows
+
+
+def test_kcore_empty_when_k_too_high(spark):
+    edges = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    from graphragpart1datapipeline_spark.graph.kcore import kcore_nodes
+
+    assert kcore_nodes(edges, k=5, rounds=2).count() == 0
+
+
+# ----------------------------------------------------------- compaction
+
+
+def test_compaction_plan_greedy_fill(spark):
+    from graphragpart1datapipeline_spark.operators.layout import (
+        compaction_plan,
+    )
+
+    files = spark.createDataFrame(
+        [("f1", 60), ("f2", 60), ("f3", 60), ("f4", 10), ("f5", 200)],
+        "path string, bytes long",
+    )
+    rows = {
+        r["path"]: r["group"]
+        for r in compaction_plan(files, target_bytes=100).collect()
+    }
+    # cumsum-before: f1=0, f2=60, f3=120, f4=180, f5=190
+    assert rows == {"f1": 0, "f2": 0, "f3": 1, "f4": 1, "f5": 1}
