@@ -4563,20 +4563,12 @@ def q105(spark, sf_dir):
     q82 PageRank / q94 LPA; degree-based orientation available for
     power-law graphs)."""
     from graphragpart1datapipeline_spark.graph.triangles import (
+        cooccurrence_edges,
         triangle_counts,
     )
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.alias("la")
-    b = li.alias("lb")
-    edges = (
-        a.join(b, F.col("la.l_orderkey") == F.col("lb.l_orderkey"))
-        .filter(F.col("la.l_partkey") < F.col("lb.l_partkey"))
-        .select(
-            F.col("la.l_partkey").alias("src"),
-            F.col("lb.l_partkey").alias("dst"),
-        )
-    )
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
     return triangle_counts(edges)
 
 
@@ -4704,18 +4696,12 @@ def q109(spark, sf_dir):
     exactly; per round one degree groupBy + two node-keyed semi-joins,
     edges localCheckpoint'd to keep plans flat."""
     from graphragpart1datapipeline_spark.graph.kcore import kcore_nodes
+    from graphragpart1datapipeline_spark.graph.triangles import (
+        cooccurrence_edges,
+    )
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.alias("la")
-    b = li.alias("lb")
-    edges = (
-        a.join(b, F.col("la.l_orderkey") == F.col("lb.l_orderkey"))
-        .filter(F.col("la.l_partkey") < F.col("lb.l_partkey"))
-        .select(
-            F.col("la.l_partkey").alias("src"),
-            F.col("lb.l_partkey").alias("dst"),
-        )
-    )
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
     return kcore_nodes(edges, k=70, rounds=3)
 
 
@@ -4750,13 +4736,21 @@ def q110(spark, sf_dir):
 
 
 def _zorder_sql(cols, bits: int, bucket_bits: int) -> str:
-    """Replays zorder_value's interleave verbatim: bit j of column i
-    lands at output bit j·n + i; values clamp into [0, 2^bits)."""
+    """Replays zorder_bucket_stats verbatim: min/max-normalize each
+    column into [0, 2^bits), interleave (bit j of column i lands at
+    output bit j·n + i), prefix-bucket, stat per bucket."""
     n = len(cols)
     cap = (1 << bits) - 1
+    mm = ", ".join(
+        f"MIN({c}) AS __min_{c}, MAX({c}) AS __max_{c}" for c in cols
+    )
     terms = []
     for i, c in enumerate(cols):
-        cl = f"least(greatest(CAST({c} AS BIGINT), 0), {cap})"
+        norm = (
+            f"CAST(floor((({c} - __min_{c}) * {cap})"
+            f" / greatest(__max_{c} - __min_{c}, 1)) AS BIGINT)"
+        )
+        cl = f"least(greatest({norm}, 0), {cap})"
         for j in range(bits):
             terms.append(f"(({cl} >> {j}) & 1) * {1 << (j * n + i)}")
     z = " + ".join(terms)
@@ -4765,7 +4759,8 @@ def _zorder_sql(cols, bits: int, bucket_bits: int) -> str:
         f"MIN({c}) AS min_{c}, MAX({c}) AS max_{c}" for c in cols
     )
     return f"""
-    WITH z AS (SELECT {', '.join(cols)}, ({z}) AS zv FROM documents)
+    WITH mm AS (SELECT {mm} FROM documents),
+    z AS (SELECT {', '.join(cols)}, ({z}) AS zv FROM documents, mm)
     SELECT (zv >> {shift}) AS bucket, COUNT(*) AS n_rows,
            {stat_cols}
     FROM z GROUP BY bucket
@@ -4791,6 +4786,117 @@ def q108(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return zorder_bucket_stats(
         docs, ["doc_id", "n_chars"], bits=16, bucket_bits=6
+    )
+
+
+@_register(
+    "q111_data_skipping",
+    f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(CAST((max_n_chars >= 200 AND min_n_chars <= 300)
+                         AS BIGINT)) AS BIGINT) AS scanned,
+           CAST(COUNT(*) - SUM(CAST((max_n_chars >= 200 AND
+                                     min_n_chars <= 300) AS BIGINT))
+                AS BIGINT) AS skipped
+    FROM ({_zorder_sql(["doc_id", "n_chars"], bits=16, bucket_bits=6)})
+    """,
+)
+def q111(spark, sf_dir):
+    """Data-skipping effectiveness readout: how many Z-order buckets a
+    range predicate on n_chars ∈ [200, 300] would scan vs skip, from
+    the per-bucket footer stats alone — the metric that justifies the
+    layout (files skipped = bytes never read at 100 TB)."""
+    from graphragpart1datapipeline_spark.operators.layout import (
+        skipped_bucket_fraction,
+        zorder_bucket_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    stats = zorder_bucket_stats(
+        docs, ["doc_id", "n_chars"], bits=16, bucket_bits=6
+    )
+    return skipped_bucket_fraction(stats, "n_chars", 200, 300)
+
+
+@_register(
+    "q112_resample_locf",
+    """
+    WITH e AS (
+      SELECT user_id,
+             CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 3600) * 3600
+                  AS BIGINT) AS b,
+             ts, event_id, value
+      FROM events
+    ), pb AS (
+      SELECT user_id, b AS bucket_start, value AS obs FROM (
+        SELECT user_id, b, value,
+               row_number() OVER (
+                 PARTITION BY user_id, b
+                 ORDER BY ts DESC, event_id DESC, value DESC) AS rn
+        FROM e) WHERE rn = 1
+    ), bounds AS (
+      SELECT user_id, MIN(b) AS lo, MAX(b) AS hi FROM e GROUP BY user_id
+    ), grid AS (
+      SELECT user_id, CAST(g AS BIGINT) AS bucket_start
+      FROM bounds,
+           LATERAL (SELECT unnest(generate_series(lo, hi, 3600)) AS g) t
+    )
+    SELECT g.user_id, g.bucket_start,
+           last_value(pb.obs IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.bucket_start
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+           pb.obs IS NOT NULL AS observed
+    FROM grid g LEFT JOIN pb USING (user_id, bucket_start)
+    """,
+)
+def q112(spark, sf_dir):
+    """Gap-filled LOCF resampling (TimescaleDB time_bucket_gapfill +
+    locf): every user's event series on a regular hourly grid, last
+    observation carried into empty buckets. Grid rows are generated
+    row-locally from a sequence expression (never shuffled); the fill
+    is one window per (user, bucket). Per-bucket representative =
+    lexicographic max of (ts, event_id, value), so ts ties cannot flip
+    the carried value."""
+    from graphragpart1datapipeline_spark.operators.timeseries import (
+        resample_locf,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return resample_locf(
+        ev, group_col="user_id", ts_col="ts", value_col="value",
+        step_seconds=3600, tiebreak_cols=("event_id",),
+    )
+
+
+@_register(
+    "q113_rolling_time_window",
+    """
+    SELECT event_id, ts, user_id, event_type, value, props,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER (
+             PARTITION BY user_id
+             ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+             AS DOUBLE) AS rolling_sum,
+           COUNT(*) OVER (
+             PARTITION BY user_id
+             ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS rolling_n
+    FROM events
+    """,
+)
+def q113(spark, sf_dir):
+    """Trailing 1-hour time-RANGE rolling aggregate per user — the
+    irregular-spacing counterpart of q27's row-frame moving agg (range
+    frame on epoch seconds, one window, decimal-accumulated sums so
+    frame addition order is immaterial)."""
+    from graphragpart1datapipeline_spark.operators.timeseries import (
+        rolling_time_agg,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return rolling_time_agg(
+        ev, group_col="user_id", ts_col="ts", value_col="value",
+        window_seconds=3600,
     )
 
 

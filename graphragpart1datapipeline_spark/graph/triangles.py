@@ -25,6 +25,47 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def cooccurrence_edges(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    max_items_per_group: int | None = None,
+) -> DataFrame:
+    """Co-occurrence graph edges: one (src < dst) pair per distinct
+    item pair sharing a group (co-purchase, co-citation, co-mention).
+
+    Plan shape: ONE groupBy(group) shuffle collecting the sorted
+    distinct item set, then pairs are generated row-locally with
+    nested array transforms — entirely inside whole-stage codegen, so
+    the k·(k-1)/2 blow-up never passes through a join or a second
+    exchange (the naive self-join shuffles the table twice and
+    materializes duplicate pairs before DISTINCT). Groups are the skew
+    unit: a group with k items emits O(k²) pairs — cap pathological
+    groups with ``max_items_per_group`` (drops groups above the cap,
+    the LSH mega-bucket-guard pattern)."""
+    grp = df.groupBy(group_col).agg(
+        F.sort_array(F.collect_set(item_col)).alias("__items")
+    )
+    if max_items_per_group is not None:
+        grp = grp.filter(F.size("__items") <= max_items_per_group)
+    pairs = F.flatten(
+        F.transform(
+            F.slice(
+                "__items", 1, F.greatest(F.size("__items") - 1, F.lit(0))
+            ),
+            lambda x, i: F.transform(
+                F.slice(F.col("__items"), i + 2, F.size("__items")),
+                lambda y: F.struct(x.alias("src"), y.alias("dst")),
+            ),
+        )
+    )
+    return (
+        grp.select(F.explode(pairs).alias("__p"))
+        .select("__p.src", "__p.dst")
+        .distinct()
+    )
+
+
 def _canonical(edges: DataFrame, src: str, dst: str) -> DataFrame:
     return (
         edges.select(

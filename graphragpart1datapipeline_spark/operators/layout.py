@@ -60,18 +60,45 @@ def zorder_bucket_stats(
     cols: Sequence[str],
     bits: int = 16,
     bucket_bits: int = 6,
+    normalize: bool = True,
 ) -> DataFrame:
     """Model the file layout a Z-ordered write produces: assign each row
     to one of ≤ 2^bucket_bits z-prefix buckets (a per-row expression —
     no global sort) and emit per-bucket footer stats: row count plus
     min/max of every clustered column. One map-side-combined groupBy.
 
+    ``normalize=True`` (default) first rescales every column into
+    [0, 2^bits) by its min/max — one tiny agg broadcast as a single-row
+    frame — so the interleave uses ALL ``bits`` regardless of the
+    columns' value ranges (raw interleave of small-range columns leaves
+    the high bits zero and collapses every row into bucket 0; Delta's
+    OPTIMIZE ZORDER normalizes by range partition for the same reason).
+
     The min/max spans demonstrate skippability: a range predicate on ANY
     clustered column overlaps only the buckets whose span intersects it,
     while a single-column sort gives tight spans on one column and
     full-range spans on the rest.
     """
-    z = zorder_value(list(cols), bits=bits)
+    cap = (1 << bits) - 1
+    if normalize:
+        aggs = []
+        for c in cols:
+            aggs.append(F.min(c).alias(f"__min_{c}"))
+            aggs.append(F.max(c).alias(f"__max_{c}"))
+        df = df.crossJoin(F.broadcast(df.agg(*aggs)))
+        zcols = [
+            F.floor(
+                ((F.col(c) - F.col(f"__min_{c}")).cast("long") * F.lit(cap))
+                / F.greatest(
+                    (F.col(f"__max_{c}") - F.col(f"__min_{c}")).cast("long"),
+                    F.lit(1),
+                )
+            ).cast("long")
+            for c in cols
+        ]
+    else:
+        zcols = [F.col(c) for c in cols]
+    z = zorder_value(zcols, bits=bits)
     shift = bits * len(cols) - bucket_bits
     bucket = F.shiftright(z, max(shift, 0)).alias("bucket")
     aggs = [F.count(F.lit(1)).alias("n_rows")]

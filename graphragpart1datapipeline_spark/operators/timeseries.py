@@ -1,0 +1,113 @@
+"""Time-series resampling operators: gap-filled LOCF resampling and
+time-range rolling aggregates — the hypertable surface (TimescaleDB's
+``time_bucket_gapfill`` + ``locf``, KDB's ``fills``) expressed as
+DataFrame plans.
+
+All bucket arithmetic runs on epoch-second BIGINTs (timezone-free,
+bit-identical across engines); rolling sums decimal-accumulate so the
+frame's addition order cannot matter.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _epoch(ts_col: str):
+    return F.unix_timestamp(F.col(ts_col)).cast("long")
+
+
+def resample_locf(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    value_col: str,
+    step_seconds: int,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Resample each group's series onto a regular ``step_seconds``
+    grid spanning [first event, last event] per group, carrying the
+    last observation forward into empty buckets (LOCF gap-fill).
+
+    Returns (group_col, bucket_start epoch-seconds, value, observed):
+    ``observed`` is false for gap-filled rows.
+
+    Determinism: the per-bucket representative is the max of
+    struct(ts, *tiebreak_cols, value) — with a unique tiebreak this is
+    a total order, so ties on ts cannot flip the carried value.
+
+    Plan shape: one groupBy(group, bucket) picks representatives
+    (map-side combined); one groupBy(group) computes the grid bounds;
+    the grid explodes from a ``sequence`` expression (row-local — the
+    grid never shuffles); the fill is one window over (group, bucket).
+    Groups are independent, so the plan scales with the number of
+    series; a single series spanning years at 1s steps is the skew
+    unit — split such series by time range first.
+    """
+    b = (F.floor(_epoch(ts_col) / F.lit(step_seconds)) * step_seconds).cast(
+        "long"
+    )
+    pick = F.struct(
+        F.col(ts_col), *[F.col(c) for c in tiebreak_cols], F.col(value_col)
+    )
+    per_bucket = (
+        df.select(F.col(group_col), b.alias("bucket_start"), pick.alias("__s"))
+        .groupBy(group_col, "bucket_start")
+        .agg(F.max("__s").getField(value_col).alias("__obs"))
+    )
+    bounds = df.select(F.col(group_col), b.alias("__b")).groupBy(group_col).agg(
+        F.min("__b").alias("__lo"), F.max("__b").alias("__hi")
+    )
+    grid = bounds.select(
+        F.col(group_col),
+        F.explode(
+            F.sequence("__lo", "__hi", F.lit(step_seconds).cast("long"))
+        ).alias("bucket_start"),
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("bucket_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = grid.join(per_bucket, [group_col, "bucket_start"], "left")
+    return joined.select(
+        F.col(group_col),
+        F.col("bucket_start"),
+        F.last("__obs", ignorenulls=True).over(w).alias("value"),
+        F.col("__obs").isNotNull().alias("observed"),
+    )
+
+
+def rolling_time_agg(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    value_col: str,
+    window_seconds: int,
+    decimal_scale: int = 6,
+) -> DataFrame:
+    """Per-event trailing time-range aggregate: for every row, the sum
+    and count of ``value_col`` over the group's events in
+    [t − window_seconds, t] — a RANGE frame on epoch seconds, NOT a row
+    frame (q27's shape), so irregular event spacing is handled exactly.
+
+    One window over (group, epoch); sums decimal-accumulate (exact,
+    order-independent) and cast back to double. All original columns
+    pass through with ``rolling_sum``/``rolling_n`` appended.
+    """
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(_epoch(ts_col))
+        .rangeBetween(-window_seconds, 0)
+    )
+    return df.select(
+        "*",
+        F.sum(F.col(value_col).cast(f"decimal(30,{decimal_scale})"))
+        .over(w)
+        .cast("double")
+        .alias("rolling_sum"),
+        F.count(F.lit(1)).over(w).alias("rolling_n"),
+    )

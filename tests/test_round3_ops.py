@@ -217,7 +217,10 @@ def test_zorder_bucket_stats_single_exchange(spark):
     )
     stats = zorder_bucket_stats(df, ["x", "y"], bits=10, bucket_bits=4)
     p = _plan(stats)
-    assert p.count("Exchange") <= 2  # partial+final agg of one groupBy
+    # one groupBy exchange + the normalization's 1-row min/max agg and
+    # its broadcast — no data-sized join or sort
+    assert p.count("Exchange") <= 4
+    assert "SortMergeJoin" not in p and "Sort " not in p
     rows = stats.collect()
     assert sum(r["n_rows"] for r in rows) == 1000
     # z-prefix buckets bound BOTH dimensions: every bucket's x-span and
@@ -297,3 +300,71 @@ def test_compaction_plan_greedy_fill(spark):
     }
     # cumsum-before: f1=0, f2=60, f3=120, f4=180, f5=190
     assert rows == {"f1": 0, "f2": 0, "f3": 1, "f4": 1, "f5": 1}
+
+
+# ----------------------------------------------------------- timeseries
+
+
+def test_resample_locf_golden(spark):
+    from graphragpart1datapipeline_spark.operators.timeseries import (
+        resample_locf,
+    )
+
+    ev = spark.createDataFrame(
+        [
+            (1, 1, "1970-01-01 00:00:30", 10.0),
+            (2, 1, "1970-01-01 00:00:45", 20.0),  # same bucket, later ts wins
+            (3, 1, "1970-01-01 00:03:10", 30.0),  # gap of 2 buckets
+            (4, 2, "1970-01-01 00:01:00", 5.0),
+        ],
+        "event_id long, user_id long, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = resample_locf(
+        ev, "user_id", "ts", "value", step_seconds=60,
+        tiebreak_cols=("event_id",),
+    )
+    rows = {
+        (r["user_id"], r["bucket_start"]): (r["value"], r["observed"])
+        for r in out.collect()
+    }
+    assert rows[(1, 0)] == (20.0, True)  # later event in bucket wins
+    assert rows[(1, 60)] == (20.0, False)  # gap-filled
+    assert rows[(1, 120)] == (20.0, False)
+    assert rows[(1, 180)] == (30.0, True)
+    assert rows[(2, 60)] == (5.0, True)
+    assert len(rows) == 5  # grid spans per group, no global fill
+
+
+def test_rolling_time_agg_golden(spark):
+    from graphragpart1datapipeline_spark.operators.timeseries import (
+        rolling_time_agg,
+    )
+
+    ev = spark.createDataFrame(
+        [
+            (1, 1, "1970-01-01 00:00:00", 1.0),
+            (2, 1, "1970-01-01 00:30:00", 2.0),
+            (3, 1, "1970-01-01 01:00:00", 4.0),   # exactly 3600s after e1
+            (4, 1, "1970-01-01 02:00:01", 8.0),   # everything expired
+        ],
+        "event_id long, user_id long, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        r["event_id"]: (r["rolling_sum"], r["rolling_n"])
+        for r in rolling_time_agg(
+            ev, "user_id", "ts", "value", window_seconds=3600
+        ).collect()
+    }
+    assert out[1] == (1.0, 1)
+    assert out[2] == (3.0, 2)
+    assert out[3] == (7.0, 3)  # frame inclusive at t-3600
+    assert out[4] == (8.0, 1)
+
+
+def test_zorder_normalized_uses_all_buckets(spark):
+    # small-range columns must still spread across buckets
+    df = spark.range(512).select(
+        F.col("id").alias("x"), (F.col("id") % 97).alias("y")
+    )
+    stats = zorder_bucket_stats(df, ["x", "y"], bits=16, bucket_bits=4)
+    assert stats.count() > 4
