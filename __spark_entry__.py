@@ -4900,6 +4900,108 @@ def q113(spark, sf_dir):
     )
 
 
+@_register(
+    "q114_cdc_apply",
+    """
+    WITH ch AS (
+      SELECT o_custkey AS c_custkey,
+             'cdc_' || CAST(o_custkey AS VARCHAR) AS c_name,
+             o_totalprice AS c_acctbal,
+             o_orderkey AS seq,
+             CASE WHEN o_orderkey % 50 = 0 THEN 'D' ELSE 'U' END AS op
+      FROM orders
+    ), latest AS (
+      SELECT * FROM (
+        SELECT ch.*, row_number() OVER (
+          PARTITION BY c_custkey ORDER BY seq DESC, op DESC) AS rn
+        FROM ch) WHERE rn = 1
+    )
+    SELECT c.c_custkey, c.c_name, c.c_acctbal
+    FROM customer c LEFT JOIN latest l USING (c_custkey)
+    WHERE l.c_custkey IS NULL
+    UNION ALL
+    SELECT c_custkey, c_name, c_acctbal FROM latest WHERE op <> 'D'
+    """,
+)
+def q114(spark, sf_dir):
+    """CDC merge-apply (Debezium-style): the order feed replayed as a
+    full-row-image change stream over the customer snapshot — latest
+    change per key wins, 'D' deletes, untouched keys pass through.
+    One change-feed window + one key anti-join; the base table is never
+    windowed. Idempotent by construction."""
+    from graphragpart1datapipeline_spark.operators.relational import (
+        apply_cdc,
+    )
+
+    base = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    o = _t(spark, sf_dir, "orders")
+    changes = o.select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.concat(
+            F.lit("cdc_"), F.col("o_custkey").cast("string")
+        ).alias("c_name"),
+        F.col("o_totalprice").alias("c_acctbal"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderkey") % 50 == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    return apply_cdc(base, changes, ["c_custkey"], "seq")
+
+
+def _ktruss_sql(k: int, rounds: int) -> str:
+    """Unrolled support-peeling rounds over the co-purchase graph
+    (fixed-round-replay pattern shared with _kcore_sql): round r
+    enumerates triangles of e_r, credits each of a triangle's three
+    edges, and keeps edges with support ≥ k−2."""
+    parts = [
+        """WITH e0 AS (
+      SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )"""
+    ]
+    for r in range(rounds):
+        parts.append(
+            f""", tri{r} AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e{r} e1 JOIN e{r} e2 ON e1.b = e2.a
+      JOIN e{r} e3 ON e3.a = e1.a AND e3.b = e2.b
+    ), sup{r} AS (
+      SELECT a, b, COUNT(*) AS support FROM (
+        SELECT x AS a, y AS b FROM tri{r}
+        UNION ALL SELECT x, z FROM tri{r}
+        UNION ALL SELECT y, z FROM tri{r}) GROUP BY a, b
+    ), e{r + 1} AS (
+      SELECT a, b FROM sup{r} WHERE support >= {k - 2}
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT a, b, support FROM sup{rounds - 1} WHERE support >= {k - 2}"""
+    )
+    return "".join(parts)
+
+
+@_register("q115_ktruss", _ktruss_sql(5, 2))
+def q115(spark, sf_dir):
+    """5-truss peeling (2 rounds) over the co-purchase graph: edges in
+    ≥ 3 triangles, re-checked after weak-edge removal — the edge-level
+    cohesion filter completing the triangle/k-core family. Per round
+    one adjacency groupBy + row-local array_intersect triangle
+    enumeration + one pair-keyed support groupBy."""
+    from graphragpart1datapipeline_spark.graph.triangles import (
+        cooccurrence_edges,
+        ktruss_edges,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return ktruss_edges(edges, k=5, rounds=2)
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------

@@ -198,3 +198,62 @@ def triangle_total(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         .join(closing, ["x", "z"])
         .agg(F.count(F.lit(1)).alias("triangles"))
     )
+
+
+def ktruss_edges(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 2,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """k-truss peeling: edges supported by ≥ k−2 triangles, re-checked
+    for ``rounds`` rounds (removing a weak edge lowers its neighbors'
+    support — the edge-level analogue of k-core's node peeling, and a
+    stronger cohesion filter than either triangles or cores alone).
+
+    Returns (a, b, support) for edges surviving the final round, with
+    support measured in the edge set entering that round.
+
+    Per round: one adjacency groupBy + two node-keyed joins + row-local
+    ``array_intersect`` enumerate triangles (the edge-iterator form —
+    wedges never materialize as rows), then a 3-way credit union and a
+    pair-keyed groupBy score every edge; localCheckpoint cuts lineage
+    between rounds. Triangle-credit volume is 3·#triangles per round.
+    """
+    if k < 3:
+        raise ValueError("k-truss requires k >= 3")
+    e = _canonical(edges, src, dst)
+    for _ in range(rounds):
+        if checkpoint:
+            e = e.localCheckpoint(eager=True)
+        adj = e.groupBy(F.col("a").alias("v")).agg(
+            F.sort_array(F.collect_list("b")).alias("nbrs")
+        )
+        pe = (
+            e.join(
+                adj.select(F.col("v").alias("a"), F.col("nbrs").alias("na")),
+                "a",
+                "left",
+            )
+            .join(
+                adj.select(F.col("v").alias("b"), F.col("nbrs").alias("nb")),
+                "b",
+                "left",
+            )
+            .filter(F.col("na").isNotNull() & F.col("nb").isNotNull())
+            .select("a", "b", F.array_intersect("na", "nb").alias("c"))
+            .filter(F.size("c") > 0)
+        )
+        tri = pe.select("a", "b", F.explode("c").alias("cc"))
+        credits = (
+            tri.select("a", "b")
+            .unionAll(tri.select(F.col("a"), F.col("cc").alias("b")))
+            .unionAll(tri.select(F.col("b").alias("a"), F.col("cc").alias("b")))
+        )
+        sup = credits.groupBy("a", "b").agg(
+            F.count(F.lit(1)).alias("support")
+        )
+        e = sup.filter(F.col("support") >= k - 2)
+    return e

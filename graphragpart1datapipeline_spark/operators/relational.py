@@ -848,3 +848,44 @@ def cohort_retention(
             / F.lit(100.0)
         ).alias("retention_pct"),
     )
+
+
+def apply_cdc(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    seq_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a CDC change stream (ops 'U' = upsert, 'D' = delete, each
+    stamped with a monotonically increasing ``seq_col``) onto a base
+    snapshot: the latest change per key wins; keys never touched pass
+    through. The Debezium-style merge that keeps a 100 TB mirror table
+    current from a change feed.
+
+    ``changes`` must carry every base column (CDC rows are full-row
+    images). Latest-change selection is one (keys)-window with
+    (seq DESC, op DESC) ordering — op breaks exact seq ties
+    deterministically ('U' over 'D') instead of leaving them to
+    partition luck; at-scale inputs should keep seq unique per key.
+
+    Plan: one window over the changes (change-feed-sized, not
+    base-sized) + one key-hash anti join + union — the base table is
+    never windowed or sorted. Idempotent: re-applying the same feed
+    yields the same table.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(seq_col).desc(), F.col(op_col).desc()
+    )
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    untouched = base.join(
+        latest.select(*keys), list(keys), "left_anti"
+    )
+    upserts = latest.filter(F.col(op_col) != "D").select(base.columns)
+    return untouched.unionByName(upserts)

@@ -368,3 +368,89 @@ def test_zorder_normalized_uses_all_buckets(spark):
     )
     stats = zorder_bucket_stats(df, ["x", "y"], bits=16, bucket_bits=4)
     assert stats.count() > 4
+
+
+# ------------------------------------------------------------------ CDC
+
+
+def test_apply_cdc_golden(spark):
+    from graphragpart1datapipeline_spark.operators.relational import (
+        apply_cdc,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id long, name string, bal double",
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "a2", 11.0, 5, "U"),
+            (1, "a3", 12.0, 7, "U"),   # later seq wins
+            (2, "xx", 0.0, 6, "D"),    # delete
+            (4, "d", 40.0, 8, "U"),    # insert of a new key
+        ],
+        "id long, name string, bal double, seq long, op string",
+    )
+    rows = {
+        r["id"]: (r["name"], r["bal"])
+        for r in apply_cdc(base, changes, ["id"], "seq").collect()
+    }
+    assert rows == {1: ("a3", 12.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+
+def test_apply_cdc_idempotent(spark):
+    from graphragpart1datapipeline_spark.operators.relational import (
+        apply_cdc,
+    )
+
+    base = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "id long, bal double"
+    )
+    changes = spark.createDataFrame(
+        [(1, 99.0, 1, "U"), (2, 0.0, 2, "D")],
+        "id long, bal double, seq long, op string",
+    )
+    once = apply_cdc(base, changes, ["id"], "seq")
+    twice = apply_cdc(once, changes, ["id"], "seq")
+    assert sorted(r["id"] for r in twice.collect()) == [1]
+    assert twice.collect()[0]["bal"] == 99.0
+
+
+# -------------------------------------------------------------- k-truss
+
+
+def test_ktruss_golden(spark):
+    from graphragpart1datapipeline_spark.graph.triangles import ktruss_edges
+
+    # K4 (every edge in 2 triangles) + a triangle 4-5-6 (support 1)
+    # + a pendant edge 6-7 (support 0)
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = spark.createDataFrame(
+        k4 + [(4, 5), (5, 6), (4, 6), (6, 7)], "src long, dst long"
+    )
+    out = {
+        (r["a"], r["b"]): r["support"]
+        for r in ktruss_edges(edges, k=4, rounds=2).collect()
+    }
+    # 4-truss (support >= 2): exactly the K4 edges
+    assert set(out) == set(k4)
+    assert all(v == 2 for v in out.values())
+    # 3-truss keeps both the K4 and the extra triangle, not the pendant
+    out3 = {
+        (r["a"], r["b"])
+        for r in ktruss_edges(edges, k=3, rounds=2).collect()
+    }
+    assert out3 == set(k4) | {(4, 5), (5, 6), (4, 6)}
+
+
+def test_ktruss_cascade(spark):
+    from graphragpart1datapipeline_spark.graph.triangles import ktruss_edges
+
+    # two triangles sharing edge (1,2): 0-1-2 and 1-2-3, plus triangle
+    # 3-4-5 hanging off. For k=4 (support >= 2) only (1,2) has support
+    # 2 in round 1 — but its companions die, so round 2 must empty it.
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3), (3, 4), (3, 5), (4, 5)],
+        "src long, dst long",
+    )
+    assert ktruss_edges(edges, k=4, rounds=2).count() == 0
