@@ -427,3 +427,169 @@ def test_bpe_train_matches_replay(spark, docs, merges):
             w: s.replace(f" {pair} ", f" {merged} ") for w, s in syms.items()
         }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Round-3 operators vs brute-force replays
+
+
+graph_edges = st.lists(
+    st.tuples(st.integers(0, 7), st.integers(0, 7)),
+    min_size=0,
+    max_size=24,
+)
+
+
+def _brute_triangles(pairs):
+    import itertools
+
+    adj = {}
+    for u, v in pairs:
+        if u == v:
+            continue
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    counts = {}
+    for a, b, c in itertools.combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for n in (a, b, c):
+                counts[n] = counts.get(n, 0) + 1
+    return counts
+
+
+@given(edges=graph_edges)
+@SETTINGS
+def test_triangle_counts_matches_bruteforce(spark, edges):
+    from graphragpart1datapipeline_spark.graph.triangles import (
+        triangle_counts,
+    )
+
+    expected = _brute_triangles(edges)
+    df = spark.createDataFrame(
+        edges or [(0, 0)], "src long, dst long"
+    )
+    got = {
+        r["node"]: r["triangles"] for r in triangle_counts(df).collect()
+    }
+    assert got == expected
+
+
+@given(edges=graph_edges, k=st.integers(2, 4))
+@SETTINGS
+def test_kcore_fixed_point_matches_bruteforce(spark, edges, k):
+    from graphragpart1datapipeline_spark.graph.kcore import kcore_nodes
+
+    # brute force: peel to fixed point
+    es = {(min(u, v), max(u, v)) for u, v in edges if u != v}
+    while True:
+        deg = {}
+        for u, v in es:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        nes = {(u, v) for u, v in es if u in keep and v in keep}
+        if nes == es:
+            break
+        es = nes
+    expected = {}
+    for u, v in es:
+        expected[u] = expected.get(u, 0) + 1
+        expected[v] = expected.get(v, 0) + 1
+    expected = {n: d for n, d in expected.items() if d >= k}
+    df = spark.createDataFrame(edges or [(0, 0)], "src long, dst long")
+    got = {
+        r["node"]: r["degree"]
+        for r in kcore_nodes(df, k=k, until_fixed_point=True).collect()
+    }
+    assert got == expected
+
+
+bm25_docs = st.lists(
+    st.lists(
+        st.sampled_from(["spark", "merge", "window", "scan", "x", "y"]),
+        min_size=0,
+        max_size=6,
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(docs=bm25_docs)
+@SETTINGS
+def test_bm25_matches_bruteforce(spark, docs):
+    from graphragpart1datapipeline_spark.text.analysis import bm25_topk
+
+    terms = ["spark", "merge"]
+    k1, b = 1.2, 0.75
+    n = len(docs)
+    # mirror the engine's tokenizer: split('') == [''] — an empty doc
+    # has document length 1, not 0 (same in the DuckDB oracle)
+    dls = [len(d) if d else 1 for d in docs]
+    avgdl = sum(dls) / n
+    dfreq = {
+        t: sum(1 for d in docs if t in d) for t in terms
+    }
+    expected = {}
+    for i, d in enumerate(docs):
+        s = 0.0
+        m = 0
+        for t in terms:
+            tf = d.count(t)
+            if tf == 0:
+                continue
+            m += 1
+            idf = (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5)
+            s += idf * (tf * (k1 + 1.0)) / (
+                tf + k1 * (1.0 - b + b * (dls[i] / avgdl))
+            )
+        if m:
+            expected[i] = (round(s, 9), m)
+    rows = spark.createDataFrame(
+        [(i, " ".join(d)) for i, d in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (round(r["score"], 9), r["matched_terms"])
+        for r in bm25_topk(rows, terms, k=100, log_idf=False).collect()
+    }
+    assert got == expected
+
+
+lm_docs = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c"]), min_size=0, max_size=5
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+
+@given(docs=lm_docs)
+@SETTINGS
+def test_bigram_lm_matches_bruteforce(spark, docs):
+    import math
+
+    from graphragpart1datapipeline_spark.text.lm import bigram_lm_score
+
+    c2, c1 = {}, {}
+    for d in docs:
+        for w1, w2 in zip(d, d[1:]):
+            c2[(w1, w2)] = c2.get((w1, w2), 0) + 1
+            c1[w1] = c1.get(w1, 0) + 1
+    expected = {}
+    for i, d in enumerate(docs):
+        bgs = list(zip(d, d[1:]))
+        s = sum(
+            math.floor(c2[bg] * 1e6 / c1[bg[0]] + 0.5) for bg in bgs
+        )
+        expected[i] = (len(bgs), s)
+    rows = spark.createDataFrame(
+        [(i, " ".join(d)) for i, d in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["lm_score_micro"])
+        for r in bigram_lm_score(rows).collect()
+    }
+    assert got == expected
