@@ -5002,6 +5002,69 @@ def q115(spark, sf_dir):
     return ktruss_edges(edges, k=5, rounds=2)
 
 
+@_register(
+    "q116_cdc_incremental",
+    """
+    WITH ch AS (
+      SELECT o_custkey AS c_custkey,
+             'cdc_' || CAST(o_custkey AS VARCHAR) AS c_name,
+             o_totalprice AS c_acctbal,
+             o_orderkey AS seq,
+             CASE WHEN o_orderkey % 50 = 0 THEN 'D' ELSE 'U' END AS op
+      FROM orders
+    ), latest AS (
+      SELECT * FROM (
+        SELECT ch.*, row_number() OVER (
+          PARTITION BY c_custkey ORDER BY seq DESC, op DESC) AS rn
+        FROM ch) WHERE rn = 1
+    )
+    SELECT c.c_custkey, c.c_name, c.c_acctbal
+    FROM customer c LEFT JOIN latest l USING (c_custkey)
+    WHERE l.c_custkey IS NULL
+    UNION ALL
+    SELECT c_custkey, c_name, c_acctbal FROM latest WHERE op <> 'D'
+    """,
+)
+def q116(spark, sf_dir):
+    """Incremental CDC convergence: the SAME change feed as q114, but
+    applied in TWO out-of-order micro-batches through the stateful
+    tombstone merge (cdc_upsert_state) — the oracle is q114's one-shot
+    latest-wins pass, so a hash match proves batch-split order is
+    immaterial (per-key applied-seq guard + delete tombstones). This is
+    the batch-checkable core of the streaming foreachBatch loop in
+    streaming/cdc.py."""
+    from graphragpart1datapipeline_spark.operators.relational import (
+        cdc_live,
+        cdc_upsert_state,
+    )
+
+    base = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    state0 = base.withColumn(
+        "__cdc_seq", F.lit(None).cast("long")
+    ).withColumn("__cdc_deleted", F.lit(False))
+    o = _t(spark, sf_dir, "orders")
+    changes = o.select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.concat(
+            F.lit("cdc_"), F.col("o_custkey").cast("string")
+        ).alias("c_name"),
+        F.col("o_totalprice").alias("c_acctbal"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderkey") % 50 == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    # deliberately NOT seq-ordered batches: batch 1 carries two thirds
+    # of the feed (including many of the newest seqs), batch 2 the rest
+    batch1 = changes.filter(F.col("seq") % 3 != 0)
+    batch2 = changes.filter(F.col("seq") % 3 == 0)
+    state1 = cdc_upsert_state(state0, batch1, ["c_custkey"], "seq")
+    state2 = cdc_upsert_state(state1, batch2, ["c_custkey"], "seq")
+    return cdc_live(state2)
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------

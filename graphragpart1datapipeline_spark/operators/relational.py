@@ -889,3 +889,90 @@ def apply_cdc(
     )
     upserts = latest.filter(F.col(op_col) != "D").select(base.columns)
     return untouched.unionByName(upserts)
+
+
+def cdc_upsert_state(
+    state: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    seq_col: str,
+    op_col: str = "op",
+    seq_state_col: str = "__cdc_seq",
+    deleted_col: str = "__cdc_deleted",
+) -> DataFrame:
+    """Out-of-order-safe incremental CDC: like :func:`apply_cdc`, but
+    the state table carries the last APPLIED sequence per key
+    (``seq_state_col``) and keeps deletes as TOMBSTONES
+    (``deleted_col``), and a change only lands if its seq is newer.
+    Together those make batch-split order immaterial: applying a change
+    feed in ANY partition into micro-batches converges to the same
+    state as one global latest-wins pass — including the nasty case of
+    a delete arriving before an older upsert, which a tombstone-less
+    merge would resurrect. (q116's oracle checks exactly this
+    invariant; it is what a streaming foreachBatch loop needs.)
+
+    ``state`` = base columns + ``seq_state_col`` + ``deleted_col``
+    (both NULL/false for rows never touched by CDC). Read the live
+    table with :func:`cdc_live` . Plan: one change-feed-sized window +
+    one key-hash full-outer join; the state is never windowed."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(seq_col).desc(), F.col(op_col).desc()
+    )
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    value_cols = [
+        c
+        for c in state.columns
+        if c not in keys and c not in (seq_state_col, deleted_col)
+    ]
+    ch = latest.select(
+        *[F.col(k).alias(f"__k_{k}") for k in keys],
+        *[F.col(c).alias(f"__c_{c}") for c in value_cols],
+        F.col(seq_col).alias("__c_seq"),
+        F.col(op_col).alias("__c_op"),
+    )
+    cond = None
+    for k in keys:
+        c = F.col(k) == F.col(f"__k_{k}")
+        cond = c if cond is None else cond & c
+    j = state.join(ch, cond, "full_outer")
+    in_state = F.col(keys[0]).isNotNull()
+    in_ch = F.col(f"__k_{keys[0]}").isNotNull()
+    newer = F.col("__c_seq") > F.coalesce(
+        F.col(seq_state_col), F.lit(-(1 << 62))
+    )
+    take_change = in_ch & (~in_state | newer)
+    out_key = [
+        F.when(take_change, F.col(f"__k_{k}")).otherwise(F.col(k)).alias(k)
+        for k in keys
+    ]
+    out_vals = [
+        F.when(take_change, F.col(f"__c_{c}")).otherwise(F.col(c)).alias(c)
+        for c in value_cols
+    ]
+    out_seq = (
+        F.when(take_change, F.col("__c_seq"))
+        .otherwise(F.col(seq_state_col))
+        .alias(seq_state_col)
+    )
+    out_del = (
+        F.when(take_change, F.col("__c_op") == "D")
+        .otherwise(F.coalesce(F.col(deleted_col), F.lit(False)))
+        .alias(deleted_col)
+    )
+    return j.select(*out_key, *out_vals, out_seq, out_del).select(
+        state.columns
+    )
+
+
+def cdc_live(state: DataFrame, deleted_col: str = "__cdc_deleted") -> DataFrame:
+    """The live view of a cdc_upsert_state table: tombstones filtered,
+    bookkeeping columns dropped."""
+    return state.filter(
+        ~F.coalesce(F.col(deleted_col), F.lit(False))
+    ).drop(deleted_col, "__cdc_seq")

@@ -1,0 +1,88 @@
+"""Streaming CDC: keep a parquet mirror table current from a change
+stream with a foreachBatch upsert loop (St1 micro-batch surface; the
+streaming face of ``operators.relational.cdc_upsert_state``).
+
+State is versioned — each micro-batch writes ``state_dir/v{N+1}`` from
+``v{N}`` rather than overwriting in place (a reader never observes a
+half-written table, and a crashed batch leaves the previous version
+intact; Delta's transaction log solves the same problem — this is the
+plain-parquet equivalent). The merge itself is out-of-order-safe
+(per-key last-applied seq + delete tombstones), so replayed or late
+micro-batches converge to the same table as one global pass.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.relational import cdc_upsert_state
+
+_VERSION_RE = re.compile(r"^v(\d+)$")
+
+
+def _latest_version(state_dir: str) -> int:
+    if not os.path.isdir(state_dir):
+        return -1
+    versions = [
+        int(m.group(1))
+        for d in os.listdir(state_dir)
+        if (m := _VERSION_RE.match(d))
+    ]
+    return max(versions, default=-1)
+
+
+def init_cdc_state(base: DataFrame, state_dir: str) -> None:
+    """Seed version 0 of the state from a base snapshot (adds the
+    last-applied-seq and tombstone bookkeeping columns)."""
+    seeded = base.withColumn("__cdc_seq", F.lit(None).cast("long")).withColumn(
+        "__cdc_deleted", F.lit(False)
+    )
+    seeded.write.mode("overwrite").parquet(os.path.join(state_dir, "v0"))
+
+
+def read_cdc_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The newest committed state version."""
+    v = _latest_version(state_dir)
+    if v < 0:
+        raise FileNotFoundError(f"no CDC state under {state_dir}")
+    return spark.read.parquet(os.path.join(state_dir, f"v{v}"))
+
+
+def stream_cdc_apply(
+    changes: DataFrame,
+    state_dir: str,
+    keys: list[str],
+    seq_col: str,
+    op_col: str = "op",
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+):
+    """Run the change stream into the versioned state with foreachBatch.
+    ``changes`` is a streaming DataFrame carrying full-row images plus
+    (seq_col, op_col). Call :func:`init_cdc_state` first. Returns the
+    StreamingQuery (``available_now=True`` drains the backlog and
+    stops — the incremental-batch operating mode)."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        v = _latest_version(state_dir)
+        state = spark.read.parquet(os.path.join(state_dir, f"v{v}"))
+        merged = cdc_upsert_state(
+            state, batch_df, keys, seq_col, op_col=op_col
+        )
+        merged.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"v{v + 1}")
+        )
+
+    writer = changes.writeStream.foreachBatch(apply_batch).outputMode(
+        "update"
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
