@@ -66,6 +66,8 @@ HEADLINE = [
     "q105_triangle_counts",
     "q107_bigram_lm_score",
     "q108_zorder_layout",
+    "q112_resample_locf",
+    "q114_cdc_apply",
 ]
 
 # Repetitions per query; report the min. The ambient swing on a shared
