@@ -4569,7 +4569,7 @@ def q105(spark, sf_dir):
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
-    return triangle_counts(edges)
+    return triangle_counts(edges, assume_canonical=True)
 
 
 @_register(
@@ -4702,7 +4702,7 @@ def q109(spark, sf_dir):
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
-    return kcore_nodes(edges, k=70, rounds=3)
+    return kcore_nodes(edges, k=70, rounds=3, assume_canonical=True)
 
 
 @_register(
@@ -4999,7 +4999,7 @@ def q115(spark, sf_dir):
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
-    return ktruss_edges(edges, k=5, rounds=2)
+    return ktruss_edges(edges, k=5, rounds=2, assume_canonical=True)
 
 
 @_register(

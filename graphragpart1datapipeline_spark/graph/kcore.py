@@ -32,20 +32,24 @@ def kcore_nodes(
     rounds: int = 3,
     until_fixed_point: bool = False,
     checkpoint: bool = True,
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """Nodes surviving ``rounds`` peeling rounds toward the k-core,
     with their degree in the peeled graph: (node, degree). With
     ``until_fixed_point=True``, keeps peeling until no node drops
     (one extra count job per round to detect convergence) — the exact
     k-core regardless of depth."""
-    e = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("a"),
-            F.greatest(F.col(src), F.col(dst)).alias("b"),
+    if assume_canonical:
+        e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    else:
+        e = (
+            edges.select(
+                F.least(F.col(src), F.col(dst)).alias("a"),
+                F.greatest(F.col(src), F.col(dst)).alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
         )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-    )
     if checkpoint:
         e = e.localCheckpoint(eager=True)
 

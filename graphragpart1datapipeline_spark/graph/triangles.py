@@ -84,6 +84,7 @@ def triangle_counts(
     orient_by_degree: bool = False,
     algorithm: str = "adjacency",
     checkpoint: bool = True,
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """Per-node triangle participation counts: (node, triangles), one
     row per node that belongs to at least one triangle.
@@ -98,14 +99,25 @@ def triangle_counts(
     max degree — for power-law graphs with mega-hubs (degree ≳ 10⁶)
     switch to ``algorithm='wedge'`` with ``orient_by_degree=True``,
     which bounds wedge work by O(m^{3/2}) without any per-row array.
+
+    ``assume_canonical=True`` skips the least/greatest + DISTINCT
+    canonicalization pass (one full edge shuffle) when the input is
+    already simple and (src < dst)-oriented — e.g. the output of
+    :func:`cooccurrence_edges`.
     """
+
+    def canon(df: DataFrame) -> DataFrame:
+        if assume_canonical:
+            return df.select(
+                F.col(src).alias("a"), F.col(dst).alias("b")
+            )
+        return _canonical(df, src, dst)
+
     if algorithm == "adjacency":
-        return _triangle_counts_adjacency(
-            _canonical(edges, src, dst), checkpoint
-        )
+        return _triangle_counts_adjacency(canon(edges), checkpoint)
     if algorithm != "wedge":
         raise ValueError(f"unknown algorithm: {algorithm!r}")
-    e = _canonical(edges, src, dst)
+    e = canon(edges)
     if orient_by_degree:
         deg = (
             e.select(F.col("a").alias("v"))
@@ -207,6 +219,7 @@ def ktruss_edges(
     dst: str = "dst",
     rounds: int = 2,
     checkpoint: bool = True,
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """k-truss peeling: edges supported by ≥ k−2 triangles, re-checked
     for ``rounds`` rounds (removing a weak edge lowers its neighbors'
@@ -224,7 +237,10 @@ def ktruss_edges(
     """
     if k < 3:
         raise ValueError("k-truss requires k >= 3")
-    e = _canonical(edges, src, dst)
+    if assume_canonical:
+        e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    else:
+        e = _canonical(edges, src, dst)
     for _ in range(rounds):
         if checkpoint:
             e = e.localCheckpoint(eager=True)

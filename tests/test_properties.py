@@ -593,3 +593,89 @@ def test_bigram_lm_matches_bruteforce(spark, docs):
         for r in bigram_lm_score(rows).collect()
     }
     assert got == expected
+
+
+ts_events = st.lists(
+    st.tuples(
+        st.integers(0, 2),     # user
+        st.integers(0, 500),   # epoch seconds
+        st.integers(0, 99),    # value source
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+
+@given(events=ts_events, step=st.sampled_from([60, 120]))
+@SETTINGS
+def test_resample_locf_matches_bruteforce(spark, events, step):
+    from graphragpart1datapipeline_spark.operators.timeseries import (
+        resample_locf,
+    )
+
+    rows = [
+        (u, t, float(v), i) for i, (u, t, v) in enumerate(events)
+    ]
+    df = (
+        spark.createDataFrame(
+            rows, "user long, epoch long, value double, event_id long"
+        )
+        .withColumn("ts", F.timestamp_seconds(F.col("epoch")))
+    )
+    got = {
+        (r["user"], r["bucket_start"]): (r["value"], r["observed"])
+        for r in resample_locf(
+            df, "user", "ts", "value", step_seconds=step,
+            tiebreak_cols=("event_id",),
+        ).collect()
+    }
+    # brute force
+    expected = {}
+    by_user = {}
+    for u, t, v, i in rows:
+        by_user.setdefault(u, []).append((t // step * step, t, i, v))
+    for u, evs in by_user.items():
+        lo = min(b for b, *_ in evs)
+        hi = max(b for b, *_ in evs)
+        # per-bucket representative: lexicographic max of (ts, id, value)
+        per_bucket = {}
+        for b, t, i, v in evs:
+            cur = per_bucket.get(b)
+            if cur is None or (t, i, v) > cur[:3]:
+                per_bucket[b] = (t, i, v)
+        carried = None
+        for b in range(lo, hi + step, step):
+            if b in per_bucket:
+                carried = per_bucket[b][2]
+                expected[(u, b)] = (carried, True)
+            else:
+                expected[(u, b)] = (carried, False)
+    assert got == expected
+
+
+@given(events=ts_events, window=st.sampled_from([30, 100]))
+@SETTINGS
+def test_rolling_time_agg_matches_bruteforce(spark, events, window):
+    from graphragpart1datapipeline_spark.operators.timeseries import (
+        rolling_time_agg,
+    )
+
+    rows = [(u, t, float(v), i) for i, (u, t, v) in enumerate(events)]
+    df = (
+        spark.createDataFrame(
+            rows, "user long, epoch long, value double, event_id long"
+        )
+        .withColumn("ts", F.timestamp_seconds(F.col("epoch")))
+    )
+    got = {
+        r["event_id"]: (r["rolling_sum"], r["rolling_n"])
+        for r in rolling_time_agg(
+            df, "user", "ts", "value", window_seconds=window
+        ).collect()
+    }
+    for u, t, v, i in rows:
+        frame = [
+            v2 for u2, t2, v2, _ in rows
+            if u2 == u and t - window <= t2 <= t
+        ]
+        assert got[i] == (sum(frame), len(frame))
