@@ -538,3 +538,112 @@ def test_stream_cdc_apply_matches_batch(spark, tmp_path):
     import os as _os
 
     assert len(_os.listdir(state_dir)) >= 3
+
+
+# -------------------------------------------------- incremental corpus
+
+
+def _inc_changes(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, seq long, op string"
+    )
+
+
+def test_incremental_corpus_rebuild_equivalence(spark, tmp_path):
+    """The core invariant: after ANY batch split of a change feed, the
+    incrementally-maintained indexes equal a from-scratch rebuild over
+    the final live state."""
+    from graphragpart1datapipeline_spark.plans.incremental_demo import (
+        apply_increment,
+        init_corpus_state,
+        read_indexes,
+        rebuild_indexes,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "one two three four five six"),
+            (3, "red green blue yellow purple"),
+        ],
+        "doc_id long, text string",
+    )
+    all_changes = [
+        (2, "one two three four five six seven", 10, "U"),  # revision
+        (3, None, 11, "D"),                                  # delete
+        (4, "totally new document text here", 12, "U"),      # insert
+        (2, "one two three four five final", 15, "U"),       # re-revision
+        (5, "alpha beta gamma delta epsilon", 13, "U"),      # dup of 1
+    ]
+    # split A: one batch; split B: two out-of-order batches
+    for name, batches in [
+        ("one", [all_changes]),
+        ("split", [all_changes[3:], all_changes[:3]]),
+    ]:
+        root = str(tmp_path / name)
+        init_corpus_state(spark, root, docs)
+        for b in batches:
+            apply_increment(spark, root, _inc_changes(spark, b))
+        inc = read_indexes(spark, root)
+        ref = rebuild_indexes(spark, root)
+        for key in ("lsh", "emb"):
+            a = sorted(map(tuple, inc[key].collect()))
+            b2 = sorted(map(tuple, ref[key].collect()))
+            assert a == b2, f"{name}/{key} diverged from rebuild"
+    # both splits converge to the same live state
+    from graphragpart1datapipeline_spark.operators.relational import cdc_live
+    from graphragpart1datapipeline_spark.streaming.cdc import read_cdc_state
+
+    s1 = sorted(
+        map(
+            tuple,
+            cdc_live(
+                read_cdc_state(spark, str(tmp_path / "one" / "docs"))
+            ).collect(),
+        )
+    )
+    s2 = sorted(
+        map(
+            tuple,
+            cdc_live(
+                read_cdc_state(spark, str(tmp_path / "split" / "docs"))
+            ).collect(),
+        )
+    )
+    assert s1 == s2
+    assert [d for d, _ in s1] == [1, 2, 4, 5]
+
+
+def test_incremental_corpus_flags_near_dups(spark, tmp_path):
+    from graphragpart1datapipeline_spark.plans.incremental_demo import (
+        apply_increment,
+        init_corpus_state,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    root = str(tmp_path / "c")
+    init_corpus_state(spark, root, docs)
+    # a doc's own revision must NOT match its previous index rows
+    out = apply_increment(
+        spark,
+        root,
+        _inc_changes(
+            spark,
+            [(1, "the quick brown fox jumps over the lazy dog today!", 1, "U")],
+        ),
+    )
+    assert out["near_dup_flags"] == 0
+    # a near-identical NEW doc must be flagged against the standing index
+    out = apply_increment(
+        spark,
+        root,
+        _inc_changes(
+            spark,
+            [(2, "the quick brown fox jumps over the lazy dog", 2, "U")],
+        ),
+    )
+    assert out["near_dup_flags"] >= 1
+    assert out["live_after"] == 2
