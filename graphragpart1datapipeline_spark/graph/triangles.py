@@ -220,6 +220,7 @@ def ktruss_edges(
     rounds: int = 2,
     checkpoint: bool = True,
     assume_canonical: bool = False,
+    until_fixed_point: bool = False,
 ) -> DataFrame:
     """k-truss peeling: edges supported by ≥ k−2 triangles, re-checked
     for ``rounds`` rounds (removing a weak edge lowers its neighbors'
@@ -234,6 +235,10 @@ def ktruss_edges(
     wedges never materialize as rows), then a 3-way credit union and a
     pair-keyed groupBy score every edge; localCheckpoint cuts lineage
     between rounds. Triangle-credit volume is 3·#triangles per round.
+
+    ``until_fixed_point=True`` keeps peeling until the edge count stops
+    shrinking (one extra count job per round) — the exact k-truss
+    regardless of peeling depth; ``rounds`` is then ignored.
     """
     if k < 3:
         raise ValueError("k-truss requires k >= 3")
@@ -241,7 +246,10 @@ def ktruss_edges(
         e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     else:
         e = _canonical(edges, src, dst)
-    for _ in range(rounds):
+    prev_edges = None
+    r = 0
+    while True:
+        r += 1
         if checkpoint:
             e = e.localCheckpoint(eager=True)
         adj = e.groupBy(F.col("a").alias("v")).agg(
@@ -272,4 +280,11 @@ def ktruss_edges(
             F.count(F.lit(1)).alias("support")
         )
         e = sup.filter(F.col("support") >= k - 2)
+        if until_fixed_point:
+            n = e.count()
+            if prev_edges is not None and n == prev_edges:
+                break
+            prev_edges = n
+        elif r >= rounds:
+            break
     return e

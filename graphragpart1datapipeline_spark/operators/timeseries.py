@@ -27,6 +27,7 @@ def resample_locf(
     value_col: str,
     step_seconds: int,
     tiebreak_cols: Sequence[str] = (),
+    max_buckets_per_group: int = 1_000_000,
 ) -> DataFrame:
     """Resample each group's series onto a regular ``step_seconds``
     grid spanning [first event, last event] per group, carrying the
@@ -61,10 +62,30 @@ def resample_locf(
     bounds = df.select(F.col(group_col), b.alias("__b")).groupBy(group_col).agg(
         F.min("__b").alias("__lo"), F.max("__b").alias("__hi")
     )
+    # loud skew guard: a single series spanning years at a fine step
+    # would explode one row into millions — fail with a message instead
+    # of silently OOMing the task (split such series by time range)
+    n_buckets = (F.col("__hi") - F.col("__lo")) / F.lit(step_seconds)
+    guard = F.assert_true(
+        n_buckets < F.lit(max_buckets_per_group),
+        F.concat(
+            F.lit("resample_locf: group "),
+            F.col(group_col).cast("string"),
+            F.lit(f" needs > {max_buckets_per_group} buckets at step "
+                  f"{step_seconds}s; split the series or raise "
+                  "max_buckets_per_group"),
+        ),
+    )
+    # fold the guard into sequence()'s lower bound (NULL + 0 on
+    # success): it evaluates BEFORE the grid array is built and column
+    # pruning can never optimize the assertion away
+    lo_guarded = F.col("__lo") + F.coalesce(guard.cast("long"), F.lit(0))
     grid = bounds.select(
         F.col(group_col),
         F.explode(
-            F.sequence("__lo", "__hi", F.lit(step_seconds).cast("long"))
+            F.sequence(
+                lo_guarded, F.col("__hi"), F.lit(step_seconds).cast("long")
+            )
         ).alias("bucket_start"),
     )
     w = (

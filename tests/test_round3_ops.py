@@ -647,3 +647,34 @@ def test_incremental_corpus_flags_near_dups(spark, tmp_path):
     )
     assert out["near_dup_flags"] >= 1
     assert out["live_after"] == 2
+
+
+def test_ktruss_until_fixed_point(spark):
+    from graphragpart1datapipeline_spark.graph.triangles import ktruss_edges
+
+    # chain of triangles sharing single edges: fixed point at k=4 is
+    # empty, but it takes >2 rounds to drain
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (2, 3), (1, 3), (3, 4), (2, 4)],
+        "src long, dst long",
+    )
+    out = ktruss_edges(edges, k=4, until_fixed_point=True)
+    assert out.count() == 0
+
+
+def test_resample_locf_bucket_guard_raises(spark):
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+    from graphragpart1datapipeline_spark.operators.timeseries import (
+        resample_locf,
+    )
+
+    ev = spark.createDataFrame(
+        [(1, 0, 1.0, 1), (1, 10_000, 2.0, 2)],
+        "user long, epoch long, value double, event_id long",
+    ).withColumn("ts", F.timestamp_seconds(F.col("epoch")))
+    with pytest.raises(Exception, match="resample_locf"):
+        resample_locf(
+            ev, "user", "ts", "value", step_seconds=1,
+            tiebreak_cols=("event_id",), max_buckets_per_group=100,
+        ).collect()
