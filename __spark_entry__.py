@@ -5066,6 +5066,369 @@ def q116(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Round-3 batch 2: reshaping, decayed/cumulative time series, exact entity
+# resolution, heavy hitters, weighted sampling, skyline, phrase search
+# --------------------------------------------------------------------------
+
+_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+
+@_register(
+    "q117_pivot_segment_revenue",
+    """
+    SELECT c_nationkey,
+           CAST(SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE'
+                THEN CAST(o_totalprice AS DECIMAL(25,4)) END) AS DOUBLE) AS "AUTOMOBILE",
+           CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING'
+                THEN CAST(o_totalprice AS DECIMAL(25,4)) END) AS DOUBLE) AS "BUILDING",
+           CAST(SUM(CASE WHEN c_mktsegment = 'FURNITURE'
+                THEN CAST(o_totalprice AS DECIMAL(25,4)) END) AS DOUBLE) AS "FURNITURE",
+           CAST(SUM(CASE WHEN c_mktsegment = 'HOUSEHOLD'
+                THEN CAST(o_totalprice AS DECIMAL(25,4)) END) AS DOUBLE) AS "HOUSEHOLD",
+           CAST(SUM(CASE WHEN c_mktsegment = 'MACHINERY'
+                THEN CAST(o_totalprice AS DECIMAL(25,4)) END) AS DOUBLE) AS "MACHINERY"
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey
+    """,
+)
+def q117(spark, sf_dir):
+    """Long->wide pivot with EXPLICIT pivot values (no hidden
+    distinct-collect discovery scan): revenue by nation x market
+    segment. One shuffle on the group key; the pivot is conditional
+    aggregation inside the same partial-agg plan."""
+    from graphragpart1datapipeline_spark.operators.reshape import pivot_agg
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey)
+    return pivot_agg(
+        j, ["c_nationkey"], "c_mktsegment", _SEGMENTS, "o_totalprice", agg="sum"
+    )
+
+
+@_register(
+    "q118_unpivot_part_metrics",
+    """
+    SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice' AS metric,
+           CAST(p_retailprice AS DOUBLE) AS value
+    FROM part
+    """,
+)
+def q118(spark, sf_dir):
+    """Wide->long melt via the native Expand node: map-only, no
+    shuffle, k value columns -> k rows per input row."""
+    from graphragpart1datapipeline_spark.operators.reshape import unpivot_long
+
+    p = _t(spark, sf_dir, "part")
+    return unpivot_long(
+        p, ["p_partkey"], ["p_size", "p_retailprice"], "metric", "value"
+    )
+
+
+@_register(
+    "q119_cube_order_revenue",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_o_orderstatus,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_o_orderpriority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,4))) AS DOUBLE)
+             AS sum_o_totalprice,
+           COUNT(*) AS n_rows
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q119(spark, sf_dir):
+    """CUBE aggregation: all 4 grouping sets of (status, priority) in
+    ONE shuffle (map-side Expand + partial agg), with per-column
+    grouping() flags instead of engine-specific grouping_id bits."""
+    from graphragpart1datapipeline_spark.operators.reshape import cube_agg
+
+    o = _t(spark, sf_dir, "orders")
+    return cube_agg(o, ["o_orderstatus", "o_orderpriority"], "o_totalprice")
+
+
+def _ewma_sql(alpha: float, k: int) -> str:
+    from graphragpart1datapipeline_spark.operators.timeseries import ewma_weights
+
+    w = "PARTITION BY user_id ORDER BY ts, event_id"
+    weights = ewma_weights(alpha, k)
+    num = " + ".join(
+        f"COALESCE(lag(value, {j}) OVER ({w}) * {wj!r}, 0.0)"
+        for j, wj in enumerate(weights)
+    )
+    den = " + ".join(
+        f"CASE WHEN lag(value, {j}) OVER ({w}) IS NOT NULL"
+        f" THEN {wj!r} ELSE 0.0 END"
+        for j, wj in enumerate(weights)
+    )
+    return f"""
+    SELECT user_id, event_id, ts, value,
+           ({num}) / ({den}) AS ewma
+    FROM events
+    """
+
+
+@_register("q120_ewma_user_value", _ewma_sql(0.5, 8))
+def q120(spark, sf_dir):
+    """Truncated EWMA per user over event time: k lag() terms in ONE
+    window (one shuffle, no self-join, no recursion). alpha=0.5 makes
+    every weight a power of two, so each row's double arithmetic is
+    bit-identical across engines (weights are shared literals computed
+    once driver-side)."""
+    from graphragpart1datapipeline_spark.operators.timeseries import ewma
+
+    ev = _t(spark, sf_dir, "events")
+    return ewma(
+        ev, "user_id", ["ts", "event_id"], "value", alpha=0.5, k=8
+    ).select("user_id", "event_id", "ts", "value", "ewma")
+
+
+@_register(
+    "q121_cumulative_distinct_users",
+    """
+    WITH fs AS (
+      SELECT user_id,
+             MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS first_e
+      FROM events GROUP BY user_id
+    ), fb AS (
+      SELECT CAST(floor(first_e / 86400) * 86400 AS BIGINT) AS bucket_start,
+             COUNT(*) AS new_keys
+      FROM fs GROUP BY 1
+    )
+    SELECT bucket_start, new_keys,
+           CAST(SUM(new_keys) OVER (
+             ORDER BY bucket_start
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_distinct_keys
+    FROM fb
+    """,
+)
+def q121(spark, sf_dir):
+    """Cumulative distinct users per day WITHOUT per-window distinct
+    recounts: one first-seen reduction over keys, then a window over
+    the tiny bucket table (rows = days, not events) — O(keys) instead
+    of O(days * keys)."""
+    from graphragpart1datapipeline_spark.operators.timeseries import (
+        cumulative_distinct,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return cumulative_distinct(ev, "user_id", "ts", 86_400)
+
+
+@_register(
+    "q122_set_similarity_parts",
+    """
+    WITH recs AS (
+      SELECT p_partkey AS rid,
+             list_distinct(list_filter(
+               string_split_regex(
+                 lower(p_name || ' ' || p_brand || ' ' || p_type),
+                 '[^a-z0-9]+'),
+               t -> t <> '')) AS toks
+      FROM part
+    ), pairs AS (
+      SELECT a.rid AS id_a, b.rid AS id_b,
+             CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter_size,
+             CAST(len(a.toks) + len(b.toks)
+                  - len(list_intersect(a.toks, b.toks)) AS BIGINT) AS union_size
+      FROM recs a JOIN recs b
+        ON a.rid < b.rid
+       AND 3 * greatest(len(a.toks), len(b.toks))
+             <= 5 * least(len(a.toks), len(b.toks))
+    )
+    SELECT id_a, id_b, inter_size, union_size
+    FROM pairs WHERE 5 * inter_size >= 3 * union_size
+    """,
+)
+def q122(spark, sf_dir):
+    """EXACT set-similarity self-join (entity resolution on
+    name+brand+type token sets, Jaccard >= 3/5) via prefix filtering —
+    the lossless counterpart of the LSH candidate generators: rarest-
+    first token order, per-record prefix index, equi-join on prefix
+    tokens, integer-exact verification. Oracle is the brute-force
+    quadratic join, so the hash match proves the filter loses nothing."""
+    from graphragpart1datapipeline_spark.dedup.entity import set_similarity_join
+
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.concat_ws(" ", "p_name", "p_brand", "p_type").alias("etext"),
+    )
+    out = set_similarity_join(p, "p_partkey", "etext", t_num=3, t_den=5)
+    return out.select(
+        "id_a",
+        "id_b",
+        F.col("inter_size").cast("long").alias("inter_size"),
+        F.col("union_size").cast("long").alias("union_size"),
+    )
+
+
+@_register(
+    "q123_phrase_search",
+    """
+    WITH toks AS (
+      SELECT doc_id AS id,
+             list_filter(
+               string_split_regex(lower(text), '[^a-z0-9]+'),
+               t -> t <> '') AS l
+      FROM documents
+    ), pos AS (
+      SELECT id, l[i] AS token, i - 1 AS pos
+      FROM toks, LATERAL (
+        SELECT unnest(generate_series(1, len(l))) AS i) g
+    )
+    SELECT b.id, COUNT(*) AS n_matches
+    FROM (SELECT id, pos AS p0 FROM pos WHERE token = 'hash') b
+    JOIN (SELECT id, pos - 1 AS p0 FROM pos WHERE token = 'join') n1
+      USING (id, p0)
+    GROUP BY b.id
+    """,
+)
+def q123(spark, sf_dir):
+    """Exact phrase search ("hash join") over positional postings:
+    build the positional inverted index (map-only posexplode), then
+    chain per-term equi-joins on (doc, aligned position) — selectivity
+    compounds per term, non-matching documents are never scanned."""
+    from graphragpart1datapipeline_spark.text.analysis import (
+        phrase_search,
+        positional_postings,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    post = positional_postings(docs, "doc_id", "text")
+    return phrase_search(post, ["hash", "join"])
+
+
+@_register(
+    "q124_heavy_hitters_words",
+    """
+    WITH words AS (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+      FROM documents
+    ), tot AS (SELECT COUNT(*) AS n FROM words)
+    SELECT w AS value, COUNT(*) AS cnt
+    FROM words, tot
+    GROUP BY w, n
+    HAVING COUNT(*) * 50 > n
+    """,
+)
+def q124(spark, sf_dir):
+    """Exact heavy hitters (words with count > n/50) in two passes:
+    per-partition Misra-Gries candidates (Arrow-batched, O(capacity)
+    state), then an exact recount restricted to candidates via a
+    broadcast semi-join — the long-tail vocabulary never shuffles."""
+    from graphragpart1datapipeline_spark.operators.sketches import heavy_hitters
+
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
+    )
+    return heavy_hitters(words, "w", k=50)
+
+
+@_register(
+    "q125_weighted_order_sample",
+    """
+    WITH t AS (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS w,
+             CAST(CAST('0x' || substring(
+               md5('42:' || CAST(o_orderkey AS VARCHAR)), 1, 8)
+               AS UBIGINT) AS BIGINT) AS u
+      FROM orders
+    ), tw AS (SELECT SUM(w) AS wtot FROM t)
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM t, tw
+    WHERE w > 0
+      AND CAST(u AS HUGEINT) * CAST(wtot AS HUGEINT)
+            < CAST(500 AS HUGEINT) * CAST(w AS HUGEINT)
+              * CAST(4294967296 AS HUGEINT)
+    """,
+)
+def q125(spark, sf_dir):
+    """Deterministic weighted (probability-proportional-to-size)
+    Poisson sample of orders by o_totalprice, E[n]=500: ONE scalar
+    total-weight agg broadcast back, then a map-only integer keep test
+    per row (md5 uniform x scaled weights, every product inside
+    DECIMAL(38,0)). No ordering, no global window, no collect."""
+    from graphragpart1datapipeline_spark.dedup.splits import (
+        weighted_poisson_sample,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    return weighted_poisson_sample(
+        o, "o_orderkey", "o_totalprice", expected_n=500, seed=42
+    )
+
+
+@_register(
+    "q126_skyline_parts",
+    """
+    SELECT * FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_retailprice <= p.p_retailprice
+        AND q.p_size >= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+    """,
+)
+def q126(spark, sf_dir):
+    """2-D skyline (Pareto frontier: minimize retail price, maximize
+    size) with one sort + one band-shifted running max — the oracle is
+    the quadratic NOT-EXISTS dominance join it replaces."""
+    from graphragpart1datapipeline_spark.operators.reshape import skyline2d
+
+    p = _t(spark, sf_dir, "part")
+    return skyline2d(p, "p_retailprice", "p_size")
+
+
+@_register(
+    "q127_sorted_neighborhood",
+    """
+    WITH r AS (
+      SELECT p_partkey AS rid, p_name AS key,
+             row_number() OVER (ORDER BY p_name, p_partkey) - 1 AS rn
+      FROM part
+    )
+    SELECT a.rid AS id_a, b.rid AS id_b, a.key AS key_a, b.key AS key_b,
+           b.rn - a.rn AS rank_gap,
+           levenshtein(a.key, b.key) AS edit_distance
+    FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 5
+    WHERE levenshtein(a.key, b.key) <= 2
+    """,
+)
+def q127(spark, sf_dir):
+    """Sorted-neighborhood entity resolution (merge/purge): global rank
+    by name WITHOUT a single-partition window (bucketed rank + tiny
+    offset table), rank-block equi-join pairing (each row offered to
+    its own and the previous block — 2 join rows per record), exact
+    Levenshtein verify. The oracle replays it with a global
+    row_number + theta join."""
+    from graphragpart1datapipeline_spark.dedup.entity import (
+        sorted_neighborhood_pairs,
+    )
+
+    p = _t(spark, sf_dir, "part")
+    out = sorted_neighborhood_pairs(
+        p, "p_partkey", "p_name", window=5, max_distance=2
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        "key_a",
+        "key_b",
+        "rank_gap",
+        F.col("edit_distance").cast("long").alias("edit_distance"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
 

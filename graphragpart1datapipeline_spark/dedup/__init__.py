@@ -15,3 +15,9 @@ from .passages import (  # noqa: F401
     repeated_passage_spans,
 )
 from .splits import leakage_safe_split  # noqa: F401
+from .entity import (  # noqa: F401
+    global_rank,
+    set_similarity_join,
+    sorted_neighborhood_pairs,
+)
+from .splits import weighted_poisson_sample  # noqa: F401

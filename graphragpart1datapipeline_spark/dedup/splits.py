@@ -62,3 +62,72 @@ def leakage_safe_split(
         split_col=split_col,
     )
     return out.drop("component", "__root")
+
+
+def weighted_poisson_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    expected_n: int,
+    seed: str | int = 42,
+    weight_scale: int = 100,
+) -> DataFrame:
+    """Deterministic weighted (Poisson / probability-proportional-to-
+    size) sample: row i is kept iff u_i < expected_n * w_i / W, where
+    u_i is the row's md5-derived uniform and W the total weight. Every
+    row is an independent keep/drop decision — map-only over the corpus
+    after ONE scalar total-weight aggregation (broadcast as a 1-row
+    frame), so the operator has no ordering, no global window, and no
+    collect; at 100 TB it is a single scan.
+
+    Rows with w_i >= W/expected_n have probability clamped to 1 by
+    construction (u_i < 2^60 <= threshold). E[|sample|] = expected_n
+    minus the clamp excess; variance is the Poisson-sampling variance.
+    For exact-size samples compose with ``top_n_per_group`` on the keep
+    key; for equal weights this degrades to hash_split-style Bernoulli.
+
+    Bit-reproducible: weights are scaled to integers
+    (floor(w*scale + 0.5)), u_i = first 8 md5 hex digits (32 bits —
+    plenty of resolution for a keep probability, and small enough that
+    every product below stays inside DECIMAL(38,0) with NO precision
+    loss), and the keep test u*W_int < n*w_int*2^32 is pure integer
+    arithmetic — identical in any engine with md5 (the oracle replays
+    it in DuckDB with HUGEINT).
+    """
+    w_int = F.floor(
+        F.col(weight_col).cast("double") * weight_scale + F.lit(0.5)
+    ).cast("long")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(str(seed)), F.lit(":"), F.col(id_col).cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+    )
+    tagged = df.withColumn("__w", w_int).withColumn("__u", u)
+    total = tagged.groupBy().agg(F.sum("__w").alias("__wtot"))
+    # Precision audit (Spark result precision = p1+p2+1, hard cap 38):
+    # u:dec(10) * W:dec(15) -> dec(26); n:dec(10) * w:dec(13) -> dec(24),
+    # * 2^32:dec(10) -> dec(35). All exact, no precision-loss rounding.
+    keep = (
+        F.col("__u").cast("decimal(10,0)") * F.col("__wtot").cast("decimal(15,0)")
+    ) < (
+        F.lit(expected_n).cast("decimal(10,0)")
+        * F.col("__w").cast("decimal(13,0)")
+        * F.lit(1 << 32).cast("decimal(10,0)")
+    )
+    return (
+        tagged.crossJoin(F.broadcast(total))
+        .filter(F.col("__w") > 0)
+        .filter(keep)
+        .drop("__w", "__u", "__wtot")
+    )

@@ -35,3 +35,6 @@ from .joins import (  # noqa: F401
     range_join,
     salted_join,
 )
+from .reshape import cube_agg, pivot_agg, skyline2d, unpivot_long  # noqa: F401
+from .sketches import heavy_hitters  # noqa: F401
+from .timeseries import cumulative_distinct, ewma, resample_locf, rolling_time_agg  # noqa: F401

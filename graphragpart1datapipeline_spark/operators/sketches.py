@@ -161,3 +161,67 @@ def kmv_estimate_from_sketch(
             F.lit(float(k - 1)) * F.lit(TWO_60) / kth
         ),
     ).withColumn("sketch_size", size.cast("long"))
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    k: int,
+    capacity: int | None = None,
+) -> DataFrame:
+    """Exact phi-heavy-hitters (items with count > n/k) in two passes:
+    Misra-Gries candidate generation per partition, then an exact
+    recount restricted to candidates. Returns (value, cnt), the items
+    whose TRUE count strictly exceeds n/k — never an approximation.
+
+    Why two passes beat one: the naive ``groupBy(col).count()`` shuffles
+    every distinct value; at 100 TB the token-frequency long tail IS the
+    shuffle. Misra-Gries (capacity m >= k summary per partition) has the
+    pigeonhole guarantee that any value with global count > n/k exceeds
+    n_p/k on at least one partition and therefore survives that
+    partition's summary — so the union of per-partition candidates is a
+    SUPERSET of the true heavy hitters (soundness does not depend on
+    arrival order, even though the summary contents do). Pass 2 then
+    recounts ONLY rows matching a candidate (broadcast semi-join before
+    the shuffle) and applies the exact integer threshold cnt*k > n.
+    The output is deterministic: Misra-Gries order-sensitivity can only
+    add false candidates, which the recount removes.
+
+    The candidate pass is the module's one Python seam (mapInPandas,
+    Arrow-batched, O(capacity) state per partition); everything else is
+    codegen. ``capacity`` defaults to 2k (halves false candidates for
+    one extra dict slot per partition).
+    """
+    cap = capacity or 2 * k
+    src = df.select(F.col(col).cast("string").alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+
+    def mg(batches):
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for v in pdf["v"]:
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < cap:
+                    counters[v] = 1
+                else:
+                    dead = [key for key in counters if counters[key] == 1]
+                    for key in counters:
+                        counters[key] -= 1
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame({"v": list(counters.keys())})
+
+    candidates = src.mapInPandas(mg, "v string").distinct()
+    n = src.groupBy().agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        src.join(F.broadcast(candidates), "v", "left_semi")
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("cnt") * k > F.col("__n"))
+        .select(F.col("v").alias("value"), "cnt")
+    )

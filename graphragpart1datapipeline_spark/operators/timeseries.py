@@ -132,3 +132,92 @@ def rolling_time_agg(
         .alias("rolling_sum"),
         F.count(F.lit(1)).over(w).alias("rolling_n"),
     )
+
+
+def ewma_weights(alpha: float, k: int) -> list[float]:
+    """Truncated EWMA lag weights w_j = alpha*(1-alpha)^j, j=0..k-1,
+    computed ONCE driver-side so Spark and any SQL oracle consume the
+    SAME double literals (pow() portability is never relied upon)."""
+    return [alpha * (1.0 - alpha) ** j for j in range(k)]
+
+
+def ewma(
+    df: DataFrame,
+    group_col: str,
+    order_cols: Sequence[str],
+    value_col: str,
+    alpha: float = 0.5,
+    k: int = 8,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Truncated exponentially-weighted moving average per group:
+    ewma_i = sum_j(w_j * x_{i-j}) / sum_j(w_j present), over the last
+    ``k`` observations ordered by ``order_cols``.
+
+    Expressed as k ``lag()`` terms over ONE window (one shuffle on
+    ``group_col``, no self-join, no UDF). The truncation makes the
+    state finite, which is what lets the same computation run as a
+    window in any engine; untruncated EWMA needs a recursive scan.
+    At the series head (fewer than k rows) the weight mass renormalizes
+    over the available lags, so early rows are plain weighted means of
+    what exists — no NULL warm-up period.
+
+    Determinism: weights are shared double literals; the numerator and
+    denominator are built with left-associated addition in lag order on
+    both engines, so each row's arithmetic is bit-identical.
+    """
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(*[F.col(c) for c in order_cols])
+    )
+    weights = ewma_weights(alpha, k)
+    x = F.col(value_col).cast("double")
+    num = None
+    den = None
+    for j, wj in enumerate(weights):
+        lagged = F.lag(x, j).over(w)
+        term = F.coalesce(lagged * F.lit(wj), F.lit(0.0))
+        mass = F.when(lagged.isNotNull(), F.lit(wj)).otherwise(F.lit(0.0))
+        num = term if num is None else num + term
+        den = mass if den is None else den + mass
+    return df.withColumn(out_col, num / den)
+
+
+def cumulative_distinct(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    bucket_seconds: int = 86_400,
+) -> DataFrame:
+    """New-vs-returning growth curve: per time bucket, how many keys
+    appear for the FIRST time, plus the running total of distinct keys
+    ever seen (the classic \"cumulative distinct users\" query).
+
+    Plan: one groupBy(key) for first-seen (map-side partial min), one
+    tiny groupBy(bucket), one ordered window over the bucket table
+    (whose row count is bounded by the time span / bucket_seconds, so
+    the single-partition window is driver-trivial regardless of input
+    scale). No distinct-per-window recount — the first-seen reduction
+    is what makes this O(keys) instead of O(buckets * keys).
+
+    Returns (bucket_start, new_keys, cum_distinct_keys).
+    """
+    first_seen = (
+        df.select(F.col(key_col).alias("k"), _epoch(ts_col).alias("e"))
+        .groupBy("k")
+        .agg(F.min("e").alias("first_e"))
+        .select(
+            (F.floor(F.col("first_e") / bucket_seconds) * bucket_seconds)
+            .cast("long")
+            .alias("bucket_start")
+        )
+    )
+    per_bucket = first_seen.groupBy("bucket_start").agg(
+        F.count(F.lit(1)).alias("new_keys")
+    )
+    w = Window.orderBy("bucket_start").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return per_bucket.withColumn(
+        "cum_distinct_keys", F.sum("new_keys").over(w)
+    )

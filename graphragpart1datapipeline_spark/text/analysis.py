@@ -386,3 +386,59 @@ def remove_boilerplate_spans(
             F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
         )
     )
+
+
+def positional_postings(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Positional inverted-index postings: one row per token occurrence,
+    (token, doc id, 0-based position). Tokenization is the same
+    lower/non-alphanumeric split used across the text operators, with
+    empty tokens removed BEFORE positions are assigned (positions index
+    the token stream, not the raw character stream).
+
+    This is the index build: map-only explode; persisted partitioned by
+    token (write with ``partitionBy(token_bucket)``), term lookups are
+    partition-pruned scans. Phrase queries become self-equi-joins on
+    (id, pos) — see :func:`phrase_search`.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+        lambda t: t != F.lit(""),
+    )
+    return df.select(
+        F.col(id_col).alias("id"), F.posexplode(toks).alias("pos", "token")
+    ).select("token", "id", "pos")
+
+
+def phrase_search(
+    postings: DataFrame,
+    phrase: Sequence[str],
+) -> DataFrame:
+    """Exact phrase match over positional postings: documents where
+    ``phrase``'s tokens occur at consecutive positions, with the match
+    count per document. Returns (id, n_matches).
+
+    Plan: filter the postings to the phrase's tokens (partition-pruned
+    when the index is stored bucketed by token), then chain equi-joins
+    on (id, pos + offset) — each join's build side is a single term's
+    postings, so selectivity compounds with every term; there is no
+    scan of non-matching documents at all. For an m-term phrase:
+    m-1 equi-joins on aligned keys, one final count groupBy.
+    """
+    terms = [t.lower() for t in phrase]
+    if not terms:
+        raise ValueError("phrase must be non-empty")
+    base = (
+        postings.filter(F.col("token") == terms[0])
+        .select("id", F.col("pos").alias("p0"))
+    )
+    for i, term in enumerate(terms[1:], start=1):
+        nxt = (
+            postings.filter(F.col("token") == term)
+            .select("id", (F.col("pos") - i).alias("p0"))
+        )
+        base = base.join(nxt, ["id", "p0"])
+    return base.groupBy("id").agg(F.count(F.lit(1)).alias("n_matches"))

@@ -678,3 +678,196 @@ def test_resample_locf_bucket_guard_raises(spark):
             ev, "user", "ts", "value", step_seconds=1,
             tiebreak_cols=("event_id",), max_buckets_per_group=100,
         ).collect()
+
+
+# ---------------------------------------------------------------------------
+# Batch 2: reshape / decay / entity resolution / heavy hitters / sampling
+# ---------------------------------------------------------------------------
+
+
+def test_pivot_agg_count_fills_zero(spark):
+    from graphragpart1datapipeline_spark.operators.reshape import pivot_agg
+
+    df = spark.createDataFrame(
+        [("g1", "a", 1.0), ("g1", "a", 2.0), ("g2", "b", 3.0)],
+        "g string, p string, v double",
+    )
+    out = pivot_agg(df, ["g"], "p", ["a", "b", "c"], "v", agg="count")
+    rows = {r["g"]: r for r in out.collect()}
+    assert rows["g1"]["a"] == 2 and rows["g1"]["b"] == 0 and rows["g1"]["c"] == 0
+    assert rows["g2"]["b"] == 1 and rows["g2"]["a"] == 0
+
+
+def test_unpivot_roundtrip_shape(spark):
+    from graphragpart1datapipeline_spark.operators.reshape import unpivot_long
+
+    df = spark.createDataFrame(
+        [(1, 10, 2.5), (2, 20, 5.0)], "id long, a int, b double"
+    )
+    out = unpivot_long(df, ["id"], ["a", "b"]).collect()
+    assert len(out) == 4
+    got = {(r["id"], r["metric"]): r["value"] for r in out}
+    assert got[(1, "a")] == 10.0 and got[(2, "b")] == 5.0
+
+
+def test_skyline2d_dominance_cases(spark):
+    from graphragpart1datapipeline_spark.operators.reshape import skyline2d
+
+    # (price, size): frontier = (1,5), (2,7); (2,5) dominated by (1,5)
+    # via equal-y/strictly-cheaper, (3,7) dominated by (2,7) via
+    # equal-y; duplicates of a frontier point both survive.
+    df = spark.createDataFrame(
+        [(1.0, 5), (2.0, 5), (2.0, 7), (2.0, 7), (3.0, 7), (3.0, 1)],
+        "price double, size int",
+    )
+    out = sorted(
+        [(r["price"], r["size"]) for r in skyline2d(df, "price", "size").collect()]
+    )
+    assert out == [(1.0, 5), (2.0, 7), (2.0, 7)]
+
+
+def test_ewma_head_renormalizes(spark):
+    from graphragpart1datapipeline_spark.operators.timeseries import ewma
+
+    df = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, 20.0)], "g long, t long, v double"
+    )
+    out = {r["t"]: r["ewma"] for r in ewma(df, "g", ["t"], "v", 0.5, 4).collect()}
+    assert out[1] == 10.0  # single obs: weight mass renormalizes to 1
+    # two obs: (0.5*20 + 0.25*10) / 0.75
+    assert abs(out[2] - (0.5 * 20 + 0.25 * 10) / 0.75) < 1e-12
+
+
+def test_cumulative_distinct_counts_first_seen_only(spark):
+    from graphragpart1datapipeline_spark.operators.timeseries import (
+        cumulative_distinct,
+    )
+
+    rows = [
+        (1, 0), (2, 10), (1, 86_400 + 5), (3, 86_400 + 6), (3, 2 * 86_400),
+    ]
+    df = spark.createDataFrame(rows, "k long, e long").withColumn(
+        "ts", F.timestamp_seconds(F.col("e"))
+    )
+    out = {
+        r["bucket_start"]: (r["new_keys"], r["cum_distinct_keys"])
+        for r in cumulative_distinct(df, "k", "ts", 86_400).collect()
+    }
+    assert out[0] == (2, 2) and out[86_400] == (1, 3)
+    assert 2 * 86_400 not in out  # key 3 already seen
+
+
+def test_set_similarity_join_is_lossless_vs_bruteforce(spark):
+    """Prefix filtering must find EXACTLY the brute-force pair set on
+    seeded random token records (the q122 oracle proves it on real
+    data; this pins it on adversarial sizes incl. singleton sets)."""
+    import itertools
+    import random
+
+    from graphragpart1datapipeline_spark.dedup.entity import set_similarity_join
+
+    rng = random.Random(7)
+    vocab = [f"tok{i}" for i in range(12)]
+    recs = [
+        (i, " ".join(rng.sample(vocab, rng.randint(1, 6))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(recs, "rid long, txt string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in set_similarity_join(df, "rid", "txt", 3, 5).collect()
+    }
+    toksets = {i: frozenset(t.split()) for i, t in recs}
+    want = set()
+    for a, b in itertools.combinations(sorted(toksets), 2):
+        x, y = toksets[a], toksets[b]
+        if 5 * len(x & y) >= 3 * len(x | y):
+            want.add((a, b))
+    assert got == want
+
+
+def test_global_rank_matches_row_number(spark):
+    from pyspark.sql import Window
+
+    from graphragpart1datapipeline_spark.dedup.entity import global_rank
+
+    df = spark.createDataFrame(
+        [(i, f"k{i % 7}x{i}") for i in range(50)], "id long, key string"
+    ).repartition(5)
+    got = global_rank(df, ["key", "id"], rank_col="rn")
+    w = Window.orderBy("key", "id")
+    want = df.withColumn("rn", F.row_number().over(w).cast("long") - 1)
+    assert got.select("id", "rn").subtract(want.select("id", "rn")).count() == 0
+    assert want.select("id", "rn").subtract(got.select("id", "rn")).count() == 0
+
+
+def test_sorted_neighborhood_window_and_distance(spark):
+    from graphragpart1datapipeline_spark.dedup.entity import (
+        sorted_neighborhood_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, "alphb"), (3, "alphq"), (4, "zzzzz")],
+        "id long, name string",
+    )
+    out = sorted_neighborhood_pairs(df, "id", "name", window=2, max_distance=1)
+    pairs = {(r["id_a"], r["id_b"]): r["rank_gap"] for r in out.collect()}
+    # sort order: alpha(1), alphb(2), alphq(3), zzzzz(4)
+    assert (1, 2) in pairs and (2, 3) in pairs and (1, 3) in pairs
+    assert (3, 4) not in pairs  # within window but distance 5 > 1
+
+
+def test_heavy_hitters_exact_threshold(spark):
+    from graphragpart1datapipeline_spark.operators.sketches import heavy_hitters
+
+    # 100 rows: 'a' x 40, 'b' x 25, rest 35 distinct singletons.
+    rows = [("a",)] * 40 + [("b",)] * 25 + [(f"t{i}",) for i in range(35)]
+    df = spark.createDataFrame(rows, "v string").repartition(7)
+    out = {r["value"]: r["cnt"] for r in heavy_hitters(df, "v", k=4).collect()}
+    # threshold n/k = 25 strict: 'a' (40) qualifies, 'b' (25) does NOT.
+    assert out == {"a": 40}
+
+
+def test_weighted_poisson_sample_clamp_and_determinism(spark):
+    from graphragpart1datapipeline_spark.dedup.splits import (
+        weighted_poisson_sample,
+    )
+
+    rows = [(i, 1.0 if i else 10_000.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    out1 = {
+        r["id"] for r in weighted_poisson_sample(df, "id", "w", 5).collect()
+    }
+    # row 0 holds ~99% of the weight -> clamped probability 1
+    assert 0 in out1
+    out2 = {
+        r["id"]
+        for r in weighted_poisson_sample(
+            df.repartition(13), "id", "w", 5
+        ).collect()
+    }
+    assert out1 == out2  # pure function of (id, seed, weights)
+    # zero/negative weights never sampled
+    df2 = spark.createDataFrame([(1, 0.0), (2, -3.0)], "id long, w double")
+    assert weighted_poisson_sample(df2, "id", "w", 5).count() == 0
+
+
+def test_phrase_search_counts_overlapping(spark):
+    from graphragpart1datapipeline_spark.text.analysis import (
+        phrase_search,
+        positional_postings,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a"),   # "a b" twice, "a a" zero
+            (2, "a a a"),       # "a a" twice (overlapping)
+            (3, "b b"),
+        ],
+        "doc_id long, text string",
+    )
+    post = positional_postings(df, "doc_id", "text")
+    ab = {r["id"]: r["n_matches"] for r in phrase_search(post, ["a", "b"]).collect()}
+    assert ab == {1: 2}
+    aa = {r["id"]: r["n_matches"] for r in phrase_search(post, ["a", "a"]).collect()}
+    assert aa == {2: 2}
