@@ -5428,6 +5428,313 @@ def q127(spark, sf_dir):
     )
 
 
+@_register(
+    "q128_attribution_last_touch",
+    """
+    WITH p AS (
+      SELECT event_id, ts, user_id, value FROM events
+      WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+    )
+    SELECT p.user_id, p.event_id, p.ts, p.value, m.asof_ts, m.asof_event_id
+    FROM p LEFT JOIN LATERAL (
+      SELECT c.ts AS asof_ts, c.event_id AS asof_event_id
+      FROM c WHERE c.user_id = p.user_id AND c.ts <= p.ts
+      ORDER BY c.ts DESC, c.event_id DESC LIMIT 1
+    ) m ON TRUE
+    """,
+)
+def q128(spark, sf_dir):
+    """Last-touch attribution: each purchase joined to the latest
+    preceding click of the same user — the as-of join (union-tag + ONE
+    window pass, no per-key LATERAL scan) applied to event attribution.
+    Equal-timestamp clicks tie-break on max event_id (the payload
+    struct ordering), mirrored in the oracle's ORDER BY."""
+    from graphragpart1datapipeline_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_select=["event_id"],
+        direction="backward",
+    )
+
+
+@_register(
+    "q129_ntile_binning",
+    """
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           CAST(NTILE(10) OVER (
+             PARTITION BY o_orderpriority
+             ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS decile
+    FROM orders
+    """,
+)
+def q129(spark, sf_dir):
+    """Per-group decile assignment (feature binning for training
+    pipelines): NTILE over a grouped window — shuffles on the group
+    key, never a global sort; the unique-key tiebreak makes bucket
+    boundaries deterministic."""
+    from pyspark.sql import Window as W
+
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.ntile(10).over(w).cast("long").alias("decile"),
+    )
+
+
+@_register(
+    "q130_grouped_corr",
+    """
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,4))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+             floor((n * sxy - sx * sy)
+                   / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+                   * 1000000000.0 + 0.5) / 1000000000.0
+           END AS corr
+    FROM m
+    """,
+)
+def q130(spark, sf_dir):
+    """Pearson correlation per group via order-independent DECIMAL
+    moment sums + a fixed-shape double combination (never the
+    row-order-dependent streaming update), half-up rounded at 1e-9 so
+    decimal->double 1-ulp wobble cannot flip the hash."""
+    from graphragpart1datapipeline_spark.operators.relational import grouped_corr
+
+    li = _t(spark, sf_dir, "lineitem")
+    return grouped_corr(li, ["l_returnflag"], "l_quantity", "l_extendedprice")
+
+
+@_register(
+    "q131_price_drift_tvd",
+    """
+    WITH bins AS (
+      SELECT CAST(unnest(generate_series(0, 23)) AS BIGINT) AS bin
+    ), ca AS (
+      SELECT least(greatest(CAST(floor((l_extendedprice - 900.0) / 4337.5)
+               AS BIGINT), 0), 23) AS bin, COUNT(*) AS n
+      FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY 1
+    ), cb AS (
+      SELECT least(greatest(CAST(floor((l_extendedprice - 900.0) / 4337.5)
+               AS BIGINT), 0), 23) AS bin, COUNT(*) AS n
+      FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+      GROUP BY 1
+    ), j AS (
+      SELECT bins.bin,
+             COALESCE(ca.n, 0) AS cnt_a, COALESCE(cb.n, 0) AS cnt_b
+      FROM bins LEFT JOIN ca USING (bin) LEFT JOIN cb USING (bin)
+    ), t AS (
+      SELECT CAST(SUM(cnt_a) AS BIGINT) AS n_a,
+             CAST(SUM(cnt_b) AS BIGINT) AS n_b FROM j
+    )
+    SELECT t.n_a, t.n_b,
+           CAST(CAST(SUM(ABS(cnt_a * t.n_b - cnt_b * t.n_a)) AS BIGINT)
+                AS DOUBLE) / (2.0 * t.n_a * t.n_b) AS tvd
+    FROM j, t GROUP BY t.n_a, t.n_b
+    """,
+)
+def q131(spark, sf_dir):
+    """Distribution drift (early vs late shipments, extended price) as
+    total-variation distance over a shared 24-bin equi-width histogram
+    — integer-exact to the final division (the no-ln() alternative to
+    PSI). Two bins-row histogram shuffles; cohorts never joined."""
+    from graphragpart1datapipeline_spark.operators.relational import (
+        histogram_drift,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_shipdate") < "1998-01-01")
+    b = li.filter(F.col("l_shipdate") >= "1998-01-01")
+    return histogram_drift(a, b, "l_extendedprice", 24, 900.0, 105_000.0)
+
+
+@_register(
+    "q132_not_in_customers",
+    """
+    SELECT c_custkey, c_name, c_mktsegment FROM customer
+    WHERE c_custkey NOT IN (
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    """,
+)
+def q132(spark, sf_dir):
+    """NOT IN with full three-valued-logic semantics (null-aware
+    anti-join): distinct key-set reduction + anti join + a broadcast
+    1-row has-null gate — the correctness trap a bare left_anti
+    (= NOT EXISTS) silently gets wrong when the subquery can yield
+    nulls."""
+    from graphragpart1datapipeline_spark.operators.joins import not_in_join
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return not_in_join(c, o, "c_custkey", "o_custkey")
+
+
+@_register(
+    "q133_event_transitions",
+    """
+    WITH t AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    )
+    SELECT prev AS from_state, event_type AS to_state, COUNT(*) AS n
+    FROM t GROUP BY 1, 2
+    """,
+)
+def q133(spark, sf_dir):
+    """First-order Markov transition counts over each user's event
+    stream: one lag window + one counting groupBy (start-of-stream
+    emitted as NULL from_state so totals reconcile)."""
+    from graphragpart1datapipeline_spark.operators.timeseries import (
+        event_transitions,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return event_transitions(ev, "user_id", ["ts", "event_id"], "event_type")
+
+
+@_register(
+    "q134_debounce_events",
+    """
+    WITH t AS (
+      SELECT *,
+             CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                       - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id)
+                       <= 300
+                  THEN 0 ELSE 1 END AS nb
+      FROM events
+    ), b AS (
+      SELECT *, SUM(nb) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS burst
+      FROM t
+    ), r AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY user_id, burst ORDER BY ts, event_id) AS rn
+      FROM b
+    )
+    SELECT event_id, ts, user_id, event_type, value, props
+    FROM r WHERE rn = 1
+    """,
+)
+def q134(spark, sf_dir):
+    """Debounce: first event of every burst (maximal chain of <=300 s
+    gaps) per user — exact island detection (suppression chains through
+    suppressed events), two windows on ONE partitioning = one shuffle."""
+    from graphragpart1datapipeline_spark.operators.timeseries import debounce
+
+    ev = _t(spark, sf_dir, "events")
+    return debounce(ev, "user_id", "ts", 300, tiebreak_cols=("event_id",))
+
+
+@_register(
+    "q135_revenue_share",
+    """
+    WITH nat AS (
+      SELECT r_name, n_name, n_nationkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(25,4))) AS DOUBLE) AS revenue
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name, n_nationkey
+    )
+    SELECT r_name, n_name, revenue,
+           revenue / CAST(SUM(CAST(revenue AS DECIMAL(25,4)))
+                          OVER (PARTITION BY r_name) AS DOUBLE) AS share
+    FROM nat
+    """,
+)
+def q135(spark, sf_dir):
+    """Ratio-to-report: each nation's share of its region's revenue —
+    grouped agg + ONE partitioned window (no re-join of the rollup onto
+    itself); the window re-sum goes through DECIMAL so frame order
+    cannot perturb the denominator."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    nat = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name", "n_nationkey")
+        .agg(_dsum("o_totalprice").alias("revenue"))
+    )
+    w = Window.partitionBy("r_name")
+    return nat.select(
+        "r_name",
+        "n_name",
+        "revenue",
+        (
+            F.col("revenue")
+            / F.sum(F.col("revenue").cast("decimal(25,4)")).over(w).cast("double")
+        ).alias("share"),
+    )
+
+
+@_register(
+    "q136_embedding_centroids",
+    """
+    WITH u AS (
+      SELECT label, i - 1 AS dim,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5)
+                  AS BIGINT) AS sv
+      FROM embeddings, LATERAL (
+        SELECT unnest(generate_series(1, len(embedding))) AS i) g
+    )
+    SELECT label, CAST(dim AS INT) AS dim,
+           CAST(CAST(SUM(sv) AS BIGINT) AS DOUBLE)
+             / (COUNT(*) * 1000000.0) AS mean
+    FROM u GROUP BY label, dim
+    """,
+)
+def q136(spark, sf_dir):
+    """Per-label embedding centroids in long form: map-only posexplode
+    + ONE (label, dim)-cell shuffle, components half-up scaled to
+    integers so the mean is order-independent and bit-identical across
+    engines (no double->decimal cast of arbitrary floats)."""
+    from graphragpart1datapipeline_spark.vector.search import (
+        embedding_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_centroids(emb, "label")
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------

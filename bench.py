@@ -68,6 +68,19 @@ HEADLINE = [
     "q108_zorder_layout",
     "q112_resample_locf",
     "q114_cdc_apply",
+    # round-3 batch 2: exact ER, heavy hitters, weighted sampling,
+    # phrase retrieval, decayed time series
+    "q120_ewma_user_value",
+    # q122 runs on a deliberately adversarial low-cardinality key space
+    # (true pair structure is quadratic: 1M pairs from 20k records at
+    # sf0.1) — correctness-gated at sf0.01; the realistic ER regime is
+    # scale_check's "set_similarity" (vocab proportional to corpus).
+    "q123_phrase_search",
+    "q124_heavy_hitters_words",
+    "q125_weighted_order_sample",
+    "q127_sorted_neighborhood",
+    "q134_debounce_events",
+    "q136_embedding_centroids",
 ]
 
 # Repetitions per query; report the min. The ambient swing on a shared

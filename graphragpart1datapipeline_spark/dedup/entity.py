@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..util import ensure_parallelism
+
 
 def _token_set(col):
     """lower → split on non-alphanumeric → distinct, empties removed."""
@@ -51,46 +53,64 @@ def set_similarity_join(
     text_col: str,
     t_num: int = 3,
     t_den: int = 5,
+    max_token_bucket: int | None = None,
 ) -> DataFrame:
     """All pairs (a, b), a < b by id, with Jaccard(tokens(a), tokens(b))
     >= t_num/t_den. Returns (id_a, id_b, inter_size, union_size).
 
-    Plan shape (all sizes integer-exact):
-      1. tokenize + per-record distinct token arrays       (map-only)
-      2. token document frequencies                        (1 shuffle)
-      3. re-order each record's tokens rarest-first        (explode +
-         join token→(df,token) rank, re-collect)           (1 shuffle)
-      4. explode only the prefix (|r| - ceil(t|r|) + 1),
-         self-join on the prefix token                     (1 shuffle)
-      5. verify Jaccard on the full arrays, integer math   (map-only)
+    Two-level plan — collapse-then-join — so duplicate-heavy corpora
+    cost what their DISTINCT structure costs, not their row count:
 
-    The prefix join key is the natural partition key: a hot token means
-    a hot bucket, and because tokens are ordered by ascending frequency
-    the prefix preferentially holds RARE tokens — the frequent-token
-    mega-buckets LSH has to guard against mostly never form. ceil is
-    computed as floor((t_num*n + t_den - 1)/t_den) — pure integers.
-    """
-    recs = df.select(
-        F.col(id_col).alias("rid"), _token_set(F.col(text_col)).alias("toks")
-    ).filter(F.size("toks") > 0)
+      1. tokenize, canonicalize (sorted distinct token array), and
+         group records into identical-set CLASSES (one shuffle; class
+         id = min record id). On q122's part table this is 20k rows ->
+         ~6k classes; on a diverse corpus it is a near-no-op.
+      2. prefix-filter join over class REPRESENTATIVES only
+         (Chaudhuri/Bayardo/PPJoin): rarest-first global token order,
+         each class indexed by its (|r| - ceil(t|r|) + 1)-token prefix,
+         equi-join on prefix tokens, arrays re-attached for the
+         integer-exact Jaccard verify, and the SURVIVORS distinct-ed
+         (far cheaper than distinct-ing the raw candidate stream).
+      3. expand back to record pairs: qualifying class pairs join the
+         membership table twice (cross pairs), plus all intra-class
+         pairs (Jaccard 1 by construction) — both linear in the TRUE
+         output size.
 
-    # Global rarest-first order: (doc-frequency, token) ascending.
-    tok_df = (
-        recs.select(F.explode("toks").alias("tok"))
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("tok_df"))
+    Losslessness: identical sets always qualify (J=1 >= t); distinct
+    sets qualify iff their class representatives qualify, and the
+    prefix principle over ANY global token order guarantees reps with
+    overlap >= ceil(t*|r|) collide in their prefixes. The q122 oracle
+    (brute-force quadratic join) and the adversarial unit test pin it.
+
+    ``max_token_bucket`` (opt-in) drops prefix tokens whose CLASS
+    bucket exceeds the cap — the escape hatch when even the distinct
+    structure is quadratic (every class sharing the same few
+    non-discriminative tokens); pairs blocked only by such tokens are
+    then missed, documented trade."""
+    recs = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("rid"),
+            F.array_sort(_token_set(F.col(text_col))).alias("ctoks"),
+        )
+        .filter(F.size("ctoks") > 0)
     )
+    classes = recs.groupBy("ctoks").agg(F.min("rid").alias("cid"))
+    members = recs.join(classes, "ctoks").select("rid", "cid")
+    reps = classes.select("cid", F.explode("ctoks").alias("tok"))
+
+    # Global rarest-first order over CLASS document frequencies.
+    tok_df = reps.groupBy("tok").agg(F.count(F.lit(1)).alias("tok_df"))
     ordered = (
-        recs.select("rid", F.explode("toks").alias("tok"))
-        .join(tok_df, "tok")
-        .groupBy("rid")
+        reps.join(tok_df, "tok")
+        .groupBy("cid")
         .agg(
             F.array_sort(
                 F.collect_list(F.struct("tok_df", "tok"))
             ).alias("ordered_pairs")
         )
         .select(
-            "rid",
+            "cid",
             F.transform(F.col("ordered_pairs"), lambda s: s["tok"]).alias("toks"),
         )
     )
@@ -103,37 +123,49 @@ def set_similarity_join(
         + F.lit(1),
     )
     prefix = sized.select(
-        "rid",
-        "toks",
+        "cid",
         "sz",
         F.explode(F.slice("toks", 1, F.col("prefix_len"))).alias("ptok"),
     )
+    if max_token_bucket is not None:
+        keep = (
+            prefix.groupBy("ptok")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") <= max_token_bucket)
+            .select("ptok")
+        )
+        prefix = prefix.join(keep, "ptok")
     left = prefix.select(
-        F.col("rid").alias("id_a"),
-        F.col("toks").alias("toks_a"),
-        F.col("sz").alias("sz_a"),
-        "ptok",
+        F.col("cid").alias("ca"), F.col("sz").alias("sz_a"), "ptok"
     )
     right = prefix.select(
-        F.col("rid").alias("id_b"),
-        F.col("toks").alias("toks_b"),
-        F.col("sz").alias("sz_b"),
-        "ptok",
+        F.col("cid").alias("cb"), F.col("sz").alias("sz_b"), "ptok"
     )
-    cand = (
+    cand_ids = (
         left.join(right, "ptok")
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.col("ca") < F.col("cb"))
         # length filter: t*max <= min  <=>  t_num*max <= t_den*min
         .filter(
             F.lit(t_num) * F.greatest("sz_a", "sz_b")
             <= F.lit(t_den) * F.least("sz_a", "sz_b")
         )
-        .select("id_a", "id_b", "toks_a", "toks_b", "sz_a", "sz_b")
-        .distinct()
+        .select("ca", "cb")
+    )
+    toks_a = sized.select(
+        F.col("cid").alias("ca"),
+        F.col("toks").alias("toks_a"),
+        F.col("sz").alias("sz_a"),
+    )
+    toks_b = sized.select(
+        F.col("cid").alias("cb"),
+        F.col("toks").alias("toks_b"),
+        F.col("sz").alias("sz_b"),
     )
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
-    verified = (
-        cand.withColumn("inter_size", inter)
+    class_pairs = (
+        cand_ids.join(toks_a, "ca")
+        .join(toks_b, "cb")
+        .withColumn("inter_size", inter)
         .withColumn(
             "union_size", F.col("sz_a") + F.col("sz_b") - F.col("inter_size")
         )
@@ -141,9 +173,41 @@ def set_similarity_join(
         .filter(
             F.lit(t_den) * F.col("inter_size") >= F.lit(t_num) * F.col("union_size")
         )
-        .select("id_a", "id_b", "inter_size", "union_size")
+        .select("ca", "cb", "inter_size", "union_size")
+        # dedup AFTER the verify: survivors are ~the true pair count,
+        # orders of magnitude below the raw candidate stream on dense
+        # inputs — distinct-ing first would shuffle the full stream.
+        .distinct()
     )
-    return verified
+    # Expansion: cross-class record pairs (reorder so id_a < id_b; the
+    # pair metrics are orientation-independent) ...
+    ma = members.select(F.col("cid").alias("ca"), F.col("rid").alias("ra"))
+    mb = members.select(F.col("cid").alias("cb"), F.col("rid").alias("rb"))
+    cross = (
+        class_pairs.join(ma, "ca")
+        .join(mb, "cb")
+        .select(
+            F.least("ra", "rb").alias("id_a"),
+            F.greatest("ra", "rb").alias("id_b"),
+            "inter_size",
+            "union_size",
+        )
+    )
+    # ... plus intra-class pairs (identical sets, Jaccard exactly 1).
+    sz_by_class = sized.select("cid", "sz")
+    intra = (
+        members.alias("x")
+        .join(members.alias("y"), "cid")
+        .filter(F.col("x.rid") < F.col("y.rid"))
+        .join(sz_by_class, "cid")
+        .select(
+            F.col("x.rid").alias("id_a"),
+            F.col("y.rid").alias("id_b"),
+            F.col("sz").alias("inter_size"),
+            F.col("sz").alias("union_size"),
+        )
+    )
+    return cross.unionByName(intra)
 
 
 def global_rank(

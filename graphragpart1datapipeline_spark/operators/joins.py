@@ -273,3 +273,36 @@ def interval_lookup_join(
     for c in payload:
         out = out.withColumn(c, hit[c])
     return out
+
+
+def not_in_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+) -> DataFrame:
+    """SQL ``NOT IN (subquery)`` with its full three-valued-logic
+    semantics — the classic correctness trap a plain anti-join gets
+    wrong: if the subquery produces ANY null the predicate is never
+    true (result is empty), and left rows with a null key are always
+    excluded. A left_anti join alone implements NOT EXISTS, not NOT IN.
+
+    Plan: distinct-reduce the right side to its key set (one shuffle of
+    keys only, broadcast when small), anti-join, and gate on a 1-row
+    has-null aggregate broadcast across the result — no row-by-row
+    null handling."""
+    has_null = right.groupBy().agg(
+        F.coalesce(
+            F.max(F.col(right_col).isNull().cast("int")), F.lit(0)
+        ).alias("__has_null")
+    )
+    keys = right.filter(F.col(right_col).isNotNull()).select(
+        F.col(right_col).alias(left_col)
+    ).distinct()
+    return (
+        left.filter(F.col(left_col).isNotNull())
+        .join(keys, left_col, "left_anti")
+        .crossJoin(F.broadcast(has_null))
+        .filter(F.col("__has_null") == 0)
+        .drop("__has_null")
+    )

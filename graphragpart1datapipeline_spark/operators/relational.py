@@ -976,3 +976,96 @@ def cdc_live(state: DataFrame, deleted_col: str = "__cdc_deleted") -> DataFrame:
     return state.filter(
         ~F.coalesce(F.col(deleted_col), F.lit(False))
     ).drop(deleted_col, "__cdc_seq")
+
+
+def grouped_corr(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+    out_col: str = "corr",
+    round_digits: int = 9,
+) -> DataFrame:
+    """Pearson correlation per group, engine-portable: the five moment
+    sums accumulate through exact DECIMAL (order-independent — never
+    the streaming covariance update, whose result depends on row
+    order), the closed-form combination runs in IEEE double with a
+    fixed expression shape, and the result is half-up rounded so a
+    1-ulp decimal->double wobble on 18+ digit sums cannot flip the
+    value. One map-side-combined shuffle; NULL when a variance is 0.
+    """
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    agg = (
+        df.groupBy(*[F.col(c) for c in group_cols])
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("__n"),
+            F.sum(x.cast("decimal(25,4)")).cast("double").alias("__sx"),
+            F.sum(y.cast("decimal(25,4)")).cast("double").alias("__sy"),
+            F.sum((x * x).cast("decimal(30,8)")).cast("double").alias("__sxx"),
+            F.sum((y * y).cast("decimal(30,8)")).cast("double").alias("__syy"),
+            F.sum((x * y).cast("decimal(30,8)")).cast("double").alias("__sxy"),
+        )
+    )
+    num = F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    vx = F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    vy = F.col("__n") * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    p = float(10 ** round_digits)
+    corr = num / (F.sqrt(vx) * F.sqrt(vy))
+    rounded = F.floor(corr * p + F.lit(0.5)) / F.lit(p)
+    return agg.select(
+        *group_cols,
+        F.col("__n").cast("long").alias("n"),
+        F.when((vx > 0) & (vy > 0), rounded).alias(out_col),
+    )
+
+
+def histogram_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    bins: int,
+    lo: float,
+    hi: float,
+) -> DataFrame:
+    """Distribution drift between two cohorts as total-variation
+    distance over a shared equi-width histogram — the
+    no-transcendentals alternative to PSI (which needs ln(), whose
+    last-ulp behavior is libm-specific; TVD is 0.5*sum|p_i - q_i| and
+    every intermediate here is INTEGER: sum|cnt_a_i*N_b - cnt_b_i*N_a|
+    stays exact, with one double division at the very end).
+
+    Returns ONE row (n_a, n_b, tvd). Cost: two histogram shuffles of
+    <= bins rows each + a bins-row join; the cohorts themselves are
+    scanned once each, never joined.
+    """
+    ha = equi_width_histogram(df_a, value_col, bins, lo, hi).select(
+        "bin", F.col("n").alias("cnt_a")
+    )
+    hb = equi_width_histogram(df_b, value_col, bins, lo, hi).select(
+        "bin", F.col("n").alias("cnt_b")
+    )
+    j = ha.join(hb, "bin")
+    totals = j.groupBy().agg(
+        F.sum("cnt_a").alias("n_a"), F.sum("cnt_b").alias("n_b")
+    )
+    out = (
+        j.crossJoin(F.broadcast(totals))
+        .groupBy("n_a", "n_b")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("cnt_a") * F.col("n_b")
+                    - F.col("cnt_b") * F.col("n_a")
+                )
+            ).alias("__num")
+        )
+    )
+    return out.select(
+        "n_a",
+        "n_b",
+        (
+            F.col("__num").cast("double")
+            / (F.lit(2.0) * F.col("n_a") * F.col("n_b"))
+        ).alias("tvd"),
+    )

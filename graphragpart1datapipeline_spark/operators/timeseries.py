@@ -221,3 +221,66 @@ def cumulative_distinct(
     return per_bucket.withColumn(
         "cum_distinct_keys", F.sum("new_keys").over(w)
     )
+
+
+def event_transitions(
+    df: DataFrame,
+    group_col: str,
+    order_cols: Sequence[str],
+    state_col: str,
+) -> DataFrame:
+    """First-order transition counts (Markov edge list) over each
+    group's ordered event stream: one lag() window (single shuffle on
+    the group key) + one counting groupBy. Returns
+    (from_state, to_state, n). The start-of-stream pseudo-state is
+    emitted as NULL from_state so row counts reconcile with the input.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    return (
+        df.withColumn("__prev", F.lag(F.col(state_col)).over(w))
+        .groupBy(
+            F.col("__prev").alias("from_state"),
+            F.col(state_col).alias("to_state"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def debounce(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    gap_seconds: int,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Debounce/throttle: within each group, keep only the FIRST event
+    of every burst — a burst being a maximal chain of events whose
+    consecutive gaps are all <= gap_seconds. (Session-window semantics:
+    suppression chains through intermediate suppressed events, which a
+    naive 'gap since previous row' filter gets wrong only in the other
+    direction — this is island detection, exact.)
+
+    Two windows on the SAME (group, order) partitioning — Catalyst
+    plans one exchange + one sort: lag() marks burst starts, a running
+    sum turns marks into burst ids, row_number picks the first row per
+    burst. Deterministic under timestamp ties via ``tiebreak_cols``.
+    """
+    order = [F.col(ts_col), *[F.col(c) for c in tiebreak_cols]]
+    w = Window.partitionBy(group_col).orderBy(*order)
+    e = _epoch(ts_col)
+    gap = e - F.lag(e).over(w)  # NULL on the group's first row
+    new_burst = F.when(
+        gap.isNull() | (gap > gap_seconds), F.lit(1)
+    ).otherwise(F.lit(0))
+    marked = df.withColumn(
+        "__burst",
+        F.sum(new_burst).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    wb = Window.partitionBy(group_col, "__burst").orderBy(*order)
+    return (
+        marked.withColumn("__rn", F.row_number().over(wb))
+        .filter(F.col("__rn") == 1)
+        .drop("__burst", "__rn")
+    )

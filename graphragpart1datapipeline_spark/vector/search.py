@@ -603,3 +603,38 @@ def rrf_fuse(
         .orderBy(F.desc("rrf_score"), F.asc(id_col))
         .limit(k)
     )
+
+
+def embedding_centroids(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    component_scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-group embedding centroid as LONG-FORM rows
+    (group, dim, mean): posexplode the vectors (map-only), then average
+    per (group, dim) in INTEGER space — each component is half-up
+    scaled to a long (floor(v*scale + 0.5): multiply and floor are
+    exact IEEE ops, identical in every engine, unlike double->DECIMAL
+    casts whose rounding path is engine-specific for arbitrary floats),
+    summed exactly, and divided back once. One map-side-combined
+    shuffle of (groups x dim) cells; order-independent, so the centroid
+    is bit-reproducible under any partitioning and SQL-replayable.
+    Long form on purpose: arrays defeat cross-engine value comparison;
+    reassemble with a sorted collect when an array is needed.
+    """
+    v = F.col("__v").cast("double")
+    scaled = F.floor(v * component_scale + F.lit(0.5)).cast("long")
+    return (
+        df.select(
+            F.col(group_col),
+            F.posexplode(F.col(vec_col)).alias("dim", "__v"),
+        )
+        .groupBy(group_col, "dim")
+        .agg(
+            (
+                F.sum(scaled).cast("double")
+                / (F.count(F.lit(1)) * F.lit(float(component_scale)))
+            ).alias("mean")
+        )
+    )

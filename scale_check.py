@@ -107,12 +107,50 @@ def ops(spark, base: str, extra_bits: int = 0):
     )
     from graphragpart1datapipeline_spark.text.lm import bigram_lm_score
     from graphragpart1datapipeline_spark.vector.search import knn_join_blocked
+    from graphragpart1datapipeline_spark.dedup.entity import (
+        set_similarity_join,
+        sorted_neighborhood_pairs,
+    )
+    from graphragpart1datapipeline_spark.dedup.splits import (
+        weighted_poisson_sample,
+    )
+    from graphragpart1datapipeline_spark.operators.sketches import heavy_hitters
+    from graphragpart1datapipeline_spark.text.analysis import (
+        phrase_search,
+        positional_postings,
+    )
 
     def docs():
         return read_table(spark, base, "documents")
 
     def emb():
         return read_table(spark, base, "embeddings")
+
+    def _entity_names():
+        d = docs().select("doc_id")
+        n = max(d.count(), 1)
+        shared = (F.col("doc_id") - F.col("doc_id") % 2).cast("string")
+        tok = F.when(
+            F.col("__r") < 5,
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(shared, F.lit(":"), "__r")), 1, 8
+                ), 16, 10,
+            ).cast("long") % n,
+        ).otherwise(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":u"))),
+                    1, 8,
+                ), 16, 10,
+            ).cast("long") % n + n
+        )
+        return (
+            d.crossJoin(spark.range(6).withColumnRenamed("id", "__r"))
+            .select("doc_id", F.concat(F.lit("t"), tok.cast("string")).alias("t"))
+            .groupBy("doc_id")
+            .agg(F.concat_ws(" ", F.collect_list("t")).alias("etext"))
+        )
 
     def _pagerank():
         # synthetic doc→doc graph: md5-derived endpoints, |E| = 4·|docs|
@@ -213,6 +251,34 @@ def ops(spark, base: str, extra_bits: int = 0):
         "zorder_stats": lambda: zorder_bucket_stats(
             docs(), ["doc_id", "n_chars"], bits=16, bucket_bits=6
         ),
+        # Entity keys are SYNTHESIZED with vocabulary proportional to the
+        # corpus (like the md5 graphs above): per-token bucket occupancy
+        # stays constant as the corpus grows, which is the documented
+        # operating regime for prefix-filter ER at scale. Even/odd doc
+        # pairs share 5 of 6 tokens (J=5/7 >= 3/5), so the true-pair
+        # count also grows linearly.
+        "set_similarity": lambda: set_similarity_join(
+            _entity_names(), "doc_id", "etext", t_num=3, t_den=5
+        ),
+        "sorted_neighborhood": lambda: sorted_neighborhood_pairs(
+            docs().select(
+                "doc_id", F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8).alias("k")
+            ),
+            "doc_id", "k", window=5, max_distance=2,
+            bucket_expr=F.substring(F.col("k"), 1, 2),
+        ),
+        "heavy_hitters": lambda: heavy_hitters(
+            docs().select(
+                F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
+            ),
+            "w", k=50,
+        ),
+        "weighted_sample": lambda: weighted_poisson_sample(
+            docs().select("doc_id", "n_chars"), "doc_id", "n_chars", 500
+        ),
+        "phrase_search": lambda: phrase_search(
+            positional_postings(docs(), "doc_id", "text"), ["hash", "join"]
+        ),
     }
 
 
@@ -246,6 +312,11 @@ SCALE_BOUNDS: dict[str, float] = {
     "bigram_lm": 3.0,
     "triangle_counts": 3.0,
     "zorder_stats": 2.5,
+    "set_similarity": 5.0,
+    "sorted_neighborhood": 3.0,
+    "heavy_hitters": 3.0,
+    "weighted_sample": 2.5,
+    "phrase_search": 3.0,
 }
 
 

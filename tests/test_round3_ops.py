@@ -871,3 +871,98 @@ def test_phrase_search_counts_overlapping(spark):
     assert ab == {1: 2}
     aa = {r["id"]: r["n_matches"] for r in phrase_search(post, ["a", "a"]).collect()}
     assert aa == {2: 2}
+
+
+def test_not_in_join_null_semantics(spark):
+    from graphragpart1datapipeline_spark.operators.joins import not_in_join
+
+    left = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (None, "c")], "k int, v string"
+    )
+    right_plain = spark.createDataFrame([(2,), (3,)], "rk int")
+    out = {r["v"] for r in not_in_join(left, right_plain, "k", "rk").collect()}
+    assert out == {"a"}  # 2 matched, NULL left key excluded
+    # any NULL in the subquery -> empty result (three-valued logic)
+    right_null = spark.createDataFrame([(2,), (None,)], "rk int")
+    assert not_in_join(left, right_null, "k", "rk").count() == 0
+    # empty subquery -> all non-null left rows
+    right_empty = right_plain.filter(F.lit(False))
+    out2 = {r["v"] for r in not_in_join(left, right_empty, "k", "rk").collect()}
+    assert out2 == {"a", "b"}
+
+
+def test_grouped_corr_golden(spark):
+    import math
+
+    from graphragpart1datapipeline_spark.operators.relational import grouped_corr
+
+    # y = 2x exactly -> corr 1; anti-correlated -> -1; constant -> NULL
+    rows = (
+        [("p", float(i), float(2 * i)) for i in range(1, 6)]
+        + [("n", float(i), float(-i)) for i in range(1, 6)]
+        + [("z", float(i), 7.0) for i in range(1, 6)]
+    )
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {r["g"]: r["corr"] for r in grouped_corr(df, ["g"], "x", "y").collect()}
+    assert out["p"] == 1.0 and out["n"] == -1.0 and out["z"] is None
+
+
+def test_histogram_drift_tvd_golden(spark):
+    from graphragpart1datapipeline_spark.operators.relational import (
+        histogram_drift,
+    )
+
+    a = spark.createDataFrame([(0.5,), (0.5,), (1.5,), (1.5,)], "v double")
+    b = spark.createDataFrame([(0.5,), (0.5,), (0.5,), (0.5,)], "v double")
+    row = histogram_drift(a, b, "v", 2, 0.0, 2.0).collect()[0]
+    # p = (.5, .5), q = (1, 0) -> tvd = .5*(|.5-1| + |.5-0|) = 0.5
+    assert row["n_a"] == 4 and row["n_b"] == 4 and row["tvd"] == 0.5
+    same = histogram_drift(a, a, "v", 2, 0.0, 2.0).collect()[0]
+    assert same["tvd"] == 0.0
+
+
+def test_event_transitions_golden(spark):
+    from graphragpart1datapipeline_spark.operators.timeseries import (
+        event_transitions,
+    )
+
+    rows = [(1, 1, "a"), (1, 2, "b"), (1, 3, "b"), (2, 1, "b")]
+    df = spark.createDataFrame(rows, "g long, t long, s string")
+    out = {
+        (r["from_state"], r["to_state"]): r["n"]
+        for r in event_transitions(df, "g", ["t"], "s").collect()
+    }
+    assert out == {(None, "a"): 1, ("a", "b"): 1, ("b", "b"): 1, (None, "b"): 1}
+
+
+def test_debounce_chains_through_suppressed(spark):
+    from graphragpart1datapipeline_spark.operators.timeseries import debounce
+
+    # gaps: 0->5->10->100: 5s chain keeps only t=0 even though t=10 is
+    # >gap from t=0 (suppression chains); t=100 starts a new burst.
+    rows = [(1, 0), (1, 5), (1, 10), (1, 100)]
+    df = spark.createDataFrame(rows, "g long, e long").withColumn(
+        "ts", F.timestamp_seconds(F.col("e"))
+    )
+    kept = sorted(
+        r["e"] for r in debounce(df, "g", "ts", gap_seconds=6).collect()
+    )
+    assert kept == [0, 100]
+
+
+def test_embedding_centroids_long_form(spark):
+    from graphragpart1datapipeline_spark.vector.search import (
+        embedding_centroids,
+    )
+
+    df = spark.createDataFrame(
+        [("x", [1.0, 2.0]), ("x", [3.0, 6.0]), ("y", [5.0, 5.0])],
+        "label string, embedding array<float>",
+    )
+    out = {
+        (r["label"], r["dim"]): r["mean"]
+        for r in embedding_centroids(df, "label").collect()
+    }
+    assert out == {
+        ("x", 0): 2.0, ("x", 1): 4.0, ("y", 0): 5.0, ("y", 1): 5.0,
+    }
