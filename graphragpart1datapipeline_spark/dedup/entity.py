@@ -264,6 +264,9 @@ def sorted_neighborhood_pairs(
     Levenshtein ``max_distance``. Returns
     (id_a, id_b, key_a, key_b, rank_gap, edit_distance), a < b in rank.
 
+    ``bucket_expr`` (forwarded to :func:`global_rank`) is evaluated on
+    the internal (key, rid) projection — reference ``F.col("key")``.
+
     Pairing is rank-block equi-join: block = floor(rn/window); a pair
     with 1 <= gap <= window always lands in the same or adjacent
     blocks, so each right row is offered under its own block and the

@@ -314,3 +314,88 @@ def test_negative_ring_sample_no_global_sort(spark):
     # single-partition global sort
     assert "SinglePartition" not in p
     assert "CartesianProduct" not in p
+
+
+def test_heavy_hitters_recount_broadcasts_candidates(spark):
+    """Pass 2 must semi-join candidates via BROADCAST before the count
+    shuffle — the vocabulary long tail must never enter an exchange."""
+    from graphragpart1datapipeline_spark.operators.sketches import heavy_hitters
+
+    docs = em.queries.__globals__["_t"](spark, SF, "documents")
+    words = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
+    )
+    p = _plan(heavy_hitters(words, "w", k=50))
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
+
+
+def test_weighted_poisson_sample_map_only_over_corpus(spark):
+    """One scalar total-weight agg broadcast back; the corpus itself is
+    never exchanged (no hash/range partitioning of the full frame)."""
+    from graphragpart1datapipeline_spark.dedup.splits import (
+        weighted_poisson_sample,
+    )
+
+    o = em.queries.__globals__["_t"](spark, SF, "orders")
+    p = _plan(weighted_poisson_sample(o, "o_orderkey", "o_totalprice", 100))
+    assert "BroadcastNestedLoopJoin" in p  # the 1-row total attach
+    assert "hashpartitioning(o_orderkey" not in p
+
+
+def test_set_similarity_no_cartesian(spark):
+    from graphragpart1datapipeline_spark.dedup.entity import set_similarity_join
+
+    part = em.queries.__globals__["_t"](spark, SF, "part")
+    df = part.select(
+        "p_partkey",
+        F.concat_ws(" ", "p_name", "p_brand", "p_type").alias("etext"),
+    )
+    p = _plan(set_similarity_join(df, "p_partkey", "etext"))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_sorted_neighborhood_no_single_partition_window(spark):
+    """global_rank must never plan a Window over a SinglePartition
+    exchange on the full frame (only the tiny bucket-count table may)."""
+    from graphragpart1datapipeline_spark.dedup.entity import global_rank
+
+    part = em.queries.__globals__["_t"](spark, SF, "part")
+    df = part.select("p_partkey", F.col("p_name").alias("k"))
+    p = _plan(global_rank(df, ["k", "p_partkey"]))
+    # the frame window partitions by bucket; rank rows never funnel
+    # through a single partition BEFORE the window over row data
+    assert "Window [row_number()" in p or "row_number()" in p
+    import re
+
+    # every SinglePartition exchange must feed only the bucket-count agg
+    bad = [
+        seg
+        for seg in p.split("Exchange SinglePartition")[1:]
+        if "count(1)" not in seg[:2000] and "__cnt" not in seg[:2000]
+    ]
+    assert not bad, f"unexpected SinglePartition exchange: {bad[0][:300]}"
+
+
+def test_phrase_search_filters_terms_before_join(spark):
+    """Per-term postings filters must reach the scan side (non-matching
+    tokens never join)."""
+    from graphragpart1datapipeline_spark.text.analysis import (
+        phrase_search,
+        positional_postings,
+    )
+
+    docs = em.queries.__globals__["_t"](spark, SF, "documents")
+    post = positional_postings(docs, "doc_id", "text")
+    p = _plan(phrase_search(post, ["hash", "join"]))
+    assert "CartesianProduct" not in p
+    assert p.count("Generate posexplode") == 2  # one filtered explode per term
+
+
+def test_debounce_single_exchange(spark):
+    """Both windows share one (group) hash partitioning — exactly one
+    exchange of the event frame."""
+    from graphragpart1datapipeline_spark.operators.timeseries import debounce
+
+    ev = em.queries.__globals__["_t"](spark, SF, "events")
+    p = _plan(debounce(ev, "user_id", "ts", 300, tiebreak_cols=("event_id",)))
+    assert p.count("Exchange hashpartitioning") == 1
