@@ -5735,6 +5735,74 @@ def q136(spark, sf_dir):
     return embedding_centroids(emb, "label")
 
 
+@_register(
+    "q137_copurchase_lift",
+    """
+    WITH baskets AS (
+      SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS items
+      FROM lineitem GROUP BY l_orderkey
+    ), ng AS (SELECT COUNT(*) AS n FROM baskets),
+    ic AS (
+      SELECT item, COUNT(*) AS ni FROM (
+        SELECT unnest(items) AS item, l_orderkey FROM baskets)
+      GROUP BY item
+    ), pc AS (
+      SELECT x AS item_a, y AS item_b, COUNT(*) AS n_ab
+      FROM (SELECT unnest(items) AS x, l_orderkey FROM baskets) t1
+      JOIN (SELECT unnest(items) AS y, l_orderkey FROM baskets) t2
+        USING (l_orderkey)
+      WHERE x < y GROUP BY x, y HAVING COUNT(*) >= 3
+    )
+    SELECT item_a, item_b, a.ni AS n_a, b.ni AS n_b, n_ab,
+           n_ab / ng.n AS support,
+           (n_ab * ng.n) / (a.ni * b.ni) AS lift
+    FROM pc JOIN ic a ON pc.item_a = a.item
+            JOIN ic b ON pc.item_b = b.item, ng
+    """,
+)
+def q137(spark, sf_dir):
+    """Market-basket association pairs over orders x parts (support +
+    lift, both exact integer divisions in double): one basket groupBy,
+    in-codegen pair generation (no self-join), one pair-count shuffle,
+    per-item counts broadcast onto the surviving pairs only."""
+    from graphragpart1datapipeline_spark.operators.relational import (
+        association_rules,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return association_rules(li, "l_orderkey", "l_partkey", min_pair_support=3)
+
+
+@_register(
+    "q138_rolling_active_users",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id AS u,
+             CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 86400)
+                  AS BIGINT) AS d
+      FROM events
+    ), fan AS (
+      SELECT DISTINCT u, td
+      FROM ud, LATERAL (SELECT unnest(generate_series(d, d + 6)) AS td) g
+    )
+    SELECT CAST(td * 86400 AS BIGINT) AS day, COUNT(*) AS active_users
+    FROM fan GROUP BY 1
+    """,
+)
+def q138(spark, sf_dir):
+    """Trailing-7-day distinct active users (WAU) per day WITHOUT a
+    per-window distinct recount: (user, day) dedup -> map-only fan-out
+    of each active day to the 7 days it supports -> one distinct + one
+    count. Exchange volume is 7x user-days — linear in activity, not
+    days x span."""
+    from graphragpart1datapipeline_spark.operators.timeseries import (
+        rolling_active_users,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return rolling_active_users(ev, "user_id", "ts", window_days=7)
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------

@@ -1069,3 +1069,77 @@ def histogram_drift(
             / (F.lit(2.0) * F.col("n_a") * F.col("n_b"))
         ).alias("tvd"),
     )
+
+
+def association_rules(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    min_pair_support: int = 2,
+    max_items_per_group: int | None = None,
+) -> DataFrame:
+    """Market-basket pair statistics: for every item pair co-occurring
+    in >= min_pair_support groups, (item_a, item_b, n_a, n_b, n_ab,
+    support, lift) with support = n_ab/n_groups and
+    lift = n_ab*n_groups/(n_a*n_b) — both exact integer divisions in
+    double (every operand < 2^53).
+
+    Plan: ONE groupBy(group) collects each basket's sorted distinct
+    items; pairs generate row-locally in codegen (the cooccurrence
+    pattern — no self-join, the k²/2 blow-up never crosses an
+    exchange); one pair-count shuffle; per-item counts broadcast back
+    onto the (much smaller) surviving pair table. Baskets above
+    ``max_items_per_group`` can be dropped (mega-basket guard).
+    """
+    baskets = df.groupBy(group_col).agg(
+        F.sort_array(F.collect_set(item_col)).alias("__items")
+    )
+    if max_items_per_group is not None:
+        baskets = baskets.filter(F.size("__items") <= max_items_per_group)
+    baskets = baskets.localCheckpoint(eager=True)
+    n_groups = baskets.groupBy().agg(F.count(F.lit(1)).alias("__ng"))
+    item_counts = (
+        baskets.select(F.explode("__items").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("__ni"))
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.slice(
+                "__items", 1, F.greatest(F.size("__items") - 1, F.lit(0))
+            ),
+            lambda x, i: F.transform(
+                F.slice(F.col("__items"), i + 2, F.size("__items")),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    pair_counts = (
+        baskets.select(F.explode(pairs).alias("__p"))
+        .groupBy(F.col("__p.a").alias("item_a"), F.col("__p.b").alias("item_b"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_pair_support)
+    )
+    ca = item_counts.select(
+        F.col("item").alias("item_a"), F.col("__ni").alias("n_a")
+    )
+    cb = item_counts.select(
+        F.col("item").alias("item_b"), F.col("__ni").alias("n_b")
+    )
+    return (
+        pair_counts.join(F.broadcast(ca), "item_a")
+        .join(F.broadcast(cb), "item_b")
+        .crossJoin(F.broadcast(n_groups))
+        .select(
+            "item_a",
+            "item_b",
+            "n_a",
+            "n_b",
+            "n_ab",
+            (F.col("n_ab") / F.col("__ng")).alias("support"),
+            (
+                (F.col("n_ab") * F.col("__ng"))
+                / (F.col("n_a") * F.col("n_b"))
+            ).alias("lift"),
+        )
+    )

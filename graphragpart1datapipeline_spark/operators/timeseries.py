@@ -284,3 +284,41 @@ def debounce(
         .filter(F.col("__rn") == 1)
         .drop("__burst", "__rn")
     )
+
+
+def rolling_active_users(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    window_days: int = 7,
+) -> DataFrame:
+    """Rolling distinct active users (DAU→WAU/MAU): for each day, how
+    many distinct users were active in the trailing ``window_days``
+    window — WITHOUT a distinct-per-window recount. Per-(user, day)
+    dedup first (one shuffle, map-side combined), then each active day
+    fans out to the ``window_days`` target days it supports (map-only
+    explode), distinct (user, target day) collapses multi-active users
+    (second shuffle), and a final count per day. Total exchange volume
+    is window_days x user-days — linear, vs the naive per-window
+    distinct that rescans the window span for every day.
+
+    Returns (day, active_users) for every day supported by at least
+    one event, day = epoch-day bucket start in seconds.
+    """
+    ud = (
+        df.select(
+            F.col(user_col).alias("u"),
+            F.floor(_epoch(ts_col) / 86_400).cast("long").alias("d"),
+        )
+        .distinct()
+    )
+    fan = ud.select(
+        "u",
+        F.explode(
+            F.sequence(F.col("d"), F.col("d") + (window_days - 1))
+        ).alias("td"),
+    ).distinct()
+    return (
+        fan.groupBy((F.col("td") * 86_400).alias("day"))
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )

@@ -966,3 +966,45 @@ def test_embedding_centroids_long_form(spark):
     assert out == {
         ("x", 0): 2.0, ("x", 1): 4.0, ("y", 0): 5.0, ("y", 1): 5.0,
     }
+
+
+def test_association_rules_golden(spark):
+    from graphragpart1datapipeline_spark.operators.relational import (
+        association_rules,
+    )
+
+    rows = [
+        (1, "a"), (1, "b"), (1, "a"),   # basket 1: {a,b} (dup collapsed)
+        (2, "a"), (2, "b"),             # basket 2: {a,b}
+        (3, "a"), (3, "c"),             # basket 3: {a,c}
+        (4, "c"),                       # basket 4: {c}
+    ]
+    df = spark.createDataFrame(rows, "g long, i string")
+    out = {
+        (r["item_a"], r["item_b"]): r
+        for r in association_rules(df, "g", "i", min_pair_support=2).collect()
+    }
+    assert set(out) == {("a", "b")}
+    r = out[("a", "b")]
+    assert (r["n_a"], r["n_b"], r["n_ab"]) == (3, 2, 2)
+    assert r["support"] == 0.5            # 2 of 4 baskets
+    assert r["lift"] == (2 * 4) / (3 * 2)
+
+
+def test_rolling_active_users_window_semantics(spark):
+    from graphragpart1datapipeline_spark.operators.timeseries import (
+        rolling_active_users,
+    )
+
+    # user 1 active day 0 and day 1; user 2 active day 0 only
+    rows = [(1, 10), (1, 86_400 + 20), (2, 30)]
+    df = spark.createDataFrame(rows, "u long, e long").withColumn(
+        "ts", F.timestamp_seconds(F.col("e"))
+    )
+    out = {
+        r["day"] // 86_400: r["active_users"]
+        for r in rolling_active_users(df, "u", "ts", window_days=2).collect()
+    }
+    # day 0: both; day 1: u1 (both its days) + u2 (day-0 carry) = 2;
+    # day 2: only u1's day-1 activity still in window
+    assert out == {0: 2, 1: 2, 2: 1}
