@@ -5803,6 +5803,76 @@ def q138(spark, sf_dir):
     return rolling_active_users(ev, "user_id", "ts", window_days=7)
 
 
+def _stream_ewma_sql(alpha: float, k: int) -> str:
+    from graphragpart1datapipeline_spark.operators.timeseries import ewma_weights
+
+    w = "PARTITION BY user_id ORDER BY ts, event_id"
+    weights = ewma_weights(alpha, k)
+    num = " + ".join(
+        f"COALESCE(lag(value, {j}) OVER ({w}) * {wj!r}, 0.0)"
+        for j, wj in enumerate(weights)
+    )
+    den = " + ".join(
+        f"CASE WHEN lag(value, {j}) OVER ({w}) IS NOT NULL"
+        f" THEN {wj!r} ELSE 0.0 END"
+        for j, wj in enumerate(weights)
+    )
+    return f"""
+    WITH w AS (
+      SELECT CAST(user_id AS VARCHAR) AS key,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_events,
+             ({num}) / ({den}) AS ewma,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT key, CAST(n_events AS BIGINT) AS n_events, ewma
+    FROM w WHERE rn = 1
+    """
+
+
+@_register("q139_stream_ewma", _stream_ewma_sql(0.5, 8))
+def q139(spark, sf_dir):
+    """TRUE stateful streaming EWMA (applyInPandasWithState): per-key
+    top-k observation state makes the smoothed value out-of-order-safe
+    by construction (a truncated EWMA depends only on the k latest
+    observations, and top-k merge is batch-split-invariant). The
+    drained stream hash-equals the batch lag-chain EWMA (q120's
+    formula) evaluated at each key's latest event — stream==batch
+    equivalence as a first-class CORRECTNESS row."""
+    import uuid
+
+    from pyspark.sql import Window as W
+
+    from graphragpart1datapipeline_spark.sources import read_events_stream
+    from graphragpart1datapipeline_spark.streaming.stateful import (
+        stream_ewma_by_key,
+    )
+
+    sdf = read_events_stream(spark, sf_dir)
+    smoothed = stream_ewma_by_key(
+        sdf, "user_id", "ts", "event_id", "value", alpha=0.5, k=8
+    )
+    name = f"q139_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        smoothed.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # defensive: under a multi-batch drain a key emits once per batch —
+    # the final state is the row with the highest n_events.
+    w = W.partitionBy("key").orderBy(F.col("n_events").desc())
+    return (
+        spark.table(name)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------

@@ -106,3 +106,103 @@ def stream_dedup_registry(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+EWMA_SCHEMA = "key string, n_events bigint, ewma double"
+_EWMA_STATE = (
+    "n bigint, es array<bigint>, ids array<bigint>, vs array<double>"
+)
+
+
+def stream_ewma_by_key(
+    sdf: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+    k: int = 8,
+) -> DataFrame:
+    """Streaming truncated EWMA per key: each micro-batch emits the
+    smoothed value AT THE LATEST EVENT for every key it touched.
+
+    Out-of-order-safe BY CONSTRUCTION: the truncated EWMA depends only
+    on the k latest observations, so the state is exactly that top-k
+    set ordered by (ts, tiebreak) — merging any batch split (late
+    arrivals included) into a top-k set is order-independent, so the
+    final emission hash-equals the batch :func:`...timeseries.ewma`
+    at each key's last row (the q139 oracle) no matter how the feed is
+    batched. State is O(k) per key; no sort of the stream, ever.
+
+    The combination runs the SAME left-associated double arithmetic as
+    the batch operator's lag-chain (CPython floats are IEEE doubles),
+    so equality is bit-level, not tolerance-level.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.timeseries import ewma_weights
+
+    weights = ewma_weights(alpha, k)
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: "GroupState"
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            n, es, ids, vs = state.get
+            # nulls round-trip the state store as NaN
+            obs = [
+                (int(e), int(i), None if v != v else float(v))
+                for e, i, v in zip(es, ids, vs)
+            ]
+            n = int(n)
+        else:
+            n, obs = 0, []
+        for pdf in pdfs:
+            n += len(pdf)
+            for e, i, v in zip(pdf["__e"], pdf["__id"], pdf["__v"]):
+                obs.append(
+                    (int(e), int(i), None if pd.isna(v) else float(v))
+                )
+        obs.sort(key=lambda t: (t[0], t[1]), reverse=True)
+        obs = obs[:k]
+        num = 0.0
+        den = 0.0
+        for j, (_, _, v) in enumerate(obs):
+            # identical shape to the batch lag-chain: coalesce(v*w, 0)
+            # summed left-associated in lag order, mass only when present
+            if v is not None:
+                num = num + v * weights[j]
+                den = den + weights[j]
+            else:
+                num = num + 0.0
+                den = den + 0.0
+        state.update(
+            (
+                n,
+                [t[0] for t in obs],
+                [t[1] for t in obs],
+                [float("nan") if t[2] is None else t[2] for t in obs],
+            )
+        )
+        # den == 0 (all-null window) mirrors the batch 0.0/0.0 -> NaN
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "n_events": [n],
+                "ewma": [num / den if den else float("nan")],
+            }
+        )
+
+    keyed = sdf.select(
+        F.col(key_col).cast("string").alias("__k"),
+        F.unix_timestamp(F.col(ts_col)).cast("long").alias("__e"),
+        F.col(tiebreak_col).cast("long").alias("__id"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    return keyed.groupBy("__k").applyInPandasWithState(
+        fn,
+        outputStructType=EWMA_SCHEMA,
+        stateStructType=_EWMA_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -953,3 +953,71 @@ def test_read_events_stream_nanos_and_ntz(spark, tmp_path):
             for r in spark.table(f"nanotest_{name}").collect()
         }
         assert got == {"a": 1, "b": 1}
+
+
+def test_stream_ewma_out_of_order_batches_match_batch(spark, tmp_path):
+    """The streaming EWMA must equal the batch lag-chain EWMA at each
+    key's latest event EVEN when the feed arrives scrambled across
+    multiple micro-batches (maxFilesPerTrigger=1 over files written in
+    value order, not time order) — the top-k state merge is
+    batch-split-invariant by construction."""
+    import uuid
+
+    from pyspark.sql import Window as W
+
+    from graphragpart1datapipeline_spark.operators.timeseries import ewma
+    from graphragpart1datapipeline_spark.streaming.stateful import (
+        stream_ewma_by_key,
+    )
+
+    rows = [
+        (u, t, u * 100 + t, float((u * 7 + t * 13) % 50))
+        for u in range(5)
+        for t in range(20)
+    ]
+    batch = spark.createDataFrame(
+        rows, "user_id long, tk long, event_id long, value double"
+    ).withColumn("ts", F.timestamp_seconds(F.col("tk") * 60))
+    src = str(tmp_path / "ev_src")
+    # two files in VALUE order: each file holds a time-scrambled half
+    batch.orderBy("value").limit(50).coalesce(1).write.parquet(src)
+    batch.orderBy("value").offset(50).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    sdf = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stream_ewma_by_key(
+        sdf, "user_id", "ts", "event_id", "value", alpha=0.5, k=4
+    )
+    name = f"ewma_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ewma"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    w = W.partitionBy("key").orderBy(F.col("n_events").desc())
+    got = {
+        r["key"]: (r["n_events"], r["ewma"])
+        for r in spark.table(name)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .collect()
+    }
+    wb = W.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    expected = {
+        str(r["user_id"]): (20, r["ewma"])
+        for r in ewma(batch, "user_id", ["ts", "event_id"], "value", 0.5, 4)
+        .withColumn("__rn", F.row_number().over(wb))
+        .filter(F.col("__rn") == 1)
+        .collect()
+    }
+    assert got == expected  # bit-exact, including the doubles

@@ -679,3 +679,108 @@ def test_rolling_time_agg_matches_bruteforce(spark, events, window):
             if u2 == u and t - window <= t2 <= t
         ]
         assert got[i] == (sum(frame), len(frame))
+
+
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(0, 3),               # group
+            st.integers(0, 40),              # time key
+            st.floats(-50, 50, allow_nan=False, width=32),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    k=st.integers(1, 6),
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_ewma_matches_python_replay(spark, data, k):
+    """Batch EWMA == a pure-Python left-associated replay of the same
+    lag-chain arithmetic, bit-exact (duplicate (g,t) keys dropped to
+    keep the order total)."""
+    from graphragpart1datapipeline_spark.operators.timeseries import (
+        ewma,
+        ewma_weights,
+    )
+
+    seen = {}
+    for g, t, v in data:
+        seen[(g, t)] = float(v)
+    rows = [(g, t, v) for (g, t), v in seen.items()]
+    df = spark.createDataFrame(rows, "g long, t long, v double")
+    got = {
+        (r["g"], r["t"]): r["ewma"]
+        for r in ewma(df, "g", ["t"], "v", alpha=0.5, k=k).collect()
+    }
+    weights = ewma_weights(0.5, k)
+    series: dict[int, list[tuple[int, float]]] = {}
+    for g, t, v in rows:
+        series.setdefault(g, []).append((t, v))
+    expected = {}
+    for g, pts in series.items():
+        pts.sort()
+        for i, (t, _) in enumerate(pts):
+            num = 0.0
+            den = 0.0
+            for j, wj in enumerate(weights):
+                if i - j >= 0:
+                    num = num + pts[i - j][1] * wj
+                    den = den + wj
+                else:
+                    num = num + 0.0
+                    den = den + 0.0
+            expected[(g, t)] = num / den
+    assert got == expected
+
+
+@given(
+    data=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 500)),
+        min_size=1,
+        max_size=50,
+        unique=True,
+    ),
+    gap=st.integers(1, 60),
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_debounce_matches_island_replay(spark, data, gap):
+    from graphragpart1datapipeline_spark.operators.timeseries import debounce
+
+    df = spark.createDataFrame(data, "g long, e long").withColumn(
+        "ts", F.timestamp_seconds(F.col("e"))
+    )
+    got = sorted(
+        (r["g"], r["e"]) for r in debounce(df, "g", "ts", gap).collect()
+    )
+    series: dict[int, list[int]] = {}
+    for g, e in data:
+        series.setdefault(g, []).append(e)
+    expected = []
+    for g, es in series.items():
+        es.sort()
+        prev = None
+        for e in es:
+            if prev is None or e - prev > gap:
+                expected.append((g, e))  # burst start survives
+            prev = e
+    assert got == sorted(expected)
+
+
+@given(
+    keys=st.lists(st.text("abcxyz", min_size=0, max_size=5), min_size=1, max_size=40),
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_global_rank_matches_sorted_enumerate(spark, keys):
+    from graphragpart1datapipeline_spark.dedup.entity import global_rank
+
+    rows = [(i, k) for i, k in enumerate(keys)]
+    df = spark.createDataFrame(rows, "rid long, key string").repartition(4)
+    got = {
+        r["rid"]: r["rn"]
+        for r in global_rank(df, ["key", "rid"]).collect()
+    }
+    expected = {
+        rid: pos
+        for pos, (_, rid) in enumerate(sorted((k, i) for i, k in rows))
+    }
+    assert got == expected
