@@ -5873,6 +5873,175 @@ def q139(spark, sf_dir):
     )
 
 
+@_register(
+    "q140_exact_kth_values",
+    """
+    WITH s AS (
+      SELECT l_extendedprice AS v,
+             row_number() OVER (ORDER BY l_extendedprice) AS r
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ), t AS (SELECT COUNT(*) AS n FROM s)
+    SELECT r AS k, v AS value FROM s, t
+    WHERE r IN (1, CAST(ceil(n * 0.5) AS BIGINT),
+                CAST(ceil(n * 0.9) AS BIGINT), n)
+    """,
+)
+def q140(spark, sf_dir):
+    """EXACT order statistics (min, median, p90, max as true k-th
+    values) WITHOUT a global sort: probe histogram locates each rank's
+    bin (one <=4096-row shuffle), then only the target bins are sorted
+    — n/4096 rows instead of n through the sort, with the bin filter
+    pushed to the scan. The oracle is the global-sort ranking it
+    replaces."""
+    import math
+
+    from graphragpart1datapipeline_spark.operators.relational import (
+        exact_kth_smallest,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    n = li.filter(F.col("l_extendedprice").isNotNull()).count()
+    ks = sorted({1, math.ceil(n * 0.5), math.ceil(n * 0.9), n})
+    return exact_kth_smallest(li, "l_extendedprice", ks)
+
+
+@_register(
+    "q141_kmv_vocab_overlap",
+    """
+    WITH wa AS (
+      SELECT DISTINCT CAST(CAST('0x' || substring(md5(w), 1, 15)
+             AS UBIGINT) AS BIGINT) AS h
+      FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+            FROM documents WHERE lang = 'en')
+    ), ka AS (SELECT h FROM wa ORDER BY h LIMIT 256),
+    wb AS (
+      SELECT DISTINCT CAST(CAST('0x' || substring(md5(w), 1, 15)
+             AS UBIGINT) AS BIGINT) AS h
+      FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+            FROM documents WHERE lang <> 'en')
+    ), kb AS (SELECT h FROM wb ORDER BY h LIMIT 256),
+    m AS (
+      SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+      ORDER BY h LIMIT 256
+    ), ms AS (SELECT COUNT(*) AS n, MAX(h) AS kth FROM m),
+    sh AS (
+      SELECT COUNT(*) AS c FROM m
+      WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)
+    )
+    SELECT CASE WHEN ms.n < 256 THEN CAST(ms.n AS DOUBLE)
+                ELSE 255.0 * 1152921504606846976.0 / CAST(ms.kth AS DOUBLE)
+           END AS union_est,
+           CAST(sh.c AS DOUBLE) / ms.n AS jaccard_est,
+           (CAST(sh.c AS DOUBLE) / ms.n) *
+           CASE WHEN ms.n < 256 THEN CAST(ms.n AS DOUBLE)
+                ELSE 255.0 * 1152921504606846976.0 / CAST(ms.kth AS DOUBLE)
+           END AS intersection_est
+    FROM ms, sh
+    """,
+)
+def q141(spark, sf_dir):
+    """Vocabulary overlap between the English and non-English corpus
+    halves from KMV SKETCHES ALONE (Beyer et al. 2007): two sketch
+    builds (each one distinct-hash shuffle), then a row-local merge
+    giving union / Jaccard / intersection estimates — the mergeable,
+    bit-reproducible alternative to HLL intersection (q84's oracle
+    pattern extended to SET ALGEBRA; comparing two 100 TB snapshot
+    vocabularies never rescans the corpora)."""
+    from graphragpart1datapipeline_spark.operators.sketches import (
+        kmv_jaccard_estimate,
+        kmv_sketch,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "lang", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
+    ).withColumn("__c", F.lit(1))
+    en = kmv_sketch(
+        words.filter(F.col("lang") == "en"), "w", ["__c"], k=256
+    )
+    rest = kmv_sketch(
+        words.filter(F.col("lang") != "en"), "w", ["__c"], k=256
+    )
+    return kmv_jaccard_estimate(en, rest, ["__c"], k=256).drop("__c")
+
+
+@_register(
+    "q142_trending_parts_daily",
+    """
+    WITH d AS (
+      SELECT date_trunc('day', o_orderdate) AS day, l_partkey,
+             COUNT(*) AS n
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY 1, 2
+    )
+    SELECT day, l_partkey, n, rk FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY day ORDER BY n DESC, l_partkey) AS rk
+      FROM d)
+    WHERE rk <= 3
+    """,
+)
+def q142(spark, sf_dir):
+    """Trending items: top-3 parts per order day — one count groupBy +
+    one grouped window (top_n_per_group), never a global sort; the
+    unique-key tiebreak pins rank order under count ties."""
+    from graphragpart1datapipeline_spark.operators.relational import (
+        top_n_per_group,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    d = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.date_trunc("day", "o_orderdate").alias("day"), "l_partkey"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return top_n_per_group(
+        d, ["day"], [F.col("n").desc(), F.col("l_partkey")], 3,
+        rank_col="rk",
+    ).select("day", "l_partkey", "n", F.col("rk").cast("long").alias("rk"))
+
+
+@_register(
+    "q143_quantile_normalize",
+    """
+    SELECT o_orderkey, o_totalprice,
+           percent_rank() OVER (ORDER BY o_totalprice) AS pr
+    FROM orders
+    """,
+)
+def q143(spark, sf_dir):
+    """Quantile normalization (empirical CDF transform) of a column at
+    scale: distributed global rank (bucketed row_number + tiny offset
+    table — NO single-partition window), tie-collapsed to min rank per
+    value so the result equals SQL percent_rank exactly: (rank-1)/(n-1)
+    as one double division."""
+    from graphragpart1datapipeline_spark.dedup.entity import global_rank
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    ranked = global_rank(
+        o,
+        ["o_totalprice", "o_orderkey"],
+        rank_col="__rn",
+        bucket_expr=F.floor(F.col("o_totalprice") / 10_000).cast("long"),
+    )
+    n1 = ranked.groupBy().agg(
+        (F.count(F.lit(1)) - 1).cast("double").alias("__n1")
+    )
+    w = Window.partitionBy("o_totalprice")
+    return (
+        ranked.withColumn("__minrn", F.min("__rn").over(w))
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            (F.col("__minrn") / F.col("__n1")).alias("pr"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------

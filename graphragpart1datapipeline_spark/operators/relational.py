@@ -1143,3 +1143,85 @@ def association_rules(
             ).alias("lift"),
         )
     )
+
+
+def exact_kth_smallest(
+    df: DataFrame,
+    value_col: str,
+    ks: Sequence[int],
+    probe_bins: int = 4096,
+) -> DataFrame:
+    """EXACT order statistics at scale without a global sort: returns
+    one row per requested 1-based rank k in ``ks`` — (k, value).
+
+    Two passes: (1) min/max + an equi-width probe histogram (ONE
+    map-side-combined shuffle of <= probe_bins rows), whose cumulative
+    counts locate the bin holding each k-th value; (2) a FILTERED sort
+    of only the rows falling in the needed bins — at uniform-ish
+    spread that is n/probe_bins rows instead of n (a 4096x reduction),
+    and the filter is a range predicate that pushes to the scan. The
+    driver collects only bin boundaries (probe_bins rows) and the
+    requested ranks — never data rows beyond the target bins.
+
+    Exact (no interpolation, the k-th value itself), unlike GK/
+    t-digest; the complement to q51's exact-but-global-sort
+    percentiles and q86's deterministic sampled ones.
+    """
+    stats = df.select(
+        F.min(F.col(value_col).cast("double")).alias("lo"),
+        F.max(F.col(value_col).cast("double")).alias("hi"),
+        F.count(value_col).alias("n"),
+    ).collect()[0]
+    lo, hi, n = stats["lo"], stats["hi"], stats["n"]
+    spark = df.sparkSession
+    if n == 0 or lo is None:
+        return spark.createDataFrame([], "k long, value double")
+    for k in ks:
+        if not 1 <= k <= n:
+            raise ValueError(f"rank {k} outside [1, {n}]")
+    if lo == hi:
+        return spark.createDataFrame(
+            [(int(k), float(lo)) for k in ks], "k long, value double"
+        )
+    width = (hi - lo) / probe_bins
+    idx = F.least(
+        F.greatest(
+            F.floor((F.col(value_col).cast("double") - F.lit(lo)) / F.lit(width)),
+            F.lit(0),
+        ),
+        F.lit(probe_bins - 1),
+    ).cast("long")
+    hist = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(idx.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("bin")
+        .collect()
+    )
+    # locate the bin of each k via cumulative counts (probe_bins rows,
+    # driver-trivial), then rank-within-bin offsets
+    targets: list[tuple[int, int, int]] = []  # (k, bin, rank_in_bin)
+    cum = 0
+    it = iter(hist)
+    row = next(it, None)
+    for k in sorted(ks):
+        while row is not None and cum + row["cnt"] < k:
+            cum += row["cnt"]
+            row = next(it, None)
+        assert row is not None
+        targets.append((k, row["bin"], k - cum))
+    needed_bins = sorted({b for _, b, _ in targets})
+    in_bins = df.filter(
+        F.col(value_col).isNotNull()
+        & idx.isin([int(b) for b in needed_bins])
+    ).select(idx.alias("bin"), F.col(value_col).cast("double").alias("v"))
+    w = Window.partitionBy("bin").orderBy("v")
+    ranked = in_bins.withColumn("r", F.row_number().over(w))
+    probe = df.sparkSession.createDataFrame(
+        [(int(k), int(b), int(r)) for k, b, r in targets],
+        "k long, bin long, r long",
+    )
+    return (
+        ranked.join(F.broadcast(probe), ["bin", "r"])
+        .select("k", F.col("v").alias("value"))
+    )

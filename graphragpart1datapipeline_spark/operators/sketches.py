@@ -225,3 +225,48 @@ def heavy_hitters(
         .filter(F.col("cnt") * k > F.col("__n"))
         .select(F.col("v").alias("value"), "cnt")
     )
+
+
+def kmv_jaccard_estimate(
+    sketch_a: DataFrame,
+    sketch_b: DataFrame,
+    join_cols: Sequence[str],
+    k: int = 256,
+    sketch_col: str = "kmv",
+) -> DataFrame:
+    """Set-overlap estimation from two KMV sketches WITHOUT touching the
+    underlying data (Beyer et al. 2007): with M the k smallest hashes of
+    A ∪ B (merge of the two sketches), rho = |M ∩ A_k ∩ B_k| / |M| is an
+    unbiased Jaccard estimator; intersection ≈ rho × |A ∪ B|-estimate.
+
+    Everything is row-local array arithmetic on two <=k arrays (the
+    sketches join on ``join_cols``, typically a profile date or shard
+    key), so comparing the vocabularies of two 100 TB corpus snapshots
+    costs two sketch scans + a tiny join. Deterministic md5 hashes make
+    the whole estimate — union size, rho, Jaccard, intersection —
+    bit-reproducible and SQL-replayable, which HLL intersections are
+    not.
+
+    Returns join_cols + (union_est, jaccard_est, intersection_est).
+    """
+    a = sketch_a.select(*join_cols, F.col(sketch_col).alias("__a"))
+    b = sketch_b.select(*join_cols, F.col(sketch_col).alias("__b"))
+    j = a.join(b, list(join_cols))
+    merged = F.slice(
+        F.array_sort(F.array_union("__a", "__b")), 1, k
+    )
+    m_size = F.size(merged)
+    kth = F.element_at(merged, m_size).cast("double")
+    union_est = F.when(m_size < k, m_size.cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(TWO_60) / kth
+    )
+    shared = F.size(
+        F.array_intersect(merged, F.array_intersect("__a", "__b"))
+    )
+    rho = shared.cast("double") / m_size
+    return j.select(
+        *join_cols,
+        union_est.alias("union_est"),
+        rho.alias("jaccard_est"),
+        (rho * union_est).alias("intersection_est"),
+    )

@@ -1008,3 +1008,80 @@ def test_rolling_active_users_window_semantics(spark):
     # day 0: both; day 1: u1 (both its days) + u2 (day-0 carry) = 2;
     # day 2: only u1's day-1 activity still in window
     assert out == {0: 2, 1: 2, 2: 1}
+
+
+def test_exact_kth_smallest_with_duplicates_and_edges(spark):
+    from graphragpart1datapipeline_spark.operators.relational import (
+        exact_kth_smallest,
+    )
+
+    vals = [5.0, 1.0, 3.0, 3.0, 3.0, 9.0, 2.0, None]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    out = {
+        r["k"]: r["value"]
+        for r in exact_kth_smallest(df, "v", [1, 4, 7]).collect()
+    }
+    assert out == {1: 1.0, 4: 3.0, 7: 9.0}
+    # constant column short-circuit
+    cdf = spark.createDataFrame([(2.0,)] * 5, "v double")
+    assert {
+        r["k"]: r["value"]
+        for r in exact_kth_smallest(cdf, "v", [1, 5]).collect()
+    } == {1: 2.0, 5: 2.0}
+    import pytest
+
+    with pytest.raises(ValueError):
+        exact_kth_smallest(df, "v", [8])  # only 7 non-null rows
+
+
+def test_kmv_jaccard_estimate_exact_when_small(spark):
+    """Below k distinct hashes the sketch is exhaustive, so union /
+    Jaccard / intersection estimates are EXACT."""
+    from graphragpart1datapipeline_spark.operators.sketches import (
+        kmv_jaccard_estimate,
+        kmv_sketch,
+    )
+
+    a = spark.createDataFrame(
+        [(1, v) for v in ["x", "y", "z", "w"]], "g int, v string"
+    )
+    b = spark.createDataFrame(
+        [(1, v) for v in ["y", "z", "q"]], "g int, v string"
+    )
+    sa = kmv_sketch(a, "v", ["g"], k=256)
+    sb = kmv_sketch(b, "v", ["g"], k=256)
+    r = kmv_jaccard_estimate(sa, sb, ["g"], k=256).collect()[0]
+    assert r["union_est"] == 5.0
+    assert r["jaccard_est"] == 2 / 5
+    assert r["intersection_est"] == 2.0
+
+
+def test_quantile_normalize_tie_semantics(spark):
+    """q143's min-rank tie collapse must equal percent_rank exactly."""
+    from pyspark.sql import Window as W
+
+    import __spark_entry__ as em
+
+    # direct engine check on a duplicate-heavy frame
+    from graphragpart1datapipeline_spark.dedup.entity import global_rank
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([5, 3, 3, 3, 9, 5])],
+        "id long, v double",
+    )
+    ranked = global_rank(df, ["v", "id"], rank_col="rn")
+    w = W.partitionBy("v")
+    n1 = float(df.count() - 1)
+    got = {
+        r["id"]: r["pr"]
+        for r in ranked.withColumn("mn", F.min("rn").over(w))
+        .select("id", (F.col("mn") / n1).alias("pr"))
+        .collect()
+    }
+    want = {
+        r["id"]: r["pr"]
+        for r in df.withColumn(
+            "pr", F.percent_rank().over(W.orderBy("v"))
+        ).collect()
+    }
+    assert got == want
