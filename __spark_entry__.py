@@ -6042,6 +6042,101 @@ def q143(spark, sf_dir):
     )
 
 
+_Q144_LSH_REPLAY = """
+    toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM live
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ')
+                            FOR i IN range(1, len(t) - 1)]) AS shingles
+      FROM toks WHERE len(t) >= 3
+    ), hb AS (
+      SELECT doc_id,
+             CAST(CAST('0x' || substring(md5(s), 1, 15) AS UBIGINT)
+                  % 2147483647 AS BIGINT) AS h
+      FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
+    ), sig AS (
+      SELECT doc_id, [min((1250496028 * h + 1116302264) % 2147483647), min((1000676754 * h + 1668674806) % 2147483647), min((908095736 * h + 71666532) % 2147483647), min((896336334 * h + 1736731266) % 2147483647), min((1314989460 * h + 1535244752) % 2147483647), min((391441866 * h + 1108520142) % 2147483647), min((1206814704 * h + 534045436) % 2147483647), min((1974836614 * h + 238077914) % 2147483647)] AS sig FROM hb GROUP BY doc_id
+    ), banded AS (SELECT doc_id, 0 AS band, md5(CAST(sig[1] AS VARCHAR) || '|' || CAST(sig[2] AS VARCHAR)) AS bucket FROM sig UNION ALL SELECT doc_id, 1 AS band, md5(CAST(sig[3] AS VARCHAR) || '|' || CAST(sig[4] AS VARCHAR)) AS bucket FROM sig UNION ALL SELECT doc_id, 2 AS band, md5(CAST(sig[5] AS VARCHAR) || '|' || CAST(sig[6] AS VARCHAR)) AS bucket FROM sig UNION ALL SELECT doc_id, 3 AS band, md5(CAST(sig[7] AS VARCHAR) || '|' || CAST(sig[8] AS VARCHAR)) AS bucket FROM sig)
+"""
+
+
+@_register(
+    "q144_incremental_index_state",
+    """
+    WITH feed AS (
+      SELECT doc_id, text || ' rev' AS text, doc_id * 2 AS seq, 'U' AS op
+      FROM documents WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id, CAST(NULL AS VARCHAR),
+             doc_id * 2 + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END, 'D'
+      FROM documents WHERE doc_id % 5 = 0
+    ), latest AS (
+      SELECT * FROM (
+        SELECT feed.*, row_number() OVER (
+          PARTITION BY doc_id ORDER BY seq DESC, op DESC) AS rn
+        FROM feed) WHERE rn = 1
+    ), live AS (
+      SELECT d.doc_id, d.text
+      FROM documents d LEFT JOIN latest l USING (doc_id)
+      WHERE d.doc_id % 3 <> 0 AND l.doc_id IS NULL
+      UNION ALL
+      SELECT doc_id, text FROM latest WHERE op <> 'D'
+    ),
+    """
+    + _Q144_LSH_REPLAY
+    + """
+    SELECT doc_id, band, bucket FROM banded
+    """,
+)
+def q144(spark, sf_dir):
+    """COMPOSED incremental-curation correctness row: seed a CDC doc
+    state + LSH index from 2/3 of the corpus, then apply a change feed
+    (revisions of the missing third + deletes, some losing to a newer
+    upsert) in TWO out-of-order batches through
+    plans.incremental_demo.apply_increment — which refreshes index rows
+    for TOUCHED KEYS ONLY. The returned standing LSH index must
+    hash-equal the oracle's from-scratch derivation over the final live
+    state: rebuild equivalence of the whole incremental pipeline, not
+    just its stages (q116 proves the CDC merge; q81 proves the index
+    math; this proves their composition)."""
+    import uuid
+
+    from graphragpart1datapipeline_spark.plans.incremental_demo import (
+        apply_increment,
+        init_corpus_state,
+        read_indexes,
+    )
+
+    root = f"/tmp/q144_{uuid.uuid4().hex[:8]}"
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 3 != 0)
+    init_corpus_state(spark, root, base)
+    upserts = docs.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" rev")).alias("text"),
+        (F.col("doc_id") * 2).alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    deletes = docs.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id",
+        F.lit(None).cast("string").alias("text"),
+        (
+            F.col("doc_id") * 2
+            + F.when(F.col("doc_id") % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
+        ).alias("seq"),
+        F.lit("D").alias("op"),
+    )
+    feed = upserts.unionByName(deletes)
+    # deliberately out-of-order batches: odd doc_ids (including late
+    # deletes) land AFTER even ones regardless of seq order
+    apply_increment(spark, root, feed.filter(F.col("doc_id") % 2 == 0))
+    apply_increment(spark, root, feed.filter(F.col("doc_id") % 2 != 0))
+    return read_indexes(spark, root)["lsh"].select(
+        "doc_id", F.col("band").cast("long").alias("band"), "bucket"
+    )
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
