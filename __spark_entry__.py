@@ -6137,6 +6137,87 @@ def q144(spark, sf_dir):
     )
 
 
+@_register(
+    "q145_fk_audit",
+    """
+    SELECT 'orders->customer' AS relation,
+           (SELECT COUNT(*) FROM orders WHERE o_custkey IS NOT NULL) AS n_child,
+           (SELECT COUNT(*) FROM orders o
+            LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+              ON o.o_custkey = c.c_custkey
+            WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL) AS n_orphans
+    UNION ALL
+    SELECT 'lineitem->orders',
+           (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NOT NULL),
+           (SELECT COUNT(*) FROM lineitem l
+            LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+              ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL)
+    UNION ALL
+    SELECT 'lineitem->part',
+           (SELECT COUNT(*) FROM lineitem WHERE l_partkey IS NOT NULL),
+           (SELECT COUNT(*) FROM lineitem l
+            LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
+              ON l.l_partkey = p.p_partkey
+            WHERE l.l_partkey IS NOT NULL AND p.p_partkey IS NULL)
+    UNION ALL
+    SELECT 'customer->nation',
+           (SELECT COUNT(*) FROM customer WHERE c_nationkey IS NOT NULL),
+           (SELECT COUNT(*) FROM customer c
+            LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) n
+              ON c.c_nationkey = n.n_nationkey
+            WHERE c.c_nationkey IS NOT NULL AND n.n_nationkey IS NULL)
+    """,
+)
+def q145(spark, sf_dir):
+    """Referential-integrity audit across 4 FK relations: per relation
+    one distinct-reduced anti-join (parent key set broadcast) — the
+    pre-flight check before any join pipeline; orphan-rate jumps
+    between snapshots flag broken extracts."""
+    from graphragpart1datapipeline_spark.operators.relational import (
+        fk_violations,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    n = _t(spark, sf_dir, "nation")
+    return fk_violations(
+        [
+            (o, "o_custkey", c, "c_custkey", "orders->customer"),
+            (li, "l_orderkey", o, "o_orderkey", "lineitem->orders"),
+            (li, "l_partkey", p, "p_partkey", "lineitem->part"),
+            (c, "c_nationkey", n, "n_nationkey", "customer->nation"),
+        ]
+    )
+
+
+@_register(
+    "q146_orderkey_gaps",
+    """
+    WITH ids AS (SELECT DISTINCT o_orderkey AS id FROM orders),
+    s AS (SELECT id, lead(id) OVER (ORDER BY id) AS nid FROM ids)
+    SELECT id + 1 AS gap_start, nid - 1 AS gap_end,
+           nid - id - 1 AS missing
+    FROM s WHERE nid - id > 1
+    """,
+)
+def q146(spark, sf_dir):
+    """Sequence-gap audit over the (deliberately sparse) order-key
+    space WITHOUT a global sort: gap boundaries fall out of two
+    shifted-key anti-joins (id present, id±1 absent — map-shaped), and
+    boundary pairing ranks only the tiny gap sets via the distributed
+    global_rank. The oracle is the lead()-over-global-order plan it
+    replaces."""
+    from graphragpart1datapipeline_spark.operators.relational import (
+        sequence_gaps,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    return sequence_gaps(o, "o_orderkey")
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------

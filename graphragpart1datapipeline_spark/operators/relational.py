@@ -1225,3 +1225,92 @@ def exact_kth_smallest(
         ranked.join(F.broadcast(probe), ["bin", "r"])
         .select("k", F.col("v").alias("value"))
     )
+
+
+def fk_violations(
+    pairs: Sequence[tuple[DataFrame, str, DataFrame, str, str]],
+) -> DataFrame:
+    """Referential-integrity audit: for each (child, fk_col, parent,
+    pk_col, name) relation, count child rows whose non-null FK has no
+    parent row. One anti-join per relation (parent key sets
+    distinct-reduced, broadcast when small), unioned into one audit
+    frame (relation, n_child, n_orphans). The standard pre-flight check
+    before a 100 TB join pipeline — an orphan rate that jumps between
+    snapshots means an upstream extract broke."""
+    outs = []
+    for child, fk, parent, pk, name in pairs:
+        keys = parent.select(F.col(pk).alias(fk)).distinct()
+        nn = child.filter(F.col(fk).isNotNull())
+        orphans = nn.join(keys, fk, "left_anti")
+        outs.append(
+            nn.groupBy()
+            .agg(F.count(F.lit(1)).alias("n_child"))
+            .crossJoin(
+                orphans.groupBy().agg(F.count(F.lit(1)).alias("n_orphans"))
+            )
+            .select(F.lit(name).alias("relation"), "n_child", "n_orphans")
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def sequence_gaps(
+    df: DataFrame,
+    id_col: str,
+) -> DataFrame:
+    """Gap detection in an integer id sequence WITHOUT a global sort:
+    a gap starts at id+1 whenever id+1 is absent (and id is not the
+    max) — one self anti-join on a computed key, map-side pure. Gap
+    ends pair with starts by rank over the (tiny) gap-boundary sets
+    (distributed global_rank, no single-partition window). Returns
+    (gap_start, gap_end, missing) — the classic sequence-audit for
+    event logs and surrogate keys, O(n) exchange instead of the
+    lag-over-global-order plan.
+    """
+    from ..dedup.entity import global_rank
+
+    ids = df.select(F.col(id_col).cast("long").alias("id")).distinct()
+    bounds = ids.groupBy().agg(
+        F.min("id").alias("__lo"), F.max("id").alias("__hi")
+    )
+    # id present but id+1 absent -> a gap STARTS at id+1 (unless past
+    # the max); id present but id-1 absent -> a gap ENDS at id-1
+    # (unless before the min). Each is one anti-join on a shifted key.
+    starts = (
+        ids.select((F.col("id") + 1).alias("id"))
+        .join(ids, "id", "left_anti")
+        .select(F.col("id").alias("gap_start"))
+        .crossJoin(F.broadcast(bounds))
+        .filter(F.col("gap_start") <= F.col("__hi"))
+        .select("gap_start")
+    )
+    ends = (
+        ids.select((F.col("id") - 1).alias("id"))
+        .join(ids, "id", "left_anti")
+        .select(F.col("id").alias("gap_end"))
+        .crossJoin(F.broadcast(bounds))
+        .filter(F.col("gap_end") >= F.col("__lo"))
+        .select("gap_end")
+    )
+    rs = global_rank(
+        starts.select(F.col("gap_start").alias("key")),
+        ["key"],
+        rank_col="rn",
+        bucket_expr=F.floor(F.col("key") / 1_000_000).cast("long"),
+    ).select(F.col("key").alias("gap_start"), "rn")
+    re_ = global_rank(
+        ends.select(F.col("gap_end").alias("key")),
+        ["key"],
+        rank_col="rn",
+        bucket_expr=F.floor(F.col("key") / 1_000_000).cast("long"),
+    ).select(F.col("key").alias("gap_end"), "rn")
+    return (
+        rs.join(re_, "rn")
+        .select(
+            "gap_start",
+            "gap_end",
+            (F.col("gap_end") - F.col("gap_start") + 1).alias("missing"),
+        )
+    )

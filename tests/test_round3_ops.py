@@ -1085,3 +1085,33 @@ def test_quantile_normalize_tie_semantics(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_sequence_gaps_golden(spark):
+    from graphragpart1datapipeline_spark.operators.relational import (
+        sequence_gaps,
+    )
+
+    df = spark.createDataFrame(
+        [(v,) for v in [1, 2, 5, 6, 10, 3]], "id long"
+    )
+    got = sorted(
+        (r["gap_start"], r["gap_end"], r["missing"])
+        for r in sequence_gaps(df, "id").collect()
+    )
+    assert got == [(4, 4, 1), (7, 9, 3)]
+    dense = spark.createDataFrame([(v,) for v in [7, 8, 9]], "id long")
+    assert sequence_gaps(dense, "id").count() == 0
+
+
+def test_fk_violations_counts_orphans(spark):
+    from graphragpart1datapipeline_spark.operators.relational import (
+        fk_violations,
+    )
+
+    child = spark.createDataFrame(
+        [(1,), (2,), (9,), (None,)], "fk int"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk int")
+    r = fk_violations([(child, "fk", parent, "pk", "c->p")]).collect()[0]
+    assert (r["relation"], r["n_child"], r["n_orphans"]) == ("c->p", 3, 1)
