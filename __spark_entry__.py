@@ -6218,6 +6218,58 @@ def q146(spark, sf_dir):
     return sequence_gaps(o, "o_orderkey")
 
 
+@_register(
+    "q147_iqr_outliers",
+    """
+    WITH s AS (
+      SELECT o_totalprice AS v,
+             row_number() OVER (ORDER BY o_totalprice) AS r,
+             COUNT(*) OVER () AS n
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ), q AS (
+      SELECT MAX(CASE WHEN r = CAST(ceil(n * 0.25) AS BIGINT) THEN v END) AS q1,
+             MAX(CASE WHEN r = CAST(ceil(n * 0.75) AS BIGINT) THEN v END) AS q3
+      FROM s
+    )
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders, q
+    WHERE o_totalprice < q.q1 - 1.5 * (q.q3 - q.q1)
+       OR o_totalprice > q.q3 + 1.5 * (q.q3 - q.q1)
+    """,
+)
+def q147(spark, sf_dir):
+    """IQR-fence outlier detection at scale: Q1/Q3 as EXACT k-th values
+    via the probe-histogram order-statistics path (no global sort),
+    fences broadcast as a 1-row frame, outliers a map-only filter over
+    the corpus. The oracle derives the same ranks from a global
+    ordering."""
+    import math
+
+    from graphragpart1datapipeline_spark.operators.relational import (
+        exact_kth_smallest,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    n = o.filter(F.col("o_totalprice").isNotNull()).count()
+    k1, k3 = math.ceil(n * 0.25), math.ceil(n * 0.75)
+    kth = exact_kth_smallest(o, "o_totalprice", sorted({k1, k3}))
+    fences = kth.groupBy().agg(
+        F.max(F.when(F.col("k") == k1, F.col("value"))).alias("q1"),
+        F.max(F.when(F.col("k") == k3, F.col("value"))).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    return (
+        o.crossJoin(F.broadcast(fences))
+        .filter(
+            (F.col("o_totalprice") < F.col("q1") - 1.5 * iqr)
+            | (F.col("o_totalprice") > F.col("q3") + 1.5 * iqr)
+        )
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
