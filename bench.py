@@ -81,6 +81,8 @@ HEADLINE = [
     "q127_sorted_neighborhood",
     "q134_debounce_events",
     "q136_embedding_centroids",
+    "q140_exact_kth_values",
+    "q146_orderkey_gaps",
 ]
 
 # Repetitions per query; report the min. The ambient swing on a shared
