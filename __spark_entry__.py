@@ -6270,6 +6270,34 @@ def q147(spark, sf_dir):
     )
 
 
+_Q148_SQL = """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    GROUP BY n_name
+"""
+
+
+@_register("q148_sql_surface", _Q148_SQL)
+def q148(spark, sf_dir):
+    """The SQL API surface: register the tables as views and run the
+    ENTIRE query as one spark.sql string — the oracle executes the
+    IDENTICAL SQL in DuckDB, proving a reference user can drive this
+    engine from SQL alone (Catalyst plans SQL and DataFrame calls
+    through the same optimizer: broadcast dims, pushed date filter,
+    partial aggs — locked in test_plans for the DataFrame twin q05)."""
+    from graphragpart1datapipeline_spark.sql import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q148_SQL)
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------

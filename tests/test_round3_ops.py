@@ -1115,3 +1115,11 @@ def test_fk_violations_counts_orphans(spark):
     parent = spark.createDataFrame([(1,), (2,), (3,)], "pk int")
     r = fk_violations([(child, "fk", parent, "pk", "c->p")]).collect()[0]
     assert (r["relation"], r["n_child"], r["n_orphans"]) == ("c->p", 3, 1)
+
+
+def test_register_views_lists_all_tables(spark, sf_dir):
+    from graphragpart1datapipeline_spark.sql import TABLES, register_views
+
+    names = register_views(spark, sf_dir, prefix="t_")
+    assert names == [f"t_{t}" for t in TABLES]
+    assert spark.table("t_nation").count() == 25
