@@ -784,3 +784,50 @@ def test_global_rank_matches_sorted_enumerate(spark, keys):
         for pos, (_, rid) in enumerate(sorted((k, i) for i, k in rows))
     }
     assert got == expected
+
+
+@given(
+    ids=st.lists(st.integers(0, 200), min_size=1, max_size=60, unique=True),
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_sequence_gaps_matches_sorted_replay(spark, ids):
+    from graphragpart1datapipeline_spark.operators.relational import (
+        sequence_gaps,
+    )
+
+    df = spark.createDataFrame([(i,) for i in ids], "id long").repartition(3)
+    got = sorted(
+        (r["gap_start"], r["gap_end"], r["missing"])
+        for r in sequence_gaps(df, "id").collect()
+    )
+    s = sorted(set(ids))
+    expected = [
+        (a + 1, b - 1, b - a - 1)
+        for a, b in zip(s, s[1:])
+        if b - a > 1
+    ]
+    assert got == expected
+
+
+@given(
+    vals=st.lists(st.integers(0, 12), min_size=1, max_size=120),
+    k=st.integers(2, 8),
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_heavy_hitters_matches_exact_threshold(spark, vals, k):
+    """Whatever Misra-Gries does per partition, the final output must be
+    EXACTLY the items with true count > n/k — on any data, any k, any
+    partitioning."""
+    from collections import Counter
+
+    from graphragpart1datapipeline_spark.operators.sketches import heavy_hitters
+
+    df = spark.createDataFrame(
+        [(str(v),) for v in vals], "v string"
+    ).repartition(5)
+    got = {r["value"]: r["cnt"] for r in heavy_hitters(df, "v", k=k).collect()}
+    n = len(vals)
+    expected = {
+        str(v): c for v, c in Counter(vals).items() if c * k > n
+    }
+    assert got == expected
