@@ -6298,6 +6298,90 @@ def q148(spark, sf_dir):
     return spark.sql(_Q148_SQL)
 
 
+@_register(
+    "q149_windowed_funnel",
+    """
+    WITH p AS (
+      SELECT user_id, ts AS t3 FROM events WHERE event_type = 'purchase'
+    ), c2 AS (
+      SELECT p.user_id, p.t3,
+             (SELECT MAX(c.ts) FROM events c
+              WHERE c.user_id = p.user_id AND c.event_type = 'click'
+                AND c.ts <= p.t3) AS t2
+      FROM p
+    ), c1 AS (
+      SELECT user_id, t3, t2,
+             (SELECT MAX(s.ts) FROM events s
+              WHERE s.user_id = c2.user_id AND s.event_type = 'signup'
+                AND s.ts <= c2.t2) AS t1
+      FROM c2 WHERE t2 IS NOT NULL
+    )
+    SELECT user_id,
+           MIN(CAST(floor(epoch(t3)) AS BIGINT)
+               - CAST(floor(epoch(t1)) AS BIGINT)) AS span_seconds
+    FROM c1
+    WHERE t1 IS NOT NULL
+      AND CAST(floor(epoch(t3)) AS BIGINT)
+          - CAST(floor(epoch(t1)) AS BIGINT) <= 3600
+    GROUP BY user_id
+    """,
+)
+def q149(spark, sf_dir):
+    """Deadline-bounded funnel (signup -> click -> purchase within 1h):
+    anchored at each purchase and chained BACKWARD through
+    latest-predecessor as-of joins — exact under the deadline, where
+    forward min-chaining is not (the earliest start can overshoot the
+    window while a later one fits). Two as-of window passes; the
+    oracle replays it with correlated MAX subqueries."""
+    from graphragpart1datapipeline_spark.operators.relational import (
+        windowed_funnel,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return windowed_funnel(
+        ev, ["signup", "click", "purchase"], window_seconds=3600
+    )
+
+
+@_register(
+    "q150_search_snippets",
+    """
+    WITH toks AS (
+      SELECT doc_id AS id,
+             list_filter(
+               string_split_regex(lower(text), '[^a-z0-9]+'),
+               t -> t <> '') AS l
+      FROM documents
+    ), pos AS (
+      SELECT id, l[i] AS token, i - 1 AS pos
+      FROM toks, LATERAL (
+        SELECT unnest(generate_series(1, len(l))) AS i) g
+    ), m AS (
+      SELECT b.id, b.p0
+      FROM (SELECT id, pos AS p0 FROM pos WHERE token = 'hash') b
+      JOIN (SELECT id, pos - 1 AS p0 FROM pos WHERE token = 'join') n1
+        USING (id, p0)
+    )
+    SELECT m.id, m.p0,
+           array_to_string(
+             l[greatest(p0 - 3, 0) + 1 : least(p0 + 5, len(l))],
+             ' ') AS snippet
+    FROM m JOIN toks ON m.id = toks.id
+    """,
+)
+def q150(spark, sf_dir):
+    """Keyword-in-context snippets for every "hash join" occurrence:
+    phrase positions from the postings join chain, then ONE equi-join
+    onto the token arrays with a row-local slice — search-result
+    highlighting without rescanning text."""
+    from graphragpart1datapipeline_spark.text.analysis import search_snippets
+
+    docs = _t(spark, sf_dir, "documents")
+    return search_snippets(
+        docs, ["hash", "join"], "doc_id", "text", context=3
+    )
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------

@@ -1314,3 +1314,61 @@ def sequence_gaps(
             (F.col("gap_end") - F.col("gap_start") + 1).alias("missing"),
         )
     )
+
+
+def windowed_funnel(
+    df: DataFrame,
+    stages: Sequence[str],
+    window_seconds: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Funnel completion under a DEADLINE: users with events for
+    stages[0..k-1] in order (non-strict: a later stage may share the
+    earlier stage's timestamp) whose whole chain spans at most
+    ``window_seconds``. Returns (user, span_seconds), span = the
+    MINIMUM achievable span.
+
+    Exactness without scanning per-user sequences: anchor at each
+    FINAL-stage event and chain BACKWARD via latest-predecessor as-of
+    joins — for a fixed chain end, taking the latest valid event at
+    every earlier stage maximizes the start time, so it minimizes that
+    end's span; the per-user minimum over ends is therefore the true
+    optimum (plain min-chaining forward is NOT exact under a deadline:
+    the earliest start can overshoot the window while a later one
+    fits). k−1 as-of joins (each one window pass, no per-key LATERAL),
+    final-stage rows only flow through the chain."""
+    from .asof import asof_join
+
+    if len(stages) < 2:
+        raise ValueError("windowed_funnel needs at least 2 stages")
+    cur = df.filter(F.col(type_col) == stages[-1]).select(
+        user_col, F.col(ts_col).alias("__end"), F.col(ts_col).alias("__t")
+    )
+    for st in reversed(stages[:-1]):
+        prev = df.filter(F.col(type_col) == st).select(
+            user_col, F.col(ts_col).alias("__pts")
+        )
+        cur = (
+            asof_join(
+                cur,
+                prev,
+                on=user_col,
+                left_ts="__t",
+                right_ts="__pts",
+                right_select=[],
+                direction="backward",
+            )
+            .filter(F.col("asof_ts").isNotNull())
+            .select(
+                user_col, "__end", F.col("asof_ts").alias("__t")
+            )
+        )
+    span = F.unix_timestamp("__end") - F.unix_timestamp("__t")
+    return (
+        cur.withColumn("__span", span)
+        .filter(F.col("__span") <= window_seconds)
+        .groupBy(user_col)
+        .agg(F.min("__span").alias("span_seconds"))
+    )

@@ -428,6 +428,18 @@ def phrase_search(
     scan of non-matching documents at all. For an m-term phrase:
     m-1 equi-joins on aligned keys, one final count groupBy.
     """
+    return phrase_match_positions(postings, phrase).groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_matches")
+    )
+
+
+def phrase_match_positions(
+    postings: DataFrame,
+    phrase: Sequence[str],
+) -> DataFrame:
+    """Match START positions of ``phrase`` per document: (id, p0), one
+    row per occurrence — the join chain :func:`phrase_search`
+    aggregates, exposed for snippeting/highlighting."""
     terms = [t.lower() for t in phrase]
     if not terms:
         raise ValueError("phrase must be non-empty")
@@ -441,4 +453,39 @@ def phrase_search(
             .select("id", (F.col("pos") - i).alias("p0"))
         )
         base = base.join(nxt, ["id", "p0"])
-    return base.groupBy("id").agg(F.count(F.lit(1)).alias("n_matches"))
+    return base
+
+
+def search_snippets(
+    df: DataFrame,
+    phrase: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    context: int = 3,
+) -> DataFrame:
+    """Keyword-in-context snippets: for every phrase occurrence, the
+    surrounding ``context`` tokens on each side joined back into a
+    string — (id, p0, snippet). The match set (tiny) joins the
+    token-array frame once; the slice/join runs row-local in codegen,
+    so snippet extraction costs one equi-join past the phrase match
+    itself, never a rescan of the text."""
+    m = len(phrase)
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+        lambda t: t != F.lit(""),
+    )
+    docs = df.select(F.col(id_col).alias("id"), toks.alias("__l"))
+    post = positional_postings(df, id_col, text_col)
+    matches = phrase_match_positions(post, phrase)
+    start0 = F.greatest(F.col("p0") - context, F.lit(0))
+    length = F.col("p0") + (m + context) - start0
+    return (
+        matches.join(docs, "id")
+        .select(
+            "id",
+            "p0",
+            F.concat_ws(
+                " ", F.slice(F.col("__l"), start0 + 1, length)
+            ).alias("snippet"),
+        )
+    )

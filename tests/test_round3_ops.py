@@ -1123,3 +1123,44 @@ def test_register_views_lists_all_tables(spark, sf_dir):
     names = register_views(spark, sf_dir, prefix="t_")
     assert names == [f"t_{t}" for t in TABLES]
     assert spark.table("t_nation").count() == 25
+
+
+def test_windowed_funnel_deadline_needs_backward_chaining(spark):
+    """The case forward min-chaining gets wrong: the EARLIEST signup
+    overshoots the window, a later one fits."""
+    from graphragpart1datapipeline_spark.operators.relational import (
+        windowed_funnel,
+    )
+
+    rows = [
+        (1, 0, "signup"), (1, 10_000, "signup"),
+        (1, 10_100, "click"), (1, 10_200, "purchase"),
+        (2, 0, "signup"), (2, 5_000, "click"), (2, 10_000, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, e long, event_type string")
+    df = df.withColumn("ts", F.timestamp_seconds(F.col("e")))
+    out = {
+        r["user_id"]: r["span_seconds"]
+        for r in windowed_funnel(
+            df, ["signup", "click", "purchase"], 3600
+        ).collect()
+    }
+    # user 1 converts via the SECOND signup (span 200); user 2's only
+    # chain spans 10000 > 3600
+    assert out == {1: 200}
+
+
+def test_search_snippets_edges(spark):
+    from graphragpart1datapipeline_spark.text.analysis import search_snippets
+
+    df = spark.createDataFrame(
+        [(1, "a b target c d"), (2, "target x"), (3, "q r s target")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["id"]: (r["p0"], r["snippet"])
+        for r in search_snippets(df, ["target"], context=2).collect()
+    }
+    assert out[1] == (2, "a b target c d")
+    assert out[2] == (0, "target x")       # left clip
+    assert out[3] == (3, "r s target")     # right clip
