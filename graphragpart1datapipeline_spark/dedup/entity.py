@@ -87,6 +87,10 @@ def set_similarity_join(
     structure is quadratic (every class sharing the same few
     non-discriminative tokens); pairs blocked only by such tokens are
     then missed, documented trade."""
+    if not (0 < t_num <= t_den):
+        raise ValueError(
+            f"threshold t_num/t_den must be in (0, 1]: got {t_num}/{t_den}"
+        )
     recs = (
         ensure_parallelism(df)
         .select(

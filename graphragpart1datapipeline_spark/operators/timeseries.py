@@ -166,6 +166,10 @@ def ewma(
     denominator are built with left-associated addition in lag order on
     both engines, so each row's arithmetic is bit-identical.
     """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: got {k}")
+    if not (0 < alpha <= 1):
+        raise ValueError(f"alpha must be in (0, 1]: got {alpha}")
     w = (
         Window.partitionBy(group_col)
         .orderBy(*[F.col(c) for c in order_cols])
@@ -305,6 +309,8 @@ def rolling_active_users(
     Returns (day, active_users) for every day supported by at least
     one event, day = epoch-day bucket start in seconds.
     """
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1: got {window_days}")
     ud = (
         df.select(
             F.col(user_col).alias("u"),

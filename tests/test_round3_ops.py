@@ -1164,3 +1164,25 @@ def test_search_snippets_edges(spark):
     assert out[1] == (2, "a b target c d")
     assert out[2] == (0, "target x")       # left clip
     assert out[3] == (3, "r s target")     # right clip
+
+
+def test_round3_parameter_validation(spark):
+    import pytest
+
+    from graphragpart1datapipeline_spark.dedup.entity import set_similarity_join
+    from graphragpart1datapipeline_spark.operators.timeseries import (
+        ewma,
+        rolling_active_users,
+    )
+
+    df = spark.createDataFrame([(1, "a b")], "id long, t string")
+    with pytest.raises(ValueError, match="threshold"):
+        set_similarity_join(df, "id", "t", t_num=6, t_den=5)
+    ev = spark.createDataFrame([(1, 1, 1.0)], "g long, o long, v double")
+    with pytest.raises(ValueError, match="alpha"):
+        ewma(ev, "g", ["o"], "v", alpha=1.5)
+    with pytest.raises(ValueError, match="k must"):
+        ewma(ev, "g", ["o"], "v", k=0)
+    ts = ev.withColumn("ts", F.timestamp_seconds(F.col("o")))
+    with pytest.raises(ValueError, match="window_days"):
+        rolling_active_users(ts, "g", "ts", window_days=0)
