@@ -6382,6 +6382,53 @@ def q150(spark, sf_dir):
     )
 
 
+def _q151_sql() -> str:
+    # q122's match semantics restricted to a two-brand slice (the full
+    # attribute grid chains into one giant cluster, making the oracle's
+    # recursive closure quadratic in corpus size), plus the transitive
+    # closure with min-id cluster labels
+    base = _ORACLES["q122_set_similarity_parts"].replace(
+        "FROM part", "FROM part WHERE p_brand IN ('Brand#1', 'Brand#2')"
+    )
+    return f"""
+    WITH RECURSIVE base AS ({base}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM base
+      UNION ALL
+      SELECT id_b AS a, id_a AS b FROM base
+    ), reach AS (
+      SELECT a AS node, a AS r FROM edges
+      UNION
+      SELECT e.b AS node, reach.r FROM reach JOIN edges e ON e.a = reach.node
+    )
+    SELECT node AS id, MIN(r) AS cluster FROM reach GROUP BY node
+    """
+
+
+@_register("q151_entity_clusters", _q151_sql())
+def q151(spark, sf_dir):
+    """End-to-end entity resolution: exact set-similarity matching
+    (q122) -> distributed connected components -> min-id cluster label
+    per matched record. The composed match+cluster pipeline is what a
+    dedup/ER user actually runs; the oracle replays it with the
+    brute-force join + a recursive-CTE closure."""
+    from graphragpart1datapipeline_spark.dedup.entity import set_similarity_join
+    from graphragpart1datapipeline_spark.graph import connected_components
+
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand").isin("Brand#1", "Brand#2"))
+        .select(
+            "p_partkey",
+            F.concat_ws(" ", "p_name", "p_brand", "p_type").alias("etext"),
+        )
+    )
+    pairs = set_similarity_join(p, "p_partkey", "etext", t_num=3, t_den=5)
+    return connected_components(
+        pairs, src="id_a", dst="id_b"
+    ).select(F.col("id").cast("long").alias("id"), F.col("component").alias("cluster"))
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
