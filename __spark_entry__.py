@@ -6429,6 +6429,190 @@ def q151(spark, sf_dir):
     ).select(F.col("id").cast("long").alias("id"), F.col("component").alias("cluster"))
 
 
+@_register(
+    "q152_link_prediction",
+    """
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), nb AS (
+      SELECT a AS node, b AS nbr FROM e
+      UNION ALL
+      SELECT b AS node, a AS nbr FROM e
+    ), deg AS (
+      SELECT node, COUNT(*) AS deg FROM nb GROUP BY node
+    ), wedge AS (
+      SELECT n1.nbr AS u, n2.nbr AS w
+      FROM nb n1 JOIN nb n2 ON n1.node = n2.node AND n1.nbr < n2.nbr
+    ), cand AS (
+      SELECT u, w, COUNT(*) AS common FROM wedge GROUP BY u, w
+    ), ne AS (
+      SELECT c.u, c.w, c.common
+      FROM cand c LEFT JOIN e ON c.u = e.a AND c.w = e.b
+      WHERE e.a IS NULL
+    )
+    SELECT u, w, common,
+           floor(common / (du.deg + dw.deg - common) * 1000000.0 + 0.5)
+             / 1000000.0 AS jaccard
+    FROM ne JOIN deg du ON ne.u = du.node JOIN deg dw ON ne.w = dw.node
+    ORDER BY jaccard DESC, common DESC, u, w LIMIT 50
+    """,
+)
+def q152(spark, sf_dir):
+    """Link prediction on the co-purchase graph: rank NON-adjacent part
+    pairs by common-neighbor count and Jaccard coefficient (the
+    classical unsupervised predictors — Liben-Nowell & Kleinberg 2003),
+    the "suggest a missing relation" primitive of a GraphRAG entity
+    graph. Candidate pairs are generated row-locally per middle vertex
+    (never a wedge self-JOIN); the (jaccard, common, u, w) order is
+    total, so the top-50 cut replays exactly."""
+    from graphragpart1datapipeline_spark.graph.linkpred import (
+        link_prediction_scores,
+    )
+    from graphragpart1datapipeline_spark.graph.triangles import (
+        cooccurrence_edges,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return link_prediction_scores(
+        edges, top_k=50, assume_canonical=True
+    ).select(
+        F.col("u").cast("long").alias("u"),
+        F.col("w").cast("long").alias("w"),
+        "common",
+        "jaccard",
+    )
+
+
+@_register(
+    "q153_token_diversity",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN text IS NULL OR trim(text) = ''
+                  THEN CAST([] AS VARCHAR[])
+                  ELSE list_transform(
+                         string_split_regex(trim(text), '\\s+'),
+                         x -> lower(x))
+             END AS toks
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, unnest(toks) AS tok FROM t
+    ), c AS (
+      SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok
+    ), agg AS (
+      SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_types,
+             SUM(c * c) AS sum_c2
+      FROM c GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(agg.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(agg.n_types, 0) AS BIGINT) AS n_types,
+           CASE WHEN agg.n_tokens > 0 THEN
+             CAST(floor(agg.n_types * 1000000 / agg.n_tokens + 0.5)
+                  AS BIGINT) END AS ttr_micro,
+           CASE WHEN agg.n_tokens > 0 THEN
+             CAST(floor((1.0 - sum_c2 / (agg.n_tokens * agg.n_tokens))
+                        * 1000000.0 + 0.5) AS BIGINT) END AS simpson_micro
+    FROM documents d LEFT JOIN agg USING (doc_id)
+    """,
+)
+def q153(spark, sf_dir):
+    """Lexical-diversity corpus filter: type/token ratio and
+    Gini-Simpson diversity per document in exact scaled-integer
+    arithmetic (the log-free complement of Shannon entropy — degenerate
+    one-token spam scores ~0, varied text ~1e6). Sits next to the
+    Gopher repetition signals (q62) in the quality-filter family;
+    empty documents keep a row with 0 counts and NULL ratios."""
+    from graphragpart1datapipeline_spark.text.analysis import token_diversity
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_diversity(docs, text_col="text", id_col="doc_id")
+
+
+@_register(
+    "q154_numeric_histogram",
+    """
+    WITH vals AS (
+      SELECT CAST(l_extendedprice AS DOUBLE) AS v
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ), rng AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM vals),
+    b AS (
+      SELECT CAST(CASE WHEN hi = lo THEN 0
+                  ELSE least(greatest(
+                         floor((v - lo) / ((hi - lo) / 20.0)), 0), 19)
+                  END AS BIGINT) AS bin,
+             lo, hi
+      FROM vals, rng
+    )
+    SELECT bin,
+           lo + bin * ((hi - lo) / 20.0) AS lo_edge,
+           lo + (bin + 1) * ((hi - lo) / 20.0) AS hi_edge,
+           COUNT(*) AS cnt
+    FROM b GROUP BY bin, lo, hi
+    """,
+)
+def q154(spark, sf_dir):
+    """Data-profiling histogram: auto-ranged 20-bin equi-width counts
+    of l_extendedprice — exact BIGINT counts, bin edges identical IEEE
+    arithmetic in both engines, cost two scans + a 20-row exchange
+    regardless of table size (the audit family next to q145
+    referential integrity / q146 sequence gaps / q147 IQR fences)."""
+    from graphragpart1datapipeline_spark.operators.relational import (
+        numeric_histogram,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return numeric_histogram(li, "l_extendedprice", bins=20)
+
+
+@_register(
+    "q155_mad_outliers",
+    """
+    WITH s AS (
+      SELECT o_totalprice AS v,
+             row_number() OVER (ORDER BY o_totalprice) AS r,
+             COUNT(*) OVER () AS n
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ), med AS (
+      SELECT MAX(CASE WHEN r = CAST(ceil(n * 0.5) AS BIGINT) THEN v END)
+               AS med
+      FROM s
+    ), d AS (
+      SELECT abs(s.v - med.med) AS dv,
+             row_number() OVER (ORDER BY abs(s.v - med.med)) AS r,
+             COUNT(*) OVER () AS n
+      FROM s, med
+    ), mad AS (
+      SELECT MAX(CASE WHEN r = CAST(ceil(n * 0.5) AS BIGINT) THEN dv END)
+               AS mad
+      FROM d
+    )
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders, med, mad
+    WHERE o_totalprice IS NOT NULL
+      AND abs(o_totalprice - med.med) > 3.0 * 1.4826 * mad.mad
+    """,
+)
+def q155(spark, sf_dir):
+    """Robust outlier detection via median absolute deviation (Hampel
+    filter, 50% breakdown point — survives corpora where >25% of
+    values are junk, where the q147 IQR fence saturates). Median and
+    MAD are EXACT order statistics from the probe-histogram path (no
+    global sort); the oracle derives the same ranks from a global
+    ordering."""
+    from graphragpart1datapipeline_spark.operators.relational import (
+        mad_outliers,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    return mad_outliers(o, "o_totalprice", k=3.0)
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------

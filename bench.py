@@ -78,6 +78,12 @@ HEADLINE = [
     "q123_phrase_search",
     "q124_heavy_hitters_words",
     "q125_weighted_order_sample",
+    # round-3 batch 3: diversity scoring, profiling, robust outliers —
+    # linear scale paths (q152 linkpred stays out: the co-purchase
+    # graph's wedge volume at sf0.1 is adversarially dense, like q122)
+    "q153_token_diversity",
+    "q154_numeric_histogram",
+    "q155_mad_outliers",
     "q127_sorted_neighborhood",
     "q134_debounce_events",
     "q136_embedding_centroids",

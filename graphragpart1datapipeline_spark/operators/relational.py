@@ -1372,3 +1372,110 @@ def windowed_funnel(
         .groupBy(user_col)
         .agg(F.min("__span").alias("span_seconds"))
     )
+
+
+def numeric_histogram(
+    df: DataFrame,
+    value_col: str,
+    bins: int = 20,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Equi-width histogram of a numeric column for data profiling:
+    (bin, lo_edge, hi_edge, cnt), one row per NON-EMPTY bin, exact
+    BIGINT counts. Range defaults to the column min/max (computed in
+    the same frame, so auto-ranged results replay exactly: min/max and
+    the bin arithmetic are identical IEEE ops in any engine); the top
+    edge is inclusive (max lands in the last bin, the width_bucket
+    clamp convention).
+
+    Scale shape: the range pass is one map-side-combined min/max agg
+    (2 values to the driver via a 1-row broadcast crossJoin — no
+    collect of data rows), then ONE groupBy(bin) of <= ``bins`` rows.
+    Profiling an N-row column costs two scans and a bins-sized
+    exchange regardless of N; pair with :func:`exact_kth_smallest`
+    when quantile (equi-depth) edges are wanted instead.
+    """
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    v = F.col(value_col).cast("double")
+    vals = df.filter(v.isNotNull()).select(v.alias("__v"))
+    if lo is None or hi is None:
+        rng = vals.agg(
+            F.min("__v").alias("__lo"), F.max("__v").alias("__hi")
+        )
+        vals = vals.crossJoin(F.broadcast(rng))
+    else:
+        vals = vals.withColumn("__lo", F.lit(float(lo))).withColumn(
+            "__hi", F.lit(float(hi))
+        )
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(float(bins))
+    bin_ = F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
+        F.least(
+            F.greatest(
+                F.floor((F.col("__v") - F.col("__lo")) / width), F.lit(0)
+            ),
+            F.lit(bins - 1),
+        )
+    ).cast("long")
+    return (
+        vals.select(
+            bin_.alias("bin"),
+            (F.col("__lo") + bin_ * width).alias("lo_edge"),
+            (F.col("__lo") + (bin_ + 1) * width).alias("hi_edge"),
+        )
+        .groupBy("bin", "lo_edge", "hi_edge")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    k: float = 3.0,
+    consistency: float = 1.4826,
+    probe_bins: int = 4096,
+) -> DataFrame:
+    """Robust outlier detection by median absolute deviation: flags
+    rows where |x − median| > k · consistency · MAD (Hampel filter;
+    consistency 1.4826 makes MAD estimate σ under normality). The
+    robust complement of the IQR fence — MAD has a 50% breakdown
+    point, so it survives corpora where >25% of values are junk.
+
+    Both the median and the MAD are EXACT k-th order statistics
+    (k = ceil(n/2)) computed by :func:`exact_kth_smallest`'s
+    probe-histogram path — no global sort, no interpolation, so the
+    fence replays bit-identically from a rank-based oracle. Scale
+    shape: two order-stat passes (each one bins-sized exchange + a
+    filtered in-bin sort) and a map-only fence filter; the deviation
+    pass is a map-only projection (|x − median| with the 1-row median
+    broadcast), never a shuffle.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be > 0, got {k}")
+    v = F.col(value_col).cast("double")
+    present = df.filter(v.isNotNull())
+    n = present.count()
+    if n == 0:
+        return df.filter(F.lit(False))
+    kk = math.ceil(n / 2)
+    med_df = exact_kth_smallest(present, value_col, [kk], probe_bins)
+    dev = present.crossJoin(
+        F.broadcast(med_df.select(F.col("value").alias("__med")))
+    ).withColumn("__dev", F.abs(v - F.col("__med")))
+    mad_df = exact_kth_smallest(dev, "__dev", [kk], probe_bins)
+    fence = (
+        med_df.select(F.col("value").alias("__med"))
+        .crossJoin(mad_df.select(F.col("value").alias("__mad")))
+        .select(
+            "__med",
+            (
+                F.lit(float(k)) * F.lit(float(consistency)) * F.col("__mad")
+            ).alias("__fence"),
+        )
+    )
+    return (
+        df.crossJoin(F.broadcast(fence))
+        .filter(v.isNotNull() & (F.abs(v - F.col("__med")) > F.col("__fence")))
+        .drop("__med", "__fence")
+    )

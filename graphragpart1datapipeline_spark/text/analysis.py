@@ -489,3 +489,80 @@ def search_snippets(
             ).alias("snippet"),
         )
     )
+
+
+def token_diversity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Lexical-diversity quality signals per document, in EXACT integer
+    arithmetic (the scaled-integer pattern of q107's bigram LM — no
+    logs, so no cross-engine float drift): returns every input row with
+
+    - ``n_tokens``      — whitespace token count (0 for empty text),
+    - ``n_types``       — distinct lowercased tokens,
+    - ``ttr_micro``     — type/token ratio, half-up in 1e-6 units,
+    - ``simpson_micro`` — Gini–Simpson diversity 1 − Σ(cᵢ/n)², half-up
+      in 1e-6 units — the log-free complement of Shannon entropy:
+      near 0 for degenerate one-token spam, near 1e6 for fully varied
+      text. The standard repetition/diversity corpus filter next to
+      the Gopher repetition signals (:func:`repetition_signals`).
+
+    Empty/whitespace-only documents keep a row (counts 0, NULL ratios)
+    — the preserve-empty-rows contract of ``remove_repeated_passages``.
+
+    Scale shape: explode → ONE map-side-combined groupBy((doc, token))
+    → ONE groupBy(doc) — partial aggregation absorbs the token
+    blow-up before either exchange; Σcᵢ² fits BIGINT for any document
+    under ~3B tokens. The final left join restores empty docs.
+    """
+    toks = tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.when(
+            F.col(text_col).isNull() | (F.trim(F.col(text_col)) == ""),
+            F.array().cast("array<string>"),
+        )
+        .otherwise(F.transform(toks, lambda t: F.lower(t)))
+        .alias("__toks"),
+    )
+    counts = (
+        base.select("__id", F.explode("__toks").alias("__tok"))
+        .groupBy("__id", "__tok")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    agg = counts.groupBy("__id").agg(
+        F.sum("__c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.col("__c") * F.col("__c")).alias("__sum_c2"),
+    )
+    out = (
+        df.select(F.col(id_col))
+        .join(agg.withColumnRenamed("__id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("n_types", F.lit(0)).cast("long").alias("n_types"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.floor(
+                    F.col("n_types") * F.lit(1000000) / F.col("n_tokens")
+                    + F.lit(0.5)
+                ).cast("long"),
+            ).alias("ttr_micro"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.floor(
+                    (
+                        F.lit(1.0)
+                        - F.col("__sum_c2")
+                        / (F.col("n_tokens") * F.col("n_tokens"))
+                    )
+                    * F.lit(1000000.0)
+                    + F.lit(0.5)
+                ).cast("long"),
+            ).alias("simpson_micro"),
+        )
+    )
+    return out

@@ -115,9 +115,16 @@ def ops(spark, base: str, extra_bits: int = 0):
         weighted_poisson_sample,
     )
     from graphragpart1datapipeline_spark.operators.sketches import heavy_hitters
+    from graphragpart1datapipeline_spark.graph.linkpred import (
+        link_prediction_scores,
+    )
+    from graphragpart1datapipeline_spark.operators.relational import (
+        mad_outliers,
+    )
     from graphragpart1datapipeline_spark.text.analysis import (
         phrase_search,
         positional_postings,
+        token_diversity,
     )
 
     def docs():
@@ -279,6 +286,27 @@ def ops(spark, base: str, extra_bits: int = 0):
         "phrase_search": lambda: phrase_search(
             positional_postings(docs(), "doc_id", "text"), ["hash", "join"]
         ),
+        "token_diversity": lambda: token_diversity(docs()),
+        # constant-degree md5 graph (like pagerank's): wedge volume
+        # Σ deg² grows linearly with nodes, the linkpred operating regime
+        "link_prediction": lambda: link_prediction_scores(
+            docs()
+            .crossJoin(spark.range(4).withColumnRenamed("id", "__r"))
+            .select(
+                F.col("doc_id").cast("string").alias("src"),
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat("doc_id", F.lit(":"), "__r")), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("string").alias("dst"),
+            ),
+            top_k=50,
+        ),
+        "mad_outliers": lambda: mad_outliers(
+            docs().select("doc_id", "n_chars"), "n_chars"
+        ),
     }
 
 
@@ -319,6 +347,9 @@ SCALE_BOUNDS: dict[str, float] = {
     # bounds sized to catch a plan regression, not scheduler noise
     "weighted_sample": 8.0,
     "phrase_search": 7.0,
+    "token_diversity": 4.0,
+    "link_prediction": 4.0,
+    "mad_outliers": 3.0,
 }
 
 

@@ -1186,3 +1186,161 @@ def test_round3_parameter_validation(spark):
     ts = ev.withColumn("ts", F.timestamp_seconds(F.col("o")))
     with pytest.raises(ValueError, match="window_days"):
         rolling_active_users(ts, "g", "ts", window_days=0)
+
+
+# ------------------------------------------------- link prediction
+
+
+def test_link_prediction_golden(spark):
+    """Path graph 1-2-3-4 plus edge 1-5: hand-checked common-neighbor
+    pairs, known edges excluded, jaccard exact."""
+    from graphragpart1datapipeline_spark.graph.linkpred import (
+        link_prediction_scores,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 5)], "src int, dst int"
+    )
+    rows = {
+        (r["u"], r["w"]): (r["common"], r["jaccard"])
+        for r in link_prediction_scores(edges, top_k=None).collect()
+    }
+    # neighbors: 1:{2,5} 2:{1,3} 3:{2,4} 4:{3} 5:{1}
+    # candidate non-edges sharing a neighbor: (1,3) via 2; (2,4) via 3;
+    # (2,5) via 1; (3,5)? common nbr of 3 and 5 -> none. (4,?) none.
+    assert rows == {
+        (1, 3): (1, round(1 / 3, 6)),
+        (2, 4): (1, round(1 / 2, 6)),
+        (2, 5): (1, round(1 / 2, 6)),
+    }
+
+
+def test_link_prediction_max_degree_drops_hub_middle(spark):
+    """A hub above max_degree stops WEDGING (its neighbor pairs vanish)
+    but still appears as an endpoint of other middles' pairs."""
+    from graphragpart1datapipeline_spark.graph.linkpred import (
+        link_prediction_scores,
+    )
+
+    # hub 0 connected to 1..4; plus chain 1-5, 5-2
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (0, 4), (1, 5), (5, 2)],
+        "src int, dst int",
+    )
+    full = {
+        (r["u"], r["w"])
+        for r in link_prediction_scores(edges, top_k=None).collect()
+    }
+    capped = {
+        (r["u"], r["w"])
+        for r in link_prediction_scores(
+            edges, top_k=None, max_degree=3
+        ).collect()
+    }
+    # hub-mediated pairs (1,2),(1,3),... only survive via other middles
+    assert (3, 4) in full and (3, 4) not in capped
+    assert (1, 2) in capped  # still produced via middle 5 and hub? via 5
+    for bad in [(-1, 0)]:
+        try:
+            link_prediction_scores(edges, top_k=bad[0])
+            raise AssertionError("expected ValueError")
+        except ValueError:
+            pass
+
+
+# ------------------------------------------------- token diversity
+
+
+def test_token_diversity_golden(spark):
+    from graphragpart1datapipeline_spark.text.analysis import token_diversity
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # degenerate: simpson = 0
+            (2, "a b c d"),          # fully varied: 1 - 4/16 = 0.75
+            (3, "A a b"),            # case-folds: counts {a:2, b:1}
+            (4, "   "),              # whitespace-only -> 0 row
+            (5, None),               # null -> 0 row
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["n_types"], r["ttr_micro"], r["simpson_micro"]
+        )
+        for r in token_diversity(docs).collect()
+    }
+    assert got[1] == (4, 1, 250000, 0)
+    assert got[2] == (4, 4, 1000000, 750000)
+    # doc 3: n=3, types=2, ttr=666667 (half-up), simpson = 1-5/9
+    assert got[3] == (3, 2, 666667, 444444)
+    assert got[4] == (0, 0, None, None)
+    assert got[5] == (0, 0, None, None)
+
+
+# ------------------------------------------------- numeric histogram
+
+
+def test_numeric_histogram_golden_and_edges(spark):
+    from graphragpart1datapipeline_spark.operators.relational import (
+        numeric_histogram,
+    )
+
+    df = spark.createDataFrame(
+        [(0.0,), (1.0,), (2.5,), (5.0,), (10.0,), (None,)], "v double"
+    )
+    rows = {
+        r["bin"]: (r["lo_edge"], r["hi_edge"], r["cnt"])
+        for r in numeric_histogram(df, "v", bins=10).collect()
+    }
+    # range [0,10], width 1; max is inclusive in last bin
+    assert rows[0] == (0.0, 1.0, 1)
+    assert rows[1] == (1.0, 2.0, 1)
+    assert rows[2] == (2.0, 3.0, 1)
+    assert rows[5] == (5.0, 6.0, 1)
+    assert rows[9] == (9.0, 10.0, 1)
+    assert sum(c for _, _, c in rows.values()) == 5
+    # constant column: single bin 0
+    const = spark.createDataFrame([(7.0,), (7.0,)], "v double")
+    got = numeric_histogram(const, "v", bins=5).collect()
+    assert len(got) == 1 and got[0]["bin"] == 0 and got[0]["cnt"] == 2
+    # explicit bounds: values clamp into edge bins
+    clamped = numeric_histogram(df, "v", bins=2, lo=2.0, hi=4.0).collect()
+    assert {r["bin"]: r["cnt"] for r in clamped} == {0: 3, 1: 2}
+    try:
+        numeric_histogram(df, "v", bins=0)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+# ------------------------------------------------- MAD outliers
+
+
+def test_mad_outliers_vs_bruteforce(spark):
+    import math as _math
+
+    from graphragpart1datapipeline_spark.operators.relational import (
+        mad_outliers,
+    )
+
+    vals = [1.0, 2.0, 2.0, 3.0, 3.0, 3.0, 4.0, 4.0, 5.0, 100.0, -50.0]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                               "id int, v double")
+    got = sorted(r["id"] for r in mad_outliers(df, "v", k=3.0).collect())
+    sv = sorted(vals)
+    med = sv[_math.ceil(len(sv) / 2) - 1]
+    dev = sorted(abs(x - med) for x in vals)
+    mad = dev[_math.ceil(len(dev) / 2) - 1]
+    expect = sorted(
+        i for i, x in enumerate(vals) if abs(x - med) > 3.0 * 1.4826 * mad
+    )
+    assert got == expect and got  # non-empty: 100 and -50 flagged
+    # all-null column -> empty result, no crash
+    nulls = spark.createDataFrame([(1, None)], "id int, v double")
+    assert mad_outliers(nulls, "v").count() == 0
+    try:
+        mad_outliers(df, "v", k=0)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
