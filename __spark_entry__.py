@@ -6613,6 +6613,68 @@ def q155(spark, sf_dir):
     return mad_outliers(o, "o_totalprice", k=3.0)
 
 
+@_register(
+    "q156_fuzzy_join_editdist",
+    """
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+)
+def q156(spark, sf_dir):
+    """LOSSLESS fuzzy self-join: every part pair within Levenshtein
+    distance 2, via segment pigeonholing (PassJoin, Li et al. VLDB
+    2011) over the distinct-value classes — the exact counterpart of
+    the lossy sorted-neighborhood blocking (q127), verified here
+    against the brute-force quadratic oracle. Candidate generation is
+    a segment-key equi-join, never an all-pairs theta join."""
+    from graphragpart1datapipeline_spark.dedup.editdist import (
+        levenshtein_self_join,
+    )
+
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    return levenshtein_self_join(p, "p_partkey", "p_name", d=2).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("dist").cast("long").alias("dist"),
+    )
+
+
+@_register(
+    "q157_equidepth_histogram",
+    """
+    WITH s AS (
+      SELECT CAST(l_quantity AS DOUBLE) AS v,
+             row_number() OVER (ORDER BY l_quantity) AS r,
+             COUNT(*) OVER () AS n
+      FROM lineitem WHERE l_quantity IS NOT NULL
+    ), idx AS (
+      SELECT unnest(range(1, 10)) AS i
+    ), e AS (
+      SELECT list(s.v ORDER BY idx.i) AS el
+      FROM idx JOIN s ON s.r = CAST(ceil(idx.i * s.n / 10.0) AS BIGINT)
+    )
+    SELECT CAST(len(list_filter(el, x -> x < v)) AS BIGINT) AS bucket,
+           COUNT(*) AS cnt
+    FROM s, e GROUP BY bucket
+    """,
+)
+def q157(spark, sf_dir):
+    """Equi-depth histogram of l_quantity into 10 quantile buckets:
+    edges are EXACT order statistics at ranks ceil(i*n/10) (probe
+    histogram, no global sort), assignment a map-only comparison
+    against the broadcast 9-entry edge array. l_quantity's heavy ties
+    exercise the strict-below convention — repeated values never split
+    across buckets, identically in both engines."""
+    from graphragpart1datapipeline_spark.operators.relational import (
+        equidepth_histogram,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return equidepth_histogram(li, "l_quantity", buckets=10)
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------

@@ -84,6 +84,7 @@ HEADLINE = [
     "q153_token_diversity",
     "q154_numeric_histogram",
     "q155_mad_outliers",
+    "q157_equidepth_histogram",
     "q127_sorted_neighborhood",
     "q134_debounce_events",
     "q136_embedding_centroids",

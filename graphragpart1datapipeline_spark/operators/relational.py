@@ -1479,3 +1479,55 @@ def mad_outliers(
         .filter(v.isNotNull() & (F.abs(v - F.col("__med")) > F.col("__fence")))
         .drop("__med", "__fence")
     )
+
+
+def equidepth_histogram(
+    df: DataFrame,
+    value_col: str,
+    buckets: int = 10,
+    probe_bins: int = 4096,
+) -> DataFrame:
+    """Equi-depth (quantile-bucketed) histogram: (bucket, cnt), buckets
+    bounded by EXACT order-statistic edges at ranks ceil(i*n/buckets)
+    — the profiling complement of :func:`numeric_histogram`'s
+    equi-width bins, with bucket populations ~n/buckets instead of
+    arbitrary. Each value's bucket is the number of edge ENTRIES
+    strictly below it (ties collapse into the edge's bucket, so
+    repeated heavy values never split — buckets may be empty under
+    heavy ties, the deterministic convention).
+
+    Scale shape: edges come from ONE :func:`exact_kth_smallest` pass
+    (probe-histogram, no global sort); assignment is a map-only
+    comparison against the broadcast (buckets-1)-entry edge array; the
+    final count is a bucket-sized groupBy. No interpolation anywhere,
+    so counts replay exactly from a rank-derived oracle.
+    """
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    v = F.col(value_col).cast("double")
+    present = df.filter(v.isNotNull())
+    n = present.count()
+    spark = df.sparkSession
+    if n == 0:
+        return spark.createDataFrame([], "bucket long, cnt long")
+    ks = sorted({math.ceil(i * n / buckets) for i in range(1, buckets)})
+    if ks:
+        kth = {
+            r["k"]: r["value"]
+            for r in exact_kth_smallest(
+                present, value_col, ks, probe_bins
+            ).collect()
+        }
+        edges = [
+            float(kth[math.ceil(i * n / buckets)])
+            for i in range(1, buckets)
+        ]
+        arr = F.array(*[F.lit(e) for e in edges])
+        bucket = F.size(F.filter(arr, lambda e: e < v)).cast("long")
+    else:
+        bucket = F.lit(0).cast("long")
+    return (
+        present.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

@@ -118,6 +118,9 @@ def ops(spark, base: str, extra_bits: int = 0):
     from graphragpart1datapipeline_spark.graph.linkpred import (
         link_prediction_scores,
     )
+    from graphragpart1datapipeline_spark.dedup.editdist import (
+        levenshtein_self_join,
+    )
     from graphragpart1datapipeline_spark.operators.relational import (
         mad_outliers,
     )
@@ -307,6 +310,28 @@ def ops(spark, base: str, extra_bits: int = 0):
         "mad_outliers": lambda: mad_outliers(
             docs().select("doc_id", "n_chars"), "n_chars"
         ),
+        # synthesized names: even/odd docs share an md5 stem, the odd
+        # copy mutated in one char — distinct values and true pairs
+        # both grow linearly with the corpus (the PassJoin regime)
+        "fuzzy_join": lambda: levenshtein_self_join(
+            docs().select(
+                "doc_id",
+                F.when(
+                    F.col("doc_id") % 2 == 0,
+                    F.substring(
+                        F.md5((F.col("doc_id") - F.col("doc_id") % 2)
+                              .cast("string")), 1, 12),
+                ).otherwise(
+                    F.concat(
+                        F.substring(
+                            F.md5((F.col("doc_id") - F.col("doc_id") % 2)
+                                  .cast("string")), 1, 11),
+                        F.lit("q"),
+                    )
+                ).alias("name"),
+            ),
+            "doc_id", "name", d=2,
+        ),
     }
 
 
@@ -350,6 +375,7 @@ SCALE_BOUNDS: dict[str, float] = {
     "token_diversity": 4.0,
     "link_prediction": 4.0,
     "mad_outliers": 3.0,
+    "fuzzy_join": 4.5,
 }
 
 

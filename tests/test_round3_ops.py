@@ -1344,3 +1344,95 @@ def test_mad_outliers_vs_bruteforce(spark):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+# ------------------------------------------------- PassJoin fuzzy join
+
+
+def test_levenshtein_self_join_adversarial_vs_bruteforce(spark):
+    """Shifted edits near segment boundaries, short strings, empties,
+    and duplicate classes — against a brute-force O(n^2) replay."""
+    import itertools
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    from graphragpart1datapipeline_spark.dedup.editdist import (
+        levenshtein_self_join,
+    )
+
+    vals = [
+        "abcdef", "xbcdef", "abXcdef", "bcdef",       # subst/insert/delete
+        "abcdefgh", "habcdefg",                        # rotation (shifts)
+        "", "a", "ab", "b", "ba",                      # short block
+        "abcdef", "ab",                                # duplicate classes
+        "zzzzzz", "zzzz",                              # distance 2 delete x2
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id int, s string"
+    )
+    for d in (1, 2):
+        got = sorted(
+            (r["id_a"], r["id_b"], r["dist"])
+            for r in levenshtein_self_join(df, "id", "s", d=d).collect()
+        )
+        expect = sorted(
+            (i, j, lev(a, b))
+            for (i, a), (j, b) in itertools.combinations(
+                enumerate(vals), 2
+            )
+            if lev(a, b) <= d
+        )
+        assert got == expect, f"d={d}: {set(expect) ^ set(got)}"
+    try:
+        levenshtein_self_join(df, "id", "s", d=0)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+# ------------------------------------------------- equi-depth histogram
+
+
+def test_equidepth_histogram_ties_and_uniform(spark):
+    import math as _math
+
+    from graphragpart1datapipeline_spark.operators.relational import (
+        equidepth_histogram,
+    )
+
+    # uniform 1..100, 10 buckets -> 10 rows of 10
+    df = spark.createDataFrame([(float(i),) for i in range(1, 101)],
+                               "v double")
+    got = {r["bucket"]: r["cnt"]
+           for r in equidepth_histogram(df, "v", buckets=10).collect()}
+    assert got == {b: 10 for b in range(10)}
+    # heavy ties: one value dominates -> collapses into a single bucket
+    vals = [1.0] * 95 + [2.0, 3.0, 4.0, 5.0, 6.0]
+    tied = spark.createDataFrame([(v,) for v in vals], "v double")
+    gt = {r["bucket"]: r["cnt"]
+          for r in equidepth_histogram(tied, "v", buckets=4).collect()}
+    # brute-force replay of the strict-below convention
+    sv = sorted(vals)
+    n = len(sv)
+    edges = [sv[_math.ceil(i * n / 4) - 1] for i in range(1, 4)]
+    expect: dict[int, int] = {}
+    for v in vals:
+        b = sum(1 for e in edges if e < v)
+        expect[b] = expect.get(b, 0) + 1
+    assert gt == expect
+    # empty / single-bucket edges
+    assert equidepth_histogram(
+        spark.createDataFrame([], "v double"), "v"
+    ).count() == 0
+    one = equidepth_histogram(df, "v", buckets=1).collect()
+    assert len(one) == 1 and one[0]["cnt"] == 100
