@@ -21,3 +21,4 @@ from .entity import (  # noqa: F401
     sorted_neighborhood_pairs,
 )
 from .splits import weighted_poisson_sample  # noqa: F401
+from .editdist import levenshtein_self_join  # noqa: F401

@@ -8,3 +8,5 @@ from .communities import (  # noqa: F401
     label_propagation_communities,
     louvain_communities,
 )
+from .linkpred import link_prediction_scores  # noqa: F401
+from .triangles import cooccurrence_edges, triangle_counts  # noqa: F401

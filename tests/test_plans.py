@@ -399,3 +399,38 @@ def test_debounce_single_exchange(spark):
     ev = em.queries.__globals__["_t"](spark, SF, "events")
     p = _plan(debounce(ev, "user_id", "ts", 300, tiebreak_cols=("event_id",)))
     assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_levenshtein_self_join_plan_no_cartesian(spark):
+    """PassJoin candidates come from a segment-key EQUI-join; with no
+    short values (all lengths >= d+1) the plan must contain no
+    cartesian/nested-loop node anywhere."""
+    from graphragpart1datapipeline_spark.dedup.editdist import (
+        levenshtein_self_join,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"valuestring{i % 7}x") for i in range(50)],
+        "id int, s string",
+    )
+    p = _plan(levenshtein_self_join(df, "id", "s", d=2))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_link_prediction_plan_no_cartesian_and_topk(spark):
+    """Candidate pairs generate row-locally (no wedge self-join of the
+    neighbor TABLE against itself as a theta join) and the top-k cut
+    is a TakeOrdered, not a global sort."""
+    from graphragpart1datapipeline_spark.graph.linkpred import (
+        link_prediction_scores,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7 + 3) % 40) for i in range(120)], "src int, dst int"
+    )
+    df = link_prediction_scores(edges, top_k=10)
+    p = _plan(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "TakeOrderedAndProject" in p
