@@ -6675,6 +6675,66 @@ def q157(spark, sf_dir):
     return equidepth_histogram(li, "l_quantity", buckets=10)
 
 
+@_register(
+    "q158_containment_join",
+    """
+    WITH t AS (
+      SELECT doc_id AS id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x != '') AS w
+      FROM documents
+    ), r AS (
+      SELECT id,
+             list_distinct(list_transform(
+               range(1, greatest(len(w) - 4, 0) + 1),
+               i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])
+             )) AS toks
+      FROM t
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT)
+             AS inter_size,
+           CAST(len(a.toks) AS BIGINT) AS a_size
+    FROM r a JOIN r b ON a.id != b.id
+    WHERE len(a.toks) > 0
+      AND len(list_intersect(a.toks, b.toks)) * 2 >= len(a.toks)
+    """,
+)
+def q158(spark, sf_dir):
+    """Directional containment join over 5-gram shingle sets: every
+    ordered doc pair where >= 50% of A's shingles appear in B — the
+    quote/partial-copy detector Jaccard misses (a short doc embedded
+    in a long one has containment 1, Jaccard ~0). Prefix-filtered
+    candidates over identical-set classes, probe side full token
+    lists (lossless — the overlap bound depends on A alone), exact
+    integer verify; the oracle replays the brute-force quadratic
+    join."""
+    from graphragpart1datapipeline_spark.dedup.entity import containment_join
+
+    docs = _t(spark, sf_dir, "documents")
+    w = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+        lambda t: t != F.lit(""),
+    )
+    sh = F.when(
+        F.size(w) < 5, F.array().cast("array<string>")
+    ).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - 4),
+                lambda i: F.array_join(F.slice(w, i, 5), " "),
+            )
+        )
+    )
+    shingled = docs.select("doc_id", sh.alias("sh"))
+    return containment_join(shingled, "doc_id", "sh", t_num=1, t_den=2).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("inter_size").cast("long").alias("inter_size"),
+        F.col("a_size").cast("long").alias("a_size"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------

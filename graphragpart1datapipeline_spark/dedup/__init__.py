@@ -16,6 +16,7 @@ from .passages import (  # noqa: F401
 )
 from .splits import leakage_safe_split  # noqa: F401
 from .entity import (  # noqa: F401
+    containment_join,
     global_rank,
     set_similarity_join,
     sorted_neighborhood_pairs,

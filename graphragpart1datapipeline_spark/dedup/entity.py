@@ -303,3 +303,147 @@ def sorted_neighborhood_pairs(
         .filter(F.col("edit_distance") <= max_distance)
         .select("id_a", "id_b", "key_a", "key_b", "rank_gap", "edit_distance")
     )
+
+
+def containment_join(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    t_num: int = 1,
+    t_den: int = 2,
+    max_token_bucket: int | None = None,
+) -> DataFrame:
+    """DIRECTIONAL containment self-join: all ordered pairs (a, b),
+    a != b, with C(A→B) = |A ∩ B| / |A| >= t_num/t_den over the
+    precomputed token-array column ``tokens_col`` (pass word sets for
+    vocabulary containment, n-gram shingles for passage/quote
+    containment — the asymmetric complement of
+    :func:`set_similarity_join`'s Jaccard: a short document fully
+    quoted inside a long one scores containment 1 while its Jaccard
+    vanishes). Returns (id_a, id_b, inter_size, a_size) where id_a is
+    the contained side.
+
+    Same collapse-then-join shape as :func:`set_similarity_join`:
+    identical-set classes first, then candidates from the prefix
+    principle — if |A ∩ B| >= o = ceil(t·|A|), A's rarest-first prefix
+    of |A| − o + 1 tokens must hit SOME token of B, so indexing A's
+    prefixes and probing with B's FULL token lists is lossless (the
+    probe side cannot be prefix-truncated: the overlap bound depends
+    on A alone). Verify is exact integer arithmetic
+    (t_den·inter >= t_num·|A|); expansion is linear in the true output.
+    ``max_token_bucket`` caps degenerate prefix-token buckets (lossy,
+    the LSH mega-bucket-guard pattern)."""
+    if not (0 < t_num <= t_den):
+        raise ValueError(
+            f"threshold t_num/t_den must be in (0, 1]: got {t_num}/{t_den}"
+        )
+    recs = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("rid"),
+            F.array_sort(F.array_distinct(F.col(tokens_col))).alias("ctoks"),
+        )
+        .filter(F.size("ctoks") > 0)
+    )
+    classes = recs.groupBy("ctoks").agg(F.min("rid").alias("cid"))
+    members = recs.join(classes, "ctoks").select("rid", "cid")
+    reps = classes.select("cid", F.explode("ctoks").alias("tok"))
+    tok_df = reps.groupBy("tok").agg(F.count(F.lit(1)).alias("tok_df"))
+    ordered = (
+        reps.join(tok_df, "tok")
+        .groupBy("cid")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("tok_df", "tok"))
+            ).alias("ordered_pairs")
+        )
+        .select(
+            "cid",
+            F.transform(F.col("ordered_pairs"), lambda s: s["tok"]).alias(
+                "toks"
+            ),
+        )
+    )
+    # o = ceil(t * sz); prefix covers the first sz - o + 1 rarest tokens
+    sized = ordered.withColumn("sz", F.size("toks")).withColumn(
+        "prefix_len",
+        F.col("sz")
+        - F.floor(
+            (F.lit(t_num) * F.col("sz") + F.lit(t_den - 1)) / F.lit(t_den)
+        ).cast("int")
+        + F.lit(1),
+    )
+    prefix = sized.select(
+        F.col("cid").alias("ca"),
+        F.col("sz").alias("sz_a"),
+        F.explode(F.slice("toks", 1, F.col("prefix_len"))).alias("tok"),
+    )
+    if max_token_bucket is not None:
+        keep = (
+            prefix.groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") <= max_token_bucket)
+            .select("tok")
+        )
+        prefix = prefix.join(keep, "tok")
+    probe = sized.select(
+        F.col("cid").alias("cb"),
+        F.col("sz").alias("sz_b"),
+        F.explode("toks").alias("tok"),
+    )
+    cand_ids = (
+        prefix.join(probe, "tok")
+        .filter(F.col("ca") != F.col("cb"))
+        # |B| must be able to hold the required overlap o(A)
+        .filter(F.lit(t_den) * F.col("sz_b") >= F.lit(t_num) * F.col("sz_a"))
+        .select("ca", "cb")
+    )
+    toks_a = sized.select(
+        F.col("cid").alias("ca"),
+        F.col("toks").alias("toks_a"),
+        F.col("sz").alias("sz_a"),
+    )
+    toks_b = sized.select(
+        F.col("cid").alias("cb"), F.col("toks").alias("toks_b")
+    )
+    class_pairs = (
+        cand_ids.join(toks_a, "ca")
+        .join(toks_b, "cb")
+        .withColumn(
+            "inter_size", F.size(F.array_intersect("toks_a", "toks_b"))
+        )
+        # C(A→B) >= t  ⟺  t_den * inter >= t_num * |A|   (integers)
+        .filter(
+            F.lit(t_den) * F.col("inter_size") >= F.lit(t_num) * F.col("sz_a")
+        )
+        .select("ca", "cb", "inter_size", F.col("sz_a").alias("a_size"))
+        # dedup AFTER the verify (survivors ≈ true pairs, far below the
+        # candidate stream)
+        .distinct()
+    )
+    ma = members.select(F.col("cid").alias("ca"), F.col("rid").alias("ra"))
+    mb = members.select(F.col("cid").alias("cb"), F.col("rid").alias("rb"))
+    cross = (
+        class_pairs.join(ma, "ca")
+        .join(mb, "cb")
+        .select(
+            F.col("ra").alias("id_a"),
+            F.col("rb").alias("id_b"),
+            "inter_size",
+            "a_size",
+        )
+    )
+    sz_by_class = sized.select("cid", "sz")
+    intra = (
+        members.alias("x")
+        .join(members.alias("y"), "cid")
+        .filter(F.col("x.rid") != F.col("y.rid"))
+        .join(sz_by_class, "cid")
+        .select(
+            F.col("x.rid").alias("id_a"),
+            F.col("y.rid").alias("id_b"),
+            F.col("sz").alias("inter_size"),
+            F.col("sz").alias("a_size"),
+        )
+    )
+    return cross.unionByName(intra)

@@ -1436,3 +1436,45 @@ def test_equidepth_histogram_ties_and_uniform(spark):
     ).count() == 0
     one = equidepth_histogram(df, "v", buckets=1).collect()
     assert len(one) == 1 and one[0]["cnt"] == 100
+
+
+# ------------------------------------------------- containment join
+
+
+def test_containment_join_quote_detection(spark):
+    """A short 'quote' fully contained in a long doc scores C=1 in the
+    quote->doc direction only; symmetric Jaccard would miss it.
+    Includes an identical-set class (both directions) and a
+    brute-force replay over all ordered pairs."""
+    import itertools
+
+    from graphragpart1datapipeline_spark.dedup.entity import containment_join
+
+    data = {
+        1: ["a", "b", "c", "d", "e", "f", "g", "h"],  # long doc
+        2: ["c", "d", "e"],                            # quote inside 1
+        3: ["x", "y", "z"],                            # unrelated
+        4: ["c", "d", "e"],                            # dup class of 2
+        5: ["a", "b", "x", "y"],                       # half in 1
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in data.items()], "id int, toks array<string>"
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"], r["inter_size"], r["a_size"])
+        for r in containment_join(df, "id", "toks", 1, 2).collect()
+    )
+    expect = sorted(
+        (a, b, len(set(sa) & set(sb)), len(set(sa)))
+        for (a, sa), (b, sb) in itertools.permutations(data.items(), 2)
+        if 2 * len(set(sa) & set(sb)) >= len(set(sa))
+    )
+    assert got == expect
+    # directionality: the quote is contained in the doc, not vice versa
+    dirs = {(a, b) for a, b, _, _ in got}
+    assert (2, 1) in dirs and (1, 2) not in dirs
+    try:
+        containment_join(df, "id", "toks", 3, 2)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
