@@ -224,13 +224,26 @@ def global_rank(
     single-partition window.
 
     ``bucket_expr`` must be a monotone function of the leading sort key
-    (default: first character of the first key column). Rows are ranked
-    within buckets (one hash exchange), bucket row-counts — a frame with
-    ONE ROW PER BUCKET — get cumulative offsets via a driver-trivial
-    window, and the offset is broadcast-joined back. For skewed key
-    distributions pass a finer ``bucket_expr`` (longer prefix, or
-    precomputed range-quantile ids).
+    (default: first character of the first key column — valid ONLY for
+    string keys, so a non-string leading key without an explicit
+    ``bucket_expr`` raises rather than silently mis-ranking: '10' < '9'
+    lexically). Rows are ranked within buckets (one hash exchange),
+    bucket row-counts — a frame with ONE ROW PER BUCKET — get cumulative
+    offsets via a driver-trivial window, and the offset is
+    broadcast-joined back. For numeric keys pass a range bucket (e.g.
+    ``F.floor(F.col(k) / step)``); for skewed key distributions pass a
+    finer ``bucket_expr`` (longer prefix, or precomputed range-quantile
+    ids).
     """
+    if bucket_expr is None:
+        lead_type = dict(df.dtypes).get(key_cols[0])
+        if lead_type != "string":
+            raise ValueError(
+                f"global_rank: default bucket_expr (first character) is "
+                f"only monotone for string keys; leading key "
+                f"{key_cols[0]!r} is {lead_type} — pass a monotone "
+                f"bucket_expr such as F.floor(F.col({key_cols[0]!r}) / step)"
+            )
     b = (
         bucket_expr
         if bucket_expr is not None

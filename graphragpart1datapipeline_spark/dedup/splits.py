@@ -81,7 +81,7 @@ def weighted_poisson_sample(
     collect; at 100 TB it is a single scan.
 
     Rows with w_i >= W/expected_n have probability clamped to 1 by
-    construction (u_i < 2^60 <= threshold). E[|sample|] = expected_n
+    construction (u_i < 2^32 <= threshold). E[|sample|] = expected_n
     minus the clamp excess; variance is the Poisson-sampling variance.
     For exact-size samples compose with ``top_n_per_group`` on the keep
     key; for equal weights this degrades to hash_split-style Bernoulli.
@@ -90,10 +90,19 @@ def weighted_poisson_sample(
     (floor(w*scale + 0.5)), u_i = first 8 md5 hex digits (32 bits —
     plenty of resolution for a keep probability, and small enough that
     every product below stays inside DECIMAL(38,0) with NO precision
-    loss), and the keep test u*W_int < n*w_int*2^32 is pure integer
+    loss), and the keep test u*W_int < (n*2^32)*w_int is pure integer
     arithmetic — identical in any engine with md5 (the oracle replays
-    it in DuckDB with HUGEINT).
+    it in DuckDB with HUGEINT). Bounds are enforced, never silently
+    overflowed: expected_n <= 2*10^8 (so n*2^32 fits DECIMAL(18,0)),
+    W = sum(w_int) < 10^27 (checked lazily in-plan via raise_error —
+    summed through DECIMAL(28,0) so even the check itself is exact).
     """
+    if expected_n > 200_000_000:
+        raise ValueError(
+            "weighted_poisson_sample: expected_n must be <= 2e8 so the "
+            "keep-threshold n*2^32 stays inside decimal(18,0); sample in "
+            "strata or raise the bound with a wider decimal budget"
+        )
     w_int = F.floor(
         F.col(weight_col).cast("double") * weight_scale + F.lit(0.5)
     ).cast("long")
@@ -114,16 +123,36 @@ def weighted_poisson_sample(
         .cast("long")
     )
     tagged = df.withColumn("__w", w_int).withColumn("__u", u)
-    total = tagged.groupBy().agg(F.sum("__w").alias("__wtot"))
+    # Sum through decimal(28,0) -> Spark result decimal(38,0): exact for
+    # any realistic corpus (w_int is a long, so < 9.3e18 per row). The
+    # guard-cast to decimal(27,0) raises instead of returning NULL if
+    # W >= 1e27 — evaluated lazily inside the 1-row aggregate, no extra
+    # job.
+    wtot_raw = F.sum(F.col("__w").cast("decimal(28,0)"))
+    total = tagged.groupBy().agg(
+        F.when(
+            wtot_raw < F.lit(str(10**27)).cast("decimal(38,0)"),
+            wtot_raw,
+        )
+        .otherwise(
+            F.raise_error(
+                "weighted_poisson_sample: total scaled weight >= 1e27 "
+                "overflows the exact decimal budget; lower weight_scale"
+            )
+        )
+        .cast("decimal(27,0)")
+        .alias("__wtot")
+    )
     # Precision audit (Spark result precision = p1+p2+1, hard cap 38):
-    # u:dec(10) * W:dec(15) -> dec(26); n:dec(10) * w:dec(13) -> dec(24),
-    # * 2^32:dec(10) -> dec(35). All exact, no precision-loss rounding.
+    # u:dec(10) * W:dec(27) -> dec(38); (n*2^32):dec(18) * w:dec(19)
+    # -> dec(38). All exact, no precision-loss rounding; the Python-side
+    # expected_n bound and the in-plan W bound keep every operand in
+    # range.
     keep = (
-        F.col("__u").cast("decimal(10,0)") * F.col("__wtot").cast("decimal(15,0)")
+        F.col("__u").cast("decimal(10,0)") * F.col("__wtot")
     ) < (
-        F.lit(expected_n).cast("decimal(10,0)")
-        * F.col("__w").cast("decimal(13,0)")
-        * F.lit(1 << 32).cast("decimal(10,0)")
+        F.lit(expected_n * (1 << 32)).cast("decimal(18,0)")
+        * F.col("__w").cast("decimal(19,0)")
     )
     return (
         tagged.crossJoin(F.broadcast(total))

@@ -284,25 +284,33 @@ def not_in_join(
     """SQL ``NOT IN (subquery)`` with its full three-valued-logic
     semantics — the classic correctness trap a plain anti-join gets
     wrong: if the subquery produces ANY null the predicate is never
-    true (result is empty), and left rows with a null key are always
-    excluded. A left_anti join alone implements NOT EXISTS, not NOT IN.
+    true (result is empty); left rows with a null key are excluded
+    UNLESS the subquery is empty (NOT IN over an empty set is
+    vacuously TRUE, even for a NULL left key). A left_anti join alone
+    implements NOT EXISTS, not NOT IN.
 
     Plan: distinct-reduce the right side to its key set (one shuffle of
     keys only, broadcast when small), anti-join, and gate on a 1-row
-    has-null aggregate broadcast across the result — no row-by-row
-    null handling."""
-    has_null = right.groupBy().agg(
+    has-null + row-count aggregate broadcast across the result — no
+    row-by-row null handling."""
+    stats = right.groupBy().agg(
         F.coalesce(
             F.max(F.col(right_col).isNull().cast("int")), F.lit(0)
-        ).alias("__has_null")
+        ).alias("__has_null"),
+        F.count(F.lit(1)).alias("__rcnt"),
     )
     keys = right.filter(F.col(right_col).isNotNull()).select(
         F.col(right_col).alias(left_col)
     ).distinct()
+    # NULL left keys never match the anti-join condition, so they
+    # survive it; the broadcast gate then keeps them only when the
+    # right side is empty.
     return (
-        left.filter(F.col(left_col).isNotNull())
-        .join(keys, left_col, "left_anti")
-        .crossJoin(F.broadcast(has_null))
-        .filter(F.col("__has_null") == 0)
-        .drop("__has_null")
+        left.join(keys, left_col, "left_anti")
+        .crossJoin(F.broadcast(stats))
+        .filter(
+            (F.col("__has_null") == 0)
+            & (F.col(left_col).isNotNull() | (F.col("__rcnt") == 0))
+        )
+        .drop("__has_null", "__rcnt")
     )

@@ -60,12 +60,14 @@ def pivot_agg(
     elif agg == "count":
         out = gb.agg(F.count(F.lit(1)).alias("v"))
     elif agg == "avg":
+        # Denominator counts only non-null measures so the result
+        # matches SQL AVG (null-ignoring on both sides of the division).
         out = gb.agg(
             (
                 F.sum(F.col(value_col).cast(f"decimal(25,{decimal_scale})")).cast(
                     "double"
                 )
-                / F.count(F.lit(1))
+                / F.count(F.col(value_col))
             ).alias("v")
         )
     else:

@@ -192,6 +192,12 @@ def heavy_hitters(
     codegen. ``capacity`` defaults to 2k (halves false candidates for
     one extra dict slot per partition).
     """
+    if capacity is not None and capacity < k:
+        raise ValueError(
+            f"heavy_hitters: capacity ({capacity}) must be >= k ({k}) — "
+            "the Misra-Gries superset guarantee (every value with count "
+            "> n/k survives a capacity-m summary) requires m >= k"
+        )
     cap = capacity or 2 * k
     src = df.select(F.col(col).cast("string").alias("v")).filter(
         F.col("v").isNotNull()

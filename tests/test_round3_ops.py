@@ -885,10 +885,11 @@ def test_not_in_join_null_semantics(spark):
     # any NULL in the subquery -> empty result (three-valued logic)
     right_null = spark.createDataFrame([(2,), (None,)], "rk int")
     assert not_in_join(left, right_null, "k", "rk").count() == 0
-    # empty subquery -> all non-null left rows
+    # empty subquery -> ALL left rows, even the NULL key (NOT IN over
+    # an empty set is vacuously TRUE in SQL's three-valued logic)
     right_empty = right_plain.filter(F.lit(False))
     out2 = {r["v"] for r in not_in_join(left, right_empty, "k", "rk").collect()}
-    assert out2 == {"a", "b"}
+    assert out2 == {"a", "b", "c"}
 
 
 def test_grouped_corr_golden(spark):
@@ -1478,3 +1479,72 @@ def test_containment_join_quote_detection(spark):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+# ---------------------------------------------------------------------------
+# Round-4 ADVICE regression tests
+# ---------------------------------------------------------------------------
+
+
+def test_pivot_agg_avg_ignores_null_measures(spark):
+    """AVG denominator must count only non-null measures (SQL AVG)."""
+    from graphragpart1datapipeline_spark.operators.reshape import pivot_agg
+
+    df = spark.createDataFrame(
+        [("g1", "a", 1.0), ("g1", "a", None), ("g1", "a", 3.0),
+         ("g2", "b", None)],
+        "g string, p string, v double",
+    )
+    rows = {r["g"]: r for r in
+            pivot_agg(df, ["g"], "p", ["a", "b"], "v", agg="avg").collect()}
+    assert rows["g1"]["a"] == 2.0  # (1+3)/2, NOT (1+3)/3
+    assert rows["g2"]["b"] is None  # all-null measure -> NULL like SQL AVG
+
+
+def test_global_rank_numeric_default_bucket_raises(spark):
+    from graphragpart1datapipeline_spark.dedup.entity import global_rank
+
+    df = spark.createDataFrame([(9,), (10,)], "k int")
+    try:
+        global_rank(df, ["k"])
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "monotone" in str(e)
+    # explicit monotone bucket_expr works for numeric keys
+    got = [
+        r["k"] for r in
+        global_rank(df, ["k"], bucket_expr=F.floor(F.col("k") / 100))
+        .orderBy("rn").collect()
+    ]
+    assert got == [9, 10]
+
+
+def test_heavy_hitters_capacity_below_k_raises(spark):
+    from graphragpart1datapipeline_spark.operators.sketches import heavy_hitters
+
+    df = spark.createDataFrame([("a",)], "v string")
+    try:
+        heavy_hitters(df, "v", k=4, capacity=3)
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "capacity" in str(e)
+
+
+def test_weighted_poisson_sample_bounds(spark):
+    from graphragpart1datapipeline_spark.dedup.splits import (
+        weighted_poisson_sample,
+    )
+
+    df = spark.createDataFrame([(1, 1.0)], "id int, w double")
+    try:
+        weighted_poisson_sample(df, "id", "w", 300_000_000)
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "expected_n" in str(e)
+    # large per-row weights that overflowed the old decimal(15,0) total
+    # budget (sum(w*scale) > 1e15) now sample correctly
+    big = spark.createDataFrame(
+        [(i, 2.0e14) for i in range(10)], "id int, w double"
+    )
+    kept = weighted_poisson_sample(big, "id", "w", 5).count()
+    assert 0 < kept <= 10
