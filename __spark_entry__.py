@@ -3896,6 +3896,224 @@ def q101(spark, sf_dir):
     )
 
 
+def _leiden_oracle_sql(
+    rounds: int = 2,
+    levels: int = 2,
+    refine_rounds: int = 2,
+    res: str = "1.0",
+) -> str:
+    """Unrolled replay of leiden_communities over the customer→nation→
+    region graph: per level, the louvain local-moving rounds PLUS the
+    γ-gated well-connectedness refinement (singleton movers, argmax
+    positive gain, monotone descent), contraction on the REFINED
+    partition, move partition as next-level init. Integer-valued
+    2m-scaled arithmetic throughout → DuckDB replays bit-for-bit."""
+    sql = """
+    WITH g AS (
+      SELECT 'c' || CAST(c_custkey AS VARCHAR) AS x,
+             'n' || CAST(c_nationkey AS VARCHAR) AS y
+      FROM customer
+      UNION ALL
+      SELECT 'n' || CAST(n_nationkey AS VARCHAR),
+             'r' || CAST(n_regionkey AS VARCHAR)
+      FROM nation
+    ), e0 AS MATERIALIZED (
+      SELECT LEAST(x, y) AS a, GREATEST(x, y) AS b, CAST(1 AS BIGINT) AS w
+      FROM g WHERE x <> y GROUP BY 1, 2
+    )"""
+    for lv in range(levels):
+        sql += f""", deg{lv} AS MATERIALIZED (
+      SELECT id, CAST(SUM(dw) AS BIGINT) AS deg FROM (
+        SELECT a AS id, CASE WHEN a = b THEN 2 * w ELSE w END AS dw FROM e{lv}
+        UNION ALL
+        SELECT b AS id, w AS dw FROM e{lv} WHERE a <> b
+      ) GROUP BY id
+    ), m2_{lv} AS MATERIALIZED (
+      SELECT CAST(SUM(deg) AS DOUBLE) AS m2 FROM deg{lv}
+    ), sym{lv} AS MATERIALIZED (
+      SELECT a AS i, b AS j, w FROM e{lv} WHERE a <> b
+      UNION ALL
+      SELECT b AS i, a AS j, w FROM e{lv} WHERE a <> b
+    )"""
+        if lv == 0:
+            sql += f""", lab{lv}_0 AS MATERIALIZED (
+      SELECT id, id AS lab FROM deg{lv}
+    )"""
+        for r in range(1, rounds + 1):
+            p = f"lab{lv}_{r - 1}"
+            sql += f""", tot{lv}_{r} AS MATERIALIZED (
+      SELECT l.lab, CAST(SUM(d.deg) AS BIGINT) AS tot, COUNT(*) AS cnt
+      FROM {p} l JOIN deg{lv} d ON d.id = l.id GROUP BY l.lab
+    ), kic{lv}_{r} AS MATERIALIZED (
+      SELECT s.i AS id, lj.lab AS c, CAST(SUM(s.w) AS BIGINT) AS kic
+      FROM sym{lv} s JOIN {p} lj ON lj.id = s.j GROUP BY 1, 2
+    ), cand{lv}_{r} AS MATERIALIZED (
+      SELECT id, c, kic FROM kic{lv}_{r}
+      UNION
+      SELECT l.id, l.lab AS c, CAST(COALESCE(k.kic, 0) AS BIGINT) AS kic
+      FROM {p} l LEFT JOIN kic{lv}_{r} k ON k.id = l.id AND k.c = l.lab
+    ), lab{lv}_{r} AS MATERIALIZED (
+      SELECT id, c AS lab FROM (
+        SELECT id, c,
+               ROW_NUMBER() OVER (
+                 PARTITION BY id
+                 ORDER BY gain DESC, is_cur DESC, c ASC) AS rn
+        FROM (
+          SELECT s.*,
+                 MAX(CASE WHEN is_cur THEN gain END)
+                   OVER (PARTITION BY id) AS stayg,
+                 MAX(CASE WHEN is_cur THEN (cnt = 1) END)
+                   OVER (PARTITION BY id) AS alone
+          FROM (
+            SELECT cd.id, cd.c, l.lab AS cur_lab, t.cnt,
+                   (m.m2 * cd.kic - {res} * d.deg *
+                    (t.tot - CASE WHEN cd.c = l.lab
+                                  THEN d.deg ELSE 0 END)) AS gain,
+                   (cd.c = l.lab) AS is_cur
+            FROM cand{lv}_{r} cd
+            JOIN {p} l ON l.id = cd.id
+            JOIN deg{lv} d ON d.id = cd.id
+            JOIN tot{lv}_{r} t ON t.lab = cd.c
+            CROSS JOIN m2_{lv} m
+          ) s
+        ) WHERE c <= cur_lab OR stayg < 0
+              OR (stayg = 0 AND alone AND cnt > 1)
+      ) WHERE rn = 1
+    )"""
+        if lv < levels - 1:
+            L = f"lab{lv}_{rounds}"
+            sql += f""", symc{lv} AS MATERIALIZED (
+      SELECT s.i, s.j, s.w
+      FROM sym{lv} s
+      JOIN {L} li ON li.id = s.i
+      JOIN {L} lj ON lj.id = s.j
+      WHERE li.lab = lj.lab
+    ), ctot{lv} AS MATERIALIZED (
+      SELECT l.lab, CAST(SUM(d.deg) AS BIGINT) AS ctot
+      FROM {L} l JOIN deg{lv} d ON d.id = l.id GROUP BY l.lab
+    ), ev{lv} AS MATERIALIZED (
+      SELECT i AS id, CAST(SUM(w) AS BIGINT) AS ev FROM symc{lv} GROUP BY i
+    ), nwc{lv} AS MATERIALIZED (
+      SELECT l.id,
+             (m.m2 * COALESCE(e.ev, 0)
+              >= {res} * d.deg * (c.ctot - d.deg)) AS wc
+      FROM {L} l
+      JOIN deg{lv} d ON d.id = l.id
+      JOIN ctot{lv} c ON c.lab = l.lab
+      LEFT JOIN ev{lv} e ON e.id = l.id
+      CROSS JOIN m2_{lv} m
+    ), rl{lv}_0 AS MATERIALIZED (
+      SELECT id, id AS rlab FROM deg{lv}
+    )"""
+            for t in range(1, refine_rounds + 1):
+                q = f"rl{lv}_{t - 1}"
+                sql += f""", rtot{lv}_{t} AS MATERIALIZED (
+      SELECT r.rlab, CAST(SUM(d.deg) AS BIGINT) AS rtot,
+             COUNT(*) AS rsize
+      FROM {q} r JOIN deg{lv} d ON d.id = r.id GROUP BY r.rlab
+    ), rext{lv}_{t} AS MATERIALIZED (
+      SELECT ri.rlab, CAST(SUM(sc.w) AS BIGINT) AS rext
+      FROM symc{lv} sc
+      JOIN {q} ri ON ri.id = sc.i
+      JOIN {q} rj ON rj.id = sc.j
+      WHERE ri.rlab <> rj.rlab GROUP BY ri.rlab
+    ), rpar{lv}_{t} AS MATERIALIZED (
+      SELECT r.rlab, MIN(l.lab) AS lab
+      FROM {q} r JOIN {L} l ON l.id = r.id GROUP BY r.rlab
+    ), sub{lv}_{t} AS MATERIALIZED (
+      SELECT rt.rlab, rt.rtot,
+             (m.m2 * COALESCE(x.rext, 0)
+              >= {res} * rt.rtot * (c.ctot - rt.rtot)) AS swc
+      FROM rtot{lv}_{t} rt
+      JOIN rpar{lv}_{t} rp ON rp.rlab = rt.rlab
+      JOIN ctot{lv} c ON c.lab = rp.lab
+      LEFT JOIN rext{lv}_{t} x ON x.rlab = rt.rlab
+      CROSS JOIN m2_{lv} m
+    ), kir{lv}_{t} AS MATERIALIZED (
+      SELECT sc.i AS id, rj.rlab AS tr, CAST(SUM(sc.w) AS BIGINT) AS kir
+      FROM symc{lv} sc
+      JOIN {q} ri ON ri.id = sc.i
+      JOIN {q} rj ON rj.id = sc.j
+      WHERE ri.rlab <> rj.rlab GROUP BY 1, 2
+    ), pick{lv}_{t} AS MATERIALIZED (
+      SELECT id, tr FROM (
+        SELECT x.id, x.tr,
+               ROW_NUMBER() OVER (
+                 PARTITION BY x.id ORDER BY x.gain DESC, x.tr ASC) AS rn
+        FROM (
+          SELECT r.id, k.tr,
+                 (m.m2 * k.kir - {res} * d.deg * s.rtot) AS gain
+          FROM {q} r
+          JOIN rtot{lv}_{t} rt ON rt.rlab = r.rlab AND rt.rsize = 1
+          JOIN nwc{lv} n ON n.id = r.id AND n.wc
+          JOIN deg{lv} d ON d.id = r.id
+          JOIN kir{lv}_{t} k ON k.id = r.id
+          JOIN sub{lv}_{t} s ON s.rlab = k.tr AND s.swc
+          CROSS JOIN m2_{lv} m
+          WHERE k.tr < r.rlab
+        ) x WHERE x.gain > 0
+      ) WHERE rn = 1
+    ), rl{lv}_{t} AS MATERIALIZED (
+      SELECT r.id, COALESCE(p.tr, r.rlab) AS rlab
+      FROM {q} r LEFT JOIN pick{lv}_{t} p ON p.id = r.id
+    )"""
+            T = f"rl{lv}_{refine_rounds}"
+            sql += f""", e{lv + 1} AS MATERIALIZED (
+      SELECT LEAST(ra.rlab, rb.rlab) AS a, GREATEST(ra.rlab, rb.rlab) AS b,
+             CAST(SUM(e.w) AS BIGINT) AS w
+      FROM e{lv} e
+      JOIN {T} ra ON ra.id = e.a
+      JOIN {T} rb ON rb.id = e.b
+      GROUP BY 1, 2
+    ), lab{lv + 1}_0 AS MATERIALIZED (
+      SELECT DISTINCT r.rlab AS id, l.lab
+      FROM {T} r JOIN {L} l ON l.id = r.id
+    )"""
+    # compose: orig -> refined supernode chain -> final move labels
+    chain = f"rl0_{refine_rounds} r0"
+    prev = "r0"
+    for lv in range(1, levels - 1):
+        chain += f" JOIN rl{lv}_{refine_rounds} r{lv} ON r{lv}.id = {prev}.rlab"
+        prev = f"r{lv}"
+    if levels == 1:
+        return sql + f"\n    SELECT id, lab AS community FROM lab0_{rounds}"
+    return (
+        sql
+        + f"""
+    SELECT r0.id AS id, fin.lab AS community
+    FROM {chain}
+    JOIN lab{levels - 1}_{rounds} fin ON fin.id = {prev}.rlab"""
+    )
+
+
+@_register("q159_leiden_distributed", _leiden_oracle_sql(2, 2, 2))
+def q159(spark, sf_dir):
+    """FULLY-DISTRIBUTED Leiden (2 local-move rounds × 2 levels, 2
+    refinement rounds, RB gain γ=1): q101's distributed Louvain PLUS
+    the γ-gated well-connectedness refinement of Traag et al. 2019 —
+    aggregation happens on the REFINED partition and the move partition
+    seeds the next level, so communities carry the Leiden
+    well-connectedness guarantee with NO driver-side graph. The oracle
+    replays local moving, refinement (singleton movers, argmax positive
+    gain, monotone descent), contraction and the move-partition init,
+    and hash-matches every node's community."""
+    from graphragpart1datapipeline_spark.graph import leiden_communities
+
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    e1 = c.select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("n"), F.col("c_nationkey").cast("string")).alias("dst"),
+    )
+    e2 = n.select(
+        F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias("src"),
+        F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias("dst"),
+    )
+    return leiden_communities(
+        e1.unionByName(e2), rounds_per_level=2, levels=2, refine_rounds=2
+    )
+
+
 def _lpa_oracle_sql(iters: int = 3) -> str:
     """Unrolled replay of label_propagation_communities over the
     customer→nation→region graph: per round, neighbor-label counts →

@@ -6,6 +6,7 @@ from .communities import (  # noqa: F401
     connected_components,
     detect_communities,
     label_propagation_communities,
+    leiden_communities,
     louvain_communities,
 )
 from .linkpred import link_prediction_scores  # noqa: F401

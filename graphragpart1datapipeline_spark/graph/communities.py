@@ -3,8 +3,11 @@ per-community rollups.
 
 Reference: Leiden via igraph/leidenalg at resolutions [2.0, 0.5, 0.1],
 seed 42, on a driver-local graph (utils/neo4j_helpers.py:196-268;
-~5.4k nodes / 123k edges — trivially driver-sized). There is no
-distributed Leiden; the engine keeps the same contract:
+~5.4k nodes / 123k edges — trivially driver-sized). The engine keeps
+the same driver-local contract AND adds fully-distributed companions
+(:func:`louvain_communities`, :func:`leiden_communities`,
+:func:`label_propagation_communities`) for graphs past the driver
+bound:
 
 - :func:`connected_components` — fully distributed (alternating
   large-star/small-star DataFrame iterations; scales to the edge table).
@@ -433,27 +436,38 @@ def detect_communities(
     :func:`louvain_communities` per resolution — NO driver-side graph,
     no size bound; same RB gain function, deterministic monotone-
     descent rounds; community ids densely renumbered by size desc /
-    min member), or ``"auto"`` (native leiden when importable, else
-    the vendored Leiden with a one-time note — never a silent swap).
+    min member), ``"leiden-distributed"`` (fully-distributed
+    :func:`leiden_communities` — louvain-distributed plus the γ-gated
+    well-connectedness refinement phase, aggregation on the refined
+    partition, move partition as next-level init: the Leiden loop with
+    no driver-side graph), or ``"auto"`` (native leiden when
+    importable, else the vendored Leiden with a one-time note — never
+    a silent swap).
 
-    Except under ``"louvain-distributed"``, the edge list is collected
-    to the driver (documented size bound — the reference graph is
-    ~123k edges; use ``"louvain-distributed"`` past the bound).
+    Except under the two ``*-distributed`` algorithms, the edge list
+    is collected to the driver (documented size bound — the reference
+    graph is ~123k edges; use a distributed algorithm past the bound).
     """
     if algorithm not in (
-        "auto", "leiden", "leiden-vendored", "louvain", "louvain-distributed"
+        "auto", "leiden", "leiden-vendored", "louvain",
+        "louvain-distributed", "leiden-distributed",
     ):
         raise ValueError(f"unknown algorithm {algorithm!r}")
-    if algorithm == "louvain-distributed":
+    if algorithm in ("louvain-distributed", "leiden-distributed"):
         from pyspark.sql import Window as _W
 
+        detector_df = (
+            leiden_communities
+            if algorithm == "leiden-distributed"
+            else louvain_communities
+        )
         base = edges.select(
             F.col(src).cast("string").alias("src"),
             F.col(dst).cast("string").alias("dst"),
         )
         out = None
         for i, res in enumerate(resolutions):
-            mem = louvain_communities(base, resolution=float(res))
+            mem = detector_df(base, resolution=float(res))
             sizes = mem.groupBy("community").agg(
                 F.count(F.lit(1)).alias("__n"), F.min("id").alias("__mn")
             )
@@ -714,6 +728,118 @@ def label_propagation_communities(
     return labels
 
 
+def _local_move_round(
+    labels: DataFrame,
+    deg: DataFrame,
+    sym: DataFrame,
+    m2: float,
+    resolution: float,
+    rescue_stranded: bool = False,
+) -> DataFrame:
+    """ONE synchronous deterministic local-moving round (shared by
+    :func:`louvain_communities` and :func:`leiden_communities`):
+    community degree totals + node→community weights → 2m-scaled
+    RB-configuration gain argmax under monotone label descent with the
+    negative-stay escape (see louvain_communities docstring). Returns
+    the new (id, lab) frame, localCheckpoint'ed.
+
+    ``rescue_stranded`` adds a second escape used by Leiden's
+    init-carrying levels: a node ALONE in its community with stay-gain
+    exactly 0 (it lost its community to label chasing — everyone it
+    labeled after moved on) may move UPHILL into a community of
+    size > 1. Louvain doesn't need it (each level restarts from
+    singletons, so the bigger neighbor community descends onto the
+    stranded label and heals the strand); Leiden seeds each level with
+    the move partition, so without the rescue a strand survives every
+    level. The size > 1 gate is what keeps the swap storm dead: two
+    mutually-best singletons can only merge DOWNHILL (one direction),
+    never trade places."""
+    tot = (
+        labels.join(deg, "id")
+        .groupBy("lab")
+        .agg(F.sum("deg").alias("tot"), F.count(F.lit(1)).alias("cnt"))
+    )
+    kic = (
+        sym.join(
+            labels.select(F.col("id").alias("j"), F.col("lab").alias("c")),
+            "j",
+        )
+        .groupBy(F.col("i").alias("id"), "c")
+        .agg(F.sum("w").alias("kic"))
+    )
+    cur = (
+        labels.select("id", F.col("lab").alias("c"))
+        .join(kic, ["id", "c"], "left")
+        .select(
+            "id",
+            "c",
+            F.coalesce("kic", F.lit(0).cast("long")).alias("kic"),
+        )
+    )
+    cand = kic.unionByName(cur).distinct()
+    scored = (
+        cand.join(labels.select("id", F.col("lab").alias("cur_lab")), "id")
+        .join(deg, "id")
+        .join(tot.select(F.col("lab").alias("c"), "tot", "cnt"), "c")
+        .select(
+            "id",
+            "c",
+            "cur_lab",
+            "cnt",
+            (
+                F.lit(m2) * F.col("kic").cast("double")
+                - F.lit(resolution)
+                * F.col("deg").cast("double")
+                * (
+                    F.col("tot")
+                    - F.when(F.col("c") == F.col("cur_lab"), F.col("deg"))
+                    .otherwise(F.lit(0))
+                ).cast("double")
+            ).alias("gain"),
+            (F.col("c") == F.col("cur_lab")).alias("is_cur"),
+        )
+    )
+    from pyspark.sql import Window as _W
+
+    stayg = F.max(F.when(F.col("is_cur"), F.col("gain"))).over(
+        _W.partitionBy("id")
+    )
+    escape = F.col("stayg") < 0
+    if rescue_stranded:
+        escape = escape | (
+            (F.col("stayg") == 0) & F.col("alone") & (F.col("cnt") > 1)
+        )
+    best = (
+        scored.withColumn("stayg", stayg)
+        .withColumn(
+            "alone",
+            F.max(F.when(F.col("is_cur"), F.col("cnt") == 1)).over(
+                _W.partitionBy("id")
+            ),
+        )
+        # monotone descent, unless staying is actively harmful (or the
+        # node is a zero-gain stranded singleton — see docstring)
+        .filter((F.col("c") <= F.col("cur_lab")) | escape)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                _W.partitionBy("id").orderBy(
+                    F.col("gain").desc(),
+                    F.col("is_cur").desc(),
+                    F.col("c").asc(),
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("id", F.col("c").alias("best_c"))
+    )
+    return (
+        labels.join(best, "id")
+        .select("id", F.col("best_c").alias("lab"))
+        .localCheckpoint(eager=True)
+    )
+
+
 def louvain_communities(
     edges: DataFrame,
     src: str = "src",
@@ -805,79 +931,7 @@ def louvain_communities(
         )
         labels = deg.select("id", F.col("id").alias("lab"))
         for _ in range(rounds_per_level):
-            tot = (
-                labels.join(deg, "id")
-                .groupBy("lab")
-                .agg(F.sum("deg").alias("tot"))
-            )
-            kic = (
-                sym.join(
-                    labels.select(F.col("id").alias("j"), F.col("lab").alias("c")),
-                    "j",
-                )
-                .groupBy(F.col("i").alias("id"), "c")
-                .agg(F.sum("w").alias("kic"))
-            )
-            cur = (
-                labels.select("id", F.col("lab").alias("c"))
-                .join(kic, ["id", "c"], "left")
-                .select(
-                    "id",
-                    "c",
-                    F.coalesce("kic", F.lit(0).cast("long")).alias("kic"),
-                )
-            )
-            cand = kic.unionByName(cur).distinct()
-            scored = (
-                cand.join(labels.select("id", F.col("lab").alias("cur_lab")), "id")
-                .join(deg, "id")
-                .join(tot.select(F.col("lab").alias("c"), "tot"), "c")
-                .select(
-                    "id",
-                    "c",
-                    "cur_lab",
-                    (
-                        F.lit(m2) * F.col("kic").cast("double")
-                        - F.lit(resolution)
-                        * F.col("deg").cast("double")
-                        * (
-                            F.col("tot")
-                            - F.when(F.col("c") == F.col("cur_lab"), F.col("deg"))
-                            .otherwise(F.lit(0))
-                        ).cast("double")
-                    ).alias("gain"),
-                    (F.col("c") == F.col("cur_lab")).alias("is_cur"),
-                )
-            )
-            from pyspark.sql import Window as _W
-
-            stayg = F.max(F.when(F.col("is_cur"), F.col("gain"))).over(
-                _W.partitionBy("id")
-            )
-            best = (
-                scored.withColumn("stayg", stayg)
-                # monotone descent, unless staying is actively harmful
-                .filter(
-                    (F.col("c") <= F.col("cur_lab")) | (F.col("stayg") < 0)
-                )
-                .withColumn(
-                    "rn",
-                    F.row_number().over(
-                        _W.partitionBy("id").orderBy(
-                            F.col("gain").desc(),
-                            F.col("is_cur").desc(),
-                            F.col("c").asc(),
-                        )
-                    ),
-                )
-                .filter(F.col("rn") == 1)
-                .select("id", F.col("c").alias("best_c"))
-            )
-            labels = (
-                labels.join(best, "id")
-                .select("id", F.col("best_c").alias("lab"))
-                .localCheckpoint(eager=True)
-            )
+            labels = _local_move_round(labels, deg, sym, m2, resolution)
         membership = (
             labels
             if membership is None
@@ -904,3 +958,278 @@ def louvain_communities(
     if membership is None:
         return spark.createDataFrame([], "id string, community string")
     return membership.select("id", F.col("lab").alias("community"))
+
+
+def leiden_communities(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    resolution: float = 1.0,
+    rounds_per_level: int = 2,
+    levels: int = 2,
+    refine_rounds: int = 2,
+) -> DataFrame:
+    """FULLY-DISTRIBUTED Leiden: :func:`louvain_communities`' local
+    moving PLUS the γ-gated well-connectedness refinement phase of
+    Traag et al. 2019 (the Leiden guarantee Louvain lacks), every step
+    a shuffle-bounded DataFrame op — the 100×-scale companion to the
+    driver-local :func:`detect_communities` Leiden (reference contract
+    utils/neo4j_helpers.py:237-268). Returns (id, community).
+
+    Per level (deterministic, synchronous):
+      1. ``rounds_per_level`` local-moving rounds (shared
+         :func:`_local_move_round` — exact-integer 2m-scaled RB gain,
+         monotone label descent) produce the MOVE partition P.
+      2. REFINEMENT inside each move community C (this is what Louvain
+         skips and what makes badly-connected — even disconnected —
+         communities impossible to aggregate): starting from
+         singletons, a node v may merge into a refined subcommunity R
+         of its OWN move community only when
+           - v is well-connected to C:  2m·E(v, C−v) ≥ γ·k_v·(k_C−k_v)
+           - R is well-connected to C:  2m·E(R, C−R) ≥ γ·k_R·(k_C−k_R)
+           - the merge strictly improves quality: 2m·k_{v,R} > γ·k_v·k_R
+         choosing the argmax-gain target (θ→0 greedy — leidenalg's
+         randomized merge degenerates to argmax as θ→0). Only nodes
+         still SINGLETON in the refined partition move (each node
+         merges at most once per refinement pass, exactly the
+         sequential algorithm's rule), moves are synchronous over
+         ``refine_rounds`` rounds, and a mover may only adopt a
+         SMALLER label (same oscillation-killing monotone-descent
+         trade as the move phase) — so the result is a pure function
+         of the edge set, replayable in SQL (q159 hash-matches every
+         node).
+      3. CONTRACTION on the REFINED partition; the move partition is
+         carried as the next level's INITIAL labels (each supernode
+         starts in its move community) — aggregation-on-refined +
+         move-as-init is precisely the Leiden loop.
+
+    All quantities are integer-valued (2m-scaled), so the double
+    arithmetic is exact and the DuckDB oracle replays the full
+    multi-level run bit-for-bit. Labels and degrees are node-sized;
+    only the edge joins are edge-sized; localCheckpoint per round
+    keeps lineage flat; the only collect is the 1-row 2m scalar per
+    level. No driver-side graph ever exists.
+    """
+    spark = edges.sparkSession
+    can = (
+        edges.select(
+            F.least(F.col(src).cast("string"), F.col(dst).cast("string")).alias("a"),
+            F.greatest(F.col(src).cast("string"), F.col(dst).cast("string")).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .withColumn("w", F.lit(1).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    node_map: DataFrame | None = None  # original id -> current-level node
+    init: DataFrame | None = None  # next level's initial (id, lab)
+    last_labels: DataFrame | None = None
+    for level in range(levels):
+        deg = (
+            can.select(
+                F.col("a").alias("id"),
+                F.when(F.col("a") == F.col("b"), 2 * F.col("w"))
+                .otherwise(F.col("w"))
+                .alias("dw"),
+            )
+            .unionByName(
+                can.filter(F.col("a") != F.col("b")).select(
+                    F.col("b").alias("id"), F.col("w").alias("dw")
+                )
+            )
+            .groupBy("id")
+            .agg(F.sum("dw").alias("deg"))
+            .localCheckpoint(eager=True)
+        )
+        m2_row = deg.agg(F.sum("deg")).collect()[0][0]
+        if m2_row is None or m2_row == 0:
+            break
+        m2 = float(m2_row)
+        sym = (
+            can.filter(F.col("a") != F.col("b"))
+            .select(F.col("a").alias("i"), F.col("b").alias("j"), "w")
+            .unionByName(
+                can.filter(F.col("a") != F.col("b")).select(
+                    F.col("b").alias("i"), F.col("a").alias("j"), "w"
+                )
+            )
+        )
+        labels = (
+            init if init is not None
+            else deg.select("id", F.col("id").alias("lab"))
+        )
+        for _ in range(rounds_per_level):
+            labels = _local_move_round(
+                labels, deg, sym, m2, resolution, rescue_stranded=True
+            )
+        last_labels = labels
+        if level >= levels - 1:
+            break
+        # ---- refinement inside each move community -------------------
+        symc = (
+            sym.join(
+                labels.select(F.col("id").alias("i"), F.col("lab").alias("li")),
+                "i",
+            )
+            .join(
+                labels.select(F.col("id").alias("j"), F.col("lab").alias("lj")),
+                "j",
+            )
+            .filter(F.col("li") == F.col("lj"))
+            .select("i", "j", "w")
+            .localCheckpoint(eager=True)
+        )
+        ctot = (
+            labels.join(deg, "id")
+            .groupBy("lab")
+            .agg(F.sum("deg").alias("ctot"))
+        )
+        ev = symc.groupBy(F.col("i").alias("id")).agg(F.sum("w").alias("ev"))
+        node_wc = (
+            labels.join(deg, "id")
+            .join(ctot, "lab")
+            .join(ev, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(m2)
+                    * F.coalesce(F.col("ev"), F.lit(0).cast("long")).cast("double")
+                    >= F.lit(resolution)
+                    * F.col("deg").cast("double")
+                    * (F.col("ctot") - F.col("deg")).cast("double")
+                ).alias("wc"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        rlab = deg.select("id", F.col("id").alias("rlab"))
+        for _ in range(refine_rounds):
+            ann = symc.join(
+                rlab.select(F.col("id").alias("i"), F.col("rlab").alias("ri")),
+                "i",
+            ).join(
+                rlab.select(F.col("id").alias("j"), F.col("rlab").alias("rj")),
+                "j",
+            )
+            rtot = rlab.join(deg, "id").groupBy("rlab").agg(
+                F.sum("deg").alias("rtot"), F.count(F.lit(1)).alias("rsize")
+            )
+            rext = (
+                ann.filter(F.col("ri") != F.col("rj"))
+                .groupBy(F.col("ri").alias("rlab"))
+                .agg(F.sum("w").alias("rext"))
+            )
+            rparent = rlab.join(labels, "id").groupBy("rlab").agg(
+                F.min("lab").alias("lab")
+            )
+            sub = (
+                rtot.join(rparent, "rlab")
+                .join(ctot, "lab")
+                .join(rext, "rlab", "left")
+                .select(
+                    "rlab",
+                    "rtot",
+                    (
+                        F.lit(m2)
+                        * F.coalesce(F.col("rext"), F.lit(0).cast("long")).cast(
+                            "double"
+                        )
+                        >= F.lit(resolution)
+                        * F.col("rtot").cast("double")
+                        * (F.col("ctot") - F.col("rtot")).cast("double")
+                    ).alias("swc"),
+                )
+            )
+            kir = (
+                ann.filter(F.col("ri") != F.col("rj"))
+                .groupBy(F.col("i").alias("id"), F.col("rj").alias("tr"))
+                .agg(F.sum("w").alias("kir"))
+            )
+            from pyspark.sql import Window as _W
+
+            pick = (
+                rlab.join(
+                    rtot.select("rlab", "rsize").filter(F.col("rsize") == 1),
+                    "rlab",
+                )
+                .join(node_wc.filter(F.col("wc")), "id")
+                .join(deg, "id")
+                .join(kir, "id")
+                .join(
+                    sub.select(
+                        F.col("rlab").alias("tr"),
+                        F.col("rtot").alias("ttot"),
+                        "swc",
+                    ),
+                    "tr",
+                )
+                .filter(F.col("swc") & (F.col("tr") < F.col("rlab")))
+                .withColumn(
+                    "gain",
+                    F.lit(m2) * F.col("kir").cast("double")
+                    - F.lit(resolution)
+                    * F.col("deg").cast("double")
+                    * F.col("ttot").cast("double"),
+                )
+                .filter(F.col("gain") > 0)
+                .withColumn(
+                    "rn",
+                    F.row_number().over(
+                        _W.partitionBy("id").orderBy(
+                            F.col("gain").desc(), F.col("tr").asc()
+                        )
+                    ),
+                )
+                .filter(F.col("rn") == 1)
+                .select("id", F.col("tr").alias("new_rlab"))
+            )
+            rlab = (
+                rlab.join(pick, "id", "left")
+                .select(
+                    "id",
+                    F.coalesce("new_rlab", "rlab").alias("rlab"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        # ---- contraction on the refined partition --------------------
+        node_map = (
+            rlab
+            if node_map is None
+            else node_map.withColumnRenamed("rlab", "__cur")
+            .join(
+                rlab.select(
+                    F.col("id").alias("__cur"), F.col("rlab").alias("__new")
+                ),
+                "__cur",
+            )
+            .select("id", F.col("__new").alias("rlab"))
+            .localCheckpoint(eager=True)
+        )
+        init = (
+            rlab.join(labels, "id")
+            .select(F.col("rlab").alias("id"), "lab")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        ra = rlab.select(F.col("id").alias("a"), F.col("rlab").alias("la"))
+        rb = rlab.select(F.col("id").alias("b"), F.col("rlab").alias("lb"))
+        can = (
+            can.join(ra, "a")
+            .join(rb, "b")
+            .groupBy(
+                F.least("la", "lb").alias("a"),
+                F.greatest("la", "lb").alias("b"),
+            )
+            .agg(F.sum("w").alias("w"))
+            .localCheckpoint(eager=True)
+        )
+    if last_labels is None:
+        return spark.createDataFrame([], "id string, community string")
+    if node_map is None:
+        return last_labels.select("id", F.col("lab").alias("community"))
+    return (
+        node_map.withColumnRenamed("rlab", "__node")
+        .join(
+            last_labels.select(F.col("id").alias("__node"), "lab"), "__node"
+        )
+        .select("id", F.col("lab").alias("community"))
+    )

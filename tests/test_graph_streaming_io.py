@@ -189,6 +189,80 @@ def test_louvain_distributed_two_cliques(spark):
     assert m2 == m
 
 
+def test_leiden_distributed_two_cliques_ab_vendored(spark):
+    """Distributed Leiden: partition-identical to the vendored
+    driver-local Leiden on the golden two-clique graph, deterministic,
+    refinement-correct (cliques stay whole, bridge doesn't merge),
+    empty-safe."""
+    from graphragpart1datapipeline_spark.graph import leiden_communities
+    from graphragpart1datapipeline_spark.graph.communities import (
+        _leiden_driver_local_vendored,
+    )
+
+    clique1 = [("a" + str(i), "a" + str(j)) for i in range(5) for j in range(i + 1, 5)]
+    clique2 = [("b" + str(i), "b" + str(j)) for i in range(5) for j in range(i + 1, 5)]
+    edge_list = clique1 + clique2 + [("a0", "b0")]
+    edges = spark.createDataFrame(edge_list, "src string, dst string")
+    out = leiden_communities(edges, rounds_per_level=2, levels=2)
+    m = {r["id"]: r["community"] for r in out.collect()}
+    parts = {}
+    for node, c in m.items():
+        parts.setdefault(c, set()).add(node)
+    got = sorted(sorted(p) for p in parts.values())
+    # A/B: same PARTITION as the vendored driver-local Leiden (labels
+    # differ by construction; the grouping must not)
+    ven = _leiden_driver_local_vendored(edge_list, 1.0, 42)
+    vparts = {}
+    for node, c in ven.items():
+        vparts.setdefault(c, set()).add(node)
+    assert got == sorted(sorted(p) for p in vparts.values())
+    # determinism
+    again = leiden_communities(edges, rounds_per_level=2, levels=2)
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, again.collect())
+    )
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert leiden_communities(empty).count() == 0
+
+
+def test_leiden_distributed_refinement_gates(spark):
+    """The refinement phase only merges γ-gated well-connected nodes:
+    at resolution high enough that no node is well-connected to its
+    move community, refinement leaves singletons and the contraction
+    is a no-op relabel — the run still completes and still groups the
+    cliques (local moving does that part)."""
+    from graphragpart1datapipeline_spark.graph import leiden_communities
+
+    clique = [("a" + str(i), "a" + str(j)) for i in range(4) for j in range(i + 1, 4)]
+    edges = spark.createDataFrame(clique, "src string, dst string")
+    out = {r["id"]: r["community"] for r in
+           leiden_communities(edges, levels=2, resolution=1.0).collect()}
+    assert len(set(out.values())) == 1  # one clique, one community
+    # absurd resolution: everything prefers singletons, run is stable
+    hi = {r["id"]: r["community"] for r in
+          leiden_communities(edges, levels=2, resolution=100.0).collect()}
+    assert len(set(hi.values())) == 4  # all singletons
+
+
+def test_detect_communities_leiden_distributed_multires(spark):
+    """algorithm='leiden-distributed' keeps the driver-local schema
+    (dense long ids by size desc / min member) with no collected
+    graph."""
+    clique1 = [("a" + str(i), "a" + str(j)) for i in range(4) for j in range(i + 1, 4)]
+    clique2 = [("b" + str(i), "b" + str(j)) for i in range(3) for j in range(i + 1, 3)]
+    edges = spark.createDataFrame(
+        clique1 + clique2 + [("a0", "b0")], "src string, dst string"
+    )
+    out = detect_communities(
+        spark, edges, resolutions=(1.0, 0.5), algorithm="leiden-distributed"
+    )
+    assert out.columns == ["id", "community_L0", "community_L1"]
+    rows = {r["id"]: (r["community_L0"], r["community_L1"]) for r in out.collect()}
+    assert len(rows) == 7
+    assert rows["a0"][0] == 0  # larger clique gets dense id 0
+    assert {v[0] for v in rows.values()} == {0, 1}
+
+
 def test_detect_communities_louvain_distributed_multires(spark):
     """algorithm='louvain-distributed' keeps the driver-local schema
     (dense long ids by size desc / min member) with no collected graph."""
