@@ -4114,6 +4114,279 @@ def q159(spark, sf_dir):
     )
 
 
+def _ann_recall_oracle_sql() -> str:
+    """Replay exact top-10, LSH top-10 (quantized integer-plane
+    buckets) and IVF top-10 (centroid probe) side by side and count
+    the approximate hits inside the exact set — every score is exact
+    arithmetic (integer plane dots, in-order float folds), so recall
+    itself is hash-checkable."""
+    return f"""
+    WITH n AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), q AS (
+      SELECT v AS qv FROM n WHERE vec_id = 0
+    ), ex AS (
+      SELECT vec_id FROM (
+        SELECT n.vec_id,
+               list_dot_product(n.v, q.qv)
+                 / (sqrt(list_dot_product(n.v, n.v))
+                    * sqrt(list_dot_product(q.qv, q.qv))) AS score
+        FROM n, q
+      ) ORDER BY score DESC, vec_id LIMIT 10
+    ), base AS (
+      SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS am
+      FROM n
+    ), qb AS (
+      SELECT vec_id, v, {_QUANTIZE_SQL} AS qv8 FROM base
+    ), bk AS (
+      SELECT vec_id, v, {_lsh_bucket_sql('qv8', 64, 2)} AS bkt FROM qb
+    ), lq AS (
+      SELECT bkt AS qbkt FROM bk WHERE vec_id = 0
+    ), lsh AS (
+      SELECT vec_id FROM (
+        SELECT e.vec_id,
+               list_dot_product(e.v, q.qv)
+                 / (sqrt(list_dot_product(e.v, e.v))
+                    * sqrt(list_dot_product(q.qv, q.qv))) AS score
+        FROM bk e CROSS JOIN q CROSS JOIN lq WHERE e.bkt = lq.qbkt
+      ) ORDER BY score DESC, vec_id LIMIT 10
+    ), cents AS (
+      SELECT vec_id AS cid, v AS cv FROM n WHERE vec_id < 8
+    ), cscored AS (
+      SELECT n.vec_id, c.cid,
+             CASE WHEN sqrt(list_dot_product(n.v, n.v))
+                       * sqrt(list_dot_product(c.cv, c.cv)) > 0
+                  THEN list_dot_product(n.v, c.cv)
+                       / (sqrt(list_dot_product(n.v, n.v))
+                          * sqrt(list_dot_product(c.cv, c.cv)))
+                  ELSE 0.0 END AS cos
+      FROM n CROSS JOIN cents c
+    ), assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, cid) AS rn
+        FROM cscored) WHERE rn = 1
+    ), probe AS (
+      SELECT cid FROM assign WHERE vec_id = 0
+    ), ivf AS (
+      SELECT vec_id FROM (
+        SELECT cand.vec_id,
+               list_dot_product(cand.v, q.qv)
+                 / (sqrt(list_dot_product(cand.v, cand.v))
+                    * sqrt(list_dot_product(q.qv, q.qv))) AS score
+        FROM (SELECT n.vec_id, n.v FROM n
+              JOIN assign USING (vec_id) JOIN probe USING (cid)) cand, q
+      ) ORDER BY score DESC, vec_id LIMIT 10
+    )
+    SELECT 'ivf' AS method, COUNT(*) AS hits,
+           COUNT(*) / 10.0 AS recall
+    FROM ex JOIN ivf USING (vec_id)
+    UNION ALL
+    SELECT 'lsh' AS method, COUNT(*) AS hits,
+           COUNT(*) / 10.0 AS recall
+    FROM ex JOIN lsh USING (vec_id)
+    """
+
+
+@_register("q160_ann_recall", _ann_recall_oracle_sql())
+def q160(spark, sf_dir):
+    """Retrieval QUALITY as a hash-checked query: recall@10 of the two
+    approximate ANN paths (LSH sign-buckets q35/q66; IVF centroid
+    probe q42) against the exact cosine top-10 (q25, the reference's
+    query contract — top-k cosine, scripts/query_embeddings.py:52-58).
+    Latency without recall is half the ANN story; this pins the other
+    half every round. All three top-k sets are deterministic (exact
+    integer plane dots, fixed tie-breaks), so the recall values are
+    exact — any drift in bucketing, quantization, or probe selection
+    flips the hash."""
+    from graphragpart1datapipeline_spark.vector.search import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    exact = cosine_topk(
+        emb, qvec, k=10, vec_col="embedding", id_col="vec_id"
+    ).select("vec_id")
+    lsh = lsh_topk(
+        emb, qvec, k=10, vec_col="embedding", id_col="vec_id", bits=2
+    ).select("vec_id")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding")
+    )
+    ivf = ivf_topk(
+        emb, qvec, cents, k=10, vec_col="embedding", id_col="vec_id",
+        cent_vec_col="embedding", cent_id_col="cid", nprobe=1,
+    ).select("vec_id")
+    out = None
+    for name, approx in (("ivf", ivf), ("lsh", lsh)):
+        row = (
+            exact.join(approx, "vec_id", "left_semi")
+            .agg(
+                F.lit(name).alias("method"),
+                F.count(F.lit(1)).alias("hits"),
+                (F.count(F.lit(1)) / F.lit(10.0)).alias("recall"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+@_register(
+    "q161_set_similarity_incremental",
+    """
+    WITH recs AS (
+      SELECT p_partkey AS rid,
+             list_distinct(list_filter(
+               string_split_regex(
+                 lower(p_name || ' ' || p_brand || ' ' || p_type),
+                 '[^a-z0-9]+'),
+               t -> t <> '')) AS toks
+      FROM part
+    ), nw AS (SELECT * FROM recs WHERE rid % 4 = 0),
+    cp AS (SELECT * FROM recs WHERE rid % 4 <> 0)
+    SELECT n.rid AS new_id, c.rid AS corpus_id,
+           CAST(len(list_intersect(n.toks, c.toks)) AS BIGINT) AS inter_size,
+           CAST(len(n.toks) + len(c.toks)
+                - len(list_intersect(n.toks, c.toks)) AS BIGINT) AS union_size
+    FROM nw n JOIN cp c
+      ON 5 * len(list_intersect(n.toks, c.toks))
+           >= 3 * (len(n.toks) + len(c.toks)
+                   - len(list_intersect(n.toks, c.toks)))
+    """,
+)
+def q161(spark, sf_dir):
+    """INCREMENTAL exact set-similarity join: a new batch (partkeys
+    ≡ 0 mod 4) matched against the standing corpus through the
+    persisted prefix index (frozen rarest-first token order; unseen
+    increment tokens sort last) — the corpus is never self-paired,
+    q122's daily-increment sibling. Oracle is the brute-force
+    quadratic new×corpus join, so the hash match proves the frozen-
+    order prefix filter loses nothing across index generations."""
+    from graphragpart1datapipeline_spark.dedup.incremental import (
+        set_similarity_index,
+        set_similarity_join_incremental,
+    )
+
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.concat_ws(" ", "p_name", "p_brand", "p_type").alias("etext"),
+    )
+    corpus = p.filter(F.col("p_partkey") % 4 != 0)
+    new = p.filter(F.col("p_partkey") % 4 == 0)
+    idx = set_similarity_index(corpus, "p_partkey", "etext", t_num=3, t_den=5)
+    out = set_similarity_join_incremental(
+        new, idx, "p_partkey", "etext", t_num=3, t_den=5
+    )
+    return out.select(
+        F.col("new_id").cast("long").alias("new_id"),
+        F.col("corpus_id").cast("long").alias("corpus_id"),
+        F.col("inter_size").cast("long").alias("inter_size"),
+        F.col("union_size").cast("long").alias("union_size"),
+    )
+
+
+@_register(
+    "q162_passjoin_incremental",
+    """
+    SELECT n.p_partkey AS new_id, c.p_partkey AS corpus_id,
+           CAST(levenshtein(n.p_name, c.p_name) AS BIGINT) AS dist
+    FROM part n JOIN part c
+      ON n.p_partkey % 4 = 0 AND c.p_partkey % 4 <> 0
+    WHERE levenshtein(n.p_name, c.p_name) <= 2
+    """,
+)
+def q162(spark, sf_dir):
+    """INCREMENTAL lossless edit-distance join: the new batch probes
+    the persisted PassJoin segment index (plus the corpus-shorts
+    residual streams) — every cross pair within distance 2, corpus
+    never self-paired; q156's increment sibling. Oracle replays the
+    brute-force quadratic new×corpus Levenshtein join."""
+    from graphragpart1datapipeline_spark.dedup.incremental import (
+        levenshtein_index,
+        levenshtein_join_incremental,
+    )
+
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    corpus = p.filter(F.col("p_partkey") % 4 != 0)
+    new = p.filter(F.col("p_partkey") % 4 == 0)
+    idx = levenshtein_index(corpus, "p_partkey", "p_name", d=2)
+    out = levenshtein_join_incremental(new, idx, "p_partkey", "p_name", d=2)
+    return out.select(
+        F.col("new_id").cast("long").alias("new_id"),
+        F.col("corpus_id").cast("long").alias("corpus_id"),
+        F.col("dist").cast("long").alias("dist"),
+    )
+
+
+@_register(
+    "q163_containment_incremental",
+    """
+    WITH t AS (
+      SELECT doc_id AS id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x != '') AS w
+      FROM documents
+    ), r AS (
+      SELECT id,
+             list_distinct(list_transform(
+               range(1, greatest(len(w) - 4, 0) + 1),
+               i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])
+             )) AS toks
+      FROM t
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT)
+             AS inter_size,
+           CAST(len(a.toks) AS BIGINT) AS a_size
+    FROM r a JOIN r b
+      ON ((a.id % 5 = 0 AND b.id % 5 <> 0)
+          OR (a.id % 5 <> 0 AND b.id % 5 = 0))
+    WHERE len(a.toks) > 0
+      AND len(list_intersect(a.toks, b.toks)) * 2 >= len(a.toks)
+    """,
+)
+def q163(spark, sf_dir):
+    """INCREMENTAL directional containment: new docs (ids ≡ 0 mod 5)
+    against the persisted corpus index in BOTH directions — increment
+    prefixes probe the corpus postings (new quoted in corpus) and the
+    corpus prefixes probe increment postings (corpus quoted in new) —
+    q158's increment sibling, corpus never self-paired. Oracle is the
+    brute-force quadratic cross join over 5-gram shingle sets."""
+    from graphragpart1datapipeline_spark.dedup.incremental import (
+        containment_index,
+        containment_join_incremental,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    w = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+        lambda t: t != F.lit(""),
+    )
+    sh = F.when(
+        F.size(w) < 5, F.array().cast("array<string>")
+    ).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - 4),
+                lambda i: F.array_join(F.slice(w, i, 5), " "),
+            )
+        )
+    )
+    shingled = docs.select("doc_id", sh.alias("sh"))
+    corpus = shingled.filter(F.col("doc_id") % 5 != 0)
+    new = shingled.filter(F.col("doc_id") % 5 == 0)
+    idx = containment_index(corpus, "doc_id", "sh", t_num=1, t_den=2)
+    out = containment_join_incremental(
+        new, idx, "doc_id", "sh", t_num=1, t_den=2, direction="both"
+    )
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("inter_size").cast("long").alias("inter_size"),
+        F.col("a_size").cast("long").alias("a_size"),
+    )
+
+
 def _lpa_oracle_sql(iters: int = 3) -> str:
     """Unrolled replay of label_propagation_communities over the
     customer→nation→region graph: per round, neighbor-label counts →

@@ -23,3 +23,11 @@ from .entity import (  # noqa: F401
 )
 from .splits import weighted_poisson_sample  # noqa: F401
 from .editdist import levenshtein_self_join  # noqa: F401
+from .incremental import (  # noqa: F401
+    containment_index,
+    containment_join_incremental,
+    levenshtein_index,
+    levenshtein_join_incremental,
+    set_similarity_index,
+    set_similarity_join_incremental,
+)

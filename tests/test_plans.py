@@ -434,3 +434,47 @@ def test_link_prediction_plan_no_cartesian_and_topk(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "TakeOrderedAndProject" in p
+
+
+def test_incremental_er_joins_plan_no_corpus_self_join(spark):
+    """The incremental ER joins must contain no cartesian/nested-loop
+    node (for all-long inputs) — candidates are index-key equi-joins of
+    the increment against the persisted corpus tables only."""
+    from graphragpart1datapipeline_spark.dedup.incremental import (
+        containment_index,
+        containment_join_incremental,
+        levenshtein_index,
+        levenshtein_join_incremental,
+        set_similarity_index,
+        set_similarity_join_incremental,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, f"alpha beta{i % 9} gamma{i % 4} delta") for i in range(60)],
+        "id int, s string",
+    )
+    corpus, new = df.filter("id % 3 != 0"), df.filter("id % 3 = 0")
+
+    ss = set_similarity_join_incremental(
+        new, set_similarity_index(corpus, "id", "s"), "id", "s"
+    )
+    p = _plan(ss)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+    lv = levenshtein_join_incremental(
+        new, levenshtein_index(corpus, "id", "s", d=2), "id", "s", d=2
+    )
+    p = _plan(lv)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+    arr = df.select("id", F.split("s", " ").alias("toks"))
+    ca, na = arr.filter("id % 3 != 0"), arr.filter("id % 3 = 0")
+    cj = containment_join_incremental(
+        na, containment_index(ca, "id", "toks"), "id", "toks"
+    )
+    p = _plan(cj)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

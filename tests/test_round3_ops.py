@@ -1548,3 +1548,160 @@ def test_weighted_poisson_sample_bounds(spark):
     )
     kept = weighted_poisson_sample(big, "id", "w", 5).count()
     assert 0 < kept <= 10
+
+
+# ---------------------------------------------------------------------------
+# Round-4: incremental ER joins (split-apply == one-shot, index roundtrip)
+# ---------------------------------------------------------------------------
+
+
+def _er_corpus(spark):
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma delta epsilon"),
+        (3, "zeta eta theta"),
+        (4, "alpha beta gamma delta"),      # duplicate of 1
+        (5, "iota kappa"),
+        (6, "alpha beta gamma epsilon delta"),
+        (9, "unseen tokens here entirely"),
+        (10, "alpha beta gamma delta zeta"),  # new batch from here on
+        (12, "zeta eta theta iota"),
+        (15, "brand new vocabulary only"),
+        (18, "alpha beta gamma delta"),     # exact dup of corpus 1/4
+    ]
+    return spark.createDataFrame(rows, "id int, s string")
+
+
+def test_set_similarity_incremental_equals_batch_cross_pairs(spark):
+    """incremental(new, index(corpus)) must equal the one-shot batch
+    join restricted to (new, corpus) cross pairs — the q116-style
+    split-apply contract."""
+    from graphragpart1datapipeline_spark.dedup.entity import set_similarity_join
+    from graphragpart1datapipeline_spark.dedup.incremental import (
+        set_similarity_index,
+        set_similarity_join_incremental,
+    )
+
+    df = _er_corpus(spark)
+    corpus = df.filter("id < 10")
+    new = df.filter("id >= 10")
+    idx = set_similarity_index(corpus, "id", "s", 3, 5)
+    got = sorted(
+        (r["new_id"], r["corpus_id"], r["inter_size"], r["union_size"])
+        for r in set_similarity_join_incremental(
+            new, idx, "id", "s", 3, 5
+        ).collect()
+    )
+    batch = set_similarity_join(df, "id", "s", 3, 5).collect()
+    want = sorted(
+        (max(r["id_a"], r["id_b"]) if max(r["id_a"], r["id_b"]) >= 10
+         else min(r["id_a"], r["id_b"]),
+         min(r["id_a"], r["id_b"]) if max(r["id_a"], r["id_b"]) >= 10
+         else max(r["id_a"], r["id_b"]),
+         r["inter_size"], r["union_size"])
+        for r in batch
+        if (r["id_a"] >= 10) != (r["id_b"] >= 10)
+    )
+    assert got == want and len(got) > 0
+
+
+def test_levenshtein_incremental_equals_batch_cross_pairs(spark):
+    from graphragpart1datapipeline_spark.dedup.editdist import (
+        levenshtein_self_join,
+    )
+    from graphragpart1datapipeline_spark.dedup.incremental import (
+        levenshtein_index,
+        levenshtein_join_incremental,
+    )
+
+    rows = [
+        (1, "carbon"), (2, "carbpn"), (3, "xx"), (4, "carbon"),
+        (5, "steel"), (10, "carbin"), (11, "xy"), (12, "steel"),
+        (13, "totallydifferent"),
+    ]
+    df = spark.createDataFrame(rows, "id int, s string")
+    corpus, new = df.filter("id < 10"), df.filter("id >= 10")
+    idx = levenshtein_index(corpus, "id", "s", d=2)
+    got = sorted(
+        (r["new_id"], r["corpus_id"], r["dist"])
+        for r in levenshtein_join_incremental(
+            new, idx, "id", "s", d=2
+        ).collect()
+    )
+    batch = levenshtein_self_join(df, "id", "s", d=2).collect()
+    want = sorted(
+        (max(r["id_a"], r["id_b"]), min(r["id_a"], r["id_b"]), r["dist"])
+        for r in batch
+        if (r["id_a"] >= 10) != (r["id_b"] >= 10)
+    )
+    # the short×short block must contribute: (11 'xy') vs (3 'xx')
+    assert (11, 3, 1) in got
+    assert got == want and len(got) > 0
+
+
+def test_containment_incremental_equals_batch_cross_pairs(spark):
+    from graphragpart1datapipeline_spark.dedup.entity import containment_join
+    from graphragpart1datapipeline_spark.dedup.incremental import (
+        containment_index,
+        containment_join_incremental,
+    )
+
+    rows = [
+        (1, ["a", "b", "c", "d"]),
+        (2, ["a", "b"]),
+        (3, ["x", "y", "z"]),
+        (10, ["a", "b", "c"]),        # contained in 1, contains 2
+        (11, ["x", "y", "z", "w"]),   # contains 3
+        (12, ["q"]),
+    ]
+    df = spark.createDataFrame(rows, "id int, toks array<string>")
+    corpus, new = df.filter("id < 10"), df.filter("id >= 10")
+    idx = containment_index(corpus, "id", "toks", 1, 2)
+    got = sorted(
+        (r["id_a"], r["id_b"], r["inter_size"], r["a_size"])
+        for r in containment_join_incremental(
+            new, idx, "id", "toks", 1, 2, direction="both"
+        ).collect()
+    )
+    batch = containment_join(df, "id", "toks", 1, 2).collect()
+    want = sorted(
+        (r["id_a"], r["id_b"], r["inter_size"], r["a_size"])
+        for r in batch
+        if (r["id_a"] >= 10) != (r["id_b"] >= 10)
+    )
+    assert got == want and len(got) > 0
+    # direction filter: new_in_corpus only keeps id_a on the new side
+    one_dir = containment_join_incremental(
+        new, idx, "id", "toks", 1, 2, direction="new_in_corpus"
+    ).collect()
+    assert all(r["id_a"] >= 10 for r in one_dir)
+    assert sorted((r["id_a"], r["id_b"]) for r in one_dir) == sorted(
+        (a, b) for a, b, _, _ in got if a >= 10
+    )
+
+
+def test_set_similarity_index_parquet_roundtrip(spark, tmp_path):
+    """The index survives a parquet write/read — the persistable
+    contract that makes increments compose across snapshots."""
+    from graphragpart1datapipeline_spark.dedup.incremental import (
+        set_similarity_index,
+        set_similarity_join_incremental,
+    )
+
+    df = _er_corpus(spark)
+    corpus, new = df.filter("id < 10"), df.filter("id >= 10")
+    idx = set_similarity_index(corpus, "id", "s", 3, 5)
+    reloaded = {}
+    for name, frame in idx.items():
+        path = str(tmp_path / name)
+        frame.write.mode("overwrite").parquet(path)
+        reloaded[name] = spark.read.parquet(path)
+    direct = sorted(
+        map(tuple, set_similarity_join_incremental(
+            new, idx, "id", "s", 3, 5).collect())
+    )
+    from_disk = sorted(
+        map(tuple, set_similarity_join_incremental(
+            new, reloaded, "id", "s", 3, 5).collect())
+    )
+    assert direct == from_disk and len(direct) > 0
