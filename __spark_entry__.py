@@ -4387,6 +4387,156 @@ def q163(spark, sf_dir):
     )
 
 
+@_register(
+    "q164_scd2_time_travel",
+    """
+    WITH cur AS (
+      SELECT c_custkey, c_acctbal, c_mktsegment,
+             CAST(0 AS BIGINT) AS valid_from,
+             CAST(NULL AS BIGINT) AS valid_to
+      FROM customer
+    ), upd AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 1000.0
+                  ELSE c_acctbal END AS c_acctbal,
+             c_mktsegment, CAST(10 AS BIGINT) AS version
+      FROM customer WHERE c_custkey % 5 = 0 OR c_custkey % 7 = 0
+      UNION ALL
+      SELECT c_custkey + 1000000, 1.0, 'NEW', 10
+      FROM customer WHERE c_custkey <= 5
+    ), changed AS (
+      SELECT u.* FROM upd u JOIN cur
+        ON cur.c_custkey = u.c_custkey
+      WHERE NOT (cur.c_acctbal = u.c_acctbal
+                 AND cur.c_mktsegment = u.c_mktsegment)
+    ), fresh AS (
+      SELECT u.* FROM upd u LEFT JOIN cur ON cur.c_custkey = u.c_custkey
+      WHERE cur.c_custkey IS NULL
+    ), merged AS (
+      SELECT cur.c_custkey, cur.c_acctbal, cur.c_mktsegment,
+             cur.valid_from,
+             CASE WHEN changed.c_custkey IS NULL THEN NULL
+                  ELSE changed.version END AS valid_to
+      FROM cur LEFT JOIN changed ON changed.c_custkey = cur.c_custkey
+      UNION ALL
+      SELECT c_custkey, c_acctbal, c_mktsegment, version, NULL
+      FROM changed
+      UNION ALL
+      SELECT c_custkey, c_acctbal, c_mktsegment, version, NULL FROM fresh
+    )
+    SELECT CAST(5 AS BIGINT) AS at_version,
+           c_custkey, c_acctbal, c_mktsegment
+    FROM merged WHERE valid_from <= 5 AND (valid_to IS NULL OR valid_to > 5)
+    UNION ALL
+    SELECT CAST(10 AS BIGINT), c_custkey, c_acctbal, c_mktsegment
+    FROM merged WHERE valid_from <= 10 AND (valid_to IS NULL OR valid_to > 10)
+    """,
+)
+def q164(spark, sf_dir):
+    """Time-travel reads over SCD2 state: after q98's versioned merge
+    (updates at version 10), ``scd2_as_of`` at version 5 reproduces
+    the PRE-merge dimension exactly and at version 10 the live
+    post-merge state — one partition-prunable interval filter each,
+    the consumer contract that makes every past training run
+    replayable against the same history table. The oracle rebuilds the
+    merged table and replays both mid-history cuts."""
+    from graphragpart1datapipeline_spark.operators import (
+        apply_scd2,
+        scd2_as_of,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    current = c.select(
+        "c_custkey", "c_acctbal", "c_mktsegment",
+        F.lit(0).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+    )
+    updates = (
+        c.filter((F.col("c_custkey") % 5 == 0) | (F.col("c_custkey") % 7 == 0))
+        .select(
+            "c_custkey",
+            F.when(
+                F.col("c_custkey") % 5 == 0, F.col("c_acctbal") + 1000.0
+            ).otherwise(F.col("c_acctbal")).alias("c_acctbal"),
+            "c_mktsegment",
+            F.lit(10).cast("long").alias("version"),
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") <= 5).select(
+                (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+                F.lit(1.0).alias("c_acctbal"),
+                F.lit("NEW").alias("c_mktsegment"),
+                F.lit(10).cast("long").alias("version"),
+            )
+        )
+    )
+    merged = apply_scd2(
+        current, updates,
+        key_cols=["c_custkey"],
+        compare_cols=["c_acctbal", "c_mktsegment"],
+    )
+    out = None
+    for v in (5, 10):
+        cut = scd2_as_of(merged, v).select(
+            F.lit(v).cast("long").alias("at_version"),
+            "c_custkey", "c_acctbal", "c_mktsegment",
+        )
+        out = cut if out is None else out.unionByName(cut)
+    return out
+
+
+@_register(
+    "q165_salted_join_auto",
+    """
+    WITH l AS (
+      SELECT CASE WHEN l_orderkey % 10 = 0 THEN 0 ELSE l_orderkey END AS k,
+             l_extendedprice
+      FROM lineitem
+    ), r AS (
+      SELECT DISTINCT CASE WHEN o_orderkey % 10 = 0 THEN 0
+                           ELSE o_orderkey END AS k,
+             CASE WHEN o_orderkey % 10 = 0 THEN 'HOT' ELSE 'COLD' END AS tag
+      FROM orders
+    )
+    SELECT r.tag, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(25,6))) AS DOUBLE)
+             AS total_price
+    FROM l JOIN r ON l.k = r.k
+    GROUP BY r.tag
+    """,
+)
+def q165(spark, sf_dir):
+    """AUTO-salted skew join EQUIVALENCE row: one synthetic hot key
+    (10% of the fact rows collapse onto key 0) is detected by the
+    exact Misra-Gries+recount pass, gets its own proportional shard
+    count, and is the ONLY key whose right rows replicate — cold keys
+    join unsalted. The oracle is the plain join, so the hash match
+    proves detection, per-key salting, and the cold path all preserve
+    join semantics exactly."""
+    from graphragpart1datapipeline_spark.operators import salted_join_auto
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 10 == 0, F.lit(0))
+        .otherwise(F.col("l_orderkey")).alias("k"),
+        "l_extendedprice",
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.when(F.col("o_orderkey") % 10 == 0, F.lit(0))
+        .otherwise(F.col("o_orderkey")).alias("k"),
+        F.when(F.col("o_orderkey") % 10 == 0, F.lit("HOT"))
+        .otherwise(F.lit("COLD")).alias("tag"),
+    ).distinct()
+    joined = salted_join_auto(
+        li, o, on="k", how="inner", threshold_frac=0.05
+    )
+    return joined.groupBy("tag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_extendedprice").cast("decimal(25,6)"))
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
 def _lpa_oracle_sql(iters: int = 3) -> str:
     """Unrolled replay of label_propagation_communities over the
     customer→nation→region graph: per round, neighbor-label counts →

@@ -2,11 +2,22 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
 ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "sf": ..., "scale_check": {...}}.
 
 Every query executes end-to-end into a noop sink (full compute, no
 result materialization on the driver), after a warm-up that triggers
 JVM + codegen warm paths.
+
+The ``scale_check`` block is the 1×/K× wall-clock ratio table for the
+scale-path operators (see scale_check.py) with its SCALE_BOUNDS
+violations — so scaling regressions (a new shuffle, a lost broadcast,
+a pair-space blowup) are recorded mechanically in every BENCH_r{N},
+not just in README prose. Latency alone can look fine while a plan
+goes quadratic; the ratio table is the early alarm. Control via
+$SPARK_GRAFT_BENCH_SCALE (default "1"; "0" skips the ~4-5 min block)
+and $SPARK_GRAFT_BENCH_SCALE_K (default 10). Standalone bound-assert
+mode (non-zero exit on violation) remains
+``python scale_check.py [K] --assert``.
 """
 
 from __future__ import annotations
@@ -143,17 +154,19 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    if os.environ.get("SPARK_GRAFT_BENCH_SCALE", "1") != "0":
+        from scale_check import scale_block
+
+        k = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_K", "10"))
+        out["scale_check"] = scale_block(spark, sf_dir, k, do_assert=True)
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -181,13 +181,16 @@ def levenshtein_self_join(
         .distinct()
     )
 
-    # ---- short-short block: both values unsegmentable (length < k)
+    # ---- short-short block: both values unsegmentable (length < k).
+    # The guard probes a CAPPED count (limit k+1) instead of a full
+    # count — one bounded scan that stops at the limit, not a whole
+    # extra job over the distinct values at scale.
     shorts = vals.filter(F.col("l") < k)
-    n_short = shorts.count()
+    n_short = shorts.limit(max_short_values + 1).count()
     if n_short > max_short_values:
         raise ValueError(
-            f"{n_short} distinct values shorter than d+1={k} exceed "
-            f"max_short_values={max_short_values}"
+            f"more than max_short_values={max_short_values} distinct "
+            f"values shorter than d+1={k}"
         )
     if n_short > 1:
         # disjoint from the segment candidates (those always involve a

@@ -1,5 +1,6 @@
 from .relational import (  # noqa: F401
     apply_scd2,
+    scd2_as_of,
     equi_width_histogram,
     funnel_counts,
     global_shuffle_shards,
@@ -29,11 +30,13 @@ from .sketches import (  # noqa: F401
     kmv_sketch,
 )
 from .joins import (  # noqa: F401
+    detect_hot_keys,
     interval_lookup_join,
     multi_hop,
     name_or_alias_join,
     range_join,
     salted_join,
+    salted_join_auto,
 )
 from .reshape import cube_agg, pivot_agg, skyline2d, unpivot_long  # noqa: F401
 from .sketches import heavy_hitters  # noqa: F401

@@ -102,6 +102,124 @@ def salted_join(
     return salted_left.join(salted_right, [*keys, "__shard"], how).drop("__shard")
 
 
+def detect_hot_keys(
+    df: DataFrame,
+    on: str | Sequence[str],
+    threshold_frac: float = 0.01,
+) -> DataFrame:
+    """EXACT hot-key detection for skew handling: the join keys holding
+    strictly more than ``threshold_frac`` of the rows, with their
+    counts. Reuses the two-pass Misra-Gries + recount machinery of
+    ``heavy_hitters`` (k = ceil(1/threshold_frac)), so the result is
+    the exact over-threshold set — at most 1/threshold_frac keys, tiny
+    by construction. Returns (keys..., __cnt)."""
+    if not (0 < threshold_frac < 1):
+        raise ValueError(
+            f"threshold_frac must be in (0, 1): got {threshold_frac}"
+        )
+    from .sketches import heavy_hitters
+
+    keys = [on] if isinstance(on, str) else list(on)
+    import math
+
+    k = max(2, math.ceil(1.0 / threshold_frac))
+    joined_key = F.concat_ws("", *[F.col(c).cast("string") for c in keys])
+    tagged = df.select(
+        *[F.col(c) for c in keys], joined_key.alias("__jk")
+    )
+    hh = heavy_hitters(tagged, "__jk", k=k).select(
+        F.col("value").alias("__jk"), F.col("cnt").alias("__cnt")
+    )
+    # map the concatenated detector key back to the real key columns
+    # via one semi-join + distinct over the (tiny) hot set
+    return (
+        tagged.join(F.broadcast(hh), "__jk")
+        .select(*keys, "__cnt")
+        .distinct()
+    )
+
+
+def salted_join_auto(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    how: str = "inner",
+    threshold_frac: float = 0.01,
+    max_salt: int = 64,
+    target_rows_per_shard: int | None = None,
+) -> DataFrame:
+    """:func:`salted_join` with AUTOMATIC hot-key detection and per-key
+    salt sizing: only keys holding > ``threshold_frac`` of the left
+    rows are salted (each over its own shard count, proportional to
+    its share, capped at ``max_salt``); COLD keys keep shard 0 and the
+    right side replicates a row ONLY per its key's salt — so the
+    shuffle grows by the hot keys' replication alone, not
+    ``salt × |right|`` like the static variant.
+
+    Detection is the exact Misra-Gries+recount pass
+    (:func:`detect_hot_keys`); the hot-key table (≤ 1/threshold_frac
+    rows by construction) is collected and broadcast — the same
+    bounded-collect budget as k-means centroids. Per-key salt =
+    clamp(ceil(cnt / target_rows_per_shard), 1, max_salt), with the
+    target defaulting to n·threshold_frac (so a key at exactly the
+    threshold gets 1 shard and a key at X× the threshold gets ~X).
+    Deterministic for a fixed input (exact counts, no sampling).
+
+    Join-type restrictions are inherited from :func:`salted_join`
+    (inner/left flavors only). Equivalence with the plain join is
+    oracle-locked (q165)."""
+    allowed = {"inner", "left", "leftouter", "left_outer", "left_semi",
+               "leftsemi", "left_anti", "leftanti", "cross"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join_auto does not support how={how!r}; "
+            f"use one of {sorted(allowed)}"
+        )
+    keys = [on] if isinstance(on, str) else list(on)
+    hot = detect_hot_keys(left, keys, threshold_frac)
+    hot_rows = hot.collect()  # bounded: <= 1/threshold_frac rows
+    if not hot_rows:
+        return left.join(right, keys, how)
+    # target shard size = the threshold count: a key at exactly the
+    # threshold gets 1 shard, a key at X× the threshold ~X shards
+    per_shard = target_rows_per_shard or max(
+        1, int(left.count() * threshold_frac)
+    )
+    spark = left.sparkSession
+    salt_rows = [
+        tuple(r[c] for c in keys)
+        + (min(max_salt, max(1, -(-int(r["__cnt"]) // per_shard))),)
+        for r in hot_rows
+    ]
+    key_schema = left.select(*keys).schema
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    salt_tbl = spark.createDataFrame(
+        salt_rows,
+        StructType(list(key_schema) + [StructField("__salt", IntegerType())]),
+    )
+    lt = left.join(F.broadcast(salt_tbl), keys, "left")
+    shard = F.when(
+        F.col("__salt").isNull(), F.lit(0)
+    ).otherwise(
+        F.pmod(
+            F.xxhash64(F.monotonically_increasing_id(), F.lit(max_salt)),
+            F.col("__salt"),
+        ).cast("int")
+    )
+    salted_left = lt.withColumn("__shard", shard).drop("__salt")
+    rt = right.join(F.broadcast(salt_tbl), keys, "left")
+    salted_right = rt.withColumn(
+        "__shard",
+        F.explode(
+            F.sequence(F.lit(0), F.coalesce(F.col("__salt"), F.lit(1)) - 1)
+        ),
+    ).drop("__salt")
+    return salted_left.join(
+        salted_right, [*keys, "__shard"], how
+    ).drop("__shard")
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,

@@ -891,6 +891,33 @@ def apply_cdc(
     return untouched.unionByName(upserts)
 
 
+def scd2_as_of(
+    history: DataFrame,
+    as_of_version,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Time-travel read over an SCD2 history table (the
+    :func:`apply_scd2` output): the dimension EXACTLY as of
+    ``as_of_version`` — rows whose validity interval covers it
+    (``valid_from <= v`` and ``valid_to`` open or ``> v``). The
+    standard consumer of versioned dimension state: any past training
+    run reproduces its metadata view by reading the same table at its
+    cut, no snapshot copies.
+
+    One partition-prunable filter — with the history table written
+    partitioned/z-ordered on the interval columns, an as-of read
+    touches only covering files. Under the SCD2 invariant (disjoint
+    intervals, at most one open row per key — maintained by
+    ``apply_scd2`` and test-locked) the filter alone returns exactly
+    one row per key alive at ``v``; no window needed."""
+    v = F.lit(as_of_version)
+    return history.filter(
+        (F.col(valid_from) <= v)
+        & (F.col(valid_to).isNull() | (F.col(valid_to) > v))
+    )
+
+
 def cdc_upsert_state(
     state: DataFrame,
     changes: DataFrame,

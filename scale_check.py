@@ -372,21 +372,24 @@ SCALE_BOUNDS: dict[str, float] = {
     # bounds sized to catch a plan regression, not scheduler noise
     "weighted_sample": 8.0,
     "phrase_search": 7.0,
-    "token_diversity": 4.0,
+    # sub-second op: the ratio is fixed-overhead/noise dominated
+    # (measured ~1.05 at K=10); 5.0 still trips any real blowup
+    "token_diversity": 5.0,
     "link_prediction": 4.0,
     "mad_outliers": 3.0,
     "fuzzy_join": 4.5,
 }
 
 
-def main() -> None:
-    args = [a for a in sys.argv[1:] if a != "--assert"]
-    do_assert = "--assert" in sys.argv[1:]
-    k = int(args[0]) if args else 10
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+def scale_block(
+    spark, sf_dir: str, k: int = 10, do_assert: bool = False
+) -> dict:
+    """Run the full 1×/K× ratio measurement on an existing session and
+    return the result dict (the JSON payload ``main`` prints, and the
+    ``scale_check`` block ``bench.py`` appends to its line). With
+    ``do_assert`` the dict includes per-operator bound ``violations``
+    (empty when clean)."""
     out_dir = f"/tmp/spark_graft_scale_{k}x"
-    spark = get_spark(app_name="scale-check")
-    spark.sparkContext.setLogLevel("ERROR")
     build_scaled(spark, sf_dir, k, out_dir)
     extra_bits = max(0, (k - 1).bit_length())  # ceil(log2(k))
     base_t = time_ops(spark, sf_dir)
@@ -404,19 +407,26 @@ def main() -> None:
         if do_assert
         else {}
     )
-    print(
-        json.dumps(
-            {
-                "k": k,
-                "base_sec": base_t,
-                "scaled_sec": big_t,
-                "ratio": ratio,
-                **({"violations": violations} if do_assert else {}),
-            }
-        )
-    )
+    return {
+        "k": k,
+        "base_sec": base_t,
+        "scaled_sec": big_t,
+        "ratio": ratio,
+        **({"violations": violations} if do_assert else {}),
+    }
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if a != "--assert"]
+    do_assert = "--assert" in sys.argv[1:]
+    k = int(args[0]) if args else 10
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="scale-check")
+    spark.sparkContext.setLogLevel("ERROR")
+    result = scale_block(spark, sf_dir, k, do_assert)
+    print(json.dumps(result))
     spark.stop()
-    if do_assert and violations:
+    if do_assert and result.get("violations"):
         sys.exit(1)
 
 

@@ -1705,3 +1705,86 @@ def test_set_similarity_index_parquet_roundtrip(spark, tmp_path):
             new, reloaded, "id", "s", 3, 5).collect())
     )
     assert direct == from_disk and len(direct) > 0
+
+
+# ---------------------------------------------------------------------------
+# Round-4: hot-key detection + auto-salted join, SCD2 time travel
+# ---------------------------------------------------------------------------
+
+
+def test_detect_hot_keys_exact_threshold(spark):
+    from graphragpart1datapipeline_spark.operators.joins import detect_hot_keys
+
+    # key 0: 40/100 rows (hot at 1%^-1=...); keys 1..60 one row each
+    rows = [(0,)] * 40 + [(i,) for i in range(1, 61)]
+    df = spark.createDataFrame(rows, "k int")
+    hot = {(r["k"], r["__cnt"]) for r in
+           detect_hot_keys(df, "k", threshold_frac=0.10).collect()}
+    assert hot == {(0, 40)}
+    # threshold above the hot key's share -> empty
+    assert detect_hot_keys(df, "k", threshold_frac=0.5).count() == 0
+
+
+def test_salted_join_auto_matches_plain_join(spark):
+    from graphragpart1datapipeline_spark.operators.joins import salted_join_auto
+
+    left = spark.createDataFrame(
+        [(0 if i % 3 == 0 else i, float(i)) for i in range(300)],
+        "k int, v double",
+    )
+    right = spark.createDataFrame(
+        [(0, "hot"), (7, "c7"), (8, "c8"), (999, "nomatch")],
+        "k int, tag string",
+    )
+    for how in ("inner", "left", "left_semi", "left_anti"):
+        got = sorted(
+            map(tuple, salted_join_auto(
+                left, right, "k", how=how, threshold_frac=0.05).collect())
+        )
+        want = sorted(map(tuple, left.join(right, "k", how).collect()))
+        assert got == want, how
+    # no hot keys at all -> falls through to the plain join
+    uniform = spark.createDataFrame(
+        [(i, float(i)) for i in range(200)], "k int, v double"
+    )
+    got = sorted(map(tuple, salted_join_auto(
+        uniform, right, "k", threshold_frac=0.05).collect()))
+    assert got == sorted(map(tuple, uniform.join(right, "k").collect()))
+
+
+def test_salted_join_auto_plan_broadcast_no_cartesian(spark):
+    from graphragpart1datapipeline_spark.operators.joins import salted_join_auto
+
+    left = spark.createDataFrame(
+        [(0 if i % 2 == 0 else i, float(i)) for i in range(200)],
+        "k int, v double",
+    )
+    right = spark.createDataFrame([(0, "h"), (3, "c")], "k int, tag string")
+    df = salted_join_auto(left, right, "k", threshold_frac=0.1)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # the per-key salt table joins in broadcast on both sides
+    assert "BroadcastHashJoin" in p
+
+
+def test_scd2_as_of_reproduces_cuts(spark):
+    from graphragpart1datapipeline_spark.operators import apply_scd2, scd2_as_of
+
+    current = spark.createDataFrame(
+        [(1, "a", 0, None), (2, "b", 0, None)],
+        "k int, v string, valid_from long, valid_to long",
+    )
+    upd1 = spark.createDataFrame([(1, "a2", 10)], "k int, v string, version long")
+    upd2 = spark.createDataFrame(
+        [(1, "a3", 20), (3, "c", 20)], "k int, v string, version long"
+    )
+    h = apply_scd2(current, upd1, ["k"], ["v"])
+    h = apply_scd2(h, upd2, ["k"], ["v"])
+    def cut(v):
+        return sorted((r["k"], r["v"]) for r in scd2_as_of(h, v).collect())
+    assert cut(5) == [(1, "a"), (2, "b")]
+    assert cut(10) == [(1, "a2"), (2, "b")]
+    assert cut(15) == [(1, "a2"), (2, "b")]
+    assert cut(20) == [(1, "a3"), (2, "b"), (3, "c")]
+    assert cut(99) == [(1, "a3"), (2, "b"), (3, "c")]
