@@ -4537,6 +4537,146 @@ def q165(spark, sf_dir):
     )
 
 
+def _ppr_oracle_sql(iters: int = 3, scale: int = 10**12) -> str:
+    """DuckDB replay of personalized (seed-teleport) PageRank over the
+    supplier→customer order graph: the q82 recurrence with the
+    teleport/init mass gated on seed membership and n replaced by the
+    in-graph seed count — still exact integer arithmetic, so the full
+    iterative run hash-matches."""
+    sql = f"""
+    WITH e AS (
+      SELECT DISTINCT 's' || CAST(l.l_suppkey AS VARCHAR) AS src,
+                      'c' || CAST(o.o_custkey AS VARCHAR) AS dst
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), nodes AS (
+      SELECT src AS id FROM e UNION SELECT dst FROM e
+    ), deg AS (
+      SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src
+    ), seeds AS (
+      SELECT id FROM nodes WHERE id IN (
+        SELECT 's' || CAST(s_suppkey AS VARCHAR)
+        FROM supplier WHERE s_suppkey <= 10)
+    ), p AS (
+      SELECT COUNT(*) AS s FROM seeds
+    ), r0 AS (
+      SELECT nodes.id,
+             CASE WHEN seeds.id IS NOT NULL
+                  THEN {scale} // (SELECT s FROM p) ELSE 0 END AS rank
+      FROM nodes LEFT JOIN seeds ON seeds.id = nodes.id
+    )"""
+    prev = "r0"
+    for i in range(iters):
+        sql += f""", c{i} AS (
+      SELECT e.dst, SUM(r.rank // d.outdeg) AS cs
+      FROM e JOIN deg d ON e.src = d.src JOIN {prev} r ON r.id = e.src
+      GROUP BY e.dst
+    ), r{i + 1} AS (
+      SELECT nodes.id,
+             CASE WHEN seeds.id IS NOT NULL
+                  THEN {scale * 3} // (20 * (SELECT s FROM p))
+                  ELSE 0 END
+             + (17 * COALESCE(c{i}.cs, 0)) // 20 AS rank
+      FROM nodes LEFT JOIN seeds ON seeds.id = nodes.id
+      LEFT JOIN c{i} ON nodes.id = c{i}.dst
+    )"""
+        prev = f"r{i + 1}"
+    sql += f"""
+    SELECT id, rank FROM {prev} WHERE rank > 0
+    ORDER BY rank DESC, id LIMIT 20
+    """
+    return sql
+
+
+@_register("q166_personalized_pagerank", _ppr_oracle_sql())
+def q166(spark, sf_dir):
+    """Personalized PageRank — the GraphRAG query-time retrieval
+    primitive ("rank everything by proximity to THESE query
+    entities"): teleport and initial mass land only on the seed set
+    (suppliers 1-10), so ranks measure seed proximity, not global
+    importance. Same exact-integer recurrence as q82, gated per node
+    on seed membership; the oracle replays all three rounds and the
+    top-20 hash-matches. Per round: one src-join + one map-side-
+    combined groupBy(dst) — identical scale shape to classic
+    PageRank."""
+    from graphragpart1datapipeline_spark.graph import personalized_pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.col("l_suppkey").alias("sk"), F.col("o_custkey").alias("ck")
+        )
+        .distinct()
+        .select(
+            F.concat(F.lit("s"), F.col("sk").cast("string")).alias("src"),
+            F.concat(F.lit("c"), F.col("ck").cast("string")).alias("dst"),
+        )
+    )
+    s = _t(spark, sf_dir, "supplier")
+    seeds = s.filter(F.col("s_suppkey") <= 10).select(
+        F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("id")
+    )
+    ranks = personalized_pagerank(edges, seeds, iters=3)
+    return (
+        ranks.filter(F.col("rank") > 0)
+        .orderBy(F.desc("rank"), F.asc("id"))
+        .limit(20)
+    )
+
+
+@_register(
+    "q167_winnow_fingerprints",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS ws
+      FROM documents
+    ), g AS (
+      SELECT doc_id, ws, len(ws) - 4 AS n
+      FROM t WHERE len(ws) >= 5
+    ), hs AS (
+      SELECT doc_id, s.i - 1 AS pos, n,
+             CAST(CAST('0x' || substring(md5(concat_ws(' ',
+               ws[s.i], ws[s.i+1], ws[s.i+2], ws[s.i+3], ws[s.i+4])),
+               1, 15) AS UBIGINT) AS BIGINT) AS h
+      FROM g, LATERAL (SELECT unnest(generate_series(1, n)) AS i) s
+    ), expanded AS (
+      SELECT doc_id, pos, h, pos - r.j AS wstart
+      FROM hs CROSS JOIN range(0, 4) r(j)
+      WHERE pos - r.j >= 0 AND pos - r.j <= greatest(n - 4, 0)
+    ), gmin AS (
+      SELECT doc_id, wstart, MIN(h) AS hmin
+      FROM expanded GROUP BY doc_id, wstart
+    ), sel AS (
+      SELECT e.doc_id, e.wstart, m.hmin AS fingerprint,
+             MAX(e.pos) AS pos
+      FROM expanded e
+      JOIN gmin m ON m.doc_id = e.doc_id AND m.wstart = e.wstart
+               AND e.h = m.hmin
+      GROUP BY e.doc_id, e.wstart, m.hmin
+    )
+    SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, fingerprint
+    FROM sel
+    """,
+)
+def q167(spark, sf_dir):
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken
+    SIGMOD'03, the MOSS copy-detection scheme): min-hash of each
+    sliding window of 4 consecutive 5-gram hashes, rightmost tie —
+    guarantees every shared passage of >= 8 words yields a shared
+    fingerprint while keeping ~2/(w+1) of positions. The local,
+    position-aware complement of MinHash; the Spark plan is entirely
+    row-local (array slice/argmin in codegen, ZERO shuffles). The
+    oracle replays tokenization, 60-bit k-gram hashing, and the
+    per-window rightmost-min selection."""
+    from graphragpart1datapipeline_spark.text import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, "text", "doc_id", k=5, w=4)
+
+
 def _lpa_oracle_sql(iters: int = 3) -> str:
     """Unrolled replay of label_propagation_communities over the
     customer→nation→region graph: per round, neighbor-label counts →

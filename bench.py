@@ -101,6 +101,18 @@ HEADLINE = [
     "q136_embedding_centroids",
     "q140_exact_kth_values",
     "q146_orderkey_gaps",
+    # round-4 additions: distributed Leiden, retrieval quality, SCD2
+    # time travel, auto-salted skew join — all scale paths. The
+    # incremental ER joins (q161-q163) stay out for the same reason as
+    # their batch twins (q122/q156/q158): the part/doc key spaces are
+    # adversarially duplicate-heavy at sf0.1; their realistic regime
+    # is scale_check's incremental entries.
+    "q159_leiden_distributed",
+    "q160_ann_recall",
+    "q164_scd2_time_travel",
+    "q165_salted_join_auto",
+    "q166_personalized_pagerank",
+    "q167_winnow_fingerprints",
 ]
 
 # Repetitions per query; report the min. The ambient swing on a shared
@@ -162,10 +174,17 @@ def main() -> None:
         "sf": sf_val,
     }
     if os.environ.get("SPARK_GRAFT_BENCH_SCALE", "1") != "0":
-        from scale_check import scale_block
+        from scale_check import BENCH_SUBSET, scale_block
 
-        k = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_K", "10"))
-        out["scale_check"] = scale_block(spark, sf_dir, k, do_assert=True)
+        # K=4 on the regression-prone subset keeps the whole bench
+        # inside the per-round time envelope; a quadratic regression
+        # still shows ~16x and trips every bound. The standalone
+        # calibration run is the full set at K=10
+        # (`python scale_check.py 10 --assert`).
+        k = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_K", "4"))
+        out["scale_check"] = scale_block(
+            spark, sf_dir, k, do_assert=True, only=BENCH_SUBSET
+        )
     print(json.dumps(out))
     spark.stop()
 

@@ -1,5 +1,5 @@
 from .build import build_graph_tables, validate_edges  # noqa: F401
-from .pagerank import pagerank  # noqa: F401
+from .pagerank import pagerank, personalized_pagerank  # noqa: F401
 from .communities import (  # noqa: F401
     community_rollup,
     community_size_stats,

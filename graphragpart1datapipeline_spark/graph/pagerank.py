@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "personalized_pagerank"]
 
 
 def pagerank(
@@ -39,6 +39,7 @@ def pagerank(
     scale: int = 10**12,
     checkpoint: bool = True,
     broadcast_ranks: bool | None = None,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Returns (id, rank) with rank a scaled long (initial mass
     ``scale // n`` per node; damping 17/20 exactly).
@@ -65,7 +66,17 @@ def pagerank(
     through every round (one map-side-combined groupBy(dst) is the
     round's only exchange). Past that, ranks shuffle-join the edge
     table — pre-bucket the edges by src at rest and only the rank side
-    moves."""
+    moves.
+
+    ``seeds``: a 1-column (id) frame of teleport targets — PERSONALIZED
+    PageRank, the GraphRAG retrieval primitive ("entities related to
+    THESE query entities"): all teleport mass (and the initial mass)
+    lands on the seed set instead of uniformly, so ranks measure
+    proximity to the seeds. Same exact-integer recurrence with
+    ``n`` replaced by ``|seeds ∩ nodes|`` in the teleport/init terms,
+    gated per node on seed membership — still bit-reproducible and
+    SQL-replayable (q166). With ``seeds=None`` the plan is untouched
+    classic PageRank (q82)."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     e_deg = e.join(deg, "src")
@@ -87,11 +98,35 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         return nodes.select("id", F.lit(0).cast("long").alias("rank"))
-    teleport = (scale * 3) // (20 * n)
     if broadcast_ranks is None:
         broadcast_ranks = n <= 5_000_000
     hint = F.broadcast if broadcast_ranks else (lambda df: df)
-    ranks = nodes.select("id", F.lit(int(scale // n)).cast("long").alias("rank"))
+    if seeds is not None:
+        seed_ids = seeds.select(
+            F.col(seeds.columns[0]).alias("id")
+        ).distinct()
+        # seeds outside the graph carry no mass; flag membership once
+        # (node-sized broadcast join, reused by init and every round)
+        nodes = nodes.join(
+            hint(seed_ids.withColumn("__seed", F.lit(True))), "id", "left"
+        ).select("id", F.coalesce("__seed", F.lit(False)).alias("__seed"))
+        if checkpoint:
+            nodes = nodes.localCheckpoint(eager=True)
+        s = nodes.filter(F.col("__seed")).count()
+        if s == 0:
+            raise ValueError(
+                "personalized_pagerank: no seed appears in the graph"
+            )
+        teleport_col = F.when(
+            F.col("__seed"), F.lit((scale * 3) // (20 * s))
+        ).otherwise(F.lit(0))
+        init_col = F.when(
+            F.col("__seed"), F.lit(int(scale // s))
+        ).otherwise(F.lit(0))
+    else:
+        teleport_col = F.lit((scale * 3) // (20 * n))
+        init_col = F.lit(int(scale // n))
+    ranks = nodes.select("id", init_col.cast("long").alias("rank"))
     for _ in range(iters):
         contribs = (
             e_deg.join(hint(ranks), e_deg["src"] == ranks["id"])
@@ -107,9 +142,36 @@ def pagerank(
             .select(
                 "id",
                 (
-                    F.lit(teleport)
+                    teleport_col
                     + F.expr("(17 * coalesce(cs, 0)) DIV 20")
                 ).cast("long").alias("rank"),
             )
         )
     return ranks
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    scale: int = 10**12,
+    checkpoint: bool = True,
+    broadcast_ranks: bool | None = None,
+) -> DataFrame:
+    """Personalized PageRank: :func:`pagerank` with all teleport mass
+    on ``seeds`` — proximity-to-seeds ranking, the GraphRAG query-time
+    retrieval primitive (expand a query's entities into the most
+    related graph neighborhood). See :func:`pagerank` for the exact
+    integer recurrence and scale shape."""
+    return pagerank(
+        edges,
+        src=src,
+        dst=dst,
+        iters=iters,
+        scale=scale,
+        checkpoint=checkpoint,
+        broadcast_ranks=broadcast_ranks,
+        seeds=seeds,
+    )

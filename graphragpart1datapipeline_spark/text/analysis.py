@@ -327,6 +327,87 @@ def document_fingerprint(col: Column | str, bits_hex: int = 16) -> Column:
     return F.substring(F.md5(normed), 1, bits_hex)
 
 
+def winnow_fingerprints(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+):
+    """Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken
+    SIGMOD'03 — the MOSS scheme): hash every k-word gram, slide a
+    window of ``w`` consecutive k-gram hashes, keep the MINIMUM hash
+    of each window (rightmost position on ties), distinct the
+    selections. Guarantees: every shared substring of at least
+    w + k - 1 words yields at least one shared fingerprint, while only
+    ~2/(w+1) of positions are kept — the local, position-aware
+    complement of MinHash (global similarity) and
+    ``repeated_passage_spans`` (exact span frequency).
+
+    Returns (id, pos, fingerprint): pos is the selected k-gram's
+    0-based word offset, fingerprint the 60-bit md5-prefix hash —
+    join fingerprints across documents to find copied regions, with
+    positions localizing the match.
+
+    Plan shape: ENTIRELY row-local — tokenize → hash array → window
+    argmin via slice + struct array_min → per-document array_distinct
+    → explode, all whole-stage codegen, ZERO shuffles (all of a
+    document's windows live in one array, so selection dedup needs no
+    exchange). Output volume is the selected-fingerprint count
+    (~2n/(w+1)), never the k-gram stream. The rightmost-tie rule is
+    the paper's robust-winnowing choice and makes the selection a pure
+    function of the text (the q167 oracle replays it in SQL)."""
+    if k < 1 or w < 1:
+        raise ValueError(f"k and w must be >= 1: got k={k}, w={w}")
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+        lambda t: t != F.lit(""),
+    )
+    wcol = F.col("__w")
+    n_kgrams = F.greatest(F.size(wcol) - k + 1, F.lit(0))
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_kgrams, F.lit(1))),
+        lambda i: F.conv(
+            F.substring(
+                F.md5(F.array_join(F.slice(wcol, i, k), " ")), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long"),
+    )
+    base = (
+        df.select(F.col(id_col).alias("id"), words.alias("__w"))
+        .filter(F.size("__w") >= k)
+        .select("id", hashes.alias("__h"), n_kgrams.alias("__n"))
+    )
+    # windows j = 0..max(n-w, 0); slice length min(w, n-j); pick
+    # struct-min of (hash, -pos) -> smallest hash, rightmost tie
+    sel = F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(0), F.greatest(F.col("__n") - w, F.lit(0))
+            ),
+            lambda j: F.array_min(
+                F.transform(
+                    F.slice(
+                        F.col("__h"),
+                        j + 1,
+                        F.least(F.lit(w), F.col("__n") - j),
+                    ),
+                    lambda h, i: F.struct(
+                        h.alias("fingerprint"), (-(j + i)).alias("np")
+                    ),
+                )
+            ),
+        )
+    )
+    return base.select("id", F.explode(sel).alias("__s")).select(
+        F.col("id").alias(id_col),
+        (-F.col("__s.np")).cast("long").alias("pos"),
+        F.col("__s.fingerprint"),
+    )
+
+
 def remove_boilerplate_spans(
     df,
     text_col: str = "text",

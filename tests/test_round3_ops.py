@@ -1070,7 +1070,12 @@ def test_quantile_normalize_tie_semantics(spark):
         [(i, float(v)) for i, v in enumerate([5, 3, 3, 3, 9, 5])],
         "id long, v double",
     )
-    ranked = global_rank(df, ["v", "id"], rank_col="rn")
+    # numeric leading key: the first-char default is rejected (it is
+    # not monotone for numbers), so pass an explicit range bucket
+    ranked = global_rank(
+        df, ["v", "id"], rank_col="rn",
+        bucket_expr=F.floor(F.col("v") / 10),
+    )
     w = W.partitionBy("v")
     n1 = float(df.count() - 1)
     got = {
@@ -1788,3 +1793,65 @@ def test_scd2_as_of_reproduces_cuts(spark):
     assert cut(15) == [(1, "a2"), (2, "b")]
     assert cut(20) == [(1, "a3"), (2, "b"), (3, "c")]
     assert cut(99) == [(1, "a3"), (2, "b"), (3, "c")]
+
+
+def test_personalized_pagerank_seed_proximity(spark):
+    from graphragpart1datapipeline_spark.graph import (
+        pagerank,
+        personalized_pagerank,
+    )
+
+    # two disjoint 3-cycles; seeding in one must zero the other
+    edges = spark.createDataFrame(
+        [("a1", "a2"), ("a2", "a3"), ("a3", "a1"),
+         ("b1", "b2"), ("b2", "b3"), ("b3", "b1")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("a1",)], "id string")
+    r = {x["id"]: x["rank"] for x in
+         personalized_pagerank(edges, seeds, iters=4).collect()}
+    assert all(r[f"a{i}"] > 0 for i in (1, 2, 3))
+    assert all(r[f"b{i}"] == 0 for i in (1, 2, 3))
+    # classic pagerank keeps both components ranked
+    g = {x["id"]: x["rank"] for x in pagerank(edges, iters=4).collect()}
+    assert all(v > 0 for v in g.values())
+    # seeds absent from the graph raise instead of silently zeroing
+    ghost = spark.createDataFrame([("zz",)], "id string")
+    try:
+        personalized_pagerank(edges, ghost, iters=1).collect()
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "seed" in str(e)
+
+
+def test_winnow_fingerprints_guarantee_and_shape(spark):
+    """Winnowing invariants: a shared passage of >= w+k-1 words yields
+    a shared fingerprint; selection density ~2/(w+1); rightmost-tie
+    determinism; short docs drop out."""
+    from graphragpart1datapipeline_spark.text import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words
+    docs = spark.createDataFrame(
+        [
+            (1, "xx yy " + shared + " zz"),
+            (2, "completely different words here " + shared),
+            (3, "tiny doc"),  # < k words -> no fingerprints
+            (4, "unrelated content about something else entirely ok"),
+        ],
+        "doc_id int, text string",
+    )
+    out = winnow_fingerprints(docs, "text", "doc_id", k=5, w=4)
+    rows = out.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert 3 not in by_doc
+    # guarantee: docs 1 and 2 share the 8-word passage (w+k-1 = 8)
+    assert by_doc[1] & by_doc[2]
+    assert not (by_doc[4] & by_doc[1])
+    # determinism
+    again = winnow_fingerprints(docs, "text", "doc_id", k=5, w=4).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    # zero shuffles: entirely row-local plan
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p
