@@ -831,3 +831,149 @@ def test_heavy_hitters_matches_exact_threshold(spark, vals, k):
         str(v): c for v, c in Counter(vals).items() if c * k > n
     }
     assert got == expected
+
+
+# ---------------------------------------------------------------- round 4
+
+er_texts = st.lists(
+    st.tuples(
+        st.integers(0, 99),
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta", "eps",
+                             "zeta", "eta", "theta"]),
+            min_size=1, max_size=6,
+        ),
+    ),
+    min_size=2,
+    max_size=16,
+)
+
+
+@given(er_texts)
+@SETTINGS
+def test_set_similarity_incremental_matches_bruteforce(spark, recs):
+    """incremental(new, index(corpus)) == brute-force new×corpus pairs
+    with Jaccard >= 3/5, on arbitrary small corpora (duplicates,
+    unseen-token increments, single-token docs)."""
+    from graphragpart1datapipeline_spark.dedup.incremental import (
+        set_similarity_index,
+        set_similarity_join_incremental,
+    )
+
+    data = [
+        (idx, " ".join(words)) for idx, (_, words) in enumerate(recs)
+    ]
+    df = spark.createDataFrame(data, "id int, s string")
+    corpus = df.filter(F.col("id") % 2 == 0)
+    new = df.filter(F.col("id") % 2 == 1)
+    idx = set_similarity_index(corpus, "id", "s", 3, 5)
+    got = sorted(
+        (r["new_id"], r["corpus_id"], r["inter_size"], r["union_size"])
+        for r in set_similarity_join_incremental(
+            new, idx, "id", "s", 3, 5
+        ).collect()
+    )
+    toks = {i: set(s.split()) for i, s in data}
+    want = sorted(
+        (n, c, len(toks[n] & toks[c]), len(toks[n] | toks[c]))
+        for n in toks for c in toks
+        if n % 2 == 1 and c % 2 == 0
+        and 5 * len(toks[n] & toks[c]) >= 3 * len(toks[n] | toks[c])
+    )
+    assert got == want
+
+
+@given(st.lists(st.text(alphabet="abc", min_size=0, max_size=6),
+                min_size=2, max_size=14))
+@SETTINGS
+def test_levenshtein_incremental_matches_bruteforce(spark, vals):
+    """PassJoin-incremental == brute-force new×corpus levenshtein<=2 on
+    arbitrary short strings (shorts, empties, duplicates, equal
+    cross-side values)."""
+    from graphragpart1datapipeline_spark.dedup.incremental import (
+        levenshtein_index,
+        levenshtein_join_incremental,
+    )
+
+    data = list(enumerate(vals))
+    df = spark.createDataFrame(data, "id int, s string")
+    corpus = df.filter(F.col("id") % 2 == 0)
+    new = df.filter(F.col("id") % 2 == 1)
+    idx = levenshtein_index(corpus, "id", "s", d=2)
+    got = sorted(
+        (r["new_id"], r["corpus_id"], r["dist"])
+        for r in levenshtein_join_incremental(
+            new, idx, "id", "s", d=2
+        ).collect()
+    )
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    want = sorted(
+        (n, c, lev(vals[n], vals[c]))
+        for n in range(len(vals)) for c in range(len(vals))
+        if n % 2 == 1 and c % 2 == 0 and lev(vals[n], vals[c]) <= 2
+    )
+    assert got == want
+
+
+@given(st.lists(
+    st.sampled_from(["w%d" % i for i in range(6)]),
+    min_size=0, max_size=30,
+))
+@SETTINGS
+def test_winnow_fingerprints_matches_python_replay(spark, words):
+    """Winnowing selection == driver-side replay of the rightmost-min
+    window rule for any word sequence (ties everywhere by design of
+    the tiny vocabulary)."""
+    import hashlib
+
+    from graphragpart1datapipeline_spark.text import winnow_fingerprints
+
+    k, w = 3, 3
+    df = spark.createDataFrame([(1, " ".join(words))], "doc_id int, text string")
+    got = sorted(
+        (r["pos"], r["fingerprint"])
+        for r in winnow_fingerprints(df, "text", "doc_id", k=k, w=w).collect()
+    )
+    n = len(words) - k + 1
+    if n <= 0:
+        assert got == []
+        return
+    hs = [
+        int(hashlib.md5(" ".join(words[i:i + k]).encode()).hexdigest()[:15], 16)
+        for i in range(n)
+    ]
+    sel = set()
+    for j in range(max(n - w, 0) + 1):
+        window = hs[j:j + w]
+        hmin = min(window)
+        pos = j + max(i for i, h in enumerate(window) if h == hmin)
+        sel.add((pos, hmin))
+    assert got == sorted(sel)
+
+
+@given(st.lists(st.integers(0, 5), min_size=0, max_size=40))
+@SETTINGS
+def test_salted_join_auto_matches_plain_on_random_keys(spark, keys):
+    from graphragpart1datapipeline_spark.operators.joins import salted_join_auto
+
+    left = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(keys)] or [(None, None)],
+        "k int, i int",
+    )
+    right = spark.createDataFrame(
+        [(0, "z"), (1, "o"), (9, "none")], "k int, t string"
+    )
+    got = sorted(map(tuple, salted_join_auto(
+        left, right, "k", threshold_frac=0.2).collect()))
+    want = sorted(map(tuple, left.join(right, "k").collect()))
+    assert got == want
