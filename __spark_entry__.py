@@ -4128,9 +4128,11 @@ def _ann_recall_oracle_sql() -> str:
     ), ex AS (
       SELECT vec_id FROM (
         SELECT n.vec_id,
-               list_dot_product(n.v, q.qv)
-                 / (sqrt(list_dot_product(n.v, n.v))
-                    * sqrt(list_dot_product(q.qv, q.qv))) AS score
+               CASE WHEN sqrt(list_dot_product(n.v, n.v)) > 0
+                    THEN list_dot_product(n.v, q.qv)
+                         / (sqrt(list_dot_product(n.v, n.v))
+                            * sqrt(list_dot_product(q.qv, q.qv)))
+                    ELSE 0.0 END AS score
         FROM n, q
       ) ORDER BY score DESC, vec_id LIMIT 10
     ), base AS (
@@ -4145,9 +4147,11 @@ def _ann_recall_oracle_sql() -> str:
     ), lsh AS (
       SELECT vec_id FROM (
         SELECT e.vec_id,
-               list_dot_product(e.v, q.qv)
-                 / (sqrt(list_dot_product(e.v, e.v))
-                    * sqrt(list_dot_product(q.qv, q.qv))) AS score
+               CASE WHEN sqrt(list_dot_product(e.v, e.v)) > 0
+                    THEN list_dot_product(e.v, q.qv)
+                         / (sqrt(list_dot_product(e.v, e.v))
+                            * sqrt(list_dot_product(q.qv, q.qv)))
+                    ELSE 0.0 END AS score
         FROM bk e CROSS JOIN q CROSS JOIN lq WHERE e.bkt = lq.qbkt
       ) ORDER BY score DESC, vec_id LIMIT 10
     ), cents AS (
@@ -4172,9 +4176,12 @@ def _ann_recall_oracle_sql() -> str:
     ), ivf AS (
       SELECT vec_id FROM (
         SELECT cand.vec_id,
-               list_dot_product(cand.v, q.qv)
-                 / (sqrt(list_dot_product(cand.v, cand.v))
-                    * sqrt(list_dot_product(q.qv, q.qv))) AS score
+               CASE WHEN sqrt(list_dot_product(cand.v, cand.v))
+                         * sqrt(list_dot_product(q.qv, q.qv)) > 0
+                    THEN list_dot_product(cand.v, q.qv)
+                         / (sqrt(list_dot_product(cand.v, cand.v))
+                            * sqrt(list_dot_product(q.qv, q.qv)))
+                    ELSE 0.0 END AS score
         FROM (SELECT n.vec_id, n.v FROM n
               JOIN assign USING (vec_id) JOIN probe USING (cid)) cand, q
       ) ORDER BY score DESC, vec_id LIMIT 10
@@ -4675,6 +4682,131 @@ def q167(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return winnow_fingerprints(docs, "text", "doc_id", k=5, w=4)
+
+
+def _graphrag_retrieval_sql(iters: int = 2, scale: int = 10**12) -> str:
+    """Composed query-time GraphRAG retrieval replay: BM25 seed search
+    over part names → seeded (personalized) PageRank over the
+    co-purchase graph → top related parts. Every stage reuses an
+    already-proven oracle shape (q103's BM25 arithmetic, q166's
+    seeded integer PageRank), so the whole DAG hash-matches."""
+    sql = f"""
+    WITH t AS (
+      SELECT p_partkey AS doc_id,
+             string_split_regex(trim(p_name), '\\s+') AS toks
+      FROM part
+    ), dl AS (
+      SELECT doc_id, len(toks) AS dl FROM t
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl
+    ), posts AS (
+      SELECT doc_id, lower(unnest(toks)) AS term FROM t
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM posts
+      WHERE term IN ('gear', 'red') GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), bscored AS (
+      SELECT tf.doc_id,
+             ((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 *
+                    (dl.dl / (CAST(stats.sum_dl AS DOUBLE) / stats.n_docs))))
+               AS s
+      FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id), stats
+    ), bagg AS (
+      SELECT doc_id,
+             CAST(SUM(CAST(s AS DECIMAL(38,12))) AS DOUBLE) AS score
+      FROM bscored GROUP BY doc_id
+    ), seed_parts AS (
+      SELECT doc_id AS id FROM bagg ORDER BY score DESC, doc_id LIMIT 10
+    ), pe AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), e AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM pe a JOIN pe b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ), nodes AS (
+      SELECT src AS id FROM e UNION SELECT dst FROM e
+    ), deg AS (
+      SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src
+    ), seeds AS (
+      SELECT id FROM nodes WHERE id IN (SELECT id FROM seed_parts)
+    ), p AS (
+      SELECT COUNT(*) AS s FROM seeds
+    ), r0 AS (
+      SELECT nodes.id,
+             CASE WHEN seeds.id IS NOT NULL
+                  THEN {scale} // (SELECT s FROM p) ELSE 0 END AS rank
+      FROM nodes LEFT JOIN seeds ON seeds.id = nodes.id
+    )"""
+    prev = "r0"
+    for i in range(iters):
+        sql += f""", c{i} AS (
+      SELECT e.dst, SUM(r.rank // d.outdeg) AS cs
+      FROM e JOIN deg d ON e.src = d.src JOIN {prev} r ON r.id = e.src
+      GROUP BY e.dst
+    ), r{i + 1} AS (
+      SELECT nodes.id,
+             CASE WHEN seeds.id IS NOT NULL
+                  THEN {scale * 3} // (20 * (SELECT s FROM p))
+                  ELSE 0 END
+             + (17 * COALESCE(c{i}.cs, 0)) // 20 AS rank
+      FROM nodes LEFT JOIN seeds ON seeds.id = nodes.id
+      LEFT JOIN c{i} ON nodes.id = c{i}.dst
+    )"""
+        prev = f"r{i + 1}"
+    sql += f"""
+    SELECT CAST(id AS BIGINT) AS part_id, rank FROM {prev} WHERE rank > 0
+    ORDER BY rank DESC, id LIMIT 20
+    """
+    return sql
+
+
+@_register("q168_graphrag_retrieval", _graphrag_retrieval_sql())
+def q168(spark, sf_dir):
+    """The COMPOSED query-time GraphRAG retrieval DAG — the reference
+    system's end purpose, as one oracle-checked query: (1) BM25 seed
+    search over part names ('red gear'), (2) personalized PageRank
+    seeded with the top-10 hits over the co-purchase graph (parts
+    sharing an order), (3) top-20 related parts by seed proximity.
+    Chains two already-green primitives (q103's BM25 arithmetic,
+    q166's exact-integer seeded PageRank) — a divergence in EITHER
+    stage, or in how they hand off, flips the hash. Co-purchase pair
+    generation is an order-key equi-join (never a cross product); the
+    PPR rounds are one src-join + one combined groupBy each."""
+    from graphragpart1datapipeline_spark.graph import personalized_pagerank
+    from graphragpart1datapipeline_spark.text.analysis import bm25_topk
+
+    p = _t(spark, sf_dir, "part")
+    seeds = (
+        bm25_topk(
+            p.select(F.col("p_partkey").alias("doc_id"),
+                     F.col("p_name").alias("text")),
+            ["gear", "red"],
+            k=10,
+            log_idf=False,
+        )
+        .select(F.col("doc_id").alias("id"))
+    )
+    pe = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a = pe.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = pe.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    ranks = personalized_pagerank(edges, seeds, iters=2)
+    return (
+        ranks.filter(F.col("rank") > 0)
+        .select(F.col("id").cast("long").alias("part_id"), "rank")
+        .orderBy(F.desc("rank"), F.asc("part_id"))
+        .limit(20)
+    )
 
 
 def _lpa_oracle_sql(iters: int = 3) -> str:

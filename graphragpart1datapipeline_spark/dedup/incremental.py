@@ -53,6 +53,45 @@ from .entity import _token_set
 _UNSEEN_RANK = 1 << 62
 
 
+def _params_table(spark, **kv) -> DataFrame:
+    """1-row parameter table baked into every index dict — persisted
+    alongside the data tables so a probe can never silently run with a
+    different threshold/distance than the index was built for (the
+    prefix/segment tables are only lossless for the build-time
+    parameters)."""
+    cols = sorted(kv)
+    return spark.createDataFrame(
+        [tuple(int(kv[c]) for c in cols)],
+        ", ".join(f"{c} long" for c in cols),
+    )
+
+
+def _check_params(index: dict[str, DataFrame], fn: str, **kv) -> None:
+    """Raise if the probe-side parameters differ from the build-time
+    ones recorded in ``index['params']`` (1-row collect). Indexes
+    persisted before the params table existed pass with a warning-free
+    skip — absence means unverifiable, not wrong — but every builder
+    in this module emits it."""
+    tbl = index.get("params")
+    if tbl is None:
+        return
+    row = tbl.limit(1).collect()[0].asDict()
+    mismatched = {
+        c: (row[c], int(v)) for c, v in kv.items()
+        if c in row and row[c] != int(v)
+    }
+    if mismatched:
+        detail = ", ".join(
+            f"{c}: index={a} probe={b}" for c, (a, b) in sorted(mismatched.items())
+        )
+        raise ValueError(
+            f"{fn}: probe parameters differ from the ones the index was "
+            f"built with ({detail}) — the persisted prefix/segment tables "
+            "are only lossless for the build-time parameters; rebuild the "
+            "index or probe with matching values"
+        )
+
+
 def _prefix_len_expr(t_num: int, t_den: int):
     """prefix covers the first sz - ceil(t*sz) + 1 rarest tokens."""
     return (
@@ -152,6 +191,9 @@ def set_similarity_index(
         "reps": reps,
         "prefix": prefix,
         "members": members,
+        "params": _params_table(
+            corpus_df.sparkSession, t_num=t_num, t_den=t_den
+        ),
     }
 
 
@@ -177,6 +219,13 @@ def set_similarity_join_incremental(
     prefix token. ``max_token_bucket`` drops increment-prefix tokens
     whose CORPUS bucket exceeds the cap (lossy escape hatch, same
     trade as the batch join)."""
+    if not (0 < t_num <= t_den):
+        raise ValueError(
+            f"threshold t_num/t_den must be in (0, 1]: got {t_num}/{t_den}"
+        )
+    _check_params(
+        index, "set_similarity_join_incremental", t_num=t_num, t_den=t_den
+    )
     members_n, classes_n = _classed_tokens(new_df, id_col, text_col)
     reps_n = _order_by_rank(classes_n, index["tok_df"])
     prefix_n = reps_n.withColumn(
@@ -365,6 +414,7 @@ def levenshtein_index(
         "segments": _segment_rows(vals.filter(F.col("l") >= k), d),
         "shorts": shorts,
         "members": recs.select("rid", "val"),
+        "params": _params_table(corpus_df.sparkSession, d=d),
     }
 
 
@@ -389,6 +439,7 @@ def levenshtein_join_incremental(
     (lossy escape hatch, batch-identical trade)."""
     if d < 1:
         raise ValueError(f"d must be >= 1, got {d}")
+    _check_params(index, "levenshtein_join_incremental", d=d)
     recs_n, vals_n = _distinct_vals(new_df, id_col, text_col)
     k = d + 1
     shorts_n = vals_n.filter(F.col("l") < k)
@@ -508,6 +559,9 @@ def containment_index(
         "prefix": prefix,
         "postings": postings,
         "members": members,
+        "params": _params_table(
+            corpus_df.sparkSession, t_num=t_num, t_den=t_den
+        ),
     }
 
 
@@ -534,6 +588,13 @@ def containment_join_incremental(
     the containing side always contributes full postings)."""
     if direction not in ("both", "new_in_corpus", "corpus_in_new"):
         raise ValueError(f"unknown direction {direction!r}")
+    if not (0 < t_num <= t_den):
+        raise ValueError(
+            f"threshold t_num/t_den must be in (0, 1]: got {t_num}/{t_den}"
+        )
+    _check_params(
+        index, "containment_join_incremental", t_num=t_num, t_den=t_den
+    )
     members_n, classes_n = _classed_arrays(new_df, id_col, tokens_col)
     reps_n = _order_by_rank(classes_n, index["tok_df"])
     toks_n = reps_n.select(

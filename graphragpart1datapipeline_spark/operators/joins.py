@@ -102,41 +102,68 @@ def salted_join(
     return salted_left.join(salted_right, [*keys, "__shard"], how).drop("__shard")
 
 
+def _detect_hot_keys_with_total(
+    df: DataFrame,
+    on: str | Sequence[str],
+    threshold_frac: float,
+) -> DataFrame:
+    """(keys..., __cnt, __n): keys with count strictly greater than
+    ``threshold_frac * n`` over the non-null-key rows, plus that total
+    n on every row. Three passes over ``df``: a per-partition
+    Misra-Gries candidate sweep (capacity 2*ceil(1/frac) -- a superset
+    of every over-threshold key by the pigeonhole bound), an exact
+    recount of candidate rows grouped by the REAL key columns, and the
+    1-row total; the final filter is the exact advertised threshold,
+    not the n/k surrogate."""
+    if not (0 < threshold_frac < 1):
+        raise ValueError(
+            f"threshold_frac must be in (0, 1): got {threshold_frac}"
+        )
+    import math
+
+    from .sketches import mg_candidates
+
+    keys = [on] if isinstance(on, str) else list(on)
+    cap = 2 * max(2, math.ceil(1.0 / threshold_frac))
+    nn = None
+    for c in keys:
+        p = F.col(c).isNotNull()
+        nn = p if nn is None else nn & p
+    # injective detector key: to_json escapes values and drops null
+    # fields per-field, so distinct tuples can never collide (a naive
+    # separator-less concat maps ('ab','c') and ('a','bc') to the same
+    # string and merges their counts)
+    jk = F.md5(F.to_json(F.struct(*[F.col(c) for c in keys])))
+    tagged = df.filter(nn).select(*keys, jk.alias("__jk"))
+    cand = mg_candidates(tagged.select(F.col("__jk").alias("v")), cap)
+    counts = (
+        tagged.join(
+            F.broadcast(cand.select(F.col("v").alias("__jk"))),
+            "__jk",
+            "left_semi",
+        )
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    ntot = tagged.groupBy().agg(F.count(F.lit(1)).alias("__n"))
+    return counts.crossJoin(F.broadcast(ntot)).filter(
+        F.col("__cnt").cast("double")
+        > F.lit(float(threshold_frac)) * F.col("__n").cast("double")
+    )
+
+
 def detect_hot_keys(
     df: DataFrame,
     on: str | Sequence[str],
     threshold_frac: float = 0.01,
 ) -> DataFrame:
-    """EXACT hot-key detection for skew handling: the join keys holding
-    strictly more than ``threshold_frac`` of the rows, with their
-    counts. Reuses the two-pass Misra-Gries + recount machinery of
-    ``heavy_hitters`` (k = ceil(1/threshold_frac)), so the result is
-    the exact over-threshold set — at most 1/threshold_frac keys, tiny
-    by construction. Returns (keys..., __cnt)."""
-    if not (0 < threshold_frac < 1):
-        raise ValueError(
-            f"threshold_frac must be in (0, 1): got {threshold_frac}"
-        )
-    from .sketches import heavy_hitters
-
-    keys = [on] if isinstance(on, str) else list(on)
-    import math
-
-    k = max(2, math.ceil(1.0 / threshold_frac))
-    joined_key = F.concat_ws("", *[F.col(c).cast("string") for c in keys])
-    tagged = df.select(
-        *[F.col(c) for c in keys], joined_key.alias("__jk")
-    )
-    hh = heavy_hitters(tagged, "__jk", k=k).select(
-        F.col("value").alias("__jk"), F.col("cnt").alias("__cnt")
-    )
-    # map the concatenated detector key back to the real key columns
-    # via one semi-join + distinct over the (tiny) hot set
-    return (
-        tagged.join(F.broadcast(hh), "__jk")
-        .select(*keys, "__cnt")
-        .distinct()
-    )
+    """EXACT hot-key detection for skew handling: the join keys
+    (null-free tuples) holding strictly more than ``threshold_frac``
+    of the rows, with their exact counts -- at most 1/threshold_frac
+    keys by construction. Misra-Gries candidate sweep + exact recount
+    + exact threshold filter (see :func:`_detect_hot_keys_with_total`
+    for the pass budget). Returns (keys..., __cnt)."""
+    return _detect_hot_keys_with_total(df, on, threshold_frac).drop("__n")
 
 
 def salted_join_auto(
@@ -176,14 +203,18 @@ def salted_join_auto(
             f"use one of {sorted(allowed)}"
         )
     keys = [on] if isinstance(on, str) else list(on)
-    hot = detect_hot_keys(left, keys, threshold_frac)
-    hot_rows = hot.collect()  # bounded: <= 1/threshold_frac rows
+    # bounded collect: <= 1/threshold_frac rows, each carrying the
+    # total row count __n (so shard sizing needs no extra left.count()
+    # pass — detection's 3 scans are the whole pre-join budget)
+    hot_rows = _detect_hot_keys_with_total(
+        left, keys, threshold_frac
+    ).collect()
     if not hot_rows:
         return left.join(right, keys, how)
     # target shard size = the threshold count: a key at exactly the
     # threshold gets 1 shard, a key at X× the threshold ~X shards
     per_shard = target_rows_per_shard or max(
-        1, int(left.count() * threshold_frac)
+        1, int(hot_rows[0]["__n"] * threshold_frac)
     )
     spark = left.sparkSession
     salt_rows = [

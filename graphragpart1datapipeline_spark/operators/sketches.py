@@ -163,6 +163,35 @@ def kmv_estimate_from_sketch(
     ).withColumn("sketch_size", size.cast("long"))
 
 
+def mg_candidates(src: DataFrame, cap: int) -> DataFrame:
+    """Per-partition Misra-Gries candidate pass over a 1-column
+    ``(v string)`` frame: returns the distinct union of each
+    partition's capacity-``cap`` summary — a SUPERSET of every value
+    with global count > n/(cap+1) (and therefore of any count > n/k
+    for k <= cap). Arrow-batched, O(cap) state per partition; shared
+    by :func:`heavy_hitters` and the join-skew hot-key detector."""
+
+    def mg(batches):
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for v in pdf["v"]:
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < cap:
+                    counters[v] = 1
+                else:
+                    dead = [key for key in counters if counters[key] == 1]
+                    for key in counters:
+                        counters[key] -= 1
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame({"v": list(counters.keys())})
+
+    return src.mapInPandas(mg, "v string").distinct()
+
+
 def heavy_hitters(
     df: DataFrame,
     col: str,
@@ -202,26 +231,7 @@ def heavy_hitters(
     src = df.select(F.col(col).cast("string").alias("v")).filter(
         F.col("v").isNotNull()
     )
-
-    def mg(batches):
-        import pandas as pd
-
-        counters: dict[str, int] = {}
-        for pdf in batches:
-            for v in pdf["v"]:
-                if v in counters:
-                    counters[v] += 1
-                elif len(counters) < cap:
-                    counters[v] = 1
-                else:
-                    dead = [key for key in counters if counters[key] == 1]
-                    for key in counters:
-                        counters[key] -= 1
-                    for key in dead:
-                        del counters[key]
-        yield pd.DataFrame({"v": list(counters.keys())})
-
-    candidates = src.mapInPandas(mg, "v string").distinct()
+    candidates = mg_candidates(src, cap)
     n = src.groupBy().agg(F.count(F.lit(1)).alias("__n"))
     return (
         src.join(F.broadcast(candidates), "v", "left_semi")

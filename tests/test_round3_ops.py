@@ -1855,3 +1855,55 @@ def test_winnow_fingerprints_guarantee_and_shape(spark):
     # zero shuffles: entirely row-local plan
     p = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in p
+
+
+def test_incremental_index_param_mismatch_raises(spark):
+    """A probe with a different threshold/d than the index was built
+    for must raise (the persisted prefix/segment tables are only
+    lossless for the build-time parameters) — and the params table
+    survives the parquet roundtrip."""
+    from graphragpart1datapipeline_spark.dedup.incremental import (
+        levenshtein_index,
+        levenshtein_join_incremental,
+        set_similarity_index,
+        set_similarity_join_incremental,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta delta")], "id int, s string"
+    )
+    idx = set_similarity_index(df, "id", "s", 4, 5)
+    try:
+        set_similarity_join_incremental(df, idx, "id", "s", 1, 2)
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "built with" in str(e)
+    lidx = levenshtein_index(df, "id", "s", d=2)
+    try:
+        levenshtein_join_incremental(df, lidx, "id", "s", d=1)
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "built with" in str(e)
+    # matching params pass
+    assert set_similarity_join_incremental(df, idx, "id", "s", 4, 5).count() >= 0
+
+
+def test_detect_hot_keys_exact_fraction_and_composite(spark):
+    """The exact advertised threshold (not the n/k surrogate), and an
+    injective composite key (no concat collisions)."""
+    from graphragpart1datapipeline_spark.operators.joins import detect_hot_keys
+
+    # key 0 holds 52/100 rows: hot at frac=0.5? 52 > 50 -> yes;
+    # at frac=0.52 -> 52 > 52 is false -> not hot
+    rows = [(0,)] * 52 + [(i,) for i in range(1, 49)]
+    df = spark.createDataFrame(rows, "k int")
+    assert {r["k"] for r in
+            detect_hot_keys(df, "k", 0.5).collect()} == {0}
+    assert detect_hot_keys(df, "k", 0.52).count() == 0
+    # composite keys that a separator-less concat would merge
+    comp = spark.createDataFrame(
+        [("ab", "c")] * 10 + [("a", "bc")], "k1 string, k2 string"
+    )
+    hot = {(r["k1"], r["k2"]): r["__cnt"] for r in
+           detect_hot_keys(comp, ["k1", "k2"], 0.5).collect()}
+    assert hot == {("ab", "c"): 10}
