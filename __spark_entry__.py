@@ -4632,9 +4632,7 @@ def q166(spark, sf_dir):
     )
 
 
-@_register(
-    "q167_winnow_fingerprints",
-    """
+_WINNOW_CTE = """
     WITH t AS (
       SELECT doc_id,
              list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
@@ -4663,10 +4661,15 @@ def q166(spark, sf_dir):
       JOIN gmin m ON m.doc_id = e.doc_id AND m.wstart = e.wstart
                AND e.h = m.hmin
       GROUP BY e.doc_id, e.wstart, m.hmin
-    )
-    SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, fingerprint
-    FROM sel
-    """,
+    ), wfp AS (
+      SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, fingerprint
+      FROM sel
+    )"""
+
+
+@_register(
+    "q167_winnow_fingerprints",
+    _WINNOW_CTE + "\n    SELECT doc_id, pos, fingerprint FROM wfp",
 )
 def q167(spark, sf_dir):
     """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken
@@ -4682,6 +4685,51 @@ def q167(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return winnow_fingerprints(docs, "text", "doc_id", k=5, w=4)
+
+
+@_register(
+    "q169_winnow_copy_spans",
+    _WINNOW_CTE + """
+    , capped AS (
+      SELECT f.* FROM wfp f JOIN (
+        SELECT fingerprint FROM wfp
+        GROUP BY fingerprint HAVING COUNT(DISTINCT doc_id) <= 50
+      ) kp USING (fingerprint)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           a.pos - b.pos AS "offset",
+           COUNT(*) AS n_shared,
+           MIN(a.pos) AS a_start, MAX(a.pos) AS a_end,
+           MIN(b.pos) AS b_start, MAX(b.pos) AS b_end
+    FROM capped a JOIN capped b
+      ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id, a.pos - b.pos
+    HAVING COUNT(*) >= 2
+    """,
+)
+def q169(spark, sf_dir):
+    """Copied-region detection composed from q167's winnowing
+    fingerprints: shared fingerprints joined across documents and
+    rolled up by ALIGNMENT DIAGONAL (pos_a − pos_b) — fingerprints of
+    one contiguous copied passage share a diagonal, so each surviving
+    (pair, diagonal) group localizes a copy with >= 2 aligned hashes
+    (chance single-hash collisions filtered). Fingerprints selected in
+    > 50 documents are dropped before pairing (boilerplate hashes,
+    quadratic pair volume, zero copy evidence — the winnowing analogue
+    of the LSH mega-bucket cap). Equi-join on the hash + one groupBy;
+    never a document cross product."""
+    from graphragpart1datapipeline_spark.text import winnow_copy_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnow_copy_spans(
+        docs, "text", "doc_id", k=5, w=4, min_shared=2, max_postings=50
+    ).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("offset").cast("long").alias("offset"),
+        "n_shared",
+        "a_start", "a_end", "b_start", "b_end",
+    )
 
 
 def _graphrag_retrieval_sql(iters: int = 2, scale: int = 10**12) -> str:

@@ -11,6 +11,7 @@ from .analysis import (  # noqa: F401
     tfidf_top_terms,
     token_count,
     tokens,
+    winnow_copy_spans,
     winnow_fingerprints,
 )
 from .bpe import bpe_apply, bpe_train  # noqa: F401

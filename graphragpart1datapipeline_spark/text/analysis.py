@@ -408,6 +408,72 @@ def winnow_fingerprints(
     )
 
 
+def winnow_copy_spans(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_postings: int | None = 50,
+):
+    """Cross-document copied-region detection on top of
+    :func:`winnow_fingerprints`: join selected fingerprints across
+    documents and group matches by their ALIGNMENT DIAGONAL
+    (pos_a - pos_b) — fingerprints of one contiguous copied passage
+    share a diagonal, so each (doc pair, diagonal) group is one
+    candidate region. Returns (id_a, id_b, offset, n_shared, a_start,
+    a_end, b_start, b_end) with id_a < id_b and at least
+    ``min_shared`` aligned fingerprints (2+ filters out chance
+    single-hash collisions).
+
+    ``max_postings`` drops fingerprints selected in more than that
+    many documents before pairing — template/boilerplate hashes whose
+    pair volume is quadratic in document frequency carry no copy
+    evidence (the winnowing analogue of the LSH mega-bucket cap;
+    documented lossy trade, None disables).
+
+    Scale shape: the fingerprint join is an equi-join on the hash
+    (selected volume ~2n/(w+1), capped per key); the diagonal rollup
+    is one groupBy. Never a document cross product."""
+    fp = winnow_fingerprints(df, text_col, id_col, k=k, w=w)
+    if max_postings is not None:
+        keep = (
+            fp.groupBy("fingerprint")
+            .agg(F.count_distinct(id_col).alias("__df"))
+            .filter(F.col("__df") <= max_postings)
+            .select("fingerprint")
+        )
+        fp = fp.join(keep, "fingerprint")
+    a = fp.select(
+        F.col(id_col).alias("id_a"),
+        F.col("pos").alias("pos_a"),
+        "fingerprint",
+    )
+    b = fp.select(
+        F.col(id_col).alias("id_b"),
+        F.col("pos").alias("pos_b"),
+        "fingerprint",
+    )
+    return (
+        a.join(b, "fingerprint")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy(
+            "id_a",
+            "id_b",
+            (F.col("pos_a") - F.col("pos_b")).alias("offset"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            F.min("pos_a").alias("a_start"),
+            F.max("pos_a").alias("a_end"),
+            F.min("pos_b").alias("b_start"),
+            F.max("pos_b").alias("b_end"),
+        )
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def remove_boilerplate_spans(
     df,
     text_col: str = "text",

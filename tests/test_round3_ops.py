@@ -1907,3 +1907,36 @@ def test_detect_hot_keys_exact_fraction_and_composite(spark):
     hot = {(r["k1"], r["k2"]): r["__cnt"] for r in
            detect_hot_keys(comp, ["k1", "k2"], 0.5).collect()}
     assert hot == {("ab", "c"): 10}
+
+
+def test_winnow_copy_spans_diagonal_and_cap(spark):
+    from graphragpart1datapipeline_spark.text import winnow_copy_spans
+
+    passage = ("one two three four five six seven eight nine ten "
+               "eleven twelve thirteen fourteen")
+    docs = spark.createDataFrame(
+        [
+            (1, "prefix words here " + passage + " trailing bits"),
+            (2, passage + " different ending entirely now"),
+            (3, "no relation to anything else whatsoever in this doc"),
+        ],
+        "doc_id int, text string",
+    )
+    rows = winnow_copy_spans(
+        docs, "text", "doc_id", k=5, w=4, min_shared=2
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]): r for r in rows}
+    assert (1, 2) in pairs
+    r = pairs[(1, 2)]
+    # doc1's copy starts at word 3, doc2's at word 0 -> diagonal +3
+    assert r["offset"] == 3
+    assert r["a_start"] >= 3 and r["b_start"] >= 0
+    assert r["n_shared"] >= 2
+    assert not any(3 in p for p in pairs)
+    # boilerplate cap: a fingerprint present in every doc is dropped
+    many = spark.createDataFrame(
+        [(i, passage) for i in range(10)], "doc_id int, text string"
+    )
+    assert winnow_copy_spans(
+        many, "text", "doc_id", k=5, w=4, max_postings=5
+    ).count() == 0
