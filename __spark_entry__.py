@@ -4732,6 +4732,57 @@ def q169(spark, sf_dir):
     )
 
 
+@_register(
+    "q170_length_bucketed_batches",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+               AS n_toks
+      FROM documents
+    ), b AS (
+      SELECT doc_id, n_toks,
+             CAST(floor(n_toks / 32) AS BIGINT) AS bucket,
+             CAST((floor(n_toks / 32) + 1) * 32 AS BIGINT) AS padded_len,
+             CAST(CAST('0x' || substring(
+                 md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT)
+               % 8 AS BIGINT) AS stream_id
+      FROM t
+    )
+    SELECT doc_id, n_toks, bucket, padded_len, stream_id,
+           CAST(floor(
+             (row_number() OVER (PARTITION BY bucket, stream_id
+                                 ORDER BY doc_id) - 1)
+             / greatest(floor(1024 / padded_len), 1)) AS BIGINT) AS batch_id
+    FROM b
+    """,
+)
+def q170(spark, sf_dir):
+    """Length-bucketed batch-inference assignment: rows batch with
+    alike token lengths (padding waste bounded by the bucket width,
+    each batch's padded volume under the token budget), document
+    boundaries preserved — the inference-serving complement of q79's
+    training-side sequence packing. One window per (bucket, stream)
+    cell, md5-deterministic; the oracle replays bucketing, stream
+    hash, and per-cell batch assignment exactly."""
+    from graphragpart1datapipeline_spark.operators.relational import (
+        length_bucketed_batches,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("long")
+        .alias("n_toks"),
+    )
+    return length_bucketed_batches(
+        docs, "doc_id", "n_toks",
+        bucket_width=32, batch_tokens=1024, n_streams=8,
+    ).select(
+        "doc_id", "n_toks", "bucket", "padded_len", "stream_id", "batch_id"
+    )
+
+
 def _graphrag_retrieval_sql(iters: int = 2, scale: int = 10**12) -> str:
     """Composed query-time GraphRAG retrieval replay: BM25 seed search
     over part names → seeded (personalized) PageRank over the

@@ -519,6 +519,75 @@ def pack_sequences(
         .drop("__start")
     )
 
+def length_bucketed_batches(
+    df: DataFrame,
+    id_col: str,
+    token_count_col: str,
+    bucket_width: int = 64,
+    batch_tokens: int = 16384,
+    n_streams: int = 64,
+    seed: str | int = 42,
+) -> DataFrame:
+    """Deterministic LENGTH-BUCKETED batching for batch inference: rows
+    are grouped into batches of similar token length so per-batch
+    padding waste is bounded by ``bucket_width`` — the
+    inference-serving complement of :func:`pack_sequences` (which
+    CONCATENATES documents for training; here document boundaries must
+    survive, so efficiency comes from batching alike lengths).
+
+    bucket = floor(tokens / bucket_width); every row in a bucket pads
+    to the bucket ceiling ``padded_len = (bucket+1)·bucket_width``, so
+    ``batch_size = max(floor(batch_tokens / padded_len), 1)`` rows per
+    batch keeps each batch's padded token volume under
+    ``batch_tokens``. Within a bucket rows are md5-assigned to
+    ``n_streams`` independent streams and batched per stream in id
+    order — batches never span streams, so the assignment is ONE
+    window per (bucket, stream) cell (n_streams-way parallel per
+    bucket, never a single global ordering; same scale trade as
+    pack_sequences, tail batches per stream may run short). Pure
+    function of (seed, ids, token counts) — replayable in SQL (q170).
+
+    Returns the input plus (bucket, padded_len, stream_id, batch_id).
+    """
+    if bucket_width <= 0 or batch_tokens <= 0:
+        raise ValueError("bucket_width and batch_tokens must be positive")
+    bucket = F.floor(
+        F.col(token_count_col).cast("long") / F.lit(bucket_width)
+    ).cast("long")
+    padded = ((F.col("bucket") + 1) * bucket_width).cast("long")
+    batch_size = F.greatest(
+        F.floor(F.lit(batch_tokens) / F.col("padded_len")), F.lit(1)
+    )
+    stream = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(str(seed)), F.lit(":"), F.col(id_col).cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n_streams
+    )
+    w = Window.partitionBy("bucket", "stream_id").orderBy(id_col)
+    return (
+        df.withColumn("bucket", bucket)
+        .withColumn("padded_len", padded)
+        .withColumn("stream_id", stream.alias("stream_id"))
+        .withColumn(
+            "batch_id",
+            F.floor(
+                (F.row_number().over(w) - 1) / batch_size
+            ).cast("long"),
+        )
+    )
+
+
 def equi_width_histogram(
     df: DataFrame,
     value_col: str,

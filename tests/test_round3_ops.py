@@ -1940,3 +1940,43 @@ def test_winnow_copy_spans_diagonal_and_cap(spark):
     assert winnow_copy_spans(
         many, "text", "doc_id", k=5, w=4, max_postings=5
     ).count() == 0
+
+
+def test_length_bucketed_batches_invariants(spark):
+    """Every batch stays within the padded token budget, batches never
+    mix buckets or streams, and assignment is deterministic."""
+    from graphragpart1datapipeline_spark.operators.relational import (
+        length_bucketed_batches,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 10 + (i * 37) % 300) for i in range(200)],
+        "id int, toks int",
+    )
+    out = length_bucketed_batches(
+        df, "id", "toks", bucket_width=32, batch_tokens=256, n_streams=4
+    )
+    rows = out.collect()
+    from collections import defaultdict
+    batches = defaultdict(list)
+    for r in rows:
+        assert r["padded_len"] == (r["bucket"] + 1) * 32
+        assert r["toks"] <= r["padded_len"]
+        batches[(r["bucket"], r["stream_id"], r["batch_id"])].append(r)
+    for (_, _, _), members in batches.items():
+        padded = members[0]["padded_len"]
+        # a full batch of batch_size rows fits the budget (when even a
+        # single row exceeds it, the floor clamps batch_size to 1)
+        bs = max(int(256 // padded), 1)
+        assert len(members) <= bs
+        if bs > 1:
+            assert len(members) * padded <= 256 or len(members) == 1
+    again = length_bucketed_batches(
+        df, "id", "toks", bucket_width=32, batch_tokens=256, n_streams=4
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    try:
+        length_bucketed_batches(df, "id", "toks", bucket_width=0)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
