@@ -4783,6 +4783,89 @@ def q170(spark, sf_dir):
     )
 
 
+@_register(
+    "q171_pit_feature_join",
+    """
+    WITH cur AS (
+      SELECT c_custkey, c_acctbal, c_mktsegment,
+             CAST(0 AS BIGINT) AS valid_from,
+             CAST(NULL AS BIGINT) AS valid_to
+      FROM customer
+    ), upd AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 1000.0
+                  ELSE c_acctbal END AS c_acctbal,
+             c_mktsegment, CAST(10 AS BIGINT) AS version
+      FROM customer WHERE c_custkey % 5 = 0 OR c_custkey % 7 = 0
+    ), changed AS (
+      SELECT u.* FROM upd u JOIN cur
+        ON cur.c_custkey = u.c_custkey
+      WHERE NOT (cur.c_acctbal = u.c_acctbal
+                 AND cur.c_mktsegment = u.c_mktsegment)
+    ), merged AS (
+      SELECT cur.c_custkey, cur.c_acctbal, cur.c_mktsegment,
+             cur.valid_from,
+             CASE WHEN changed.c_custkey IS NULL THEN NULL
+                  ELSE changed.version END AS valid_to
+      FROM cur LEFT JOIN changed ON changed.c_custkey = cur.c_custkey
+      UNION ALL
+      SELECT c_custkey, c_acctbal, c_mktsegment, version, NULL
+      FROM changed
+    ), facts AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(o_orderkey % 20 AS BIGINT) AS event_ver
+      FROM orders
+    )
+    SELECT f.o_orderkey, f.event_ver, h.c_acctbal, h.c_mktsegment
+    FROM facts f LEFT JOIN merged h
+      ON h.c_custkey = f.o_custkey
+     AND h.valid_from <= f.event_ver
+     AND (h.valid_to IS NULL OR h.valid_to > f.event_ver)
+    """,
+)
+def q171(spark, sf_dir):
+    """Point-in-time-correct feature join: every order joins the
+    customer dimension attributes valid AT ITS OWN event version
+    against the SCD2 history (q98's merge, update batch at version
+    10) — orders before the cut see the OLD acctbal, orders at/after
+    it the new one, exactly what prevents training-serving leakage in
+    a feature pipeline. One key equi-join with the interval residual
+    (unique match under the SCD2 invariant); the oracle rebuilds the
+    history and replays the interval join row for row."""
+    from graphragpart1datapipeline_spark.operators import apply_scd2, pit_join
+
+    c = _t(spark, sf_dir, "customer")
+    current = c.select(
+        "c_custkey", "c_acctbal", "c_mktsegment",
+        F.lit(0).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+    )
+    updates = c.filter(
+        (F.col("c_custkey") % 5 == 0) | (F.col("c_custkey") % 7 == 0)
+    ).select(
+        "c_custkey",
+        F.when(
+            F.col("c_custkey") % 5 == 0, F.col("c_acctbal") + 1000.0
+        ).otherwise(F.col("c_acctbal")).alias("c_acctbal"),
+        "c_mktsegment",
+        F.lit(10).cast("long").alias("version"),
+    )
+    history = apply_scd2(
+        current, updates,
+        key_cols=["c_custkey"],
+        compare_cols=["c_acctbal", "c_mktsegment"],
+    )
+    facts = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("c_custkey"),
+        (F.col("o_orderkey") % 20).cast("long").alias("event_ver"),
+    )
+    return pit_join(
+        facts, history, ["c_custkey"], "event_ver",
+        payload_cols=["c_acctbal", "c_mktsegment"],
+    ).select("o_orderkey", "event_ver", "c_acctbal", "c_mktsegment")
+
+
 def _graphrag_retrieval_sql(iters: int = 2, scale: int = 10**12) -> str:
     """Composed query-time GraphRAG retrieval replay: BM25 seed search
     over part names → seeded (personalized) PageRank over the

@@ -987,6 +987,58 @@ def scd2_as_of(
     )
 
 
+def pit_join(
+    facts: DataFrame,
+    history: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    payload_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """POINT-IN-TIME-correct feature join: attach to every fact row the
+    dimension attributes that were valid AT ITS OWN timestamp — the
+    feature-store join that prevents training-serving leakage (joining
+    today's dimension onto last year's facts silently trains on the
+    future). ``history`` is an SCD2 table (:func:`apply_scd2` output);
+    facts with no covering interval get null payload (left semantics).
+
+    Plan: ONE key equi-hash-join with the interval containment as a
+    residual filter condition — per-fact fan-out is bounded by the
+    key's history depth (and the SCD2 disjoint-interval invariant
+    makes the match unique), so there is no range-bucket machinery to
+    pay for; both sides bucketed by key at rest make it exchange-free.
+    The scalar-cut sibling is :func:`scd2_as_of` (one timestamp for
+    the whole read); this is the per-row generalization."""
+    keys = list(key_cols)
+    payload = list(
+        payload_cols
+        or [
+            c
+            for c in history.columns
+            if c not in (*keys, valid_from, valid_to)
+        ]
+    )
+    h = history.select(
+        *[F.col(k).alias(f"__hk_{k}") for k in keys],
+        *[F.col(c).alias(c) for c in payload],
+        F.col(valid_from).alias("__vf"),
+        F.col(valid_to).alias("__vt"),
+    )
+    cond = None
+    for k in keys:
+        c = facts[k] == F.col(f"__hk_{k}")
+        cond = c if cond is None else cond & c
+    cond = (
+        cond
+        & (F.col("__vf") <= facts[ts_col])
+        & (F.col("__vt").isNull() | (F.col("__vt") > facts[ts_col]))
+    )
+    return facts.join(h, cond, "left").drop(
+        *[f"__hk_{k}" for k in keys], "__vf", "__vt"
+    )
+
+
 def cdc_upsert_state(
     state: DataFrame,
     changes: DataFrame,

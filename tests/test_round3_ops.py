@@ -1980,3 +1980,32 @@ def test_length_bucketed_batches_invariants(spark):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_pit_join_no_future_leakage(spark):
+    """The PIT join must attach the version valid at each fact's OWN
+    timestamp — not the latest one — and null-extend facts before any
+    history."""
+    from graphragpart1datapipeline_spark.operators import apply_scd2, pit_join
+
+    current = spark.createDataFrame(
+        [(1, "v0", 0, None)],
+        "k int, v string, valid_from long, valid_to long",
+    )
+    upd = spark.createDataFrame([(1, "v1", 10), (2, "w1", 10)],
+                                "k int, v string, version long")
+    h = apply_scd2(current, upd, ["k"], ["v"])
+    facts = spark.createDataFrame(
+        [(100, 1, 5), (101, 1, 10), (102, 1, 15),
+         (103, 2, 5), (104, 2, 15)],
+        "fid int, k int, ts long",
+    )
+    got = {r["fid"]: r["v"] for r in
+           pit_join(facts, h, ["k"], "ts", payload_cols=["v"]).collect()}
+    assert got == {
+        100: "v0",   # before the cut -> old value
+        101: "v1",   # at the cut -> new value (valid_from <= ts)
+        102: "v1",
+        103: None,   # key 2 did not exist at ts=5
+        104: "w1",
+    }
