@@ -3901,6 +3901,7 @@ def _leiden_oracle_sql(
     levels: int = 2,
     refine_rounds: int = 2,
     res: str = "1.0",
+    final: str | None = None,
 ) -> str:
     """Unrolled replay of leiden_communities over the customer→nation→
     region graph: per level, the louvain local-moving rounds PLUS the
@@ -4076,14 +4077,14 @@ def _leiden_oracle_sql(
         chain += f" JOIN rl{lv}_{refine_rounds} r{lv} ON r{lv}.id = {prev}.rlab"
         prev = f"r{lv}"
     if levels == 1:
-        return sql + f"\n    SELECT id, lab AS community FROM lab0_{rounds}"
-    return (
-        sql
-        + f"""
-    SELECT r0.id AS id, fin.lab AS community
+        member = f"SELECT id, lab AS community FROM lab0_{rounds}"
+    else:
+        member = f"""SELECT r0.id AS id, fin.lab AS community
     FROM {chain}
     JOIN lab{levels - 1}_{rounds} fin ON fin.id = {prev}.rlab"""
-    )
+    if final is None:
+        return sql + "\n    " + member
+    return sql + f", member AS (\n    {member}\n    )" + final
 
 
 @_register("q159_leiden_distributed", _leiden_oracle_sql(2, 2, 2))
@@ -4112,6 +4113,71 @@ def q159(spark, sf_dir):
     return leiden_communities(
         e1.unionByName(e2), rounds_per_level=2, levels=2, refine_rounds=2
     )
+
+
+_MODULARITY_TAIL = """
+    , mdeg AS (
+      SELECT id, COUNT(*) AS deg FROM (
+        SELECT a AS id FROM e0 UNION ALL SELECT b AS id FROM e0
+      ) GROUP BY id
+    ), mdc AS (
+      SELECT m.community AS c, SUM(CAST(d.deg AS HUGEINT)) AS dc
+      FROM mdeg d JOIN member m ON m.id = d.id GROUP BY 1
+    ), mec AS (
+      SELECT ma.community AS c, CAST(COUNT(*) AS HUGEINT) AS ec
+      FROM e0
+      JOIN member ma ON ma.id = e0.a
+      JOIN member mb ON mb.id = e0.b
+      WHERE ma.community = mb.community GROUP BY 1
+    ), mm AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS m FROM e0
+    ), rolled AS (
+      SELECT COUNT(*) AS n_communities, SUM(qc) AS q_num FROM (
+        SELECT dc.c,
+               4 * mm.m * COALESCE(ec.ec, 0) - dc.dc * dc.dc AS qc
+        FROM mdc dc LEFT JOIN mec ec ON ec.c = dc.c, mm
+      )
+    )
+    SELECT rolled.n_communities,
+           CAST(mm.m AS BIGINT) AS n_edges,
+           CAST(rolled.q_num AS VARCHAR) AS q_num,
+           CAST(rolled.q_num AS DOUBLE)
+             / (2.0 * CAST(mm.m AS DOUBLE) * 2.0 * CAST(mm.m AS DOUBLE))
+             AS modularity
+    FROM rolled, mm
+    """
+
+
+@_register(
+    "q172_leiden_modularity",
+    _leiden_oracle_sql(2, 2, 2, final=_MODULARITY_TAIL),
+)
+def q172(spark, sf_dir):
+    """Community QUALITY as a hash-checked query: exact (γ=1)
+    modularity of q159's distributed-Leiden partition —
+    q_num = Σ_c (2S·e_c − d_c²) in pure integer arithmetic (S = 2m),
+    one IEEE division at the end — so any regression in community
+    structure (not just membership determinism) flips the hash. The
+    retrieval-quality counterpart of q160's recall row, for the graph
+    side."""
+    from graphragpart1datapipeline_spark.graph import leiden_communities
+    from graphragpart1datapipeline_spark.graph.communities import modularity
+
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    e1 = c.select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("n"), F.col("c_nationkey").cast("string")).alias("dst"),
+    )
+    e2 = n.select(
+        F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias("src"),
+        F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias("dst"),
+    )
+    edges = e1.unionByName(e2)
+    mem = leiden_communities(
+        edges, rounds_per_level=2, levels=2, refine_rounds=2
+    )
+    return modularity(edges, mem)
 
 
 def _ann_recall_oracle_sql() -> str:

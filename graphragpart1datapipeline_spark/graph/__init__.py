@@ -8,6 +8,7 @@ from .communities import (  # noqa: F401
     label_propagation_communities,
     leiden_communities,
     louvain_communities,
+    modularity,
 )
 from .linkpred import link_prediction_scores  # noqa: F401
 from .triangles import cooccurrence_edges, triangle_counts  # noqa: F401

@@ -728,6 +728,93 @@ def label_propagation_communities(
     return labels
 
 
+def modularity(
+    edges: DataFrame,
+    membership: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "id",
+    community_col: str = "community",
+) -> DataFrame:
+    """EXACT (RB γ=1) modularity of a partition over an unweighted
+    undirected graph — the community-QUALITY metric, as a 1-row frame
+    (n_communities, n_edges, q_num, modularity) where
+    ``q_num = Σ_c (2·S·e_c − d_c²)`` with S = Σdeg = 2m, e_c the
+    intra-community edge count and d_c the community degree sum, so
+    ``modularity = q_num / S²``. Every term is integer (accumulated in
+    DECIMAL(38,0) so the metric survives billions of edges without
+    overflow); the only float is the final division — one IEEE op,
+    bit-identical across engines, which is what lets q172 hash-check
+    community QUALITY every round, not just membership determinism.
+
+    Scale shape: edge canonicalization (one distinct), degrees (one
+    groupBy), two membership joins onto the edge list, two
+    community-sized groupBys, a 1-row rollup. Nodes in ``membership``
+    with no edges contribute nothing (degree 0)."""
+    can = (
+        edges.select(
+            F.least(F.col(src).cast("string"), F.col(dst).cast("string")).alias("a"),
+            F.greatest(F.col(src).cast("string"), F.col(dst).cast("string")).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    mem = membership.select(
+        F.col(id_col).cast("string").alias("id"),
+        F.col(community_col).cast("string").alias("c"),
+    )
+    deg = (
+        can.select(F.col("a").alias("id"))
+        .unionByName(can.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    dc = (
+        deg.join(mem, "id")
+        .groupBy("c")
+        .agg(F.sum(F.col("deg").cast("decimal(38,0)")).alias("dc"))
+    )
+    ec = (
+        can.join(mem.select(F.col("id").alias("a"), F.col("c").alias("ca")), "a")
+        .join(mem.select(F.col("id").alias("b"), F.col("c").alias("cb")), "b")
+        .filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("c"))
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("ec"))
+    )
+    stats = can.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("m")
+    )
+    per_c = dc.join(ec, "c", "left").select(
+        "c",
+        F.coalesce("ec", F.lit(0).cast("decimal(38,0)")).alias("ec"),
+        "dc",
+    )
+    return (
+        per_c.crossJoin(F.broadcast(stats))
+        .select(
+            "c",
+            (
+                F.lit(4) * F.col("m") * F.col("ec") - F.col("dc") * F.col("dc")
+            ).alias("qc"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_communities"),
+            F.sum("qc").cast("decimal(38,0)").alias("q_num"),
+        )
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "n_communities",
+            F.col("m").cast("long").alias("n_edges"),
+            F.col("q_num").cast("string").alias("q_num"),
+            (
+                F.col("q_num").cast("double")
+                / (F.lit(2.0) * F.col("m").cast("double")
+                   * F.lit(2.0) * F.col("m").cast("double"))
+            ).alias("modularity"),
+        )
+    )
+
+
 def _local_move_round(
     labels: DataFrame,
     deg: DataFrame,

@@ -2009,3 +2009,29 @@ def test_pit_join_no_future_leakage(spark):
         103: None,   # key 2 did not exist at ts=5
         104: "w1",
     }
+
+
+def test_modularity_golden_two_cliques(spark):
+    """Exact modularity on a hand-checkable graph: two 3-cliques, the
+    true partition, vs the all-in-one partition."""
+    from graphragpart1datapipeline_spark.graph.communities import modularity
+
+    edges = spark.createDataFrame(
+        [("a1", "a2"), ("a2", "a3"), ("a3", "a1"),
+         ("b1", "b2"), ("b2", "b3"), ("b3", "b1")],
+        "src string, dst string",
+    )
+    good = spark.createDataFrame(
+        [(f"{s}{i}", s) for s in ("a", "b") for i in (1, 2, 3)],
+        "id string, community string",
+    )
+    r = modularity(edges, good).collect()[0]
+    # S=12, per community: 2*12*3 - 6^2 = 36; q_num = 72; Q = 72/144 = 0.5
+    assert r["n_communities"] == 2
+    assert r["n_edges"] == 6
+    assert r["q_num"] == "72"
+    assert r["modularity"] == 0.5
+    allone = good.select("id", F.lit("x").alias("community"))
+    r1 = modularity(edges, allone).collect()[0]
+    # one community: 2*12*6 - 12^2 = 0 -> Q = 0
+    assert r1["q_num"] == "0" and r1["modularity"] == 0.0
