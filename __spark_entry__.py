@@ -3779,14 +3779,21 @@ def q100(spark, sf_dir):
     return out
 
 
-def _louvain_oracle_sql(rounds: int = 2, levels: int = 2, res: str = "1.0") -> str:
+def _louvain_oracle_sql(
+    rounds: int = 2,
+    levels: int = 2,
+    res: str = "1.0",
+    prefix: str | None = None,
+) -> str:
     """Unrolled replay of louvain_communities over the customer→nation→
-    region graph: per round, community degree totals + node→community
-    weights → RB-gain argmax under monotone label descent; per level, a
-    graph contraction. Every quantity is integer-valued (2m-scaled
-    gain), so the double arithmetic is exact and DuckDB replays the
-    whole multi-level run bit-for-bit."""
-    sql = """
+    region graph (or a custom ``prefix`` supplying the ``e0`` edge
+    CTE — q173 passes a weighted co-order graph): per round, community
+    degree totals + node→community weights → RB-gain argmax under
+    monotone label descent; per level, a graph contraction. Every
+    quantity is integer-valued (2m-scaled gain, integer edge weights),
+    so the double arithmetic is exact and DuckDB replays the whole
+    multi-level run bit-for-bit."""
+    sql = prefix if prefix is not None else """
     WITH g AS (
       SELECT 'c' || CAST(c_custkey AS VARCHAR) AS x,
              'n' || CAST(c_nationkey AS VARCHAR) AS y
@@ -4607,6 +4614,48 @@ def q165(spark, sf_dir):
         F.sum(F.col("l_extendedprice").cast("decimal(25,6)"))
         .cast("double")
         .alias("total_price"),
+    )
+
+
+_WEIGHTED_EDGE_PREFIX = """
+    WITH g AS (
+      SELECT 's' || CAST(l.l_suppkey AS VARCHAR) AS x,
+             'c' || CAST(o.o_custkey AS VARCHAR) AS y
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), e0 AS MATERIALIZED (
+      SELECT LEAST(x, y) AS a, GREATEST(x, y) AS b,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM g WHERE x <> y GROUP BY 1, 2
+    )"""
+
+
+@_register(
+    "q173_louvain_weighted",
+    _louvain_oracle_sql(2, 2, prefix=_WEIGHTED_EDGE_PREFIX),
+)
+def q173(spark, sf_dir):
+    """WEIGHTED distributed Louvain: supplier↔customer edges weighted
+    by order-line multiplicity (how often the pair traded) — real
+    community detection weights ties by interaction strength, not mere
+    existence. Every downstream quantity of q101's machinery (degrees,
+    k_{i,c}, tot, the 2m-scaled RB gain, contraction) already carries
+    integer edge weights, so the weighted run stays exact and the
+    oracle replays both levels bit-for-bit."""
+    from graphragpart1datapipeline_spark.graph import louvain_communities
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    return louvain_communities(
+        edges, rounds_per_level=2, levels=2, weight_col="w"
     )
 
 

@@ -927,6 +927,42 @@ def _local_move_round(
     )
 
 
+def _canonical_edges(
+    edges: DataFrame, src: str, dst: str, weight_col: str | None
+) -> DataFrame:
+    """Canonical undirected (a < b, no self-loops) edge frame for the
+    community detectors, localCheckpoint'ed. Unweighted (default):
+    duplicate/reversed edges collapse via distinct, w = 1 — the exact
+    plan q101/q159 replay. With ``weight_col``: integer edge weights,
+    SUMMED over duplicate/reversed rows (so pre-aggregated multiplicity
+    counts and raw multi-edge streams both work) — every downstream
+    quantity (degrees, k_{i,c}, tot, gains, contraction) already
+    carries w, so the weighted variants stay exact-integer and
+    SQL-replayable (q173)."""
+    base = edges.select(
+        F.least(F.col(src).cast("string"), F.col(dst).cast("string")).alias("a"),
+        F.greatest(F.col(src).cast("string"), F.col(dst).cast("string")).alias("b"),
+    ).filter(F.col("a") != F.col("b"))
+    if weight_col is None:
+        can = base.distinct().withColumn("w", F.lit(1).cast("long"))
+    else:
+        can = (
+            edges.select(
+                F.least(
+                    F.col(src).cast("string"), F.col(dst).cast("string")
+                ).alias("a"),
+                F.greatest(
+                    F.col(src).cast("string"), F.col(dst).cast("string")
+                ).alias("b"),
+                F.col(weight_col).cast("long").alias("w"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.sum("w").alias("w"))
+        )
+    return can.localCheckpoint(eager=True)
+
+
 def louvain_communities(
     edges: DataFrame,
     src: str = "src",
@@ -934,6 +970,7 @@ def louvain_communities(
     resolution: float = 1.0,
     rounds_per_level: int = 2,
     levels: int = 2,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """FULLY-DISTRIBUTED Louvain: modularity-based communities as
     DataFrame-only local-moving rounds + graph contraction — the
@@ -975,16 +1012,7 @@ def louvain_communities(
     the only collect is the 1-row 2m scalar per level.
     """
     spark = edges.sparkSession
-    can = (
-        edges.select(
-            F.least(F.col(src).cast("string"), F.col(dst).cast("string")).alias("a"),
-            F.greatest(F.col(src).cast("string"), F.col(dst).cast("string")).alias("b"),
-        )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .withColumn("w", F.lit(1).cast("long"))
-        .localCheckpoint(eager=True)
-    )
+    can = _canonical_edges(edges, src, dst, weight_col)
     membership: DataFrame | None = None
     for level in range(levels):
         deg = (
@@ -1055,6 +1083,7 @@ def leiden_communities(
     rounds_per_level: int = 2,
     levels: int = 2,
     refine_rounds: int = 2,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """FULLY-DISTRIBUTED Leiden: :func:`louvain_communities`' local
     moving PLUS the γ-gated well-connectedness refinement phase of
@@ -1098,16 +1127,7 @@ def leiden_communities(
     level. No driver-side graph ever exists.
     """
     spark = edges.sparkSession
-    can = (
-        edges.select(
-            F.least(F.col(src).cast("string"), F.col(dst).cast("string")).alias("a"),
-            F.greatest(F.col(src).cast("string"), F.col(dst).cast("string")).alias("b"),
-        )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .withColumn("w", F.lit(1).cast("long"))
-        .localCheckpoint(eager=True)
-    )
+    can = _canonical_edges(edges, src, dst, weight_col)
     node_map: DataFrame | None = None  # original id -> current-level node
     init: DataFrame | None = None  # next level's initial (id, lab)
     last_labels: DataFrame | None = None

@@ -2035,3 +2035,31 @@ def test_modularity_golden_two_cliques(spark):
     r1 = modularity(edges, allone).collect()[0]
     # one community: 2*12*6 - 12^2 = 0 -> Q = 0
     assert r1["q_num"] == "0" and r1["modularity"] == 0.0
+
+
+def test_weighted_louvain_weights_drive_partition(spark):
+    """Edge weights must matter: node m ties to clique A by one heavy
+    edge and to clique B by one light edge — weighted Louvain puts it
+    with A; uniform weights leave it with the (lexically favored)
+    merge. Reversed duplicate weighted edges sum."""
+    from graphragpart1datapipeline_spark.graph import louvain_communities
+
+    cl = []
+    for p in ("a", "b"):
+        cl += [(f"{p}{i}", f"{p}{j}", 10) for i in range(3) for j in range(i + 1, 3)]
+    edges = spark.createDataFrame(
+        cl + [("a0", "m", 50), ("m", "b0", 1)],
+        "src string, dst string, w int",
+    )
+    mem = {r["id"]: r["community"] for r in
+           louvain_communities(edges, weight_col="w", levels=2).collect()}
+    assert mem["m"] == mem["a0"]
+    assert mem["a0"] != mem["b0"]
+    # reversed duplicates sum: same edge given as two half-weight rows
+    halves = spark.createDataFrame(
+        cl + [("a0", "m", 25), ("m", "a0", 25), ("m", "b0", 1)],
+        "src string, dst string, w int",
+    )
+    mem2 = {r["id"]: r["community"] for r in
+            louvain_communities(halves, weight_col="w", levels=2).collect()}
+    assert mem2 == mem
