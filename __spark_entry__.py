@@ -2621,20 +2621,39 @@ def q83(spark, sf_dir):
     return out.select("vec_id", _round_det("score", 6).alias("score"))
 
 
-def _pagerank_oracle_sql(iters: int = 3, scale: int = 10**12) -> str:
+def _pagerank_oracle_sql(
+    iters: int = 3, scale: int = 10**12, weighted: bool = False
+) -> str:
     """Compose the DuckDB replay of graph.pagerank over the
     supplier→customer order graph: exact integer arithmetic (scaled
     ranks, DIV contributions, 17/20 damping) makes every iteration
-    engine-identical, so the top-20 hash-matches."""
-    sql = f"""
+    engine-identical, so the top-20 hash-matches. ``weighted`` swaps
+    the distinct edge set for order-line multiplicity weights and the
+    contribution for (rank·w) // wdeg (q174)."""
+    if weighted:
+        e_sql = """
+    WITH e AS (
+      SELECT 's' || CAST(l.l_suppkey AS VARCHAR) AS src,
+             'c' || CAST(o.o_custkey AS VARCHAR) AS dst,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    ), deg AS (
+      SELECT src, CAST(SUM(w) AS BIGINT) AS outdeg FROM e GROUP BY src
+    )"""
+        contrib = "SUM((r.rank * e.w) // d.outdeg)"
+    else:
+        e_sql = """
     WITH e AS (
       SELECT DISTINCT 's' || CAST(l.l_suppkey AS VARCHAR) AS src,
                       'c' || CAST(o.o_custkey AS VARCHAR) AS dst
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-    ), nodes AS (
-      SELECT src AS id FROM e UNION SELECT dst FROM e
     ), deg AS (
       SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src
+    )"""
+        contrib = "SUM(r.rank // d.outdeg)"
+    sql = e_sql + f""", nodes AS (
+      SELECT src AS id FROM e UNION SELECT dst FROM e
     ), p AS (
       SELECT COUNT(*) AS n FROM nodes
     ), r0 AS (
@@ -2643,7 +2662,7 @@ def _pagerank_oracle_sql(iters: int = 3, scale: int = 10**12) -> str:
     prev = "r0"
     for i in range(iters):
         sql += f""", c{i} AS (
-      SELECT e.dst, SUM(r.rank // d.outdeg) AS cs
+      SELECT e.dst, {contrib} AS cs
       FROM e JOIN deg d ON e.src = d.src JOIN {prev} r ON r.id = e.src
       GROUP BY e.dst
     ), r{i + 1} AS (
@@ -4657,6 +4676,34 @@ def q173(spark, sf_dir):
     return louvain_communities(
         edges, rounds_per_level=2, levels=2, weight_col="w"
     )
+
+
+@_register(
+    "q174_pagerank_weighted",
+    _pagerank_oracle_sql(weighted=True),
+)
+def q174(spark, sf_dir):
+    """WEIGHTED deterministic PageRank: supplier↔customer edges carry
+    order-line multiplicity, contributions flow as (rank·w) DIV wdeg —
+    importance follows interaction VOLUME, not mere adjacency (the
+    weighted sibling of q82, like q173 is for Louvain). Integer
+    arithmetic end to end with an in-plan overflow guard
+    (w·scale < 2^62), so all three rounds replay hash-for-hash."""
+    from graphragpart1datapipeline_spark.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    ranks = pagerank(edges, iters=3, weight_col="w")
+    return ranks.orderBy(F.desc("rank"), F.asc("id")).limit(20)
 
 
 def _ppr_oracle_sql(iters: int = 3, scale: int = 10**12) -> str:

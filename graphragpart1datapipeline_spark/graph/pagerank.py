@@ -40,6 +40,7 @@ def pagerank(
     checkpoint: bool = True,
     broadcast_ranks: bool | None = None,
     seeds: DataFrame | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Returns (id, rank) with rank a scaled long (initial mass
     ``scale // n`` per node; damping 17/20 exactly).
@@ -77,8 +78,40 @@ def pagerank(
     gated per node on seed membership — still bit-reproducible and
     SQL-replayable (q166). With ``seeds=None`` the plan is untouched
     classic PageRank (q82)."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    if weight_col is None:
+        e = edges.select(
+            F.col(src).alias("src"), F.col(dst).alias("dst")
+        ).distinct()
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    else:
+        # WEIGHTED: duplicate directed edges sum; contributions become
+        # (rank * w) DIV wdeg. rank <= ~scale, so integer exactness
+        # needs w * scale < 2^63 — enforced lazily in-plan (raise, not
+        # silent wraparound).
+        w_cap = (1 << 62) // scale
+        e = (
+            edges.select(
+                F.col(src).alias("src"),
+                F.col(dst).alias("dst"),
+                F.col(weight_col).cast("long").alias("w"),
+            )
+            .groupBy("src", "dst")
+            .agg(F.sum("w").alias("w"))
+            .select(
+                "src",
+                "dst",
+                F.when(F.col("w") <= F.lit(w_cap), F.col("w"))
+                .otherwise(
+                    F.raise_error(
+                        "pagerank: summed edge weight exceeds the exact "
+                        "integer budget (w * scale must stay below 2^62); "
+                        "lower scale or pre-normalize weights"
+                    )
+                )
+                .alias("w"),
+            )
+        )
+        deg = e.groupBy("src").agg(F.sum("w").alias("outdeg"))
     e_deg = e.join(deg, "src")
     if checkpoint:
         # ONE eager materialization executes the upstream edge plan
@@ -132,7 +165,11 @@ def pagerank(
             e_deg.join(hint(ranks), e_deg["src"] == ranks["id"])
             .select(
                 F.col("dst"),
-                F.expr("rank DIV outdeg").alias("c"),
+                (
+                    F.expr("rank DIV outdeg")
+                    if weight_col is None
+                    else F.expr("(rank * w) DIV outdeg")
+                ).alias("c"),
             )
             .groupBy("dst")
             .agg(F.sum("c").alias("cs"))

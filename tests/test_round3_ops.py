@@ -2063,3 +2063,29 @@ def test_weighted_louvain_weights_drive_partition(spark):
     mem2 = {r["id"]: r["community"] for r in
             louvain_communities(halves, weight_col="w", levels=2).collect()}
     assert mem2 == mem
+
+
+def test_weighted_pagerank_weights_shift_rank(spark):
+    from graphragpart1datapipeline_spark.graph import pagerank
+
+    # hub h points to x with weight 9 and y with weight 1
+    edges = spark.createDataFrame(
+        [("h", "x", 9), ("h", "y", 1), ("x", "h", 1), ("y", "h", 1)],
+        "src string, dst string, w int",
+    )
+    r = {x["id"]: x["rank"] for x in
+         pagerank(edges, iters=3, weight_col="w").collect()}
+    assert r["x"] > r["y"]
+    # unweighted: duplicate-free edges -> x and y tie exactly
+    u = {x["id"]: x["rank"] for x in
+         pagerank(edges.drop("w"), iters=3).collect()}
+    assert u["x"] == u["y"]
+    # duplicate directed rows sum into the weight
+    halves = spark.createDataFrame(
+        [("h", "x", 5), ("h", "x", 4), ("h", "y", 1),
+         ("x", "h", 1), ("y", "h", 1)],
+        "src string, dst string, w int",
+    )
+    r2 = {x["id"]: x["rank"] for x in
+          pagerank(halves, iters=3, weight_col="w").collect()}
+    assert r2 == r
