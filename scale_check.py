@@ -459,16 +459,17 @@ SCALE_BOUNDS: dict[str, float] = {
 # The in-bench subset: the operators whose scaling is both most
 # regression-prone (pair-space candidate generators, iterative graph
 # rounds, index probes) and stable to measure at small K. Excluded:
-# embedding_near_dup_lsh — at small K the rotated-copy corpus has a
-# genuinely denser near-dup pair structure, so its K=4 ratio measures
-# the data, not the plan (it stays in the standalone K=10 run, bound
-# 9.0); the remaining ops are sub-second/noise-dominated and add more
+# embedding_near_dup_lsh AND knn_join_blocked — at small K the
+# rotated-copy corpus has genuinely denser bucket collisions (only K
+# distinct rotations of each vector), so their K=4 ratios measure the
+# data, not the plan (both stay in the standalone K=10 run, where the
+# 2^ceil(log2 K) bucket growth restores constant occupancy); the
+# remaining excluded ops are sub-second/noise-dominated and add more
 # wall-clock than signal per round.
 BENCH_SUBSET = [
     "exact_dedup",
     "minhash_lsh",
     "minhash_incremental",
-    "knn_join_blocked",
     "repeated_passages",
     "pagerank",
     "triangle_counts",
