@@ -751,14 +751,10 @@ def modularity(
     groupBy), two membership joins onto the edge list, two
     community-sized groupBys, a 1-row rollup. Nodes in ``membership``
     with no edges contribute nothing (degree 0)."""
-    can = (
-        edges.select(
-            F.least(F.col(src).cast("string"), F.col(dst).cast("string")).alias("a"),
-            F.greatest(F.col(src).cast("string"), F.col(dst).cast("string")).alias("b"),
-        )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-    )
+    # shared canonicalization (localCheckpoint'ed: `can` feeds deg
+    # twice, ec once and the 1-row stats — without it the upstream
+    # edge plan re-executes per subplan)
+    can = _canonical_edges(edges, src, dst, None).drop("w")
     mem = membership.select(
         F.col(id_col).cast("string").alias("id"),
         F.col(community_col).cast("string").alias("c"),
@@ -939,27 +935,20 @@ def _canonical_edges(
     quantity (degrees, k_{i,c}, tot, gains, contraction) already
     carries w, so the weighted variants stay exact-integer and
     SQL-replayable (q173)."""
+    w_expr = (
+        F.lit(1).cast("long")
+        if weight_col is None
+        else F.col(weight_col).cast("long")
+    )
     base = edges.select(
         F.least(F.col(src).cast("string"), F.col(dst).cast("string")).alias("a"),
         F.greatest(F.col(src).cast("string"), F.col(dst).cast("string")).alias("b"),
+        w_expr.alias("w"),
     ).filter(F.col("a") != F.col("b"))
     if weight_col is None:
-        can = base.distinct().withColumn("w", F.lit(1).cast("long"))
+        can = base.drop("w").distinct().withColumn("w", F.lit(1).cast("long"))
     else:
-        can = (
-            edges.select(
-                F.least(
-                    F.col(src).cast("string"), F.col(dst).cast("string")
-                ).alias("a"),
-                F.greatest(
-                    F.col(src).cast("string"), F.col(dst).cast("string")
-                ).alias("b"),
-                F.col(weight_col).cast("long").alias("w"),
-            )
-            .filter(F.col("a") != F.col("b"))
-            .groupBy("a", "b")
-            .agg(F.sum("w").alias("w"))
-        )
+        can = base.groupBy("a", "b").agg(F.sum("w").alias("w"))
     return can.localCheckpoint(eager=True)
 
 

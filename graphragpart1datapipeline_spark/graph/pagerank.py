@@ -85,8 +85,9 @@ def pagerank(
         deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     else:
         # WEIGHTED: duplicate directed edges sum; contributions become
-        # (rank * w) DIV wdeg. rank <= ~scale, so integer exactness
-        # needs w * scale < 2^63 — enforced lazily in-plan (raise, not
+        # (rank * w) DIV wdeg. rank <= ~scale, so keeping w * scale
+        # below 2^62 leaves a 2x margin under long overflow for the
+        # damping products — enforced lazily in-plan (raise, not
         # silent wraparound).
         w_cap = (1 << 62) // scale
         e = (

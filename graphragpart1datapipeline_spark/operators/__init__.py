@@ -1,5 +1,6 @@
 from .relational import (  # noqa: F401
     apply_scd2,
+    length_bucketed_batches,
     pit_join,
     scd2_as_of,
     equi_width_histogram,

@@ -549,8 +549,10 @@ def length_bucketed_batches(
 
     Returns the input plus (bucket, padded_len, stream_id, batch_id).
     """
-    if bucket_width <= 0 or batch_tokens <= 0:
-        raise ValueError("bucket_width and batch_tokens must be positive")
+    if bucket_width <= 0 or batch_tokens <= 0 or n_streams <= 0:
+        raise ValueError(
+            "bucket_width, batch_tokens and n_streams must be positive"
+        )
     bucket = F.floor(
         F.col(token_count_col).cast("long") / F.lit(bucket_width)
     ).cast("long")
@@ -558,27 +560,11 @@ def length_bucketed_batches(
     batch_size = F.greatest(
         F.floor(F.lit(batch_tokens) / F.col("padded_len")), F.lit(1)
     )
-    stream = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit(str(seed)), F.lit(":"), F.col(id_col).cast("string")
-                    )
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % n_streams
-    )
     w = Window.partitionBy("bucket", "stream_id").orderBy(id_col)
     return (
         df.withColumn("bucket", bucket)
         .withColumn("padded_len", padded)
-        .withColumn("stream_id", stream.alias("stream_id"))
+        .withColumn("stream_id", _hash_bucket(id_col, seed, n_streams))
         .withColumn(
             "batch_id",
             F.floor(
@@ -1011,14 +997,22 @@ def pit_join(
     The scalar-cut sibling is :func:`scd2_as_of` (one timestamp for
     the whole read); this is the per-row generalization."""
     keys = list(key_cols)
-    payload = list(
-        payload_cols
-        or [
+    payload = (
+        list(payload_cols)
+        if payload_cols is not None
+        else [
             c
             for c in history.columns
             if c not in (*keys, valid_from, valid_to)
         ]
     )
+    clash = sorted(set(payload) & set(facts.columns))
+    if clash:
+        raise ValueError(
+            f"pit_join: payload columns {clash} already exist on the fact "
+            "side — rename one side or pass payload_cols excluding them "
+            "(a silent duplicate column breaks downstream selects)"
+        )
     h = history.select(
         *[F.col(k).alias(f"__hk_{k}") for k in keys],
         *[F.col(c).alias(c) for c in payload],

@@ -435,8 +435,14 @@ def winnow_copy_spans(
 
     Scale shape: the fingerprint join is an equi-join on the hash
     (selected volume ~2n/(w+1), capped per key); the diagonal rollup
-    is one groupBy. Never a document cross product."""
-    fp = winnow_fingerprints(df, text_col, id_col, k=k, w=w)
+    is one groupBy. Never a document cross product. The fingerprint
+    frame is localCheckpoint'ed: it feeds the posting-cap groupBy and
+    BOTH sides of the self-join, and being a zero-shuffle row-local
+    plan nothing else (no ReuseExchange) would stop the full
+    tokenize + per-k-gram md5 pipeline re-running per consumer."""
+    fp = winnow_fingerprints(df, text_col, id_col, k=k, w=w).localCheckpoint(
+        eager=True
+    )
     if max_postings is not None:
         keep = (
             fp.groupBy("fingerprint")
