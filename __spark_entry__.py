@@ -4246,6 +4246,17 @@ def _ann_recall_oracle_sql() -> str:
                     ELSE 0.0 END AS score
         FROM bk e CROSS JOIN q CROSS JOIN lq WHERE e.bkt = lq.qbkt
       ) ORDER BY score DESC, vec_id LIMIT 10
+    ), lshmp AS (
+      SELECT vec_id FROM (
+        SELECT e.vec_id,
+               CASE WHEN sqrt(list_dot_product(e.v, e.v)) > 0
+                    THEN list_dot_product(e.v, q.qv)
+                         / (sqrt(list_dot_product(e.v, e.v))
+                            * sqrt(list_dot_product(q.qv, q.qv)))
+                    ELSE 0.0 END AS score
+        FROM bk e CROSS JOIN q CROSS JOIN lq
+        WHERE e.bkt IN (lq.qbkt, xor(lq.qbkt, 1), xor(lq.qbkt, 2))
+      ) ORDER BY score DESC, vec_id LIMIT 10
     ), cents AS (
       SELECT vec_id AS cid, v AS cv FROM n WHERE vec_id < 8
     ), cscored AS (
@@ -4285,20 +4296,25 @@ def _ann_recall_oracle_sql() -> str:
     SELECT 'lsh' AS method, COUNT(*) AS hits,
            COUNT(*) / 10.0 AS recall
     FROM ex JOIN lsh USING (vec_id)
+    UNION ALL
+    SELECT 'lsh_mp1' AS method, COUNT(*) AS hits,
+           COUNT(*) / 10.0 AS recall
+    FROM ex JOIN lshmp USING (vec_id)
     """
 
 
 @_register("q160_ann_recall", _ann_recall_oracle_sql())
 def q160(spark, sf_dir):
-    """Retrieval QUALITY as a hash-checked query: recall@10 of the two
-    approximate ANN paths (LSH sign-buckets q35/q66; IVF centroid
-    probe q42) against the exact cosine top-10 (q25, the reference's
-    query contract — top-k cosine, scripts/query_embeddings.py:52-58).
-    Latency without recall is half the ANN story; this pins the other
-    half every round. All three top-k sets are deterministic (exact
-    integer plane dots, fixed tie-breaks), so the recall values are
-    exact — any drift in bucketing, quantization, or probe selection
-    flips the hash."""
+    """Retrieval QUALITY as a hash-checked query: recall@10 of the
+    approximate ANN paths — LSH sign-buckets (q35/q66), multi-probe
+    LSH (Hamming-1 neighbor buckets: the recall-vs-cost knob), and the
+    IVF centroid probe (q42) — against the exact cosine top-10 (q25,
+    the reference's query contract — top-k cosine,
+    scripts/query_embeddings.py:52-58). Latency without recall is half
+    the ANN story; this pins the other half every round. All top-k
+    sets are deterministic (exact integer plane dots, fixed
+    tie-breaks), so the recall values are exact — any drift in
+    bucketing, quantization, or probe selection flips the hash."""
     from graphragpart1datapipeline_spark.vector.search import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -4309,6 +4325,10 @@ def q160(spark, sf_dir):
     lsh = lsh_topk(
         emb, qvec, k=10, vec_col="embedding", id_col="vec_id", bits=2
     ).select("vec_id")
+    lsh_mp = lsh_topk(
+        emb, qvec, k=10, vec_col="embedding", id_col="vec_id", bits=2,
+        multiprobe=1,
+    ).select("vec_id")
     cents = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cid"), F.col("embedding")
     )
@@ -4317,7 +4337,7 @@ def q160(spark, sf_dir):
         cent_vec_col="embedding", cent_id_col="cid", nprobe=1,
     ).select("vec_id")
     out = None
-    for name, approx in (("ivf", ivf), ("lsh", lsh)):
+    for name, approx in (("ivf", ivf), ("lsh", lsh), ("lsh_mp1", lsh_mp)):
         row = (
             exact.join(approx, "vec_id", "left_semi")
             .agg(

@@ -177,12 +177,27 @@ def lsh_topk(
     bits: int = 4,
     seed: int = 42,
     bucket_col: str | None = None,
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: score only rows in the query's hyperplane
     bucket. If the table was pre-bucketed (``bucket_col`` persisted and
     used as a partition key), the probe prunes partitions at scan time;
     otherwise the bucket is computed on the fly (still a single scan,
-    but no pruning)."""
+    but no pruning).
+
+    ``multiprobe``: additionally probe every bucket within that
+    Hamming distance of the query's bucket (standard multi-probe LSH —
+    a vector near a hyperplane lands one sign-flip away, so probing
+    1-flip neighbors recovers most of the recall lost to bucket
+    boundaries at ``1 + bits`` buckets scanned instead of 2^bits;
+    q160 hash-checks the recall gain). The probe set stays a literal
+    IN-list, so partition pruning still applies."""
+    if not (0 <= multiprobe <= bits):
+        raise ValueError(
+            f"multiprobe must be in [0, bits]: got {multiprobe} (bits={bits})"
+        )
+    import itertools
+
     import numpy as np
 
     planes = _hyperplanes(len(query_vec), bits, seed)
@@ -197,12 +212,22 @@ def lsh_topk(
     qbucket = int(
         (signs.astype(np.int64) << np.arange(bits, dtype=np.int64)).sum()
     )
+    probe_set = {qbucket}
+    for d in range(1, multiprobe + 1):
+        for flips in itertools.combinations(range(bits), d):
+            b = qbucket
+            for f in flips:
+                b ^= 1 << f
+            probe_set.add(b)
     if bucket_col is None:
         df = df.withColumn(
             "__bucket", hyperplane_bucket(F.col(vec_col), bits, seed, len(query_vec))
         )
         bucket_col = "__bucket"
-    probed = df.filter(F.col(bucket_col) == qbucket)
+    if len(probe_set) == 1:
+        probed = df.filter(F.col(bucket_col) == qbucket)
+    else:
+        probed = df.filter(F.col(bucket_col).isin(sorted(probe_set)))
     out = cosine_topk(probed, query_vec, k, vec_col, id_col)
     return out.drop("__bucket") if "__bucket" in out.columns else out
 

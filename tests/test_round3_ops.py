@@ -2089,3 +2089,39 @@ def test_weighted_pagerank_weights_shift_rank(spark):
     r2 = {x["id"]: x["rank"] for x in
           pagerank(halves, iters=3, weight_col="w").collect()}
     assert r2 == r
+
+
+def test_lsh_multiprobe_superset_and_recall(spark):
+    """Multi-probe LSH scans a superset of the single-bucket probe, so
+    its candidate set contains the single-probe one and recall can
+    only improve; multiprobe=bits scans every bucket = exact."""
+    from graphragpart1datapipeline_spark.vector import (
+        cosine_topk,
+        hash_embed,
+        lsh_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "w%d w%d w%d alpha" % (i, i * 7 % 23, i * 3 % 11))
+         for i in range(80)],
+        "doc_id long, text string",
+    )
+    emb = docs.select("doc_id", hash_embed("text", dim=16, hash_fn="md5").alias("e"))
+    q = emb.filter(F.col("doc_id") == 0).select("e").head()[0]
+    single = {r["doc_id"] for r in lsh_topk(
+        emb, q, k=80, vec_col="e", id_col="doc_id", bits=3).collect()}
+    multi = {r["doc_id"] for r in lsh_topk(
+        emb, q, k=80, vec_col="e", id_col="doc_id", bits=3,
+        multiprobe=1).collect()}
+    assert single <= multi
+    allb = {r["doc_id"] for r in lsh_topk(
+        emb, q, k=80, vec_col="e", id_col="doc_id", bits=3,
+        multiprobe=3).collect()}
+    exact = {r["doc_id"] for r in cosine_topk(
+        emb, q, k=80, vec_col="e", id_col="doc_id").collect()}
+    assert allb == exact  # every bucket probed == brute force
+    try:
+        lsh_topk(emb, q, vec_col="e", id_col="doc_id", bits=2, multiprobe=3)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
