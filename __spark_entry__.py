@@ -5505,6 +5505,79 @@ def q89(spark, sf_dir):
     )
 
 
+@_register(
+    "q175_stitch_context",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')
+               AS toks
+      FROM documents
+    ), m AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             CASE WHEN len(toks) <= 32 THEN 1
+                  ELSE (len(toks) - 32 + 23) // 24 + 1 END AS total_chunks
+      FROM d
+    ), chunks AS (
+      SELECT doc_id,
+             CAST(j + 1 AS BIGINT) AS chunk_index,
+             array_to_string(toks[j * 24 + 1 : j * 24 + 32], ' ') AS chunk
+      FROM m, LATERAL (SELECT unnest(range(0, total_chunks)) AS j) t
+    ), hits AS (
+      SELECT doc_id, chunk_index AS hit FROM chunks
+      WHERE chunk_index % 5 = 2
+    ), want AS (
+      SELECT h.doc_id, h.hit, h.hit + o.o AS nidx
+      FROM hits h CROSS JOIN (SELECT unnest([-1, 0, 1]) AS o) o
+    ), joined AS (
+      SELECT w.doc_id, w.hit, w.nidx, c.chunk
+      FROM want w JOIN chunks c
+        ON c.doc_id = w.doc_id AND c.chunk_index = w.nidx
+    ), rolled AS (
+      SELECT doc_id, hit,
+             COUNT(*) AS n_chunks,
+             MIN(nidx) AS ctx_start,
+             MAX(nidx) AS ctx_end,
+             list(chunk ORDER BY nidx) AS parts
+      FROM joined GROUP BY doc_id, hit
+    )
+    SELECT doc_id, hit AS chunk_index, n_chunks, ctx_start, ctx_end,
+           array_to_string(list_filter(
+             list_transform(parts, (x, i) -> CASE WHEN i = 1 THEN x
+               ELSE CASE WHEN len(string_split(x, ' ')) > 8
+                    THEN array_to_string(string_split(x, ' ')[9:], ' ')
+                    ELSE '' END END),
+             x -> x <> ''), ' ') AS stitched
+    FROM rolled
+    """,
+)
+def q175(spark, sf_dir):
+    """RAG-serving context stitching — the read-side inverse of
+    chunking: every 5th retrieved chunk expands to its ±1 neighbors,
+    overlap tokens dropped at each boundary, yielding the document's
+    contiguous token span for that window (one co-locatable equi-join
+    + a row-local sorted-struct stitch; the original documents table
+    is never re-read). The oracle rebuilds q89's chunk table and
+    replays the stitch, overlap trim included."""
+    from graphragpart1datapipeline_spark.text import (
+        fixed_stride_chunks,
+        stitch_context,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    chunks = fixed_stride_chunks(
+        docs, id_col="doc_id", text_col="text",
+        chunk_tokens=32, overlap_tokens=8,
+    )
+    hits = chunks.filter(F.col("chunk_index") % 5 == 2).select(
+        "doc_id", "chunk_index"
+    )
+    return stitch_context(
+        chunks, hits, overlap_tokens=8, context=1,
+        id_col="doc_id", idx_col="chunk_index", text_col="chunk",
+    )
+
+
 def _bpe_oracle_sql(num_merges: int = 3) -> str:
     """Unrolled DuckDB replay of bpe_train: per round, pair counts over
     the vocab table, best pair by (freq desc, pair asc), merge applied

@@ -15,5 +15,9 @@ from .analysis import (  # noqa: F401
     winnow_fingerprints,
 )
 from .bpe import bpe_apply, bpe_train  # noqa: F401
-from .chunking import fixed_stride_chunks, recursive_split_chunks  # noqa: F401
+from .chunking import (  # noqa: F401
+    fixed_stride_chunks,
+    recursive_split_chunks,
+    stitch_context,
+)
 from .sections import split_sections  # noqa: F401

@@ -128,6 +128,96 @@ def recursive_split_chunks(
     )
 
 
+def stitch_context(
+    chunks: DataFrame,
+    hits: DataFrame,
+    overlap_tokens: int = 0,
+    context: int = 1,
+    id_col: str = "doc_id",
+    idx_col: str = "chunk_index",
+    text_col: str = "chunk",
+) -> DataFrame:
+    """RAG-serving context expansion — the read-side inverse of
+    chunking: for every retrieved (doc, chunk_index) hit, stitch the
+    hit chunk together with its ±``context`` neighbors into ONE
+    contiguous passage, dropping the ``overlap_tokens`` duplicated at
+    each chunk boundary (pass the SAME overlap the chunker used; with
+    fixed-stride chunks the result is exactly the document's
+    contiguous token span covering the window — unit-locked).
+
+    Returns (id, chunk_index, n_chunks, ctx_start, ctx_end, stitched)
+    — one row per hit, hits in documents' missing ranges clip at the
+    document edges (n_chunks < 2·context+1 there).
+
+    Scale shape: hits explode ×(2c+1) → ONE equi-join onto the chunks
+    table on (id, index) — at rest the chunks table is
+    partitioned/bucketed by id, so the probe is co-located — then one
+    groupBy per hit with a row-local sorted-struct stitch (array
+    slice/join in codegen). Never reads the original documents."""
+    from pyspark.sql import functions as F
+
+    if context < 0 or overlap_tokens < 0:
+        raise ValueError("context and overlap_tokens must be >= 0")
+    want = hits.select(
+        F.col(id_col), F.col(idx_col).alias("__hit")
+    ).withColumn(
+        "__nidx",
+        F.explode(
+            F.sequence(
+                F.col("__hit") - context, F.col("__hit") + context
+            )
+        ),
+    )
+    joined = want.join(
+        chunks.select(
+            F.col(id_col),
+            F.col(idx_col).alias("__nidx"),
+            F.col(text_col).alias("__txt"),
+        ),
+        [id_col, "__nidx"],
+    )
+    arr = F.array_sort(
+        F.collect_list(F.struct(F.col("__nidx").alias("i"), F.col("__txt")))
+    )
+    # first window chunk keeps all tokens; every later one drops the
+    # overlap it shares with its predecessor
+    texts = F.transform(
+        arr,
+        lambda s, i: F.when(i == 0, s["__txt"]).otherwise(
+            F.when(
+                F.size(F.split(s["__txt"], " ")) > overlap_tokens,
+                F.concat_ws(
+                    " ",
+                    F.slice(
+                        F.split(s["__txt"], " "),
+                        overlap_tokens + 1,
+                        F.size(F.split(s["__txt"], " ")) - overlap_tokens,
+                    ),
+                ),
+            ).otherwise(F.lit(""))
+        ),
+    )
+    return (
+        joined.groupBy(id_col, "__hit")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.min("__nidx").alias("ctx_start"),
+            F.max("__nidx").alias("ctx_end"),
+            F.array_join(
+                F.filter(texts, lambda x: x != F.lit("")), " "
+            ).alias("stitched"),
+        )
+        .select(
+            id_col,
+            F.col("__hit").alias(idx_col),
+            "n_chunks",
+            "ctx_start",
+            "ctx_end",
+            "stitched",
+        )
+    )
+
+
 def fixed_stride_chunks(
     df: DataFrame,
     id_col: str = "id",

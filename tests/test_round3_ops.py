@@ -2125,3 +2125,30 @@ def test_lsh_multiprobe_superset_and_recall(spark):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_stitch_context_reconstructs_token_span(spark):
+    """Stitching a hit's window must yield EXACTLY the document's
+    contiguous token span covering those chunks (overlap dropped), and
+    edge hits clip at document bounds."""
+    from graphragpart1datapipeline_spark.text import (
+        fixed_stride_chunks,
+        stitch_context,
+    )
+
+    words = ["w%02d" % i for i in range(50)]
+    docs = spark.createDataFrame([(1, " ".join(words))], "doc_id int, text string")
+    chunks = fixed_stride_chunks(
+        docs, id_col="doc_id", text_col="text",
+        chunk_tokens=10, overlap_tokens=4,
+    )  # stride 6: chunk j covers tokens [6j, 6j+10)
+    hits = spark.createDataFrame([(1, 3), (1, 1)], "doc_id int, chunk_index int")
+    rows = {r["chunk_index"]: r for r in
+            stitch_context(chunks, hits, overlap_tokens=4, context=1).collect()}
+    # hit 3 (chunks 2..4): tokens [6*1, 6*3+10) = words[6:28]
+    assert rows[3]["n_chunks"] == 3
+    assert rows[3]["stitched"] == " ".join(words[6:28])
+    # hit 1 clips: chunks 1..2 -> tokens [0, 16)
+    assert rows[1]["n_chunks"] == 2
+    assert rows[1]["ctx_start"] == 1
+    assert rows[1]["stitched"] == " ".join(words[0:16])
