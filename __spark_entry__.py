@@ -4236,27 +4236,21 @@ def _ann_recall_oracle_sql() -> str:
       SELECT vec_id, v, {_lsh_bucket_sql('qv8', 64, 2)} AS bkt FROM qb
     ), lq AS (
       SELECT bkt AS qbkt FROM bk WHERE vec_id = 0
+    ), lscored AS (
+      SELECT e.vec_id, e.bkt, lq.qbkt,
+             CASE WHEN sqrt(list_dot_product(e.v, e.v)) > 0
+                  THEN list_dot_product(e.v, q.qv)
+                       / (sqrt(list_dot_product(e.v, e.v))
+                          * sqrt(list_dot_product(q.qv, q.qv)))
+                  ELSE 0.0 END AS score
+      FROM bk e CROSS JOIN q CROSS JOIN lq
     ), lsh AS (
-      SELECT vec_id FROM (
-        SELECT e.vec_id,
-               CASE WHEN sqrt(list_dot_product(e.v, e.v)) > 0
-                    THEN list_dot_product(e.v, q.qv)
-                         / (sqrt(list_dot_product(e.v, e.v))
-                            * sqrt(list_dot_product(q.qv, q.qv)))
-                    ELSE 0.0 END AS score
-        FROM bk e CROSS JOIN q CROSS JOIN lq WHERE e.bkt = lq.qbkt
-      ) ORDER BY score DESC, vec_id LIMIT 10
+      SELECT vec_id FROM lscored WHERE bkt = qbkt
+      ORDER BY score DESC, vec_id LIMIT 10
     ), lshmp AS (
-      SELECT vec_id FROM (
-        SELECT e.vec_id,
-               CASE WHEN sqrt(list_dot_product(e.v, e.v)) > 0
-                    THEN list_dot_product(e.v, q.qv)
-                         / (sqrt(list_dot_product(e.v, e.v))
-                            * sqrt(list_dot_product(q.qv, q.qv)))
-                    ELSE 0.0 END AS score
-        FROM bk e CROSS JOIN q CROSS JOIN lq
-        WHERE e.bkt IN (lq.qbkt, xor(lq.qbkt, 1), xor(lq.qbkt, 2))
-      ) ORDER BY score DESC, vec_id LIMIT 10
+      SELECT vec_id FROM lscored
+      WHERE bkt IN (qbkt, xor(qbkt, 1), xor(qbkt, 2))
+      ORDER BY score DESC, vec_id LIMIT 10
     ), cents AS (
       SELECT vec_id AS cid, v AS cv FROM n WHERE vec_id < 8
     ), cscored AS (
@@ -5467,9 +5461,7 @@ def q90(spark, sf_dir):
     )
 
 
-@_register(
-    "q89_fixed_stride_chunks",
-    """
+_CHUNKS_32_8_CTE = """
     WITH d AS (
       SELECT doc_id,
              string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')
@@ -5480,14 +5472,22 @@ def q90(spark, sf_dir):
              CASE WHEN len(toks) <= 32 THEN 1
                   ELSE (len(toks) - 32 + 23) // 24 + 1 END AS total_chunks
       FROM d
-    )
-    SELECT doc_id || '_chunk_' || CAST(j + 1 AS VARCHAR) AS chunk_id,
-           doc_id,
-           array_to_string(toks[j * 24 + 1 : j * 24 + 32], ' ') AS chunk,
-           CAST(j + 1 AS BIGINT) AS chunk_index,
-           CAST(total_chunks AS BIGINT) AS total_chunks,
-           CAST(len(toks[j * 24 + 1 : j * 24 + 32]) AS BIGINT) AS n_tokens
-    FROM m, LATERAL (SELECT unnest(range(0, total_chunks)) AS j) t
+    ), chunks AS (
+      SELECT doc_id,
+             doc_id || '_chunk_' || CAST(j + 1 AS VARCHAR) AS chunk_id,
+             array_to_string(toks[j * 24 + 1 : j * 24 + 32], ' ') AS chunk,
+             CAST(j + 1 AS BIGINT) AS chunk_index,
+             CAST(total_chunks AS BIGINT) AS total_chunks,
+             CAST(len(toks[j * 24 + 1 : j * 24 + 32]) AS BIGINT) AS n_tokens
+      FROM m, LATERAL (SELECT unnest(range(0, total_chunks)) AS j) t
+    )"""
+
+
+@_register(
+    "q89_fixed_stride_chunks",
+    _CHUNKS_32_8_CTE + """
+    SELECT chunk_id, doc_id, chunk, chunk_index, total_chunks, n_tokens
+    FROM chunks
     """,
 )
 def q89(spark, sf_dir):
@@ -5507,23 +5507,8 @@ def q89(spark, sf_dir):
 
 @_register(
     "q175_stitch_context",
-    """
-    WITH d AS (
-      SELECT doc_id,
-             string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')
-               AS toks
-      FROM documents
-    ), m AS (
-      SELECT doc_id, toks, len(toks) AS n,
-             CASE WHEN len(toks) <= 32 THEN 1
-                  ELSE (len(toks) - 32 + 23) // 24 + 1 END AS total_chunks
-      FROM d
-    ), chunks AS (
-      SELECT doc_id,
-             CAST(j + 1 AS BIGINT) AS chunk_index,
-             array_to_string(toks[j * 24 + 1 : j * 24 + 32], ' ') AS chunk
-      FROM m, LATERAL (SELECT unnest(range(0, total_chunks)) AS j) t
-    ), hits AS (
+    _CHUNKS_32_8_CTE + """
+    , hits AS (
       SELECT doc_id, chunk_index AS hit FROM chunks
       WHERE chunk_index % 5 = 2
     ), want AS (
@@ -5565,10 +5550,12 @@ def q175(spark, sf_dir):
     )
 
     docs = _t(spark, sf_dir, "documents")
+    # checkpoint: the chunk frame feeds BOTH the hit selection and the
+    # stitch join probe — same double-scan fix as winnow_copy_spans
     chunks = fixed_stride_chunks(
         docs, id_col="doc_id", text_col="text",
         chunk_tokens=32, overlap_tokens=8,
-    )
+    ).localCheckpoint(eager=True)
     hits = chunks.filter(F.col("chunk_index") % 5 == 2).select(
         "doc_id", "chunk_index"
     )

@@ -141,32 +141,46 @@ def stitch_context(
     chunking: for every retrieved (doc, chunk_index) hit, stitch the
     hit chunk together with its ±``context`` neighbors into ONE
     contiguous passage, dropping the ``overlap_tokens`` duplicated at
-    each chunk boundary (pass the SAME overlap the chunker used; with
-    fixed-stride chunks the result is exactly the document's
-    contiguous token span covering the window — unit-locked).
+    each chunk boundary.
+
+    EXACT-RECONSTRUCTION CONTRACT: the trim tokenizes on single
+    spaces, which matches :func:`fixed_stride_chunks` output exactly
+    (space-joined whitespace tokens), so the stitched passage IS the
+    document's contiguous token span covering the window
+    (unit-locked). Output of the separator-preserving
+    :func:`recursive_split_chunks` does NOT satisfy that (newlines
+    survive, punctuation counts as tokens) — stitch those with
+    ``overlap_tokens=0`` and accept duplicated boundary text, or
+    re-chunk fixed-stride for serving.
 
     Returns (id, chunk_index, n_chunks, ctx_start, ctx_end, stitched)
-    — one row per hit, hits in documents' missing ranges clip at the
-    document edges (n_chunks < 2·context+1 there).
+    — exactly one row per DISTINCT hit (duplicates collapse rather
+    than garbling the passage). Hits at document edges clip
+    (n_chunks < 2·context+1); stale hits whose whole window is absent
+    from the chunks table survive with n_chunks=0 and an empty
+    passage — a visible miss, not a dropped row.
 
-    Scale shape: hits explode ×(2c+1) → ONE equi-join onto the chunks
-    table on (id, index) — at rest the chunks table is
+    Scale shape: hits explode ×(2c+1) → ONE left equi-join onto the
+    chunks table on (id, index) — at rest the chunks table is
     partitioned/bucketed by id, so the probe is co-located — then one
-    groupBy per hit with a row-local sorted-struct stitch (array
-    slice/join in codegen). Never reads the original documents."""
+    groupBy per hit with a row-local sorted-struct stitch (each chunk
+    split ONCE, then array slice/join in codegen). Never reads the
+    original documents."""
     from pyspark.sql import functions as F
 
     if context < 0 or overlap_tokens < 0:
         raise ValueError("context and overlap_tokens must be >= 0")
-    want = hits.select(
-        F.col(id_col), F.col(idx_col).alias("__hit")
-    ).withColumn(
-        "__nidx",
-        F.explode(
-            F.sequence(
-                F.col("__hit") - context, F.col("__hit") + context
-            )
-        ),
+    want = (
+        hits.select(F.col(id_col), F.col(idx_col).alias("__hit"))
+        .distinct()
+        .withColumn(
+            "__nidx",
+            F.explode(
+                F.sequence(
+                    F.col("__hit") - context, F.col("__hit") + context
+                )
+            ),
+        )
     )
     joined = want.join(
         chunks.select(
@@ -175,23 +189,36 @@ def stitch_context(
             F.col(text_col).alias("__txt"),
         ),
         [id_col, "__nidx"],
+        "left",
     )
+    # null-valued when() entries are SKIPPED by collect_list, so
+    # unmatched window slots vanish here while the hit row survives
     arr = F.array_sort(
-        F.collect_list(F.struct(F.col("__nidx").alias("i"), F.col("__txt")))
+        F.collect_list(
+            F.when(
+                F.col("__txt").isNotNull(),
+                F.struct(
+                    F.col("__nidx").alias("i"),
+                    F.split(F.col("__txt"), " ").alias("toks"),
+                ),
+            )
+        )
     )
     # first window chunk keeps all tokens; every later one drops the
-    # overlap it shares with its predecessor
+    # overlap it shares with its predecessor (chunk already split once)
     texts = F.transform(
         arr,
-        lambda s, i: F.when(i == 0, s["__txt"]).otherwise(
+        lambda s, i: F.when(
+            i == 0, F.concat_ws(" ", s["toks"])
+        ).otherwise(
             F.when(
-                F.size(F.split(s["__txt"], " ")) > overlap_tokens,
+                F.size(s["toks"]) > overlap_tokens,
                 F.concat_ws(
                     " ",
                     F.slice(
-                        F.split(s["__txt"], " "),
+                        s["toks"],
                         overlap_tokens + 1,
-                        F.size(F.split(s["__txt"], " ")) - overlap_tokens,
+                        F.size(s["toks"]) - overlap_tokens,
                     ),
                 ),
             ).otherwise(F.lit(""))
@@ -200,9 +227,13 @@ def stitch_context(
     return (
         joined.groupBy(id_col, "__hit")
         .agg(
-            F.count(F.lit(1)).alias("n_chunks"),
-            F.min("__nidx").alias("ctx_start"),
-            F.max("__nidx").alias("ctx_end"),
+            F.count(F.col("__txt")).alias("n_chunks"),
+            F.min(F.when(F.col("__txt").isNotNull(), F.col("__nidx"))).alias(
+                "ctx_start"
+            ),
+            F.max(F.when(F.col("__txt").isNotNull(), F.col("__nidx"))).alias(
+                "ctx_end"
+            ),
             F.array_join(
                 F.filter(texts, lambda x: x != F.lit("")), " "
             ).alias("stitched"),

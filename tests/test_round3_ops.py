@@ -2152,3 +2152,32 @@ def test_stitch_context_reconstructs_token_span(spark):
     assert rows[1]["n_chunks"] == 2
     assert rows[1]["ctx_start"] == 1
     assert rows[1]["stitched"] == " ".join(words[0:16])
+
+
+def test_stitch_context_duplicate_and_stale_hits(spark):
+    """Duplicate hits collapse to one clean row; a stale hit whose
+    window has no chunks survives with n_chunks=0 and empty passage."""
+    from graphragpart1datapipeline_spark.text import (
+        fixed_stride_chunks,
+        stitch_context,
+    )
+
+    words = ["w%02d" % i for i in range(30)]
+    docs = spark.createDataFrame([(1, " ".join(words))], "doc_id int, text string")
+    chunks = fixed_stride_chunks(
+        docs, id_col="doc_id", text_col="text",
+        chunk_tokens=10, overlap_tokens=4,
+    )
+    hits = spark.createDataFrame(
+        [(1, 2), (1, 2), (1, 99)], "doc_id int, chunk_index int"
+    )
+    rows = {r["chunk_index"]: r for r in
+            stitch_context(chunks, hits, overlap_tokens=4, context=1).collect()}
+    assert len(rows) == 2  # duplicates collapsed
+    # hit 2: chunks 1..3 -> tokens [0, 22)
+    assert rows[2]["n_chunks"] == 3
+    assert rows[2]["stitched"] == " ".join(words[0:22])
+    # stale hit: visible empty row, not a silent drop
+    assert rows[99]["n_chunks"] == 0
+    assert rows[99]["stitched"] == ""
+    assert rows[99]["ctx_start"] is None
