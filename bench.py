@@ -1,23 +1,34 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ..., "scale_check": {...}}.
+ONE COMPACT JSON line as the FINAL line of stdout:
+{"metric": ..., "value": total_sec, "unit": "sec",
+ "queries": {name: sec, ...}, "sf": ..., "detail_file": ...}.
+
+THE LINE IS LENGTH-BOUNDED. The recording harness keeps only the last
+~2,000 characters of stdout; round 4's line grew to 2,883 chars (56
+queries + the in-line scale_check block) and was truncated past
+parseability (BENCH_r04.json: parsed null). :func:`compact_line`
+therefore guarantees < :data:`LINE_LIMIT` (1,900) chars by keeping the
+SLOWEST queries in the line and dropping the fastest ones from the
+line only — the full per-query table, the secondary tier, and the
+scale_check block always land in ``BENCH_DETAIL.json`` at the repo
+root (pointed to by ``detail_file``). Length-locked by
+tests/test_bench_line.py, including a driver-sim that parses the last
+2,000 chars of the real emission.
 
 Every query executes end-to-end into a noop sink (full compute, no
 result materialization on the driver), after a warm-up that triggers
 JVM + codegen warm paths.
 
-The ``scale_check`` block is the 1×/K× wall-clock ratio table for the
-scale-path operators (see scale_check.py) with its SCALE_BOUNDS
-violations — so scaling regressions (a new shuffle, a lost broadcast,
-a pair-space blowup) are recorded mechanically in every BENCH_r{N},
-not just in README prose. Latency alone can look fine while a plan
-goes quadratic; the ratio table is the early alarm. Control via
-$SPARK_GRAFT_BENCH_SCALE (default "1"; "0" skips the ~4-5 min block)
-and $SPARK_GRAFT_BENCH_SCALE_K (default 10). Standalone bound-assert
-mode (non-zero exit on violation) remains
-``python scale_check.py [K] --assert``.
+The ``scale_check`` block is the 1×/K× ratio table for the scale-path
+operators (see scale_check.py) with its SCALE_BOUNDS violations — so
+scaling regressions (a new shuffle, a lost broadcast, a pair-space
+blowup) are recorded mechanically in every round's BENCH_DETAIL, not
+just in README prose. Control via $SPARK_GRAFT_BENCH_SCALE (default
+"1"; "0" skips the ~4-5 min block) and $SPARK_GRAFT_BENCH_SCALE_K
+(default 10). Standalone bound-assert mode (non-zero exit on
+violation) remains ``python scale_check.py [K] --assert``.
 """
 
 from __future__ import annotations
@@ -29,8 +40,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-import __spark_entry__ as entrymod
-from graphragpart1datapipeline_spark.session import get_spark
+# Hard bound on the final stdout line. The recorder keeps the last
+# 2,000 chars; 100 chars of margin absorbs a trailing newline plus any
+# stray log line that sneaks after us.
+LINE_LIMIT = 1900
 
 # Headline set: the heavy representatives of each operator family
 # (joins/aggs, rollup, windows, sessionization, dedup families, text
@@ -78,47 +91,105 @@ HEADLINE = [
     "q107_bigram_lm_score",
     "q108_zorder_layout",
     "q112_resample_locf",
-    "q114_cdc_apply",
-    # round-3 batch 2: exact ER, heavy hitters, weighted sampling,
-    # phrase retrieval, decayed time series
-    "q120_ewma_user_value",
     # q122 runs on a deliberately adversarial low-cardinality key space
     # (true pair structure is quadratic: 1M pairs from 20k records at
     # sf0.1) — correctness-gated at sf0.01; the realistic ER regime is
     # scale_check's "set_similarity" (vocab proportional to corpus).
-    "q123_phrase_search",
     "q124_heavy_hitters_words",
-    "q125_weighted_order_sample",
     # round-3 batch 3: diversity scoring, profiling, robust outliers —
     # linear scale paths (q152 linkpred stays out: the co-purchase
     # graph's wedge volume at sf0.1 is adversarially dense, like q122)
     "q153_token_diversity",
-    "q154_numeric_histogram",
     "q155_mad_outliers",
     "q157_equidepth_histogram",
     "q127_sorted_neighborhood",
-    "q134_debounce_events",
     "q136_embedding_centroids",
     "q140_exact_kth_values",
-    "q146_orderkey_gaps",
-    # round-4 additions: distributed Leiden, retrieval quality, SCD2
-    # time travel, auto-salted skew join — all scale paths. The
-    # incremental ER joins (q161-q163) stay out for the same reason as
-    # their batch twins (q122/q156/q158): the part/doc key spaces are
-    # adversarially duplicate-heavy at sf0.1; their realistic regime
-    # is scale_check's incremental entries.
+    # round-4 additions: distributed Leiden, retrieval quality,
+    # auto-salted skew join — all scale paths. The incremental ER
+    # joins (q161-q163) stay out for the same reason as their batch
+    # twins (q122/q156/q158): the part/doc key spaces are adversarially
+    # duplicate-heavy at sf0.1; their realistic regime is scale_check's
+    # incremental entries.
     "q159_leiden_distributed",
     "q160_ann_recall",
-    "q164_scd2_time_travel",
     "q165_salted_join_auto",
     "q166_personalized_pagerank",
+    # round-5 additions: the composed serving DAGs (hybrid retrieval →
+    # fusion → passage stitch; weighted-seeded GraphRAG walk). q177
+    # (3-resolution Leiden sweep, ~24 s = 3 γ iterations over q159's
+    # machinery) is SECONDARY: q159 already represents the Leiden
+    # scale path in the headline and the sweep's only novel cost is
+    # repetition.
+    "q176_rag_serving_end2end",
+    "q178_graphrag_retrieval_weighted",
+]
+
+# Secondary tier: sub-second operators whose family is already
+# represented above (pruned from the headline in round 5 per the
+# round-4 verdict to keep bench wall inside the recording envelope).
+# Still timed every round — 1 rep, recorded in BENCH_DETAIL.json only
+# — so every scale-path operator keeps a round-over-round trace.
+SECONDARY = [
+    "q177_leiden_multiresolution",
+    "q114_cdc_apply",
+    "q120_ewma_user_value",
+    "q123_phrase_search",
+    "q125_weighted_order_sample",
+    "q134_debounce_events",
+    "q146_orderkey_gaps",
+    "q154_numeric_histogram",
+    "q164_scd2_time_travel",
     "q167_winnow_fingerprints",
 ]
 
 # Repetitions per query; report the min. The ambient swing on a shared
 # box is ~2x (JVM/codegen/scan-cache setup dominates first runs); min-of-3
 # is the stable plan cost and makes round-over-round deltas meaningful.
+# ADAPTIVE: plans whose (already-JIT-warm) warm-up run exceeds
+# HEAVY_CUTOFF seconds get one rep fewer — at 3+ s the plan cost
+# dominates ambient noise, and the third rep buys nothing but wall
+# (keeps the whole bench inside the driver's ~10 min recording window
+# as the headline grows).
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+HEAVY_CUTOFF = float(os.environ.get("SPARK_GRAFT_BENCH_HEAVY_CUTOFF", "2.5"))
+
+DETAIL_FILE = "BENCH_DETAIL.json"
+
+
+def compact_line(out: dict, limit: int = LINE_LIMIT) -> str:
+    """Serialize ``out`` to a single JSON line PROVABLY under ``limit``
+    characters: the ``queries`` dict keeps the slowest entries first
+    and drops the fastest from the LINE (never from the detail file)
+    as soon as the serialized length would cross the bound;
+    ``queries_in_line``/``queries_total`` record the truncation.
+    ``scale_check`` never rides the line — it lives in the detail file.
+
+    Deterministic worst-case: even a pathological ``out`` (hundreds of
+    long-named queries) yields a parseable line, because entries are
+    added one at a time against the measured serialized length."""
+    base = {
+        k: v for k, v in out.items() if k not in ("queries", "scale_check")
+    }
+    timings = out.get("queries", {})
+    base["queries_total"] = len(timings)
+    ranked = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
+    kept: dict[str, float] = {}
+    base["queries"] = kept
+    base["queries_in_line"] = 0
+    line = json.dumps(base, separators=(",", ":"))
+    for name, sec in ranked:
+        kept[name] = sec
+        base["queries_in_line"] = len(kept)
+        cand = json.dumps(base, separators=(",", ":"))
+        if len(cand) >= limit:
+            del kept[name]
+            base["queries_in_line"] = len(kept)
+            line = json.dumps(base, separators=(",", ":"))
+            break
+        line = cand
+    assert len(line) < limit, (len(line), limit)
+    return line
 
 
 def run_query(df) -> None:
@@ -126,6 +197,9 @@ def run_query(df) -> None:
 
 
 def main() -> None:
+    import __spark_entry__ as entrymod
+    from graphragpart1datapipeline_spark.session import get_spark
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
     try:
@@ -153,17 +227,33 @@ def main() -> None:
     # codegen'd expression chains (md5/shingle minhash most of all)
     # takes several executions to reach steady state; timing cold runs
     # measures the JVM, not the plan.
+    warm: dict[str, float] = {}
     for name in HEADLINE:
+        t0 = time.perf_counter()
         run_query(queries[name](spark, sf_dir))
+        warm[name] = time.perf_counter() - t0
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
+        reps = max(REPS, 1)
+        if warm[name] > HEAVY_CUTOFF:
+            reps = max(reps - 1, 1)
         best = float("inf")
-        for _ in range(max(REPS, 1)):
+        for _ in range(reps):
             t0 = time.perf_counter()
             run_query(queries[name](spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+
+    # Secondary tier: single timed rep (they had no dedicated warm-up;
+    # the shared JVM/codegen state from the headline pass is warm
+    # enough for sub-second plans, and the detail trace is what we
+    # keep, not a tight min-of-3).
+    secondary: dict[str, float] = {}
+    for name in SECONDARY:
+        t0 = time.perf_counter()
+        run_query(queries[name](spark, sf_dir))
+        secondary[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -172,7 +262,11 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "detail_file": DETAIL_FILE,
     }
+    detail = dict(out)
+    detail["secondary"] = secondary
+    detail["reps"] = REPS
     if os.environ.get("SPARK_GRAFT_BENCH_SCALE", "1") != "0":
         from scale_check import BENCH_SUBSET, scale_block
 
@@ -182,10 +276,19 @@ def main() -> None:
         # calibration run is the full set at K=10
         # (`python scale_check.py 10 --assert`).
         k = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_K", "4"))
-        out["scale_check"] = scale_block(
+        detail["scale_check"] = scale_block(
             spark, sf_dir, k, do_assert=True, only=BENCH_SUBSET
         )
-    print(json.dumps(out))
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), DETAIL_FILE),
+        "w",
+    ) as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    # The compact line is the LAST stdout line, alone — the recorder's
+    # 2,000-char tail must land inside it (length-locked in tests).
+    sys.stdout.flush()
+    print(compact_line(out))
+    sys.stdout.flush()
     spark.stop()
 
 

@@ -456,18 +456,19 @@ def detect_communities(
     if algorithm in ("louvain-distributed", "leiden-distributed"):
         from pyspark.sql import Window as _W
 
-        detector_df = (
-            leiden_communities
-            if algorithm == "leiden-distributed"
-            else louvain_communities
-        )
         base = edges.select(
             F.col(src).cast("string").alias("src"),
             F.col(dst).cast("string").alias("dst"),
         )
+        if algorithm == "leiden-distributed":
+            # one canonicalization + one degree frame for the whole
+            # γ sweep (leiden_multiresolution), not one per resolution
+            return leiden_multiresolution(
+                base, resolutions=tuple(float(r) for r in resolutions)
+            )
         out = None
         for i, res in enumerate(resolutions):
-            mem = detector_df(base, resolution=float(res))
+            mem = louvain_communities(base, resolution=float(res))
             sizes = mem.groupBy("community").agg(
                 F.count(F.lit(1)).alias("__n"), F.min("id").alias("__mn")
             )
@@ -750,7 +751,10 @@ def modularity(
     Scale shape: edge canonicalization (one distinct), degrees (one
     groupBy), two membership joins onto the edge list, two
     community-sized groupBys, a 1-row rollup. Nodes in ``membership``
-    with no edges contribute nothing (degree 0)."""
+    with no edges contribute nothing (degree 0). Every edge endpoint
+    MUST appear in ``membership`` — a missing endpoint raises in-plan
+    (the alternative, silently counting the edge in m but dropping it
+    from e_c/d_c, skews Q invisibly)."""
     # shared canonicalization (localCheckpoint'ed: `can` feeds deg
     # twice, ec once and the 1-row stats — without it the upstream
     # edge plan re-executes per subplan)
@@ -771,11 +775,42 @@ def modularity(
         .agg(F.sum(F.col("deg").cast("decimal(38,0)")).alias("dc"))
     )
     ec = (
-        can.join(mem.select(F.col("id").alias("a"), F.col("c").alias("ca")), "a")
-        .join(mem.select(F.col("id").alias("b"), F.col("c").alias("cb")), "b")
-        .filter(F.col("ca") == F.col("cb"))
-        .groupBy(F.col("ca").alias("c"))
-        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("ec"))
+        can.join(
+            mem.select(F.col("id").alias("a"), F.col("c").alias("ca")),
+            "a",
+            "left",
+        )
+        .join(
+            mem.select(F.col("id").alias("b"), F.col("c").alias("cb")),
+            "b",
+            "left",
+        )
+        # missing endpoint → loud in-plan failure, not a skewed Q. The
+        # guard lives in the GROUPING KEY (evaluated for every edge
+        # row) rather than a pre-aggregation filter: a `ca == cb`
+        # filter is null-intolerant, so Catalyst would rewrite the
+        # left joins back to inner and drop the uncovered rows before
+        # the raise could ever evaluate.
+        .groupBy(
+            F.when(
+                F.col("ca").isNotNull() & F.col("cb").isNotNull(),
+                F.col("ca"),
+            )
+            .otherwise(
+                F.raise_error(
+                    "modularity: edge endpoint missing from membership — "
+                    "every node incident to an edge must carry a "
+                    "community (restrict the edge set or complete the "
+                    "partition)"
+                )
+            )
+            .alias("c")
+        )
+        .agg(
+            F.count(F.when(F.col("ca") == F.col("cb"), F.lit(1)))
+            .cast("decimal(38,0)")
+            .alias("ec")
+        )
     )
     stats = can.agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("m")
@@ -809,6 +844,28 @@ def modularity(
             ).alias("modularity"),
         )
     )
+
+
+def _check_gain_precision(m2: float) -> None:
+    """The 2m-scaled RB gain terms in :func:`_local_move_round`
+    (``m2·k_{i,c}`` and ``deg·tot``) are computed in doubles. Every
+    operand is ≤ 2m, so both products are exactly representable — and
+    the argmax equal to the true integer argmax — while (2m)² ≤ 2^53,
+    i.e. total edge weight ≤ ~47M (2m ≤ ~2^26.5). Past that the
+    ranking stays IEEE-deterministic (bit-reproducible run-to-run,
+    still SQL-replayable by an oracle computing in doubles) but the
+    'exact integer argmax' claim no longer holds — warn loudly instead
+    of degrading silently (same contract as normalize()'s ftfy seam)."""
+    if m2 * m2 > 2.0**53:
+        warnings.warn(
+            "louvain/leiden: 2m = %.3g exceeds the exact-double budget "
+            "((2m)^2 > 2^53); gain comparisons remain deterministic but "
+            "may differ from the true integer argmax — pre-normalize "
+            "edge weights to keep total weight under ~47M for the exact "
+            "claim" % m2,
+            RuntimeWarning,
+            stacklevel=3,
+        )
 
 
 def _local_move_round(
@@ -952,6 +1009,29 @@ def _canonical_edges(
     return can.localCheckpoint(eager=True)
 
 
+def _level_degrees(can: DataFrame) -> DataFrame:
+    """Weighted degree frame (id, deg) of a canonical edge frame —
+    self-loops count twice, as in every modularity formulation.
+    γ-INDEPENDENT: the level-0 frame can be computed once and shared
+    across an entire multi-resolution sweep (leiden_multiresolution)."""
+    return (
+        can.select(
+            F.col("a").alias("id"),
+            F.when(F.col("a") == F.col("b"), 2 * F.col("w"))
+            .otherwise(F.col("w"))
+            .alias("dw"),
+        )
+        .unionByName(
+            can.filter(F.col("a") != F.col("b")).select(
+                F.col("b").alias("id"), F.col("w").alias("dw")
+            )
+        )
+        .groupBy("id")
+        .agg(F.sum("dw").alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+
+
 def louvain_communities(
     edges: DataFrame,
     src: str = "src",
@@ -1004,26 +1084,12 @@ def louvain_communities(
     can = _canonical_edges(edges, src, dst, weight_col)
     membership: DataFrame | None = None
     for level in range(levels):
-        deg = (
-            can.select(
-                F.col("a").alias("id"),
-                F.when(F.col("a") == F.col("b"), 2 * F.col("w"))
-                .otherwise(F.col("w"))
-                .alias("dw"),
-            )
-            .unionByName(
-                can.filter(F.col("a") != F.col("b")).select(
-                    F.col("b").alias("id"), F.col("w").alias("dw")
-                )
-            )
-            .groupBy("id")
-            .agg(F.sum("dw").alias("deg"))
-            .localCheckpoint(eager=True)
-        )
+        deg = _level_degrees(can)
         m2_row = deg.agg(F.sum("deg")).collect()[0][0]
         if m2_row is None or m2_row == 0:
             break
         m2 = float(m2_row)
+        _check_gain_precision(m2)
         sym = (
             can.filter(F.col("a") != F.col("b"))
             .select(F.col("a").alias("i"), F.col("b").alias("j"), "w")
@@ -1117,30 +1183,39 @@ def leiden_communities(
     """
     spark = edges.sparkSession
     can = _canonical_edges(edges, src, dst, weight_col)
+    return _leiden_from_canonical(
+        spark, can, resolution, rounds_per_level, levels, refine_rounds
+    )
+
+
+def _leiden_from_canonical(
+    spark: SparkSession,
+    can: DataFrame,
+    resolution: float,
+    rounds_per_level: int,
+    levels: int,
+    refine_rounds: int,
+    deg0: DataFrame | None = None,
+) -> DataFrame:
+    """The Leiden loop on an ALREADY-CANONICAL edge frame — split out
+    so :func:`leiden_multiresolution` can run several γ values over ONE
+    canonicalization (and one shared level-0 degree frame via ``deg0``;
+    both are γ-independent). Everything from the first local-move round
+    on diverges per γ, so per-level frames stay private."""
     node_map: DataFrame | None = None  # original id -> current-level node
     init: DataFrame | None = None  # next level's initial (id, lab)
     last_labels: DataFrame | None = None
     for level in range(levels):
         deg = (
-            can.select(
-                F.col("a").alias("id"),
-                F.when(F.col("a") == F.col("b"), 2 * F.col("w"))
-                .otherwise(F.col("w"))
-                .alias("dw"),
-            )
-            .unionByName(
-                can.filter(F.col("a") != F.col("b")).select(
-                    F.col("b").alias("id"), F.col("w").alias("dw")
-                )
-            )
-            .groupBy("id")
-            .agg(F.sum("dw").alias("deg"))
-            .localCheckpoint(eager=True)
+            deg0
+            if level == 0 and deg0 is not None
+            else _level_degrees(can)
         )
         m2_row = deg.agg(F.sum("deg")).collect()[0][0]
         if m2_row is None or m2_row == 0:
             break
         m2 = float(m2_row)
+        _check_gain_precision(m2)
         sym = (
             can.filter(F.col("a") != F.col("b"))
             .select(F.col("a").alias("i"), F.col("b").alias("j"), "w")
@@ -1329,3 +1404,58 @@ def leiden_communities(
         )
         .select("id", F.col("lab").alias("community"))
     )
+
+
+def leiden_multiresolution(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    resolutions: tuple[float, ...] = (2.0, 0.5, 0.1),
+    rounds_per_level: int = 2,
+    levels: int = 2,
+    refine_rounds: int = 2,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Multi-resolution FULLY-DISTRIBUTED Leiden in ONE pass over the
+    input: the reference contract — three resolutions [2.0, 0.5, 0.1]
+    over the SAME graph (settings.py:137, utils/neo4j_helpers.py:
+    237-268) — without re-canonicalizing or re-weighing the edges per
+    γ. Returns (id, community_L0, community_L1, ..., community_L{n-1})
+    with communities densely renumbered by (size desc, min member),
+    matching :func:`detect_communities`' driver-local output shape.
+
+    Scale shape: :func:`_canonical_edges` (the input-sized distinct +
+    checkpoint — the expensive part when the edge stream is a derived
+    frame like a near-dup pair pipeline) and the level-0 degree frame
+    run ONCE; each γ then reuses the two materialized frames (call-
+    count-locked in tests). The per-γ runs necessarily diverge from
+    the first local-move round on — contraction graphs are γ-specific
+    — so the sweep costs one canonicalization + Σγ(iteration rounds),
+    not 3× everything. The dense-renumber window runs over the
+    COMMUNITY table only (communities << nodes)."""
+    from pyspark.sql import Window as _W
+
+    spark = edges.sparkSession
+    can = _canonical_edges(edges, src, dst, weight_col)
+    deg0 = _level_degrees(can)
+    out: DataFrame | None = None
+    for i, res in enumerate(resolutions):
+        mem = _leiden_from_canonical(
+            spark, can, float(res), rounds_per_level, levels,
+            refine_rounds, deg0=deg0,
+        )
+        sizes = mem.groupBy("community").agg(
+            F.count(F.lit(1)).alias("__n"), F.min("id").alias("__mn")
+        )
+        ids = sizes.withColumn(
+            f"community_L{i}",
+            (
+                F.row_number().over(_W.orderBy(F.desc("__n"), F.asc("__mn")))
+                - 1
+            ).cast("long"),
+        ).select("community", f"community_L{i}")
+        lvl = mem.join(ids, "community").select("id", f"community_L{i}")
+        out = lvl if out is None else out.join(lvl, "id")
+    if out is None:
+        raise ValueError("leiden_multiresolution needs >= 1 resolution")
+    return out

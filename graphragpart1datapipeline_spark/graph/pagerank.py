@@ -112,7 +112,27 @@ def pagerank(
                 .alias("w"),
             )
         )
-        deg = e.groupBy("src").agg(F.sum("w").alias("outdeg"))
+        # zero/negative summed weight makes the contribution DIV
+        # undefined (Spark returns NULL and the mass silently vanishes
+        # while the DuckDB oracle diverges) — raise in-plan, like the
+        # overflow guard above, instead of dropping rank mass.
+        deg = (
+            e.groupBy("src")
+            .agg(F.sum("w").alias("outdeg"))
+            .select(
+                "src",
+                F.when(F.col("outdeg") > 0, F.col("outdeg"))
+                .otherwise(
+                    F.raise_error(
+                        "pagerank: summed outgoing edge weight must be "
+                        "positive for every src (zero/negative weights "
+                        "would silently drop contributions); filter or "
+                        "pre-normalize weights"
+                    )
+                )
+                .alias("outdeg"),
+            )
+        )
     e_deg = e.join(deg, "src")
     if checkpoint:
         # ONE eager materialization executes the upstream edge plan
@@ -197,6 +217,7 @@ def personalized_pagerank(
     scale: int = 10**12,
     checkpoint: bool = True,
     broadcast_ranks: bool | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Personalized PageRank: :func:`pagerank` with all teleport mass
     on ``seeds`` — proximity-to-seeds ranking, the GraphRAG query-time
@@ -212,4 +233,5 @@ def personalized_pagerank(
         checkpoint=checkpoint,
         broadcast_ranks=broadcast_ranks,
         seeds=seeds,
+        weight_col=weight_col,
     )

@@ -158,7 +158,10 @@ def stitch_context(
     than garbling the passage). Hits at document edges clip
     (n_chunks < 2·context+1); stale hits whose whole window is absent
     from the chunks table survive with n_chunks=0 and an empty
-    passage — a visible miss, not a dropped row.
+    passage — a visible miss, not a dropped row. A gap MID-window
+    (predecessor slot missing from the chunks table) suppresses the
+    overlap trim for the chunk after the gap — no tokens were
+    duplicated across a gap, so trimming there would delete real text.
 
     Scale shape: hits explode ×(2c+1) → ONE left equi-join onto the
     chunks table on (id, index) — at rest the chunks table is
@@ -204,24 +207,32 @@ def stitch_context(
             )
         )
     )
-    # first window chunk keeps all tokens; every later one drops the
-    # overlap it shares with its predecessor (chunk already split once)
+    # first window chunk keeps all tokens; a later one drops the
+    # overlap it shares with its predecessor ONLY when that predecessor
+    # slot is present AND contiguous (element i-1 carries index s.i-1).
+    # Across a gap nothing was duplicated, so trimming there would
+    # silently delete tokens never emitted twice — the chunk stays
+    # whole (exact-reconstruction contract under partial chunk tables).
+    trimmed = lambda s: F.when(  # noqa: E731
+        F.size(s["toks"]) > overlap_tokens,
+        F.concat_ws(
+            " ",
+            F.slice(
+                s["toks"],
+                overlap_tokens + 1,
+                F.size(s["toks"]) - overlap_tokens,
+            ),
+        ),
+    ).otherwise(F.lit(""))
     texts = F.transform(
         arr,
         lambda s, i: F.when(
             i == 0, F.concat_ws(" ", s["toks"])
         ).otherwise(
             F.when(
-                F.size(s["toks"]) > overlap_tokens,
-                F.concat_ws(
-                    " ",
-                    F.slice(
-                        s["toks"],
-                        overlap_tokens + 1,
-                        F.size(s["toks"]) - overlap_tokens,
-                    ),
-                ),
-            ).otherwise(F.lit(""))
+                F.element_at(arr, i)["i"] == s["i"] - 1,
+                trimmed(s),
+            ).otherwise(F.concat_ws(" ", s["toks"]))
         ),
     )
     return (

@@ -2181,3 +2181,98 @@ def test_stitch_context_duplicate_and_stale_hits(spark):
     assert rows[99]["n_chunks"] == 0
     assert rows[99]["stitched"] == ""
     assert rows[99]["ctx_start"] is None
+
+def test_stitch_context_gap_suppresses_trim(spark):
+    """A mid-window GAP (predecessor chunk missing from the serving
+    table) must suppress the overlap trim for the chunk after the gap:
+    nothing was duplicated across a gap, so trimming would silently
+    delete tokens that appear exactly once (round-4 ADVICE fix)."""
+    from pyspark.sql import functions as F
+
+    from graphragpart1datapipeline_spark.text import (
+        fixed_stride_chunks,
+        stitch_context,
+    )
+
+    words = ["w%02d" % i for i in range(50)]
+    docs = spark.createDataFrame([(1, " ".join(words))], "doc_id int, text string")
+    chunks = fixed_stride_chunks(
+        docs, id_col="doc_id", text_col="text",
+        chunk_tokens=10, overlap_tokens=4,
+    )  # stride 6: chunk j covers tokens [6j, 6j+10)
+    # drop chunk 3 -> hit 3's window {2,3,4} has a gap between 2 and 4
+    sparse = chunks.filter(F.col("chunk_index") != 3)
+    hits = spark.createDataFrame([(1, 3)], "doc_id int, chunk_index int")
+    row = stitch_context(
+        sparse, hits, overlap_tokens=4, context=1
+    ).collect()[0]
+    assert row["n_chunks"] == 2
+    assert row["ctx_start"] == 2 and row["ctx_end"] == 4
+    # chunk_index is 1-based: chunk j covers tokens [6(j-1), 6(j-1)+10).
+    # chunk 2 = words[6:16] whole; chunk 4 = words[18:28] KEPT WHOLE
+    # (no predecessor at index 3 -> no duplicated overlap to drop)
+    assert row["stitched"] == " ".join(words[6:16] + words[18:28])
+    # control: contiguous window still trims (hit 1, full table)
+    hits2 = spark.createDataFrame([(1, 1)], "doc_id int, chunk_index int")
+    row2 = stitch_context(
+        chunks, hits2, overlap_tokens=4, context=1
+    ).collect()[0]
+    assert row2["stitched"] == " ".join(words[0:16])
+
+def test_weighted_pagerank_nonpositive_weight_raises(spark):
+    """Zero/negative summed edge weight would NULL the contribution DIV
+    and silently drop rank mass — the plan must raise instead
+    (round-4 ADVICE fix, same contract as the 2^62 overflow guard)."""
+    from graphragpart1datapipeline_spark.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b", 3), ("a", "c", -3), ("b", "c", 1)],
+        "src string, dst string, w long",
+    )
+    try:
+        pagerank(edges, weight_col="w", iters=2).collect()
+        raise AssertionError("expected raise_error on non-positive outdeg")
+    except Exception as e:  # Py4J wraps the SparkRuntimeException
+        assert "positive" in str(e)
+
+
+def test_modularity_missing_endpoint_raises(spark):
+    """An edge endpoint absent from the membership must fail loudly,
+    not silently skew Q (round-4 ADVICE fix)."""
+    from graphragpart1datapipeline_spark.graph import modularity
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "ghost")], "src string, dst string"
+    )
+    mem = spark.createDataFrame(
+        [("a", "x"), ("b", "x")], "id string, community string"
+    )
+    try:
+        modularity(edges, mem).collect()
+        raise AssertionError("expected raise_error on missing endpoint")
+    except Exception as e:
+        assert "membership" in str(e)
+    # full coverage still computes
+    mem_full = spark.createDataFrame(
+        [("a", "x"), ("b", "x"), ("ghost", "y")],
+        "id string, community string",
+    )
+    row = modularity(edges, mem_full).collect()[0]
+    assert row["n_edges"] == 2
+
+
+def test_louvain_gain_precision_warns_past_2_53():
+    """(2m)^2 > 2^53 degrades the exact-integer-argmax claim — the
+    driver-side check must warn loudly (round-4 ADVICE fix)."""
+    import warnings as _w
+
+    from graphragpart1datapipeline_spark.graph.communities import (
+        _check_gain_precision,
+    )
+
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        _check_gain_precision(2.0**26)   # (2m)^2 = 2^52: exact, silent
+        assert not rec
+        _check_gain_precision(2.0**27)   # (2m)^2 = 2^54: warn
+        assert len(rec) == 1 and "2^53" in str(rec[0].message)
