@@ -4141,6 +4141,78 @@ def q159(spark, sf_dir):
     )
 
 
+def _leiden_multi_sql(resolutions=("2.0", "0.5", "0.1")) -> str:
+    """Three full :func:`_leiden_oracle_sql` replays (one per γ) over
+    the SAME customer→nation→region graph, densely renumbered per
+    level by (size desc, min member) and joined on id — the exact
+    output contract of leiden_multiresolution / detect_communities'
+    distributed path. Each γ chain nests as a CTE body (DuckDB allows
+    WITH inside a CTE), so a divergence in ANY resolution's run flips
+    the hash."""
+    parts = [
+        f"mem{i} AS (\n{_leiden_oracle_sql(2, 2, 2, res=res)}\n    )"
+        for i, res in enumerate(resolutions)
+    ]
+    renum = "".join(
+        f""", s{i} AS (
+      SELECT community, COUNT(*) AS n, MIN(id) AS mn
+      FROM mem{i} GROUP BY community
+    ), r{i} AS (
+      SELECT community,
+             CAST(ROW_NUMBER() OVER (ORDER BY n DESC, mn) - 1 AS BIGINT)
+               AS community_L{i}
+      FROM s{i}
+    ), l{i} AS (
+      SELECT m.id, r.community_L{i} FROM mem{i} m JOIN r{i} r
+      USING (community)
+    )"""
+        for i in range(len(resolutions))
+    )
+    sel = ", ".join(f"l{i}.community_L{i}" for i in range(len(resolutions)))
+    joins = "".join(
+        f" JOIN l{i} ON l{i}.id = l0.id" for i in range(1, len(resolutions))
+    )
+    return (
+        "WITH " + ",\n    ".join(parts) + renum
+        + f"\n    SELECT l0.id, {sel} FROM l0{joins}\n    "
+    )
+
+
+@_register("q177_leiden_multiresolution", _leiden_multi_sql())
+def q177(spark, sf_dir):
+    """The reference's EXACT community contract — Leiden at the three
+    resolutions [2.0, 0.5, 0.1] over ONE graph (settings.py:137,
+    utils/neo4j_helpers.py:237-268) — as a single fully-distributed
+    pass: edge canonicalization and the level-0 degree frame are
+    computed/materialized ONCE and shared across the γ sweep
+    (call-count-locked in tests/test_plans.py), each γ runs the
+    distributed Leiden loop (q159's machinery), and communities come
+    back densely renumbered by (size desc, min member) as
+    (id, community_L0, community_L1, community_L2). The oracle replays
+    ALL THREE runs and the renumbering, so every node's membership at
+    every resolution hash-matches."""
+    from graphragpart1datapipeline_spark.graph.communities import (
+        detect_communities,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    e1 = c.select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("n"), F.col("c_nationkey").cast("string")).alias("dst"),
+    )
+    e2 = n.select(
+        F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias("src"),
+        F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias("dst"),
+    )
+    return detect_communities(
+        spark,
+        e1.unionByName(e2),
+        resolutions=(2.0, 0.5, 0.1),
+        algorithm="leiden-distributed",
+    )
+
+
 _MODULARITY_TAIL = """
     , mdeg AS (
       SELECT id, COUNT(*) AS deg FROM (
@@ -5042,12 +5114,17 @@ def q171(spark, sf_dir):
     ).select("o_orderkey", "event_ver", "c_acctbal", "c_mktsegment")
 
 
-def _graphrag_retrieval_sql(iters: int = 2, scale: int = 10**12) -> str:
+def _graphrag_retrieval_sql(
+    iters: int = 2, scale: int = 10**12, weighted: bool = False
+) -> str:
     """Composed query-time GraphRAG retrieval replay: BM25 seed search
     over part names → seeded (personalized) PageRank over the
     co-purchase graph → top related parts. Every stage reuses an
     already-proven oracle shape (q103's BM25 arithmetic, q166's
-    seeded integer PageRank), so the whole DAG hash-matches."""
+    seeded integer PageRank), so the whole DAG hash-matches.
+    ``weighted``: co-purchase multiplicity (number of shared orders)
+    drives the walk — (rank·w) DIV wdeg contributions, q174's
+    machinery — instead of the unweighted distinct edge set."""
     sql = f"""
     WITH t AS (
       SELECT p_partkey AS doc_id,
@@ -5080,14 +5157,28 @@ def _graphrag_retrieval_sql(iters: int = 2, scale: int = 10**12) -> str:
       SELECT doc_id AS id FROM bagg ORDER BY score DESC, doc_id LIMIT 10
     ), pe AS (
       SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-    ), e AS (
+    ), e AS ("""
+    if weighted:
+        sql += """
+      SELECT a.l_partkey AS src, b.l_partkey AS dst,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM pe a JOIN pe b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY 1, 2
+    ), nodes AS (
+      SELECT src AS id FROM e UNION SELECT dst FROM e
+    ), deg AS (
+      SELECT src, CAST(SUM(w) AS BIGINT) AS outdeg FROM e GROUP BY src"""
+    else:
+        sql += """
       SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
       FROM pe a JOIN pe b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
     ), nodes AS (
       SELECT src AS id FROM e UNION SELECT dst FROM e
     ), deg AS (
-      SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src
+      SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src"""
+    sql += f"""
     ), seeds AS (
       SELECT id FROM nodes WHERE id IN (SELECT id FROM seed_parts)
     ), p AS (
@@ -5098,10 +5189,15 @@ def _graphrag_retrieval_sql(iters: int = 2, scale: int = 10**12) -> str:
                   THEN {scale} // (SELECT s FROM p) ELSE 0 END AS rank
       FROM nodes LEFT JOIN seeds ON seeds.id = nodes.id
     )"""
+    contrib = (
+        "SUM((r.rank * e.w) // d.outdeg)"
+        if weighted
+        else "SUM(r.rank // d.outdeg)"
+    )
     prev = "r0"
     for i in range(iters):
         sql += f""", c{i} AS (
-      SELECT e.dst, SUM(r.rank // d.outdeg) AS cs
+      SELECT e.dst, {contrib} AS cs
       FROM e JOIN deg d ON e.src = d.src JOIN {prev} r ON r.id = e.src
       GROUP BY e.dst
     ), r{i + 1} AS (
@@ -5159,6 +5255,54 @@ def q168(spark, sf_dir):
         .distinct()
     )
     ranks = personalized_pagerank(edges, seeds, iters=2)
+    return (
+        ranks.filter(F.col("rank") > 0)
+        .select(F.col("id").cast("long").alias("part_id"), "rank")
+        .orderBy(F.desc("rank"), F.asc("part_id"))
+        .limit(20)
+    )
+
+
+@_register(
+    "q178_graphrag_retrieval_weighted",
+    _graphrag_retrieval_sql(weighted=True),
+)
+def q178(spark, sf_dir):
+    """q168's query-time GraphRAG retrieval DAG with the walk DRIVEN
+    BY EDGE WEIGHT: co-purchase multiplicity (how many orders the two
+    parts share — the association-strength signal q137 measures as
+    lift) weights every PPR contribution ((rank·w) DIV wdeg, q174's
+    exact-integer machinery composed with q166's seed gating), so
+    strongly-associated parts pull more of a seed's mass than
+    incidental one-order pairings. Same scale shape as q168 — the
+    GROUP BY replaces the DISTINCT at identical shuffle cost; the
+    oracle replays seed search, the weighted walk, and the top-20."""
+    from graphragpart1datapipeline_spark.graph import personalized_pagerank
+    from graphragpart1datapipeline_spark.text.analysis import bm25_topk
+
+    p = _t(spark, sf_dir, "part")
+    seeds = (
+        bm25_topk(
+            p.select(F.col("p_partkey").alias("doc_id"),
+                     F.col("p_name").alias("text")),
+            ["gear", "red"],
+            k=10,
+            log_idf=False,
+        )
+        .select(F.col("doc_id").alias("id"))
+    )
+    pe = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a = pe.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = pe.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    ranks = personalized_pagerank(edges, seeds, iters=2, weight_col="w")
     return (
         ranks.filter(F.col("rank") > 0)
         .select(F.col("id").cast("long").alias("part_id"), "rank")
@@ -5518,20 +5662,24 @@ def q89(spark, sf_dir):
       SELECT w.doc_id, w.hit, w.nidx, c.chunk
       FROM want w JOIN chunks c
         ON c.doc_id = w.doc_id AND c.chunk_index = w.nidx
+        AND c.chunk_index % 7 <> 3
     ), rolled AS (
       SELECT doc_id, hit,
              COUNT(*) AS n_chunks,
              MIN(nidx) AS ctx_start,
              MAX(nidx) AS ctx_end,
-             list(chunk ORDER BY nidx) AS parts
+             list({'nidx': nidx, 'ch': chunk} ORDER BY nidx) AS parts
       FROM joined GROUP BY doc_id, hit
     )
     SELECT doc_id, hit AS chunk_index, n_chunks, ctx_start, ctx_end,
            array_to_string(list_filter(
-             list_transform(parts, (x, i) -> CASE WHEN i = 1 THEN x
-               ELSE CASE WHEN len(string_split(x, ' ')) > 8
-                    THEN array_to_string(string_split(x, ' ')[9:], ' ')
-                    ELSE '' END END),
+             list_transform(parts, (x, i) -> CASE
+               WHEN i = 1 THEN x.ch
+               WHEN parts[i - 1].nidx = x.nidx - 1 THEN
+                 CASE WHEN len(string_split(x.ch, ' ')) > 8
+                      THEN array_to_string(string_split(x.ch, ' ')[9:], ' ')
+                      ELSE '' END
+               ELSE x.ch END),
              x -> x <> ''), ' ') AS stitched
     FROM rolled
     """,
@@ -5539,11 +5687,15 @@ def q89(spark, sf_dir):
 def q175(spark, sf_dir):
     """RAG-serving context stitching — the read-side inverse of
     chunking: every 5th retrieved chunk expands to its ±1 neighbors,
-    overlap tokens dropped at each boundary, yielding the document's
-    contiguous token span for that window (one co-locatable equi-join
+    overlap tokens dropped at each CONTIGUOUS boundary, yielding the
+    document's token span for that window (one co-locatable equi-join
     + a row-local sorted-struct stitch; the original documents table
-    is never re-read). The oracle rebuilds q89's chunk table and
-    replays the stitch, overlap trim included."""
+    is never re-read). The serving chunk table is made deliberately
+    SPARSE (every chunk with index ≡ 3 mod 7 dropped) so the oracle
+    value-checks the gap semantics too: across a gap nothing was
+    duplicated, so the trim is suppressed and the chunk stays whole.
+    The oracle rebuilds q89's chunk table and replays the stitch,
+    contiguity-gated overlap trim included."""
     from graphragpart1datapipeline_spark.text import (
         fixed_stride_chunks,
         stitch_context,
@@ -5559,8 +5711,9 @@ def q175(spark, sf_dir):
     hits = chunks.filter(F.col("chunk_index") % 5 == 2).select(
         "doc_id", "chunk_index"
     )
+    sparse = chunks.filter(F.col("chunk_index") % 7 != 3)
     return stitch_context(
-        chunks, hits, overlap_tokens=8, context=1,
+        sparse, hits, overlap_tokens=8, context=1,
         id_col="doc_id", idx_col="chunk_index", text_col="chunk",
     )
 
@@ -8075,6 +8228,276 @@ def q158(spark, sf_dir):
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
+
+
+def _rag_serving_sql(terms=_BM25_TERMS) -> str:
+    """Composed end-to-end RAG serving replay: hybrid retrieval (exact
+    dense cosine top-100 ⊕ BM25 top-100, RRF-fused to 20 docs) → best
+    passage per doc (query-term hit count, tie to lowest index) →
+    ±1-context stitch with overlap trim. Every stage reuses an
+    already-proven oracle shape (q104's fusion, q89's chunk table,
+    q175's stitch), so the whole serving DAG hash-matches."""
+    inlist = ", ".join(
+        f"'{t}'" for t in sorted({t.lower() for t in terms})
+    )
+    chunk_ctes = _CHUNKS_32_8_CTE.strip().removeprefix("WITH")
+    return f"""
+    WITH q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+      WHERE vec_id = 0
+    ), vscored AS (
+      SELECT e.vec_id,
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(q.qv, q.qv))) AS score
+      FROM embeddings e, q
+    ), vrank AS (
+      SELECT vec_id AS id,
+             CAST(row_number() OVER (ORDER BY score DESC, vec_id)
+                  AS BIGINT) AS rank_1
+      FROM vscored ORDER BY score DESC, vec_id LIMIT 100
+    ), brank AS (
+      SELECT doc_id AS id, rank AS rank_2 FROM ({_bm25_sql(100)})
+    ), fused AS (
+      SELECT COALESCE(v.id, b.id) AS id, v.rank_1, b.rank_2,
+             COALESCE(1.0 / (60 + v.rank_1), 0.0)
+               + COALESCE(1.0 / (60 + b.rank_2), 0.0) AS rrf_score
+      FROM vrank v FULL OUTER JOIN brank b ON v.id = b.id
+      ORDER BY rrf_score DESC, COALESCE(v.id, b.id) LIMIT 20
+    ), {chunk_ctes}
+    , cand AS (
+      SELECT f.id, c.chunk_index,
+             len(list_filter(string_split(c.chunk, ' '),
+                             t -> lower(t) IN ({inlist}))) AS hits
+      FROM fused f JOIN chunks c ON c.doc_id = f.id
+    ), best AS (
+      SELECT id AS doc_id, chunk_index AS hit FROM (
+        SELECT id, chunk_index,
+               row_number() OVER (PARTITION BY id
+                                  ORDER BY hits DESC, chunk_index) AS rn
+        FROM cand) WHERE rn = 1
+    ), want AS (
+      SELECT b.doc_id, b.hit, b.hit + o.o AS nidx
+      FROM best b CROSS JOIN (SELECT unnest([-1, 0, 1]) AS o) o
+    ), sjoined AS (
+      SELECT w.doc_id, w.hit, w.nidx, c.chunk
+      FROM want w JOIN chunks c
+        ON c.doc_id = w.doc_id AND c.chunk_index = w.nidx
+    ), rolled AS (
+      SELECT doc_id, hit,
+             COUNT(*) AS n_chunks,
+             MIN(nidx) AS ctx_start,
+             MAX(nidx) AS ctx_end,
+             list({{'nidx': nidx, 'ch': chunk}} ORDER BY nidx) AS parts
+      FROM sjoined GROUP BY doc_id, hit
+    ), stitched AS (
+      SELECT doc_id, hit AS chunk_index, n_chunks, ctx_start, ctx_end,
+             array_to_string(list_filter(
+               list_transform(parts, (x, i) -> CASE
+                 WHEN i = 1 THEN x.ch
+                 WHEN parts[i - 1].nidx = x.nidx - 1 THEN
+                   CASE WHEN len(string_split(x.ch, ' ')) > 8
+                        THEN array_to_string(string_split(x.ch, ' ')[9:],
+                                             ' ')
+                        ELSE '' END
+                 ELSE x.ch END),
+               x -> x <> ''), ' ') AS stitched
+      FROM rolled
+    )
+    SELECT f.id, f.rank_1, f.rank_2, f.rrf_score,
+           s.chunk_index, s.n_chunks, s.ctx_start, s.ctx_end, s.stitched
+    FROM fused f LEFT JOIN stitched s ON s.doc_id = f.id
+    """
+
+
+@_register("q176_rag_serving_end2end", _rag_serving_sql())
+def q176(spark, sf_dir):
+    """The COMPOSED end-to-end RAG serving DAG — the reference's
+    query-time surface (scripts/query_embeddings.py:22-97: query →
+    retrieve top chunks → return passages) as ONE oracle-checked
+    query: (1) hybrid retrieval — exact dense cosine top-100 vs the
+    vec_id=0 query vector ⊕ BM25 top-100, fused by RRF to 20 docs
+    (q104's proven stage); (2) passage selection — the chunk with the
+    most query-term hits per fused doc (tie → lowest index), scored by
+    an in-codegen HOF over the q89 chunk table, chunks pre-filtered by
+    a broadcast semi-join on the 20 fused ids so passage scoring never
+    touches non-retrieved docs; (3) context stitching — ±1 neighbors
+    with exact overlap trim (q175's stage), documents never re-read at
+    serving time. A divergence in ANY stage or hand-off flips the
+    hash. Scale shape: both retrieval arms are top-k-sized after their
+    scans, fusion is a k-row join, passage work is 20 docs' chunks."""
+    from graphragpart1datapipeline_spark.text import (
+        fixed_stride_chunks,
+        stitch_context,
+    )
+    from graphragpart1datapipeline_spark.text.analysis import bm25_topk
+    from graphragpart1datapipeline_spark.vector import cosine_topk
+    from graphragpart1datapipeline_spark.vector.search import rrf_fuse
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    vec = cosine_topk(emb, qvec, k=100, vec_col="embedding", id_col="vec_id")
+    wv = Window.orderBy(F.desc("score"), F.asc("vec_id"))
+    vecr = vec.withColumn(
+        "rank", F.row_number().over(wv).cast("long")
+    ).select(F.col("vec_id").alias("id"), "rank")
+    docs = _t(spark, sf_dir, "documents")
+    bm = bm25_topk(
+        docs, list(_BM25_TERMS), text_col="text", id_col="doc_id",
+        k=100, log_idf=False,
+    ).select(F.col("doc_id").alias("id"), "rank")
+    fused = rrf_fuse([vecr, bm], id_col="id", k0=60, k=20)
+
+    # checkpoint: the chunk frame feeds BOTH passage scoring and the
+    # stitch probe (same double-scan fix as q175)
+    chunks = fixed_stride_chunks(
+        docs, id_col="doc_id", text_col="text",
+        chunk_tokens=32, overlap_tokens=8,
+    ).localCheckpoint(eager=True)
+    terms = sorted({t.lower() for t in _BM25_TERMS})
+    cand = chunks.join(
+        F.broadcast(fused.select(F.col("id").alias("doc_id"))), "doc_id"
+    ).select(
+        "doc_id",
+        "chunk_index",
+        F.size(
+            F.filter(
+                F.split(F.col("chunk"), " "),
+                lambda t: F.lower(t).isin(terms),
+            )
+        ).alias("hits"),
+    )
+    wb = Window.partitionBy("doc_id").orderBy(
+        F.desc("hits"), F.asc("chunk_index")
+    )
+    best = (
+        cand.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "chunk_index")
+    )
+    stitched = stitch_context(
+        chunks, best, overlap_tokens=8, context=1,
+        id_col="doc_id", idx_col="chunk_index", text_col="chunk",
+    )
+    return fused.join(
+        stitched.withColumnRenamed("doc_id", "id"), "id", "left"
+    ).select(
+        "id", "rank_1", "rank_2", "rrf_score",
+        "chunk_index", "n_chunks", "ctx_start", "ctx_end", "stitched",
+    )
+
+
+@_register("q179_bm25_incremental_index", _bm25_sql(10))
+def q179(spark, sf_dir):
+    """Incremental BM25 retrieval index (round-4 verdict task 5 — the
+    retrieval twin of the q161-q163 persisted dedup indexes): the
+    corpus (doc_id % 5 != 3) is indexed ONCE (postings/dl/dfreq), the
+    increment (% 5 == 3) folds in via bm25_upsert — which tokenizes
+    ONLY the increment and updates dfreq for TOUCHED TERMS ONLY — and
+    the query serves from the index alone (raw text never in the query
+    plan; the upsert/query APIs never even receive the corpus
+    documents, so a re-tokenize is structurally impossible). The
+    oracle is q103's ONE-SHOT full-corpus BM25 replay: split-index-
+    upsert-query must be BIT-IDENTICAL to rebuilding from scratch."""
+    from graphragpart1datapipeline_spark.text import (
+        bm25_index,
+        bm25_query,
+        bm25_upsert,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 3)
+    inc = docs.filter(F.col("doc_id") % 5 == 3)
+    ix = bm25_upsert(bm25_index(corpus), inc)
+    return bm25_query(
+        ix, list(_BM25_TERMS), k=10, log_idf=False, id_col="doc_id"
+    )
+
+
+@_register(
+    "q180_ivf_incremental_index",
+    """
+    WITH n AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), q AS (
+      SELECT v AS qv FROM n WHERE vec_id = 0
+    ), cents AS (
+      SELECT vec_id AS cid, v AS cv FROM n WHERE vec_id < 8
+    ), scored AS (
+      SELECT n.vec_id, c.cid,
+             CASE WHEN sqrt(list_dot_product(n.v, n.v))
+                       * sqrt(list_dot_product(c.cv, c.cv)) > 0
+                  THEN list_dot_product(n.v, c.cv)
+                       / (sqrt(list_dot_product(n.v, n.v))
+                          * sqrt(list_dot_product(c.cv, c.cv)))
+                  ELSE 0.0 END AS cos
+      FROM n CROSS JOIN cents c
+    ), assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+        FROM scored) WHERE rn = 1
+    ), probe AS (
+      SELECT cid FROM assign WHERE vec_id = 0
+    ), cand AS (
+      SELECT n.vec_id, n.v FROM n JOIN assign USING (vec_id) JOIN probe USING (cid)
+    ), final AS (
+      SELECT cand.vec_id,
+             CASE WHEN sqrt(list_dot_product(cand.v, cand.v))
+                       * sqrt(list_dot_product(q.qv, q.qv)) > 0
+                  THEN list_dot_product(cand.v, q.qv)
+                       / (sqrt(list_dot_product(cand.v, cand.v))
+                          * sqrt(list_dot_product(q.qv, q.qv)))
+                  ELSE 0.0 END AS score
+      FROM cand, q
+    )
+    SELECT vec_id, floor(score * 10000.0 + 0.5) / 10000.0 AS score
+    FROM final ORDER BY score DESC, vec_id LIMIT 5
+    """,
+)
+def q180(spark, sf_dir):
+    """Incremental IVF index maintenance (round-4 verdict task 5): the
+    corpus (vec_id % 5 != 3) builds a persisted centroid-partitioned
+    index, the increment (% 5 == 3) folds in via ivf_upsert — which
+    assigns ONLY the new vectors against the existing centroids,
+    appends their rows (partitionBy-append writes only new files), and
+    gates on assignment-quality DRIFT vs the persisted build baseline
+    (silent recall rot → loud re-train demand). Assignment is
+    per-vector independent, so the oracle is q42's FULL-CORPUS replay:
+    upsert-then-probe must equal rebuilding the whole index."""
+    from graphragpart1datapipeline_spark.vector.search import (
+        ivf_build_index,
+        ivf_topk,
+        ivf_upsert,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding")
+    )
+    idx_path = (
+        "/tmp/spark_graft_ivf_incr/" + sf_dir.strip("/").replace("/", "_")
+    )
+    corpus = emb.filter(F.col("vec_id") % 5 != 3)
+    inc = emb.filter(F.col("vec_id") % 5 == 3)
+    # build overwrites (fresh baseline), upsert appends exactly once —
+    # rerunning the query is idempotent
+    ivf_build_index(
+        corpus, cents, idx_path, vec_col="embedding", id_col="vec_id",
+        cent_vec_col="embedding", cent_id_col="cid",
+    )
+    assign = ivf_upsert(
+        idx_path, inc, cents, vec_col="embedding", id_col="vec_id",
+        cent_vec_col="embedding", cent_id_col="cid",
+    ).select("vec_id", F.col("centroid_id").cast("long"))
+    out = ivf_topk(
+        emb, qvec, cents, k=5, vec_col="embedding", id_col="vec_id",
+        cent_vec_col="embedding", cent_id_col="cid", nprobe=1,
+        assignments=assign,
+    )
+    return out.select("vec_id", _round_det("score", 4).alias("score"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
