@@ -48,6 +48,7 @@ def levenshtein_self_join(
     d: int = 2,
     max_segment_bucket: int | None = None,
     max_short_values: int = 100_000,
+    return_candidates: bool = False,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with levenshtein(text_a, text_b) <= d.
     Returns (id_a, id_b, dist) — exact integer distances, so results
@@ -201,6 +202,10 @@ def levenshtein_self_join(
             sa.crossJoin(sb).filter(F.col("va") < F.col("vb"))
         )
 
+    if return_candidates:
+        # counted-work probe (scale_check pair_ratio): the PassJoin
+        # candidate value-pair stream before the levenshtein verify
+        return cand
     verified = cand.withColumn(
         "dist", F.levenshtein("va", "vb")
     ).filter(F.col("dist") <= d)

@@ -54,6 +54,7 @@ def set_similarity_join(
     t_num: int = 3,
     t_den: int = 5,
     max_token_bucket: int | None = None,
+    return_candidates: bool = False,
 ) -> DataFrame:
     """All pairs (a, b), a < b by id, with Jaccard(tokens(a), tokens(b))
     >= t_num/t_den. Returns (id_a, id_b, inter_size, union_size).
@@ -155,6 +156,12 @@ def set_similarity_join(
         )
         .select("ca", "cb")
     )
+    if return_candidates:
+        # counted-work probe (scale_check pair_ratio): the candidate
+        # CLASS-pair stream before the Jaccard verify — the quantity
+        # whose growth rate proves/disproves pair-space linearity,
+        # deterministic at fixed data (unlike wall clock)
+        return cand_ids
     toks_a = sized.select(
         F.col("cid").alias("ca"),
         F.col("toks").alias("toks_a"),

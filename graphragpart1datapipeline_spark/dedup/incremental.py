@@ -205,6 +205,7 @@ def set_similarity_join_incremental(
     t_num: int = 3,
     t_den: int = 5,
     max_token_bucket: int | None = None,
+    return_candidates: bool = False,
 ) -> DataFrame:
     """All (new, corpus) record pairs with token-set Jaccard >=
     t_num/t_den — the new batch joined against a persisted
@@ -254,6 +255,9 @@ def set_similarity_join_incremental(
         )
         .select("cn", "cc")
     )
+    if return_candidates:
+        # counted-work probe (scale_check pair_ratio), pre-verify
+        return cand
     toks_n = reps_n.select(
         F.col("cid").alias("cn"),
         F.col("toks").alias("toks_n"),
@@ -426,6 +430,7 @@ def levenshtein_join_incremental(
     d: int = 2,
     max_segment_bucket: int | None = None,
     max_short_values: int = 100_000,
+    return_candidates: bool = False,
 ) -> DataFrame:
     """All (new, corpus) record pairs with levenshtein <= d against a
     persisted :func:`levenshtein_index` — corpus never self-paired.
@@ -486,6 +491,9 @@ def levenshtein_join_incremental(
             )
         )
     cand = cand.distinct()
+    if return_candidates:
+        # counted-work probe (scale_check pair_ratio), pre-verify
+        return cand
     verified = cand.withColumn("dist", F.levenshtein("nval", "cval")).filter(
         F.col("dist") <= d
     )

@@ -4,6 +4,10 @@ from .search import (  # noqa: F401
     dot_expr,
     hash_embed,
     hyperplane_bucket,
+    ivf_assignments,
+    ivf_build_index,
+    ivf_topk,
+    ivf_upsert,
     knn_join,
     knn_join_blocked,
     l2_norm_expr,

@@ -239,6 +239,7 @@ def ivf_assignments(
     id_col: str = "vec_id",
     cent_vec_col: str = "embedding",
     cent_id_col: str = "cid",
+    include_score: bool = False,
 ) -> DataFrame:
     """IVF index build: assign every vector to its max-cosine centroid
     (ties → lowest centroid id). The centroid table is small by
@@ -257,11 +258,18 @@ def ivf_assignments(
         id_col, "__cid", cosine_expr(F.col("__v"), F.col("__cv")).alias("__cos")
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("__cos"), F.asc("__cid"))
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(id_col, F.col("__cid").alias("centroid_id"))
+    best = scored.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") == 1
     )
+    if include_score:
+        # assignment QUALITY (winning cosine) — what ivf_upsert's
+        # drift gate aggregates; not part of the index contract
+        return best.select(
+            id_col,
+            F.col("__cid").alias("centroid_id"),
+            F.col("__cos").alias("assign_cos"),
+        )
+    return best.select(id_col, F.col("__cid").alias("centroid_id"))
 
 
 def ivf_build_index(
@@ -280,13 +288,93 @@ def ivf_build_index(
     centroid-id filter into reading only the probed clusters' files,
     never a full-corpus assignment recompute. Pass the result to
     :func:`ivf_topk` via ``assignments=``."""
-    assign = ivf_assignments(df, centroids, vec_col, id_col, cent_vec_col, cent_id_col)
-    assign.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+    assign = ivf_assignments(
+        df, centroids, vec_col, id_col, cent_vec_col, cent_id_col,
+        include_score=True,
+    )
+    assign.drop("assign_cos").write.mode("overwrite").partitionBy(
+        "centroid_id"
+    ).parquet(path)
+    # build-time assignment quality, persisted beside the index — the
+    # baseline ivf_upsert's drift gate compares each increment against
+    assign.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("assign_cos").alias("mean_cos"),
+    ).write.mode("overwrite").parquet(path + "_stats")
     out = df.sparkSession.read.parquet(path)
     # partitionBy writes centroid_id as a partition column (string-typed
     # directory value) — restore the original type for downstream joins
     cid_type = dict(assign.dtypes)["centroid_id"]
     return out.select(id_col, F.col("centroid_id").cast(cid_type))
+
+
+def ivf_upsert(
+    path: str,
+    new_df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cent_vec_col: str = "embedding",
+    cent_id_col: str = "cid",
+    drift_frac: float = 0.8,
+) -> DataFrame:
+    """Fold an increment into a persisted IVF index: assign ONLY the
+    new vectors to the EXISTING centroids and append their
+    (id, centroid_id) rows — the corpus is never re-assigned, never
+    re-read (partitionBy-append writes only new files). Correctness is
+    structural: assignment is per-vector independent (argmax cosine
+    over the centroid table), so assign(corpus) ∪ assign(increment)
+    EQUALS assign(corpus ∪ increment) — q180 locks upsert-then-query
+    == full rebuild against the same oracle arithmetic as q42.
+
+    RE-TRAIN GATE ON DRIFT: centroids trained on yesterday's
+    distribution can quietly stop fitting (new language, new domain,
+    new embedding model) — every vector still gets SOME centroid, so
+    nothing fails while recall rots. The gate compares the increment's
+    mean winning cosine against the build-time baseline persisted at
+    ``{path}_stats``; below ``drift_frac`` × baseline it RAISES with
+    the measured numbers (re-train k-means, rebuild, resume) instead
+    of silently degrading. On success the stats file is updated with
+    the running (count-weighted) mean so the baseline tracks the
+    admitted corpus. Returns the read-back updated index frame."""
+    spark = new_df.sparkSession
+    stats = spark.read.parquet(path + "_stats").collect()[0]
+    assign = ivf_assignments(
+        new_df, centroids, vec_col, id_col, cent_vec_col, cent_id_col,
+        include_score=True,
+    ).localCheckpoint(eager=True)
+    inc = assign.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("assign_cos").alias("mean_cos")
+    ).collect()[0]
+    if inc["n"] == 0:
+        return spark.read.parquet(path).select(
+            id_col, F.col("centroid_id")
+        )
+    if (
+        stats["mean_cos"] is not None
+        and inc["mean_cos"] < drift_frac * stats["mean_cos"]
+    ):
+        raise ValueError(
+            "ivf_upsert: increment assignment quality has drifted — "
+            f"mean cosine {inc['mean_cos']:.4f} < {drift_frac} × "
+            f"build baseline {stats['mean_cos']:.4f}; re-train the "
+            "coarse quantizer (k-means) and rebuild the index before "
+            "ingesting this batch"
+        )
+    assign.drop("assign_cos").write.mode("append").partitionBy(
+        "centroid_id"
+    ).parquet(path)
+    n_total = stats["n"] + inc["n"]
+    new_mean = (
+        stats["mean_cos"] * stats["n"] + inc["mean_cos"] * inc["n"]
+    ) / n_total
+    spark.createDataFrame(
+        [(n_total, float(new_mean))], "n long, mean_cos double"
+    ).write.mode("overwrite").parquet(path + "_stats")
+    cid_type = dict(assign.dtypes)["centroid_id"]
+    return spark.read.parquet(path).select(
+        id_col, F.col("centroid_id").cast(cid_type)
+    )
 
 
 def ivf_topk(

@@ -1,0 +1,180 @@
+"""Round-5 operators: incremental retrieval indexes (BM25 postings
+upsert, IVF assignment append + drift gate) and the pair-count probes
+behind scale_check's counted-work ratios."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bm25_upsert_equals_rebuild_and_roundtrip(spark, tmp_path):
+    """Split-index-upsert-query must be bit-identical to a full
+    rebuild, including through a parquet round-trip of the index (the
+    persisted-index serving pattern — raw text structurally absent
+    from the query plan)."""
+    from graphragpart1datapipeline_spark.text import (
+        bm25_index,
+        bm25_query,
+        bm25_upsert,
+    )
+    from graphragpart1datapipeline_spark.text.analysis import bm25_topk
+
+    rows = [
+        (i, f"spark merge {'window ' * (i % 3)}token{i} alpha beta")
+        for i in range(30)
+    ]
+    all_docs = _docs(spark, rows)
+    corpus = all_docs.filter(F.col("doc_id") % 4 != 1)
+    inc = all_docs.filter(F.col("doc_id") % 4 == 1)
+
+    ix = bm25_index(corpus)
+    # persist + reload: the serving tier never holds the corpus frame
+    reloaded = {}
+    for name, frame in ix.items():
+        p = str(tmp_path / name)
+        frame.write.mode("overwrite").parquet(p)
+        reloaded[name] = spark.read.parquet(p)
+    ix2 = bm25_upsert(reloaded, inc)
+
+    got = bm25_query(
+        ix2, ["spark", "merge", "window"], k=10, log_idf=False
+    ).collect()
+    want = bm25_topk(
+        all_docs, ["spark", "merge", "window"], k=10, log_idf=False
+    ).collect()
+    assert [r.asDict() for r in got] == [r.asDict() for r in want]
+
+
+def test_bm25_upsert_replaces_and_updates_touched_terms(spark):
+    """An incoming rid REPLACES its old rows; dfreq moves only for
+    touched terms (delta join, never a full regroup)."""
+    from graphragpart1datapipeline_spark.text import (
+        bm25_index,
+        bm25_upsert,
+    )
+
+    ix = bm25_index(_docs(spark, [(1, "aa bb"), (2, "aa cc")]))
+    # doc 2 rewritten: loses cc, gains dd
+    ix2 = bm25_upsert(ix, _docs(spark, [(2, "aa dd")]))
+    dfreq = {r["term"]: r["df"] for r in ix2["dfreq"].collect()}
+    assert dfreq == {"aa": 2, "bb": 1, "dd": 1}  # cc dropped (df=0)
+    posts = {
+        (r["rid"], r["term"]): r["tf"] for r in ix2["postings"].collect()
+    }
+    assert (2, "cc") not in posts and posts[(2, "dd")] == 1
+    assert {r["rid"]: r["dl"] for r in ix2["dl"].collect()} == {1: 2, 2: 2}
+
+
+def test_bm25_upsert_composes(spark):
+    """upsert(upsert(ix, a), b) == index(corpus ∪ a ∪ b) on every
+    table (disjoint rids)."""
+    from graphragpart1datapipeline_spark.text import (
+        bm25_index,
+        bm25_upsert,
+    )
+
+    rows = [(i, f"w{i % 4} common x{i}") for i in range(12)]
+    ix = bm25_index(_docs(spark, rows[:6]))
+    ix = bm25_upsert(ix, _docs(spark, rows[6:9]))
+    ix = bm25_upsert(ix, _docs(spark, rows[9:]))
+    full = bm25_index(_docs(spark, rows))
+    for tbl in ("postings", "dl", "dfreq"):
+        got = sorted(tuple(r) for r in ix[tbl].collect())
+        want = sorted(tuple(r) for r in full[tbl].collect())
+        assert got == want, tbl
+
+
+def test_bm25_version_guard(spark):
+    from graphragpart1datapipeline_spark.text import bm25_query, bm25_index
+
+    ix = bm25_index(_docs(spark, [(1, "a")]))
+    ix["params"] = spark.createDataFrame([(99,)], "tokenizer_version long")
+    with pytest.raises(ValueError, match="tokenizer_version"):
+        bm25_query(ix, ["a"])
+
+
+def _emb(spark, ids, dim=8, shift=0.0):
+    import math
+
+    rows = []
+    for i in ids:
+        v = [math.sin(i * 0.7 + j) + shift for j in range(dim)]
+        rows.append((i, v))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_ivf_upsert_equals_rebuild(spark, tmp_path):
+    """Append-assigning an increment must yield the same index rows as
+    a full rebuild (assignment is per-vector independent), and the
+    stats baseline must track the admitted corpus."""
+    from graphragpart1datapipeline_spark.vector.search import (
+        ivf_assignments,
+        ivf_build_index,
+        ivf_upsert,
+    )
+
+    all_v = _emb(spark, range(40))
+    cents = all_v.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    path = str(tmp_path / "ivf")
+    ivf_build_index(all_v.filter(F.col("vec_id") % 4 != 2), cents, path)
+    got = ivf_upsert(path, all_v.filter(F.col("vec_id") % 4 == 2), cents)
+    want = ivf_assignments(all_v, cents)
+    assert sorted(tuple(r) for r in got.collect()) == sorted(
+        tuple(r) for r in want.collect()
+    )
+    stats = spark.read.parquet(path + "_stats").collect()[0]
+    assert stats["n"] == 40
+
+
+def test_ivf_upsert_drift_gate_raises(spark, tmp_path):
+    """An increment whose vectors no longer fit the trained centroids
+    (mean winning cosine far below the build baseline) must raise a
+    re-train demand, not silently degrade recall."""
+    from graphragpart1datapipeline_spark.vector.search import (
+        ivf_build_index,
+        ivf_upsert,
+    )
+
+    base = _emb(spark, range(20))
+    cents = base.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    path = str(tmp_path / "ivf")
+    ivf_build_index(base, cents, path)
+    # drifted increment: near-orthogonal to the trained distribution
+    drifted = spark.createDataFrame(
+        [(100 + j, [0.0] * 7 + [float(j + 1)]) for j in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="re-train"):
+        ivf_upsert(path, drifted, cents, drift_frac=0.95)
+
+
+def test_pair_count_probe_matches_verified_superset(spark):
+    """return_candidates=True must be a superset of the verified pairs
+    (counted-work probes measure pre-verify candidate volume)."""
+    from graphragpart1datapipeline_spark.dedup.entity import (
+        set_similarity_join,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d f"), (3, "x y z w v"),
+         (4, "a b c d e")],
+        "doc_id long, etext string",
+    )
+    cand = set_similarity_join(
+        df, "doc_id", "etext", t_num=3, t_den=5, return_candidates=True
+    )
+    verified = set_similarity_join(df, "doc_id", "etext", t_num=3, t_den=5)
+    # candidate stream is CLASS pairs; every verified cross-class pair's
+    # classes appear among the candidates
+    cand_set = {(r["ca"], r["cb"]) for r in cand.collect()}
+    assert (1, 2) in cand_set  # the qualifying class pair
+    assert verified.count() >= 2  # (1,2)+(2,4) cross, (1,4) intra
