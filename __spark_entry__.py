@@ -8500,6 +8500,234 @@ def q180(spark, sf_dir):
     return out.select("vec_id", _round_det("score", 4).alias("score"))
 
 
+@_register(
+    "q182_stream_context_serve",
+    _CHUNKS_32_8_CTE + """
+    , ctx AS (
+      SELECT doc_id, chunk_index, chunk,
+             lag(chunk) OVER (PARTITION BY doc_id ORDER BY chunk_index)
+               AS prev_chunk,
+             lead(chunk) OVER (PARTITION BY doc_id ORDER BY chunk_index)
+               AS next_chunk
+      FROM chunks
+    ), nd AS (
+      SELECT COUNT(*) AS n FROM documents
+    ), hits AS (
+      SELECT event_id,
+             event_id % (SELECT n FROM nd) AS doc_id,
+             event_id % 7 + 1 AS chunk_index
+      FROM events
+    ), j AS (
+      SELECT h.event_id, h.doc_id, h.chunk_index,
+             c.chunk, c.prev_chunk, c.next_chunk
+      FROM hits h LEFT JOIN ctx c
+        ON c.doc_id = h.doc_id AND c.chunk_index = h.chunk_index
+    )
+    SELECT event_id, doc_id, CAST(chunk_index AS BIGINT) AS chunk_index,
+           CAST(CASE WHEN prev_chunk IS NOT NULL THEN 1 ELSE 0 END
+                + CASE WHEN chunk IS NOT NULL THEN 1 ELSE 0 END
+                + CASE WHEN next_chunk IS NOT NULL THEN 1 ELSE 0 END
+                AS BIGINT) AS n_chunks,
+           COALESCE(array_to_string(list_filter([
+             prev_chunk,
+             CASE WHEN prev_chunk IS NOT NULL THEN
+               CASE WHEN len(string_split(chunk, ' ')) > 8
+                    THEN array_to_string(string_split(chunk, ' ')[9:], ' ')
+                    ELSE '' END
+             ELSE chunk END,
+             CASE WHEN len(string_split(next_chunk, ' ')) > 8
+                  THEN array_to_string(string_split(next_chunk, ' ')[9:], ' ')
+                  ELSE '' END],
+             x -> x IS NOT NULL AND x <> ''), ' '), '') AS stitched
+    FROM j
+    """,
+)
+def q182(spark, sf_dir):
+    """STREAMING context serving — the RAG serving tier as a
+    Structured Streaming plan: retrieval hits arrive continuously
+    (event_id mapped onto (doc, chunk) deterministically), and each
+    hit is answered by ONE stateless stream-static left join against a
+    DENORMALIZED context table (the chunk table with lag/lead neighbor
+    text precomputed batch-side — the at-scale pattern: neighbors
+    joined once at rest, never per query), then a pure column-expression
+    stitch (contiguity is by construction, overlap trimmed exactly as
+    q175). No aggregation, no watermark, no state store — append mode,
+    unbounded throughput. Misses (chunk_index past the doc) surface as
+    n_chunks=0 rows. The availableNow run drains the input, so the
+    memory-sink table IS a batch result and the oracle value-checks
+    the stream output row for row (stream==batch, q44's pattern)."""
+    import uuid
+
+    from graphragpart1datapipeline_spark.sources import read_events_stream
+    from graphragpart1datapipeline_spark.text import fixed_stride_chunks
+
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    chunks = fixed_stride_chunks(
+        docs, id_col="doc_id", text_col="text",
+        chunk_tokens=32, overlap_tokens=8,
+    )
+    w = Window.partitionBy("doc_id").orderBy("chunk_index")
+    ctx = (
+        chunks.select("doc_id", "chunk_index", "chunk")
+        .withColumn("prev_chunk", F.lag("chunk").over(w))
+        .withColumn("next_chunk", F.lead("chunk").over(w))
+        .localCheckpoint(eager=True)
+    )
+    sdf = read_events_stream(spark, sf_dir)
+    hits = sdf.select(
+        "event_id",
+        (F.col("event_id") % n_docs).alias("doc_id"),
+        (F.col("event_id") % 7 + 1).alias("chunk_index"),
+    )
+    joined = hits.join(ctx, ["doc_id", "chunk_index"], "left")
+
+    def _trimmed(c):
+        toks = F.split(c, " ")
+        return F.when(
+            F.size(toks) > 8,
+            F.concat_ws(" ", F.slice(toks, 9, F.size(toks) - 8)),
+        ).otherwise(F.lit(""))
+
+    cur_part = F.when(
+        F.col("prev_chunk").isNotNull(), _trimmed(F.col("chunk"))
+    ).otherwise(F.col("chunk"))
+    out = joined.select(
+        "event_id",
+        "doc_id",
+        F.col("chunk_index").cast("long").alias("chunk_index"),
+        (
+            F.col("prev_chunk").isNotNull().cast("int")
+            + F.col("chunk").isNotNull().cast("int")
+            + F.col("next_chunk").isNotNull().cast("int")
+        ).cast("long").alias("n_chunks"),
+        F.array_join(
+            F.filter(
+                F.array(
+                    F.col("prev_chunk"),
+                    cur_part,
+                    _trimmed(F.col("next_chunk")),
+                ),
+                lambda x: x.isNotNull() & (x != ""),
+            ),
+            " ",
+        ).alias("stitched"),
+    )
+    name = f"q182_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def _warm_pagerank_sql(
+    old_iters: int = 2, new_iters: int = 2, scale: int = 10**12
+) -> str:
+    """Two-phase warm-start PageRank replay: q82's exact-integer
+    recurrence over YESTERDAY's graph (orders with o_orderkey % 4 <> 1),
+    then over the FULL graph with the first iteration seeded by the
+    old run's final ranks (new nodes fall back to the uniform init).
+    Every term integer, so the hand-off and both phases hash-match."""
+    sql = f"""
+    WITH pe AS (
+      SELECT DISTINCT 's' || CAST(l.l_suppkey AS VARCHAR) AS src,
+             'c' || CAST(o.o_custkey AS VARCHAR) AS dst,
+             o.o_orderkey AS ok
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), eo AS (
+      SELECT DISTINCT src, dst FROM pe WHERE ok % 4 <> 1
+    ), en AS (
+      SELECT DISTINCT src, dst FROM pe
+    ), no AS (
+      SELECT src AS id FROM eo UNION SELECT dst FROM eo
+    ), po AS (SELECT COUNT(*) AS n FROM no
+    ), dgo AS (
+      SELECT src, COUNT(*) AS outdeg FROM eo GROUP BY src
+    ), ro0 AS (
+      SELECT id, {scale} // (SELECT n FROM po) AS rank FROM no
+    )"""
+    prev = "ro0"
+    for i in range(old_iters):
+        sql += f""", co{i} AS (
+      SELECT e.dst, SUM(r.rank // d.outdeg) AS cs
+      FROM eo e JOIN dgo d ON e.src = d.src JOIN {prev} r ON r.id = e.src
+      GROUP BY e.dst
+    ), ro{i + 1} AS (
+      SELECT no.id,
+             ({scale * 3} // (20 * (SELECT n FROM po)))
+             + (17 * COALESCE(co{i}.cs, 0)) // 20 AS rank
+      FROM no LEFT JOIN co{i} ON no.id = co{i}.dst
+    )"""
+        prev = f"ro{i + 1}"
+    sql += f""", nn AS (
+      SELECT src AS id FROM en UNION SELECT dst FROM en
+    ), pn AS (SELECT COUNT(*) AS n FROM nn
+    ), dgn AS (
+      SELECT src, COUNT(*) AS outdeg FROM en GROUP BY src
+    ), rn0 AS (
+      SELECT nn.id,
+             COALESCE({prev}.rank,
+                      {scale} // (SELECT n FROM pn)) AS rank
+      FROM nn LEFT JOIN {prev} ON {prev}.id = nn.id
+    )"""
+    prev = "rn0"
+    for i in range(new_iters):
+        sql += f""", cn{i} AS (
+      SELECT e.dst, SUM(r.rank // d.outdeg) AS cs
+      FROM en e JOIN dgn d ON e.src = d.src JOIN {prev} r ON r.id = e.src
+      GROUP BY e.dst
+    ), rn{i + 1} AS (
+      SELECT nn.id,
+             ({scale * 3} // (20 * (SELECT n FROM pn)))
+             + (17 * COALESCE(cn{i}.cs, 0)) // 20 AS rank
+      FROM nn LEFT JOIN cn{i} ON nn.id = cn{i}.dst
+    )"""
+        prev = f"rn{i + 1}"
+    sql += f"""
+    SELECT id, rank FROM {prev}
+    ORDER BY rank DESC, id LIMIT 20
+    """
+    return sql
+
+
+@_register("q181_pagerank_warm_start", _warm_pagerank_sql())
+def q181(spark, sf_dir):
+    """WARM-START (incremental) PageRank — the evolving-graph pattern
+    completing the round-4/5 incremental family (dedup q161-q163, BM25
+    q179, IVF q180): yesterday's graph (orders % 4 != 1) converges
+    ranks, today's increment arrives, and instead of iterating from
+    scratch the full graph resumes FROM THE STORED RANKS
+    (init_ranks=...), with new nodes falling back to the uniform init.
+    The power iteration contracts from any start, so a near-converged
+    start needs far fewer rounds — the unit test pins that warm(2) is
+    strictly closer to the converged new-graph ranks than the stale
+    ones. Exact integer arithmetic end to end; the oracle replays both
+    phases AND the rank hand-off."""
+    from graphragpart1datapipeline_spark.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    pe = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+            F.col("o_orderkey").alias("ok"),
+        )
+        .distinct()
+    )
+    old_edges = pe.filter(F.col("ok") % 4 != 1).select("src", "dst").distinct()
+    all_edges = pe.select("src", "dst").distinct()
+    stored = pagerank(old_edges, iters=2)
+    warm = pagerank(all_edges, iters=2, init_ranks=stored)
+    return warm.orderBy(F.desc("rank"), F.asc("id")).limit(20)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q02(spark, "/root/testdata/sf0.001")

@@ -132,6 +132,9 @@ HEADLINE = [
 # — so every scale-path operator keeps a round-over-round trace.
 SECONDARY = [
     "q177_leiden_multiresolution",
+    # q181 = two full pagerank phases; the pagerank scale path is
+    # already in the headline twice (q82 classic, q166 personalized)
+    "q181_pagerank_warm_start",
     "q114_cdc_apply",
     "q120_ewma_user_value",
     "q123_phrase_search",

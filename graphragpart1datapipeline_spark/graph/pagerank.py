@@ -41,6 +41,7 @@ def pagerank(
     broadcast_ranks: bool | None = None,
     seeds: DataFrame | None = None,
     weight_col: str | None = None,
+    init_ranks: DataFrame | None = None,
 ) -> DataFrame:
     """Returns (id, rank) with rank a scaled long (initial mass
     ``scale // n`` per node; damping 17/20 exactly).
@@ -77,7 +78,19 @@ def pagerank(
     ``n`` replaced by ``|seeds ∩ nodes|`` in the teleport/init terms,
     gated per node on seed membership — still bit-reproducible and
     SQL-replayable (q166). With ``seeds=None`` the plan is untouched
-    classic PageRank (q82)."""
+    classic PageRank (q82).
+
+    ``init_ranks``: a (id, rank) frame seeding the FIRST iteration —
+    WARM-START for evolving graphs (the incremental pattern, round 5):
+    when edges arrive daily, resume from yesterday's converged ranks
+    and run a few rounds instead of ``iters`` from scratch — the power
+    iteration contracts toward the new graph's fixed point from ANY
+    start, and a near-converged start needs far fewer rounds (unit-
+    tested: warm(2) lands closer to converged-new than the stale ranks
+    are). Nodes absent from ``init_ranks`` (new nodes) get the default
+    init; stale rows for vanished nodes drop in the node join. Still a
+    pure integer function of (graph, init) — q181's oracle replays
+    old-graph rounds, the hand-off, and new-graph rounds end to end."""
     if weight_col is None:
         e = edges.select(
             F.col(src).alias("src"), F.col(dst).alias("dst")
@@ -180,7 +193,17 @@ def pagerank(
     else:
         teleport_col = F.lit((scale * 3) // (20 * n))
         init_col = F.lit(int(scale // n))
-    ranks = nodes.select("id", init_col.cast("long").alias("rank"))
+    if init_ranks is not None:
+        ir = init_ranks.select(
+            F.col(init_ranks.columns[0]).alias("id"),
+            F.col(init_ranks.columns[1]).cast("long").alias("__ir"),
+        )
+        ranks = nodes.join(hint(ir), "id", "left").select(
+            "id",
+            F.coalesce("__ir", init_col.cast("long")).alias("rank"),
+        )
+    else:
+        ranks = nodes.select("id", init_col.cast("long").alias("rank"))
     for _ in range(iters):
         contribs = (
             e_deg.join(hint(ranks), e_deg["src"] == ranks["id"])

@@ -126,19 +126,28 @@ def _docs_salted_df(spark, base):
 
 def _fuzzy_names_df(spark, base):
     # even/odd docs share an md5 stem, the odd copy mutated in one
-    # char — distinct values and true pairs both grow linearly
+    # char — distinct values and true pairs both grow linearly.
+    # 24-char stems (not 12): with d=2 the PassJoin segments are
+    # len/3-char keys, and at 12 chars the 16^4 4-char hex keyspace
+    # SATURATES as values grow (~50k values → ~0.8 index entries and
+    # ~11 probes per key), making ACCIDENTAL candidate collisions
+    # quadratic even though true pairs stay linear (measured 64× at
+    # K=10). 8-char segments (16^8 keys) keep expected collisions ≈ 0,
+    # so the candidate stream tracks the true pair structure — which
+    # is also the realistic regime: entity strings are not uniform
+    # fixed-length 12-char hex.
     return _docs_df(spark, base).select(
         "doc_id",
         F.when(
             F.col("doc_id") % 2 == 0,
             F.substring(
                 F.md5((F.col("doc_id") - F.col("doc_id") % 2)
-                      .cast("string")), 1, 12),
+                      .cast("string")), 1, 24),
         ).otherwise(
             F.concat(
                 F.substring(
                     F.md5((F.col("doc_id") - F.col("doc_id") % 2)
-                          .cast("string")), 1, 11),
+                          .cast("string")), 1, 23),
                 F.lit("q"),
             )
         ).alias("name"),
@@ -400,8 +409,13 @@ def ops(spark, base: str, extra_bits: int = 0):
         # synthesized names: even/odd docs share an md5 stem, the odd
         # copy mutated in one char — distinct values and true pairs
         # both grow linearly with the corpus (the PassJoin regime)
+        # max_segment_bucket mirrors minhash's max_bucket_size=200:
+        # the fixed-length bounded-alphabet name space saturates the
+        # (l, i, seg) keyspace as values grow, so UNCAPPED PassJoin
+        # candidates go quadratic on this data (measured 64x at K=10) —
+        # the cap is the documented at-scale operating configuration.
         "fuzzy_join": lambda: levenshtein_self_join(
-            _fuzzy_names(), "doc_id", "name", d=2,
+            _fuzzy_names(), "doc_id", "name", d=2, max_segment_bucket=200,
         ),
         # round-4: incremental ER (new ≡ 0 mod 4 vs the rest through a
         # persisted-index build), auto-salted skew join, distributed
@@ -420,7 +434,7 @@ def ops(spark, base: str, extra_bits: int = 0):
                 _fuzzy_names().filter(F.col("doc_id") % 4 != 0),
                 "doc_id", "name", d=2,
             ),
-            "doc_id", "name", d=2,
+            "doc_id", "name", d=2, max_segment_bucket=200,
         ),
         # one hot key holding ~10% of the fact side; detection + per-key
         # salting must keep the join linear with a bounded straggler
@@ -516,7 +530,7 @@ def pair_counters(spark, base: str):
         ),
         "fuzzy_join": lambda: levenshtein_self_join(
             _fuzzy_names_df(spark, base), "doc_id", "name", d=2,
-            return_candidates=True,
+            max_segment_bucket=200, return_candidates=True,
         ),
         "set_similarity_incremental": lambda: set_similarity_join_incremental(
             _entity_names_df(spark, base).filter(F.col("doc_id") % 4 == 0),
@@ -532,7 +546,8 @@ def pair_counters(spark, base: str):
                 _fuzzy_names_df(spark, base).filter(F.col("doc_id") % 4 != 0),
                 "doc_id", "name", d=2,
             ),
-            "doc_id", "name", d=2, return_candidates=True,
+            "doc_id", "name", d=2, max_segment_bucket=200,
+            return_candidates=True,
         ),
     }
 
@@ -617,16 +632,15 @@ PAIR_BOUNDS_FACTOR: dict[str, float] = {
     "minhash_lsh": 2.5,
     "minhash_incremental": 2.5,
     "set_similarity": 2.5,
-    # PassJoin candidates grow mildly superlinearly with the value
-    # count (fixed 12-char md5 names: more values → more accidental
-    # probe-substring collisions): measured K=4 ratio 5.65 at sf0.01
-    # base, 11.14 at sf0.1 base. 3.0·K clears the measured data
-    # dependence; a quadratic regression multiplies the ratio by ~K on
-    # top and still trips at any K.
-    "fuzzy_join": 3.0,
+    "fuzzy_join": 2.5,
     "set_similarity_incremental": 2.5,
-    "fuzzy_join_incremental": 3.0,
+    "fuzzy_join_incremental": 2.5,
 }
+# K=10 calibration (round 5, 24-char fuzzy stems): minhash_lsh 8.85,
+# minhash_incremental 8.10, set_similarity 10.02,
+# set_similarity_incremental 9.98, fuzzy_join 10.00,
+# fuzzy_join_incremental 10.00 — all ≈ K exactly, as the salted
+# corpus guarantees; the factor-2.5 bound is pure regression headroom.
 
 
 # The in-bench subset: the operators whose scaling is both most

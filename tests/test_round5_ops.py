@@ -178,3 +178,42 @@ def test_pair_count_probe_matches_verified_superset(spark):
     cand_set = {(r["ca"], r["cb"]) for r in cand.collect()}
     assert (1, 2) in cand_set  # the qualifying class pair
     assert verified.count() >= 2  # (1,2)+(2,4) cross, (1,4) intra
+
+
+def test_pagerank_warm_start_converges_faster(spark):
+    """Warm-starting from the old graph's ranks after an edge increment
+    must land STRICTLY closer to the new graph's converged ranks than
+    the stale ranks are — the point of resuming instead of recomputing.
+    All-integer ranks, so the distances are exact."""
+    from graphragpart1datapipeline_spark.graph import pagerank
+
+    old_edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "a")],
+        "src string, dst string",
+    )
+    # increment rewires mass toward e/f
+    new_edges = old_edges.unionByName(
+        spark.createDataFrame(
+            [("a", "e"), ("e", "f"), ("f", "e"), ("d", "e"), ("b", "e")],
+            "src string, dst string",
+        )
+    )
+    stored = pagerank(old_edges, iters=8)
+    warm = pagerank(new_edges, iters=2, init_ranks=stored)
+    converged = pagerank(new_edges, iters=16)
+
+    def as_map(df):
+        return {r["id"]: r["rank"] for r in df.collect()}
+
+    ref, w, s = as_map(converged), as_map(warm), as_map(stored)
+    d_warm = sum(abs(ref[k] - w.get(k, 0)) for k in ref)
+    d_stale = sum(abs(ref[k] - s.get(k, 0)) for k in ref)
+    assert d_warm < d_stale
+    # new nodes (e, f) present with positive mass after the warm rounds
+    assert w["e"] > 0 and w["f"] > 0
+    # with NO increment, warm-starting from converged ranks is a fixed
+    # point (up to integer-division floor jitter of a few units/node)
+    warm_same = pagerank(old_edges, iters=1, init_ranks=pagerank(old_edges, iters=16))
+    ref_same = as_map(pagerank(old_edges, iters=17))
+    drift = sum(abs(ref_same[k] - v) for k, v in as_map(warm_same).items())
+    assert drift <= 10 * len(ref_same)
