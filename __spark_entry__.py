@@ -8625,6 +8625,67 @@ def q182(spark, sf_dir):
     return spark.table(name)
 
 
+@_register(
+    "q183_embedding_near_dup_incremental",
+    f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                     x -> abs(x))) AS am,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nm
+      FROM embeddings
+    ), qb AS (
+      SELECT vec_id, nm, v, {_QUANTIZE_SQL} AS qv FROM base
+    ), bk AS (
+      SELECT vec_id, nm, v,
+         {_lsh_bucket_sql('qv', 64, 4)} AS bkt
+      FROM qb
+    ), u AS (
+      SELECT vec_id, bkt, list_transform(v, x -> x / nm) AS uv
+      FROM bk WHERE nm > 0
+    )
+    SELECT n.vec_id AS new_id, c.vec_id AS corpus_id,
+           floor(list_dot_product(n.uv, c.uv) * 10000.0 + 0.5) / 10000.0
+             AS cosine
+    FROM u n JOIN u c ON n.bkt = c.bkt
+    WHERE n.vec_id % 5 = 3 AND c.vec_id % 5 <> 3
+      AND list_dot_product(n.uv, c.uv) >= 0.3
+    """,
+)
+def q183(spark, sf_dir):
+    """Incremental embedding near-dup against a persisted
+    hyperplane-bucket index — the vector twin of q161-q163 completing
+    the incremental family across every candidate-generation scheme
+    (token prefixes, segments, postings, minhash bands, IVF centroids,
+    and now hyperplane sign-buckets): the corpus index is built in two
+    generations (base + embedding_lsh_upsert of a slice — composition
+    is unit-locked), the increment buckets+normalizes ONLY itself, and
+    verification dots the unit vectors RIDING IN THE INDEX — the
+    corpus table is never re-read, never self-paired. The oracle
+    replays quantized hyperplane bucketing (q53's machinery) restricted
+    to the new×corpus cross."""
+    from graphragpart1datapipeline_spark.dedup import (
+        embedding_lsh_index,
+        embedding_lsh_upsert,
+        embedding_near_dup_incremental,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus_a = emb.filter(
+        (F.col("vec_id") % 5 != 3) & (F.col("vec_id") % 7 != 2)
+    )
+    corpus_b = emb.filter(
+        (F.col("vec_id") % 5 != 3) & (F.col("vec_id") % 7 == 2)
+    )
+    inc = emb.filter(F.col("vec_id") % 5 == 3)
+    ix = embedding_lsh_upsert(embedding_lsh_index(corpus_a), corpus_b)
+    out = embedding_near_dup_incremental(inc, ix, threshold=0.3)
+    return out.select(
+        "new_id", "corpus_id", _round_det("cosine", 4).alias("cosine")
+    )
+
+
 def _warm_pagerank_sql(
     old_iters: int = 2, new_iters: int = 2, scale: int = 10**12
 ) -> str:

@@ -701,3 +701,127 @@ def containment_join_incremental(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+# --------------------------------------------------------------------------
+# Embedding cosine near-dup — persisted hyperplane-bucket index
+# --------------------------------------------------------------------------
+
+
+def _bucketed_units(df, vec_col, id_col, bucket_bits, seed, dim):
+    from ..vector.search import hyperplane_bucket, l2_norm_expr
+
+    base = (
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("rid"), F.col(vec_col).alias("__v"))
+        .withColumn(
+            "bkt", hyperplane_bucket(F.col("__v"), bucket_bits, seed, dim)
+        )
+        .filter(F.col("bkt").isNotNull())
+        .withColumn("__n", l2_norm_expr(F.col("__v")))
+        # zero-norm vectors can never reach a positive threshold —
+        # same outcome as the batch path's null unit vector
+        .filter(F.col("__n") > 0)
+    )
+    return base.select(
+        "rid",
+        "bkt",
+        F.transform(
+            F.col("__v"), lambda x: x.cast("double") / F.col("__n")
+        ).alias("u"),
+    )
+
+
+def embedding_lsh_index(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bucket_bits: int = 4,
+    seed: int = 42,
+    dim: int = 64,
+) -> dict[str, DataFrame]:
+    """Persistable hyperplane-LSH index for embedding near-dup — the
+    vector twin of :func:`set_similarity_index` (and of minhash's
+    :func:`~..minhash.lsh_bucket_table`): (rid, bkt, unit-vector) rows,
+    partitioned/bucketed by ``bkt`` at rest so an increment's probe
+    reads only its colliding buckets. The UNIT vector rides in the
+    index, so candidate verification (one fused dot per collision)
+    never consults the corpus table at all. The params table bakes in
+    (bucket_bits, seed, dim) — buckets are only comparable under the
+    hyperplanes they were built with."""
+    return {
+        "buckets": _bucketed_units(df, vec_col, id_col, bucket_bits, seed, dim),
+        "params": _params_table(
+            df.sparkSession, bucket_bits=bucket_bits, seed=seed, dim=dim
+        ),
+    }
+
+
+def embedding_lsh_upsert(
+    index: dict[str, DataFrame],
+    new_df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bucket_bits: int = 4,
+    seed: int = 42,
+    dim: int = 64,
+) -> dict[str, DataFrame]:
+    """Fold an increment into the index: incoming rids REPLACE their
+    old rows (broadcast anti-join against the increment-sized rid
+    set), new rows bucket+normalize from scratch — the corpus vectors
+    are never re-read. Composes: upsert(upsert(ix, a), b) ==
+    index(corpus ∪ a ∪ b) for disjoint rid sets."""
+    _check_params(
+        index, "embedding_lsh_upsert",
+        bucket_bits=bucket_bits, seed=seed, dim=dim,
+    )
+    fresh = _bucketed_units(new_df, vec_col, id_col, bucket_bits, seed, dim)
+    new_ids = fresh.select("rid").distinct()
+    kept = index["buckets"].join(F.broadcast(new_ids), "rid", "left_anti")
+    return {
+        "buckets": kept.unionByName(fresh),
+        "params": index["params"],
+    }
+
+
+def embedding_near_dup_incremental(
+    new_df: DataFrame,
+    index: dict[str, DataFrame],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    bucket_bits: int = 4,
+    seed: int = 42,
+    dim: int = 64,
+) -> DataFrame:
+    """All (new, corpus) pairs with cosine ≥ ``threshold`` whose
+    vectors share a hyperplane sign-bucket — the daily-crawl pattern
+    for embedding near-dup: cost is O(new-batch bucketing + bucket
+    collisions), the corpus is never self-paired and (unit vectors
+    riding in the index) never re-read. Same approximation contract as
+    the batch :func:`~..embedding.embedding_near_dup_pairs` default:
+    pairs split by a hyperplane are missed, the documented trade.
+    Returns (new_id, corpus_id, cosine); ``threshold`` is query-time
+    (the index is threshold-independent), while bucket geometry is
+    checked against the params table."""
+    from ..vector.search import dot_expr
+
+    _check_params(
+        index, "embedding_near_dup_incremental",
+        bucket_bits=bucket_bits, seed=seed, dim=dim,
+    )
+    probe = _bucketed_units(new_df, vec_col, id_col, bucket_bits, seed, dim)
+    return (
+        probe.select(
+            "bkt", F.col("rid").alias("new_id"), F.col("u").alias("un")
+        )
+        .join(
+            index["buckets"].select(
+                "bkt", F.col("rid").alias("corpus_id"), F.col("u").alias("uc")
+            ),
+            "bkt",
+        )
+        .withColumn("cosine", dot_expr(F.col("un"), F.col("uc")))
+        .filter(F.col("cosine") >= threshold)
+        .select("new_id", "corpus_id", "cosine")
+    )

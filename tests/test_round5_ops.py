@@ -217,3 +217,50 @@ def test_pagerank_warm_start_converges_faster(spark):
     ref_same = as_map(pagerank(old_edges, iters=17))
     drift = sum(abs(ref_same[k] - v) for k, v in as_map(warm_same).items())
     assert drift <= 10 * len(ref_same)
+
+
+def test_embedding_lsh_incremental_equals_batch_restriction(spark):
+    """Incremental new-vs-index pairs must equal the batch bucketed
+    join's (new, corpus) cross slice — same buckets, same unit-vector
+    dots — and the upsert must compose and replace by rid."""
+    from graphragpart1datapipeline_spark.dedup import (
+        embedding_lsh_index,
+        embedding_lsh_upsert,
+        embedding_near_dup_incremental,
+        embedding_near_dup_pairs,
+    )
+
+    all_v = _emb(spark, range(60), dim=64)
+    corpus = all_v.filter(F.col("vec_id") % 3 != 1)
+    inc = all_v.filter(F.col("vec_id") % 3 == 1)
+    ix = embedding_lsh_upsert(
+        embedding_lsh_index(corpus.filter(F.col("vec_id") < 30)),
+        corpus.filter(F.col("vec_id") >= 30),
+    )
+    got = {
+        (r["new_id"], r["corpus_id"], round(r["cosine"], 9))
+        for r in embedding_near_dup_incremental(
+            inc, ix, threshold=0.3
+        ).collect()
+    }
+    batch = embedding_near_dup_pairs(
+        all_v, threshold=0.3, bucket_bits=4, dim=64
+    ).collect()
+    inc_ids = {r["vec_id"] for r in inc.collect()}
+    want = set()
+    for r in batch:
+        a, b, c = r["a"], r["b"], round(r["cosine"], 9)
+        if (a in inc_ids) != (b in inc_ids):  # exactly one side is new
+            n, co = (a, b) if a in inc_ids else (b, a)
+            want.add((n, co, c))
+    assert got == want
+    # replace semantics: re-upserting a rid with a new vector swaps it
+    moved = spark.createDataFrame(
+        [(0, [1.0] + [0.0] * 63)], "vec_id long, embedding array<double>"
+    )
+    ix2 = embedding_lsh_upsert(ix, moved)
+    rows = ix2["buckets"].filter(F.col("rid") == 0).collect()
+    assert len(rows) == 1 and abs(rows[0]["u"][0] - 1.0) < 1e-12
+    # params guard
+    with pytest.raises(ValueError, match="parameters differ"):
+        embedding_near_dup_incremental(inc, ix, bucket_bits=8)
