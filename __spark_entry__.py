@@ -8347,7 +8347,12 @@ def q176(spark, sf_dir):
         docs, list(_BM25_TERMS), text_col="text", id_col="doc_id",
         k=100, log_idf=False,
     ).select(F.col("doc_id").alias("id"), "rank")
-    fused = rrf_fuse([vecr, bm], id_col="id", k0=60, k=20)
+    # checkpoint the 20-row fused list: it feeds BOTH the final output
+    # and the passage-selection semi-join, and without it the whole
+    # retrieval sub-DAG (two corpus scans + scoring) executes twice
+    fused = rrf_fuse([vecr, bm], id_col="id", k0=60, k=20).localCheckpoint(
+        eager=True
+    )
 
     # checkpoint: the chunk frame feeds BOTH passage scoring and the
     # stitch probe (same double-scan fix as q175)

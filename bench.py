@@ -123,6 +123,10 @@ HEADLINE = [
     # repetition.
     "q176_rag_serving_end2end",
     "q178_graphrag_retrieval_weighted",
+    # incremental retrieval/dedup serving paths (real corpus, bucketed
+    # — unlike q161-q163's adversarial key spaces these bench cleanly)
+    "q179_bm25_incremental_index",
+    "q183_embedding_near_dup_incremental",
 ]
 
 # Secondary tier: sub-second operators whose family is already
@@ -135,6 +139,9 @@ SECONDARY = [
     # q181 = two full pagerank phases; the pagerank scale path is
     # already in the headline twice (q82 classic, q166 personalized)
     "q181_pagerank_warm_start",
+    # q180 rebuilds + upserts a persisted parquet index per run (the
+    # maintenance op itself) — IO-dominated, 1 detail-file rep suffices
+    "q180_ivf_incremental_index",
     "q114_cdc_apply",
     "q120_ewma_user_value",
     "q123_phrase_search",

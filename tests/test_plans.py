@@ -522,3 +522,68 @@ def test_leiden_multiresolution_single_canonicalization(spark):
     # dense renumbering starts at 0 per level
     for lvl in ("community_L0", "community_L1", "community_L2"):
         assert min(r[lvl] for r in rows) == 0
+
+
+def test_embedding_incremental_no_cartesian(spark):
+    """The incremental embedding probe must stay a bucketed equi-join —
+    never a cross product of new × corpus."""
+    from graphragpart1datapipeline_spark.dedup import (
+        embedding_lsh_index,
+        embedding_near_dup_incremental,
+    )
+    from pyspark.sql import functions as F
+
+    import math
+    rows = [(i, [math.sin(i + j) for j in range(64)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    ix = embedding_lsh_index(emb.filter(F.col("vec_id") % 3 != 1))
+    out = embedding_near_dup_incremental(
+        emb.filter(F.col("vec_id") % 3 == 1), ix, threshold=0.3
+    )
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # the probe is an equi-join on bkt (the cosine filter may fold into
+    # the join condition) — never a cross product
+    assert "Join Inner" in plan and "bkt" in plan
+    assert "Cartesian" not in plan and "Join Cross" not in plan
+
+
+def test_bm25_query_plan_never_tokenizes_corpus(spark, tmp_path):
+    """Serving from a parquet-persisted upserted index: the query plan
+    reads ONLY the index tables — zero tokenizer expressions anywhere
+    (the raw corpus text is structurally absent)."""
+    from graphragpart1datapipeline_spark.text import (
+        bm25_index,
+        bm25_query,
+        bm25_upsert,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    ix = bm25_index(docs.filter("doc_id % 3 != 1"))
+    persisted = {}
+    for name, frame in ix.items():
+        p = str(tmp_path / name)
+        frame.write.mode("overwrite").parquet(p)
+        persisted[name] = spark.read.parquet(p)
+    up = bm25_upsert(persisted, docs.filter("doc_id % 3 = 1"))
+    # persist the upserted generation too (the serving snapshot)
+    served = {}
+    for name, frame in up.items():
+        p = str(tmp_path / (name + "_g2"))
+        frame.write.mode("overwrite").parquet(p)
+        served[name] = spark.read.parquet(p)
+    plan = (
+        bm25_query(served, ["alpha", "beta"], k=5, log_idf=False)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "split(" not in plan and "explode" not in plan
+    # and every tokenizer in the upsert plan runs on the INCREMENT's
+    # text column — the index tables carry no text, so a corpus
+    # re-tokenize would show as a split over a non-text input
+    up_plan = up["postings"]._jdf.queryExecution().optimizedPlan().toString()
+    assert up_plan.count("split(trim") >= 1
+    assert up_plan.count("split(trim") == up_plan.count("split(trim(text")
