@@ -1608,7 +1608,10 @@ def mad_outliers(
     mad_df = exact_kth_smallest(dev, "__dev", [kk], probe_bins)
     fence = (
         med_df.select(F.col("value").alias("__med"))
-        .crossJoin(mad_df.select(F.col("value").alias("__mad")))
+        # both sides are 1-row; without the hint Catalyst plans a
+        # CartesianProduct (partition-product scheduling overhead for
+        # nothing) — flagged by plan_audit.py
+        .crossJoin(F.broadcast(mad_df.select(F.col("value").alias("__mad"))))
         .select(
             "__med",
             (

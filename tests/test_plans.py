@@ -587,3 +587,38 @@ def test_bm25_query_plan_never_tokenizes_corpus(spark, tmp_path):
     up_plan = up["postings"]._jdf.queryExecution().optimizedPlan().toString()
     assert up_plan.count("split(trim") >= 1
     assert up_plan.count("split(trim") == up_plan.count("split(trim(text")
+
+
+def test_plan_audit_invariants_sample(spark):
+    """plan_audit.py's two invariants — no cartesian outside the
+    documented exact-oracle twins, no row-at-a-time Python anywhere —
+    checked inline on a representative sample (the full 183-query
+    sweep is `python plan_audit.py --assert`, run per round; its
+    PLAN_AUDIT.json is committed)."""
+    import __spark_entry__ as em
+    import plan_audit as pa
+
+    qs = em.queries()
+    sample = [
+        "q155_mad_outliers",      # the round-5 finding (fixed)
+        "q24_minhash_lsh",
+        "q53_embedding_near_dup_lsh",
+        "q82_pagerank",
+        "q103_bm25_topk",
+        "q122_set_similarity_parts",
+        "q159_leiden_distributed",
+        "q161_set_similarity_incremental",
+        "q176_rag_serving_end2end",
+        "q179_bm25_incremental_index",
+        "q183_embedding_near_dup_incremental",
+    ]
+    for name in sample:
+        phys = (
+            qs[name](spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        if name not in pa.CARTESIAN_ALLOWLIST:
+            assert "CartesianProduct" not in phys, name
+        assert "BatchEvalPython" not in phys, name
