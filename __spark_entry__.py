@@ -8691,6 +8691,87 @@ def q183(spark, sf_dir):
     )
 
 
+def _keep_best_sql() -> str:
+    """q87's minhash-verified pair graph + recursive CC, joined with
+    q23's quality arithmetic, argmax per cluster (quality desc, id)."""
+    return (
+        _minhash_cte().replace("WITH toks", "WITH RECURSIVE toks", 1)
+        + f"""
+    , edges AS (
+      SELECT a, b FROM verified UNION ALL SELECT b, a FROM verified
+    ), reach AS (
+      SELECT a AS node, a AS r FROM edges
+      UNION
+      SELECT e.b AS node, reach.r FROM reach JOIN edges e ON e.a = reach.node
+    ), comp AS (
+      SELECT node, MIN(r) AS root FROM reach GROUP BY node
+    ), qt AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS n_tok,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) AS n_punct,
+             CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                    x -> list_contains([{_EN_WORDS_SQL}], lower(x)))) AS DOUBLE) AS sw
+      FROM documents
+    ), quality AS (
+      SELECT doc_id,
+             floor((0.4 * least(n_tok / 100.0, 1.0)
+                 + 0.3 * (1.0 - CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 1.0 END)
+                 + 0.3 * least((CASE WHEN n_tok > 0 THEN sw / n_tok ELSE 0.0 END) / 0.1, 1.0)) * 10000.0 + 0.5) / 10000.0 AS q
+      FROM qt
+    ), lab AS (
+      SELECT d.doc_id, COALESCE(c.root, d.doc_id) AS cluster_id, q.q
+      FROM documents d
+      LEFT JOIN comp c ON c.node = d.doc_id
+      JOIN quality q ON q.doc_id = d.doc_id
+    )
+    SELECT doc_id, cluster_id, q AS quality FROM (
+      SELECT lab.*,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY q DESC, doc_id) AS rn
+      FROM lab) WHERE rn = 1
+    """
+    )
+
+
+@_register("q184_dedup_keep_best", _keep_best_sql())
+def q184(spark, sf_dir):
+    """Quality-aware near-dup survivor selection — the curation rule
+    real pipelines want instead of keep-smallest-id: MinHash+LSH
+    candidates → exact-Jaccard verification ≥ 0.7 → TRANSITIVE
+    clusters (connected components, so chains collapse to one
+    survivor) → keep the HIGHEST-quality member per cluster (q23's
+    composite score, computed in the same scan that reads the
+    documents; tie → smallest id). Unpaired documents are their own
+    cluster and always survive. The oracle chains three already-proven
+    replays — q24's verified pair graph, q87's recursive CC, q23's
+    quality arithmetic — plus the argmax; a divergence anywhere flips
+    the hash."""
+    from graphragpart1datapipeline_spark.dedup import dedup_keep_best
+    from graphragpart1datapipeline_spark.dedup.minhash import (
+        lsh_candidate_pairs as _lcp,
+        minhash_signatures as _msig,
+    )
+    from graphragpart1datapipeline_spark.dedup.ngram import (
+        ngram_jaccard_on_pairs as _njp,
+    )
+    from graphragpart1datapipeline_spark.text.analysis import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = _msig(docs, "text", "doc_id", num_hashes=8, shingle_n=3)
+    pairs = _lcp(sigs, "doc_id", bands=4)
+    verified = (
+        _njp(pairs, docs, "text", "doc_id", n=3)
+        .filter(F.col("jaccard") >= 0.7)
+        .select("a", "b")
+    )
+    kept = dedup_keep_best(
+        docs, verified, _round_det(quality_score("text"), 4),
+        id_col="doc_id",
+    )
+    return kept.select("doc_id", "cluster_id", "quality")
+
+
 def _warm_pagerank_sql(
     old_iters: int = 2, new_iters: int = 2, scale: int = 10**12
 ) -> str:

@@ -142,6 +142,9 @@ SECONDARY = [
     # q180 rebuilds + upserts a persisted parquet index per run (the
     # maintenance op itself) — IO-dominated, 1 detail-file rep suffices
     "q180_ivf_incremental_index",
+    # minhash verify + CC + quality argmax; the minhash scale path is
+    # already in the headline (q24/q81), CC in q87
+    "q184_dedup_keep_best",
     "q114_cdc_apply",
     "q120_ewma_user_value",
     "q123_phrase_search",

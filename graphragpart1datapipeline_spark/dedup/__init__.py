@@ -1,4 +1,8 @@
-from .exact import exact_dedup, exact_dup_groups  # noqa: F401
+from .exact import (  # noqa: F401
+    dedup_keep_best,
+    exact_dedup,
+    exact_dup_groups,
+)
 from .minhash import (  # noqa: F401
     minhash_signatures,
     lsh_bucket_table,

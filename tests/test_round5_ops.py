@@ -264,3 +264,27 @@ def test_embedding_lsh_incremental_equals_batch_restriction(spark):
     # params guard
     with pytest.raises(ValueError, match="parameters differ"):
         embedding_near_dup_incremental(inc, ix, bucket_bits=8)
+
+
+def test_dedup_keep_best_transitive_and_singletons(spark):
+    """Chains A~B~C collapse to ONE survivor (the best-quality member,
+    even when the endpoints never paired directly); unpaired docs
+    always survive; quality ties break to the smallest id."""
+    from graphragpart1datapipeline_spark.dedup import dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [(1, 10.0), (2, 30.0), (3, 20.0), (4, 5.0), (5, 5.0), (9, 1.0)],
+        "doc_id long, score double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "a long, b long"
+    )
+    kept = dedup_keep_best(
+        docs, pairs, F.col("score"), id_col="doc_id"
+    ).collect()
+    got = {r["doc_id"]: (r["cluster_id"], r["quality"]) for r in kept}
+    # cluster {1,2,3} -> 2 (best score); {4,5} tie -> 4 (smallest id);
+    # 9 unpaired -> survives as its own cluster
+    assert set(got) == {2, 4, 9}
+    assert got[2][0] == 1 and got[2][1] == 30.0
+    assert got[4][0] == 4 and got[9][0] == 9
