@@ -8230,29 +8230,76 @@ def q158(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 
-def _rag_serving_sql(terms=_BM25_TERMS) -> str:
-    """Composed end-to-end RAG serving replay: hybrid retrieval (exact
-    dense cosine top-100 ⊕ BM25 top-100, RRF-fused to 20 docs) → best
-    passage per doc (query-term hit count, tie to lowest index) →
-    ±1-context stitch with overlap trim. Every stage reuses an
-    already-proven oracle shape (q104's fusion, q89's chunk table,
-    q175's stitch), so the whole serving DAG hash-matches."""
+def _rag_serving_sql(terms=_BM25_TERMS, dense_arm: str = "exact") -> str:
+    """Composed end-to-end RAG serving replay: hybrid retrieval (dense
+    top-100 ⊕ BM25 top-100, RRF-fused to 20 docs) → best passage per
+    doc (query-term hit count, tie to lowest index) → ±1-context
+    stitch with overlap trim. Every stage reuses an already-proven
+    oracle shape (q104's fusion, q89's chunk table, q175's stitch), so
+    the whole serving DAG hash-matches. ``dense_arm``: "exact"
+    (full-corpus cosine, q176) or "ivf" (nprobe=2 coarse-quantizer
+    probe, q42's machinery — the arm that survives 100 TB, q185)."""
     inlist = ", ".join(
         f"'{t}'" for t in sorted({t.lower() for t in terms})
     )
     chunk_ctes = _CHUNKS_32_8_CTE.strip().removeprefix("WITH")
-    return f"""
-    WITH q AS (
-      SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
-      WHERE vec_id = 0
-    ), vscored AS (
+    if dense_arm == "exact":
+        dense = """vscored AS (
       SELECT e.vec_id,
              list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
                / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
                                         CAST(e.embedding AS DOUBLE[])))
                   * sqrt(list_dot_product(q.qv, q.qv))) AS score
       FROM embeddings e, q
-    ), vrank AS (
+    )"""
+    else:
+        # IVF probe: assign every vector to its max-cosine centroid
+        # (vec_id < 8 as q42), probe the 2 centroids nearest the query,
+        # score only their clusters
+        dense = """nv AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), cents AS (
+      SELECT vec_id AS cid, v AS cv FROM nv WHERE vec_id < 8
+    ), cscored AS (
+      SELECT nv.vec_id, c.cid,
+             CASE WHEN sqrt(list_dot_product(nv.v, nv.v))
+                       * sqrt(list_dot_product(c.cv, c.cv)) > 0
+                  THEN list_dot_product(nv.v, c.cv)
+                       / (sqrt(list_dot_product(nv.v, nv.v))
+                          * sqrt(list_dot_product(c.cv, c.cv)))
+                  ELSE 0.0 END AS cos
+      FROM nv CROSS JOIN cents c
+    ), assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, cid) AS rn
+        FROM cscored) WHERE rn = 1
+    ), qprobe AS (
+      SELECT cid FROM (
+        SELECT cid, row_number() OVER (ORDER BY qc DESC, cid) AS rn
+        FROM (
+          SELECT c.cid,
+                 CASE WHEN sqrt(list_dot_product(c.cv, c.cv))
+                           * sqrt(list_dot_product(q.qv, q.qv)) > 0
+                      THEN list_dot_product(c.cv, q.qv)
+                           / (sqrt(list_dot_product(c.cv, c.cv))
+                              * sqrt(list_dot_product(q.qv, q.qv)))
+                      ELSE 0.0 END AS qc
+          FROM cents c, q)
+      ) WHERE rn <= 2
+    ), vscored AS (
+      SELECT nv.vec_id,
+             list_dot_product(nv.v, q.qv)
+               / (sqrt(list_dot_product(nv.v, nv.v))
+                  * sqrt(list_dot_product(q.qv, q.qv))) AS score
+      FROM nv JOIN assign USING (vec_id) JOIN qprobe USING (cid), q
+    )"""
+    return f"""
+    WITH q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+      WHERE vec_id = 0
+    ), {dense}, vrank AS (
       SELECT vec_id AS id,
              CAST(row_number() OVER (ORDER BY score DESC, vec_id)
                   AS BIGINT) AS rank_1
@@ -8356,6 +8403,103 @@ def q176(spark, sf_dir):
 
     # checkpoint: the chunk frame feeds BOTH passage scoring and the
     # stitch probe (same double-scan fix as q175)
+    chunks = fixed_stride_chunks(
+        docs, id_col="doc_id", text_col="text",
+        chunk_tokens=32, overlap_tokens=8,
+    ).localCheckpoint(eager=True)
+    terms = sorted({t.lower() for t in _BM25_TERMS})
+    cand = chunks.join(
+        F.broadcast(fused.select(F.col("id").alias("doc_id"))), "doc_id"
+    ).select(
+        "doc_id",
+        "chunk_index",
+        F.size(
+            F.filter(
+                F.split(F.col("chunk"), " "),
+                lambda t: F.lower(t).isin(terms),
+            )
+        ).alias("hits"),
+    )
+    wb = Window.partitionBy("doc_id").orderBy(
+        F.desc("hits"), F.asc("chunk_index")
+    )
+    best = (
+        cand.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "chunk_index")
+    )
+    stitched = stitch_context(
+        chunks, best, overlap_tokens=8, context=1,
+        id_col="doc_id", idx_col="chunk_index", text_col="chunk",
+    )
+    return fused.join(
+        stitched.withColumnRenamed("doc_id", "id"), "id", "left"
+    ).select(
+        "id", "rank_1", "rank_2", "rrf_score",
+        "chunk_index", "n_chunks", "ctx_start", "ctx_end", "stitched",
+    )
+
+
+@_register(
+    "q185_rag_serving_ann",
+    _rag_serving_sql(dense_arm="ivf"),
+)
+def q185(spark, sf_dir):
+    """q176's end-to-end RAG serving DAG with the dense arm that
+    SURVIVES 100 TB: the exact full-corpus cosine scan becomes an IVF
+    coarse-quantizer probe (nprobe=2 against the persisted q42-style
+    index — the query scores only ~2/8 of the corpus, and at rest the
+    index partition-prunes to the probed clusters). Everything
+    downstream — RRF fusion, broadcast passage selection, context
+    stitch — is byte-identical to q176, so diffing the two queries'
+    results measures exactly what the ANN approximation trades. The
+    oracle replays assignment, the 2-centroid probe, cluster-restricted
+    scoring, and the full serving tail."""
+    from graphragpart1datapipeline_spark.text import (
+        fixed_stride_chunks,
+        stitch_context,
+    )
+    from graphragpart1datapipeline_spark.text.analysis import bm25_topk
+    from graphragpart1datapipeline_spark.vector.search import (
+        ivf_build_index,
+        ivf_topk,
+    )
+    from graphragpart1datapipeline_spark.vector.search import rrf_fuse
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding")
+    )
+    idx_path = (
+        "/tmp/spark_graft_ivf_index/" + sf_dir.strip("/").replace("/", "_")
+    )
+    if os.path.exists(os.path.join(idx_path, "_SUCCESS")):
+        assign = spark.read.parquet(idx_path).select(
+            "vec_id", F.col("centroid_id").cast("long")
+        )
+    else:
+        assign = ivf_build_index(
+            emb, cents, idx_path, vec_col="embedding", id_col="vec_id",
+            cent_vec_col="embedding", cent_id_col="cid",
+        )
+    vec = ivf_topk(
+        emb, qvec, cents, k=100, vec_col="embedding", id_col="vec_id",
+        cent_vec_col="embedding", cent_id_col="cid", nprobe=2,
+        assignments=assign,
+    )
+    wv = Window.orderBy(F.desc("score"), F.asc("vec_id"))
+    vecr = vec.withColumn(
+        "rank", F.row_number().over(wv).cast("long")
+    ).select(F.col("vec_id").alias("id"), "rank")
+    docs = _t(spark, sf_dir, "documents")
+    bm = bm25_topk(
+        docs, list(_BM25_TERMS), text_col="text", id_col="doc_id",
+        k=100, log_idf=False,
+    ).select(F.col("doc_id").alias("id"), "rank")
+    fused = rrf_fuse([vecr, bm], id_col="id", k0=60, k=20).localCheckpoint(
+        eager=True
+    )
     chunks = fixed_stride_chunks(
         docs, id_col="doc_id", text_col="text",
         chunk_tokens=32, overlap_tokens=8,

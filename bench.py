@@ -128,6 +128,9 @@ HEADLINE = [
     # — unlike q161-q163's adversarial key spaces these bench cleanly)
     "q179_bm25_incremental_index",
     "q183_embedding_near_dup_incremental",
+    # the ANN-armed serving DAG (IVF probe dense arm) — q176's
+    # 100 TB-viable twin; benching both records the ANN speedup
+    "q185_rag_serving_ann",
 ]
 
 # Secondary tier: sub-second operators whose family is already
