@@ -8230,19 +8230,11 @@ def q158(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 
-def _rag_serving_sql(terms=_BM25_TERMS, dense_arm: str = "exact") -> str:
-    """Composed end-to-end RAG serving replay: hybrid retrieval (dense
-    top-100 ⊕ BM25 top-100, RRF-fused to 20 docs) → best passage per
-    doc (query-term hit count, tie to lowest index) → ±1-context
-    stitch with overlap trim. Every stage reuses an already-proven
-    oracle shape (q104's fusion, q89's chunk table, q175's stitch), so
-    the whole serving DAG hash-matches. ``dense_arm``: "exact"
-    (full-corpus cosine, q176) or "ivf" (nprobe=2 coarse-quantizer
-    probe, q42's machinery — the arm that survives 100 TB, q185)."""
-    inlist = ", ".join(
-        f"'{t}'" for t in sorted({t.lower() for t in terms})
-    )
-    chunk_ctes = _CHUNKS_32_8_CTE.strip().removeprefix("WITH")
+def _fused_sql(dense_arm: str = "exact", terms=_BM25_TERMS) -> str:
+    """Standalone hybrid-retrieval replay: dense top-100 (exact cosine
+    or the nprobe=2 IVF probe) ⊕ BM25 top-100, RRF-fused to 20 docs —
+    the shared retrieval stage of q176/q185, and the two sides of
+    q186's serving-recall comparison."""
     if dense_arm == "exact":
         dense = """vscored AS (
       SELECT e.vec_id,
@@ -8295,8 +8287,7 @@ def _rag_serving_sql(terms=_BM25_TERMS, dense_arm: str = "exact") -> str:
                   * sqrt(list_dot_product(q.qv, q.qv))) AS score
       FROM nv JOIN assign USING (vec_id) JOIN qprobe USING (cid), q
     )"""
-    return f"""
-    WITH q AS (
+    return f"""WITH q AS (
       SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
       WHERE vec_id = 0
     ), {dense}, vrank AS (
@@ -8306,12 +8297,30 @@ def _rag_serving_sql(terms=_BM25_TERMS, dense_arm: str = "exact") -> str:
       FROM vscored ORDER BY score DESC, vec_id LIMIT 100
     ), brank AS (
       SELECT doc_id AS id, rank AS rank_2 FROM ({_bm25_sql(100)})
-    ), fused AS (
-      SELECT COALESCE(v.id, b.id) AS id, v.rank_1, b.rank_2,
-             COALESCE(1.0 / (60 + v.rank_1), 0.0)
-               + COALESCE(1.0 / (60 + b.rank_2), 0.0) AS rrf_score
-      FROM vrank v FULL OUTER JOIN brank b ON v.id = b.id
-      ORDER BY rrf_score DESC, COALESCE(v.id, b.id) LIMIT 20
+    )
+    SELECT COALESCE(v.id, b.id) AS id, v.rank_1, b.rank_2,
+           COALESCE(1.0 / (60 + v.rank_1), 0.0)
+             + COALESCE(1.0 / (60 + b.rank_2), 0.0) AS rrf_score
+    FROM vrank v FULL OUTER JOIN brank b ON v.id = b.id
+    ORDER BY rrf_score DESC, COALESCE(v.id, b.id) LIMIT 20
+    """
+
+
+def _rag_serving_sql(terms=_BM25_TERMS, dense_arm: str = "exact") -> str:
+    """Composed end-to-end RAG serving replay: hybrid retrieval
+    (:func:`_fused_sql`, nested as a CTE body) → best passage per doc
+    (query-term hit count, tie to lowest index) → ±1-context stitch
+    with overlap trim. Every stage reuses an already-proven oracle
+    shape (q104's fusion, q89's chunk table, q175's stitch), so the
+    whole serving DAG hash-matches. ``dense_arm``: "exact" (q176) or
+    "ivf" (nprobe=2 probe — the arm that survives 100 TB, q185)."""
+    inlist = ", ".join(
+        f"'{t}'" for t in sorted({t.lower() for t in terms})
+    )
+    chunk_ctes = _CHUNKS_32_8_CTE.strip().removeprefix("WITH")
+    return f"""
+    WITH fused AS (
+    {_fused_sql(dense_arm, terms)}
     ), {chunk_ctes}
     , cand AS (
       SELECT f.id, c.chunk_index,
@@ -8534,6 +8543,86 @@ def q185(spark, sf_dir):
     ).select(
         "id", "rank_1", "rank_2", "rrf_score",
         "chunk_index", "n_chunks", "ctx_start", "ctx_end", "stitched",
+    )
+
+
+@_register(
+    "q186_serving_recall",
+    f"""
+    WITH fe AS (
+    {_fused_sql("exact")}
+    ), fa AS (
+    {_fused_sql("ivf")}
+    ), common AS (
+      SELECT COUNT(*) AS n FROM fe JOIN fa USING (id)
+    )
+    SELECT CAST(20 AS BIGINT) AS k,
+           CAST((SELECT n FROM common) AS BIGINT) AS n_common,
+           (SELECT n FROM common) / 20.0 AS recall
+    """,
+)
+def q186(spark, sf_dir):
+    """Serving-level ANN QUALITY gate — the q176-vs-q185 diff as an
+    oracle-checked NUMBER: recall@20 of the ANN-armed fused list
+    (IVF nprobe=2 dense arm) against the exact-armed one. This is the
+    metric that decides whether the 100 TB-viable serving DAG returns
+    the same documents the exact one would — regression-gated every
+    round like q160 does for raw retrieval, but measured AFTER fusion,
+    where the BM25 arm partially shields dense misses (the number a
+    serving SLO actually cares about). One IEEE division; both fused
+    chains replay fully in the oracle."""
+    from graphragpart1datapipeline_spark.text.analysis import bm25_topk
+    from graphragpart1datapipeline_spark.vector import cosine_topk
+    from graphragpart1datapipeline_spark.vector.search import (
+        ivf_build_index,
+        ivf_topk,
+        rrf_fuse,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    docs = _t(spark, sf_dir, "documents")
+    bm = bm25_topk(
+        docs, list(_BM25_TERMS), text_col="text", id_col="doc_id",
+        k=100, log_idf=False,
+    ).select(F.col("doc_id").alias("id"), "rank")
+    wv = Window.orderBy(F.desc("score"), F.asc("vec_id"))
+
+    def fuse(vec):
+        vecr = vec.withColumn(
+            "rank", F.row_number().over(wv).cast("long")
+        ).select(F.col("vec_id").alias("id"), "rank")
+        return rrf_fuse([vecr, bm], id_col="id", k0=60, k=20)
+
+    exact = fuse(
+        cosine_topk(emb, qvec, k=100, vec_col="embedding", id_col="vec_id")
+    )
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding")
+    )
+    idx_path = (
+        "/tmp/spark_graft_ivf_index/" + sf_dir.strip("/").replace("/", "_")
+    )
+    if os.path.exists(os.path.join(idx_path, "_SUCCESS")):
+        assign = spark.read.parquet(idx_path).select(
+            "vec_id", F.col("centroid_id").cast("long")
+        )
+    else:
+        assign = ivf_build_index(
+            emb, cents, idx_path, vec_col="embedding", id_col="vec_id",
+            cent_vec_col="embedding", cent_id_col="cid",
+        )
+    ann = fuse(
+        ivf_topk(
+            emb, qvec, cents, k=100, vec_col="embedding", id_col="vec_id",
+            cent_vec_col="embedding", cent_id_col="cid", nprobe=2,
+            assignments=assign,
+        )
+    )
+    n_common = exact.select("id").join(ann.select("id"), "id").count()
+    return spark.createDataFrame(
+        [(20, n_common, n_common / 20.0)],
+        "k long, n_common long, recall double",
     )
 
 

@@ -145,6 +145,9 @@ SECONDARY = [
     # q180 rebuilds + upserts a persisted parquet index per run (the
     # maintenance op itself) — IO-dominated, 1 detail-file rep suffices
     "q180_ivf_incremental_index",
+    # serving-level ANN recall gate (runs both fused arms once) —
+    # quality trace, like q160 but post-fusion
+    "q186_serving_recall",
     "q114_cdc_apply",
     "q120_ewma_user_value",
     "q123_phrase_search",
