@@ -8626,6 +8626,90 @@ def q186(spark, sf_dir):
     )
 
 
+@_register(
+    "q187_partition_ari",
+    f"""
+    WITH pa AS (
+    {_lpa_oracle_sql(3)}
+    ), ca AS (
+      SELECT id, label AS x FROM pa WHERE id LIKE 'c%'
+    ), cb AS (
+      SELECT 'c' || CAST(c_custkey AS VARCHAR) AS id,
+             CAST(c_nationkey AS VARCHAR) AS y
+      FROM customer
+    ), j AS (
+      SELECT ca.id, ca.x, cb.y FROM ca JOIN cb USING (id)
+    ), nn AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM j
+    ), a2t AS (
+      SELECT CAST(SUM(m * (m - 1)) AS HUGEINT) AS a2 FROM (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS m FROM j GROUP BY x)
+    ), b2t AS (
+      SELECT CAST(SUM(m * (m - 1)) AS HUGEINT) AS b2 FROM (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS m FROM j GROUP BY y)
+    ), t2t AS (
+      SELECT CAST(SUM(m * (m - 1)) AS HUGEINT) AS t2 FROM (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS m FROM j GROUP BY x, y)
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           floor(CAST(n * (n - 1) - a2 - b2 + 2 * t2 AS DOUBLE)
+                 / CAST(n * (n - 1) AS DOUBLE) * 1e9 + 0.5) / 1e9
+             AS rand_index,
+           CASE WHEN (n * (n - 1)) * (a2 + b2) - 2 * a2 * b2 = 0
+                THEN CASE WHEN n * (n - 1) - a2 - b2 + 2 * t2
+                               = n * (n - 1)
+                          THEN 1.0 ELSE 0.0 END
+                ELSE floor(CAST(2 * ((n * (n - 1)) * t2 - a2 * b2)
+                                AS DOUBLE)
+                           / CAST((n * (n - 1)) * (a2 + b2)
+                                  - 2 * a2 * b2 AS DOUBLE)
+                           * 1e9 + 0.5) / 1e9 END AS ari
+    FROM nn, a2t, b2t, t2t
+    """,
+)
+def q187(spark, sf_dir):
+    """Partition agreement as an EXACT metric — Rand index and
+    Adjusted Rand Index between the 3-round LPA communities (restricted
+    to customer nodes) and the nation ground-truth partition: "how well
+    does detection recover the known structure", the community-QUALITY
+    twin of q172's modularity and the stability metric a daily graph
+    pipeline runs between snapshots. All pair counting is doubled
+    integer arithmetic (DECIMAL(38,0) / HUGEINT) down to ONE final IEEE
+    division per metric (deterministically rounded at 1e-9 — the
+    doubled products reach ~18 significant digits where the
+    decimal→double cast can differ by 1 ulp across engines); the oracle
+    replays the LPA rounds, the contingency table, and both formulas."""
+    from graphragpart1datapipeline_spark.graph.communities import (
+        label_propagation_communities,
+        partition_comparison,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    e1 = c.select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("n"), F.col("c_nationkey").cast("string")).alias("dst"),
+    )
+    e2 = n.select(
+        F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias("src"),
+        F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias("dst"),
+    )
+    mem = label_propagation_communities(e1.unionByName(e2), iters=3)
+    a = mem.filter(F.col("id").startswith("c")).select(
+        "id", F.col("label").alias("community")
+    )
+    b = c.select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("id"),
+        F.col("c_nationkey").cast("string").alias("community"),
+    )
+    out = partition_comparison(a, b)
+    return out.select(
+        "n",
+        _round_det("rand_index", 9).alias("rand_index"),
+        _round_det("ari", 9).alias("ari"),
+    )
+
+
 @_register("q179_bm25_incremental_index", _bm25_sql(10))
 def q179(spark, sf_dir):
     """Incremental BM25 retrieval index (round-4 verdict task 5 — the

@@ -1459,3 +1459,100 @@ def leiden_multiresolution(
     if out is None:
         raise ValueError("leiden_multiresolution needs >= 1 resolution")
     return out
+
+
+def partition_comparison(
+    a: DataFrame,
+    b: DataFrame,
+    id_col: str = "id",
+    a_col: str = "community",
+    b_col: str = "community",
+) -> DataFrame:
+    """EXACT pair-counting agreement between two partitions of the
+    same node set — Rand index and Adjusted Rand Index (Hubert &
+    Arabie 1985) as one bit-replayable row (n, rand_index, ari). The
+    metric a daily graph pipeline needs twice over: community
+    STABILITY across snapshots ("did today's increment reshuffle the
+    clusters?") and detection QUALITY against a ground-truth labeling.
+
+    Both inputs must cover the SAME node set (raises otherwise — a
+    silent intersection would quietly inflate agreement, the same
+    failure mode modularity guards against). All pair counts are
+    DOUBLED and accumulated in DECIMAL(38,0):
+      A2 = Σ_i a_i(a_i−1), B2 = Σ_j b_j(b_j−1), T2 = Σ_ij n_ij(n_ij−1),
+      C2 = n(n−1)
+      RI  = (C2 − A2 − B2 + 2·T2) / C2
+      ARI = 2·(C2·T2 − A2·B2) / (C2·(A2+B2) − 2·A2·B2)
+    — integer-exact to the final ONE IEEE division each, so the DuckDB
+    oracle (HUGEINT arithmetic) replays them bit-for-bit (q187).
+    Products stay inside 38 digits for n ≤ ~2·10⁹ (driver-guarded).
+    Degenerate case (both partitions trivial → zero denominator):
+    ARI = 1.0 by convention when the partitions are identical, 0.0
+    otherwise.
+
+    Scale shape: one node-sized inner join, one contingency groupBy
+    (cells ≤ clusters_a × clusters_b, in practice ≪ n), two
+    cluster-sized groupBys, a 1-row rollup."""
+    sa = a.select(
+        F.col(id_col).cast("string").alias("id"),
+        F.col(a_col).cast("string").alias("ca"),
+    )
+    sb = b.select(
+        F.col(id_col).cast("string").alias("id"),
+        F.col(b_col).cast("string").alias("cb"),
+    )
+    j = sa.join(sb, "id").localCheckpoint(eager=True)
+    n = j.count()
+    if n > 2_000_000_000:
+        raise ValueError(
+            "partition_comparison: n(n-1)-scaled products exceed "
+            "DECIMAL(38,0) past ~2e9 nodes; shard or sample"
+        )
+    if sa.count() != n or sb.count() != n:
+        raise ValueError(
+            "partition_comparison: the two partitions must cover the "
+            "same node set (a silent intersection would inflate "
+            "agreement)"
+        )
+    dec = "decimal(38,0)"
+
+    def _pairs2(df, col):
+        return (
+            df.groupBy(col)
+            .agg(F.count(F.lit(1)).cast(dec).alias("m"))
+            .agg(F.sum(F.col("m") * (F.col("m") - 1)).alias("s"))
+        )
+
+    a2 = _pairs2(j, "ca").select(F.col("s").alias("a2"))
+    b2 = _pairs2(j, "cb").select(F.col("s").alias("b2"))
+    t2 = (
+        j.groupBy("ca", "cb")
+        .agg(F.count(F.lit(1)).cast(dec).alias("m"))
+        .agg(F.sum(F.col("m") * (F.col("m") - 1)).alias("t2"))
+    )
+    c2 = F.lit(n).cast(dec) * F.lit(n - 1).cast(dec)
+    num = F.lit(2).cast(dec) * (
+        c2 * F.col("t2") - F.col("a2") * F.col("b2")
+    )
+    den = c2 * (F.col("a2") + F.col("b2")) - F.lit(2).cast(dec) * F.col(
+        "a2"
+    ) * F.col("b2")
+    ri = (
+        (c2 - F.col("a2") - F.col("b2") + F.lit(2).cast(dec) * F.col("t2"))
+        .cast("double")
+        / c2.cast("double")
+    )
+    return (
+        a2.crossJoin(F.broadcast(b2))
+        .crossJoin(F.broadcast(t2))
+        .select(
+            F.lit(n).cast("long").alias("n"),
+            ri.alias("rand_index"),
+            F.when(
+                den == F.lit(0).cast(dec),
+                F.when(ri == F.lit(1.0), F.lit(1.0)).otherwise(F.lit(0.0)),
+            )
+            .otherwise(num.cast("double") / den.cast("double"))
+            .alias("ari"),
+        )
+    )

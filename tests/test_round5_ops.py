@@ -288,3 +288,37 @@ def test_dedup_keep_best_transitive_and_singletons(spark):
     assert set(got) == {2, 4, 9}
     assert got[2][0] == 1 and got[2][1] == 30.0
     assert got[4][0] == 4 and got[9][0] == 9
+
+
+def test_partition_comparison_golden_and_guards(spark):
+    """ARI golden values (identical → 1; known split; independent →
+    ~0), the same-node-set guard, and the degenerate-denominator
+    convention."""
+    from graphragpart1datapipeline_spark.graph.communities import (
+        partition_comparison,
+    )
+
+    def part(pairs):
+        return spark.createDataFrame(pairs, "id string, community string")
+
+    a = part([("1", "x"), ("2", "x"), ("3", "y"), ("4", "y")])
+    # identical partition (different label names — ARI is label-free)
+    b = part([("1", "p"), ("2", "p"), ("3", "q"), ("4", "q")])
+    r = partition_comparison(a, b).collect()[0]
+    assert r["n"] == 4 and r["rand_index"] == 1.0 and r["ari"] == 1.0
+    # one element moved: contingency {x:{p:2}, y:{p:1,q:1}}
+    c = part([("1", "p"), ("2", "p"), ("3", "p"), ("4", "q")])
+    r2 = partition_comparison(a, c).collect()[0]
+    # hand-computed: n=4, C2=12, A2=2+2=4, B2=6+0=6, T2=2
+    # RI=(12-4-6+4)/12=0.5; ARI=2*(12*2-24)/(12*10-2*24)=0/96=0
+    assert abs(r2["rand_index"] - 0.5) < 1e-12
+    assert abs(r2["ari"] - 0.0) < 1e-12
+    # node-set mismatch must raise, not silently intersect
+    d = part([("1", "p"), ("2", "p"), ("3", "q")])
+    with pytest.raises(ValueError, match="same node set"):
+        partition_comparison(a, d)
+    # degenerate: both all-singletons -> denominator 0, identical -> 1
+    s1 = part([("1", "a"), ("2", "b")])
+    s2 = part([("1", "u"), ("2", "v")])
+    r3 = partition_comparison(s1, s2).collect()[0]
+    assert r3["ari"] == 1.0 and r3["rand_index"] == 1.0
