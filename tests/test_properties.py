@@ -977,3 +977,143 @@ def test_salted_join_auto_matches_plain_on_random_keys(spark, keys):
         left, right, "k", threshold_frac=0.2).collect()))
     want = sorted(map(tuple, left.join(right, "k").collect()))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Round-5 properties
+# ---------------------------------------------------------------------------
+
+
+def _ref_ari(pairs_a, pairs_b):
+    """Driver-side reference ARI/RI via doubled-integer pair counting
+    (independent of the Spark implementation's expressions)."""
+    from collections import Counter
+
+    n = len(pairs_a)
+    ca = Counter(pairs_a.values())
+    cb = Counter(pairs_b.values())
+    ct = Counter((pairs_a[k], pairs_b[k]) for k in pairs_a)
+    A2 = sum(m * (m - 1) for m in ca.values())
+    B2 = sum(m * (m - 1) for m in cb.values())
+    T2 = sum(m * (m - 1) for m in ct.values())
+    C2 = n * (n - 1)
+    ri = (C2 - A2 - B2 + 2 * T2) / C2 if C2 else 1.0
+    den = C2 * (A2 + B2) - 2 * A2 * B2
+    if den == 0:
+        ari = 1.0 if ri == 1.0 else 0.0
+    else:
+        ari = 2 * (C2 * T2 - A2 * B2) / den
+    return ri, ari
+
+
+partition_labels = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 3)),
+    min_size=2,
+    max_size=20,
+)
+
+
+@given(partition_labels)
+@SETTINGS
+def test_partition_comparison_matches_reference(spark, labels):
+    from graphragpart1datapipeline_spark.graph.communities import (
+        partition_comparison,
+    )
+
+    pa = {str(i): str(a) for i, (a, _) in enumerate(labels)}
+    pb = {str(i): str(b) for i, (_, b) in enumerate(labels)}
+    a = spark.createDataFrame(
+        [(k, v) for k, v in pa.items()], "id string, community string"
+    )
+    b = spark.createDataFrame(
+        [(k, v) for k, v in pb.items()], "id string, community string"
+    )
+    row = partition_comparison(a, b).collect()[0]
+    ri, ari = _ref_ari(pa, pb)
+    assert abs(row["rand_index"] - ri) < 1e-9
+    assert abs(row["ari"] - ari) < 1e-9
+    # permuting LABEL NAMES never changes either metric
+    pb2 = {k: "z" + v for k, v in pb.items()}
+    b2 = spark.createDataFrame(
+        [(k, v) for k, v in pb2.items()], "id string, community string"
+    )
+    row2 = partition_comparison(a, b2).collect()[0]
+    assert row2["rand_index"] == row["rand_index"]
+    assert row2["ari"] == row["ari"]
+
+
+chunk_params = st.tuples(
+    st.integers(5, 60),   # n tokens in doc
+    st.integers(4, 12),   # chunk_tokens
+    st.integers(0, 3),    # overlap
+)
+
+
+@given(chunk_params, st.integers(0, 10**6))
+@SETTINGS
+def test_stitch_context_exact_reconstruction_property(spark, p, seed):
+    """For ANY (doc length, chunk size, overlap) and any hit, stitching
+    the full window over a COMPLETE chunk table reproduces exactly the
+    document's contiguous token span covering those chunks."""
+    import random as _r
+
+    from graphragpart1datapipeline_spark.text import (
+        fixed_stride_chunks,
+        stitch_context,
+    )
+
+    n, ct, ov = p
+    if ov >= ct:
+        ov = ct - 1
+    rng = _r.Random(seed)
+    words = [f"w{i}" for i in range(n)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id int, text string"
+    )
+    chunks = fixed_stride_chunks(
+        docs, id_col="doc_id", text_col="text",
+        chunk_tokens=ct, overlap_tokens=ov,
+    )
+    total = chunks.count()
+    hit = rng.randint(1, total)  # chunk_index is 1-based
+    row = stitch_context(
+        chunks,
+        spark.createDataFrame([(1, hit)], "doc_id int, chunk_index int"),
+        overlap_tokens=ov,
+        context=1,
+    ).collect()[0]
+    stride = ct - ov
+    lo = (max(hit - 1, 1) - 1) * stride
+    hi = min((min(hit + 1, total) - 1) * stride + ct, n)
+    assert row["stitched"] == " ".join(words[lo:hi])
+
+
+bm25_corpus = st.lists(
+    st.tuples(st.integers(0, 40), st.text(alphabet="abc x", min_size=0,
+                                          max_size=20)),
+    min_size=1,
+    max_size=15,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(bm25_corpus, st.integers(1, 5))
+@SETTINGS
+def test_bm25_upsert_equivalence_property(spark, corpus, k):
+    """For ANY corpus and ANY split, index(part1) ∪ upsert(part2)
+    serves bit-identically to the one-shot bm25_topk — unicode-ish
+    text, empty docs, and duplicate terms included."""
+    from graphragpart1datapipeline_spark.text import (
+        bm25_index,
+        bm25_query,
+        bm25_upsert,
+    )
+    from graphragpart1datapipeline_spark.text.analysis import bm25_topk
+
+    all_docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    part1 = all_docs.filter(F.col("doc_id") % k != 0)
+    part2 = all_docs.filter(F.col("doc_id") % k == 0)
+    ix = bm25_upsert(bm25_index(part1), part2)
+    got = bm25_query(ix, ["a", "x"], k=10, log_idf=False).collect()
+    want = bm25_topk(all_docs, ["a", "x"], k=10, log_idf=False).collect()
+    assert [r.asDict() for r in got] == [r.asDict() for r in want]
