@@ -254,7 +254,13 @@ def main() -> None:
         reps = max(REPS, 1)
         if warm[name] > HEAVY_CUTOFF:
             reps = max(reps - 1, 1)
-        best = float("inf")
+        # the per-query warm-up run is itself a valid sample — min()
+        # discards it when codegen made it slow, keeps it when it was
+        # the fastest. Heavy queries therefore still see 3 samples
+        # (warm + 2 reps) after the adaptive-reps cut, so round-over-
+        # round minima stay comparable with the min-of-3 era at no
+        # extra wall.
+        best = warm[name]
         for _ in range(reps):
             t0 = time.perf_counter()
             run_query(queries[name](spark, sf_dir))
