@@ -1556,3 +1556,75 @@ def partition_comparison(
             .alias("ari"),
         )
     )
+
+
+def connected_components_incremental(
+    labels: DataFrame,
+    new_edges: DataFrame,
+    id_col: str = "id",
+    comp_col: str = "component",
+    src: str = "a",
+    dst: str = "b",
+) -> DataFrame:
+    """Fold NEW edges into a persisted (id, component) labeling WITHOUT
+    re-running CC over the full edge set — the daily-crawl pattern for
+    duplicate clusters: yesterday's near-dup graph is already labeled,
+    today's verified pairs arrive, and only the TOUCHED components do
+    any work. Returns the full updated (id, component).
+
+    EXACT, not approximate: under edge additions components only
+    merge; each new edge projects onto its endpoints' current
+    components (new nodes act as their own), CC runs on that
+    COMPONENT graph — increment-sized, never the corpus — and the
+    merge relabels by join. Because stored component ids are min
+    member ids and CC again takes the min over merged representatives,
+    the result is IDENTICAL to CC(old ∪ new) (q188's oracle replays
+    the full-graph closure; an equivalence unit test pins chains that
+    merge three old components through one new node). Components the
+    increment never touches keep their label via the left-join
+    coalesce — zero work, zero movement."""
+    # id/component types are PRESERVED (no string cast): min-member
+    # label semantics follow the id type's ordering, and coercing to
+    # string would silently flip it ('176' < '26' lexicographically)
+    lab = labels.select(
+        F.col(id_col).alias("id"),
+        F.col(comp_col).alias("component"),
+    ).localCheckpoint(eager=True)
+    e = new_edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    )
+    ca = lab.select(F.col("id").alias("a"), F.col("component").alias("__ca"))
+    cb = lab.select(F.col("id").alias("b"), F.col("component").alias("__cb"))
+    comp_edges = (
+        e.join(ca, "a", "left")
+        .join(cb, "b", "left")
+        .select(
+            F.coalesce("__ca", F.col("a")).alias("a"),
+            F.coalesce("__cb", F.col("b")).alias("b"),
+        )
+    )
+    # CC over the contracted increment graph: nodes are component
+    # representatives + genuinely new ids — increment-sized
+    merged = connected_components(comp_edges, src="a", dst="b")
+    relabeled_old = (
+        lab.join(
+            merged.select(
+                F.col("id").alias("component"),
+                F.col("component").alias("__new"),
+            ),
+            "component",
+            "left",
+        )
+        .select(
+            "id",
+            F.coalesce("__new", F.col("component")).alias("component"),
+        )
+    )
+    new_nodes = (
+        e.select(F.col("a").alias("id"))
+        .unionByName(e.select(F.col("b").alias("id")))
+        .distinct()
+        .join(lab.select("id"), "id", "left_anti")
+    )
+    new_labeled = new_nodes.join(merged, "id").select("id", "component")
+    return relabeled_old.unionByName(new_labeled)

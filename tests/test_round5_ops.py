@@ -322,3 +322,40 @@ def test_partition_comparison_golden_and_guards(spark):
     s2 = part([("1", "u"), ("2", "v")])
     r3 = partition_comparison(s1, s2).collect()[0]
     assert r3["ari"] == 1.0 and r3["rand_index"] == 1.0
+
+
+def test_cc_incremental_equals_recompute(spark):
+    """One new node merging THREE old components through chained new
+    edges must produce exactly CC(old ∪ new): merged label = global
+    min member; untouched components keep their label; brand-new
+    isolated pairs get their own component."""
+    from graphragpart1datapipeline_spark.graph.communities import (
+        connected_components,
+        connected_components_incremental,
+    )
+
+    old = spark.createDataFrame(
+        [(10, 11), (20, 21), (30, 31), (40, 41)], "a long, b long"
+    )
+    new = spark.createDataFrame(
+        # node 5 chains comps {10,11}, {20,21}, {30,31} together;
+        # (50, 51) is a brand-new component; {40,41} untouched
+        [(5, 11), (5, 21), (21, 31), (50, 51)],
+        "a long, b long",
+    )
+    stored = connected_components(old, src="a", dst="b")
+    inc = {
+        (r["id"], r["component"])
+        for r in connected_components_incremental(stored, new).collect()
+    }
+    full = {
+        (r["id"], r["component"])
+        for r in connected_components(
+            old.unionByName(new), src="a", dst="b"
+        ).collect()
+    }
+    assert inc == full
+    as_map = dict(inc)
+    assert as_map[31] == 5      # merged cluster takes the global min
+    assert as_map[40] == 40 and as_map[41] == 40   # untouched
+    assert as_map[51] == 50     # new component
