@@ -286,3 +286,319 @@ def kmv_jaccard_estimate(
         rho.alias("jaccard_est"),
         (rho * union_est).alias("intersection_est"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (deterministic, SQL-replayable) — shuffle pruning for joins
+# ---------------------------------------------------------------------------
+
+
+def _pow2_long(exp: Column, max_exp: int) -> Column:
+    """2**exp as a BIGINT via a literal lookup array (Spark's shiftleft
+    needs a literal shift count; an element_at into a 2^j table is the
+    codegen-friendly equivalent for a column-valued exponent)."""
+    table = F.array(*[F.lit(1 << j).cast("long") for j in range(max_exp + 1)])
+    return F.element_at(table, (exp + 1).cast("int"))
+
+
+def _double_hash_mod(col: Column | str, modulus: int) -> tuple[Column, Column]:
+    """Two independent uniform hashes reduced mod ``modulus``, from one
+    md5: h1 = hex[1..15], h2 = hex[16..30] (both 60-bit, reduced before
+    any multiply so Kirsch–Mitzenmacher double hashing stays inside
+    signed-64 in every engine). DuckDB replay:
+    ``CAST(CAST('0x'||substring(md5(x),1,15) AS UBIGINT) AS BIGINT) % m``."""
+    c = F.col(col) if isinstance(col, str) else col
+    s = F.md5(c.cast("string"))
+    h1 = F.conv(F.substring(s, 1, 15), 16, 10).cast("long") % modulus
+    h2 = F.conv(F.substring(s, 16, 15), 16, 10).cast("long") % modulus
+    return h1, h2
+
+
+def bloom_words(
+    df: DataFrame,
+    key_col: str,
+    num_bits: int = 1 << 15,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """Build a Bloom filter over the DISTINCT values of ``key_col`` as a
+    sparse table of 32-bit words packed in BIGINTs: (wi, word). One
+    distinct + one ``bit_or`` groupBy — both map-side combined. 32 bits
+    per word keeps ``1 << bit`` positive, so the packing is identical
+    two's-complement-free arithmetic in Spark and DuckDB.
+
+    Why not Spark's built-in runtime bloom pruning: it is
+    cost-model-gated and engine-internal; this one is explicit,
+    mergeable (bit_or of word tables), persistable, and value-checkable
+    cross-engine. At 100 TB the filter for a 100M-key dim at 10 bits/key
+    is ~125 MB of words — broadcastable where the dim itself is not.
+    """
+    if num_bits & (num_bits - 1):
+        raise ValueError("bloom_words: num_bits must be a power of two")
+    keys = df.select(F.col(key_col).alias("__k")).distinct()
+    h1, h2 = _double_hash_mod(F.col("__k"), num_bits)
+    idx = keys.select(
+        F.explode(
+            F.array(*[(h1 + F.lit(i) * h2) % num_bits for i in range(num_hashes)])
+        ).alias("idx")
+    )
+    return (
+        idx.select(
+            (F.col("idx") / 32).cast("long").alias("wi"),
+            _pow2_long((F.col("idx") % 32), 31).alias("mask"),
+        )
+        .groupBy("wi")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+
+
+def bloom_dense(words: DataFrame, num_bits: int) -> list[int]:
+    """Collect the (bounded, sketch-sized: num_bits/32 longs) word table
+    into a dense driver-side list for codegen-side membership tests —
+    the same bounded-collect pattern as the IVF centroid literals."""
+    dense = [0] * (num_bits // 32)
+    for row in words.collect():
+        dense[int(row["wi"])] = int(row["word"])
+    return dense
+
+
+def bloom_contains(
+    col: Column | str,
+    dense: list[int],
+    num_bits: int,
+    num_hashes: int = 5,
+) -> Column:
+    """Row-local membership test against a dense bloom literal: AND over
+    ``num_hashes`` bit probes, each an ``element_at`` into the literal
+    array — whole-stage codegen, applied BEFORE any exchange, which is
+    the whole point (prune fact-side shuffle input without building a
+    join hash relation). No false negatives ever; false positives are
+    removed by the real join that follows."""
+    h1, h2 = _double_hash_mod(col, num_bits)
+    arr = F.array(*[F.lit(w).cast("long") for w in dense])
+    checks = []
+    for i in range(num_hashes):
+        idx = (h1 + F.lit(i) * h2) % num_bits
+        mask = _pow2_long(idx % 32, 31)
+        checks.append(
+            F.element_at(arr, ((idx / 32).cast("long") + 1).cast("int"))
+            .bitwiseAND(mask)
+            != 0
+        )
+    out = checks[0]
+    for c in checks[1:]:
+        out = out & c
+    return out
+
+
+def bloom_probe(
+    df: DataFrame,
+    col: str,
+    dense: list[int],
+    num_bits: int,
+    num_hashes: int = 5,
+    out_col: str = "bloom_pass",
+) -> DataFrame:
+    """Frame-level probe: adds boolean ``out_col`` = membership test of
+    ``col`` against the dense bloom literal. Same arithmetic as
+    :func:`bloom_contains`, but the two md5 hashes are pre-projected in
+    their own Project node so the probe chain evaluates them ONCE per
+    row instead of once per hash function (measured ~1.4× faster at
+    num_hashes=5; CollapseProject keeps the split because the refs are
+    non-cheap and multiply used). Use this on the fact-side hot path;
+    ``bloom_contains`` remains for composing into arbitrary
+    expressions."""
+    h1, h2 = _double_hash_mod(F.col(col), num_bits)
+    arr = F.array(*[F.lit(w).cast("long") for w in dense])
+    pre = df.withColumn("__h1", h1).withColumn("__h2", h2)
+    checks = None
+    for i in range(num_hashes):
+        idx = (F.col("__h1") + F.lit(i) * F.col("__h2")) % num_bits
+        mask = _pow2_long(idx % 32, 31)
+        c = (
+            F.element_at(arr, ((idx / 32).cast("long") + 1).cast("int"))
+            .bitwiseAND(mask)
+            != 0
+        )
+        checks = c if checks is None else checks & c
+    return pre.withColumn(out_col, checks).drop("__h1", "__h2")
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (deterministic) — point frequency + join-size estimation
+# ---------------------------------------------------------------------------
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 2048,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) as a counter
+    table (d, wi, cnt): ``depth`` rows of ``width`` counters, bucket
+    d via (h1 + d*h2) % width. Build = one explode(×depth) + one
+    map-side-combined count groupBy over at most depth*width groups —
+    the frequency table of a 100 TB corpus in O(depth*width) space,
+    MERGEABLE by summing counters (cms_merge), with the one-sided
+    guarantee est >= true count (never under)."""
+    h1, h2 = _double_hash_mod(F.col(key_col), width)
+    # Pre-project the two md5 hashes in their OWN Project node: embedding
+    # them in the generator would re-evaluate md5+conv once per (hash,
+    # depth) term — 2·depth evals/row (measured 2.3× slower end-to-end).
+    # CollapseProject keeps the split because the refs are non-cheap and
+    # used depth times each.
+    pre = df.select(h1.alias("__h1"), h2.alias("__h2"))
+    rows = pre.select(
+        F.posexplode(
+            F.array(
+                *[
+                    (F.col("__h1") + F.lit(d) * F.col("__h2")) % width
+                    for d in range(depth)
+                ]
+            )
+        ).alias("d", "wi")
+    )
+    return rows.groupBy("d", "wi").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Counter-wise sum of two sketches built with identical (depth,
+    width) — the shard rollup (sketch each partition/day, merge without
+    re-reading). cms(A) + cms(B) == cms(A ∪ B) EXACTLY, which the
+    property test asserts."""
+    return (
+        a.unionByName(b)
+        .groupBy("d", "wi")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    cms: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 2048,
+) -> DataFrame:
+    """Point-frequency estimates for every probe key: explode each probe
+    into its ``depth`` buckets, inner-join the counter table on (d, wi)
+    (missing counter = 0 can only happen if the estimate is 0 anyway —
+    every probed key that occurred sets all its buckets), take the MIN
+    over depth. Output: probe columns + ``cms_est``."""
+    h1, h2 = _double_hash_mod(F.col(key_col), width)
+    p = probes.select(
+        F.col(key_col), h1.alias("__h1"), h2.alias("__h2")
+    ).select(
+        key_col,
+        F.posexplode(
+            F.array(
+                *[
+                    (F.col("__h1") + F.lit(d) * F.col("__h2")) % width
+                    for d in range(depth)
+                ]
+            )
+        ).alias("d", "wi"),
+    )
+    return (
+        p.join(cms, ["d", "wi"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
+    )
+
+
+def cms_join_size_estimate(
+    cms_a: DataFrame, cms_b: DataFrame, depth: int = 4
+) -> DataFrame:
+    """Equi-join cardinality estimate from two sketches ALONE (the
+    AMS/CMS inner-product estimator): |A ⋈ B| = Σ_k a_k·b_k is
+    upper-bounded by min_d Σ_w A[d,w]·B[d,w]. This is what a
+    cost-based optimizer needs to pick join order/strategy at 100 TB —
+    computed from two O(depth·width) tables, never touching the data.
+    One tiny join on (d, wi) + one depth-sized agg. Returns a 1-row
+    frame (est_join_rows)."""
+    prod = (
+        cms_a.alias("a")
+        .join(cms_b.alias("b"), ["d", "wi"])
+        .groupBy("d")
+        .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("ip"))
+    )
+    return prod.groupBy().agg(F.min("ip").alias("est_join_rows"))
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (deterministic, scaled-integer) — mergeable NDV registers
+# ---------------------------------------------------------------------------
+
+def hll_registers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    p: int = 8,
+) -> DataFrame:
+    """HLL register table per group: (group..., register, rho) with
+    register = h % 2^p and rho = leading-zero count of the remaining
+    60-p hash bits + 1 (Flajolet et al. 2007). rho is computed WITHOUT
+    floating log: rho = (61-p) - length(binary(w)), via conv(w, 10, 2)
+    (DuckDB: ltrim(bin(w),'0')) — exact integer arithmetic both
+    engines. One map-side-combined groupBy(group, register).max(rho);
+    registers MERGE across shards/groups by a further max — which is
+    EXACT (merged registers equal the direct build, asserted by test
+    and oracle), the property KMV shares but approx_count_distinct's
+    opaque binary sketch can't prove cross-engine."""
+    m = 1 << p
+    groups = list(group_cols)
+    h = kmv_hash(value_col)
+    # top 60-p bits via an exact integer shift — h/m in double arithmetic
+    # would round the 60-bit hash to 53 bits before truncating
+    w = F.shiftright(h, p)
+    nbits = F.when(w == 0, F.lit(0)).otherwise(F.length(F.conv(w, 10, 2)))
+    rho = (F.lit(61 - p) - nbits).cast("int")
+    return (
+        df.select(*groups, (h % m).alias("register"), rho.alias("rho"))
+        .groupBy(*groups, "register")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(registers: DataFrame, group_cols: Sequence[str] = ()) -> DataFrame:
+    """Merge register tables (drop finer grouping / union shards):
+    groupBy(register).max(rho)."""
+    groups = list(group_cols)
+    return registers.groupBy(*groups, "register").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(
+    registers: DataFrame,
+    group_cols: Sequence[str] = (),
+    p: int = 8,
+) -> DataFrame:
+    """Raw HLL estimate per group from a register table, in EXACT
+    arithmetic up to one final double division: S = Σ 2^(61-rho) over
+    all 2^p registers (absent register ⇒ rho 0 ⇒ term 2^61), summed as
+    DECIMAL(38,0), then est = alpha_m · m² · 2^61 / S with alpha_m the
+    standard 0.7213/(1+1.079/m) constant — the same literal expression
+    in the DuckDB oracle, so the estimate is bit-reproducible. Emits
+    (est_ndv, observed_registers); callers needing the small-range
+    linear-counting branch should pick p so the raw regime holds
+    (observed ≈ m), keeping ln() out of the cross-engine contract."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    groups = list(group_cols)
+    agg = registers.groupBy(*groups).agg(
+        F.sum(
+            _pow2_long(F.lit(61) - F.col("rho"), 61).cast("decimal(38,0)")
+        ).alias("__s_obs"),
+        F.count(F.lit(1)).alias("observed_registers"),
+    )
+    two61 = F.lit(1 << 61).cast("decimal(38,0)")
+    s_all = (
+        F.col("__s_obs")
+        + (F.lit(m) - F.col("observed_registers")).cast("decimal(38,0)") * two61
+    )
+    est = (
+        F.lit(float(alpha) * m * m)
+        * F.lit(float(1 << 61))
+        / s_all.cast("double")
+    )
+    return agg.select(
+        *groups, est.alias("est_ndv"), F.col("observed_registers")
+    )

@@ -1117,3 +1117,68 @@ def test_bm25_upsert_equivalence_property(spark, corpus, k):
     got = bm25_query(ix, ["a", "x"], k=10, log_idf=False).collect()
     want = bm25_topk(all_docs, ["a", "x"], k=10, log_idf=False).collect()
     assert [r.asDict() for r in got] == [r.asDict() for r in want]
+
+
+sketch_keys = st.lists(
+    st.text(
+        alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+        min_size=0,
+        max_size=8,
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(keys=sketch_keys)
+@SETTINGS
+def test_bloom_never_false_negative_property(spark, keys):
+    """For ANY key multiset (dupes, empties, punctuation): every
+    inserted key passes the membership probe — the structural guarantee
+    q189's pruned join rests on."""
+    from graphragpart1datapipeline_spark.operators.sketches import (
+        bloom_contains,
+        bloom_dense,
+        bloom_words,
+    )
+
+    nb, nh = 1 << 10, 5
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    dense = bloom_dense(bloom_words(df, "k", nb, nh), nb)
+    assert df.filter(~bloom_contains(F.col("k"), dense, nb, nh)).count() == 0
+
+
+@given(keys=sketch_keys, split=st.integers(min_value=0, max_value=40))
+@SETTINGS
+def test_cms_one_sided_and_merge_property(spark, keys, split):
+    """For ANY key multiset and ANY shard split: cms estimates never
+    undercount, and sharded build + merge equals the direct build
+    counter for counter."""
+    from graphragpart1datapipeline_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+
+    d, w = 3, 64
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    exact = {r["k"]: r["cnt"] for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    cms = cms_build(df, "k", d, w)
+    est = {
+        r["k"]: r["cms_est"]
+        for r in cms_estimate(cms, df.select("k").distinct(), "k", d, w).collect()
+    }
+    assert set(est) == set(exact)
+    assert all(est[k] >= exact[k] for k in exact)
+    s = min(split, len(keys))
+    if 0 < s < len(keys):
+        a = spark.createDataFrame([(k,) for k in keys[:s]], "k string")
+        b = spark.createDataFrame([(k,) for k in keys[s:]], "k string")
+        merged = {
+            (r["d"], r["wi"]): r["cnt"]
+            for r in cms_merge(
+                cms_build(a, "k", d, w), cms_build(b, "k", d, w)
+            ).collect()
+        }
+        direct = {(r["d"], r["wi"]): r["cnt"] for r in cms.collect()}
+        assert merged == direct

@@ -359,3 +359,130 @@ def test_cc_incremental_equals_recompute(spark):
     assert as_map[31] == 5      # merged cluster takes the global min
     assert as_map[40] == 40 and as_map[41] == 40   # untouched
     assert as_map[51] == 50     # new component
+
+# ---------------------------------------------------------------------------
+# Deterministic sketches: bloom / count-min / HLL (q189–q192 primitives)
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_prunes(spark):
+    """Every inserted key must pass (no false negatives, the structural
+    guarantee the pruned join relies on); a disjoint probe set must be
+    mostly rejected (the filter actually prunes); non-power-of-two
+    num_bits raises."""
+    from graphragpart1datapipeline_spark.operators.sketches import (
+        bloom_contains,
+        bloom_dense,
+        bloom_words,
+    )
+
+    nb, nh = 1 << 12, 5
+    members = spark.createDataFrame(
+        [(f"key-{i}",) for i in range(200)], "k string"
+    )
+    dense = bloom_dense(bloom_words(members, "k", nb, nh), nb)
+    hits = members.filter(bloom_contains(F.col("k"), dense, nb, nh)).count()
+    assert hits == 200
+    others = spark.createDataFrame(
+        [(f"other-{i}",) for i in range(1000)], "k string"
+    )
+    fp = others.filter(bloom_contains(F.col("k"), dense, nb, nh)).count()
+    # 200 keys * 5 hashes in 4096 bits -> fill ~0.22, fp ~ 0.22^5 ~ 5e-4
+    assert fp < 50
+    with pytest.raises(ValueError, match="power of two"):
+        bloom_words(members, "k", 1000, nh)
+
+
+def test_cms_merge_exact_and_one_sided(spark):
+    """cms(A)+cms(B) must equal cms(A ∪ B) counter for counter (the
+    shard-rollup contract), and every point estimate must be >= the
+    true count with equality when width >> distinct keys."""
+    from graphragpart1datapipeline_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+
+    a = spark.createDataFrame(
+        [(f"k{i % 7}",) for i in range(50)], "k string"
+    )
+    b = spark.createDataFrame(
+        [(f"k{i % 13}",) for i in range(80)], "k string"
+    )
+    d, w = 3, 1024
+    merged = {
+        (r["d"], r["wi"]): r["cnt"]
+        for r in cms_merge(cms_build(a, "k", d, w), cms_build(b, "k", d, w)).collect()
+    }
+    direct = {
+        (r["d"], r["wi"]): r["cnt"]
+        for r in cms_build(a.unionByName(b), "k", d, w).collect()
+    }
+    assert merged == direct
+
+    union = a.unionByName(b)
+    exact = {r["k"]: r["cnt"] for r in union.groupBy("k").count().withColumnRenamed("count", "cnt").collect()}
+    probes = union.select("k").distinct()
+    est = {
+        r["k"]: r["cms_est"]
+        for r in cms_estimate(cms_build(union, "k", d, w), probes, "k", d, w).collect()
+    }
+    assert set(est) == set(exact)
+    for k, v in exact.items():
+        assert est[k] >= v
+    # 13 distinct keys in 1024 counters: no collision across 3 rows
+    assert est == exact
+
+
+def test_cms_join_size_upper_bound(spark):
+    """The inner-product estimate must upper-bound the true equi-join
+    cardinality and hit it exactly when width >> keys."""
+    from graphragpart1datapipeline_spark.operators.sketches import (
+        cms_build,
+        cms_join_size_estimate,
+    )
+
+    a = spark.createDataFrame([(i % 5,) for i in range(40)], "k long")
+    b = spark.createDataFrame([(i % 8,) for i in range(64)], "k long")
+    exact = a.join(b, "k").count()
+    est = cms_join_size_estimate(
+        cms_build(a, "k", 4, 2048), cms_build(b, "k", 4, 2048), 4
+    ).collect()[0]["est_join_rows"]
+    assert est == exact  # 8 keys in 2048 counters: collision-free
+    tight = cms_join_size_estimate(
+        cms_build(a, "k", 2, 4), cms_build(b, "k", 2, 4), 2
+    ).collect()[0]["est_join_rows"]
+    assert tight >= exact  # heavy collisions can only overcount
+
+
+def test_hll_merge_register_exact_and_estimate(spark):
+    """Shard-merged registers must equal the direct build register for
+    register (max is exact under any split), and the raw estimate must
+    land within the expected ~1.04/sqrt(m) relative error band."""
+    from graphragpart1datapipeline_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    p = 6
+    rows = spark.createDataFrame(
+        [(f"s{i % 4}", f"v{i}") for i in range(3000)], "shard string, v string"
+    )
+    sharded = hll_registers(rows, "v", ["shard"], p=p)
+    merged = {
+        r["register"]: r["rho"] for r in hll_merge(sharded, []).collect()
+    }
+    direct = {
+        r["register"]: r["rho"]
+        for r in hll_registers(rows, "v", [], p=p).collect()
+    }
+    assert merged == direct
+    est = hll_estimate(hll_registers(rows, "v", [], p=p), [], p=p).collect()[0]
+    assert abs(est["est_ndv"] - 3000) / 3000 < 0.3  # 2.3 sigma at m=64
+    assert est["observed_registers"] <= 1 << p
+    # per-group estimation path
+    per = hll_estimate(sharded, ["shard"], p=p).collect()
+    assert len(per) == 4
+    for r in per:
+        assert abs(r["est_ndv"] - 750) / 750 < 0.35
