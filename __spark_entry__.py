@@ -9251,6 +9251,682 @@ def q181(spark, sf_dir):
     return warm.orderBy(F.desc("rank"), F.asc("id")).limit(20)
 
 
+
+# --------------------------------------------------------------------------
+# Deterministic sketch suite: bloom join pruning, count-min, HLL (§2 new ops)
+# --------------------------------------------------------------------------
+
+_HASH60_SQL = "CAST(CAST('0x'||substring(md5({x}),1,15) AS UBIGINT) AS BIGINT)"
+_HASH60B_SQL = "CAST(CAST('0x'||substring(md5({x}),16,15) AS UBIGINT) AS BIGINT)"
+
+
+def _bloom_cte(keys_sql: str, num_bits: int, num_hashes: int) -> str:
+    """DuckDB replay of bloom_words over ``keys_sql`` (1-col relation of
+    key k): double hashing (h1 + i*h2) % num_bits, 32-bit words packed
+    in BIGINTs — identical arithmetic to operators/sketches.py."""
+    h1 = _HASH60_SQL.format(x="CAST(k AS VARCHAR)")
+    h2 = _HASH60B_SQL.format(x="CAST(k AS VARCHAR)")
+    return f"""
+    dk AS ({keys_sql}),
+    dh AS (SELECT k, {h1} % {num_bits} AS h1, {h2} % {num_bits} AS h2 FROM dk),
+    didx AS (SELECT ((h1 + i*h2) % {num_bits}) AS idx
+             FROM dh, range({num_hashes}) t(i)),
+    bloom AS (SELECT idx//32 AS wi,
+                     bit_or(CAST(1 AS BIGINT) << CAST(idx%32 AS INTEGER)) AS word
+              FROM didx GROUP BY 1)
+    """
+
+
+@_register(
+    "q189_bloom_pruned_join",
+    """
+    WITH """
+    + _bloom_cte(
+        "SELECT DISTINCT s_suppkey AS k FROM supplier WHERE s_acctbal >= 6000",
+        1 << 15,
+        5,
+    )
+    + """,
+    pk AS (SELECT DISTINCT l_suppkey AS k FROM lineitem),
+    ph AS (SELECT k,
+      """ + _HASH60_SQL.format(x="CAST(k AS VARCHAR)") + """ % 32768 AS h1,
+      """ + _HASH60B_SQL.format(x="CAST(k AS VARCHAR)") + """ % 32768 AS h2
+      FROM pk),
+    pidx AS (SELECT k, ((h1 + i*h2) % 32768) AS idx FROM ph, range(5) t(i)),
+    pass AS (SELECT k FROM pidx p JOIN bloom b ON p.idx//32 = b.wi
+             WHERE (b.word & (CAST(1 AS BIGINT) << CAST(p.idx%32 AS INTEGER))) <> 0
+             GROUP BY k HAVING COUNT(*) = 5),
+    flags AS (SELECT l_extendedprice,
+                     CASE WHEN l_suppkey IN (SELECT k FROM pass) THEN 1 ELSE 0 END AS pb,
+                     CASE WHEN l_suppkey IN (SELECT k FROM dk) THEN 1 ELSE 0 END AS tm
+              FROM lineitem),
+    bits AS (SELECT SUM(bit_count(word)) AS bits_set FROM bloom)
+    SELECT COUNT(*) AS fact_rows,
+           SUM(pb) AS bloom_pass,
+           SUM(tm) AS true_match,
+           SUM(pb) - SUM(tm) AS false_pos,
+           bits.bits_set AS bits_set,
+           CAST(SUM(CASE WHEN tm = 1
+                    THEN CAST(l_extendedprice AS DECIMAL(25,4)) END) AS DOUBLE)
+             AS matched_revenue
+    FROM flags, bits
+    GROUP BY bits.bits_set
+    """,
+)
+def q189(spark, sf_dir):
+    """Explicit Bloom-filter join pruning (the 100 TB shuffle saver:
+    prune fact-side exchange input with a ~KB-scale bit table where the
+    dim itself is too big for a broadcast hash relation — Spark's
+    runtime row-group bloom pruning, made explicit, persistable and
+    cross-engine value-checkable). Build = distinct + bit_or groupBy
+    over the filtered supplier dim; probe = whole-stage-codegen bit
+    tests on a literal word array applied to lineitem BEFORE any
+    exchange. No false negatives structurally (the true join result is
+    byte-identical); the query emits the accounting a planner needs:
+    pass/true/false-positive counts + filter fill (bits_set)."""
+    from graphragpart1datapipeline_spark.operators.sketches import (
+        bloom_dense,
+        bloom_probe,
+        bloom_words,
+    )
+
+    nb, nh = 1 << 15, 5
+    sup = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    dim = sup.filter(F.col("s_acctbal") >= 6000).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    ).distinct()
+    words = bloom_words(dim, "l_suppkey", nb, nh).localCheckpoint(eager=True)
+    bits_set = words.groupBy().agg(
+        F.sum(F.bit_count("word")).alias("bits_set")
+    )
+    dense = bloom_dense(words, nb)
+    flagged = bloom_probe(li, "l_suppkey", dense, nb, nh).withColumn(
+        "pb", F.col("bloom_pass").cast("int")
+    ).join(
+        F.broadcast(dim.withColumn("tm", F.lit(1))), "l_suppkey", "left"
+    ).withColumn("tm", F.coalesce(F.col("tm"), F.lit(0)))
+    return (
+        flagged.groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("fact_rows"),
+            F.sum("pb").alias("bloom_pass"),
+            F.sum("tm").alias("true_match"),
+            (F.sum("pb") - F.sum("tm")).alias("false_pos"),
+            F.sum(
+                F.when(F.col("tm") == 1, F.col("l_extendedprice"))
+                .cast("decimal(25,4)")
+            ).cast("double").alias("matched_revenue"),
+        )
+        .crossJoin(F.broadcast(bits_set))
+        .select(
+            "fact_rows", "bloom_pass", "true_match", "false_pos",
+            "bits_set", "matched_revenue",
+        )
+    )
+
+
+def _cms_cte(src_sql: str, name: str, depth: int, width: int) -> str:
+    """DuckDB replay of cms_build over ``src_sql`` (1-col relation k)."""
+    h1 = _HASH60_SQL.format(x="CAST(k AS VARCHAR)")
+    h2 = _HASH60B_SQL.format(x="CAST(k AS VARCHAR)")
+    return f"""
+    {name}_h AS (SELECT {h1} % {width} AS h1, {h2} % {width} AS h2
+                 FROM ({src_sql})),
+    {name} AS (SELECT d, ((h1 + d*h2) % {width}) AS wi, COUNT(*) AS cnt
+               FROM {name}_h, range({depth}) t(d) GROUP BY 1, 2)
+    """
+
+
+@_register(
+    "q190_cms_point_frequency",
+    """
+    WITH """
+    + _cms_cte("SELECT l_partkey AS k FROM lineitem", "cms", 4, 2048)
+    + """,
+    probes AS (SELECT DISTINCT l_partkey FROM lineitem WHERE l_partkey % 97 = 0),
+    ph AS (SELECT l_partkey,
+      """ + _HASH60_SQL.format(x="CAST(l_partkey AS VARCHAR)") + """ % 2048 AS h1,
+      """ + _HASH60B_SQL.format(x="CAST(l_partkey AS VARCHAR)") + """ % 2048 AS h2
+      FROM probes),
+    pe AS (SELECT l_partkey, MIN(cnt) AS cms_est
+           FROM (SELECT p.l_partkey, c.cnt
+                 FROM (SELECT l_partkey, d, ((h1 + d*h2) % 2048) AS wi
+                       FROM ph, range(4) t(d)) p
+                 JOIN cms c ON c.d = p.d AND c.wi = p.wi)
+           GROUP BY 1),
+    ex AS (SELECT l_partkey, COUNT(*) AS exact_cnt FROM lineitem GROUP BY 1)
+    SELECT pe.l_partkey, ex.exact_cnt, pe.cms_est,
+           pe.cms_est - ex.exact_cnt AS overcount
+    FROM pe JOIN ex USING (l_partkey)
+    ORDER BY l_partkey
+    """,
+)
+def q190(spark, sf_dir):
+    """Count-min sketch point-frequency estimates (Cormode &
+    Muthukrishnan 2005): the whole lineitem part-frequency table in
+    depth*width counters (one explode + one map-side-combined groupBy
+    over <= 4*2048 groups — at 100 TB the shuffle moves counters, not
+    keys), probed for a deterministic key subset and checked against
+    exact counts. The one-sided guarantee est >= true is visible as
+    ``overcount`` >= 0 on every row; the sketch is counter-sum
+    MERGEABLE (property-tested), so shards roll up without re-reads."""
+    from graphragpart1datapipeline_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    cms = cms_build(li, "l_partkey", 4, 2048)
+    # probe keys and their exact counts both restrict to the 1/97
+    # sample BEFORE any shuffle — the exact-baseline groupBy must not
+    # re-shuffle the whole fact table for a probe-sized comparison
+    probed = li.filter(F.col("l_partkey") % 97 == 0)
+    probes = probed.select("l_partkey").distinct()
+    est = cms_estimate(cms, probes, "l_partkey", 4, 2048)
+    exact = probed.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("exact_cnt")
+    )
+    return (
+        est.join(exact, "l_partkey")
+        .select(
+            "l_partkey", "exact_cnt", "cms_est",
+            (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
+        )
+        .orderBy("l_partkey")
+    )
+
+
+@_register(
+    "q191_cms_join_cardinality",
+    """
+    WITH """
+    + _cms_cte("SELECT o_orderkey AS k FROM orders", "ca", 4, 2048)
+    + ","
+    + _cms_cte("SELECT l_orderkey AS k FROM lineitem", "cb", 4, 2048)
+    + """,
+    ip AS (SELECT a.d, SUM(a.cnt * b.cnt) AS ip
+           FROM ca a JOIN cb b ON a.d = b.d AND a.wi = b.wi GROUP BY 1),
+    est AS (SELECT MIN(ip) AS est_join_rows FROM ip),
+    ex AS (SELECT COUNT(*) AS exact_join_rows
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+    SELECT est.est_join_rows, ex.exact_join_rows,
+           CAST(est.est_join_rows AS DOUBLE) / ex.exact_join_rows AS over_ratio
+    FROM est, ex
+    """,
+)
+def q191(spark, sf_dir):
+    """Equi-join cardinality estimation from sketches ALONE — the
+    AMS/CMS inner-product estimator min_d sum_w A[d,w]*B[d,w] that a
+    cost-based optimizer needs before committing to a join strategy at
+    100 TB: two O(depth*width) counter tables joined on (d, wi), never
+    touching the data. Upper bound by construction (over_ratio >= 1,
+    exact as width grows past the key cardinality); checked against the
+    true join count."""
+    from graphragpart1datapipeline_spark.operators.sketches import (
+        cms_build,
+        cms_join_size_estimate,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    ca = cms_build(orders, "o_orderkey", 4, 2048)
+    cb = cms_build(li, "l_orderkey", 4, 2048)
+    est = cms_join_size_estimate(ca, cb, 4)
+    exact = orders.join(
+        li, F.col("o_orderkey") == F.col("l_orderkey")
+    ).groupBy().agg(F.count(F.lit(1)).alias("exact_join_rows"))
+    return est.crossJoin(F.broadcast(exact)).select(
+        "est_join_rows",
+        "exact_join_rows",
+        (
+            F.col("est_join_rows").cast("double")
+            / F.col("exact_join_rows")
+        ).alias("over_ratio"),
+    )
+
+
+_HLL_P = 6
+_HLL_M = 1 << _HLL_P
+_HLL_AMM = 0.7213 / (1.0 + 1.079 / _HLL_M) * _HLL_M * _HLL_M
+_TWO61 = 1 << 61
+
+
+def _hll_reg_sql(src_sql: str, name: str, groups: str = "") -> str:
+    """DuckDB replay of hll_registers over ``src_sql`` (relation with
+    column v and optional group columns): register = h % m, rho =
+    (61-p) - bitlength(h >> p) computed via ltrim(bin(.)) — exact
+    integer arithmetic matching operators/sketches.py."""
+    h = _HASH60_SQL.format(x="v")
+    g = (groups + ", ") if groups else ""
+    return f"""
+    {name}_h AS (SELECT {g}{h} AS h FROM ({src_sql})),
+    {name} AS (SELECT {g}h % {_HLL_M} AS register,
+      MAX(CASE WHEN h//{_HLL_M} = 0 THEN {61 - _HLL_P}
+           ELSE CAST({61 - _HLL_P} - length(ltrim(bin(h//{_HLL_M}),'0'))
+                AS INTEGER) END) AS rho
+      FROM {name}_h GROUP BY {'ALL' if g else '1'})
+    """
+
+
+def _hll_est_sql(reg_name: str) -> str:
+    """est_ndv + observed_registers from a register CTE (raw estimator,
+    exact DECIMAL sum + one double division, alpha*m^2 constant shared
+    verbatim with the Spark literal)."""
+    return f"""
+    (SELECT CAST({_HLL_AMM!r} AS DOUBLE) * CAST({float(_TWO61)!r} AS DOUBLE) /
+            CAST(SUM(CAST(CAST(1 AS BIGINT) << CAST(61 - rho AS INTEGER)
+                     AS DECIMAL(38,0)))
+                 + CAST({_HLL_M} - COUNT(*) AS DECIMAL(38,0))
+                   * CAST({_TWO61} AS DECIMAL(38,0)) AS DOUBLE) AS est_ndv,
+            COUNT(*) AS observed_registers
+     FROM {reg_name})
+    """
+
+
+@_register(
+    "q192_hll_mergeable_ndv",
+    """
+    WITH """
+    + _hll_reg_sql(
+        "SELECT o_orderpriority AS shard, CAST(o_orderkey AS VARCHAR) AS v "
+        "FROM orders",
+        "shards",
+        "shard",
+    )
+    + """,
+    merged AS (SELECT register, MAX(rho) AS rho FROM shards GROUP BY 1),
+    """
+    + _hll_reg_sql(
+        "SELECT CAST(o_orderkey AS VARCHAR) AS v FROM orders", "direct"
+    )
+    + """,
+    mm AS (SELECT COUNT(*) AS register_mismatches
+           FROM merged m JOIN direct d USING (register)
+           WHERE m.rho <> d.rho),
+    me AS """ + _hll_est_sql("merged") + """,
+    de AS (SELECT est_ndv AS direct_est FROM """
+    + _hll_est_sql("direct").replace("est_ndv", "est_ndv", 1) + """),
+    ex AS (SELECT COUNT(DISTINCT o_orderkey) AS exact_ndv FROM orders)
+    SELECT me.est_ndv AS merged_est, de.direct_est,
+           mm.register_mismatches, me.observed_registers, ex.exact_ndv
+    FROM me, de, mm, ex
+    """,
+)
+def q192(spark, sf_dir):
+    """Deterministic HyperLogLog NDV (Flajolet 2007) with PROVEN shard
+    mergeability: per-shard register tables (one map-side-combined
+    groupBy(shard, register).max(rho) — the 100 TB profile pattern:
+    sketch each shard/day once, merge by a further max without
+    re-reading) merged across orders shards must equal the direct
+    single-pass build REGISTER FOR REGISTER (register_mismatches = 0),
+    and the raw estimate — exact scaled-integer register sum, one final
+    double division, no ln() in the cross-engine contract — is checked
+    against the exact NDV. KMV (q84/q141) trades accuracy for a
+    simpler sketch; HLL is the constant-space alternative."""
+    from graphragpart1datapipeline_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("shard"),
+        F.col("o_orderkey").cast("string").alias("v"),
+    )
+    shards = hll_registers(orders, "v", ["shard"], p=_HLL_P)
+    merged = hll_merge(shards, [])
+    direct = hll_registers(orders, "v", [], p=_HLL_P)
+    mism = (
+        merged.alias("m")
+        .join(direct.alias("d"), "register")
+        .filter(F.col("m.rho") != F.col("d.rho"))
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("register_mismatches"))
+    )
+    me = hll_estimate(merged, [], p=_HLL_P).select(
+        F.col("est_ndv").alias("merged_est"), "observed_registers"
+    )
+    de = hll_estimate(direct, [], p=_HLL_P).select(
+        F.col("est_ndv").alias("direct_est")
+    )
+    ex = _t(spark, sf_dir, "orders").groupBy().agg(
+        F.countDistinct("o_orderkey").alias("exact_ndv")
+    )
+    return (
+        me.crossJoin(F.broadcast(de))
+        .crossJoin(F.broadcast(mism))
+        .crossJoin(F.broadcast(ex))
+        .select(
+            "merged_est", "direct_est", "register_mismatches",
+            "observed_registers", "exact_ndv",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Round-5 batch 3: multi-source BFS, copy excision, JL projection
+# --------------------------------------------------------------------------
+
+
+@_register(
+    "q193_bfs_hops",
+    """
+    WITH RECURSIVE pe AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          FROM pe a JOIN pe b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+    nodes AS (SELECT DISTINCT src AS id FROM e),
+    seeds AS (SELECT id FROM nodes ORDER BY id LIMIT 5),
+    walk(id, dist, seed) AS (
+      SELECT id, 0, id FROM seeds
+      UNION
+      SELECT e.dst, w.dist + 1, w.seed
+      FROM walk w JOIN e ON e.src = w.id
+      WHERE w.dist < 3
+    ),
+    best AS (SELECT id, MIN(dist) AS dist FROM walk GROUP BY 1)
+    SELECT w.id, CAST(b.dist AS INTEGER) AS dist, MIN(w.seed) AS nearest_seed
+    FROM walk w JOIN best b ON w.id = b.id AND w.dist = b.dist
+    GROUP BY 1, 2 ORDER BY 1
+    """,
+)
+def q193(spark, sf_dir):
+    """Multi-source BFS hop distances over the co-purchase graph — the
+    graph-locality primitive a GraphRAG serving tier needs (every node
+    labeled with its exact hop distance to the nearest seed entity +
+    the min-id nearest seed, ONE run instead of one traversal per
+    query; the set-at-once version of the reference's bounded
+    multi-hop Cypher queries, cf. q31's citations). Pregel shape: each
+    round joins only the FRONTIER against the edge list; visited nodes
+    are anti-joined out; rounds bounded by max_hops=3. The co-purchase
+    edge set is already symmetric (both orders of every pair), so the
+    directed walk equals the undirected one without doubling edges.
+    The oracle replays the frontier expansion as a recursive CTE with
+    UNION-dedup on (node, dist, seed) states."""
+    from graphragpart1datapipeline_spark.graph.bfs import bfs_distances
+
+    li = _t(spark, sf_dir, "lineitem")
+    pe = li.select("l_orderkey", "l_partkey").distinct()
+    e = (
+        pe.alias("a")
+        .join(pe.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    seeds = e.select(F.col("src").alias("id")).distinct().orderBy("id").limit(5)
+    return bfs_distances(e, seeds, max_hops=3, directed=True).orderBy("id")
+
+
+@_register(
+    "q194_copy_span_excision",
+    _WINNOW_CTE + """
+    , capped AS (
+      SELECT f.* FROM wfp f JOIN (
+        SELECT fingerprint FROM wfp
+        GROUP BY fingerprint HAVING COUNT(DISTINCT doc_id) <= 50
+      ) kp USING (fingerprint)
+    ), spans AS (
+      SELECT b.doc_id AS id_b, MIN(b.pos) AS b_start, MAX(b.pos) AS b_end
+      FROM capped a JOIN capped b
+        ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+      GROUP BY b.doc_id, a.doc_id, a.pos - b.pos
+      HAVING COUNT(*) >= 2
+    ), remove AS (
+      SELECT DISTINCT spans.id_b AS doc_id, s.pos
+      FROM spans, LATERAL (
+        SELECT unnest(generate_series(b_start, b_end + 4)) AS pos
+      ) s
+    ), toks AS (
+      SELECT doc_id, s.i - 1 AS pos, ws[s.i] AS tok
+      FROM t, LATERAL (
+        SELECT unnest(generate_series(1, len(ws))) AS i
+      ) s
+    ), kept AS (
+      SELECT k.doc_id, k.pos, k.tok
+      FROM toks k LEFT JOIN remove r
+        ON r.doc_id = k.doc_id AND r.pos = k.pos
+      WHERE r.doc_id IS NULL
+    ), rw AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+             COUNT(*) AS n_kept
+      FROM kept GROUP BY 1
+    )
+    SELECT t.doc_id, md5(COALESCE(rw.clean_text, '')) AS clean_hash,
+           CAST(len(t.ws) AS BIGINT) AS n_tokens,
+           CAST(len(t.ws) AS BIGINT) - COALESCE(rw.n_kept, 0) AS n_removed
+    FROM t LEFT JOIN rw ON rw.doc_id = t.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def q194(spark, sf_dir):
+    """Copied-region EXCISION — the rewrite step of exact-substring
+    training-data dedup (Lee et al. 2021): q169's winnowing copy spans
+    removed from the LATER document (keep-first), overlapping ranges
+    merged by position-set union, untouched docs passed through. The
+    output is the cleaned corpus + bytes-removed accounting (clean
+    text md5'd to keep the compare row narrow). The oracle replays
+    detection (q169's chain), range explode, anti-join, and ordered
+    re-aggregation token for token."""
+    from graphragpart1datapipeline_spark.text.excision import (
+        excise_copy_spans,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = excise_copy_spans(
+        docs, "text", "doc_id", k=5, w=4, min_shared=2, max_postings=50
+    )
+    return out.select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_hash"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+    ).orderBy("doc_id")
+
+
+_JL_SIGN_SQL = (
+    "CASE WHEN CAST(CAST('0x' || substring(md5('jl:' || CAST(i AS VARCHAR)"
+    " || ':' || CAST(j AS VARCHAR)), 1, 15) AS UBIGINT) AS BIGINT) % 2 = 0"
+    " THEN 1.0 ELSE -1.0 END"
+)
+
+
+@_register(
+    "q195_jl_projection_recall",
+    f"""
+    WITH sm AS (
+      SELECT j, list({_JL_SIGN_SQL} ORDER BY i) AS s
+      FROM range(64) a(i), range(16) b(j)
+      GROUP BY j
+    ), proj AS (
+      SELECT e.vec_id,
+             list(list_dot_product(CAST(e.embedding AS DOUBLE[]), sm.s)
+                  ORDER BY sm.j) AS p
+      FROM embeddings e, sm GROUP BY e.vec_id
+    ), qe AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+      WHERE vec_id = 0
+    ), ex AS (
+      SELECT vec_id FROM (
+        SELECT e.vec_id,
+               list_dot_product(CAST(e.embedding AS DOUBLE[]), qe.qv)
+                 / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(qe.qv, qe.qv))) AS score
+        FROM embeddings e, qe)
+      ORDER BY score DESC, vec_id LIMIT 10
+    ), qp AS (
+      SELECT p FROM proj WHERE vec_id = 0
+    ), px AS (
+      SELECT vec_id FROM (
+        SELECT proj.vec_id,
+               list_dot_product(proj.p, qp.p)
+                 / (sqrt(list_dot_product(proj.p, proj.p))
+                    * sqrt(list_dot_product(qp.p, qp.p))) AS score
+        FROM proj, qp)
+      ORDER BY score DESC, vec_id LIMIT 10
+    )
+    SELECT (SELECT COUNT(*) FROM ex JOIN px USING (vec_id)) AS overlap,
+           CAST((SELECT COUNT(*) FROM ex JOIN px USING (vec_id)) AS DOUBLE)
+             / 10.0 AS recall_at_10
+    """,
+)
+def q195(spark, sf_dir):
+    """Johnson–Lindenstrauss random projection (Achlioptas ±1 signs,
+    md5-derived, plan-literal) quality-gated the q160 way: 64-dim
+    embeddings projected to 16 dims by a pure row-local codegen
+    expression (zero shuffle, no UDF — the byte reducer in front of
+    ANN at 100 TB), then recall@10 of projected-space cosine vs exact
+    64-dim cosine for a fixed query. Every double is an ordered fold,
+    so the oracle replays projection, both scoring arms, and the
+    intersection bit for bit."""
+    from graphragpart1datapipeline_spark.vector import cosine_topk
+    from graphragpart1datapipeline_spark.vector.projection import (
+        random_projection,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    proj = random_projection(
+        emb, 64, 16, vec_col="embedding", id_col="vec_id", seed="jl"
+    ).localCheckpoint(eager=True)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    exact = cosine_topk(
+        emb, qvec, k=10, vec_col="embedding", id_col="vec_id"
+    ).select("vec_id")
+    qp = proj.filter(F.col("vec_id") == 0).select("proj").head()[0]
+    approx = cosine_topk(
+        proj, qp, k=10, vec_col="proj", id_col="vec_id"
+    ).select("vec_id")
+    return (
+        exact.join(approx, "vec_id")
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("overlap"))
+        .select(
+            "overlap",
+            (F.col("overlap").cast("double") / F.lit(10.0)).alias(
+                "recall_at_10"
+            ),
+        )
+    )
+
+
+@_register(
+    "q196_stream_dedup_native",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    ORDER BY user_id, event_type
+    """,
+)
+def q196(spark, sf_dir):
+    """Native streaming dedup (``dropDuplicatesWithinWatermark``,
+    bounded state — the only viable contract on an unbounded stream;
+    the stateful-registry twin q77 keeps all keys forever): first event
+    per (user_id, event_type) within a 1-hour watermark, drained with
+    availableNow into a memory sink. The surviving KEY SET is order-
+    independent (which physical row survives is not), so the oracle
+    value-checks stream == batch DISTINCT — the q44 stream==batch
+    pattern applied to the dedup operator."""
+    import uuid
+
+    from graphragpart1datapipeline_spark.sources import read_events_stream
+    from graphragpart1datapipeline_spark.streaming.dedup import (
+        stream_dedup_counts,
+    )
+
+    sdf = read_events_stream(spark, sf_dir)
+    out = stream_dedup_counts(
+        sdf, ["user_id", "event_type"], ts_col="ts", watermark="1 hour"
+    )
+    name = f"q196_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("user_id", "event_type")
+
+
+_ORACLES["q197_dbscan_embeddings"] = (
+    "WITH RECURSIVE pr AS (SELECT a, b FROM ("
+    + _ORACLES["q53_embedding_near_dup_lsh"]
+    + """
+    )), sym AS (
+      SELECT a AS id, b AS nbr FROM pr UNION SELECT b, a FROM pr
+    ), deg AS (
+      SELECT id, COUNT(*) AS d FROM sym GROUP BY 1
+    ), core AS (
+      SELECT id FROM deg WHERE d >= 2
+    ), ce AS (
+      SELECT s.id AS a, s.nbr AS b
+      FROM sym s JOIN core c1 ON c1.id = s.id JOIN core c2 ON c2.id = s.nbr
+    ), reach AS (
+      SELECT a AS node, a AS r FROM ce
+      UNION
+      SELECT e.b AS node, reach.r FROM reach JOIN ce e ON e.a = reach.node
+    ), comp AS (
+      SELECT node, MIN(r) AS root FROM reach GROUP BY 1
+    ), corec AS (
+      SELECT c.id, COALESCE(comp.root, c.id) AS cluster
+      FROM core c LEFT JOIN comp ON comp.node = c.id
+    ), border AS (
+      SELECT s.id, MIN(cc.cluster) AS cluster
+      FROM sym s
+      JOIN corec cc ON cc.id = s.nbr
+      LEFT JOIN core me ON me.id = s.id
+      WHERE me.id IS NULL
+      GROUP BY 1
+    )
+    SELECT e.vec_id,
+           COALESCE(cr.cluster, br.cluster) AS cluster,
+           CASE WHEN cr.id IS NOT NULL THEN 'core'
+                WHEN br.id IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role
+    FROM embeddings e
+    LEFT JOIN corec cr ON cr.id = e.vec_id
+    LEFT JOIN border br ON br.id = e.vec_id
+    ORDER BY e.vec_id
+    """
+)
+
+
+@_register("q197_dbscan_embeddings")
+def q197(spark, sf_dir):
+    """DBSCAN over the embedding space, LSH-bucketed (Ester et al.
+    KDD'96; the density-clustering complement of k-means q80 — noise
+    stays noise instead of polluting centroids). ε-neighbors come from
+    q53's sign-bucket candidate generator (cosine >= 0.3 inside equal
+    hyperplane buckets — the 100 TB pair path), then DBSCAN is pure
+    relational algebra: degree -> cores (min_pts=3, self included),
+    CC of the core subgraph -> clusters (min core id), borders attach
+    to their min core-neighbor cluster, rest is noise. The oracle
+    replays bucketing, pairing, closure, and role assignment; the
+    border rule is deterministic where sklearn's scan-order assignment
+    is not."""
+    from graphragpart1datapipeline_spark.dedup.embedding import (
+        embedding_near_dup_pairs,
+    )
+    from graphragpart1datapipeline_spark.vector.dbscan import (
+        dbscan_from_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(
+        emb, vec_col="embedding", id_col="vec_id", threshold=0.3,
+        bucket_bits=4, dim=64,
+    ).select("a", "b")
+    out = dbscan_from_pairs(
+        emb.select("vec_id"), pairs, min_pts=3, id_col="vec_id"
+    )
+    return out.orderBy("vec_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q02(spark, "/root/testdata/sf0.001")

@@ -131,6 +131,10 @@ HEADLINE = [
     # the ANN-armed serving DAG (IVF probe dense arm) — q176's
     # 100 TB-viable twin; benching both records the ANN speedup
     "q185_rag_serving_ann",
+    # round-5 batch 2: explicit bloom join pruning — the fact-side
+    # shuffle saver; the sketch family's scale path (cms/hll twins in
+    # the secondary tier: counter/register tables, sub-second)
+    "q189_bloom_pruned_join",
 ]
 
 # Secondary tier: sub-second operators whose family is already
@@ -157,6 +161,23 @@ SECONDARY = [
     "q154_numeric_histogram",
     "q164_scd2_time_travel",
     "q167_winnow_fingerprints",
+    # deterministic sketch twins of q189 (cms point/join-size, hll ndv)
+    # — counter/register-table plans, sub-second each
+    "q190_cms_point_frequency",
+    "q191_cms_join_cardinality",
+    "q192_hll_mergeable_ndv",
+    # batch 3: BFS rides the q178 co-purchase graph (adversarially
+    # dense at sf0.1, like q152 — keep off the headline); excision
+    # extends q167's winnowing (already traced); q195 is a 500-vector
+    # projection gate
+    "q193_bfs_hops",
+    "q194_copy_span_excision",
+    "q195_jl_projection_recall",
+    # batch 4: streaming dedup (streaming family benched via q44-style
+    # paths is trigger-latency-bound, 1 rep suffices); DBSCAN rides
+    # q53's pair generator (headline) + the CC driver (headline in q87)
+    "q196_stream_dedup_native",
+    "q197_dbscan_embeddings",
 ]
 
 # Repetitions per query; report the min. The ambient swing on a shared
