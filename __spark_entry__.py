@@ -9927,6 +9927,231 @@ def q197(spark, sf_dir):
     return out.orderBy("vec_id")
 
 
+_BW_SCALE = 10**6
+
+
+def _bw_fwd_cte(level: int) -> str:
+    """One forward Brandes level: frontier join + sigma sum, excluding
+    every earlier level per source (the BFS anti-join)."""
+    prev = f"f{level - 1}"
+    excl = "\n        AND ".join(
+        f"NOT EXISTS (SELECT 1 FROM f{j} p{j} "
+        f"WHERE p{j}.s = {prev}.s AND p{j}.v = e.dst)"
+        for j in range(level)
+    )
+    return f"""
+    f{level} AS (
+      SELECT {prev}.s, e.dst AS v, CAST(SUM({prev}.sigma) AS BIGINT) AS sigma
+      FROM {prev} JOIN e ON e.src = {prev}.v
+      WHERE {excl}
+      GROUP BY 1, 2
+    )"""
+
+
+def _bw_bwd_cte(level: int) -> str:
+    """One backward Brandes level: scaled-integer dependency rollup
+    from the successor level's (sigma, D)."""
+    nxt = f"d{level + 1}"
+    return f"""
+    d{level} AS (
+      SELECT f{level}.s, f{level}.v, f{level}.sigma,
+             COALESCE(CAST(SUM(
+               (f{level}.sigma * ({_BW_SCALE} + {nxt}.D)) // {nxt}.sigma
+             ) AS BIGINT), 0) AS D
+      FROM f{level}
+      LEFT JOIN e ON e.src = f{level}.v
+      LEFT JOIN {nxt} ON {nxt}.s = f{level}.s AND {nxt}.v = e.dst
+      GROUP BY 1, 2, 3
+    )"""
+
+
+@_register(
+    "q198_betweenness_sampled",
+    """
+    WITH pe AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          FROM pe a JOIN pe b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+    srcs AS (SELECT DISTINCT src AS id FROM e ORDER BY 1 LIMIT 4),
+    f0 AS (SELECT id AS s, id AS v, CAST(1 AS BIGINT) AS sigma FROM srcs),"""
+    + _bw_fwd_cte(1) + "," + _bw_fwd_cte(2) + "," + _bw_fwd_cte(3) + f""",
+    d3 AS (SELECT s, v, sigma, CAST(0 AS BIGINT) AS D FROM f3),"""
+    + _bw_bwd_cte(2) + "," + _bw_bwd_cte(1) + """
+    SELECT v AS id, CAST(SUM(D) AS BIGINT) AS bc_scaled
+    FROM (SELECT s, v, D FROM d1 UNION ALL
+          SELECT s, v, D FROM d2 UNION ALL
+          SELECT s, v, D FROM d3) u
+    GROUP BY 1
+    ORDER BY bc_scaled DESC, id
+    LIMIT 50
+    """,
+)
+def q198(spark, sf_dir):
+    """Hop-bounded sampled betweenness centrality (Brandes 2001 /
+    Brandes-Pich 2007 sampling / Borgatti k-betweenness) over the
+    co-purchase graph: which parts BROKER between purchase communities
+    — the bridge detector complementing PageRank's popularity (q82)
+    and k-core's density. The dependency recursion runs in SCALED
+    INTEGERS (sigma exact BIGINT path counts; D = Σ (σv·(SCALE+Dw))
+    DIV σw — the PageRank DIV pattern), so the whole two-pass
+    algorithm is bit-reproducible and the oracle unrolls forward
+    sigma levels and backward dependency levels as plain CTEs. Top-50
+    brokers by scaled score."""
+    from graphragpart1datapipeline_spark.graph.betweenness import (
+        betweenness_sampled,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    pe = li.select("l_orderkey", "l_partkey").distinct()
+    e = (
+        pe.alias("a")
+        .join(pe.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    srcs = e.select(F.col("src").alias("id")).distinct().orderBy("id").limit(4)
+    # co-purchase edges are already symmetric -> directed walk equals
+    # the undirected one without doubling the edge table (q193 note)
+    bc = betweenness_sampled(
+        e, srcs, max_hops=3, scale=_BW_SCALE, directed=True
+    )
+    return bc.orderBy(F.desc("bc_scaled"), F.asc("id")).limit(50)
+
+
+@_register(
+    "q199_data_quality_suite",
+    """
+    WITH rc AS (
+      SELECT COUNT(*) AS n,
+        SUM(CAST(COALESCE(l_shipdate IS NULL, TRUE) AS BIGINT)) AS v0,
+        SUM(CAST(COALESCE(NOT (l_quantity BETWEEN 1 AND 50), TRUE)
+            AS BIGINT)) AS v1,
+        SUM(CAST(COALESCE(l_returnflag NOT IN ('A','N','R'), TRUE)
+            AS BIGINT)) AS v2,
+        SUM(CAST(COALESCE(l_extendedprice < 0, TRUE) AS BIGINT)) AS v3,
+        SUM(CAST(COALESCE(NOT (l_discount BETWEEN 0.0 AND 0.1), TRUE)
+            AS BIGINT)) AS v4
+      FROM lineitem
+    ), u AS (
+      SELECT COUNT(*) AS n,
+             COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS v
+      FROM lineitem
+    ), fk AS (
+      SELECT (SELECT COUNT(*) FROM lineitem) AS n,
+             (SELECT COUNT(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_orderkey = l.l_orderkey)) AS v
+    )
+    SELECT * FROM (
+      SELECT 'complete(l_shipdate)' AS "constraint", n AS n_rows,
+             v0 AS violations, v0 = 0 AS passed FROM rc
+      UNION ALL
+      SELECT 'range(l_quantity,1,50)', n, v1, v1 = 0 FROM rc
+      UNION ALL
+      SELECT 'values(l_returnflag)', n, v2, v2 = 0 FROM rc
+      UNION ALL
+      SELECT 'nonneg(l_extendedprice)', n, v3, v3 = 0 FROM rc
+      UNION ALL
+      SELECT 'range(l_discount,0,0.1)', n, v4, v4 = 0 FROM rc
+      UNION ALL
+      SELECT 'unique(l_orderkey,l_linenumber)', n, v, v = 0 FROM u
+      UNION ALL
+      SELECT 'fk(l_orderkey -> o_orderkey)', n, v, v = 0 FROM fk
+    ) ORDER BY "constraint"
+    """,
+)
+def q199(spark, sf_dir):
+    """Declarative data-quality constraint suite (the Deequ /
+    Great-Expectations ingest gate, Spark-compiled): FIVE row-local
+    constraints (completeness, two ranges, accepted values,
+    non-negativity) fused into ONE whole-stage-codegen aggregation
+    pass over the lineitem scan — adding a 20th check costs one more
+    column, not one more job — plus exact key-uniqueness (one
+    count-distinct aggregate; (l_orderkey, l_linenumber) genuinely
+    duplicates in this corpus, so the report shows real violations,
+    not a vacuous all-green) and referential integrity vs orders (one
+    broadcast anti-join). Long-format (constraint, n_rows, violations,
+    passed) report, fully value-replayed."""
+    from graphragpart1datapipeline_spark.operators.quality import (
+        data_quality_report,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    report = data_quality_report(
+        li,
+        row_checks=[
+            ("complete(l_shipdate)", F.col("l_shipdate").isNull()),
+            (
+                "range(l_quantity,1,50)",
+                ~F.col("l_quantity").between(1, 50),
+            ),
+            (
+                "values(l_returnflag)",
+                ~F.col("l_returnflag").isin("A", "N", "R"),
+            ),
+            ("nonneg(l_extendedprice)", F.col("l_extendedprice") < 0),
+            (
+                "range(l_discount,0,0.1)",
+                ~F.col("l_discount").between(0.0, 0.1),
+            ),
+        ],
+        unique_keys=[["l_orderkey", "l_linenumber"]],
+        references=[("l_orderkey", orders, "o_orderkey")],
+    )
+    return report.orderBy("constraint")
+
+
+@_register(
+    "q200_join_skew_report",
+    """
+    WITH t AS (SELECT event_type FROM events WHERE event_type IS NOT NULL),
+    c AS (SELECT event_type, COUNT(*) AS cnt FROM t GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_rows,
+                 COUNT(DISTINCT event_type) AS n_distinct_keys FROM t),
+    h AS (SELECT COUNT(*) AS hot_keys,
+                 CAST(SUM(cnt) AS BIGINT) AS hot_rows,
+                 MAX(cnt) AS max_key_rows
+          FROM c, n
+          WHERE CAST(cnt AS DOUBLE) > 0.05 * CAST(n_rows AS DOUBLE))
+    SELECT n.n_rows, n.n_distinct_keys,
+           COALESCE(h.hot_keys, 0) AS hot_keys,
+           COALESCE(h.hot_rows, 0) AS hot_rows,
+           h.max_key_rows,
+           (h.max_key_rows * 1000000) // n.n_rows AS max_share_ppm,
+           CASE WHEN h.max_key_rows IS NULL THEN CAST(1 AS BIGINT)
+                ELSE LEAST(CAST(64 AS BIGINT), GREATEST(CAST(1 AS BIGINT),
+                     (h.max_key_rows * 32 + n.n_rows - 1) // n.n_rows))
+           END AS recommended_salt
+    FROM n, h
+    """,
+)
+def q200(spark, sf_dir):
+    """Join-key skew diagnostics — the operational pre-flight for
+    q165's auto-salted join: exact hot-key stats (Misra-Gries
+    candidate sweep + exact recount, never a driver-side key table),
+    exact distinct-key count, heaviest-key share in integer ppm, and
+    the salt factor the auto-salter would apply (ceil(max·P/n), capped)
+    — one bit-reproducible report row. Runs on the events stream key
+    (5 event types ~20% each: genuinely skewed, so every metric is
+    non-vacuous). The oracle recomputes the hot set from full per-key
+    counts — the MG sweep is provably a superset above the threshold,
+    so both derivations agree exactly."""
+    from graphragpart1datapipeline_spark.operators.skew import (
+        join_skew_report,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return join_skew_report(
+        ev, "event_type", threshold_frac=0.05,
+        target_parallelism=32, max_salt=64,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q02(spark, "/root/testdata/sf0.001")

@@ -178,6 +178,12 @@ SECONDARY = [
     # q53's pair generator (headline) + the CC driver (headline in q87)
     "q196_stream_dedup_native",
     "q197_dbscan_embeddings",
+    # batch 5: betweenness rides the same dense co-purchase graph as
+    # q193/q178 (headline-covered construction; keep off the headline)
+    "q198_betweenness_sampled",
+    # batch 6: one-pass quality gate + skew pre-flight (scan-bound)
+    "q199_data_quality_suite",
+    "q200_join_skew_report",
 ]
 
 # Repetitions per query; report the min. The ambient swing on a shared
