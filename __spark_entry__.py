@@ -10152,6 +10152,230 @@ def q200(spark, sf_dir):
     )
 
 
+_COPURCHASE_CTE = """
+    pe AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          FROM pe a JOIN pe b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey)"""
+
+
+@_register(
+    "q201_degree_assortativity",
+    "WITH" + _COPURCHASE_CTE + """,
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY 1),
+    j AS (SELECT da.d AS dx, db.d AS dy
+          FROM e JOIN deg da ON da.src = e.src
+                 JOIN deg db ON db.src = e.dst),
+    m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                 CAST(SUM(CAST(dx AS DECIMAL(25,4))) AS DOUBLE) AS sx,
+                 CAST(SUM(CAST(dy AS DECIMAL(25,4))) AS DOUBLE) AS sy,
+                 CAST(SUM(CAST(dx * dx AS DECIMAL(30,8))) AS DOUBLE) AS sxx,
+                 CAST(SUM(CAST(dy * dy AS DECIMAL(30,8))) AS DOUBLE) AS syy,
+                 CAST(SUM(CAST(dx * dy AS DECIMAL(30,8))) AS DOUBLE) AS sxy
+          FROM j)
+    SELECT CAST(n AS BIGINT) AS n_edges,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+             floor((n * sxy - sx * sy)
+                   / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+                   * 1000000000.0 + 0.5) / 1000000000.0
+           END AS assortativity
+    FROM m
+    """,
+)
+def q201(spark, sf_dir):
+    """Degree assortativity (Newman 2002): Pearson correlation of
+    endpoint degrees over every directed edge of the co-purchase graph
+    — do hubs buy with hubs (assortative > 0) or with the periphery
+    (disassortative < 0)? One degree groupBy + two broadcast-size
+    joins + q130's order-independent DECIMAL moment machinery
+    (`grouped_corr`), so the coefficient is hash-checkable like any
+    other correlation in the engine."""
+    from graphragpart1datapipeline_spark.operators.relational import (
+        grouped_corr,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    pe = li.select("l_orderkey", "l_partkey").distinct()
+    e = (
+        pe.alias("a")
+        .join(pe.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    j = (
+        e.join(deg.select(F.col("src"), F.col("d").alias("dx")), "src")
+        .join(
+            deg.select(F.col("src").alias("dst"), F.col("d").alias("dy")),
+            "dst",
+        )
+        .withColumn("__g", F.lit("all"))
+    )
+    return grouped_corr(j, ["__g"], "dx", "dy", out_col="assortativity").select(
+        F.col("n").alias("n_edges"), "assortativity"
+    )
+
+
+@_register(
+    "q202_eccentricity_sample",
+    "WITH RECURSIVE" + _COPURCHASE_CTE + """,
+    srcs AS (SELECT DISTINCT src AS id FROM e ORDER BY 1 LIMIT 4),
+    walk(source, id, dist) AS (
+      SELECT id, id, 0 FROM srcs
+      UNION
+      SELECT w.source, e.dst, w.dist + 1
+      FROM walk w JOIN e ON e.src = w.id
+      WHERE w.dist < 4
+    ),
+    best AS (SELECT source, id, MIN(dist) AS dist
+             FROM walk GROUP BY 1, 2)
+    SELECT source, CAST(MAX(dist) AS INTEGER) AS eccentricity,
+           COUNT(*) AS n_reached
+    FROM best GROUP BY source ORDER BY source
+    """,
+)
+def q202(spark, sf_dir):
+    """Per-source eccentricity over a deterministic source sample —
+    the diameter/radius estimator (max over sources lower-bounds the
+    diameter; min upper-bounds the radius): one (source,node)-keyed
+    multi-source BFS pass (`bfs_per_source_distances`, the q198
+    forward shape — all sources advance together, never one run per
+    source), rolled up to (source, eccentricity, n_reached).
+    Hop-capped at 4; on this graph every frontier exhausts earlier, so
+    the values are exact eccentricities (the oracle's recursive walk
+    proves it)."""
+    from graphragpart1datapipeline_spark.graph.bfs import (
+        bfs_per_source_distances,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    pe = li.select("l_orderkey", "l_partkey").distinct()
+    e = (
+        pe.alias("a")
+        .join(pe.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    srcs = e.select(F.col("src").alias("id")).distinct().orderBy("id").limit(4)
+    d = bfs_per_source_distances(e, srcs, max_hops=4, directed=True)
+    return (
+        d.groupBy("source")
+        .agg(
+            F.max("dist").alias("eccentricity"),
+            F.count(F.lit(1)).alias("n_reached"),
+        )
+        .orderBy("source")
+    )
+
+
+def _nprobe_sweep_sql(probes: tuple[int, ...] = (1, 2, 4)) -> str:
+    """Replay exact top-10 + IVF top-10 at several nprobe values
+    (q160's IVF chain with a rank-<=K centroid probe set)."""
+    sql = f"""
+    WITH n AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), q AS (
+      SELECT v AS qv FROM n WHERE vec_id = 0
+    ), ex AS (
+      SELECT vec_id FROM (
+        SELECT n.vec_id,
+               CASE WHEN sqrt(list_dot_product(n.v, n.v)) > 0
+                    THEN list_dot_product(n.v, q.qv)
+                         / (sqrt(list_dot_product(n.v, n.v))
+                            * sqrt(list_dot_product(q.qv, q.qv)))
+                    ELSE 0.0 END AS score
+        FROM n, q
+      ) ORDER BY score DESC, vec_id LIMIT 10
+    ), cents AS (
+      SELECT vec_id AS cid, v AS cv FROM n WHERE vec_id < 8
+    ), cscored AS (
+      SELECT n.vec_id, c.cid,
+             CASE WHEN sqrt(list_dot_product(n.v, n.v))
+                       * sqrt(list_dot_product(c.cv, c.cv)) > 0
+                  THEN list_dot_product(n.v, c.cv)
+                       / (sqrt(list_dot_product(n.v, n.v))
+                          * sqrt(list_dot_product(c.cv, c.cv)))
+                  ELSE 0.0 END AS cos
+      FROM n CROSS JOIN cents c
+    ), assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, cid) AS rn
+        FROM cscored) WHERE rn = 1
+    ), qrank AS (
+      SELECT cid, row_number() OVER (ORDER BY cos DESC, cid) AS rn
+      FROM cscored WHERE vec_id = 0
+    )"""
+    selects = []
+    for p in probes:
+        sql += f""", ivf{p} AS (
+      SELECT vec_id FROM (
+        SELECT cand.vec_id,
+               CASE WHEN sqrt(list_dot_product(cand.v, cand.v))
+                         * sqrt(list_dot_product(q.qv, q.qv)) > 0
+                    THEN list_dot_product(cand.v, q.qv)
+                         / (sqrt(list_dot_product(cand.v, cand.v))
+                            * sqrt(list_dot_product(q.qv, q.qv)))
+                    ELSE 0.0 END AS score
+        FROM (SELECT n.vec_id, n.v FROM n
+              JOIN assign USING (vec_id)
+              JOIN (SELECT cid FROM qrank WHERE rn <= {p}) pr
+                USING (cid)) cand, q
+      ) ORDER BY score DESC, vec_id LIMIT 10
+    )"""
+        selects.append(
+            f"SELECT {p} AS nprobe,"
+            f" (SELECT COUNT(*) FROM ex JOIN ivf{p} USING (vec_id)) AS hits,"
+            f" CAST((SELECT COUNT(*) FROM ex JOIN ivf{p} USING (vec_id))"
+            f" AS DOUBLE) / 10.0 AS recall"
+        )
+    sql += "\n    " + "\n    UNION ALL\n    ".join(selects)
+    sql += "\n    ORDER BY nprobe"
+    return sql
+
+
+@_register("q203_nprobe_recall_sweep", _nprobe_sweep_sql())
+def q203(spark, sf_dir):
+    """The IVF recall-vs-cost CURVE: recall@10 at nprobe 1, 2, 4
+    against the exact cosine top-10 — the tuning table an operator
+    reads before fixing the serving nprobe (q160 pins one point;
+    q186 pins the post-fusion SLO; this sweeps the knob). Centroid
+    ranking and all scores are the engine's exact deterministic
+    arithmetic, so the whole curve is hash-checked."""
+    from graphragpart1datapipeline_spark.vector.search import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    exact = cosine_topk(
+        emb, qvec, k=10, vec_col="embedding", id_col="vec_id"
+    ).select("vec_id").localCheckpoint(eager=True)
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding")
+    )
+    out = None
+    for p in (1, 2, 4):
+        approx = ivf_topk(
+            emb, qvec, cents, k=10, vec_col="embedding", id_col="vec_id",
+            cent_vec_col="embedding", cent_id_col="cid", nprobe=p,
+        ).select("vec_id")
+        row = exact.join(approx, "vec_id", "left_semi").agg(
+            F.lit(p).alias("nprobe"),
+            F.count(F.lit(1)).alias("hits"),
+            (F.count(F.lit(1)).cast("double") / F.lit(10.0)).alias("recall"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("nprobe")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q02(spark, "/root/testdata/sf0.001")

@@ -184,6 +184,12 @@ SECONDARY = [
     # batch 6: one-pass quality gate + skew pre-flight (scan-bound)
     "q199_data_quality_suite",
     "q200_join_skew_report",
+    # batch 7: assortativity + eccentricity ride the co-purchase graph
+    # (dense at sf0.1, off-headline like q193/q198); nprobe sweep is a
+    # 500-vector tuning table
+    "q201_degree_assortativity",
+    "q202_eccentricity_sample",
+    "q203_nprobe_recall_sweep",
 ]
 
 # Repetitions per query; report the min. The ambient swing on a shared

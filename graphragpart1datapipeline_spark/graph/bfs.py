@@ -80,3 +80,56 @@ def bfs_distances(
         dist = dist.unionByName(reached).localCheckpoint(eager=True)
         frontier = reached
     return dist
+
+
+def bfs_per_source_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 3,
+    directed: bool = False,
+) -> DataFrame:
+    """PER-SOURCE hop distances: (source, id, dist) for every source
+    in one pass — the state is keyed by (source, node) so all sources'
+    BFS fronts advance together (the q198 forward-pass shape), instead
+    of one run per source. This is what eccentricity/diameter
+    estimation needs, where :func:`bfs_distances`' min-over-seeds
+    collapse would be wrong."""
+    if max_hops < 0:
+        raise ValueError(
+            f"bfs_per_source_distances: max_hops must be >= 0, got {max_hops}"
+        )
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    if not directed:
+        e = e.unionByName(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+        )
+    e = e.filter(F.col("a") != F.col("b")).distinct().localCheckpoint(eager=True)
+    dist = (
+        sources.select(F.col(sources.columns[0]).alias("source"))
+        .distinct()
+        .select(
+            "source",
+            F.col("source").alias("id"),
+            F.lit(0).cast("int").alias("dist"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    for hop in range(1, max_hops + 1):
+        reached = (
+            e.join(frontier.withColumnRenamed("id", "a"), "a")
+            .select("source", F.col("b").alias("id"))
+            .distinct()
+            .join(dist.select("source", "id"), ["source", "id"], "left_anti")
+            .select(
+                "source", "id", F.lit(hop).cast("int").alias("dist")
+            )
+            .localCheckpoint(eager=True)
+        )
+        if reached.limit(1).count() == 0:
+            break
+        dist = dist.unionByName(reached).localCheckpoint(eager=True)
+        frontier = reached
+    return dist

@@ -291,3 +291,31 @@ def test_projection_plan_is_shuffle_free(spark):
     plan = random_projection(df, 8, 4)._jdf.queryExecution().optimizedPlan().toString()
     assert "Exchange" not in plan
     assert "Python" not in plan
+
+
+def test_bfs_per_source_distances_matches_per_seed_runs(spark):
+    """One multi-source pass == independent single-seed runs, and the
+    eccentricity rollup is exact."""
+    from graphragpart1datapipeline_spark.graph.bfs import (
+        bfs_distances,
+        bfs_per_source_distances,
+    )
+
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (3, 6), (10, 11)])
+    seeds = [1, 4, 10]
+    multi = {
+        (r["source"], r["id"]): r["dist"]
+        for r in bfs_per_source_distances(
+            e, _seeds(spark, seeds), max_hops=5
+        ).collect()
+    }
+    single = {}
+    for s in seeds:
+        for r in bfs_distances(e, _seeds(spark, [s]), max_hops=5).collect():
+            single[(s, r["id"])] = r["dist"]
+    assert multi == single
+    ecc = {}
+    for (s, _), d in multi.items():
+        ecc[s] = max(ecc.get(s, 0), d)
+    # from 1: 2@1, 3@2, {4,6}@3, 5@4 -> ecc 4; from 4: 1@3; 10-11 pair
+    assert ecc == {1: 4, 4: 3, 10: 1}
