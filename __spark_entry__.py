@@ -10376,6 +10376,152 @@ def q203(spark, sf_dir):
     return out.orderBy("nprobe")
 
 
+def _mmr_oracle_sql(k: int = 5, lam: float = 0.7, cand: int = 20) -> str:
+    """Unrolled greedy-MMR replay: top-``cand`` cosine candidates, then
+    k rounds of argmax(lam·rel − (1−lam)·max-sim-to-selected) with id
+    tie-breaks. (1−lam) is embedded via repr so the SQL double equals
+    the engine's Python-computed literal bit for bit."""
+    one_minus = repr(1.0 - lam)
+    sql = f"""
+    WITH n AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), q AS (
+      SELECT v AS qv FROM n WHERE vec_id = 0
+    ), c0 AS (
+      SELECT vec_id, score, uv FROM (
+        SELECT n.vec_id,
+               CASE WHEN sqrt(list_dot_product(n.v, n.v)) > 0
+                    THEN list_dot_product(n.v, q.qv)
+                         / (sqrt(list_dot_product(n.v, n.v))
+                            * sqrt(list_dot_product(q.qv, q.qv)))
+                    ELSE 0.0 END AS score,
+               CASE WHEN sqrt(list_dot_product(n.v, n.v)) > 0
+                    THEN list_transform(
+                           n.v, x -> x / sqrt(list_dot_product(n.v, n.v)))
+               END AS uv
+        FROM n, q
+      ) ORDER BY score DESC, vec_id LIMIT {cand}
+    ), s1 AS (
+      SELECT vec_id, score, uv, {lam!r} * score AS mmr
+      FROM c0 ORDER BY {lam!r} * score DESC, vec_id LIMIT 1
+    ), sel1 AS (SELECT vec_id, uv FROM s1)"""
+    for r in range(2, k + 1):
+        prev_sel = f"sel{r - 1}"
+        sql += f""", m{r} AS (
+      SELECT c.vec_id,
+             MAX(COALESCE(list_dot_product(c.uv, s.uv), 0.0)) AS ms
+      FROM c0 c, {prev_sel} s
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM {prev_sel})
+      GROUP BY 1
+    ), s{r} AS (
+      SELECT c.vec_id, c.score, c.uv,
+             {lam!r} * c.score - {one_minus} * m{r}.ms AS mmr
+      FROM c0 c JOIN m{r} USING (vec_id)
+      ORDER BY mmr DESC, vec_id LIMIT 1
+    ), sel{r} AS (
+      SELECT vec_id, uv FROM {prev_sel}
+      UNION ALL SELECT vec_id, uv FROM s{r}
+    )"""
+    rows = "\n    UNION ALL\n    ".join(
+        f"SELECT {r} AS rank, vec_id,"
+        f" floor(score * 1000000000.0 + 0.5) / 1000000000.0 AS relevance,"
+        f" floor(mmr * 1000000000.0 + 0.5) / 1000000000.0 AS mmr_score"
+        f" FROM s{r}"
+        for r in range(1, k + 1)
+    )
+    sql += f"\n    {rows}\n    ORDER BY rank"
+    return sql
+
+
+@_register("q204_mmr_rerank", _mmr_oracle_sql())
+def q204(spark, sf_dir):
+    """Maximal Marginal Relevance re-ranking (Carbonell-Goldstein
+    SIGIR'98) — the diversity stage between retrieval and context
+    stitching a RAG stack needs so ten near-identical chunks don't
+    burn the context window: top-20 cosine candidates for the fixed
+    query, then 5 greedy rounds of argmax(0.7·rel − 0.3·max-sim-to-
+    selected). Each round is one candidate-sized broadcast join + a
+    1-row argmax (MMR is sequential in k, but k IS the context budget
+    — the corpus was scored by the retriever, never here). The whole
+    greedy trace is deterministic doubles with id tie-breaks; the
+    oracle replays all 5 rounds."""
+    from graphragpart1datapipeline_spark.vector.mmr import mmr_rerank
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    cands = cosine_topk(
+        emb, qvec, k=20, vec_col="embedding", id_col="vec_id"
+    )
+    out = mmr_rerank(
+        cands, k=5, lam=0.7, vec_col="embedding", id_col="vec_id",
+        rel_col="score",
+    )
+    return out.select(
+        "rank",
+        "vec_id",
+        _round_det("relevance", 9).alias("relevance"),
+        _round_det("mmr_score", 9).alias("mmr_score"),
+    ).orderBy("rank")
+
+
+_ORACLES["q205_stream_hll_ndv"] = (
+    "WITH "
+    + _hll_reg_sql(
+        "SELECT CAST(event_id AS VARCHAR) AS v FROM events", "regs"
+    )
+    + """,
+    est AS """
+    + _hll_est_sql("regs")
+    + """,
+    ex AS (SELECT COUNT(DISTINCT event_id) AS exact_ndv FROM events)
+    SELECT est.est_ndv, est.observed_registers, ex.exact_ndv
+    FROM est, ex
+    """
+)
+
+
+@_register("q205_stream_hll_ndv")
+def q205(spark, sf_dir):
+    """STREAMING cardinality via mergeable HLL registers: the q192
+    register build run as a Structured Streaming stateful aggregation
+    (complete-mode groupBy(register).max(rho) — state is O(2^p)
+    registers, NEVER O(keys): the only viable NDV contract on an
+    unbounded stream, and why approx-distinct belongs in the engine's
+    sketch family rather than a distinct-count), drained with
+    availableNow and fed to the same exact-arithmetic estimator. max()
+    is order-independent, so stream == batch register for register and
+    the whole thing value-replays against the q192 oracle machinery +
+    the exact NDV."""
+    import uuid
+
+    from graphragpart1datapipeline_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+    from graphragpart1datapipeline_spark.sources import read_events_stream
+
+    sdf = read_events_stream(spark, sf_dir).select(
+        F.col("event_id").cast("string").alias("v")
+    )
+    regs = hll_registers(sdf, "v", [], p=_HLL_P)
+    name = f"q205_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        regs.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    est = hll_estimate(spark.table(name), [], p=_HLL_P)
+    ex = _t(spark, sf_dir, "events").groupBy().agg(
+        F.countDistinct("event_id").alias("exact_ndv")
+    )
+    return est.crossJoin(F.broadcast(ex)).select(
+        "est_ndv", "observed_registers", "exact_ndv"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q02(spark, "/root/testdata/sf0.001")

@@ -190,6 +190,10 @@ SECONDARY = [
     "q201_degree_assortativity",
     "q202_eccentricity_sample",
     "q203_nprobe_recall_sweep",
+    # batch 8: serving-side diversity re-rank (candidate-sized work);
+    # streaming HLL NDV (trigger-latency-bound like q196)
+    "q204_mmr_rerank",
+    "q205_stream_hll_ndv",
 ]
 
 # Repetitions per query; report the min. The ambient swing on a shared

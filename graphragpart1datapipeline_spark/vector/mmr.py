@@ -1,0 +1,101 @@
+"""Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+SIGIR'98) — the diversity stage of a RAG serving stack: after
+retrieval returns k' candidates, pick k of them that are RELEVANT but
+not REDUNDANT, maximizing
+
+    MMR(c) = lambda * rel(c) - (1 - lambda) * max_{s in S} sim(c, s)
+
+greedily. Ten near-identical chunks waste a context window; MMR is the
+standard fix between retrieval (q25/q104/q176) and stitching (q175).
+
+Scale shape: MMR is inherently sequential in k, but k is the CONTEXT
+budget (5-20), and the candidate set is already top-k' (tens to
+hundreds) — so each round is one candidate-sized join against the
+selected set (<= k rows, broadcast) + one 1-row argmax collect. The
+expensive part (scoring the corpus) happened in the retriever; this
+operator never touches the corpus. All arithmetic is the engine's
+deterministic double contract (unit-vector dots as ordered folds,
+fixed expression shape, id tie-breaks), so the greedy trace is
+bit-reproducible and SQL-replayable round for round (q204).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .search import dot_expr, l2_norm_expr
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int = 5,
+    lam: float = 0.7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    rel_col: str = "score",
+) -> DataFrame:
+    """Greedy MMR over a (small) candidate frame carrying vectors and
+    retrieval relevance. Returns (rank, ``id_col``, relevance,
+    mmr_score) for the k selected candidates, rank starting at 1.
+    Ties break on ascending id at every round (deterministic greedy
+    trace). Vectors are unit-normalized once; zero vectors get
+    similarity 0 to everything."""
+    if k < 1:
+        raise ValueError(f"mmr_rerank: k must be >= 1, got {k}")
+    if not (0.0 <= lam <= 1.0):
+        raise ValueError(f"mmr_rerank: lambda must be in [0, 1], got {lam}")
+    nrm = l2_norm_expr(F.col(vec_col))
+    cand = candidates.select(
+        F.col(id_col),
+        F.col(rel_col).cast("double").alias("__rel"),
+        F.when(
+            nrm > 0,
+            F.transform(F.col(vec_col), lambda x: x.cast("double") / nrm),
+        ).alias("__u"),
+    ).localCheckpoint(eager=True)
+
+    picked: list = []  # rows: (id, rel, mmr)
+    remaining = cand
+    for rank in range(1, k + 1):
+        if rank == 1:
+            scored = remaining.select(
+                id_col, "__rel", (F.lit(lam) * F.col("__rel")).alias("__mmr")
+            )
+        else:
+            sel = cand.filter(
+                F.col(id_col).isin([p[0] for p in picked])
+            ).select(F.col("__u").alias("__su"))
+            maxsim = (
+                remaining.crossJoin(F.broadcast(sel))
+                .select(
+                    id_col,
+                    F.coalesce(
+                        dot_expr(F.col("__u"), F.col("__su")), F.lit(0.0)
+                    ).alias("__sim"),
+                )
+                .groupBy(id_col)
+                .agg(F.max("__sim").alias("__maxsim"))
+            )
+            scored = remaining.join(maxsim, id_col).select(
+                id_col,
+                "__rel",
+                (
+                    F.lit(lam) * F.col("__rel")
+                    - F.lit(1.0 - lam) * F.col("__maxsim")
+                ).alias("__mmr"),
+            )
+        top = scored.orderBy(F.desc("__mmr"), F.asc(id_col)).head()
+        if top is None:
+            break
+        picked.append((top[id_col], top["__rel"], top["__mmr"]))
+        remaining = remaining.filter(F.col(id_col) != F.lit(top[id_col]))
+
+    spark = candidates.sparkSession
+    return spark.createDataFrame(
+        [
+            (i + 1, pid, rel, mmr)
+            for i, (pid, rel, mmr) in enumerate(picked)
+        ],
+        f"rank int, {id_col} long, relevance double, mmr_score double",
+    )

@@ -179,3 +179,97 @@ def test_stream_dedup_within_watermark_matches_batch_keys(spark, tmp_path):
         stream_dedup_within_watermark(sdf, [])
     with pytest.raises(ValueError, match="streaming"):
         stream_dedup_within_watermark(batch, ["user_id"])
+
+
+# ---------------------------------------------------------------------------
+# MMR re-ranking
+# ---------------------------------------------------------------------------
+
+
+def test_mmr_diversifies_near_duplicates(spark):
+    """Three near-identical high-relevance vectors + one orthogonal
+    lower-relevance vector: pure relevance keeps all three clones;
+    MMR picks one clone then the orthogonal doc."""
+    from graphragpart1datapipeline_spark.vector.mmr import mmr_rerank
+
+    rows = [
+        (1, [1.0, 0.0], 0.99),
+        (2, [1.0, 0.001], 0.98),   # clone of 1
+        (3, [1.0, -0.001], 0.97),  # clone of 1
+        (4, [0.0, 1.0], 0.60),     # orthogonal, less relevant
+    ]
+    cands = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, score double"
+    )
+    got = [
+        (r["rank"], r["vec_id"])
+        for r in mmr_rerank(cands, k=3, lam=0.7).orderBy("rank").collect()
+    ]
+    assert got[0] == (1, 1)        # best relevance first
+    assert got[1] == (2, 4)        # diversity beats the clones
+    assert got[2][1] in (2, 3)     # then a clone comes back
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="k must"):
+        mmr_rerank(cands, k=0)
+    with _pt.raises(ValueError, match="lambda"):
+        mmr_rerank(cands, lam=1.5)
+
+
+def test_mmr_matches_driver_greedy(spark):
+    """Pseudo-random candidates vs an exact driver-side greedy MMR."""
+    import hashlib
+    import math
+
+    from graphragpart1datapipeline_spark.vector.mmr import mmr_rerank
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    n, d, lam, k = 15, 6, 0.7, 6
+    vecs = {
+        i: [((h(f"v:{i}:{j}") % 2000) - 1000) / 1000.0 for j in range(d)]
+        for i in range(n)
+    }
+    rel = {i: (h(f"r:{i}") % 1000) / 1000.0 for i in range(n)}
+
+    def unit(v):
+        nm = math.sqrt(sum(x * x for x in v))
+        return [x / nm for x in v] if nm > 0 else None
+
+    u = {i: unit(v) for i, v in vecs.items()}
+
+    def dot(a, b):
+        if a is None or b is None:
+            return 0.0
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    picked = []
+    remaining = set(range(n))
+    for _ in range(k):
+        best = None
+        for c in sorted(remaining):
+            if not picked:
+                s = lam * rel[c]
+            else:
+                s = lam * rel[c] - (1.0 - lam) * max(
+                    dot(u[c], u[p]) for p in picked
+                )
+            if best is None or s > best[1] or (s == best[1] and c < best[0]):
+                if best is None or s > best[1]:
+                    best = (c, s)
+        picked.append(best[0])
+        remaining.discard(best[0])
+
+    cands = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]], rel[i]) for i in range(n)],
+        "vec_id long, embedding array<float>, score double",
+    )
+    got = [
+        r["vec_id"]
+        for r in mmr_rerank(cands, k=k, lam=lam).orderBy("rank").collect()
+    ]
+    assert got == picked
