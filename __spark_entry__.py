@@ -10522,6 +10522,62 @@ def q205(spark, sf_dir):
     )
 
 
+@_register(
+    "q206_harmonic_centrality",
+    "WITH RECURSIVE" + _COPURCHASE_CTE + """,
+    srcs AS (SELECT DISTINCT src AS id FROM e ORDER BY 1 LIMIT 4),
+    walk(source, id, dist) AS (
+      SELECT id, id, 0 FROM srcs
+      UNION
+      SELECT w.source, e.dst, w.dist + 1
+      FROM walk w JOIN e ON e.src = w.id
+      WHERE w.dist < 4
+    ),
+    best AS (SELECT source, id, MIN(dist) AS dist
+             FROM walk GROUP BY 1, 2)
+    SELECT id, CAST(SUM(1000000 // dist) AS BIGINT) AS harmonic_scaled
+    FROM best WHERE dist > 0
+    GROUP BY id
+    ORDER BY harmonic_scaled DESC, id
+    LIMIT 50
+    """,
+)
+def q206(spark, sf_dir):
+    """Harmonic centrality from the sampled source set (Boldi-Vigna
+    2014's recommended closeness variant — finite for disconnected
+    graphs): harmonic(v) = Σ_s 1/d(s,v), computed as Σ SCALE DIV d in
+    exact integers over the same one-pass (source,node)-keyed BFS as
+    q202 — reciprocal-of-integer sums in floating point would be
+    summation-order-dependent; the scaled-integer form is
+    bit-reproducible. Completes the centrality family: degree (q201's
+    input), PageRank (q82), betweenness (q198), harmonic. Top-50."""
+    from graphragpart1datapipeline_spark.graph.bfs import (
+        bfs_per_source_distances,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    pe = li.select("l_orderkey", "l_partkey").distinct()
+    e = (
+        pe.alias("a")
+        .join(pe.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    srcs = e.select(F.col("src").alias("id")).distinct().orderBy("id").limit(4)
+    d = bfs_per_source_distances(e, srcs, max_hops=4, directed=True)
+    return (
+        d.filter(F.col("dist") > 0)
+        .groupBy("id")
+        .agg(F.sum(F.expr("1000000 DIV dist")).alias("harmonic_scaled"))
+        .orderBy(F.desc("harmonic_scaled"), F.asc("id"))
+        .limit(50)
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q02(spark, "/root/testdata/sf0.001")

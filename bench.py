@@ -191,9 +191,11 @@ SECONDARY = [
     "q202_eccentricity_sample",
     "q203_nprobe_recall_sweep",
     # batch 8: serving-side diversity re-rank (candidate-sized work);
-    # streaming HLL NDV (trigger-latency-bound like q196)
+    # streaming HLL NDV (trigger-latency-bound like q196); harmonic
+    # centrality rides the co-purchase graph (off-headline like q198)
     "q204_mmr_rerank",
     "q205_stream_hll_ndv",
+    "q206_harmonic_centrality",
 ]
 
 # Repetitions per query; report the min. The ambient swing on a shared

@@ -319,3 +319,26 @@ def test_bfs_per_source_distances_matches_per_seed_runs(spark):
         ecc[s] = max(ecc.get(s, 0), d)
     # from 1: 2@1, 3@2, {4,6}@3, 5@4 -> ecc 4; from 4: 1@3; 10-11 pair
     assert ecc == {1: 4, 4: 3, 10: 1}
+
+
+def test_harmonic_centrality_golden_path(spark):
+    """Path 1-2-3-4-5, all 5 sources: harmonic(3) = 2*(1 + 1/2) scaled;
+    endpoints get 1 + 1/2 + 1/3 + 1/4 (integer-floored per term)."""
+    from graphragpart1datapipeline_spark.graph.bfs import (
+        bfs_per_source_distances,
+    )
+
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    d = bfs_per_source_distances(e, _seeds(spark, [1, 2, 3, 4, 5]), max_hops=4)
+    got = {
+        r["id"]: r["h"]
+        for r in d.filter(F.col("dist") > 0)
+        .groupBy("id")
+        .agg(F.sum(F.expr("1000000 DIV dist")).alias("h"))
+        .collect()
+    }
+    # node 3: dists to others = 2,1,1,2 -> 2*1e6 + 2*5e5 = 3_000_000
+    assert got[3] == 3_000_000
+    # node 1: dists 1,2,3,4 -> 1e6 + 5e5 + 333333 + 250000
+    assert got[1] == 1_000_000 + 500_000 + 333_333 + 250_000
+    assert got[1] == got[5] and got[2] == got[4]
