@@ -116,13 +116,29 @@ def betweenness_sampled(
                 )
             )
         )
+        # accumulate in decimal(38,0): each guarded term can be near
+        # 2^62, so a BIGINT sum of a few terms can wrap silently in
+        # non-ANSI mode — decimal sum is exact, then range-checked
+        # back to long (loud, never a corrupted negative __dw)
+        dec_sum = F.sum(F.col("__t").cast("decimal(38,0)"))
+        checked = F.when(
+            dec_sum <= F.lit(guard_cap).cast("decimal(38,0)"),
+            dec_sum.cast("long"),
+        ).otherwise(
+            F.raise_error(
+                F.lit(
+                    "betweenness_sampled: dependency sum exceeds 2^62 — "
+                    "lower `scale` or `max_hops`"
+                )
+            )
+        )
         dsum = (
             levels[L]
             .join(e.withColumnRenamed("a", "v"), "v")
             .join(succ, ["s", "b"])
             .select("s", "v", term.alias("__t"))
             .groupBy("s", "v")
-            .agg(F.sum("__t").alias("D"))
+            .agg(checked.alias("D"))
         )
         delta = (
             levels[L]
@@ -135,7 +151,19 @@ def betweenness_sampled(
     alld = per_level[0]
     for d in per_level[1:]:
         alld = alld.unionByName(d)
+    total = F.sum(F.col("D").cast("decimal(38,0)"))
+    total_checked = F.when(
+        total <= F.lit(guard_cap).cast("decimal(38,0)"),
+        total.cast("long"),
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "betweenness_sampled: bc sum exceeds 2^62 — "
+                "lower `scale` or the source sample size"
+            )
+        )
+    )
     return (
         alld.groupBy(F.col("v").alias("id"))
-        .agg(F.sum("D").alias("bc_scaled"))
+        .agg(total_checked.alias("bc_scaled"))
     )

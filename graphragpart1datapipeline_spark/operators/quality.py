@@ -37,8 +37,16 @@ def row_checks_report(
         raise ValueError("row_checks_report: no checks declared")
     aggs = [F.count(F.lit(1)).alias("__n")]
     for i, (_, pred) in enumerate(checks):
+        # coalesce the SUM itself: over a zero-row input SUM is NULL,
+        # which would make passed = (NULL == 0) = NULL — an ingest gate
+        # checking passed==true vs ==false would see neither. Empty
+        # input reports violations=0, passed=true (pair with an
+        # explicit n_rows>0 check when emptiness itself is a failure).
         aggs.append(
-            F.sum(F.coalesce(pred, F.lit(True)).cast("bigint")).alias(f"__v{i}")
+            F.coalesce(
+                F.sum(F.coalesce(pred, F.lit(True)).cast("bigint")),
+                F.lit(0).cast("bigint"),
+            ).alias(f"__v{i}")
         )
     wide = df.groupBy().agg(*aggs)
     reports = []

@@ -156,6 +156,10 @@ def bm25_query(
     so serving from the index is bit-identical to the one-shot path."""
     from pyspark.sql import Window
 
+    if not terms:
+        # zero-arg Column.isin() is an analysis error downstream —
+        # fail loudly up front, matching the module's guard convention
+        raise ValueError("bm25_query: terms is empty")
     _check_version(index, "bm25_query")
     qterms = sorted({t.lower() for t in terms})
     stats = index["dl"].agg(

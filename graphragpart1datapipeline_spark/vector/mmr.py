@@ -34,17 +34,37 @@ def mmr_rerank(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     rel_col: str = "score",
+    max_candidates: int = 1000,
 ) -> DataFrame:
     """Greedy MMR over a (small) candidate frame carrying vectors and
     retrieval relevance. Returns (rank, ``id_col``, relevance,
     mmr_score) for the k selected candidates, rank starting at 1.
     Ties break on ascending id at every round (deterministic greedy
     trace). Vectors are unit-normalized once; zero vectors get
-    similarity 0 to everything."""
+    similarity 0 to everything.
+
+    ``max_candidates`` is an ENFORCED contract, not advice: MMR issues
+    k driver round-trips over the candidate frame, which is only sane
+    when that frame is a retriever's top-k' output. A corpus-sized
+    frame raises (bounded ``limit(max+1).count()`` probe — the
+    PassJoin pattern) instead of silently hammering the driver."""
     if k < 1:
         raise ValueError(f"mmr_rerank: k must be >= 1, got {k}")
     if not (0.0 <= lam <= 1.0):
         raise ValueError(f"mmr_rerank: lambda must be in [0, 1], got {lam}")
+    if max_candidates < 1:
+        raise ValueError(
+            f"mmr_rerank: max_candidates must be >= 1, got {max_candidates}"
+        )
+    probe = candidates.limit(max_candidates + 1).count()
+    if probe > max_candidates:
+        raise ValueError(
+            f"mmr_rerank: candidate frame exceeds max_candidates="
+            f"{max_candidates} — MMR is a SERVING-stage re-ranker over a "
+            "retriever's top-k' output, not a corpus operator; retrieve "
+            "first (cosine_topk/lsh_topk/ivf_topk), or raise "
+            "max_candidates explicitly if you really mean it"
+        )
     nrm = l2_norm_expr(F.col(vec_col))
     cand = candidates.select(
         F.col(id_col),
@@ -92,10 +112,13 @@ def mmr_rerank(
         remaining = remaining.filter(F.col(id_col) != F.lit(top[id_col]))
 
     spark = candidates.sparkSession
+    # id field keeps the CANDIDATES' id type (string doc ids are as
+    # legitimate as longs; hardcoding long would fail/mis-coerce them)
+    id_type = candidates.schema[id_col].dataType.simpleString()
     return spark.createDataFrame(
         [
             (i + 1, pid, rel, mmr)
             for i, (pid, rel, mmr) in enumerate(picked)
         ],
-        f"rank int, {id_col} long, relevance double, mmr_score double",
+        f"rank int, {id_col} {id_type}, relevance double, mmr_score double",
     )

@@ -336,13 +336,39 @@ def ivf_upsert(
     the measured numbers (re-train k-means, rebuild, resume) instead
     of silently degrading. On success the stats file is updated with
     the running (count-weighted) mean so the baseline tracks the
-    admitted corpus. Returns the read-back updated index frame."""
+    admitted corpus. Returns the read-back updated index frame.
+
+    ID-COLLISION GATE: increments must be id-disjoint from the
+    persisted index — append-only partitioned parquet cannot replace
+    rows, so re-ingesting an existing id would silently double-count
+    it in the index AND the stats baseline. The gate is one broadcast
+    semi-join of the (id-only) index scan against the increment-sized
+    rid set; collisions RAISE with a sample of offending ids (to
+    replace vectors, rebuild with :func:`ivf_build_index`)."""
     spark = new_df.sparkSession
     stats = spark.read.parquet(path + "_stats").collect()[0]
     assign = ivf_assignments(
         new_df, centroids, vec_col, id_col, cent_vec_col, cent_id_col,
         include_score=True,
     ).localCheckpoint(eager=True)
+    new_ids = assign.select(id_col).distinct()
+    clashes = (
+        spark.read.parquet(path)
+        .select(id_col)
+        .join(F.broadcast(new_ids), id_col, "left_semi")
+        .limit(5)
+        .collect()
+    )
+    if clashes:
+        sample = ", ".join(str(r[0]) for r in clashes)
+        raise ValueError(
+            "ivf_upsert: increment re-ingests ids already present in the "
+            f"index at {path} (e.g. {sample}) — the partitioned-parquet "
+            "index is append-only, so a colliding id would be silently "
+            "double-counted in the index and the _stats baseline. "
+            "Increments must be id-disjoint; to replace vectors, rebuild "
+            "with ivf_build_index."
+        )
     inc = assign.agg(
         F.count(F.lit(1)).alias("n"), F.avg("assign_cos").alias("mean_cos")
     ).collect()[0]
