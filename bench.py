@@ -135,6 +135,17 @@ HEADLINE = [
     # shuffle saver; the sketch family's scale path (cms/hll twins in
     # the secondary tier: counter/register tables, sub-second)
     "q189_bloom_pruned_join",
+    # round-6: the MMR-diversified serving DAG (retrieval → RRF → MMR
+    # → stitch — the engine's flagship serving answer) and the
+    # auto-tuned ANN serving (sweep → pick → serve). NOT benched:
+    # q209 (composed daily-maintenance DAG: ~90 s of versioned-index
+    # round-trips by design, q144's regime) and q213 (HyperBall
+    # profile: the exact-BFS validation column rides the co-purchase
+    # graph, adversarially dense at sf0.1 like q152/q193) — both
+    # oracle-gated every round regardless.
+    "q207_rag_serving_mmr",
+    "q211_rag_serving_tuned",
+    "q214_salted_join_shared_detection",
 ]
 
 # Secondary tier: sub-second operators whose family is already
@@ -196,6 +207,17 @@ SECONDARY = [
     "q204_mmr_rerank",
     "q205_stream_hll_ndv",
     "q206_harmonic_centrality",
+    # round 6: the ANN-armed MMR serving twin (q207's headline trace
+    # covers the family; the diff vs q207 is the IVF arm already
+    # traced by q185), the nprobe tuning table (500-vector sweep),
+    # the mergeable quantile sketch (orders-sized sample build),
+    # and the index-deletion verbs (bm25 anti-join shrink; ivf
+    # partition-local rewrite — IO-dominated like q180, 1 rep)
+    "q208_rag_serving_mmr_ann",
+    "q210_ivf_tune",
+    "q212_quantile_sketch",
+    "q215_bm25_delete",
+    "q216_ivf_delete",
 ]
 
 # Repetitions per query; report the min. The ambient swing on a shared

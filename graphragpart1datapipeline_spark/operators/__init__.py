@@ -33,6 +33,7 @@ from .sketches import (  # noqa: F401
 )
 from .joins import (  # noqa: F401
     detect_hot_keys,
+    hot_key_table,
     interval_lookup_join,
     multi_hop,
     name_or_alias_join,

@@ -166,6 +166,21 @@ def detect_hot_keys(
     return _detect_hot_keys_with_total(df, on, threshold_frac).drop("__n")
 
 
+def hot_key_table(
+    df: DataFrame,
+    on: str | Sequence[str],
+    threshold_frac: float = 0.01,
+) -> DataFrame:
+    """The PRE-FLIGHT detection artifact: (keys..., __cnt, __n) — hot
+    keys with exact counts plus the total row count every row carries.
+    Materialize it ONCE (``.localCheckpoint(eager=True)`` or persist to
+    parquet) and hand it to every :func:`salted_join_auto` /
+    ``join_skew_report`` touching the same fact side of a composed DAG:
+    one 3-pass detection scan instead of one per join. At most
+    ``1/threshold_frac`` rows by construction."""
+    return _detect_hot_keys_with_total(df, on, threshold_frac)
+
+
 def salted_join_auto(
     left: DataFrame,
     right: DataFrame,
@@ -174,6 +189,7 @@ def salted_join_auto(
     threshold_frac: float = 0.01,
     max_salt: int = 64,
     target_rows_per_shard: int | None = None,
+    hot_keys: DataFrame | None = None,
 ) -> DataFrame:
     """:func:`salted_join` with AUTOMATIC hot-key detection and per-key
     salt sizing: only keys holding > ``threshold_frac`` of the left
@@ -192,9 +208,15 @@ def salted_join_auto(
     threshold gets 1 shard and a key at X× the threshold gets ~X).
     Deterministic for a fixed input (exact counts, no sampling).
 
+    ``hot_keys``: a PRECOMPUTED detection table (:func:`hot_key_table`
+    over the same left/keys — materialize it once) so the multiple
+    joins of a composed DAG share ONE detection scan instead of
+    re-profiling the fact side per join; schema is validated, counts
+    are trusted as given.
+
     Join-type restrictions are inherited from :func:`salted_join`
     (inner/left flavors only). Equivalence with the plain join is
-    oracle-locked (q165)."""
+    oracle-locked (q165; shared-detection variant q214)."""
     allowed = {"inner", "left", "leftouter", "left_outer", "left_semi",
                "leftsemi", "left_anti", "leftanti", "cross"}
     if how.lower() not in allowed:
@@ -206,9 +228,19 @@ def salted_join_auto(
     # bounded collect: <= 1/threshold_frac rows, each carrying the
     # total row count __n (so shard sizing needs no extra left.count()
     # pass — detection's 3 scans are the whole pre-join budget)
-    hot_rows = _detect_hot_keys_with_total(
-        left, keys, threshold_frac
-    ).collect()
+    if hot_keys is not None:
+        missing = (set(keys) | {"__cnt", "__n"}) - set(hot_keys.columns)
+        if missing:
+            raise ValueError(
+                "salted_join_auto: hot_keys is missing columns "
+                f"{sorted(missing)} — pass the hot_key_table(...) output "
+                "built over the SAME left frame and join keys"
+            )
+        hot_rows = hot_keys.collect()
+    else:
+        hot_rows = _detect_hot_keys_with_total(
+            left, keys, threshold_frac
+        ).collect()
     if not hot_rows:
         return left.join(right, keys, how)
     # target shard size = the threshold count: a key at exactly the

@@ -602,3 +602,141 @@ def hll_estimate(
     return agg.select(
         *groups, est.alias("est_ndv"), F.col("observed_registers")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketch (bottom-k uniform row sample)
+# ---------------------------------------------------------------------------
+
+
+def _bottom_t_rows(rows: DataFrame, groups: list[str], t: int) -> DataFrame:
+    """Rows with the t smallest ``__h`` per group, ``__val`` tiebreak
+    (fully deterministic row set even under 60-bit hash collisions).
+    Same two-phase shape as :func:`_k_smallest`: ungrouped inputs
+    pre-reduce per input partition so the final window sees at most
+    ``num_partitions * t`` rows instead of the whole stream."""
+    order = [F.col("__h").asc(), F.col("__val").asc()]
+    if not groups:
+        local_w = Window.partitionBy("__pid").orderBy(*order)
+        rows = (
+            rows.withColumn("__pid", F.spark_partition_id())
+            .withColumn("__lrn", F.row_number().over(local_w))
+            .filter(F.col("__lrn") <= t)
+            .drop("__pid", "__lrn")
+        )
+    w = Window.partitionBy(
+        *[F.col(g) for g in groups] or [F.lit(1)]
+    ).orderBy(*order)
+    return (
+        rows.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= t)
+        .drop("__rn")
+    )
+
+
+def quantile_sketch_build(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    group_cols: Sequence[str] = (),
+    t: int = 256,
+) -> DataFrame:
+    """Mergeable bottom-k QUANTILE sketch (Cohen & Kaplan 2007's
+    bottom-k row sample): hash each row's UNIQUE id to a uniform
+    60-bit md5 value and keep the t rows with the smallest hashes per
+    group, carrying the value column — a uniform t-row sample whose
+    membership is a pure function of the ids, so it is bit-identical
+    across engines/partitionings AND mergeable (union two sketches,
+    re-take the bottom t: the global bottom-t of a union is the
+    bottom-t of the per-shard bottom-t's). Rank error of a quantile
+    read off the sample is O(1/sqrt(t)) with high probability.
+
+    This is the deterministic counterpart of Spark's GK
+    ``percentile_approx`` the way KMV is of HyperLogLog++: a slightly
+    worse space/accuracy curve bought back as cross-engine
+    replayability (q212 value-checks build+merge+query against DuckDB;
+    engine-internal sketches can never have that oracle — q52).
+
+    ``id_col`` MUST be unique per row — the sample is keyed by it
+    (duplicated ids would under-sample their rows; the doc-id contract
+    every persisted index in this engine already requires).
+
+    Output: group cols + (h, value) rows, ≤ t per group. Persist per
+    shard/day; roll up with :func:`quantile_sketch_merge`; read
+    quantiles with :func:`quantile_sketch_query`.
+    """
+    if t < 1:
+        raise ValueError(f"quantile_sketch_build: t must be >= 1, got {t}")
+    groups = list(group_cols)
+    rows = df.select(
+        *groups,
+        kmv_hash(F.col(id_col)).alias("__h"),
+        F.col(value_col).cast("double").alias("__val"),
+    )
+    kept = _bottom_t_rows(rows, groups, t)
+    return kept.select(
+        *groups, F.col("__h").alias("h"), F.col("__val").alias("value")
+    )
+
+
+def quantile_sketch_merge(
+    sketches: DataFrame,
+    group_cols: Sequence[str] = (),
+    t: int = 256,
+) -> DataFrame:
+    """Merge unioned per-shard sketches (same schema as
+    :func:`quantile_sketch_build` output) into one sketch per group:
+    keep the t smallest hashes of the union. Associative and
+    commutative — per-shard sketches roll up in any order to exactly
+    the sketch of the concatenated data (q212's oracle replays the
+    single-pass build against the Spark-side two-shard merge)."""
+    groups = list(group_cols)
+    rows = sketches.select(
+        *groups, F.col("h").alias("__h"), F.col("value").alias("__val")
+    )
+    kept = _bottom_t_rows(rows, groups, t)
+    return kept.select(
+        *groups, F.col("__h").alias("h"), F.col("__val").alias("value")
+    )
+
+
+def quantile_sketch_query(
+    sketch: DataFrame,
+    qs: Sequence[float],
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Read quantiles off the sample: per group, the sorted sample's
+    nearest-rank element — idx = (q_milli·(m−1) + 500) DIV 1000 on the
+    0-based sorted values, ALL-INTEGER index arithmetic (quantiles are
+    taken in milli-units so no float rounding can differ across
+    engines). Returns (group cols..., q_milli, sample_m, q_value).
+    """
+    if not qs:
+        raise ValueError("quantile_sketch_query: qs is empty")
+    millis = sorted({int(round(q * 1000)) for q in qs})
+    if any(m < 0 or m > 1000 for m in millis):
+        raise ValueError(
+            f"quantile_sketch_query: quantiles must be in [0, 1], got {qs}"
+        )
+    groups = list(group_cols)
+    agg = sketch.groupBy(*groups).agg(
+        F.array_sort(F.collect_list(F.col("value"))).alias("__vals"),
+        F.count(F.lit(1)).alias("sample_m"),
+    )
+    exploded = agg.select(
+        *groups,
+        "__vals",
+        "sample_m",
+        F.explode(
+            F.array(*[F.lit(m).cast("long") for m in millis])
+        ).alias("q_milli"),
+    )
+    idx = F.expr("(q_milli * (sample_m - 1) + 500) DIV 1000")
+    return exploded.select(
+        *groups,
+        "q_milli",
+        "sample_m",
+        F.element_at(F.col("__vals"), (idx + 1).cast("int")).alias(
+            "q_value"
+        ),
+    )

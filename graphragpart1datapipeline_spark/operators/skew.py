@@ -27,6 +27,7 @@ def join_skew_report(
     threshold_frac: float = 0.01,
     target_parallelism: int = 32,
     max_salt: int = 64,
+    hot_keys: DataFrame | None = None,
 ) -> DataFrame:
     """One-row skew report for join key ``on``:
 
@@ -42,9 +43,23 @@ def join_skew_report(
     - recommended_salt = ceil(max_key_rows · P / n_rows) capped at
       ``max_salt`` — the factor splitting the heaviest key into
       roughly partition-sized slices at parallelism P; 1 when no skew.
+
+    ``hot_keys``: a precomputed ``joins.hot_key_table`` frame over the
+    same df/keys — share ONE detection scan between the report and the
+    ``salted_join_auto`` calls it gates.
     """
     keys = [on] if isinstance(on, str) else list(on)
-    hot = _detect_hot_keys_with_total(df, keys, threshold_frac)
+    if hot_keys is not None:
+        missing = (set(keys) | {"__cnt", "__n"}) - set(hot_keys.columns)
+        if missing:
+            raise ValueError(
+                "join_skew_report: hot_keys is missing columns "
+                f"{sorted(missing)} — pass the hot_key_table(...) output "
+                "built over the SAME frame and keys"
+            )
+        hot = hot_keys
+    else:
+        hot = _detect_hot_keys_with_total(df, keys, threshold_frac)
     nn = None
     for c in keys:
         p = F.col(c).isNotNull()

@@ -14,7 +14,12 @@ from .analysis import (  # noqa: F401
     winnow_copy_spans,
     winnow_fingerprints,
 )
-from .bm25_index import bm25_index, bm25_query, bm25_upsert  # noqa: F401
+from .bm25_index import (  # noqa: F401
+    bm25_delete,
+    bm25_index,
+    bm25_query,
+    bm25_upsert,
+)
 from .bpe import bpe_apply, bpe_train  # noqa: F401
 from .chunking import (  # noqa: F401
     fixed_stride_chunks,

@@ -43,7 +43,7 @@ from .analysis import tokens
 # under another scheme must refuse to compose with this code
 _TOKENIZER_VERSION = 1
 
-__all__ = ["bm25_index", "bm25_upsert", "bm25_query"]
+__all__ = ["bm25_index", "bm25_upsert", "bm25_delete", "bm25_query"]
 
 
 def _index_parts(df: DataFrame, text_col: str, id_col: str):
@@ -127,6 +127,47 @@ def bm25_upsert(
             (
                 F.coalesce("df", F.lit(0)) + F.coalesce("__delta", F.lit(0))
             ).alias("df"),
+        )
+        .filter(F.col("df") > 0)
+    )
+    return {
+        "postings": postings,
+        "dl": dl,
+        "dfreq": dfreq,
+        "params": index["params"],
+    }
+
+
+def bm25_delete(
+    index: dict[str, DataFrame],
+    ids: DataFrame,
+    id_col: str = "doc_id",
+) -> dict[str, DataFrame]:
+    """Remove documents from the index — the maintenance operation a
+    real corpus needs for takedowns/expiry that :func:`bm25_upsert`
+    (replace-or-insert) cannot express. ``ids`` is an increment-sized
+    frame whose FIRST column (or ``id_col`` if present) holds the rids
+    to drop. Work is deletion-sized: postings/dl rows leave via one
+    broadcast anti-join each, and ``dfreq`` decrements for the REMOVED
+    DOCS' TERMS ONLY (terms reaching df 0 disappear) — never a corpus
+    re-scan, never a postings regroup. delete(index(c), d) ==
+    index(c − d) exactly (q215 locks it against the one-shot oracle);
+    ids absent from the index are no-ops."""
+    _check_version(index, "bm25_delete")
+    col = id_col if id_col in ids.columns else ids.columns[0]
+    rid = ids.select(F.col(col).alias("rid")).distinct()
+    removed = index["postings"].join(F.broadcast(rid), "rid")
+    postings = index["postings"].join(F.broadcast(rid), "rid", "left_anti")
+    dl = index["dl"].join(F.broadcast(rid), "rid", "left_anti")
+    delta = removed.groupBy("term").agg(
+        F.count(F.lit(1)).alias("__removed")
+    )
+    dfreq = (
+        index["dfreq"]
+        .join(delta, "term", "left")
+        .select(
+            "term",
+            (F.col("df") - F.coalesce("__removed", F.lit(0))).alias("df"),
         )
         .filter(F.col("df") > 0)
     )

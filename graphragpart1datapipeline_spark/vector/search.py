@@ -403,6 +403,60 @@ def ivf_upsert(
     )
 
 
+def ivf_delete(
+    path: str,
+    ids: DataFrame,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Delete vectors from a persisted IVF index with PARTITION-LOCAL
+    rewrites — the takedown/expiry verb ivf_upsert (append-only,
+    id-disjoint) can't express: the deleted ids' centroid partitions
+    are found via one broadcast semi-join, ONLY those partitions are
+    read back, anti-joined, and re-written under dynamic partition
+    overwrite — untouched clusters move zero bytes (at 100 TB a
+    takedown touches a handful of cluster files, never the index).
+    The ``_stats`` baseline keeps its historical mean (assignment
+    quality of deleted vectors is not stored; the drift gate's
+    meaning — "do NEW increments still fit the centroids" — is
+    unchanged) with ``n`` decremented. Returns the read-back updated
+    index. Ids absent from the index are no-ops."""
+    spark = ids.sparkSession
+    col = id_col if id_col in ids.columns else ids.columns[0]
+    rid = ids.select(F.col(col).alias(id_col)).distinct()
+    index = spark.read.parquet(path)
+    cid_type = dict(index.dtypes)["centroid_id"]
+    touched = [
+        r["centroid_id"]
+        for r in index.join(F.broadcast(rid), id_col)
+        .select("centroid_id")
+        .distinct()
+        .collect()
+    ]
+    if touched:
+        remaining = (
+            index.filter(F.col("centroid_id").isin(touched))
+            .join(F.broadcast(rid), id_col, "left_anti")
+        )
+        n_removed = (
+            index.filter(F.col("centroid_id").isin(touched)).count()
+            - remaining.count()
+        )
+        (
+            remaining.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("centroid_id")
+            .parquet(path)
+        )
+        stats = spark.read.parquet(path + "_stats").collect()[0]
+        spark.createDataFrame(
+            [(max(0, stats["n"] - n_removed), stats["mean_cos"])],
+            "n long, mean_cos double",
+        ).write.mode("overwrite").parquet(path + "_stats")
+    return spark.read.parquet(path).select(
+        id_col, F.col("centroid_id").cast(cid_type)
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: Sequence[float],
@@ -452,6 +506,83 @@ def ivf_topk(
         assign.filter(F.col("centroid_id").isin(probe_ids)), id_col
     )
     return cosine_topk(cand, query_vec, k, vec_col, id_col).drop("centroid_id")
+
+
+def ivf_tune(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    centroids: DataFrame,
+    path: str,
+    k: int = 10,
+    target_recall: float = 0.9,
+    probes: Sequence[int] = (1, 2, 4),
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cent_vec_col: str = "embedding",
+    cent_id_col: str = "cid",
+    assignments: DataFrame | None = None,
+) -> DataFrame:
+    """Close the recall-sweep loop: measure recall@k of the IVF probe
+    at each candidate ``nprobe`` against the exact top-k (the q203
+    sweep), pick the SMALLEST nprobe meeting ``target_recall`` (or the
+    largest candidate when none does — loud in the table, never a
+    silent fallback), and PERSIST the decision at ``{path}_tuning``
+    beside the index, params baked in (the dedup/incremental.py
+    params-table pattern) — so serving reads its probe count from the
+    index it queries instead of hardcoding one. Returns the tuning
+    table (nprobe, hits, recall, chosen).
+
+    Tuning is an offline, index-build-time pass: one exact scan + one
+    probe per candidate, all top-k-sized at the driver."""
+    if not probes:
+        raise ValueError("ivf_tune: probes is empty")
+    if not (0.0 < target_recall <= 1.0):
+        raise ValueError(
+            f"ivf_tune: target_recall must be in (0, 1], got {target_recall}"
+        )
+    spark = df.sparkSession
+    exact = (
+        cosine_topk(df, query_vec, k, vec_col, id_col)
+        .select(id_col)
+        .localCheckpoint(eager=True)
+    )
+    rows = []
+    for p in sorted(set(int(p) for p in probes)):
+        approx = ivf_topk(
+            df, query_vec, centroids, k=k, vec_col=vec_col, id_col=id_col,
+            cent_vec_col=cent_vec_col, cent_id_col=cent_id_col, nprobe=p,
+            assignments=assignments,
+        )
+        hits = exact.join(
+            approx.select(id_col), id_col, "left_semi"
+        ).count()
+        rows.append((p, hits, hits / float(k)))
+    chosen = next(
+        (p for p, _, r in rows if r >= target_recall), rows[-1][0]
+    )
+    chosen_recall = next(r for p, _, r in rows if p == chosen)
+    spark.createDataFrame(
+        [(chosen, float(target_recall), int(k), float(chosen_recall))],
+        "nprobe long, target_recall double, k long, recall double",
+    ).write.mode("overwrite").parquet(path + "_tuning")
+    return spark.createDataFrame(
+        [(p, h, r, p == chosen) for p, h, r in rows],
+        "nprobe long, hits long, recall double, chosen boolean",
+    )
+
+
+def ivf_tuned_nprobe(spark, path: str) -> int:
+    """Read the persisted tuning decision for the index at ``path`` —
+    the probe count serving should use (raises if :func:`ivf_tune`
+    never ran for this index)."""
+    import os as _os
+
+    if not _os.path.exists(path + "_tuning"):
+        raise ValueError(
+            f"ivf_tuned_nprobe: no tuning table at {path}_tuning — run "
+            "ivf_tune(target_recall=...) for this index first"
+        )
+    return int(spark.read.parquet(path + "_tuning").collect()[0]["nprobe"])
 
 
 def quantize_embeddings(

@@ -149,3 +149,343 @@ def test_bm25_query_empty_terms_raises(spark):
     )
     with pytest.raises(ValueError, match="terms is empty"):
         bm25_query(ix, [])
+
+
+# ---------------------------------------------------------------------------
+# ivf_tune (verdict task 4)
+# ---------------------------------------------------------------------------
+
+
+def _toy_index(spark, tmp_path):
+    from graphragpart1datapipeline_spark.vector.search import ivf_build_index
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "cid long, embedding array<float>"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, [0.9, 0.1]),
+            (11, [0.8, 0.2]),
+            (12, [0.1, 0.9]),
+            (13, [0.2, 0.8]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    path = str(tmp_path / "tune_idx")
+    assign = ivf_build_index(corpus, cents, path)
+    return corpus, cents, path, assign
+
+
+def test_ivf_tune_picks_smallest_sufficient_nprobe(spark, tmp_path):
+    from graphragpart1datapipeline_spark.vector.search import (
+        ivf_tune,
+        ivf_tuned_nprobe,
+    )
+
+    corpus, cents, path, assign = _toy_index(spark, tmp_path)
+    # query near centroid 0: its own cluster holds only 2 of the top-4
+    # (k=4 wants all vectors) -> nprobe=1 recall 0.5, nprobe=2 recall 1
+    tbl = ivf_tune(
+        corpus, [1.0, 0.0], cents, path, k=4, target_recall=0.9,
+        probes=(1, 2), assignments=assign,
+    ).orderBy("nprobe").collect()
+    assert [(r["nprobe"], r["chosen"]) for r in tbl] == [(1, False), (2, True)]
+    assert tbl[0]["recall"] == 0.5 and tbl[1]["recall"] == 1.0
+    assert ivf_tuned_nprobe(spark, path) == 2
+
+
+def test_ivf_tune_fallback_and_guards(spark, tmp_path):
+    from graphragpart1datapipeline_spark.vector.search import (
+        ivf_tune,
+        ivf_tuned_nprobe,
+    )
+
+    corpus, cents, path, assign = _toy_index(spark, tmp_path)
+    # unreachable target: nprobe=1 can never reach recall 1 for k=4 —
+    # falls back to the LARGEST candidate, loudly chosen in the table
+    tbl = ivf_tune(
+        corpus, [1.0, 0.0], cents, path, k=4, target_recall=1.0,
+        probes=(1,), assignments=assign,
+    ).collect()
+    assert tbl[0]["chosen"] is True and tbl[0]["recall"] == 0.5
+    assert ivf_tuned_nprobe(spark, path) == 1
+    with pytest.raises(ValueError, match="probes is empty"):
+        ivf_tune(corpus, [1.0, 0.0], cents, path, probes=())
+    with pytest.raises(ValueError, match="target_recall"):
+        ivf_tune(corpus, [1.0, 0.0], cents, path, target_recall=0.0)
+    with pytest.raises(ValueError, match="no tuning table"):
+        ivf_tuned_nprobe(spark, str(tmp_path / "never_tuned"))
+
+
+# ---------------------------------------------------------------------------
+# Quantile sketch (verdict task 5)
+# ---------------------------------------------------------------------------
+
+
+def test_quantile_sketch_merge_equals_build(spark):
+    from graphragpart1datapipeline_spark.operators.sketches import (
+        quantile_sketch_build,
+        quantile_sketch_merge,
+        quantile_sketch_query,
+    )
+
+    rows = [(i, float((i * 37) % 1000), "g%d" % (i % 2)) for i in range(500)]
+    df = spark.createDataFrame(rows, "rid long, v double, g string")
+    t = 64
+    one_shot = quantile_sketch_build(df, "v", "rid", ["g"], t=t)
+    shards = [
+        quantile_sketch_build(
+            df.filter(F.col("rid") % 3 == i), "v", "rid", ["g"], t=t
+        )
+        for i in range(3)
+    ]
+    u = shards[0]
+    for s in shards[1:]:
+        u = u.unionByName(s)
+    merged = quantile_sketch_merge(u, ["g"], t=t)
+    a = {tuple(r) for r in one_shot.collect()}
+    b = {tuple(r) for r in merged.collect()}
+    assert a == b  # merge(shard sketches) == sketch(all rows), exactly
+    qa = {tuple(r) for r in quantile_sketch_query(one_shot, [0.5], ["g"]).collect()}
+    qb = {tuple(r) for r in quantile_sketch_query(merged, [0.5], ["g"]).collect()}
+    assert qa == qb
+
+
+def test_quantile_sketch_rank_error_bound(spark):
+    """Sampled quantile vs exact: rank error well inside O(1/sqrt(t))."""
+    from graphragpart1datapipeline_spark.operators.sketches import (
+        quantile_sketch_build,
+        quantile_sketch_query,
+    )
+
+    n, t = 5000, 256
+    rows = [(i, float((i * 7919) % n)) for i in range(n)]  # permutation
+    df = spark.createDataFrame(rows, "rid long, v double")
+    sk = quantile_sketch_build(df, "v", "rid", t=t)
+    got = {
+        r["q_milli"]: r["q_value"]
+        for r in quantile_sketch_query(sk, [0.1, 0.5, 0.9]).collect()
+    }
+    for milli, qv in got.items():
+        true_rank = qv / (n - 1)  # values are 0..n-1, rank == value/(n-1)
+        assert abs(true_rank - milli / 1000.0) < 0.12, (milli, qv)
+
+
+def test_quantile_sketch_guards(spark):
+    from graphragpart1datapipeline_spark.operators.sketches import (
+        quantile_sketch_build,
+        quantile_sketch_query,
+    )
+
+    df = spark.createDataFrame([(1, 1.0)], "rid long, v double")
+    with pytest.raises(ValueError, match="t must be"):
+        quantile_sketch_build(df, "v", "rid", t=0)
+    sk = quantile_sketch_build(df, "v", "rid")
+    with pytest.raises(ValueError, match="qs is empty"):
+        quantile_sketch_query(sk, [])
+    with pytest.raises(ValueError, match="in \\[0, 1\\]"):
+        quantile_sketch_query(sk, [1.5])
+
+
+# ---------------------------------------------------------------------------
+# HyperBall (verdict task 6)
+# ---------------------------------------------------------------------------
+
+
+def test_hyperball_registers_equal_ball_max(spark):
+    """On a path graph the t-radius registers must equal the max-rho
+    one-hots of the true ball members — propagation is exact."""
+    from graphragpart1datapipeline_spark.graph.hyperball import (
+        hyperball_registers,
+    )
+    from graphragpart1datapipeline_spark.operators.sketches import kmv_hash
+
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "src long, dst long"
+    )
+    regs = hyperball_registers(e, max_t=2, p=4, directed=False)
+    # expected: ball(v, t) under the undirected path
+    balls = {
+        0: {0, 1, 2}, 1: {0, 1, 2, 3}, 2: {0, 1, 2, 3}, 3: {1, 2, 3}
+    }
+    onehot = {
+        r["node"]: (r["register"], r["rho"])
+        for r in spark.createDataFrame(
+            [(i,) for i in range(4)], "node long"
+        ).select(
+            "node",
+            (kmv_hash(F.col("node")) % 16).alias("register"),
+            (
+                F.lit(57)
+                - F.when(
+                    F.shiftright(kmv_hash(F.col("node")), 4) == 0, F.lit(0)
+                ).otherwise(
+                    F.length(
+                        F.conv(
+                            F.shiftright(kmv_hash(F.col("node")), 4), 10, 2
+                        )
+                    )
+                )
+            ).cast("int").alias("rho"),
+        ).collect()
+    }
+    got = {
+        (r["node"], r["register"]): r["rho"] for r in regs[2].collect()
+    }
+    want: dict = {}
+    for v, members in balls.items():
+        for u in members:
+            reg, rho = onehot[u]
+            key = (v, reg)
+            want[key] = max(want.get(key, 0), rho)
+    assert got == want
+
+
+def test_hyperball_estimate_tracks_exact_nf(spark, sf_dir):
+    """At sf0.001 the t>=1 neighborhood-function estimates must land
+    within the raw-HLL error envelope of the exact BFS counts."""
+    from graphragpart1datapipeline_spark.sources import read_table
+    import __spark_entry__ as em
+
+    rows = em.queries()["q213_hyperball_profile"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert [r["t"] for r in rows] == [0, 1, 2]
+    for r in rows:
+        if r["t"] == 0:
+            continue  # single-element balls are far below the raw regime
+        est = r["nf_est_scaled"] / 1e6
+        assert abs(est - r["nf_exact"]) / r["nf_exact"] < 0.35, r
+    # NF is monotone in t (balls only grow)
+    assert rows[0]["nf_exact"] <= rows[1]["nf_exact"] <= rows[2]["nf_exact"]
+    assert (
+        rows[0]["nf_est_scaled"]
+        <= rows[1]["nf_est_scaled"]
+        <= rows[2]["nf_est_scaled"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shared-detection salting (verdict task 7)
+# ---------------------------------------------------------------------------
+
+
+def test_salted_join_precomputed_hot_keys(spark):
+    from graphragpart1datapipeline_spark.operators import (
+        hot_key_table,
+        salted_join_auto,
+    )
+    from graphragpart1datapipeline_spark.operators.skew import (
+        join_skew_report,
+    )
+
+    left = spark.createDataFrame(
+        [(0 if i % 4 == 0 else i, float(i)) for i in range(400)],
+        "k long, v double",
+    )
+    right = spark.createDataFrame(
+        [(0, "hot"), (1, "a"), (2, "b"), (3, "c")], "k long, tag string"
+    )
+    hot = hot_key_table(left, "k", threshold_frac=0.05).localCheckpoint(
+        eager=True
+    )
+    auto = salted_join_auto(left, right, "k", threshold_frac=0.05)
+    pre = salted_join_auto(
+        left, right, "k", threshold_frac=0.05, hot_keys=hot
+    )
+    assert sorted(map(tuple, auto.collect())) == sorted(
+        map(tuple, pre.collect())
+    )
+    # the consumer's plan carries no Misra-Gries detection stage
+    assert "ArrowEvalPython" not in pre._jdf.queryExecution().executedPlan().toString()
+    # the report consumes the same artifact and matches the self-detect path
+    r_auto = join_skew_report(left, "k", threshold_frac=0.05).collect()
+    r_pre = join_skew_report(
+        left, "k", threshold_frac=0.05, hot_keys=hot
+    ).collect()
+    assert r_auto == r_pre
+    assert r_pre[0]["hot_keys"] == 1 and r_pre[0]["recommended_salt"] >= 1
+    # schema validation is loud
+    bad = hot.drop("__n")
+    with pytest.raises(ValueError, match="missing columns"):
+        salted_join_auto(left, right, "k", hot_keys=bad)
+    with pytest.raises(ValueError, match="missing columns"):
+        join_skew_report(left, "k", hot_keys=bad)
+
+
+# ---------------------------------------------------------------------------
+# Index deletion family (round-6 extras): bm25_delete, ivf_delete
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_delete_equals_rebuild(spark):
+    from graphragpart1datapipeline_spark.text.bm25_index import (
+        bm25_delete,
+        bm25_index,
+        bm25_query,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "alpha alpha delta"),
+            (3, "beta delta epsilon"),
+            (4, "gamma gamma gamma"),
+        ],
+        "doc_id long, text string",
+    )
+    kill = spark.createDataFrame([(2,), (4,), (99,)], "doc_id long")
+    after = bm25_delete(bm25_index(docs), kill)
+    rebuilt = bm25_index(docs.filter(~F.col("doc_id").isin(2, 4)))
+    for tbl in ("postings", "dl", "dfreq"):
+        a = sorted(map(tuple, after[tbl].collect()))
+        b = sorted(map(tuple, rebuilt[tbl].collect()))
+        assert a == b, tbl
+    qa = bm25_query(after, ["alpha", "beta"], k=5, log_idf=False).collect()
+    qb = bm25_query(rebuilt, ["alpha", "beta"], k=5, log_idf=False).collect()
+    assert list(map(tuple, qa)) == list(map(tuple, qb))
+    # terms only present in deleted docs vanish entirely (df 0 rows)
+    assert after["dfreq"].filter(F.col("term") == "gamma").count() == 1
+    # (gamma survives via doc 1); a term exclusive to doc 2/4 would drop
+
+
+def test_ivf_delete_partition_local(spark, tmp_path):
+    from graphragpart1datapipeline_spark.vector.search import (
+        ivf_build_index,
+        ivf_delete,
+        ivf_upsert,
+    )
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "cid long, embedding array<float>"
+    )
+    base = spark.createDataFrame(
+        [
+            (10, [0.9, 0.1]),
+            (11, [0.8, 0.2]),
+            (12, [0.1, 0.9]),
+            (13, [0.2, 0.8]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    path = str(tmp_path / "del_idx")
+    ivf_build_index(base, cents, path)
+    out = ivf_delete(
+        path, spark.createDataFrame([(11,), (99,)], "vec_id long")
+    )
+    assert sorted(r["vec_id"] for r in out.collect()) == [10, 12, 13]
+    # stats n decremented, mean kept
+    st = spark.read.parquet(path + "_stats").collect()[0]
+    assert st["n"] == 3
+    # a freed id can be re-ingested afterwards (upsert collision gate
+    # sees the post-delete index)
+    re_add = spark.createDataFrame(
+        [(11, [0.7, 0.3])], "vec_id long, embedding array<float>"
+    )
+    out2 = ivf_upsert(path, re_add, cents)
+    assert sorted(r["vec_id"] for r in out2.collect()) == [10, 11, 12, 13]
+    # deleting ids nobody has is a clean no-op
+    out3 = ivf_delete(
+        path, spark.createDataFrame([(777,)], "vec_id long")
+    )
+    assert out3.count() == 4
