@@ -11712,6 +11712,157 @@ def q216(spark, sf_dir):
     return out.select("vec_id", _round_det("score", 4).alias("score"))
 
 
+@_register(
+    "q217_multi_query_topk",
+    """
+    WITH n AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qv,
+             sqrt(list_dot_product(v, v)) AS qn
+      FROM n WHERE vec_id IN (0, 5, 9)
+    ), scored AS (
+      SELECT q.query_id, n.vec_id,
+             CASE WHEN sqrt(list_dot_product(n.v, n.v)) > 0
+                  THEN list_dot_product(n.v, q.qv)
+                       / (sqrt(list_dot_product(n.v, n.v)) * q.qn)
+                  ELSE 0.0 END AS score
+      FROM n CROSS JOIN q
+    )
+    SELECT query_id, vec_id,
+           floor(score * 1000000000.0 + 0.5) / 1000000000.0 AS score,
+           rank
+    FROM (
+      SELECT scored.*,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, vec_id)
+                  AS BIGINT) AS rank
+      FROM scored) WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def q217(spark, sf_dir):
+    """BATCHED exact ANN serving — B queries, ONE corpus scan: the
+    query table (serving state, top-k-sized by definition) broadcasts
+    onto the corpus scan and per-query top-k is one window — at 100 TB
+    this is B-fold fewer passes than q25's one-vector-per-call shape,
+    the difference between a query LOOP and a query BATCH. Scoring is
+    cosine_topk's exact arithmetic, so each query's slice is
+    bit-identical to its standalone call (unit-locked) and the whole
+    batch value-replays."""
+    from graphragpart1datapipeline_spark.vector.search import (
+        multi_query_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(0, 5, 9)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = multi_query_topk(
+        emb, queries, k=5, vec_col="embedding", id_col="vec_id",
+        q_vec_col="embedding", q_id_col="query_id",
+    )
+    return out.select(
+        "query_id", "vec_id", _round_det("score", 9).alias("score"), "rank"
+    ).orderBy("query_id", "rank")
+
+
+def _sketch_gate_sql(t: int = 128, milli: int = 100) -> str:
+    """Replay of the sketch-driven quality gate: q22's language rule +
+    q23's quality arithmetic + the q212 bottom-t sample per language +
+    the integer nearest-rank threshold + the gated counts."""
+    h = _HASH60_SQL.format(x="CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH lid AS (
+      SELECT doc_id,
+             CASE WHEN greatest(en, de, es, fr) <= 0 THEN 'und'
+                  WHEN fr > greatest(en, de, es) THEN 'fr'
+                  WHEN es > greatest(en, de) THEN 'es'
+                  WHEN de > en THEN 'de'
+                  ELSE 'en' END AS lang
+      FROM (
+        SELECT doc_id,
+               {_lang_hits_sql("en")} AS en, {_lang_hits_sql("de")} AS de,
+               {_lang_hits_sql("es")} AS es, {_lang_hits_sql("fr")} AS fr
+        FROM documents)
+    ), qt AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS n_tok,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) AS n_punct,
+             CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                    x -> list_contains([{_EN_WORDS_SQL}], lower(x)))) AS DOUBLE) AS sw
+      FROM documents
+    ), quality AS (
+      SELECT doc_id,
+             floor((0.4 * least(n_tok / 100.0, 1.0)
+                 + 0.3 * (1.0 - CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 1.0 END)
+                 + 0.3 * least((CASE WHEN n_tok > 0 THEN sw / n_tok ELSE 0.0 END) / 0.1, 1.0)) * 10000.0 + 0.5) / 10000.0 AS q
+      FROM qt
+    ), gscored AS (
+      SELECT l.doc_id, l.lang, q.q, {h} AS h
+      FROM lid l JOIN quality q USING (doc_id)
+    ), kept AS (
+      SELECT lang, q FROM (
+        SELECT gscored.*,
+               row_number() OVER (PARTITION BY lang ORDER BY h, q) AS rn
+        FROM gscored) WHERE rn <= {t}
+    ), thr AS (
+      SELECT lang,
+             vals[CAST(({milli} * (m - 1) + 500) // 1000 AS INT) + 1]
+               AS q_threshold
+      FROM (SELECT lang, list(q ORDER BY q) AS vals,
+                   COUNT(*) AS m
+            FROM kept GROUP BY lang)
+    )
+    SELECT s.lang, t.q_threshold,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN s.q >= t.q_threshold THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept
+    FROM gscored s JOIN thr t USING (lang)
+    GROUP BY 1, 2 ORDER BY s.lang
+    """
+
+
+@_register("q218_sketch_quality_gate", _sketch_gate_sql())
+def q218(spark, sf_dir):
+    """Sketch-DRIVEN curation gate — the 100 TB way to set per-slice
+    quality thresholds: instead of an exact per-language percentile
+    (a full sort per group), the p10 threshold is read off the q212
+    bottom-k quantile sketch (one sample-sized window), broadcast, and
+    the corpus is gated in the same scan that scored it. Composes
+    q22's language ID + q23's quality + q212's sketch into the
+    drop-the-worst-decile-per-language rule real pretraining curation
+    applies; every stage and the final gated counts value-replay."""
+    from graphragpart1datapipeline_spark.operators.sketches import (
+        quantile_sketch_build,
+        quantile_sketch_query,
+    )
+    from graphragpart1datapipeline_spark.text.analysis import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        language_id("text").alias("lang"),
+        _round_det(quality_score("text"), 4).alias("q"),
+    ).localCheckpoint(eager=True)
+    sk = quantile_sketch_build(scored, "q", "doc_id", ["lang"], t=128)
+    thr = quantile_sketch_query(sk, [0.1], ["lang"]).select(
+        "lang", F.col("q_value").alias("q_threshold")
+    )
+    return (
+        scored.join(F.broadcast(thr), "lang")
+        .groupBy("lang", "q_threshold")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(
+                (F.col("q") >= F.col("q_threshold")).cast("long")
+            ).alias("n_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q02(spark, "/root/testdata/sf0.001")

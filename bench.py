@@ -218,6 +218,11 @@ SECONDARY = [
     "q212_quantile_sketch",
     "q215_bm25_delete",
     "q216_ivf_delete",
+    # batched exact ANN (one corpus scan for B queries; the per-query
+    # exact scan is already headline via q25) and the sketch-driven
+    # per-language quality gate (q22+q23+q212 composed, scan-bound)
+    "q217_multi_query_topk",
+    "q218_sketch_quality_gate",
 ]
 
 # Repetitions per query; report the min. The ambient swing on a shared

@@ -28,9 +28,11 @@ from .entity import (  # noqa: F401
 from .splits import weighted_poisson_sample  # noqa: F401
 from .editdist import levenshtein_self_join  # noqa: F401
 from .incremental import (  # noqa: F401
+    embedding_lsh_delete,
     embedding_lsh_index,
     embedding_lsh_upsert,
     embedding_near_dup_incremental,
+    set_similarity_delete,
     containment_index,
     containment_join_incremental,
     levenshtein_index,

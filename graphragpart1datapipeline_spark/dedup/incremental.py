@@ -825,3 +825,67 @@ def embedding_near_dup_incremental(
         .filter(F.col("cosine") >= threshold)
         .select("new_id", "corpus_id", "cosine")
     )
+
+
+def embedding_lsh_delete(
+    index: dict[str, DataFrame],
+    ids: DataFrame,
+    id_col: str = "vec_id",
+) -> dict[str, DataFrame]:
+    """Remove vectors from the hyperplane-LSH index — the takedown
+    verb completing the family (bm25_delete / ivf_delete): one
+    broadcast anti-join against the deletion-sized rid set; geometry
+    params unchanged (buckets are per-vector, so the remaining rows
+    ARE the index of the remaining corpus — delete(index(c), d) ==
+    index(c − d) exactly). Ids absent from the index are no-ops."""
+    col = id_col if id_col in ids.columns else ids.columns[0]
+    rid = ids.select(F.col(col).alias("rid")).distinct()
+    return {
+        "buckets": index["buckets"].join(
+            F.broadcast(rid), "rid", "left_anti"
+        ),
+        "params": index["params"],
+    }
+
+
+def set_similarity_delete(
+    index: dict[str, DataFrame],
+    ids: DataFrame,
+    id_col: str = "rid",
+) -> dict[str, DataFrame]:
+    """Remove records from the prefix index, deletion-sized: the rid
+    rows leave ``members`` by anti-join; classes whose LAST member
+    left (dead cids — computed by probing only the TOUCHED cids, never
+    the corpus) leave ``reps``/``prefix``. ``tok_df`` — the FROZEN
+    global token order — is intentionally untouched, exactly like
+    upserts never re-rank it: candidate prefixes stay comparable
+    across index generations, and the join-result contract
+    (delete-then-probe == rebuild-then-probe) holds because prefix
+    filtering is a superset-generating optimization for ANY consistent
+    order, verified pairs are order-independent (unit-locked)."""
+    col = id_col if id_col in ids.columns else ids.columns[0]
+    rid = ids.select(F.col(col).alias("rid")).distinct()
+    members = index["members"].join(F.broadcast(rid), "rid", "left_anti")
+    touched = (
+        index["members"]
+        .join(F.broadcast(rid), "rid")
+        .select("cid")
+        .distinct()
+    )
+    survivors = (
+        index["members"]
+        .join(F.broadcast(touched), "cid")
+        .join(F.broadcast(rid), "rid", "left_anti")
+        .select("cid")
+        .distinct()
+    )
+    dead = touched.join(survivors, "cid", "left_anti")
+    return {
+        "tok_df": index["tok_df"],
+        "reps": index["reps"].join(F.broadcast(dead), "cid", "left_anti"),
+        "prefix": index["prefix"].join(
+            F.broadcast(dead), "cid", "left_anti"
+        ),
+        "members": members,
+        "params": index["params"],
+    }

@@ -508,6 +508,60 @@ def ivf_topk(
     return cosine_topk(cand, query_vec, k, vec_col, id_col).drop("centroid_id")
 
 
+def multi_query_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_vec_col: str = "embedding",
+    q_id_col: str = "query_id",
+    normalized: bool = False,
+) -> DataFrame:
+    """Exact cosine top-k for a BATCH of query vectors in ONE corpus
+    scan — the serving-tier shape :func:`cosine_topk` (one driver-side
+    literal vector per call) can't give: B queries as one job means
+    one pass over 100 TB instead of B, with the query table broadcast
+    (queries are top-k-sized serving state by definition — a corpus-
+    sized 'queries' frame is a k-NN JOIN, use :func:`knn_join` /
+    :func:`knn_join_blocked`). Per-query top-k is one window over the
+    scored stream partitioned by query id (rank ties break score desc,
+    id asc — same contract as cosine_topk). Returns
+    (q_id_col, id_col, score, rank), rank 1..k per query.
+
+    Scoring arithmetic is cosine_topk's exactly (in-order fold dot,
+    zero-norm corpus rows score 0), so per-query results are
+    bit-identical to B cosine_topk calls — q217 value-replays the
+    whole batch."""
+    from pyspark.sql import Window
+
+    qn = l2_norm_expr(F.col("__qv"))
+    q = queries.select(
+        F.col(q_id_col),
+        F.col(q_vec_col).alias("__qv"),
+    ).withColumn("__qn", qn)
+    scored = df.select(F.col(id_col), F.col(vec_col).alias("__v")).join(
+        F.broadcast(q)
+    )
+    if normalized:
+        score = dot_expr(F.col("__v"), F.col("__qv"))
+    else:
+        score = F.when(
+            l2_norm_expr(F.col("__v")) > 0,
+            dot_expr(F.col("__v"), F.col("__qv"))
+            / (l2_norm_expr(F.col("__v")) * F.col("__qn")),
+        ).otherwise(F.lit(0.0))
+    w = Window.partitionBy(q_id_col).orderBy(
+        F.desc("score"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(q_id_col, id_col, "score", "rank")
+    )
+
+
 def ivf_tune(
     df: DataFrame,
     query_vec: Sequence[float],

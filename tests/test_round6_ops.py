@@ -489,3 +489,125 @@ def test_ivf_delete_partition_local(spark, tmp_path):
         path, spark.createDataFrame([(777,)], "vec_id long")
     )
     assert out3.count() == 4
+
+
+# ---------------------------------------------------------------------------
+# Round-6 extras: multi-query batch ANN, dedup-index deletion
+# ---------------------------------------------------------------------------
+
+
+def test_multi_query_topk_equals_per_query_calls(spark):
+    from graphragpart1datapipeline_spark.vector.search import (
+        cosine_topk,
+        multi_query_topk,
+    )
+    import hashlib
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    corpus = spark.createDataFrame(
+        [
+            (i, [((h(f"{i}:{j}") % 2000) - 1000) / 1000.0 for j in range(6)])
+            for i in range(30)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    queries = corpus.filter(F.col("vec_id").isin(3, 17)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    batch = multi_query_topk(corpus, queries, k=4).collect()
+    for qid in (3, 17):
+        qvec = [
+            ((h(f"{qid}:{j}") % 2000) - 1000) / 1000.0 for j in range(6)
+        ]
+        solo = cosine_topk(corpus, qvec, k=4).select(
+            "vec_id", "score"
+        ).collect()
+        got = sorted(
+            (r["rank"], r["vec_id"], r["score"])
+            for r in batch
+            if r["query_id"] == qid
+        )
+        want = [
+            (i + 1, r["vec_id"], r["score"]) for i, r in enumerate(solo)
+        ]
+        # qvec literal vs stored float32 row: cosine_topk casts the
+        # PYTHON floats; the stored floats round-trip identically here
+        assert [(g[1]) for g in got] == [w[1] for w in want]
+        for g, w in zip(got, want):
+            assert abs(g[2] - w[2]) < 1e-6
+
+
+def test_embedding_lsh_delete_equals_rebuild(spark):
+    from graphragpart1datapipeline_spark.dedup import (
+        embedding_lsh_delete,
+        embedding_lsh_index,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 13 + j * 7) % 11 - 5) for j in range(8)])
+         for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    ix = embedding_lsh_index(emb, dim=8)
+    kill = spark.createDataFrame([(5,), (11,), (999,)], "vec_id long")
+    after = embedding_lsh_delete(ix, kill)
+    rebuilt = embedding_lsh_index(
+        emb.filter(~F.col("vec_id").isin(5, 11)), dim=8
+    )
+    a = sorted(map(tuple, after["buckets"].collect()))
+    b = sorted(map(tuple, rebuilt["buckets"].collect()))
+    assert a == b
+
+
+def test_set_similarity_delete_probe_contract(spark):
+    """delete-then-probe == rebuild-then-probe on VERIFIED PAIRS (the
+    frozen token order intentionally differs from a fresh rebuild's —
+    prefix filtering is lossless under any consistent order)."""
+    from graphragpart1datapipeline_spark.dedup import (
+        set_similarity_delete,
+        set_similarity_index,
+        set_similarity_join_incremental,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma epsilon"),
+            (3, "zeta eta theta iota"),
+            (4, "alpha beta gamma delta"),
+        ],
+        "rid long, text string",
+    )
+    probe = spark.createDataFrame(
+        [(100, "alpha beta gamma delta kappa"),
+         (101, "zeta eta theta lambda")],
+        "rid long, text string",
+    )
+    ix = set_similarity_index(corpus, "rid", "text")
+    kill = spark.createDataFrame([(2,), (3,)], "rid long")
+    after = set_similarity_delete(ix, kill)
+    # members shrink; the duplicate class {1,4} survives intact
+    assert sorted(
+        r["rid"] for r in after["members"].collect()
+    ) == [1, 4]
+    got = sorted(
+        (r["new_id"], r["corpus_id"])
+        for r in set_similarity_join_incremental(
+            probe, after, "rid", "text"
+        ).collect()
+    )
+    rebuilt = set_similarity_index(
+        corpus.filter(~F.col("rid").isin(2, 3)), "rid", "text"
+    )
+    want = sorted(
+        (r["new_id"], r["corpus_id"])
+        for r in set_similarity_join_incremental(
+            probe, rebuilt, "rid", "text"
+        ).collect()
+    )
+    assert got == want and (100, 1) in got and (100, 4) in got
+    # deleting the last member of a class removes its reps/prefix rows
+    dead_cids = after["reps"].count()
+    assert dead_cids == rebuilt["reps"].count()
