@@ -236,6 +236,14 @@ def ops(spark, base: str, extra_bits: int = 0):
         set_similarity_join_incremental,
     )
     from graphragpart1datapipeline_spark.operators import salted_join_auto
+    from graphragpart1datapipeline_spark.operators.sketches import (
+        quantile_sketch_build,
+        quantile_sketch_merge,
+        quantile_sketch_query,
+    )
+    from graphragpart1datapipeline_spark.vector.search import (
+        multi_query_topk,
+    )
     from graphragpart1datapipeline_spark.graph import leiden_communities
     from graphragpart1datapipeline_spark.operators.relational import (
         mad_outliers,
@@ -438,6 +446,33 @@ def ops(spark, base: str, extra_bits: int = 0):
         ),
         # one hot key holding ~10% of the fact side; detection + per-key
         # salting must keep the join linear with a bounded straggler
+        # batched exact ANN: 8 fixed queries, ONE corpus scan — wall
+        # must grow ~linearly with the corpus, never with B×corpus
+        "multi_query_topk": lambda: multi_query_topk(
+            emb(),
+            emb().filter(F.col("vec_id") < 8).select(
+                F.col("vec_id").alias("query_id"), "embedding"
+            ),
+            k=8, id_col="vec_id",
+        ),
+        # bottom-t quantile sketch: 2-shard build + merge + p50/p90
+        # reads — one window pass per shard, sample-sized everything
+        # after; linear in the corpus
+        "quantile_sketch": lambda: quantile_sketch_query(
+            quantile_sketch_merge(
+                quantile_sketch_build(
+                    docs().filter(F.col("doc_id") % 2 == 0),
+                    "doc_id", "doc_id", ["lang"], t=256,
+                ).unionByName(
+                    quantile_sketch_build(
+                        docs().filter(F.col("doc_id") % 2 == 1),
+                        "doc_id", "doc_id", ["lang"], t=256,
+                    )
+                ),
+                ["lang"], t=256,
+            ),
+            [0.5, 0.9], ["lang"],
+        ),
         "salted_join_auto": lambda: salted_join_auto(
             docs().select(
                 F.when(F.col("doc_id") % 10 == 0, F.lit(0))
@@ -616,6 +651,11 @@ SCALE_BOUNDS: dict[str, float] = {
     "set_similarity_incremental": 3.0,
     "salted_join_auto": 3.0,
     "leiden_distributed": 6.0,
+    # round-6 linear ops (standalone calibration, not the bench
+    # subset): one-scan batch ANN and the 2-shard sketch pipeline —
+    # both scan-bound; bounds ~2× measured K=10 headroom
+    "multi_query_topk": 4.0,
+    "quantile_sketch": 4.0,
 }
 
 # Max allowed K×/1× CANDIDATE-pair-count ratio for the pair-space ops
