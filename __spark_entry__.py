@@ -2707,12 +2707,15 @@ def q82(spark, sf_dir):
     return ranks.orderBy(F.desc("rank"), F.asc("id")).limit(20)
 
 
-def _kmeans_oracle_sql(k: int = 4, iters: int = 2, dim: int = 64) -> str:
+def _kmeans_oracle_sql(
+    k: int = 4, iters: int = 2, dim: int = 64, body_only: bool = False
+) -> str | tuple[str, str]:
     """Compose the DuckDB replay of kmeans_fit: seeded-hash init, then
     per iteration an argmax-cosine assignment (same fold-order floats
     as cosine_expr) and an exact scaled-integer centroid mean — every
     round is bit-identical to the engine, so the final assignment
-    hash-matches."""
+    hash-matches. ``body_only``: return (cte_chain, final_cents_name)
+    instead of the complete query, for composition (q220)."""
     cos = """CASE WHEN sqrt(list_dot_product(e.v, e.v))
                    * sqrt(list_dot_product(c.cv, c.cv)) > 0
               THEN list_dot_product(e.v, c.cv)
@@ -2751,6 +2754,8 @@ def _kmeans_oracle_sql(k: int = 4, iters: int = 2, dim: int = 64) -> str:
       FROM u{i} GROUP BY cid
     )"""
         prev = f"c{i + 1}"
+    if body_only:
+        return sql, prev
     sql += f"""
     SELECT vec_id, cid AS centroid_id FROM (
       SELECT e.vec_id, c.cid,
@@ -11861,6 +11866,307 @@ def q218(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@_register(
+    "q219_adaptive_join",
+    """
+    WITH l AS (
+      SELECT CASE WHEN l_orderkey % 10 = 0 THEN 0 ELSE l_orderkey END AS k,
+             l_orderkey, l_extendedprice
+      FROM lineitem
+    ), dim_small AS (
+      SELECT DISTINCT CASE WHEN o_orderkey % 10 = 0 THEN 0
+                           ELSE o_orderkey END AS k
+      FROM orders WHERE o_orderkey < 100
+    ), dim_big AS (
+      SELECT DISTINCT CASE WHEN o_orderkey % 10 = 0 THEN 0
+                           ELSE o_orderkey END AS k
+      FROM orders
+    ), dim_plain AS (
+      SELECT o_orderkey, o_orderpriority FROM orders
+    ), j1 AS (
+      SELECT 'small_dim' AS join_id, 'broadcast' AS strategy,
+             COUNT(*) AS n_rows,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(25,6))) AS DOUBLE)
+               AS total_price
+      FROM l JOIN dim_small USING (k)
+    ), j2 AS (
+      SELECT 'big_dim_skewed' AS join_id, 'salted' AS strategy,
+             COUNT(*) AS n_rows,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(25,6))) AS DOUBLE)
+               AS total_price
+      FROM l JOIN dim_big USING (k)
+    ), j3 AS (
+      SELECT 'big_dim_uniform' AS join_id, 'shuffle' AS strategy,
+             COUNT(*) AS n_rows,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(25,6))) AS DOUBLE)
+               AS total_price
+      FROM l JOIN dim_plain ON l.l_orderkey = dim_plain.o_orderkey
+    )
+    SELECT * FROM j1 UNION ALL SELECT * FROM j2 UNION ALL SELECT * FROM j3
+    ORDER BY join_id
+    """,
+)
+def q219(spark, sf_dir):
+    """STATS-DRIVEN adaptive join — the strategy decision a CBO makes
+    before every big join, as one operator with one contract: right
+    side small → broadcast (zero fact shuffle); big + hot fact keys →
+    per-key salted shuffle; big + uniform → plain shuffle for AQE.
+    Three joins exercise all three arms and the chosen strategy is
+    EMITTED AS A COLUMN the oracle hardcodes — the value check locks
+    arm selection (right at 99 rows broadcasts, the 10%-hot key
+    salts, the uniform orderkey shuffles) AND result equivalence in
+    the same hash."""
+    from graphragpart1datapipeline_spark.operators import adaptive_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 10 == 0, F.lit(0))
+        .otherwise(F.col("l_orderkey")).alias("k"),
+        "l_orderkey",
+        "l_extendedprice",
+    )
+    o = _t(spark, sf_dir, "orders")
+    kmap = (
+        F.when(F.col("o_orderkey") % 10 == 0, F.lit(0))
+        .otherwise(F.col("o_orderkey")).alias("k")
+    )
+    dim_small = o.filter(F.col("o_orderkey") < 100).select(kmap).distinct()
+    dim_big = o.select(kmap).distinct()
+    dim_plain = o.select("o_orderkey", "o_orderpriority")
+
+    def arm(join_id, left, right, on):
+        info: dict = {}
+        joined = adaptive_join(
+            left, right, on, how="inner",
+            broadcast_threshold_rows=1000, threshold_frac=0.05,
+            decision=info,
+        )
+        return joined.groupBy().agg(
+            F.lit(join_id).alias("join_id"),
+            F.lit(info["strategy"]).alias("strategy"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_extendedprice").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+
+    out = (
+        arm("small_dim", li, dim_small, "k")
+        .unionByName(arm("big_dim_skewed", li, dim_big, "k"))
+        .unionByName(
+            arm(
+                "big_dim_uniform",
+                li,
+                dim_plain.withColumnRenamed("o_orderkey", "l_orderkey"),
+                "l_orderkey",
+            )
+        )
+    )
+    return out.orderBy("join_id")
+
+
+def _semdedup_sql(tau: float = 0.3) -> str:
+    """SemDeDup replay: the q80 k-means chain (as CTEs), final
+    assignment, within-cluster unit-cosine pairs ≥ tau, recursive-CTE
+    transitive groups, keep the member FARTHEST from its centroid
+    (min centroid-cosine, tie min id) — the paper's diversity-
+    preserving survivor rule."""
+    body, cents = _kmeans_oracle_sql(body_only=True)
+    cos = """CASE WHEN sqrt(list_dot_product(e.v, e.v))
+                   * sqrt(list_dot_product(c.cv, c.cv)) > 0
+              THEN list_dot_product(e.v, c.cv)
+                   / (sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(c.cv, c.cv)))
+              ELSE 0.0 END"""
+    return body.replace("WITH init", "WITH RECURSIVE init", 1) + f""",
+    fassign AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos} DESC, c.cid ASC) AS rn
+        FROM e CROSS JOIN {cents} c) WHERE rn = 1
+    ), suv AS (
+      SELECT e.vec_id, f.cid,
+             list_transform(e.v,
+               x -> x / sqrt(list_dot_product(e.v, e.v))) AS uv
+      FROM e JOIN fassign f USING (vec_id)
+      WHERE sqrt(list_dot_product(e.v, e.v)) > 0
+    ), spairs AS (
+      SELECT a.vec_id AS a, b.vec_id AS b
+      FROM suv a JOIN suv b
+        ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.uv, b.uv) >= {tau!r}
+    ), sedges AS (
+      SELECT a, b FROM spairs UNION ALL SELECT b, a FROM spairs
+    ), sreach AS (
+      SELECT a AS node, a AS r FROM sedges
+      UNION
+      SELECT e2.b AS node, sreach.r
+      FROM sreach JOIN sedges e2 ON e2.a = sreach.node
+    ), scomp AS (
+      SELECT node, MIN(r) AS root FROM sreach GROUP BY node
+    ), centcos AS (
+      SELECT e.vec_id, f.cid,
+             floor(({cos.replace('c.cv', 'cc.cv').replace('CROSS JOIN', 'JOIN')})
+                   * 1000000000.0 + 0.5) / 1000000000.0 AS cent_cos
+      FROM e JOIN fassign f USING (vec_id)
+      JOIN {cents} cc ON cc.cid = f.cid
+    ), slab AS (
+      SELECT cc.vec_id, cc.cid, cc.cent_cos,
+             COALESCE(sc.root, cc.vec_id) AS grp
+      FROM centcos cc LEFT JOIN scomp sc ON sc.node = cc.vec_id
+    )
+    SELECT vec_id, CAST(cid AS BIGINT) AS centroid_id, grp AS dup_group,
+           cent_cos
+    FROM (
+      SELECT slab.*,
+             row_number() OVER (PARTITION BY grp
+                                ORDER BY cent_cos ASC, vec_id ASC) AS rn
+      FROM slab) WHERE rn = 1
+    ORDER BY vec_id
+    """
+
+
+@_register("q220_semdedup", _semdedup_sql())
+def q220(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) — semantic dedup the way the paper
+    runs it at web scale: k-means cluster the embeddings (q80's exact
+    trainer — clusters bound the pair space, k grows with the corpus
+    so cluster size stays constant), compute cosine pairs ONLY within
+    clusters, collapse transitive groups, and keep the member FARTHEST
+    from its centroid (min centroid-cosine, tie → min id — the
+    diversity-preserving survivor choice, unlike q184's quality rule).
+    Every stage replays: the full Lloyd run, the within-cluster pair
+    scan, the recursive closure, and the survivor argmin."""
+    from graphragpart1datapipeline_spark.graph.communities import (
+        connected_components,
+    )
+    from graphragpart1datapipeline_spark.vector.kmeans import kmeans_fit
+    from graphragpart1datapipeline_spark.vector.search import (
+        cosine_expr,
+        dot_expr,
+        l2_norm_expr,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents, assign = kmeans_fit(
+        emb, vec_col="embedding", id_col="vec_id", k=4, iters=2, seed=42
+    )
+    cents_df = spark.createDataFrame(
+        [(int(cid), [float(x) for x in cv]) for cid, cv in cents],
+        "cid int, cv array<double>",
+    )
+    nrm = l2_norm_expr(F.col("embedding"))
+    uv = (
+        emb.join(assign, "vec_id")
+        .filter(nrm > 0)
+        .select(
+            "vec_id",
+            F.col("centroid_id").alias("cid"),
+            F.transform(
+                F.col("embedding"), lambda x: x.cast("double") / nrm
+            ).alias("uv"),
+        )
+    )
+    a = uv.select(
+        F.col("cid"), F.col("vec_id").alias("a"), F.col("uv").alias("ua")
+    )
+    b = uv.select(
+        F.col("cid"), F.col("vec_id").alias("b"), F.col("uv").alias("ub")
+    )
+    pairs = (
+        a.join(b, "cid")
+        .filter(F.col("a") < F.col("b"))
+        .filter(dot_expr(F.col("ua"), F.col("ub")) >= 0.3)
+        .select("a", "b")
+    )
+    comp = connected_components(pairs, src="a", dst="b")
+    centcos = (
+        emb.join(assign, "vec_id")
+        .join(
+            F.broadcast(cents_df),
+            F.col("centroid_id") == F.col("cid"),
+        )
+        .select(
+            "vec_id",
+            F.col("centroid_id"),
+            _round_det(
+                cosine_expr(F.col("embedding"), F.col("cv")), 9
+            ).alias("cent_cos"),
+        )
+    )
+    lab = centcos.join(
+        comp.withColumnRenamed("id", "vec_id"), "vec_id", "left"
+    ).withColumn("dup_group", F.coalesce("component", F.col("vec_id")))
+    wk = Window.partitionBy("dup_group").orderBy(
+        F.asc("cent_cos"), F.asc("vec_id")
+    )
+    return (
+        lab.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("centroid_id").cast("long").alias("centroid_id"),
+            "dup_group",
+            "cent_cos",
+        )
+        .orderBy("vec_id")
+    )
+
+
+@_register(
+    "q221_effective_diameter",
+    f"""
+    WITH prof AS (
+    {_hyperball_sql()}
+    ), emax AS (
+      SELECT nf_est_scaled AS nf_max FROM prof
+      ORDER BY t DESC LIMIT 1
+    ), qq AS (
+      SELECT CAST(unnest([500, 900]) AS BIGINT) AS q_milli
+    ), cand AS (
+      SELECT q.q_milli, p.t, p.nf_est_scaled, m.nf_max
+      FROM prof p CROSS JOIN emax m CROSS JOIN qq q
+      WHERE p.nf_est_scaled * 1000 >= q.q_milli * m.nf_max
+    )
+    SELECT q_milli, t AS effective_t, nf_est_scaled AS nf_at_t, nf_max
+    FROM (
+      SELECT cand.*,
+             row_number() OVER (PARTITION BY q_milli ORDER BY t) AS rn
+      FROM cand) WHERE rn = 1
+    ORDER BY q_milli
+    """,
+)
+def q221(spark, sf_dir):
+    """The HyperBall DELIVERABLE — 50%/90% effective diameter read off
+    q213's neighborhood-function profile with an all-integer decision
+    (smallest t whose scaled N(t) reaches q_milli·N(t_max)/1000):
+    Boldi-Vigna's headline statistic for a web-scale graph, here over
+    the co-purchase graph. The oracle nests the full q213 replay
+    (BFS + registers + estimates) and the argmin."""
+    from graphragpart1datapipeline_spark.graph.hyperball import (
+        effective_diameter,
+        hyperball_neighborhood_function,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    pe = li.select("l_orderkey", "l_partkey").distinct()
+    e = (
+        pe.alias("a")
+        .join(pe.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prof = hyperball_neighborhood_function(
+        e, max_t=2, p=4, directed=True
+    ).localCheckpoint(eager=True)
+    return effective_diameter(prof, (0.5, 0.9))
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -223,6 +223,13 @@ SECONDARY = [
     # per-language quality gate (q22+q23+q212 composed, scan-bound)
     "q217_multi_query_topk",
     "q218_sketch_quality_gate",
+    # stats-driven join strategy (arms individually headline via
+    # q165/q214), SemDeDup (kmeans + within-cluster pairs — pair work
+    # is the k-vs-corpus trade, 1 rep suffices), HyperBall effective
+    # diameter (register rounds only, no exact-BFS column)
+    "q219_adaptive_join",
+    "q220_semdedup",
+    "q221_effective_diameter",
 ]
 
 # Repetitions per query; report the min. The ambient swing on a shared

@@ -32,12 +32,16 @@ neighborhood function.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..operators.sketches import hll_estimate, kmv_hash
 
-__all__ = ["hyperball_registers", "hyperball_neighborhood_function"]
+__all__ = [
+    "hyperball_registers",
+    "hyperball_neighborhood_function",
+    "effective_diameter",
+]
 
 
 def hyperball_registers(
@@ -124,3 +128,54 @@ def hyperball_neighborhood_function(
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("t")
+
+
+def effective_diameter(
+    profile: DataFrame,
+    qs: tuple[float, ...] = (0.5, 0.9),
+) -> DataFrame:
+    """Read the effective diameter off a
+    :func:`hyperball_neighborhood_function` profile: for each quantile
+    q, the smallest radius t whose estimated neighborhood function
+    reaches q · N(t_max) — the standard HyperBall deliverable (Boldi-
+    Vigna's 90%-effective-diameter). ALL-INTEGER decision
+    (nf·1000 ≥ q_milli·nf_max on the scaled longs), so it replays
+    exactly. Returns (q_milli, effective_t, nf_at_t, nf_max)."""
+    if not qs:
+        raise ValueError("effective_diameter: qs is empty")
+    millis = sorted({int(round(q * 1000)) for q in qs})
+    if any(m <= 0 or m > 1000 for m in millis):
+        raise ValueError(
+            f"effective_diameter: quantiles must be in (0, 1], got {qs}"
+        )
+    mx = profile.orderBy(F.desc("t")).limit(1).select(
+        F.col("nf_est_scaled").alias("__nf_max")
+    )
+    cand = (
+        profile.select("t", "nf_est_scaled")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "t",
+            "nf_est_scaled",
+            "__nf_max",
+            F.explode(
+                F.array(*[F.lit(m).cast("long") for m in millis])
+            ).alias("q_milli"),
+        )
+        .filter(
+            F.col("nf_est_scaled") * 1000
+            >= F.col("q_milli") * F.col("__nf_max")
+        )
+    )
+    w = Window.partitionBy("q_milli").orderBy(F.asc("t"))
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "q_milli",
+            F.col("t").alias("effective_t"),
+            F.col("nf_est_scaled").alias("nf_at_t"),
+            F.col("__nf_max").alias("nf_max"),
+        )
+        .orderBy("q_milli")
+    )

@@ -39,6 +39,7 @@ from .joins import (  # noqa: F401
     name_or_alias_join,
     range_join,
     salted_join,
+    adaptive_join,
     salted_join_auto,
 )
 from .reshape import cube_agg, pivot_agg, skyline2d, unpivot_long  # noqa: F401

@@ -495,3 +495,65 @@ def not_in_join(
         )
         .drop("__has_null", "__rcnt")
     )
+
+
+def adaptive_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    how: str = "inner",
+    broadcast_threshold_rows: int = 100_000,
+    threshold_frac: float = 0.01,
+    max_salt: int = 64,
+    hot_keys: DataFrame | None = None,
+    decision: dict | None = None,
+) -> DataFrame:
+    """STATS-DRIVEN join strategy — the pre-flight decision a 100 TB
+    pipeline makes before every big join, as one operator with
+    identical semantics in every arm (equivalence oracle q219):
+
+    1. ``right`` small (row count ≤ ``broadcast_threshold_rows``) →
+       BROADCAST hash join: no shuffle of the fact side at all.
+    2. else, ``left`` has hot keys (> ``threshold_frac`` of rows —
+       the exact Misra-Gries+recount detection, or a precomputed
+       :func:`hot_key_table` via ``hot_keys``) → per-key SALTED
+       shuffle join (:func:`salted_join_auto`).
+    3. else → plain shuffle join (Catalyst/AQE handle the rest).
+
+    The probes are bounded: one right-side count (parquet footers at
+    rest) and the 3-pass detection only when the broadcast arm is
+    ruled out. Join-type support is :func:`salted_join_auto`'s
+    (inner/left flavors). Pass ``decision`` (a dict) to observe which
+    arm fired — it gets ``strategy``/``right_rows``/``hot_keys``
+    entries (tests lock arm selection AND plan shape)."""
+    allowed = {"inner", "left", "leftouter", "left_outer", "left_semi",
+               "leftsemi", "left_anti", "leftanti", "cross"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"adaptive_join does not support how={how!r}; "
+            f"use one of {sorted(allowed)}"
+        )
+    keys = [on] if isinstance(on, str) else list(on)
+    info = decision if decision is not None else {}
+    r_rows = right.count()
+    info["right_rows"] = r_rows
+    if r_rows <= broadcast_threshold_rows:
+        info["strategy"] = "broadcast"
+        info["hot_keys"] = None
+        return left.join(F.broadcast(right), keys, how)
+    hot = (
+        hot_keys
+        if hot_keys is not None
+        else _detect_hot_keys_with_total(left, keys, threshold_frac)
+    ).localCheckpoint(eager=True)
+    n_hot = hot.count()
+    info["hot_keys"] = n_hot
+    if n_hot > 0:
+        info["strategy"] = "salted"
+        return salted_join_auto(
+            left, right, keys, how,
+            threshold_frac=threshold_frac, max_salt=max_salt,
+            hot_keys=hot,
+        )
+    info["strategy"] = "shuffle"
+    return left.join(right, keys, how)

@@ -433,20 +433,45 @@ def ivf_delete(
         .collect()
     ]
     if touched:
+        # materialize BEFORE the write: `remaining` reads the same
+        # files the dynamic overwrite is about to replace — without the
+        # checkpoint the write job would race its own input
         remaining = (
             index.filter(F.col("centroid_id").isin(touched))
             .join(F.broadcast(rid), id_col, "left_anti")
+            .localCheckpoint(eager=True)
         )
         n_removed = (
             index.filter(F.col("centroid_id").isin(touched)).count()
             - remaining.count()
         )
-        (
-            remaining.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("centroid_id")
-            .parquet(path)
-        )
+        still_there = {
+            r["centroid_id"]
+            for r in remaining.select("centroid_id").distinct().collect()
+        }
+        emptied = [c for c in touched if c not in still_there]
+        if emptied:
+            # dynamic overwrite only replaces partitions PRESENT in the
+            # written frame — a fully-emptied cluster would silently
+            # keep its old files. Rare (a whole cluster deleted), so
+            # take the correct slow path: one static rewrite of the
+            # full surviving index.
+            whole = (
+                index.join(F.broadcast(rid), id_col, "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            (
+                whole.write.mode("overwrite")
+                .partitionBy("centroid_id")
+                .parquet(path)
+            )
+        else:
+            (
+                remaining.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("centroid_id")
+                .parquet(path)
+            )
         stats = spark.read.parquet(path + "_stats").collect()[0]
         spark.createDataFrame(
             [(max(0, stats["n"] - n_removed), stats["mean_cos"])],

@@ -611,3 +611,98 @@ def test_set_similarity_delete_probe_contract(spark):
     # deleting the last member of a class removes its reps/prefix rows
     dead_cids = after["reps"].count()
     assert dead_cids == rebuilt["reps"].count()
+
+
+def test_ivf_delete_emptied_cluster(spark, tmp_path):
+    """Deleting every vector of a cluster must remove its partition —
+    dynamic overwrite alone would silently keep the old files."""
+    from graphragpart1datapipeline_spark.vector.search import (
+        ivf_build_index,
+        ivf_delete,
+    )
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "cid long, embedding array<float>"
+    )
+    base = spark.createDataFrame(
+        [(10, [0.9, 0.1]), (11, [0.8, 0.2]), (12, [0.1, 0.9])],
+        "vec_id long, embedding array<float>",
+    )
+    path = str(tmp_path / "empty_idx")
+    ivf_build_index(base, cents, path)
+    # 10 and 11 are cluster 0's ONLY members
+    out = ivf_delete(
+        path, spark.createDataFrame([(10,), (11,)], "vec_id long")
+    )
+    assert sorted(r["vec_id"] for r in out.collect()) == [12]
+    assert spark.read.parquet(path).count() == 1
+
+
+def test_adaptive_join_arm_selection_and_equivalence(spark):
+    from graphragpart1datapipeline_spark.operators import adaptive_join
+
+    left = spark.createDataFrame(
+        [(0 if i % 4 == 0 else i, float(i)) for i in range(400)],
+        "k long, v double",
+    )
+    small = spark.createDataFrame(
+        [(0, "hot"), (1, "a"), (2, "b")], "k long, tag string"
+    )
+    big = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(400)], "k long, tag string"
+    )
+    plain_left = spark.createDataFrame(
+        [(i, float(i)) for i in range(400)], "k long, v double"
+    )
+
+    def run(lf, rt, **kw):
+        info: dict = {}
+        out = adaptive_join(lf, rt, "k", decision=info, **kw)
+        return info, sorted(map(tuple, out.collect()))
+
+    info, got = run(left, small, broadcast_threshold_rows=10)
+    assert info["strategy"] == "broadcast"
+    assert got == sorted(map(tuple, left.join(small, "k").collect()))
+
+    info, got = run(
+        left, big, broadcast_threshold_rows=10, threshold_frac=0.05
+    )
+    assert info["strategy"] == "salted" and info["hot_keys"] == 1
+    assert got == sorted(map(tuple, left.join(big, "k").collect()))
+
+    info, got = run(
+        plain_left, big, broadcast_threshold_rows=10, threshold_frac=0.05
+    )
+    assert info["strategy"] == "shuffle" and info["hot_keys"] == 0
+    assert got == sorted(map(tuple, plain_left.join(big, "k").collect()))
+
+    with pytest.raises(ValueError, match="does not support how"):
+        adaptive_join(left, small, "k", how="full")
+    # broadcast arm's physical plan really broadcasts
+    plan = (
+        adaptive_join(left, small, "k", broadcast_threshold_rows=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_effective_diameter_decision(spark):
+    from graphragpart1datapipeline_spark.graph.hyperball import (
+        effective_diameter,
+    )
+
+    prof = spark.createDataFrame(
+        [(0, 100, 10), (1, 500, 10), (2, 900, 10), (3, 1000, 10)],
+        "t long, nf_est_scaled long, n_nodes long",
+    )
+    got = {
+        r["q_milli"]: r["effective_t"]
+        for r in effective_diameter(prof, (0.5, 0.9, 1.0)).collect()
+    }
+    assert got == {500: 1, 900: 2, 1000: 3}
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="qs is empty"):
+        effective_diameter(prof, ())
+    with _pt.raises(ValueError, match="quantiles"):
+        effective_diameter(prof, (0.0,))
