@@ -12038,81 +12038,23 @@ def q220(spark, sf_dir):
     from its centroid (min centroid-cosine, tie → min id — the
     diversity-preserving survivor choice, unlike q184's quality rule).
     Every stage replays: the full Lloyd run, the within-cluster pair
-    scan, the recursive closure, and the survivor argmin."""
-    from graphragpart1datapipeline_spark.graph.communities import (
-        connected_components,
-    )
-    from graphragpart1datapipeline_spark.vector.kmeans import kmeans_fit
-    from graphragpart1datapipeline_spark.vector.search import (
-        cosine_expr,
-        dot_expr,
-        l2_norm_expr,
-    )
+    scan, the recursive closure, and the survivor argmin. The whole
+    composition is the package operator ``dedup.semantic.semdedup``
+    (k pinned to the sf-toy 4 here; the operator's default scales k
+    with corpus size)."""
+    from graphragpart1datapipeline_spark.dedup.semantic import semdedup
 
     emb = _t(spark, sf_dir, "embeddings")
-    cents, assign = kmeans_fit(
-        emb, vec_col="embedding", id_col="vec_id", k=4, iters=2, seed=42
+    survivors, _ = semdedup(
+        emb, tau=0.3, k=4, vec_col="embedding", id_col="vec_id",
+        iters=2, seed=42,
     )
-    cents_df = spark.createDataFrame(
-        [(int(cid), [float(x) for x in cv]) for cid, cv in cents],
-        "cid int, cv array<double>",
-    )
-    nrm = l2_norm_expr(F.col("embedding"))
-    uv = (
-        emb.join(assign, "vec_id")
-        .filter(nrm > 0)
-        .select(
-            "vec_id",
-            F.col("centroid_id").alias("cid"),
-            F.transform(
-                F.col("embedding"), lambda x: x.cast("double") / nrm
-            ).alias("uv"),
-        )
-    )
-    a = uv.select(
-        F.col("cid"), F.col("vec_id").alias("a"), F.col("uv").alias("ua")
-    )
-    b = uv.select(
-        F.col("cid"), F.col("vec_id").alias("b"), F.col("uv").alias("ub")
-    )
-    pairs = (
-        a.join(b, "cid")
-        .filter(F.col("a") < F.col("b"))
-        .filter(dot_expr(F.col("ua"), F.col("ub")) >= 0.3)
-        .select("a", "b")
-    )
-    comp = connected_components(pairs, src="a", dst="b")
-    centcos = (
-        emb.join(assign, "vec_id")
-        .join(
-            F.broadcast(cents_df),
-            F.col("centroid_id") == F.col("cid"),
-        )
-        .select(
-            "vec_id",
-            F.col("centroid_id"),
-            _round_det(
-                cosine_expr(F.col("embedding"), F.col("cv")), 9
-            ).alias("cent_cos"),
-        )
-    )
-    lab = centcos.join(
-        comp.withColumnRenamed("id", "vec_id"), "vec_id", "left"
-    ).withColumn("dup_group", F.coalesce("component", F.col("vec_id")))
-    wk = Window.partitionBy("dup_group").orderBy(
-        F.asc("cent_cos"), F.asc("vec_id")
-    )
-    return (
-        lab.withColumn("rn", F.row_number().over(wk))
-        .filter(F.col("rn") == 1)
-        .select(
-            "vec_id",
-            F.col("centroid_id").cast("long").alias("centroid_id"),
-            "dup_group",
-            "cent_cos",
-        )
-        .orderBy("vec_id")
-    )
+    return survivors.select(
+        "vec_id",
+        F.col("centroid_id").cast("long").alias("centroid_id"),
+        "dup_group",
+        "cent_cos",
+    ).orderBy("vec_id")
 
 
 @_register(
@@ -12125,12 +12067,22 @@ def q220(spark, sf_dir):
       ORDER BY t DESC LIMIT 1
     ), qq AS (
       SELECT CAST(unnest([500, 900]) AS BIGINT) AS q_milli
+    ), prof2 AS (
+      SELECT t, nf_est_scaled,
+             lag(nf_est_scaled) OVER (ORDER BY t) AS nf_prev
+      FROM prof
     ), cand AS (
-      SELECT q.q_milli, p.t, p.nf_est_scaled, m.nf_max
-      FROM prof p CROSS JOIN emax m CROSS JOIN qq q
+      SELECT q.q_milli, p.t, p.nf_est_scaled, p.nf_prev, m.nf_max
+      FROM prof2 p CROSS JOIN emax m CROSS JOIN qq q
       WHERE p.nf_est_scaled * 1000 >= q.q_milli * m.nf_max
     )
-    SELECT q_milli, t AS effective_t, nf_est_scaled AS nf_at_t, nf_max
+    SELECT q_milli, t AS effective_t, nf_est_scaled AS nf_at_t, nf_max,
+           CAST(CASE WHEN nf_prev IS NULL THEN 0
+                ELSE q_milli * nf_max - 1000 * nf_prev END AS BIGINT)
+             AS interp_num,
+           CAST(CASE WHEN nf_prev IS NULL THEN 1
+                ELSE 1000 * (nf_est_scaled - nf_prev) END AS BIGINT)
+             AS interp_den
     FROM (
       SELECT cand.*,
              row_number() OVER (PARTITION BY q_milli ORDER BY t) AS rn
@@ -12141,10 +12093,15 @@ def q220(spark, sf_dir):
 def q221(spark, sf_dir):
     """The HyperBall DELIVERABLE — 50%/90% effective diameter read off
     q213's neighborhood-function profile with an all-integer decision
-    (smallest t whose scaled N(t) reaches q_milli·N(t_max)/1000):
+    (smallest t whose scaled N(t) reaches q_milli·N(t_max)/1000, the
+    multiply taken in decimal(38,0) so dense graphs can't wrap it):
     Boldi-Vigna's headline statistic for a web-scale graph, here over
-    the co-purchase graph. The oracle nests the full q213 replay
-    (BFS + registers + estimates) and the argmin."""
+    the co-purchase graph — now with the standard Boldi-Vigna
+    INTERPOLATED fractional diameter emitted as the exact rational
+    interp_num/interp_den over the scaled profile (diameter =
+    effective_t − 1 + num/den), so the fractional statistic replays
+    bit-exactly too. The oracle nests the full q213 replay (BFS +
+    registers + estimates), the lag, and the argmin."""
     from graphragpart1datapipeline_spark.graph.hyperball import (
         effective_diameter,
         hyperball_neighborhood_function,
@@ -12167,6 +12124,465 @@ def q221(spark, sf_dir):
         e, max_t=2, p=4, directed=True
     ).localCheckpoint(eager=True)
     return effective_diameter(prof, (0.5, 0.9))
+
+
+def _textrank_sql(
+    m: int = 3, iters: int = 3, scale: int = 10**12, min_overlap: int = 1
+) -> str:
+    """Replay of text.summarize.textrank_summary over the language-id
+    communities of a documents slice: language classifier (q22), the
+    sentence split with original positions, stopword-filtered token
+    sets, shared-token pair weights, ``iters`` unrolled rounds of the
+    WEIGHTED exact-integer PageRank (q174's contribution form), and
+    the per-community top-m selection."""
+    sql = f"""
+    WITH dslice AS (
+      SELECT doc_id, text,
+             {_lang_hits_sql("en")} AS en, {_lang_hits_sql("de")} AS de,
+             {_lang_hits_sql("es")} AS es, {_lang_hits_sql("fr")} AS fr
+      FROM documents WHERE doc_id % 10 = 0
+    ), docs AS (
+      SELECT doc_id, text,
+             CASE WHEN greatest(en, de, es, fr) <= 0 THEN 'und'
+                  WHEN fr > greatest(en, de, es) THEN 'fr'
+                  WHEN es > greatest(en, de) THEN 'es'
+                  WHEN de > en THEN 'de'
+                  ELSE 'en' END AS community
+      FROM dslice
+    ), sent AS (
+      SELECT community, doc_id, u.pos AS sent_pos, trim(u.s) AS sentence
+      FROM (
+        SELECT community, doc_id,
+               unnest([{{'pos': i, 's': l[i]}}
+                       FOR i IN range(1, len(l) + 1)]) AS u
+        FROM (SELECT community, doc_id,
+                     string_split_regex(text, '[.!?]+') AS l
+              FROM docs))
+      WHERE trim(u.s) <> ''
+    ), toks AS (
+      SELECT community,
+             community || ':' || CAST(doc_id AS VARCHAR) || ':'
+               || CAST(sent_pos AS VARCHAR) AS node,
+             unnest(list_distinct(list_filter(
+               string_split_regex(lower(sentence), '\\s+'),
+               x -> x <> '' AND NOT list_contains([{_EN_WORDS_SQL}], x)
+             ))) AS tok
+      FROM sent
+    ), pr AS (
+      SELECT a.node AS na, b.node AS nb, CAST(COUNT(*) AS BIGINT) AS w
+      FROM toks a
+      JOIN toks b ON a.community = b.community AND a.tok = b.tok
+                 AND a.node < b.node
+      GROUP BY 1, 2 HAVING COUNT(*) >= {min_overlap}
+    ), e AS (
+      SELECT na AS src, nb AS dst, w FROM pr
+      UNION ALL SELECT nb, na, w FROM pr
+    ), deg AS (
+      SELECT src, CAST(SUM(w) AS BIGINT) AS outdeg FROM e GROUP BY src
+    ), nodes AS (
+      SELECT src AS id FROM e UNION SELECT dst FROM e
+    ), p AS (
+      SELECT COUNT(*) AS n FROM nodes
+    ), r0 AS (
+      SELECT id, {scale} // (SELECT n FROM p) AS rank FROM nodes
+    )"""
+    prev = "r0"
+    for i in range(iters):
+        sql += f""", c{i} AS (
+      SELECT e.dst, SUM((r.rank * e.w) // d.outdeg) AS cs
+      FROM e JOIN deg d ON e.src = d.src JOIN {prev} r ON r.id = e.src
+      GROUP BY e.dst
+    ), r{i + 1} AS (
+      SELECT nodes.id,
+             ({scale * 3} // (20 * (SELECT n FROM p)))
+             + (17 * COALESCE(c{i}.cs, 0)) // 20 AS rank
+      FROM nodes LEFT JOIN c{i} ON nodes.id = c{i}.dst
+    )"""
+        prev = f"r{i + 1}"
+    sql += f""", scored AS (
+      SELECT s.community, s.doc_id, CAST(s.sent_pos AS BIGINT) AS sent_pos,
+             s.sentence, CAST(COALESCE(r.rank, 0) AS BIGINT) AS rank
+      FROM sent s LEFT JOIN {prev} r
+        ON r.id = s.community || ':' || CAST(s.doc_id AS VARCHAR) || ':'
+                  || CAST(s.sent_pos AS VARCHAR)
+    )
+    SELECT community, doc_id, sent_pos, sentence, rank,
+           CAST(sel_rank AS BIGINT) AS sel_rank
+    FROM (
+      SELECT scored.*,
+             row_number() OVER (PARTITION BY community
+                                ORDER BY rank DESC, doc_id, sent_pos)
+               AS sel_rank
+      FROM scored)
+    WHERE sel_rank <= {m}
+    ORDER BY community, sel_rank
+    """
+    return sql
+
+
+@_register("q222_textrank_summaries", _textrank_sql())
+def q222(spark, sf_dir):
+    """T9 closed IN-CONTAINER (round-6 verdict task 4): per-community
+    EXTRACTIVE summaries via TextRank — the deterministic default
+    behind the LLM generation seam (reference surface:
+    generate_community_summaries.py:86-144, whose generation step is
+    model-coupled; text/llm.py keeps that seam for real models).
+    Communities = language-id classes of a documents slice; sentence
+    units (this synthetic corpus is unpunctuated, so each doc is one
+    "sentence" — the selection then reads "most central documents per
+    community", the GraphRAG representative-content primitive; the
+    multi-sentence path is unit-locked); edges = shared-token counts
+    through the inverted index (never all-pairs); ranking = the
+    WEIGHTED exact-integer PageRank; selection = top-3 per community.
+    The oracle replays classifier, split, token sets, pair weights,
+    all three PageRank rounds, and the argmax."""
+    from graphragpart1datapipeline_spark.text.analysis import language_id
+    from graphragpart1datapipeline_spark.text.summarize import (
+        textrank_summary,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    comm = docs.select(
+        "doc_id", "text", language_id("text").alias("community")
+    )
+    out = textrank_summary(
+        comm, group_col="community", id_col="doc_id", text_col="text",
+        m=3, iters=3, min_overlap=1, max_group_sentences=2000,
+    )
+    return out.select(
+        "community",
+        "doc_id",
+        F.col("sent_pos").cast("long").alias("sent_pos"),
+        "sentence",
+        "rank",
+        "sel_rank",
+    ).orderBy("community", "sel_rank")
+
+
+@_register("q223_stream_maintenance", _maintenance_dag_sql())
+def q223(spark, sf_dir):
+    """q209's daily-maintenance DAG driven by STRUCTURED STREAMING
+    (round-6 verdict task 3): the same day-N feed arrives as TWO
+    micro-batch files (doc_id ≡ 3 vs ≡ 8 mod 10 — id-disjoint batches,
+    the append-only IVF contract) through foreachBatch; every artifact
+    (CDC doc state, LSH near-dup index, CC labels, BM25 tables, IVF
+    index) is VERSIONED ON DISK between batches
+    (streaming/maintenance.py), and each batch probes the index state
+    as of all previously folded batches — so cross-batch duplicate
+    pairs are found exactly once whatever the arrival order. The
+    oracle is the SAME full-rebuild SQL as q209: stream-of-micro-
+    batches == one batch increment == full rebuild, across the entire
+    chain and every hand-off."""
+    import uuid
+
+    from graphragpart1datapipeline_spark.operators.relational import (
+        cdc_live,
+    )
+    from graphragpart1datapipeline_spark.streaming.maintenance import (
+        init_maintenance_state,
+        read_maintenance_state,
+        stream_maintenance,
+    )
+    from graphragpart1datapipeline_spark.text import bm25_query
+    from graphragpart1datapipeline_spark.text.analysis import quality_score
+    from graphragpart1datapipeline_spark.vector.search import ivf_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = docs.filter(F.col("doc_id") % 5 != 3).select("doc_id", "text")
+    emb_c = emb.filter(F.col("vec_id") % 5 != 3)
+    cents = emb.filter(
+        (F.col("vec_id") < 10) & (F.col("vec_id") % 5 != 3)
+    ).select(F.col("vec_id").alias("cid"), F.col("embedding"))
+    work = f"/tmp/q223_maint_{uuid.uuid4().hex[:8]}"
+    init_maintenance_state(corpus, emb_c, cents, work, threshold=0.3)
+
+    # the q209 feed (fresh rows seq 1; same-day stale re-crawls seq 0
+    # with ' DRAFT STALE' text) joined with the vectors so each change
+    # row is a full image, split into two id-disjoint micro-batches
+    inc_rows = docs.filter(F.col("doc_id") % 5 == 3)
+    feed = inc_rows.select(
+        "doc_id", "text", F.lit(1).alias("seq"), F.lit("U").alias("op")
+    ).unionByName(
+        inc_rows.filter(F.col("doc_id") % 10 == 3).select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(" DRAFT STALE")).alias("text"),
+            F.lit(0).alias("seq"),
+            F.lit("U").alias("op"),
+        )
+    )
+    feed_full = feed.join(
+        emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
+    )
+    feed_dir = work + "/feed"
+    for rem in (3, 8):
+        feed_full.filter(F.col("doc_id") % 10 == rem).coalesce(
+            1
+        ).write.mode("append").parquet(feed_dir)
+    stream = (
+        spark.readStream.schema(feed_full.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed_dir)
+    )
+    q = stream_maintenance(
+        stream, work, cents, threshold=0.3,
+        checkpoint_dir=work + "/ckpt",
+    )
+    q.awaitTermination()
+
+    # serve from the FINAL streamed state — q209's steps 4-6 verbatim
+    st = read_maintenance_state(spark, work)
+    corpus2 = cdc_live(st["docs"])
+    quality = corpus2.select(
+        "doc_id", _round_det(quality_score("text"), 4).alias("quality")
+    )
+    lab = (
+        quality.join(
+            st["labels"].withColumnRenamed("id", "doc_id"), "doc_id", "left"
+        )
+        .withColumn("cluster_id", F.coalesce("component", F.col("doc_id")))
+        .drop("component")
+    )
+    ws = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    surv = (
+        lab.withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "cluster_id", "quality")
+    )
+    hits = bm25_query(
+        st["bm25"], list(_BM25_TERMS), k=20, log_idf=False,
+        id_col="doc_id",
+    ).select("doc_id", "score")
+    bs = hits.join(surv, "doc_id")
+    wr = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    ranked = bs.withColumn(
+        "rank", F.row_number().over(wr).cast("long")
+    ).filter(F.col("rank") <= 10)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    assign = spark.read.parquet(st["ivf"]).select(
+        "vec_id", F.col("centroid_id").cast("long").alias("centroid_id")
+    )
+    dense = ivf_topk(
+        emb, qvec, cents, k=20, vec_col="embedding", id_col="vec_id",
+        cent_vec_col="embedding", cent_id_col="cid", nprobe=2,
+        assignments=assign,
+    )
+    wd = Window.orderBy(F.desc("score"), F.asc("vec_id"))
+    densr = dense.withColumn(
+        "dense_rank", F.row_number().over(wd).cast("long")
+    ).select(F.col("vec_id").alias("doc_id"), "dense_rank")
+    return (
+        ranked.join(densr, "doc_id", "left")
+        .select(
+            "rank", "doc_id", "score", "cluster_id", "quality",
+            "dense_rank",
+        )
+        .orderBy("rank")
+    )
+
+
+def _drift_retune_sql(
+    k_cents: int = 8, iters: int = 2, dim: int = 64,
+    probes: tuple[int, ...] = (1, 2, 4, 8), target: float = 0.9, k: int = 10,
+) -> str:
+    """Replay of the ivf_rebuild_on_drift REBUILD path end to end: the
+    post-increment corpus (corpus ∪ abs-transformed drifted batch),
+    the full exact-integer Lloyd retrain (q80's arithmetic, seeded
+    over the union's ids), the nprobe recall sweep against the exact
+    top-k on the NEW index, the pick (smallest meeting target, else
+    largest), and serving with the picked probe count."""
+    cos = """CASE WHEN sqrt(list_dot_product(e.v, e.v))
+                   * sqrt(list_dot_product(c.cv, c.cv)) > 0
+              THEN list_dot_product(e.v, c.cv)
+                   / (sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(c.cv, c.cv)))
+              ELSE 0.0 END"""
+    sql = f"""
+    WITH allv AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id % 5 <> 3
+      UNION ALL
+      SELECT vec_id + 1000000,
+             list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))
+      FROM embeddings WHERE vec_id % 5 = 3
+    ), e AS (
+      SELECT vec_id, v FROM allv
+    ), init AS (
+      SELECT CAST(row_number() OVER (
+               ORDER BY md5('42:' || CAST(vec_id AS VARCHAR)), vec_id) - 1
+             AS INTEGER) AS cid, v AS cv
+      FROM allv
+      ORDER BY md5('42:' || CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT {k_cents}
+    )"""
+    prev = "init"
+    for i in range(iters):
+        sql += f""", a{i} AS (
+      SELECT vec_id, cid, v FROM (
+        SELECT e.vec_id, c.cid, e.v,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos} DESC, c.cid ASC) AS rn
+        FROM e CROSS JOIN {prev} c) WHERE rn = 1
+    ), u{i} AS (
+      SELECT cid, t.i AS d,
+             SUM(CAST(floor(v[CAST(t.i AS INTEGER)] * 1000000 + 0.5)
+                      AS BIGINT)) AS s,
+             COUNT(*) AS n
+      FROM a{i} CROSS JOIN range(1, {dim + 1}) t(i)
+      GROUP BY cid, t.i
+    ), c{i + 1} AS (
+      SELECT cid, list(s / (n * 1000000) ORDER BY d) AS cv
+      FROM u{i} GROUP BY cid
+    )"""
+        prev = f"c{i + 1}"
+    sql += f""", q AS (
+      SELECT v AS qv FROM allv WHERE vec_id = 0
+    ), ex AS (
+      SELECT vec_id FROM (
+        SELECT e.vec_id,
+               CASE WHEN sqrt(list_dot_product(e.v, e.v)) > 0
+                    THEN list_dot_product(e.v, q.qv)
+                         / (sqrt(list_dot_product(e.v, e.v))
+                            * sqrt(list_dot_product(q.qv, q.qv)))
+                    ELSE 0.0 END AS score
+        FROM e, q
+      ) ORDER BY score DESC, vec_id LIMIT {k}
+    ), cscored AS (
+      SELECT e.vec_id, c.cid, {cos} AS cos
+      FROM e CROSS JOIN {prev} c
+    ), assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, cid) AS rn
+        FROM cscored) WHERE rn = 1
+    ), qrank AS (
+      SELECT c.cid,
+             row_number() OVER (ORDER BY
+               CASE WHEN sqrt(list_dot_product(c.cv, c.cv))
+                         * sqrt(list_dot_product(q.qv, q.qv)) > 0
+                    THEN list_dot_product(c.cv, q.qv)
+                         / (sqrt(list_dot_product(c.cv, c.cv))
+                            * sqrt(list_dot_product(q.qv, q.qv)))
+                    ELSE 0.0 END DESC, c.cid) AS rn
+      FROM {prev} c, q
+    )"""
+    selects = []
+    for p in probes:
+        sql += f""", ivf{p} AS (
+      SELECT vec_id FROM (
+        SELECT cand.vec_id,
+               CASE WHEN sqrt(list_dot_product(cand.v, cand.v))
+                         * sqrt(list_dot_product(q.qv, q.qv)) > 0
+                    THEN list_dot_product(cand.v, q.qv)
+                         / (sqrt(list_dot_product(cand.v, cand.v))
+                            * sqrt(list_dot_product(q.qv, q.qv)))
+                    ELSE 0.0 END AS score
+        FROM (SELECT e.vec_id, e.v FROM e
+              JOIN assign USING (vec_id)
+              JOIN (SELECT cid FROM qrank WHERE rn <= {p}) pr
+                USING (cid)) cand, q
+      ) ORDER BY score DESC, vec_id LIMIT {k}
+    )"""
+        selects.append(
+            f"SELECT {p} AS nprobe,"
+            f" CAST((SELECT COUNT(*) FROM ex JOIN ivf{p} USING (vec_id))"
+            f" AS DOUBLE) / {float(k)!r} AS recall"
+        )
+    sql += (
+        ", sw AS (\n      "
+        + "\n      UNION ALL\n      ".join(selects)
+        + f"""
+    ), pick AS (
+      SELECT COALESCE(MIN(nprobe) FILTER (WHERE recall >= {target!r}),
+                      (SELECT MAX(nprobe) FROM sw)) AS np
+      FROM sw
+    ), serve AS (
+      SELECT cand.vec_id,
+             CASE WHEN sqrt(list_dot_product(cand.v, cand.v))
+                       * sqrt(list_dot_product(q.qv, q.qv)) > 0
+                  THEN list_dot_product(cand.v, q.qv)
+                       / (sqrt(list_dot_product(cand.v, cand.v))
+                          * sqrt(list_dot_product(q.qv, q.qv)))
+                  ELSE 0.0 END AS score
+      FROM (SELECT e.vec_id, e.v FROM e
+            JOIN assign USING (vec_id)
+            JOIN (SELECT cid FROM qrank, pick WHERE rn <= pick.np) pr
+              USING (cid)) cand, q
+    )
+    SELECT 'rebuild' AS action,
+           CAST(pick.np AS BIGINT) AS nprobe,
+           CAST(row_number() OVER (ORDER BY score DESC, vec_id)
+                AS BIGINT) AS rank,
+           vec_id,
+           floor(score * 1000000000.0 + 0.5) / 1000000000.0 AS score
+    FROM serve, pick
+    ORDER BY score DESC, vec_id LIMIT {k}
+    """
+    )
+    return sql
+
+
+@_register("q224_ivf_drift_retune", _drift_retune_sql())
+def q224(spark, sf_dir):
+    """Drift-triggered ANN retune (round-6 verdict task 7): an
+    out-of-distribution increment (the |x| transform pushes the batch
+    off the zero-mean corpus manifold — measured assignment quality
+    0.85-0.89× the baseline at every sf) hits ivf_upsert's drift gate
+    (drift_frac=0.95) and, instead of the bare raise, the composed
+    maintenance verb ivf_rebuild_on_drift RETRAINS the coarse
+    quantizer on the post-increment corpus (exact-integer k-means,
+    k=8), REBUILDS the index, RETUNES nprobe against the new index
+    (q210's persisted-decision pattern), and SERVES the exact query
+    with the retuned probe count. The oracle replays the entire
+    rebuild arm — Lloyd retrain, sweep, pick, serving — and the
+    ``action`` column locks that the drift gate actually fired."""
+    from graphragpart1datapipeline_spark.vector.search import (
+        ivf_build_index,
+        ivf_rebuild_on_drift,
+        ivf_topk,
+    )
+
+    import uuid
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 5 != 3).select(
+        "vec_id", "embedding"
+    )
+    cents0 = corpus.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("cid"), F.col("embedding")
+    )
+    path = f"/tmp/q224_ivf_{uuid.uuid4().hex[:8]}"
+    ivf_build_index(corpus, cents0, path)
+    inc = emb.filter(F.col("vec_id") % 5 == 3).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: F.abs(x.cast("double"))
+        ).alias("embedding"),
+    )
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    res = ivf_rebuild_on_drift(
+        path, inc, cents0, corpus, qvec, k_centroids=8, iters=2,
+        seed=42, probes=(1, 2, 4, 8), target_recall=0.9, k=10,
+        drift_frac=0.95,
+    )
+    served = ivf_topk(
+        corpus.unionByName(inc), qvec, res["centroids"], k=10,
+        vec_col="embedding", id_col="vec_id", cent_vec_col="embedding",
+        cent_id_col="cid",
+        nprobe=res["nprobe"] if res["nprobe"] is not None else 1,
+        assignments=res["assignments"],
+    )
+    wr = Window.orderBy(F.desc("score"), F.asc("vec_id"))
+    return served.select(
+        F.lit(res["action"]).alias("action"),
+        F.lit(res["nprobe"]).cast("long").alias("nprobe"),
+        F.row_number().over(wr).cast("long").alias("rank"),
+        "vec_id",
+        _round_det("score", 9).alias("score"),
+    ).orderBy("rank")
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -56,7 +56,6 @@ HEADLINE = [
     "q02_release_catalog",
     "q03_segment_revenue_topn",
     "q05_regional_revenue",
-    "q07_dedupe_priority",
     "q12_top_words",
     "q18_hourly_windows",
     "q19_sessionization",
@@ -64,7 +63,6 @@ HEADLINE = [
     "q22_language_id",
     "q24_minhash_lsh",
     "q25_vector_topk",
-    "q27_moving_agg",
     "q31_multi_hop_graph",
     "q53_embedding_near_dup_lsh",
     "q66_knn_join_blocked",
@@ -146,6 +144,14 @@ HEADLINE = [
     "q207_rag_serving_mmr",
     "q211_rag_serving_tuned",
     "q214_salted_join_shared_detection",
+    # round 7: per-community extractive summarization (sentence split →
+    # shared-token inverted-index pair graph → weighted integer
+    # PageRank → top-m) — the T9-closing capability; slice-bound input
+    # keeps it cheap. Rotated OUT to the secondary tier to compensate
+    # (round-6 verdict task 8): q07 (0.2 s; the rank-window dedup shape
+    # is headline via q02, exact dedup via q20) and q27 (0.3 s; the
+    # moving-window family is headline via q18 + q112).
+    "q222_textrank_summaries",
 ]
 
 # Secondary tier: sub-second operators whose family is already
@@ -230,6 +236,11 @@ SECONDARY = [
     "q219_adaptive_join",
     "q220_semdedup",
     "q221_effective_diameter",
+    # round 7 rotations from the headline (families still headline-
+    # represented: q02/q20 for the dedup windows, q18/q112 for the
+    # moving windows) — 1-rep traces continue in BENCH_DETAIL
+    "q07_dedupe_priority",
+    "q27_moving_agg",
 ]
 
 # Repetitions per query; report the min. The ambient swing on a shared

@@ -26,6 +26,7 @@ from .entity import (  # noqa: F401
     sorted_neighborhood_pairs,
 )
 from .splits import weighted_poisson_sample  # noqa: F401
+from .semantic import semdedup  # noqa: F401
 from .editdist import levenshtein_self_join  # noqa: F401
 from .incremental import (  # noqa: F401
     embedding_lsh_delete,

@@ -27,10 +27,15 @@ per-node estimates, and the scaled sums against DuckDB).
 Accuracy: the raw estimator is the right regime for the dense serving
 graphs this targets (ball sizes ≳ 2.5·2^p within a hop or two); the
 q213 unit gate additionally compares N(t) against the exact BFS
-neighborhood function.
+neighborhood function, and :func:`hyperball_neighborhood_function`
+warns (``check_regime``) when the final-radius balls are still mostly
+below the ~2.5·2^p raw-estimator regime — the "graph too small / p too
+large" configuration where the profile is biased.
 """
 
 from __future__ import annotations
+
+import warnings
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -42,6 +47,28 @@ __all__ = [
     "hyperball_neighborhood_function",
     "effective_diameter",
 ]
+
+# BIGINT sums of scaled per-node estimates can silently wrap in
+# non-ANSI Spark on the dense graphs this module targets (N(t) with
+# scale=1e6 crosses 2^63 near ~9.2e12 ball-size-sum) — accumulate in
+# decimal(38,0) and range-check back to long, the betweenness_sampled
+# guard pattern (graph/betweenness.py).
+_GUARD_CAP = 1 << 62
+
+
+def _checked_long(dec_col, what: str):
+    return F.when(
+        (dec_col <= F.lit(_GUARD_CAP).cast("decimal(38,0)"))
+        & (dec_col >= F.lit(-_GUARD_CAP).cast("decimal(38,0)")),
+        dec_col.cast("long"),
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                f"hyperball: {what} exceeds 2^62 — lower `scale` "
+                "(or the quantile grid) so the scaled profile fits a long"
+            )
+        )
+    )
 
 
 def hyperball_registers(
@@ -109,24 +136,62 @@ def hyperball_neighborhood_function(
     dst: str = "dst",
     directed: bool = False,
     scale: int = 10**6,
+    check_regime: bool = True,
 ) -> DataFrame:
     """The neighborhood-function profile: one row per radius t in
     [0, max_t] with ``nf_est_scaled`` = Σ_v floor(est|ball(v,t)|·scale
-    + 0.5) (an exact BIGINT — divide by ``scale`` for the float N(t))
-    and ``n_nodes``. Effective diameter at quantile q is the smallest
-    t with N(t) ≥ q·N(max_t) — read it off the returned profile."""
+    + 0.5) (an exact BIGINT — the per-node terms accumulate in
+    decimal(38,0) and are range-checked back to long, so a dense graph
+    raises loudly instead of wrapping; divide by ``scale`` for the
+    float N(t)) and ``n_nodes``. Effective diameter at quantile q is
+    the smallest t with N(t) ≥ q·N(max_t) — read it off the returned
+    profile (or hand it to :func:`effective_diameter`).
+
+    ``check_regime``: the raw HLL estimator is biased below ball sizes
+    of ~2.5·2^p (Flajolet's small-range regime). When most final-radius
+    balls are still below that threshold — a graph too small or a ``p``
+    too large for raw estimation — the profile is systematically off,
+    so this runs one bounded aggregate over the t=max_t estimates and
+    emits a ``UserWarning`` with the measured fraction (lower ``p``,
+    or use exact BFS for a graph this small). Never silent."""
     regs_by_t = hyperball_registers(edges, max_t, p, src, dst, directed)
+    m = 1 << p
     out = None
     for t, regs in enumerate(regs_by_t):
         est = hll_estimate(regs, ["node"], p)
         row = est.agg(
             F.lit(t).cast("long").alias("t"),
-            F.sum(
-                F.floor(F.col("est_ndv") * scale + F.lit(0.5)).cast("long")
+            _checked_long(
+                F.sum(
+                    F.floor(F.col("est_ndv") * scale + F.lit(0.5)).cast(
+                        "decimal(38,0)"
+                    )
+                ),
+                "Σ scaled ball estimate",
             ).alias("nf_est_scaled"),
             F.count(F.lit(1)).alias("n_nodes"),
         )
         out = row if out is None else out.unionByName(row)
+    if check_regime:
+        final = hll_estimate(regs_by_t[-1], ["node"], p)
+        below, total = final.agg(
+            F.sum(
+                F.when(F.col("est_ndv") < 2.5 * m, F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ),
+            F.count(F.lit(1)),
+        ).first()
+        if total and below is not None and below * 2 > total:
+            warnings.warn(
+                "hyperball_neighborhood_function: "
+                f"{below}/{total} balls at t={max_t} estimate below the "
+                f"raw-HLL regime threshold 2.5*2^p = {2.5 * m:.0f} — the "
+                "profile is biased at this graph size / p; lower p or "
+                "compute the neighborhood function exactly (graph/bfs)",
+                UserWarning,
+                stacklevel=2,
+            )
     return out.orderBy("t")
 
 
@@ -139,8 +204,21 @@ def effective_diameter(
     q, the smallest radius t whose estimated neighborhood function
     reaches q · N(t_max) — the standard HyperBall deliverable (Boldi-
     Vigna's 90%-effective-diameter). ALL-INTEGER decision
-    (nf·1000 ≥ q_milli·nf_max on the scaled longs), so it replays
-    exactly. Returns (q_milli, effective_t, nf_at_t, nf_max)."""
+    (nf·1000 ≥ q_milli·nf_max, compared in decimal(38,0) so dense-graph
+    magnitudes can't wrap a BIGINT multiply), so it replays exactly.
+
+    Boldi-Vigna interpolation: the fractional effective diameter is
+    ``(effective_t - 1) + (q·N(max) - N(t-1)) / (N(t) - N(t-1))`` —
+    emitted as the EXACT RATIONAL ``interp_num / interp_den`` over the
+    scaled-long profile (num = q_milli·nf_max − 1000·nf_prev,
+    den = 1000·(nf_at_t − nf_prev); both range-checked to long), so
+    the fractional statistic replays bit-exactly too. At t = 0 the
+    rational is 0/1 (diameter 0); den > 0 is structural — minimality
+    of t forces N(t−1) below the threshold ≤ N(t). The float diameter
+    is ``effective_t - 1 + interp_num/interp_den``.
+
+    Returns (q_milli, effective_t, nf_at_t, nf_max, interp_num,
+    interp_den)."""
     if not qs:
         raise ValueError("effective_diameter: qs is empty")
     millis = sorted({int(round(q * 1000)) for q in qs})
@@ -151,23 +229,37 @@ def effective_diameter(
     mx = profile.orderBy(F.desc("t")).limit(1).select(
         F.col("nf_est_scaled").alias("__nf_max")
     )
+    wlag = Window.orderBy(F.asc("t"))
+    prof = profile.select("t", "nf_est_scaled").withColumn(
+        "__nf_prev", F.lag("nf_est_scaled").over(wlag)
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    thresh = dec(F.col("q_milli")) * dec(F.col("__nf_max"))
     cand = (
-        profile.select("t", "nf_est_scaled")
-        .crossJoin(F.broadcast(mx))
+        prof.crossJoin(F.broadcast(mx))
         .select(
             "t",
             "nf_est_scaled",
+            "__nf_prev",
             "__nf_max",
             F.explode(
                 F.array(*[F.lit(m).cast("long") for m in millis])
             ).alias("q_milli"),
         )
-        .filter(
-            F.col("nf_est_scaled") * 1000
-            >= F.col("q_milli") * F.col("__nf_max")
-        )
+        .filter(dec(F.col("nf_est_scaled")) * 1000 >= thresh)
     )
     w = Window.partitionBy("q_milli").orderBy(F.asc("t"))
+    num = F.when(F.col("__nf_prev").isNull(), F.lit(0).cast("long")).otherwise(
+        _checked_long(
+            thresh - dec(F.col("__nf_prev")) * 1000, "interpolation numerator"
+        )
+    )
+    den = F.when(F.col("__nf_prev").isNull(), F.lit(1).cast("long")).otherwise(
+        _checked_long(
+            (dec(F.col("nf_est_scaled")) - dec(F.col("__nf_prev"))) * 1000,
+            "interpolation denominator",
+        )
+    )
     return (
         cand.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
@@ -176,6 +268,8 @@ def effective_diameter(
             F.col("t").alias("effective_t"),
             F.col("nf_est_scaled").alias("nf_at_t"),
             F.col("__nf_max").alias("nf_max"),
+            num.alias("interp_num"),
+            den.alias("interp_den"),
         )
         .orderBy("q_milli")
     )

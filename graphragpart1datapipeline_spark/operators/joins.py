@@ -520,12 +520,19 @@ def adaptive_join(
        shuffle join (:func:`salted_join_auto`).
     3. else → plain shuffle join (Catalyst/AQE handle the rest).
 
-    The probes are bounded: one right-side count (parquet footers at
-    rest) and the 3-pass detection only when the broadcast arm is
-    ruled out. Join-type support is :func:`salted_join_auto`'s
-    (inner/left flavors). Pass ``decision`` (a dict) to observe which
-    arm fired — it gets ``strategy``/``right_rows``/``hot_keys``
-    entries (tests lock arm selection AND plan shape)."""
+    The probes are bounded: the broadcast decision takes at most
+    ``broadcast_threshold_rows + 1`` marker rows through a
+    CollectLimit (partitions execute incrementally and stop as soon
+    as the cap is hit — a non-trivial right-side plan is NEVER run to
+    completion the way a ``count()`` would run it, yet the decision
+    stays exact: seeing threshold+1 rows proves "too big" without the
+    true count), and the 3-pass hot-key detection runs only when the
+    broadcast arm is ruled out. Join-type support is
+    :func:`salted_join_auto`'s (inner/left flavors). Pass ``decision``
+    (a dict) to observe which arm fired — it gets ``strategy``/
+    ``right_rows``/``hot_keys`` entries (``right_rows`` is the probed
+    value: exact when ≤ the threshold, threshold+1 meaning "more");
+    tests lock arm selection, plan shape, AND the probe bound."""
     allowed = {"inner", "left", "leftouter", "left_outer", "left_semi",
                "leftsemi", "left_anti", "leftanti", "cross"}
     if how.lower() not in allowed:
@@ -535,7 +542,11 @@ def adaptive_join(
         )
     keys = [on] if isinstance(on, str) else list(on)
     info = decision if decision is not None else {}
-    r_rows = right.count()
+    r_rows = len(
+        right.select(F.lit(1).alias("__probe"))
+        .limit(broadcast_threshold_rows + 1)
+        .collect()
+    )
     info["right_rows"] = r_rows
     if r_rows <= broadcast_threshold_rows:
         info["strategy"] = "broadcast"

@@ -6,3 +6,8 @@ from .windows import (  # noqa: F401
     tumbling_window_agg,
 )
 from .stateful import running_totals_by_key, stream_dedup_registry  # noqa: F401
+from .maintenance import (  # noqa: F401
+    init_maintenance_state,
+    read_maintenance_state,
+    stream_maintenance,
+)

@@ -1,0 +1,261 @@
+"""STREAMING daily-maintenance loop — q209's composed incremental DAG
+(CDC → embedding near-dup → connected components → BM25 → IVF) driven
+by Structured Streaming micro-batches instead of one batch increment.
+
+Each foreachBatch call folds one micro-batch of full-row changes
+(id, text, embedding, seq, op) into EVERY persisted maintenance
+artifact, and every artifact is versioned on disk between batches
+(the streaming/cdc.py versioning contract: a reader never observes a
+half-written table; a crashed batch leaves v{N} intact):
+
+    work_dir/docs/v{N}    CDC'd corpus text state
+    work_dir/ndix/v{N}    hyperplane-LSH near-dup index tables
+    work_dir/cc/v{N}      connected-component labels
+    work_dir/bm25/v{N}    BM25 postings/dl/dfreq/params tables
+    work_dir/ivf          partitioned IVF index (ivf_upsert appends)
+
+ORDER-INDEPENDENCE (what makes stream == batch provable): CDC is
+out-of-order-safe (per-key max-seq wins); each batch's near-dup probe
+pairs the batch against the index AS OF all previously folded batches
+plus itself, so every cross-batch pair is generated exactly once no
+matter the arrival order; incremental CC converges to the CC of the
+union edge set; BM25 df-counts are additive; IVF assignment is
+per-vector independent and its drift baseline is the count-weighted
+exact mean. q223 locks the whole loop against the SAME full-rebuild
+oracle as q209 — stream-of-micro-batches == one batch == rebuild.
+
+CONTRACT: ids must be batch-disjoint across micro-batches (a re-crawl
+of the same id lands in the same day-batch, exactly q209's feed
+shape) — the IVF index is append-only and ivf_upsert RAISES on a
+cross-batch id collision rather than double-counting.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .cdc import _latest_version, init_cdc_state
+
+__all__ = [
+    "init_maintenance_state",
+    "stream_maintenance",
+    "read_maintenance_state",
+]
+
+_ND_KEYS = ("buckets", "params")
+_BM_KEYS = ("postings", "dl", "dfreq", "params")
+
+
+def _write_tables(tables: dict[str, DataFrame], vdir: str, keys) -> None:
+    for key in keys:
+        tables[key].write.mode("overwrite").parquet(
+            os.path.join(vdir, key)
+        )
+
+
+def _read_tables(spark: SparkSession, vdir: str, keys) -> dict[str, DataFrame]:
+    return {
+        key: spark.read.parquet(os.path.join(vdir, key)) for key in keys
+    }
+
+
+def init_maintenance_state(
+    corpus_docs: DataFrame,
+    corpus_emb: DataFrame,
+    centroids: DataFrame,
+    work_dir: str,
+    threshold: float = 0.3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_col: str = "embedding",
+    vec_id_col: str = "vec_id",
+    cent_id_col: str = "cid",
+) -> None:
+    """Seed v0 of every artifact from the day-0 corpus: CDC doc state,
+    LSH near-dup index, CC labels of the day-0 pair graph, BM25 index,
+    IVF index (+ its _stats drift baseline)."""
+    from ..dedup.embedding import embedding_near_dup_pairs
+    from ..dedup.incremental import embedding_lsh_index
+    from ..graph.communities import connected_components
+    from ..text.bm25_index import bm25_index
+    from ..vector.search import ivf_build_index
+
+    init_cdc_state(
+        corpus_docs.select(id_col, text_col), os.path.join(work_dir, "docs")
+    )
+    ndix = embedding_lsh_index(corpus_emb, vec_col=vec_col, id_col=vec_id_col)
+    _write_tables(ndix, os.path.join(work_dir, "ndix", "v0"), _ND_KEYS)
+    pairs = embedding_near_dup_pairs(
+        corpus_emb, threshold=threshold, vec_col=vec_col, id_col=vec_id_col
+    )
+    labels = connected_components(pairs, src="a", dst="b")
+    labels.write.mode("overwrite").parquet(
+        os.path.join(work_dir, "cc", "v0")
+    )
+    bmix = bm25_index(corpus_docs, text_col=text_col, id_col=id_col)
+    _write_tables(bmix, os.path.join(work_dir, "bm25", "v0"), _BM_KEYS)
+    ivf_build_index(
+        corpus_emb,
+        centroids,
+        os.path.join(work_dir, "ivf"),
+        vec_col=vec_col,
+        id_col=vec_id_col,
+        cent_vec_col=vec_col,
+        cent_id_col=cent_id_col,
+    )
+
+
+def read_maintenance_state(spark: SparkSession, work_dir: str) -> dict:
+    """The newest committed version of every artifact: dict with
+    ``docs`` / ``labels`` DataFrames, ``ndix`` / ``bm25`` table dicts,
+    and the ``ivf`` index path (hand to ivf_topk via its persisted
+    assignments)."""
+    from .cdc import read_cdc_state
+
+    out = {"docs": read_cdc_state(spark, os.path.join(work_dir, "docs"))}
+    for name, keys in (("ndix", _ND_KEYS), ("bm25", _BM_KEYS)):
+        base = os.path.join(work_dir, name)
+        v = _latest_version(base)
+        if v < 0:
+            raise FileNotFoundError(f"no {name} state under {base}")
+        out[name] = _read_tables(spark, os.path.join(base, f"v{v}"), keys)
+    cc_base = os.path.join(work_dir, "cc")
+    v = _latest_version(cc_base)
+    if v < 0:
+        raise FileNotFoundError(f"no cc state under {cc_base}")
+    out["labels"] = spark.read.parquet(os.path.join(cc_base, f"v{v}"))
+    out["ivf"] = os.path.join(work_dir, "ivf")
+    return out
+
+
+def stream_maintenance(
+    changes: DataFrame,
+    work_dir: str,
+    centroids: DataFrame,
+    threshold: float = 0.3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_col: str = "embedding",
+    vec_id_col: str = "vec_id",
+    cent_id_col: str = "cid",
+    seq_col: str = "seq",
+    op_col: str = "op",
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+):
+    """Run the change stream through the full maintenance DAG with
+    foreachBatch; call :func:`init_maintenance_state` first. Returns
+    the StreamingQuery (``available_now=True`` drains the backlog and
+    stops — the daily-crawl operating mode). ``changes`` carries
+    full-row images (``id_col``, ``text_col``, ``vec_col``) plus
+    (``seq_col``, ``op_col``); within a batch the per-key max-seq
+    upsert row wins before any index sees it (a stale re-crawl row
+    never reaches the indexes, q209's CDC semantics)."""
+    from ..dedup.embedding import embedding_near_dup_pairs
+    from ..dedup.incremental import (
+        embedding_lsh_upsert,
+        embedding_near_dup_incremental,
+    )
+    from ..graph.communities import connected_components_incremental
+    from ..operators.relational import cdc_upsert_state
+    from ..text.bm25_index import bm25_upsert
+    from ..vector.search import ivf_upsert
+
+    docs_dir = os.path.join(work_dir, "docs")
+    ndix_dir = os.path.join(work_dir, "ndix")
+    cc_dir = os.path.join(work_dir, "cc")
+    bm_dir = os.path.join(work_dir, "bm25")
+    ivf_path = os.path.join(work_dir, "ivf")
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        from pyspark.sql import Window
+
+        # 1. CDC: fold the raw batch (stale rows included — latest-wins
+        # drops them) into the versioned doc state
+        v = _latest_version(docs_dir)
+        state = spark.read.parquet(os.path.join(docs_dir, f"v{v}"))
+        merged = cdc_upsert_state(
+            state,
+            batch_df.select(id_col, text_col, seq_col, op_col),
+            [id_col],
+            seq_col,
+            op_col=op_col,
+        )
+        merged.write.mode("overwrite").parquet(
+            os.path.join(docs_dir, f"v{v + 1}")
+        )
+
+        # 2. the batch's CLEAN increment: latest-wins upsert row per key
+        wk = Window.partitionBy(id_col).orderBy(F.desc(seq_col))
+        inc = (
+            batch_df.filter(F.col(op_col) != "D")
+            .withColumn("__rn", F.row_number().over(wk))
+            .filter(F.col("__rn") == 1)
+            .select(id_col, text_col, vec_col)
+            .localCheckpoint(eager=True)
+        )
+        if inc.isEmpty():
+            return
+        inc_emb = inc.select(
+            F.col(id_col).alias(vec_id_col), F.col(vec_col)
+        )
+
+        # 3. near-dup: probe the persisted index (new x corpus-so-far)
+        # + bucket the batch against itself (new x new), then fold the
+        # batch into the index for the NEXT micro-batch
+        v = _latest_version(ndix_dir)
+        ndix = _read_tables(
+            spark, os.path.join(ndix_dir, f"v{v}"), _ND_KEYS
+        )
+        mixed = embedding_near_dup_incremental(
+            inc_emb, ndix, threshold=threshold,
+            vec_col=vec_col, id_col=vec_id_col,
+        )
+        within = embedding_near_dup_pairs(
+            inc_emb, threshold=threshold, vec_col=vec_col,
+            id_col=vec_id_col,
+        )
+        new_edges = mixed.select(
+            F.col("new_id").alias("a"), F.col("corpus_id").alias("b")
+        ).unionByName(within.select("a", "b")).localCheckpoint(eager=True)
+        ndix2 = embedding_lsh_upsert(
+            ndix, inc_emb, vec_col=vec_col, id_col=vec_id_col
+        )
+        _write_tables(ndix2, os.path.join(ndix_dir, f"v{v + 1}"), _ND_KEYS)
+
+        # 4. connected components: fold the batch's edges into labels
+        v = _latest_version(cc_dir)
+        labels = spark.read.parquet(os.path.join(cc_dir, f"v{v}"))
+        labels2 = connected_components_incremental(labels, new_edges)
+        labels2.write.mode("overwrite").parquet(
+            os.path.join(cc_dir, f"v{v + 1}")
+        )
+
+        # 5. BM25: tokenize only the batch, replace-then-extend postings
+        v = _latest_version(bm_dir)
+        bmix = _read_tables(spark, os.path.join(bm_dir, f"v{v}"), _BM_KEYS)
+        bmix2 = bm25_upsert(
+            bmix, inc.select(id_col, text_col),
+            text_col=text_col, id_col=id_col,
+        )
+        _write_tables(bmix2, os.path.join(bm_dir, f"v{v + 1}"), _BM_KEYS)
+
+        # 6. IVF: assign only the batch (id-collision + drift gated)
+        ivf_upsert(
+            ivf_path, inc_emb, centroids,
+            vec_col=vec_col, id_col=vec_id_col,
+            cent_vec_col=vec_col, cent_id_col=cent_id_col,
+        )
+
+    writer = changes.writeStream.foreachBatch(apply_batch).outputMode(
+        "update"
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

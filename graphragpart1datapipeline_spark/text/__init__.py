@@ -27,3 +27,4 @@ from .chunking import (  # noqa: F401
     stitch_context,
 )
 from .sections import split_sections  # noqa: F401
+from .summarize import sentence_table, textrank_summary  # noqa: F401

@@ -1,4 +1,5 @@
 from .search import (  # noqa: F401
+    IvfDriftError,
     cosine_expr,
     cosine_topk,
     dot_expr,
@@ -6,6 +7,7 @@ from .search import (  # noqa: F401
     hyperplane_bucket,
     ivf_assignments,
     ivf_build_index,
+    ivf_rebuild_on_drift,
     ivf_topk,
     ivf_upsert,
     knn_join,

@@ -25,6 +25,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+class IvfDriftError(ValueError):
+    """Raised by :func:`ivf_upsert` when an increment's assignment
+    quality falls below the drift gate — the centroids no longer fit
+    the data. Catch it to run the rebuild+retune maintenance path
+    (:func:`ivf_rebuild_on_drift`) instead of aborting."""
+
+
 def dot_expr(a: Column, b: Column) -> Column:
     """Dot product of two array<numeric> columns, computed in double via
     an in-order fold (deterministic, oracle-reproducible)."""
@@ -380,12 +387,13 @@ def ivf_upsert(
         stats["mean_cos"] is not None
         and inc["mean_cos"] < drift_frac * stats["mean_cos"]
     ):
-        raise ValueError(
+        raise IvfDriftError(
             "ivf_upsert: increment assignment quality has drifted — "
             f"mean cosine {inc['mean_cos']:.4f} < {drift_frac} × "
             f"build baseline {stats['mean_cos']:.4f}; re-train the "
             "coarse quantizer (k-means) and rebuild the index before "
-            "ingesting this batch"
+            "ingesting this batch (or run ivf_rebuild_on_drift, which "
+            "composes retrain → rebuild → retune)"
         )
     assign.drop("assign_cos").write.mode("append").partitionBy(
         "centroid_id"
@@ -460,6 +468,18 @@ def ivf_delete(
                 index.join(F.broadcast(rid), id_col, "left_anti")
                 .localCheckpoint(eager=True)
             )
+            if whole.isEmpty():
+                # a static overwrite of a 0-row partitioned frame
+                # writes no part files, so the read-back below would
+                # crash on schema inference with _stats already
+                # rewritten — an empty partitioned index is not
+                # representable; refuse loudly BEFORE touching disk
+                raise ValueError(
+                    f"ivf_delete: deletion would empty the index at "
+                    f"{path} — an empty partitioned index is not "
+                    "representable on disk; drop the index directory "
+                    "or rebuild with ivf_build_index instead"
+                )
             (
                 whole.write.mode("overwrite")
                 .partitionBy("centroid_id")
@@ -641,8 +661,15 @@ def ivf_tune(
     )
     chosen_recall = next(r for p, _, r in rows if p == chosen)
     spark.createDataFrame(
-        [(chosen, float(target_recall), int(k), float(chosen_recall))],
-        "nprobe long, target_recall double, k long, recall double",
+        [(
+            chosen,
+            float(target_recall),
+            int(k),
+            float(chosen_recall),
+            bool(chosen_recall >= target_recall),
+        )],
+        "nprobe long, target_recall double, k long, recall double, "
+        "met_target boolean",
     ).write.mode("overwrite").parquet(path + "_tuning")
     return spark.createDataFrame(
         [(p, h, r, p == chosen) for p, h, r in rows],
@@ -650,18 +677,125 @@ def ivf_tune(
     )
 
 
-def ivf_tuned_nprobe(spark, path: str) -> int:
+def ivf_tuned_nprobe(spark, path: str, strict: bool = False) -> int:
     """Read the persisted tuning decision for the index at ``path`` —
     the probe count serving should use (raises if :func:`ivf_tune`
-    never ran for this index)."""
-    import os as _os
+    never ran for this index). The probe is the read itself (not a
+    driver-local ``os.path`` check), so indexes persisted on HDFS/S3
+    resolve the same as local ones.
 
-    if not _os.path.exists(path + "_tuning"):
+    SLO check: when the stored decision did NOT meet its target recall
+    (``met_target`` false — ivf_tune fell back to the largest
+    candidate), serving is about to run under-SLO; this warns with the
+    stored numbers, or raises with ``strict=True`` — the decision is
+    loud at the consumer, not just in a table nobody inspects."""
+    import warnings as _warnings
+
+    from pyspark.errors import AnalysisException
+
+    try:
+        row = spark.read.parquet(path + "_tuning").collect()[0]
+    except AnalysisException as exc:
         raise ValueError(
             f"ivf_tuned_nprobe: no tuning table at {path}_tuning — run "
             "ivf_tune(target_recall=...) for this index first"
+        ) from exc
+    d = row.asDict()
+    if d.get("met_target") is False:
+        msg = (
+            f"ivf_tuned_nprobe: the stored tuning decision for {path} is "
+            f"UNDER-SLO — recall {d.get('recall'):.4f} < target "
+            f"{d.get('target_recall'):.4f} at the largest candidate "
+            f"nprobe {d['nprobe']}; widen the probe grid or rebuild the "
+            "index (ivf_tune never met the target)"
         )
-    return int(spark.read.parquet(path + "_tuning").collect()[0]["nprobe"])
+        if strict:
+            raise ValueError(msg)
+        _warnings.warn(msg, UserWarning, stacklevel=2)
+    return int(d["nprobe"])
+
+
+def ivf_rebuild_on_drift(
+    path: str,
+    new_df: DataFrame,
+    centroids: DataFrame,
+    corpus: DataFrame,
+    query_vec: Sequence[float],
+    k_centroids: int = 8,
+    iters: int = 2,
+    seed: str | int = 42,
+    probes: Sequence[int] = (1, 2, 4),
+    target_recall: float = 0.9,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cent_vec_col: str = "embedding",
+    cent_id_col: str = "cid",
+    drift_frac: float = 0.8,
+) -> dict:
+    """The drift-triggered MAINTENANCE PLAN (closing ivf_upsert's
+    bare-raise seam): try the cheap append path first; when the drift
+    gate fires, RETRAIN the coarse quantizer on the full post-increment
+    corpus (exact-integer k-means, vector/kmeans.py), REBUILD the index
+    at ``path``, and RETUNE nprobe against the new index
+    (:func:`ivf_tune`'s persisted decision) — so the serving tier
+    (:func:`ivf_tuned_nprobe` → :func:`ivf_topk`) reads a probe count
+    measured on the index it actually queries, never a stale knob.
+
+    ``corpus`` is the pre-increment vector frame (the same rows the
+    index at ``path`` holds); ``new_df`` must be id-disjoint from it.
+    Returns ``{"action": "upsert"|"rebuild", "assignments": DataFrame,
+    "centroids": DataFrame (the table serving must probe with),
+    "nprobe": int | None (None on the upsert path: the existing tuning
+    decision still stands), "tuning": DataFrame | None}``.
+
+    Cost shape: the upsert path is increment-sized; the rebuild path is
+    the full build+tune an operator would otherwise run by hand after
+    the raise — same work, one verb, decision recorded."""
+    try:
+        assignments = ivf_upsert(
+            path, new_df, centroids, vec_col, id_col,
+            cent_vec_col, cent_id_col, drift_frac,
+        )
+        return {
+            "action": "upsert",
+            "assignments": assignments,
+            "centroids": centroids,
+            "nprobe": None,
+            "tuning": None,
+        }
+    except IvfDriftError:
+        pass
+    from .kmeans import centroids_df, kmeans_fit
+
+    full = corpus.select(id_col, vec_col).unionByName(
+        new_df.select(id_col, vec_col)
+    )
+    cents, _ = kmeans_fit(
+        full, vec_col=vec_col, id_col=id_col, k=k_centroids,
+        iters=iters, seed=seed,
+    )
+    new_cents = centroids_df(full.sparkSession, cents).select(
+        F.col("cid").alias(cent_id_col),
+        F.col("embedding").alias(cent_vec_col),
+    )
+    assignments = ivf_build_index(
+        full, new_cents, path, vec_col, id_col, cent_vec_col, cent_id_col
+    )
+    tuning = ivf_tune(
+        full, query_vec, new_cents, path, k=k,
+        target_recall=target_recall, probes=probes,
+        vec_col=vec_col, id_col=id_col,
+        cent_vec_col=cent_vec_col, cent_id_col=cent_id_col,
+        assignments=assignments,
+    )
+    return {
+        "action": "rebuild",
+        "assignments": assignments,
+        "centroids": new_cents,
+        "nprobe": ivf_tuned_nprobe(full.sparkSession, path),
+        "tuning": tuning,
+    }
 
 
 def quantize_embeddings(

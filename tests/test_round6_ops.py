@@ -208,7 +208,12 @@ def test_ivf_tune_fallback_and_guards(spark, tmp_path):
         probes=(1,), assignments=assign,
     ).collect()
     assert tbl[0]["chosen"] is True and tbl[0]["recall"] == 0.5
-    assert ivf_tuned_nprobe(spark, path) == 1
+    # the under-SLO decision is loud AT THE CONSUMER (round-6 advice):
+    # warn by default, raise under strict
+    with pytest.warns(UserWarning, match="UNDER-SLO"):
+        assert ivf_tuned_nprobe(spark, path) == 1
+    with pytest.raises(ValueError, match="UNDER-SLO"):
+        ivf_tuned_nprobe(spark, path, strict=True)
     with pytest.raises(ValueError, match="probes is empty"):
         ivf_tune(corpus, [1.0, 0.0], cents, path, probes=())
     with pytest.raises(ValueError, match="target_recall"):
@@ -339,6 +344,28 @@ def test_hyperball_registers_equal_ball_max(spark):
             key = (v, reg)
             want[key] = max(want.get(key, 0), rho)
     assert got == want
+
+
+def test_hyperball_regime_guard(spark):
+    """A tiny graph (every ball far below 2.5*2^p) must trip the raw-
+    estimator regime warning; check_regime=False keeps it quiet."""
+    import warnings as _w
+
+    from graphragpart1datapipeline_spark.graph.hyperball import (
+        hyperball_neighborhood_function,
+    )
+
+    e = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        hyperball_neighborhood_function(e, max_t=1, p=4).collect()
+    assert any("raw-HLL regime" in str(x.message) for x in rec)
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        hyperball_neighborhood_function(
+            e, max_t=1, p=4, check_regime=False
+        ).collect()
+    assert not any("raw-HLL regime" in str(x.message) for x in rec)
 
 
 def test_hyperball_estimate_tracks_exact_nf(spark, sf_dir):
@@ -695,11 +722,21 @@ def test_effective_diameter_decision(spark):
         [(0, 100, 10), (1, 500, 10), (2, 900, 10), (3, 1000, 10)],
         "t long, nf_est_scaled long, n_nodes long",
     )
-    got = {
-        r["q_milli"]: r["effective_t"]
-        for r in effective_diameter(prof, (0.5, 0.9, 1.0)).collect()
+    rows = {
+        r["q_milli"]: r
+        for r in effective_diameter(prof, (0.5, 0.75, 0.9, 1.0)).collect()
     }
-    assert got == {500: 1, 900: 2, 1000: 3}
+    got = {q: r["effective_t"] for q, r in rows.items()}
+    assert got == {500: 1, 750: 2, 900: 2, 1000: 3}
+    # Boldi-Vigna interpolation as an exact rational over the scaled
+    # profile: diameter = (t-1) + num/den
+    # q=0.75: crosses between N(1)=500 and N(2)=900 at
+    #   (750-500)/(900-500) = 0.625 -> 1.625
+    r = rows[750]
+    assert (r["interp_num"], r["interp_den"]) == (250_000, 400_000)
+    # q=0.5 lands exactly on N(1) -> fraction 1, diameter 0 + 1 = 1
+    r = rows[500]
+    assert r["interp_num"] == r["interp_den"] == 400_000
     import pytest as _pt
 
     with _pt.raises(ValueError, match="qs is empty"):

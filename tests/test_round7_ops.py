@@ -1,0 +1,295 @@
+"""Round-7 units: the four ADVICE.md (round 6) fixes + new operators.
+
+Covers: hyperball decimal accumulation / regime guard / interpolated
+effective diameter (in test_round6_ops.py next to the existing
+hyperball suite), ivf_tuned_nprobe spark-side read + under-SLO
+loudness, ivf_delete all-deleted refusal, the SemDeDup package
+operator, adaptive_join's bounded broadcast probe, the streaming
+maintenance loop, and TextRank extractive summarization.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# ADVICE fix (low): ivf_delete must refuse to empty the index
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_delete_refuses_to_empty_index(spark, tmp_path):
+    from graphragpart1datapipeline_spark.vector.search import (
+        ivf_build_index,
+        ivf_delete,
+    )
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "cid long, embedding array<float>"
+    )
+    base = spark.createDataFrame(
+        [(10, [0.9, 0.1]), (11, [0.1, 0.9]), (12, [0.8, 0.2])],
+        "vec_id long, embedding array<float>",
+    )
+    path = str(tmp_path / "ivf_all_del")
+    ivf_build_index(base, cents, path)
+    everyone = spark.createDataFrame([(10,), (11,), (12,)], "vec_id long")
+    with pytest.raises(ValueError, match="empty the index"):
+        ivf_delete(path, everyone)
+    # the refusal happened BEFORE any write: index and stats intact
+    assert spark.read.parquet(path).count() == 3
+    stats = spark.read.parquet(path + "_stats").collect()[0]
+    assert stats["n"] == 3
+    # a partial delete over the same index still works afterwards
+    out = ivf_delete(path, spark.createDataFrame([(10,)], "vec_id long"))
+    assert sorted(r["vec_id"] for r in out.collect()) == [11, 12]
+
+
+# ---------------------------------------------------------------------------
+# ADVICE fix (low): ivf_tuned_nprobe reads via Spark, not local os.path
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_tuned_nprobe_missing_table_is_friendly(spark, tmp_path):
+    from graphragpart1datapipeline_spark.vector.search import (
+        ivf_tuned_nprobe,
+    )
+
+    with pytest.raises(ValueError, match="no tuning table"):
+        ivf_tuned_nprobe(spark, str(tmp_path / "nowhere"))
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup as a package operator (verdict task 1)
+# ---------------------------------------------------------------------------
+
+
+def _semdedup_toy(spark):
+    return spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [1.0, 0.001]),  # semantic duplicate of 1
+            (3, [0.0, 1.0]),  # distinct
+            (4, [0.0, 0.0]),  # zero vector: always a singleton
+        ],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def test_semdedup_groups_and_survivor_rule(spark):
+    from graphragpart1datapipeline_spark.dedup.semantic import semdedup
+
+    emb = _semdedup_toy(spark)
+    survivors, groups = semdedup(emb, tau=0.99, k=1)
+    g = {r["vec_id"]: r for r in groups.collect()}
+    assert set(g) == {1, 2, 3, 4}
+    # 1 and 2 collapse; 3 and 4 are singletons rooted at themselves
+    assert g[1]["dup_group"] == g[2]["dup_group"] == 1
+    assert g[3]["dup_group"] == 3 and g[4]["dup_group"] == 4
+    # exactly one survivor per group, and it is the member FARTHEST
+    # from the centroid (min cent_cos, tie -> min id)
+    s = sorted(r["vec_id"] for r in survivors.collect())
+    assert len(s) == 3 and 3 in s and 4 in s
+    dup_members = [g[1], g[2]]
+    want = min(dup_members, key=lambda r: (r["cent_cos"], r["vec_id"]))
+    assert want["survivor"] is True
+    other = next(r for r in dup_members if r["vec_id"] != want["vec_id"])
+    assert other["survivor"] is False
+    # the survivors frame is exactly the flagged projection
+    assert {r["vec_id"] for r in survivors.collect()} == {
+        v for v, r in g.items() if r["survivor"]
+    }
+
+
+def test_semdedup_default_k_scales_with_corpus(spark):
+    from graphragpart1datapipeline_spark.dedup.semantic import semdedup
+
+    emb = _semdedup_toy(spark)
+    # n=4, target_cluster_size=2 -> k=2 clusters
+    _, groups = semdedup(emb, tau=0.99, target_cluster_size=2)
+    assert groups.select("centroid_id").distinct().count() <= 2
+    assert groups.count() == 4
+
+
+def test_semdedup_guards(spark):
+    from graphragpart1datapipeline_spark.dedup.semantic import semdedup
+
+    emb = _semdedup_toy(spark)
+    with pytest.raises(ValueError, match="tau"):
+        semdedup(emb, tau=0.0)
+    with pytest.raises(ValueError, match="tau"):
+        semdedup(emb, tau=1.5, k=1)
+    with pytest.raises(ValueError, match="target_cluster_size"):
+        semdedup(emb, tau=0.5, target_cluster_size=0)
+    with pytest.raises(ValueError, match="empty corpus"):
+        semdedup(emb.limit(0), tau=0.5)
+
+
+# ---------------------------------------------------------------------------
+# adaptive_join: the broadcast probe must not run the full right plan
+# (verdict task 2)
+# ---------------------------------------------------------------------------
+
+
+def test_adaptive_join_probe_is_bounded(spark):
+    from graphragpart1datapipeline_spark.operators import adaptive_join
+
+    sc = spark.sparkContext
+    acc = sc.accumulator(0)
+
+    def count_partitions(it):
+        acc.add(1)
+        yield from it
+
+    rdd = (
+        sc.parallelize([(i, f"t{i}") for i in range(4000)], 40)
+        .mapPartitions(count_partitions, preservesPartitioning=True)
+    )
+    right = spark.createDataFrame(rdd, "k long, tag string")
+    left = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "k long, v double"
+    )
+    info: dict = {}
+    # probe cap = 51 rows; the first 100-row partition already proves
+    # "too big" — CollectLimit must stop after a handful of the 40
+    # partitions instead of running the full right plan like count()
+    adaptive_join(
+        left, right, "k", broadcast_threshold_rows=50, decision=info
+    )
+    assert info["right_rows"] == 51  # threshold+1 == "more than cap"
+    assert info["strategy"] in ("salted", "shuffle")
+    assert acc.value < 40, (
+        f"broadcast probe executed {acc.value}/40 right partitions — "
+        "it must be a bounded incremental take"
+    )
+    # small right side: the probe is exact and the arm broadcasts
+    info = {}
+    small = spark.createDataFrame(rdd.take(3), "k long, tag string")
+    out = adaptive_join(
+        left, small, "k", broadcast_threshold_rows=50, decision=info
+    )
+    assert info["strategy"] == "broadcast" and info["right_rows"] == 3
+    assert out.count() == 3
+
+
+# ---------------------------------------------------------------------------
+# TextRank extractive summarization (verdict task 4)
+# ---------------------------------------------------------------------------
+
+
+def _summary_toy(spark):
+    return spark.createDataFrame(
+        [
+            (1, "g", "Apple banana cherry. Apple banana grape. Kiwi melon."),
+        ],
+        "doc_id long, community string, text string",
+    )
+
+
+def test_textrank_summary_rule(spark):
+    from graphragpart1datapipeline_spark.text.summarize import (
+        textrank_summary,
+    )
+
+    docs = _summary_toy(spark)
+    out = textrank_summary(
+        docs, group_col="community", m=3, iters=3, min_overlap=1
+    ).collect()
+    by_pos = {r["sent_pos"]: r for r in out}
+    # sentences 1 and 2 share {apple, banana} -> linked, equal rank > 0;
+    # sentence 3 is isolated -> rank 0, selected last
+    assert by_pos[1]["rank"] == by_pos[2]["rank"] > 0
+    assert by_pos[3]["rank"] == 0
+    assert [r["sent_pos"] for r in sorted(out, key=lambda r: r["sel_rank"])] \
+        == [1, 2, 3]
+    # m truncates: the isolated sentence drops first
+    top2 = textrank_summary(
+        docs, group_col="community", m=2, iters=3
+    ).collect()
+    assert sorted(r["sent_pos"] for r in top2) == [1, 2]
+
+
+def test_textrank_summary_guards(spark):
+    from graphragpart1datapipeline_spark.text.summarize import (
+        textrank_summary,
+    )
+
+    docs = _summary_toy(spark)
+    with pytest.raises(ValueError, match="m must be"):
+        textrank_summary(docs, group_col="community", m=0)
+    with pytest.raises(ValueError, match="min_overlap"):
+        textrank_summary(docs, group_col="community", min_overlap=0)
+    with pytest.raises(Exception, match="max_group_sentences"):
+        textrank_summary(
+            docs, group_col="community", max_group_sentences=2
+        ).collect()
+
+
+# ---------------------------------------------------------------------------
+# Drift-triggered rebuild + retune (verdict task 7)
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_rebuild_on_drift_both_arms(spark, tmp_path):
+    from graphragpart1datapipeline_spark.vector.search import (
+        IvfDriftError,
+        ivf_build_index,
+        ivf_rebuild_on_drift,
+        ivf_tuned_nprobe,
+        ivf_upsert,
+    )
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "cid long, embedding array<double>"
+    )
+    corpus = spark.createDataFrame(
+        [(10, [0.9, 0.1]), (11, [0.1, 0.9]), (12, [0.8, 0.2])],
+        "vec_id long, embedding array<double>",
+    )
+    path = str(tmp_path / "drift_idx")
+    ivf_build_index(corpus, cents, path)
+    # in-distribution increment: the cheap upsert arm fires
+    inc_ok = spark.createDataFrame(
+        [(20, [0.85, 0.15])], "vec_id long, embedding array<double>"
+    )
+    res = ivf_rebuild_on_drift(
+        path, inc_ok, cents, corpus, [1.0, 0.0], k_centroids=2,
+        probes=(1, 2), target_recall=0.5, k=2,
+    )
+    assert res["action"] == "upsert" and res["nprobe"] is None
+    assert res["assignments"].count() == 4
+    # drifted increment: assignment cosine collapses -> IvfDriftError
+    # from the raw verb, rebuild+retune from the composed one
+    inc_bad = spark.createDataFrame(
+        [(30, [-1.0, -1.0]), (31, [-0.9, -1.1])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(IvfDriftError):
+        ivf_upsert(path, inc_bad, cents)
+    res = ivf_rebuild_on_drift(
+        path, inc_bad, cents, corpus.unionByName(inc_ok), [1.0, 0.0],
+        k_centroids=2, probes=(1, 2), target_recall=0.5, k=2,
+    )
+    assert res["action"] == "rebuild"
+    assert res["nprobe"] in (1, 2)
+    # the index at path is the REBUILT one: 6 vectors, retrained cids,
+    # and the persisted tuning decision matches the returned nprobe
+    assert res["assignments"].count() == 6
+    assert ivf_tuned_nprobe(spark, path) == res["nprobe"]
+    assert res["tuning"].filter("chosen").count() == 1
+
+
+# ---------------------------------------------------------------------------
+# Streaming maintenance state (verdict task 3; end-to-end lock is
+# q223's full-rebuild oracle)
+# ---------------------------------------------------------------------------
+
+
+def test_read_maintenance_state_requires_init(spark, tmp_path):
+    from graphragpart1datapipeline_spark.streaming.maintenance import (
+        read_maintenance_state,
+    )
+
+    with pytest.raises(FileNotFoundError):
+        read_maintenance_state(spark, str(tmp_path / "never_inited"))
