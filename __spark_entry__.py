@@ -12383,6 +12383,105 @@ def q223(spark, sf_dir):
     )
 
 
+def _semdedup_incr_sql(tau: float = 0.3) -> str:
+    """Replay of the INCREMENTAL SemDeDup contract: Lloyd runs on the
+    DAY-0 CORPUS ONLY (frozen centroids — the retrain decision belongs
+    to q224's drift verb), then assignment / within-cluster pairs /
+    closure / farthest-from-centroid argmin over corpus ∪ increment.
+    This is exactly what semdedup_upsert(semdedup_index(corpus), inc)
+    must produce without ever re-pairing the corpus."""
+    body, cents = _kmeans_oracle_sql(body_only=True)
+    body = body.replace(
+        "FROM embeddings", "FROM embeddings WHERE vec_id % 5 <> 3"
+    )
+    cos = """CASE WHEN sqrt(list_dot_product(e.v, e.v))
+                   * sqrt(list_dot_product(c.cv, c.cv)) > 0
+              THEN list_dot_product(e.v, c.cv)
+                   / (sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(c.cv, c.cv)))
+              ELSE 0.0 END"""
+    return body.replace("WITH init", "WITH RECURSIVE init", 1) + f""",
+    alle AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), fassign AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos} DESC, c.cid ASC) AS rn
+        FROM alle e CROSS JOIN {cents} c) WHERE rn = 1
+    ), suv AS (
+      SELECT e.vec_id, f.cid,
+             list_transform(e.v,
+               x -> x / sqrt(list_dot_product(e.v, e.v))) AS uv
+      FROM alle e JOIN fassign f USING (vec_id)
+      WHERE sqrt(list_dot_product(e.v, e.v)) > 0
+    ), spairs AS (
+      SELECT a.vec_id AS a, b.vec_id AS b
+      FROM suv a JOIN suv b
+        ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.uv, b.uv) >= {tau!r}
+    ), sedges AS (
+      SELECT a, b FROM spairs UNION ALL SELECT b, a FROM spairs
+    ), sreach AS (
+      SELECT a AS node, a AS r FROM sedges
+      UNION
+      SELECT e2.b AS node, sreach.r
+      FROM sreach JOIN sedges e2 ON e2.a = sreach.node
+    ), scomp AS (
+      SELECT node, MIN(r) AS root FROM sreach GROUP BY node
+    ), centcos AS (
+      SELECT e.vec_id, f.cid,
+             floor(({cos.replace('c.cv', 'cc.cv')})
+                   * 1000000000.0 + 0.5) / 1000000000.0 AS cent_cos
+      FROM alle e JOIN fassign f USING (vec_id)
+      JOIN {cents} cc ON cc.cid = f.cid
+    ), slab AS (
+      SELECT cc.vec_id, cc.cid, cc.cent_cos,
+             COALESCE(sc.root, cc.vec_id) AS grp
+      FROM centcos cc LEFT JOIN scomp sc ON sc.node = cc.vec_id
+    )
+    SELECT vec_id, CAST(cid AS BIGINT) AS centroid_id, grp AS dup_group,
+           cent_cos
+    FROM (
+      SELECT slab.*,
+             row_number() OVER (PARTITION BY grp
+                                ORDER BY cent_cos ASC, vec_id ASC) AS rn
+      FROM slab) WHERE rn = 1
+    ORDER BY vec_id
+    """
+
+
+@_register("q225_semdedup_incremental", _semdedup_incr_sql())
+def q225(spark, sf_dir):
+    """INCREMENTAL SemDeDup — the semantic-dedup member of the
+    persisted-index maintenance family (q179/q180/q183/q188's
+    contract, applied to q220's operator): the day-0 corpus builds a
+    semdedup_index (FROZEN centroids, per-cluster unit vectors, CC
+    labels); the increment is assigned to the frozen centroids, paired
+    cluster-locally against the indexed corpus units (new×corpus) and
+    itself (new×new) — the corpus is NEVER re-paired — and the new
+    edges fold into the labels incrementally. The oracle replays the
+    full pass over corpus ∪ increment with the day-0 Lloyd run:
+    split-apply == recompute-with-frozen-centroids. Retraining on
+    drift is q224's verb, deliberately out of scope here."""
+    from graphragpart1datapipeline_spark.dedup.semantic import (
+        semdedup_index,
+        semdedup_upsert,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 5 != 3)
+    inc = emb.filter(F.col("vec_id") % 5 == 3)
+    idx = semdedup_index(corpus, tau=0.3, k=4, iters=2, seed=42)
+    survivors, _groups, _idx2 = semdedup_upsert(idx, inc)
+    return survivors.select(
+        "vec_id",
+        F.col("centroid_id").cast("long").alias("centroid_id"),
+        "dup_group",
+        "cent_cos",
+    ).orderBy("vec_id")
+
+
 def _drift_retune_sql(
     k_cents: int = 8, iters: int = 2, dim: int = 64,
     probes: tuple[int, ...] = (1, 2, 4, 8), target: float = 0.9, k: int = 10,

@@ -241,6 +241,15 @@ SECONDARY = [
     # moving windows) — 1-rep traces continue in BENCH_DETAIL
     "q07_dedupe_priority",
     "q27_moving_agg",
+    # round 7: incremental SemDeDup (increment-sized pair probe vs the
+    # frozen-centroid index; batch twin q220 already secondary) and the
+    # drift-triggered rebuild+retune (full retrain+tune by design —
+    # IO/driver-loop dominated like q180, 1 rep suffices). NOT benched:
+    # q223 (streaming maintenance loop: versioned-parquet round-trips
+    # per micro-batch by design, q209's regime — oracle-gated every
+    # round regardless)
+    "q225_semdedup_incremental",
+    "q224_ivf_drift_retune",
 ]
 
 # Repetitions per query; report the min. The ambient swing on a shared

@@ -37,7 +37,7 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["semdedup"]
+__all__ = ["semdedup", "semdedup_index", "semdedup_upsert"]
 
 
 def semdedup(
@@ -73,7 +73,6 @@ def semdedup(
     contract as the engine's other cosine paths."""
     from ..graph.communities import connected_components
     from ..vector.kmeans import centroids_df, kmeans_fit
-    from ..vector.search import cosine_expr, dot_expr, l2_norm_expr
 
     if not (0.0 < tau <= 1.0):
         raise ValueError(f"semdedup: tau must be in (0, 1], got {tau}")
@@ -93,12 +92,24 @@ def semdedup(
     cents, assign = kmeans_fit(
         emb, vec_col=vec_col, id_col=id_col, k=k, iters=iters, seed=seed
     )
-    cents_df = centroids_df(emb.sparkSession, cents).select(
-        F.col("cid"), F.col("embedding").alias("__cv")
-    )
+    cents_df = centroids_df(emb.sparkSession, cents)
+    uv = _unit_rows(emb, assign, vec_col, id_col)
+    pairs = _within_cluster_pairs(uv, uv, tau, id_col, self_pairs=True)
+    comp = connected_components(pairs, src="a", dst="b")
+    centcos = _cent_cos_rows(emb, assign, cents_df, vec_col, id_col)
+    groups = _survivor_groups(centcos, comp, id_col)
+    survivors = groups.filter(F.col("survivor")).drop("survivor")
+    return survivors, groups
+
+
+def _unit_rows(
+    emb: DataFrame, assign: DataFrame, vec_col: str, id_col: str
+) -> DataFrame:
+    """(id, __cid, __uv) unit vectors of the non-zero-norm rows."""
+    from ..vector.search import l2_norm_expr
 
     nrm = l2_norm_expr(F.col(vec_col))
-    uv = (
+    return (
         emb.join(assign, id_col)
         .filter(nrm > 0)
         .select(
@@ -109,36 +120,172 @@ def semdedup(
             ).alias("__uv"),
         )
     )
-    a = uv.select(
+
+
+def _within_cluster_pairs(
+    left_uv: DataFrame,
+    right_uv: DataFrame,
+    tau: float,
+    id_col: str,
+    self_pairs: bool,
+) -> DataFrame:
+    """Cluster-keyed cosine pairs ≥ tau. ``self_pairs=True`` pairs a
+    frame against itself (a < b dedup); False pairs left×right fully
+    (the increment-probe shape — the caller guarantees id-disjoint
+    sides)."""
+    from ..vector.search import dot_expr
+
+    a = left_uv.select(
         F.col("__cid"), F.col(id_col).alias("a"), F.col("__uv").alias("__ua")
     )
-    b = uv.select(
+    b = right_uv.select(
         F.col("__cid"), F.col(id_col).alias("b"), F.col("__uv").alias("__ub")
     )
-    pairs = (
-        a.join(b, "__cid")
-        .filter(F.col("a") < F.col("b"))
-        .filter(dot_expr(F.col("__ua"), F.col("__ub")) >= tau)
-        .select("a", "b")
-    )
-    comp = connected_components(pairs, src="a", dst="b")
+    out = a.join(b, "__cid")
+    if self_pairs:
+        out = out.filter(F.col("a") < F.col("b"))
+    return out.filter(
+        dot_expr(F.col("__ua"), F.col("__ub")) >= tau
+    ).select("a", "b")
 
+
+def _cent_cos_rows(
+    emb: DataFrame,
+    assign: DataFrame,
+    cents_df: DataFrame,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """(id, centroid_id, cent_cos) — cosine to the assigned centroid,
+    half-up rounded at 1e-9 (zero-norm rows score 0)."""
+    from ..vector.search import cosine_expr
+
+    cd = cents_df.select(F.col("cid"), F.col("embedding").alias("__cv"))
     cent_cos = F.floor(
         cosine_expr(F.col(vec_col), F.col("__cv")) * 1e9 + F.lit(0.5)
     ) / F.lit(1e9)
-    centcos = (
+    return (
         emb.join(assign, id_col)
-        .join(F.broadcast(cents_df), F.col("centroid_id") == F.col("cid"))
+        .join(F.broadcast(cd), F.col("centroid_id") == F.col("cid"))
         .select(id_col, "centroid_id", cent_cos.alias("cent_cos"))
     )
+
+
+def _survivor_groups(
+    centcos: DataFrame, labels: DataFrame, id_col: str
+) -> DataFrame:
+    """Label every row with its dup_group (component root, singleton =
+    self) and the farthest-from-centroid survivor flag."""
     lab = centcos.join(
-        comp.withColumnRenamed("id", id_col), id_col, "left"
+        labels.withColumnRenamed("id", id_col), id_col, "left"
     ).withColumn("dup_group", F.coalesce("component", F.col(id_col)))
     w = Window.partitionBy("dup_group").orderBy(
         F.asc("cent_cos"), F.asc(id_col)
     )
-    groups = lab.withColumn(
+    return lab.withColumn(
         "survivor", F.row_number().over(w) == 1
     ).select(id_col, "centroid_id", "dup_group", "cent_cos", "survivor")
+
+
+def semdedup_index(
+    emb: DataFrame,
+    tau: float,
+    k: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iters: int = 2,
+    seed: str | int = 42,
+    target_cluster_size: int = 5000,
+) -> dict[str, DataFrame]:
+    """Persistable SemDeDup state for the incremental path — the
+    semantic-level member of the engine's index family
+    (dedup/incremental.py): FROZEN day-0 centroids, the per-cluster
+    unit vectors (so increments probe only their own cluster's
+    members), the per-row centroid cosines, and the CC labels of the
+    day-0 pair graph. Hand to :func:`semdedup_upsert`.
+
+    Tables: ``centroids`` (cid, embedding), ``units`` (id, __cid,
+    __uv), ``centcos`` (id, centroid_id, cent_cos), ``labels``
+    (id, component), ``params`` (tau_nano, k — probes can never
+    silently run a different threshold than the build)."""
+    from ..graph.communities import connected_components
+    from ..vector.kmeans import centroids_df, kmeans_fit
+    from .incremental import _params_table
+
+    if not (0.0 < tau <= 1.0):
+        raise ValueError(f"semdedup_index: tau must be in (0, 1], got {tau}")
+    if k is None:
+        n = emb.count()
+        if n == 0:
+            raise ValueError("semdedup_index: empty corpus")
+        k = max(1, math.ceil(n / target_cluster_size))
+    cents, assign = kmeans_fit(
+        emb, vec_col=vec_col, id_col=id_col, k=k, iters=iters, seed=seed
+    )
+    cents_df = centroids_df(emb.sparkSession, cents)
+    uv = _unit_rows(emb, assign, vec_col, id_col)
+    pairs = _within_cluster_pairs(uv, uv, tau, id_col, self_pairs=True)
+    labels = connected_components(pairs, src="a", dst="b")
+    return {
+        "centroids": cents_df,
+        "units": uv,
+        "centcos": _cent_cos_rows(emb, assign, cents_df, vec_col, id_col),
+        "labels": labels,
+        "params": _params_table(
+            emb.sparkSession, tau_nano=int(round(tau * 1e9)), k=k
+        ),
+    }
+
+
+def semdedup_upsert(
+    index: dict[str, DataFrame],
+    new_emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, DataFrame, dict[str, DataFrame]]:
+    """Fold an increment into a :func:`semdedup_index` WITHOUT
+    re-pairing the corpus: assign the new vectors to the FROZEN
+    centroids (argmax cosine, the incremental contract — q224's drift
+    verb owns the retrain decision), pair them cluster-locally against
+    the indexed corpus units (new×corpus) and against themselves
+    (new×new), fold the edges into the CC labels (only touched
+    components move), and re-derive survivors per updated group.
+
+    Returns ``(survivors, groups, new_index)`` over corpus ∪
+    increment — exactly what :func:`semdedup` with the day-0 centroids
+    would produce on the union (q225 locks that equivalence against a
+    full-replay oracle). Increment ids must be disjoint from the
+    corpus (the index family's contract)."""
+    from ..graph.communities import connected_components_incremental
+    from ..vector.search import ivf_assignments
+
+    tau = (
+        index["params"].select("tau_nano").first()[0] / 1e9
+    )
+    assign_new = ivf_assignments(
+        new_emb, index["centroids"], vec_col, id_col, "embedding", "cid"
+    )
+    uv_new = _unit_rows(new_emb, assign_new, vec_col, id_col)
+    cross = _within_cluster_pairs(
+        uv_new, index["units"], tau, id_col, self_pairs=False
+    )
+    within = _within_cluster_pairs(
+        uv_new, uv_new, tau, id_col, self_pairs=True
+    )
+    new_edges = cross.unionByName(within)
+    labels2 = connected_components_incremental(index["labels"], new_edges)
+    centcos2 = index["centcos"].unionByName(
+        _cent_cos_rows(
+            new_emb, assign_new, index["centroids"], vec_col, id_col
+        )
+    )
+    groups = _survivor_groups(centcos2, labels2, id_col)
     survivors = groups.filter(F.col("survivor")).drop("survivor")
-    return survivors, groups
+    new_index = {
+        "centroids": index["centroids"],
+        "units": index["units"].unionByName(uv_new),
+        "centcos": centcos2,
+        "labels": labels2,
+        "params": index["params"],
+    }
+    return survivors, groups, new_index
