@@ -28,3 +28,9 @@ from .chunking import (  # noqa: F401
 )
 from .sections import split_sections  # noqa: F401
 from .summarize import sentence_table, textrank_summary  # noqa: F401
+from .llm import (  # noqa: F401
+    build_summary_prompt,
+    echo_summarizer,
+    extractive_generator,
+    generate_with,
+)

@@ -52,6 +52,70 @@ def echo_summarizer(prompts: list[str]) -> list[str]:
     return [" ".join(p.split()[:12]) for p in prompts]
 
 
+def extractive_generator(
+    m: int = 3, iters: int = 3, stopwords: frozenset[str] | None = None
+) -> Callable[[list[str]], list[str]]:
+    """The engine's DEFAULT generator for :func:`generate_with` — a
+    deterministic per-prompt TextRank extractive summary (the
+    executor-local mirror of text/summarize.py's distributed operator:
+    sentence split on ``[.!?]+``, stopword-filtered token-set overlap
+    weights, exact-integer PageRank with damping 17/20, top-``m``
+    sentences re-emitted in document order joined by '. '). Pure
+    Python per string — no model, no network, bit-reproducible — so
+    the T9 surface WORKS in this container; swap in a model-backed
+    callable for real abstractive generation."""
+    from .analysis import STOPWORDS
+
+    sw = frozenset(STOPWORDS["en"] if stopwords is None else stopwords)
+    scale = 10**12
+
+    def summarize_one(text: str) -> str:
+        import re
+
+        sents = [
+            (i + 1, s.strip())
+            for i, s in enumerate(re.split(r"[.!?]+", text))
+            if s.strip()
+        ]
+        if not sents:
+            return ""
+        toks = {
+            pos: {t for t in s.lower().split() if t and t not in sw}
+            for pos, s in sents
+        }
+        w: dict[tuple[int, int], int] = {}
+        keys = sorted(toks)
+        for i, a in enumerate(keys):
+            for b in keys[i + 1:]:
+                ov = len(toks[a] & toks[b])
+                if ov >= 1:
+                    w[(a, b)] = ov
+        nodes = sorted({n for ab in w for n in ab})
+        rank = dict.fromkeys(nodes, scale // len(nodes)) if nodes else {}
+        deg = dict.fromkeys(nodes, 0)
+        for (a, b), ov in w.items():
+            deg[a] += ov
+            deg[b] += ov
+        for _ in range(iters if nodes else 0):
+            contrib = dict.fromkeys(nodes, 0)
+            for (a, b), ov in w.items():
+                contrib[b] += rank[a] * ov // deg[a]
+                contrib[a] += rank[b] * ov // deg[b]
+            rank = {
+                n: scale * 3 // (20 * len(nodes)) + 17 * contrib[n] // 20
+                for n in nodes
+            }
+        scored = sorted(
+            sents, key=lambda ps: (-rank.get(ps[0], 0), ps[0])
+        )[:m]
+        return ". ".join(s for _, s in sorted(scored))
+
+    def gen(prompts: list[str]) -> list[str]:
+        return [summarize_one(p) for p in prompts]
+
+    return gen
+
+
 def generate_with(
     df: DataFrame,
     prompt_col: str,
@@ -65,11 +129,14 @@ def generate_with(
     there is no LLM in this environment; inject a model-backed callable
     (loaded per executor, batched ``batch_size`` prompts at a time,
     mirroring the reference's 45-70 s/summary single-host loop with a
-    distributed one)."""
+    distributed one), or the engine's deterministic
+    :func:`extractive_generator` (TextRank top-m sentences — works in
+    this container, bit-reproducible)."""
     if generator is None:
         raise NotImplementedError(
             "no LLM available in this environment; inject a generator "
-            "(e.g. a served-model client) or use echo_summarizer in tests"
+            "(a served-model client, or the deterministic "
+            "extractive_generator(m=...) this module ships)"
         )
     fields = df.schema.fieldNames()
     out_schema = ", ".join(

@@ -327,6 +327,44 @@ def test_textrank_summary_guards(spark):
         ).collect()
 
 
+def test_extractive_generator_closes_t9_seam(spark):
+    """generate_with runs in-container with the deterministic TextRank
+    generator, and its per-prompt selection agrees with the
+    distributed operator's on the same text."""
+    from graphragpart1datapipeline_spark.text.llm import (
+        extractive_generator,
+        generate_with,
+    )
+    from graphragpart1datapipeline_spark.text.summarize import (
+        textrank_summary,
+    )
+
+    text = "Apple banana cherry. Apple banana grape. Kiwi melon."
+    gen = extractive_generator(m=2)
+    assert gen([text]) == ["Apple banana cherry. Apple banana grape"]
+    # distributed operator picks the same sentence positions
+    docs = _summary_toy(spark)
+    dist = {
+        r["sent_pos"]
+        for r in textrank_summary(
+            docs, group_col="community", m=2
+        ).collect()
+    }
+    assert dist == {1, 2}
+    # end-to-end through the mapInPandas seam
+    out = generate_with(
+        docs.select("doc_id", F.col("text").alias("prompt")),
+        "prompt",
+        generator=extractive_generator(m=1),
+    ).collect()
+    assert out[0]["summary"] == "Apple banana cherry"
+    # empty + all-isolated degrade deterministically
+    assert gen([""]) == [""]
+    assert extractive_generator(m=2)(["One two. Three four."]) == [
+        "One two. Three four"
+    ]
+
+
 # ---------------------------------------------------------------------------
 # Drift-triggered rebuild + retune (verdict task 7)
 # ---------------------------------------------------------------------------
