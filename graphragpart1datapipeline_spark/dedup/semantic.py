@@ -125,14 +125,15 @@ def _unit_rows(
 def _within_cluster_pairs(
     left_uv: DataFrame,
     right_uv: DataFrame,
-    tau: float,
+    tau: float | None,
     id_col: str,
     self_pairs: bool,
 ) -> DataFrame:
-    """Cluster-keyed cosine pairs ≥ tau. ``self_pairs=True`` pairs a
-    frame against itself (a < b dedup); False pairs left×right fully
-    (the increment-probe shape — the caller guarantees id-disjoint
-    sides)."""
+    """Cluster-keyed cosine pairs ≥ tau (``tau=None`` keeps the raw
+    candidate stream — the counted-work probe). ``self_pairs=True``
+    pairs a frame against itself (a < b dedup); False pairs left×right
+    fully (the increment-probe shape — the caller guarantees
+    id-disjoint sides)."""
     from ..vector.search import dot_expr
 
     a = left_uv.select(
@@ -144,9 +145,9 @@ def _within_cluster_pairs(
     out = a.join(b, "__cid")
     if self_pairs:
         out = out.filter(F.col("a") < F.col("b"))
-    return out.filter(
-        dot_expr(F.col("__ua"), F.col("__ub")) >= tau
-    ).select("a", "b")
+    if tau is not None:
+        out = out.filter(dot_expr(F.col("__ua"), F.col("__ub")) >= tau)
+    return out.select("a", "b")
 
 
 def _cent_cos_rows(
@@ -242,7 +243,8 @@ def semdedup_upsert(
     new_emb: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-) -> tuple[DataFrame, DataFrame, dict[str, DataFrame]]:
+    return_candidates: bool = False,
+):
     """Fold an increment into a :func:`semdedup_index` WITHOUT
     re-pairing the corpus: assign the new vectors to the FROZEN
     centroids (argmax cosine, the incremental contract — q224's drift
@@ -255,7 +257,12 @@ def semdedup_upsert(
     increment — exactly what :func:`semdedup` with the day-0 centroids
     would produce on the union (q225 locks that equivalence against a
     full-replay oracle). Increment ids must be disjoint from the
-    corpus (the index family's contract)."""
+    corpus (the index family's contract).
+
+    ``return_candidates``: return ONLY the pre-τ candidate pair frame
+    (new×corpus cluster collisions + new×new) — the counted-work probe
+    scale_check bounds (the stream whose size proves the corpus is
+    never re-paired)."""
     from ..graph.communities import connected_components_incremental
     from ..vector.search import ivf_assignments
 
@@ -266,6 +273,14 @@ def semdedup_upsert(
         new_emb, index["centroids"], vec_col, id_col, "embedding", "cid"
     )
     uv_new = _unit_rows(new_emb, assign_new, vec_col, id_col)
+    if return_candidates:
+        return _within_cluster_pairs(
+            uv_new, index["units"], None, id_col, self_pairs=False
+        ).unionByName(
+            _within_cluster_pairs(
+                uv_new, uv_new, None, id_col, self_pairs=True
+            )
+        )
     cross = _within_cluster_pairs(
         uv_new, index["units"], tau, id_col, self_pairs=False
     )

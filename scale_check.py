@@ -253,6 +253,13 @@ def ops(spark, base: str, extra_bits: int = 0):
         positional_postings,
         token_diversity,
     )
+    from graphragpart1datapipeline_spark.dedup.semantic import (
+        semdedup_index,
+        semdedup_upsert,
+    )
+    from graphragpart1datapipeline_spark.text.summarize import (
+        textrank_summary,
+    )
 
     def docs():
         return _docs_df(spark, base)
@@ -485,6 +492,31 @@ def ops(spark, base: str, extra_bits: int = 0):
             ).distinct(),
             on="k", threshold_frac=0.05,
         ),
+        # round-7: incremental SemDeDup — k scales with the corpus
+        # (target_cluster_size=500, the paper's constant-cluster-size
+        # rule), increment ≡ 0 mod 4 probes the frozen-centroid index;
+        # pair work is bounded by cluster occupancy (counted probe in
+        # pair_counters), wall informational
+        "semdedup_incremental": lambda: semdedup_upsert(
+            semdedup_index(
+                emb().filter(F.col("vec_id") % 4 != 0),
+                tau=0.3, target_cluster_size=500, iters=1,
+            ),
+            emb().filter(F.col("vec_id") % 4 == 0),
+        )[1],
+        # round-7: TextRank extractive summarization in its operating
+        # regime — bounded communities (50 docs each), community COUNT
+        # grows with the corpus: sentence pairs flow through the
+        # shared-token inverted index group-locally, total work linear
+        "textrank_summary": lambda: textrank_summary(
+            docs().select(
+                F.floor(F.col("doc_id") / 50).alias("community"),
+                "doc_id",
+                "text",
+            ),
+            group_col="community", m=3, iters=3, min_overlap=1,
+            max_group_sentences=500,
+        ),
         # 2 edges/node keeps the multi-round join volume inside the
         # bench time envelope; the linear-regime conclusion is the same
         "leiden_distributed": lambda: leiden_communities(
@@ -554,10 +586,32 @@ def pair_counters(spark, base: str):
             .distinct()
         )
 
+    from graphragpart1datapipeline_spark.dedup.semantic import (
+        semdedup_index,
+        semdedup_upsert,
+    )
+
+    def _semdedup_cand():
+        emb = read_table(spark, base, "embeddings")
+        return semdedup_upsert(
+            semdedup_index(
+                emb.filter(F.col("vec_id") % 4 != 0),
+                tau=0.3, target_cluster_size=500, iters=1,
+            ),
+            emb.filter(F.col("vec_id") % 4 == 0),
+            return_candidates=True,
+        )
+
     return {
         "minhash_lsh": lambda: lsh_candidate_pairs(
             minhash_signatures(docs()), max_bucket_size=200
         ),
+        # round-7: incremental SemDeDup candidate stream (new×corpus
+        # cluster collisions + new×new, pre-τ) — k grows with the
+        # corpus so expected cluster occupancy is constant and the
+        # count scales ≈K; kmeans cluster-size skew makes the ratio
+        # burstier than the salted-token probes, bounded accordingly
+        "semdedup_incremental": _semdedup_cand,
         "minhash_incremental": _mh_inc_cand,
         "set_similarity": lambda: set_similarity_join(
             _entity_names_df(spark, base), "doc_id", "etext",
@@ -656,6 +710,11 @@ SCALE_BOUNDS: dict[str, float] = {
     # both scan-bound; bounds ~2× measured K=10 headroom
     "multi_query_topk": 4.0,
     "quantile_sketch": 4.0,
+    # round-7 (standalone calibration, K=4 measured: wall 1.57,
+    # semdedup pair_ratio exactly 4.0=K, wall 1.8 informational):
+    # TextRank's bounded-community regime is linear — pagerank rounds
+    # over group-local sentence graphs; ~3x measured headroom
+    "textrank_summary": 4.5,
 }
 
 # Max allowed K×/1× CANDIDATE-pair-count ratio for the pair-space ops
@@ -675,6 +734,11 @@ PAIR_BOUNDS_FACTOR: dict[str, float] = {
     "fuzzy_join": 2.5,
     "set_similarity_incremental": 2.5,
     "fuzzy_join_incremental": 2.5,
+    # kmeans cluster-size skew (rotated-copy embeddings re-cluster
+    # differently at K×) makes this probe burstier than the
+    # salted-token bijection probes; 4.0·K still trips a lost
+    # cluster-bound (all-pairs shows ≈ n/k·K ≈ 10K+ here)
+    "semdedup_incremental": 4.0,
 }
 # K=10 calibration (round 5, 24-char fuzzy stems): minhash_lsh 8.85,
 # minhash_incremental 8.10, set_similarity 10.02,
