@@ -269,6 +269,28 @@ def semdedup_upsert(
     tau = (
         index["params"].select("tau_nano").first()[0] / 1e9
     )
+    # id-collision gate (the ivf_upsert contract): a re-ingested id
+    # would duplicate its rows in units/centcos and silently corrupt
+    # groups and survivor picks — one broadcast semi-join, bounded probe
+    clashes = (
+        index["centcos"]
+        .select(id_col)
+        .join(
+            F.broadcast(new_emb.select(id_col).distinct()),
+            id_col,
+            "left_semi",
+        )
+        .limit(5)
+        .collect()
+    )
+    if clashes:
+        sample = ", ".join(str(r[0]) for r in clashes)
+        raise ValueError(
+            "semdedup_upsert: increment re-ingests ids already present "
+            f"in the index (e.g. {sample}) — groups and survivors would "
+            "be silently corrupted. Increments must be id-disjoint; to "
+            "replace vectors, rebuild with semdedup_index."
+        )
     assign_new = ivf_assignments(
         new_emb, index["centroids"], vec_col, id_col, "embedding", "cid"
     )

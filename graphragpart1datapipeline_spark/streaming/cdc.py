@@ -24,7 +24,24 @@ from ..operators.relational import cdc_upsert_state
 _VERSION_RE = re.compile(r"^v(\d+)$")
 
 
-def _latest_version(state_dir: str) -> int:
+def _latest_version(state_dir: str, spark: SparkSession | None = None) -> int:
+    """Newest committed version under ``state_dir``. With a session,
+    the listing goes through the Hadoop FileSystem API — so state on
+    HDFS/S3 resolves exactly like local disk (an ``os.listdir`` probe
+    only sees the driver's filesystem, the ivf_tuned_nprobe bug class);
+    without one it falls back to the local listing."""
+    if spark is not None:
+        jvm = spark._jvm
+        path = jvm.org.apache.hadoop.fs.Path(state_dir)
+        fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(path):
+            return -1
+        versions = [
+            int(m.group(1))
+            for st in fs.listStatus(path)
+            if (m := _VERSION_RE.match(st.getPath().getName()))
+        ]
+        return max(versions, default=-1)
     if not os.path.isdir(state_dir):
         return -1
     versions = [
@@ -46,7 +63,7 @@ def init_cdc_state(base: DataFrame, state_dir: str) -> None:
 
 def read_cdc_state(spark: SparkSession, state_dir: str) -> DataFrame:
     """The newest committed state version."""
-    v = _latest_version(state_dir)
+    v = _latest_version(state_dir, spark)
     if v < 0:
         raise FileNotFoundError(f"no CDC state under {state_dir}")
     return spark.read.parquet(os.path.join(state_dir, f"v{v}"))
@@ -69,7 +86,7 @@ def stream_cdc_apply(
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        v = _latest_version(state_dir)
+        v = _latest_version(state_dir, spark)
         state = spark.read.parquet(os.path.join(state_dir, f"v{v}"))
         merged = cdc_upsert_state(
             state, batch_df, keys, seq_col, op_col=op_col

@@ -118,12 +118,12 @@ def read_maintenance_state(spark: SparkSession, work_dir: str) -> dict:
     out = {"docs": read_cdc_state(spark, os.path.join(work_dir, "docs"))}
     for name, keys in (("ndix", _ND_KEYS), ("bm25", _BM_KEYS)):
         base = os.path.join(work_dir, name)
-        v = _latest_version(base)
+        v = _latest_version(base, spark)
         if v < 0:
             raise FileNotFoundError(f"no {name} state under {base}")
         out[name] = _read_tables(spark, os.path.join(base, f"v{v}"), keys)
     cc_base = os.path.join(work_dir, "cc")
-    v = _latest_version(cc_base)
+    v = _latest_version(cc_base, spark)
     if v < 0:
         raise FileNotFoundError(f"no cc state under {cc_base}")
     out["labels"] = spark.read.parquet(os.path.join(cc_base, f"v{v}"))
@@ -176,7 +176,7 @@ def stream_maintenance(
 
         # 1. CDC: fold the raw batch (stale rows included — latest-wins
         # drops them) into the versioned doc state
-        v = _latest_version(docs_dir)
+        v = _latest_version(docs_dir, spark)
         state = spark.read.parquet(os.path.join(docs_dir, f"v{v}"))
         merged = cdc_upsert_state(
             state,
@@ -207,7 +207,7 @@ def stream_maintenance(
         # 3. near-dup: probe the persisted index (new x corpus-so-far)
         # + bucket the batch against itself (new x new), then fold the
         # batch into the index for the NEXT micro-batch
-        v = _latest_version(ndix_dir)
+        v = _latest_version(ndix_dir, spark)
         ndix = _read_tables(
             spark, os.path.join(ndix_dir, f"v{v}"), _ND_KEYS
         )
@@ -228,7 +228,7 @@ def stream_maintenance(
         _write_tables(ndix2, os.path.join(ndix_dir, f"v{v + 1}"), _ND_KEYS)
 
         # 4. connected components: fold the batch's edges into labels
-        v = _latest_version(cc_dir)
+        v = _latest_version(cc_dir, spark)
         labels = spark.read.parquet(os.path.join(cc_dir, f"v{v}"))
         labels2 = connected_components_incremental(labels, new_edges)
         labels2.write.mode("overwrite").parquet(
@@ -236,7 +236,7 @@ def stream_maintenance(
         )
 
         # 5. BM25: tokenize only the batch, replace-then-extend postings
-        v = _latest_version(bm_dir)
+        v = _latest_version(bm_dir, spark)
         bmix = _read_tables(spark, os.path.join(bm_dir, f"v{v}"), _BM_KEYS)
         bmix2 = bm25_upsert(
             bmix, inc.select(id_col, text_col),

@@ -225,6 +225,14 @@ def test_semdedup_upsert_matches_frozen_centroid_recompute(spark):
     assert sorted(map(tuple, s2.collect())) == sorted(
         map(tuple, survivors.collect())
     )
+    # id-collision gate: re-ingesting a corpus id would silently
+    # corrupt groups/survivors — must raise, naming an offender
+    with pytest.raises(ValueError, match="id-disjoint") as ei:
+        semdedup_upsert(idx2, inc.limit(1))
+    assert "10" in str(ei.value)
+    # counted-work probe: candidate stream is new-vs-index + new-vs-new
+    cand = semdedup_upsert(idx, inc, return_candidates=True)
+    assert cand.columns == ["a", "b"] and cand.count() > 0
 
 
 # ---------------------------------------------------------------------------
