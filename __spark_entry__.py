@@ -12327,10 +12327,17 @@ def q223(spark, sf_dir):
     q = stream_maintenance(
         stream, work, cents, threshold=0.3,
         checkpoint_dir=work + "/ckpt",
+        keep_versions=2,  # retention GC runs live inside the loop
     )
     q.awaitTermination()
 
-    # serve from the FINAL streamed state — q209's steps 4-6 verbatim
+    # serve from the FINAL streamed state — q209's steps 4-6 verbatim.
+    # ivf_compact first: retention pruning and index compaction are
+    # layout/GC verbs, so the SAME full-rebuild oracle proves they
+    # changed no value anywhere in the serving state.
+    from graphragpart1datapipeline_spark.vector.search import ivf_compact
+
+    ivf_compact(spark, work + "/ivf")
     st = read_maintenance_state(spark, work)
     corpus2 = cdc_live(st["docs"])
     quality = corpus2.select(

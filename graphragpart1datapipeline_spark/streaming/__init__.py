@@ -11,3 +11,9 @@ from .maintenance import (  # noqa: F401
     read_maintenance_state,
     stream_maintenance,
 )
+from .cdc import (  # noqa: F401
+    init_cdc_state,
+    prune_state_versions,
+    read_cdc_state,
+    stream_cdc_apply,
+)

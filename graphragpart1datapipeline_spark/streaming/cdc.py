@@ -69,6 +69,35 @@ def read_cdc_state(spark: SparkSession, state_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(state_dir, f"v{v}"))
 
 
+def prune_state_versions(
+    spark: SparkSession, state_dir: str, keep: int = 2
+) -> list[int]:
+    """Garbage-collect old state versions, keeping the newest ``keep``
+    (≥ 1 — the current version is never deletable). Without pruning, a
+    long-running foreachBatch loop accumulates one full state copy per
+    micro-batch — at 100 TB that is the storage bill, not a detail.
+    ``keep ≥ 2`` preserves the crash contract (the previous version
+    survives until the next batch commits on top of the current one).
+    Deletion goes through the Hadoop FileSystem API (HDFS/S3-correct).
+    Returns the deleted version numbers."""
+    if keep < 1:
+        raise ValueError(f"prune_state_versions: keep must be >= 1, got {keep}")
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(state_dir)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return []
+    versions = sorted(
+        int(m.group(1))
+        for st in fs.listStatus(path)
+        if (m := _VERSION_RE.match(st.getPath().getName()))
+    )
+    doomed = versions[:-keep] if len(versions) > keep else []
+    for v in doomed:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(state_dir, f"v{v}"), True)
+    return doomed
+
+
 def stream_cdc_apply(
     changes: DataFrame,
     state_dir: str,

@@ -145,6 +145,7 @@ def stream_maintenance(
     op_col: str = "op",
     checkpoint_dir: str | None = None,
     available_now: bool = True,
+    keep_versions: int | None = None,
 ):
     """Run the change stream through the full maintenance DAG with
     foreachBatch; call :func:`init_maintenance_state` first. Returns
@@ -153,7 +154,13 @@ def stream_maintenance(
     full-row images (``id_col``, ``text_col``, ``vec_col``) plus
     (``seq_col``, ``op_col``); within a batch the per-key max-seq
     upsert row wins before any index sees it (a stale re-crawl row
-    never reaches the indexes, q209's CDC semantics)."""
+    never reaches the indexes, q209's CDC semantics).
+
+    ``keep_versions``: prune each versioned artifact to the newest N
+    copies after every batch (:func:`..cdc.prune_state_versions` —
+    ≥ 2 keeps the crash contract). Unpruned, a long-running loop
+    stores one full state copy PER MICRO-BATCH; at 100 TB retention
+    is the storage bill. ``None`` keeps everything (audit mode)."""
     from ..dedup.embedding import embedding_near_dup_pairs
     from ..dedup.incremental import (
         embedding_lsh_upsert,
@@ -250,6 +257,14 @@ def stream_maintenance(
             vec_col=vec_col, id_col=vec_id_col,
             cent_vec_col=vec_col, cent_id_col=cent_id_col,
         )
+
+        # 7. retention: one full state copy lands per batch — prune to
+        # the newest keep_versions AFTER the batch fully committed
+        if keep_versions is not None:
+            from .cdc import prune_state_versions
+
+            for d in (docs_dir, ndix_dir, cc_dir, bm_dir):
+                prune_state_versions(spark, d, keep=keep_versions)
 
     writer = changes.writeStream.foreachBatch(apply_batch).outputMode(
         "update"

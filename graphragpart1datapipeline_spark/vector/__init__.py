@@ -7,6 +7,7 @@ from .search import (  # noqa: F401
     hyperplane_bucket,
     ivf_assignments,
     ivf_build_index,
+    ivf_compact,
     ivf_rebuild_on_drift,
     ivf_topk,
     ivf_upsert,

@@ -502,6 +502,31 @@ def ivf_delete(
     )
 
 
+def ivf_compact(spark, path: str) -> DataFrame:
+    """Compact the persisted IVF index: every :func:`ivf_upsert` APPENDS
+    its own part files, so a daily loop leaves one small file per
+    (batch × cluster) — the classic small-files problem that turns a
+    partition-pruned probe into a metadata storm at 100 TB. This
+    rewrites the index with each cluster's rows co-located (one task —
+    hence one file — per centroid partition), a pure layout change:
+    rows, assignments, and the ``_stats`` drift baseline are untouched.
+    Run it on the maintenance cadence (the q209/q223 loop), not per
+    upsert. Returns the read-back compacted index frame."""
+    index = spark.read.parquet(path)
+    cols = [c for c in index.columns if c != "centroid_id"]
+    compacted = index.select(
+        *cols, F.col("centroid_id")
+    ).repartition(F.col("centroid_id")).localCheckpoint(eager=True)
+    # localCheckpoint first: the overwrite replaces the very files the
+    # plan would otherwise re-read mid-write (the ivf_delete pattern)
+    (
+        compacted.write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(path)
+    )
+    return spark.read.parquet(path)
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: Sequence[float],

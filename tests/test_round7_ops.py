@@ -440,3 +440,69 @@ def test_read_maintenance_state_requires_init(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         read_maintenance_state(spark, str(tmp_path / "never_inited"))
+
+
+def test_prune_state_versions_keeps_newest(spark, tmp_path):
+    import os
+
+    from graphragpart1datapipeline_spark.streaming.cdc import (
+        prune_state_versions,
+        read_cdc_state,
+    )
+
+    d = str(tmp_path / "state")
+    for v in range(5):
+        spark.createDataFrame([(v,)], "x long").write.parquet(
+            os.path.join(d, f"v{v}")
+        )
+    deleted = prune_state_versions(spark, d, keep=2)
+    assert deleted == [0, 1, 2]
+    assert sorted(os.listdir(d)) == ["v3", "v4"]
+    # the newest version still reads
+    assert read_cdc_state(spark, d).collect()[0]["x"] == 4
+    # idempotent, guards, missing dir
+    assert prune_state_versions(spark, d, keep=2) == []
+    with pytest.raises(ValueError, match="keep must be"):
+        prune_state_versions(spark, d, keep=0)
+    assert prune_state_versions(spark, str(tmp_path / "nope"), 2) == []
+
+
+def test_ivf_compact_is_pure_layout(spark, tmp_path):
+    import glob
+
+    from graphragpart1datapipeline_spark.vector.search import (
+        ivf_build_index,
+        ivf_compact,
+        ivf_upsert,
+    )
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "cid long, embedding array<double>"
+    )
+    base = spark.createDataFrame(
+        [(10, [0.9, 0.1]), (11, [0.1, 0.9])],
+        "vec_id long, embedding array<double>",
+    )
+    path = str(tmp_path / "compact_idx")
+    ivf_build_index(base, cents, path)
+    # three appends -> several small files per cluster partition
+    for i, v in enumerate([[0.8, 0.2], [0.7, 0.3], [0.2, 0.8]]):
+        ivf_upsert(
+            path,
+            spark.createDataFrame(
+                [(20 + i, v)], "vec_id long, embedding array<double>"
+            ),
+            cents,
+        )
+    before = sorted(map(tuple, spark.read.parquet(path).collect()))
+    stats_before = spark.read.parquet(path + "_stats").collect()
+    n_files_before = len(glob.glob(f"{path}/centroid_id=*/part-*"))
+    assert n_files_before > 2  # the small-files problem is real here
+    out = ivf_compact(spark, path)
+    after = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert after == before  # pure layout change
+    assert sorted(map(tuple, out.collect())) == before
+    assert spark.read.parquet(path + "_stats").collect() == stats_before
+    n_files_after = len(glob.glob(f"{path}/centroid_id=*/part-*"))
+    assert n_files_after == 2  # one file per cluster
+    assert n_files_after < n_files_before
