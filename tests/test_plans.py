@@ -622,3 +622,39 @@ def test_plan_audit_invariants_sample(spark):
         if name not in pa.CARTESIAN_ALLOWLIST:
             assert "CartesianProduct" not in phys, name
         assert "BatchEvalPython" not in phys, name
+
+
+def test_textrank_pairs_flow_through_token_join(spark):
+    """The sentence-pair stage must be the shared-token inverted-index
+    join (group+token keyed), never an all-pairs product, and the
+    whole plan stays JVM-side."""
+    from graphragpart1datapipeline_spark.text.summarize import (
+        textrank_summary,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "g", "alpha beta. beta gamma. delta epsilon.") for i in range(4)],
+        "doc_id long, community string, text string",
+    )
+    p = _plan(
+        textrank_summary(docs, group_col="community", m=2, iters=2)
+    )
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    assert "ArrowEvalPython" not in p  # pure column expressions
+
+
+def test_semdedup_pairs_keyed_by_cluster(spark):
+    """SemDeDup's pair join must be keyed by the cluster id (the
+    paper's pair-space bound) — no cross product, no Python stage."""
+    from graphragpart1datapipeline_spark.dedup.semantic import semdedup
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0]) for i in range(12)],
+        "vec_id long, embedding array<double>",
+    )
+    survivors, groups = semdedup(emb, tau=0.9, k=2)
+    for df in (survivors, groups):
+        p = _plan(df)
+        assert "CartesianProduct" not in p
+        assert "BatchEvalPython" not in p
