@@ -12647,6 +12647,7 @@ def q224(spark, sf_dir):
     ``action`` column locks that the drift gate actually fired."""
     from graphragpart1datapipeline_spark.vector.search import (
         ivf_build_index,
+        ivf_centroids,
         ivf_rebuild_on_drift,
         ivf_topk,
     )
@@ -12674,8 +12675,11 @@ def q224(spark, sf_dir):
         seed=42, probes=(1, 2, 4, 8), target_recall=0.9, k=10,
         drift_frac=0.95,
     )
+    # serve from the SELF-DESCRIBING index: centroids read back from
+    # {path}_centroids (which the rebuild just rewrote) — a process
+    # holding the day-0 centroid frame would probe stale clusters
     served = ivf_topk(
-        corpus.unionByName(inc), qvec, res["centroids"], k=10,
+        corpus.unionByName(inc), qvec, ivf_centroids(spark, path), k=10,
         vec_col="embedding", id_col="vec_id", cent_vec_col="embedding",
         cent_id_col="cid",
         nprobe=res["nprobe"] if res["nprobe"] is not None else 1,

@@ -294,7 +294,14 @@ def ivf_build_index(
     probes the persisted index — partition pruning turns the
     centroid-id filter into reading only the probed clusters' files,
     never a full-corpus assignment recompute. Pass the result to
-    :func:`ivf_topk` via ``assignments=``."""
+    :func:`ivf_topk` via ``assignments=``.
+
+    The centroid table itself persists at ``{path}_centroids`` (read it
+    back with :func:`ivf_centroids`) — the index is self-describing, so
+    a serving process needs ONLY the path. That matters after a drift
+    rebuild (:func:`ivf_rebuild_on_drift`): a caller still holding the
+    build-time centroid frame would probe the RETRAINED clusters with
+    stale centroids and silently lose recall."""
     assign = ivf_assignments(
         df, centroids, vec_col, id_col, cent_vec_col, cent_id_col,
         include_score=True,
@@ -302,6 +309,10 @@ def ivf_build_index(
     assign.drop("assign_cos").write.mode("overwrite").partitionBy(
         "centroid_id"
     ).parquet(path)
+    centroids.select(
+        F.col(cent_id_col).alias("cid"),
+        F.col(cent_vec_col).alias("embedding"),
+    ).write.mode("overwrite").parquet(path + "_centroids")
     # build-time assignment quality, persisted beside the index — the
     # baseline ivf_upsert's drift gate compares each increment against
     assign.agg(
@@ -500,6 +511,25 @@ def ivf_delete(
     return spark.read.parquet(path).select(
         id_col, F.col("centroid_id").cast(cid_type)
     )
+
+
+def ivf_centroids(spark, path: str) -> DataFrame:
+    """The centroid table persisted beside the index at ``path`` —
+    what serving should probe with (it tracks rebuilds, unlike a
+    centroid frame captured at build time). Returns (cid, embedding);
+    raises with guidance for indexes written before centroids were
+    persisted."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path + "_centroids")
+    except AnalysisException as exc:
+        raise ValueError(
+            f"ivf_centroids: no centroid table at {path}_centroids — "
+            "the index predates centroid persistence; rebuild with "
+            "ivf_build_index (which now writes it) or pass the "
+            "centroid frame explicitly"
+        ) from exc
 
 
 def ivf_compact(spark, path: str) -> DataFrame:

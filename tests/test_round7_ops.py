@@ -425,6 +425,20 @@ def test_ivf_rebuild_on_drift_both_arms(spark, tmp_path):
     assert res["assignments"].count() == 6
     assert ivf_tuned_nprobe(spark, path) == res["nprobe"]
     assert res["tuning"].filter("chosen").count() == 1
+    # the index is SELF-DESCRIBING: the persisted centroid table
+    # tracked the rebuild, so path-only serving probes the retrained
+    # clusters (a stale build-time frame would lose recall silently)
+    from graphragpart1datapipeline_spark.vector.search import (
+        ivf_centroids,
+    )
+
+    persisted = sorted(map(tuple, ivf_centroids(spark, path).collect()))
+    returned = sorted(map(tuple, res["centroids"].collect()))
+    initial = sorted(map(tuple, cents.collect()))
+    assert persisted == returned
+    assert persisted != initial  # the rebuild really retrained
+    with pytest.raises(ValueError, match="no centroid table"):
+        ivf_centroids(spark, str(tmp_path / "no_such_index"))
 
 
 # ---------------------------------------------------------------------------
