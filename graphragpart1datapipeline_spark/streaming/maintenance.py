@@ -160,7 +160,15 @@ def stream_maintenance(
     copies after every batch (:func:`..cdc.prune_state_versions` —
     ≥ 2 keeps the crash contract). Unpruned, a long-running loop
     stores one full state copy PER MICRO-BATCH; at 100 TB retention
-    is the storage bill. ``None`` keeps everything (audit mode)."""
+    is the storage bill. ``None`` keeps everything (audit mode).
+
+    DELETE boundary: 'D' rows tombstone the CDC doc state (so the
+    serving read drops them) but do NOT shrink the near-dup/BM25/IVF
+    indexes — index takedown is the explicit delete verbs' job
+    (bm25_delete / ivf_delete / embedding_lsh_delete) on the takedown
+    cadence, not the ingest loop's. A deleted doc can therefore still
+    appear as a near-dup NEIGHBOR until those run; its own serving
+    rows are already gone at the CDC read."""
     from ..dedup.embedding import embedding_near_dup_pairs
     from ..dedup.incremental import (
         embedding_lsh_upsert,
