@@ -12077,7 +12077,7 @@ def q220(spark, sf_dir):
       WHERE p.nf_est_scaled * 1000 >= q.q_milli * m.nf_max
     )
     SELECT q_milli, t AS effective_t, nf_est_scaled AS nf_at_t, nf_max,
-           CAST(CASE WHEN nf_prev IS NULL THEN 0
+           CAST(CASE WHEN nf_prev IS NULL THEN 1
                 ELSE q_milli * nf_max - 1000 * nf_prev END AS BIGINT)
              AS interp_num,
            CAST(CASE WHEN nf_prev IS NULL THEN 1
@@ -12161,7 +12161,9 @@ def _textrank_sql(
       WHERE trim(u.s) <> ''
     ), toks AS (
       SELECT community,
-             community || ':' || CAST(doc_id AS VARCHAR) || ':'
+             CAST(length(community) AS VARCHAR) || ':' || community
+               || ':' || CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR)
+               || ':' || CAST(doc_id AS VARCHAR) || ':'
                || CAST(sent_pos AS VARCHAR) AS node,
              unnest(list_distinct(list_filter(
                string_split_regex(lower(sentence), '\\s+'),
@@ -12203,7 +12205,10 @@ def _textrank_sql(
       SELECT s.community, s.doc_id, CAST(s.sent_pos AS BIGINT) AS sent_pos,
              s.sentence, CAST(COALESCE(r.rank, 0) AS BIGINT) AS rank
       FROM sent s LEFT JOIN {prev} r
-        ON r.id = s.community || ':' || CAST(s.doc_id AS VARCHAR) || ':'
+        ON r.id = CAST(length(s.community) AS VARCHAR) || ':'
+                  || s.community || ':'
+                  || CAST(length(CAST(s.doc_id AS VARCHAR)) AS VARCHAR)
+                  || ':' || CAST(s.doc_id AS VARCHAR) || ':'
                   || CAST(s.sent_pos AS VARCHAR)
     )
     SELECT community, doc_id, sent_pos, sentence, rank,

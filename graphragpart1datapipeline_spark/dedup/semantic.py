@@ -71,33 +71,12 @@ def semdedup(
     Zero-norm vectors can't score a cosine: they never pair (always
     singleton survivors) and their ``cent_cos`` is 0 — the same
     contract as the engine's other cosine paths."""
-    from ..graph.communities import connected_components
-    from ..vector.kmeans import centroids_df, kmeans_fit
-
-    if not (0.0 < tau <= 1.0):
-        raise ValueError(f"semdedup: tau must be in (0, 1], got {tau}")
-    if target_cluster_size < 1:
-        raise ValueError(
-            "semdedup: target_cluster_size must be >= 1, "
-            f"got {target_cluster_size}"
-        )
-    if k is None:
-        n = emb.count()
-        if n == 0:
-            raise ValueError("semdedup: empty corpus")
-        k = max(1, math.ceil(n / target_cluster_size))
-    if k < 1:
-        raise ValueError(f"semdedup: k must be >= 1, got {k}")
-
-    cents, assign = kmeans_fit(
-        emb, vec_col=vec_col, id_col=id_col, k=k, iters=iters, seed=seed
+    # one build pipeline: the batch form IS the index build plus the
+    # survivor derivation — no second copy of the kmeans/pairs/CC chain
+    idx = semdedup_index(
+        emb, tau, k, vec_col, id_col, iters, seed, target_cluster_size
     )
-    cents_df = centroids_df(emb.sparkSession, cents)
-    uv = _unit_rows(emb, assign, vec_col, id_col)
-    pairs = _within_cluster_pairs(uv, uv, tau, id_col, self_pairs=True)
-    comp = connected_components(pairs, src="a", dst="b")
-    centcos = _cent_cos_rows(emb, assign, cents_df, vec_col, id_col)
-    groups = _survivor_groups(centcos, comp, id_col)
+    groups = _survivor_groups(idx["centcos"], idx["labels"], id_col)
     survivors = groups.filter(F.col("survivor")).drop("survivor")
     return survivors, groups
 
@@ -215,11 +194,18 @@ def semdedup_index(
 
     if not (0.0 < tau <= 1.0):
         raise ValueError(f"semdedup_index: tau must be in (0, 1], got {tau}")
+    if target_cluster_size < 1:
+        raise ValueError(
+            "semdedup_index: target_cluster_size must be >= 1, "
+            f"got {target_cluster_size}"
+        )
     if k is None:
         n = emb.count()
         if n == 0:
             raise ValueError("semdedup_index: empty corpus")
         k = max(1, math.ceil(n / target_cluster_size))
+    if k < 1:
+        raise ValueError(f"semdedup_index: k must be >= 1, got {k}")
     cents, assign = kmeans_fit(
         emb, vec_col=vec_col, id_col=id_col, k=k, iters=iters, seed=seed
     )

@@ -57,7 +57,10 @@ _GUARD_CAP = 1 << 62
 
 
 def _checked_long(dec_col, what: str):
-    return F.when(
+    # NULL passes through (an empty graph's SUM is NULL — that is a
+    # NULL profile row, not an overflow); only a real out-of-range
+    # value raises
+    return F.when(dec_col.isNull(), F.lit(None).cast("long")).when(
         (dec_col <= F.lit(_GUARD_CAP).cast("decimal(38,0)"))
         & (dec_col >= F.lit(-_GUARD_CAP).cast("decimal(38,0)")),
         dec_col.cast("long"),
@@ -213,9 +216,11 @@ def effective_diameter(
     scaled-long profile (num = q_milli·nf_max − 1000·nf_prev,
     den = 1000·(nf_at_t − nf_prev); both range-checked to long), so
     the fractional statistic replays bit-exactly too. At t = 0 the
-    rational is 0/1 (diameter 0); den > 0 is structural — minimality
-    of t forces N(t−1) below the threshold ≤ N(t). The float diameter
-    is ``effective_t - 1 + interp_num/interp_den``.
+    rational is 1/1 — the exact-crossing convention (num == den ⇒
+    fraction 1), so the float formula below yields 0 there, matching
+    the Boldi-Vigna definition; den > 0 is structural for t > 0 —
+    minimality of t forces N(t−1) below the threshold ≤ N(t). The
+    float diameter is ``effective_t - 1 + interp_num/interp_den``.
 
     Returns (q_milli, effective_t, nf_at_t, nf_max, interp_num,
     interp_den)."""
@@ -249,7 +254,7 @@ def effective_diameter(
         .filter(dec(F.col("nf_est_scaled")) * 1000 >= thresh)
     )
     w = Window.partitionBy("q_milli").orderBy(F.asc("t"))
-    num = F.when(F.col("__nf_prev").isNull(), F.lit(0).cast("long")).otherwise(
+    num = F.when(F.col("__nf_prev").isNull(), F.lit(1).cast("long")).otherwise(
         _checked_long(
             thresh - dec(F.col("__nf_prev")) * 1000, "interpolation numerator"
         )

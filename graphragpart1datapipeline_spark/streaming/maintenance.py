@@ -28,6 +28,14 @@ CONTRACT: ids must be batch-disjoint across micro-batches (a re-crawl
 of the same id lands in the same day-batch, exactly q209's feed
 shape) — the IVF index is append-only and ivf_upsert RAISES on a
 cross-batch id collision rather than double-counting.
+
+REPLAY SAFETY: foreachBatch is at-least-once, and every stage is
+idempotent under a crash-replay — CDC latest-wins, LSH/BM25
+replace-by-rid upserts, CC re-merge of already-merged edges — except
+the IVF append, which the loop guards explicitly: a fully-applied
+replayed batch is detected (all its ids already indexed) and skipped;
+a partially-applied one raises with a rebuild instruction instead of
+silently double-counting or wedging on the collision gate.
 """
 
 from __future__ import annotations
@@ -204,12 +212,18 @@ def stream_maintenance(
             os.path.join(docs_dir, f"v{v + 1}")
         )
 
-        # 2. the batch's CLEAN increment: latest-wins upsert row per key
-        wk = Window.partitionBy(id_col).orderBy(F.desc(seq_col))
+        # 2. the batch's CLEAN increment: the per-key LATEST row decides
+        # first (same seq-desc, op-desc tie-break as cdc_upsert_state),
+        # THEN deletes drop — so a same-batch delete with a higher seq
+        # SUPPRESSES the superseded upsert instead of resurrecting it
+        # into the indexes
+        wk = Window.partitionBy(id_col).orderBy(
+            F.desc(seq_col), F.desc(op_col)
+        )
         inc = (
-            batch_df.filter(F.col(op_col) != "D")
-            .withColumn("__rn", F.row_number().over(wk))
+            batch_df.withColumn("__rn", F.row_number().over(wk))
             .filter(F.col("__rn") == 1)
+            .filter(F.col(op_col) != "D")
             .select(id_col, text_col, vec_col)
             .localCheckpoint(eager=True)
         )
@@ -259,12 +273,33 @@ def stream_maintenance(
         )
         _write_tables(bmix2, os.path.join(bm_dir, f"v{v + 1}"), _BM_KEYS)
 
-        # 6. IVF: assign only the batch (id-collision + drift gated)
-        ivf_upsert(
-            ivf_path, inc_emb, centroids,
-            vec_col=vec_col, id_col=vec_id_col,
-            cent_vec_col=vec_col, cent_id_col=cent_id_col,
+        # 6. IVF: assign only the batch (id-collision + drift gated).
+        # foreachBatch is AT-LEAST-ONCE: on a crash-replay every other
+        # artifact re-converges (CDC latest-wins, LSH/BM25 replace-by-
+        # rid, CC re-merge are all idempotent) but the IVF append is
+        # not — so detect a fully-applied replay and SKIP it instead of
+        # tripping ivf_upsert's collision gate and wedging the stream
+        new_ids = inc_emb.select(vec_id_col).distinct()
+        n_new = new_ids.count()
+        n_present = (
+            spark.read.parquet(ivf_path)
+            .join(F.broadcast(new_ids), vec_id_col, "left_semi")
+            .count()
         )
+        if n_present == 0:
+            ivf_upsert(
+                ivf_path, inc_emb, centroids,
+                vec_col=vec_col, id_col=vec_id_col,
+                cent_vec_col=vec_col, cent_id_col=cent_id_col,
+            )
+        elif n_present != n_new:
+            raise ValueError(
+                f"stream_maintenance: batch {batch_id} left the IVF "
+                f"index partially applied ({n_present}/{n_new} ids "
+                "present) — the index cannot be repaired by replay; "
+                "rebuild it with ivf_build_index before resuming"
+            )
+        # else: fully-applied replay of a crashed batch — skip
 
         # 7. retention: one full state copy lands per batch — prune to
         # the newest keep_versions AFTER the batch fully committed

@@ -127,10 +127,16 @@ def textrank_summary(
         df, group_col, id_col, text_col, max_group_sentences
     ).localCheckpoint(eager=True)
 
-    node = F.concat_ws(
-        ":",
-        F.col("group").cast("string"),
-        F.col("id").cast("string"),
+    # LENGTH-PREFIXED node key: a bare "g:id:pos" concat is ambiguous
+    # when group/id values themselves contain ':' (two distinct
+    # sentences could collide onto one PageRank node and pollute ranks
+    # across groups); the length prefixes make the decoding unique for
+    # any string content
+    g = F.col("group").cast("string")
+    i = F.col("id").cast("string")
+    node = F.concat(
+        F.length(g).cast("string"), F.lit(":"), g, F.lit(":"),
+        F.length(i).cast("string"), F.lit(":"), i, F.lit(":"),
         F.col("sent_pos").cast("string"),
     )
     toks = sent.select(

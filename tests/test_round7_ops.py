@@ -456,6 +456,164 @@ def test_read_maintenance_state_requires_init(spark, tmp_path):
         read_maintenance_state(spark, str(tmp_path / "never_inited"))
 
 
+def _maint_toy(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma"), (3, "delta")],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "cid long, embedding array<double>"
+    )
+    return docs, emb, cents
+
+
+def _maint_feed(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, seq int, op string, "
+        "embedding array<double>"
+    )
+
+
+def _run_stream(spark, feed_dir, work, cents, ckpt):
+    from graphragpart1datapipeline_spark.streaming.maintenance import (
+        stream_maintenance,
+    )
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, seq int, op string, "
+            "embedding array<double>"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed_dir)
+    )
+    q = stream_maintenance(
+        stream, work, cents, threshold=0.3, id_col="doc_id",
+        checkpoint_dir=ckpt,
+    )
+    q.awaitTermination()
+
+
+def _maint_snapshot(spark, work):
+    from graphragpart1datapipeline_spark.operators.relational import cdc_live
+    from graphragpart1datapipeline_spark.streaming.maintenance import (
+        read_maintenance_state,
+    )
+
+    st = read_maintenance_state(spark, work)
+    return (
+        sorted(map(tuple, cdc_live(st["docs"]).collect())),
+        sorted(map(tuple, st["labels"].collect())),
+        sorted(
+            map(tuple, spark.read.parquet(st["ivf"]).select("vec_id").collect())
+        ),
+    )
+
+
+def test_stream_maintenance_delete_supersedes_stale_upsert(spark, tmp_path):
+    """A same-batch D with a higher seq must suppress the superseded U
+    — the stale row reaches NEITHER the CDC state nor any index."""
+    from graphragpart1datapipeline_spark.streaming.maintenance import (
+        init_maintenance_state,
+    )
+
+    docs, emb, cents = _maint_toy(spark)
+    work = str(tmp_path / "maint_d")
+    init_maintenance_state(docs, emb, cents, work, threshold=0.3)
+    feed = _maint_feed(
+        spark,
+        [
+            (10, "new doc ten", 1, "U", [0.8, 0.2]),
+            # id 11: upserted at seq 1 but DELETED at seq 2 in the SAME
+            # batch -> must never reach the indexes
+            (11, "doomed doc", 1, "U", [0.7, 0.3]),
+            (11, None, 2, "D", None),
+        ],
+    )
+    feed_dir = work + "/feed"
+    feed.coalesce(1).write.parquet(feed_dir)
+    _run_stream(spark, feed_dir, work, cents, work + "/ckpt")
+    live_docs, _, ivf_ids = _maint_snapshot(spark, work)
+    assert (10, "new doc ten") in live_docs
+    assert not any(r[0] == 11 for r in live_docs)  # tombstoned
+    assert (10,) in ivf_ids and (11,) not in ivf_ids  # never indexed
+
+
+def test_stream_maintenance_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-processing the same batch (a
+    fresh checkpoint simulates the crash-replay) must converge to the
+    identical state — in particular the IVF append is skipped, not
+    tripped over its collision gate."""
+    from graphragpart1datapipeline_spark.streaming.maintenance import (
+        init_maintenance_state,
+    )
+
+    docs, emb, cents = _maint_toy(spark)
+    work = str(tmp_path / "maint_r")
+    init_maintenance_state(docs, emb, cents, work, threshold=0.3)
+    feed = _maint_feed(spark, [(20, "replayed doc", 1, "U", [0.6, 0.4])])
+    feed_dir = work + "/feed"
+    feed.coalesce(1).write.parquet(feed_dir)
+    _run_stream(spark, feed_dir, work, cents, work + "/ckpt1")
+    first = _maint_snapshot(spark, work)
+    # fresh checkpoint -> the SAME file is delivered again (the replay)
+    _run_stream(spark, feed_dir, work, cents, work + "/ckpt2")
+    assert _maint_snapshot(spark, work) == first
+
+
+def test_hyperball_interp_t0_and_null_passthrough(spark):
+    from graphragpart1datapipeline_spark.graph.hyperball import (
+        effective_diameter,
+        hyperball_neighborhood_function,
+    )
+
+    # threshold met at t=0 -> exact-crossing rational 1/1, so the float
+    # formula t-1 + num/den gives diameter 0 (not -1)
+    prof = spark.createDataFrame(
+        [(0, 1000, 10), (1, 1000, 10)],
+        "t long, nf_est_scaled long, n_nodes long",
+    )
+    r = effective_diameter(prof, (0.5,)).collect()[0]
+    assert r["effective_t"] == 0
+    assert (r["interp_num"], r["interp_den"]) == (1, 1)
+    # an empty graph (self-loops only) yields a NULL profile row, not a
+    # spurious 'exceeds 2^62' raise
+    e = spark.createDataFrame([(1, 1)], "src long, dst long")
+    rows = hyperball_neighborhood_function(
+        e, max_t=0, check_regime=False
+    ).collect()
+    assert rows[0]["nf_est_scaled"] is None and rows[0]["n_nodes"] == 0
+
+
+def test_textrank_node_key_unambiguous(spark):
+    """group='a', id='b:1' must NOT collide with group='a:b', id='1':
+    the length-prefixed node key keeps PageRank group-local, so the
+    second group's isolated sentence scores 0."""
+    from graphragpart1datapipeline_spark.text.summarize import (
+        textrank_summary,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ("b:1", "a", "xray yankee. xray zulu."),  # linked pair
+            ("1", "a:b", "quebec romeo."),  # isolated in ITS group
+        ],
+        "doc_id string, community string, text string",
+    )
+    out = {
+        (r["community"], r["sent_pos"]): r["rank"]
+        for r in textrank_summary(
+            docs, group_col="community", m=3
+        ).collect()
+    }
+    assert out[("a", 1)] > 0 and out[("a", 2)] > 0
+    assert out[("a:b", 1)] == 0  # pre-fix it inherited the merged rank
+
+
 def test_prune_state_versions_keeps_newest(spark, tmp_path):
     import os
 
