@@ -136,13 +136,16 @@ def read_maintenance_state(spark: SparkSession, work_dir: str) -> dict:
         raise FileNotFoundError(f"no cc state under {cc_base}")
     out["labels"] = spark.read.parquet(os.path.join(cc_base, f"v{v}"))
     out["ivf"] = os.path.join(work_dir, "ivf")
+    from ..vector.search import ivf_centroids
+
+    out["centroids"] = ivf_centroids(spark, out["ivf"])
     return out
 
 
 def stream_maintenance(
     changes: DataFrame,
     work_dir: str,
-    centroids: DataFrame,
+    centroids: DataFrame | None = None,
     threshold: float = 0.3,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -163,6 +166,13 @@ def stream_maintenance(
     (``seq_col``, ``op_col``); within a batch the per-key max-seq
     upsert row wins before any index sees it (a stale re-crawl row
     never reaches the indexes, q209's CDC semantics).
+
+    ``centroids``: None (default) reads the coarse quantizer from the
+    SELF-DESCRIBING index (``{ivf}_centroids``, which
+    init_maintenance_state's build persisted) at each batch — so an
+    out-of-band drift rebuild (ivf_rebuild_on_drift) is picked up on
+    the next micro-batch instead of assigning against a stale frame.
+    Pass a frame only to pin a specific quantizer.
 
     ``keep_versions``: prune each versioned artifact to the newest N
     copies after every batch (:func:`..cdc.prune_state_versions` —
@@ -287,8 +297,18 @@ def stream_maintenance(
             .count()
         )
         if n_present == 0:
+            from ..vector.search import ivf_centroids
+
+            cents = (
+                centroids
+                if centroids is not None
+                else ivf_centroids(spark, ivf_path).select(
+                    F.col("cid").alias(cent_id_col),
+                    F.col("embedding").alias(vec_col),
+                )
+            )
             ivf_upsert(
-                ivf_path, inc_emb, centroids,
+                ivf_path, inc_emb, cents,
                 vec_col=vec_col, id_col=vec_id_col,
                 cent_vec_col=vec_col, cent_id_col=cent_id_col,
             )

@@ -560,8 +560,10 @@ def test_stream_maintenance_replay_is_idempotent(spark, tmp_path):
     feed.coalesce(1).write.parquet(feed_dir)
     _run_stream(spark, feed_dir, work, cents, work + "/ckpt1")
     first = _maint_snapshot(spark, work)
-    # fresh checkpoint -> the SAME file is delivered again (the replay)
-    _run_stream(spark, feed_dir, work, cents, work + "/ckpt2")
+    # fresh checkpoint -> the SAME file is delivered again (the replay);
+    # centroids=None also covers the self-describing path (quantizer
+    # read back from the persisted {ivf}_centroids table)
+    _run_stream(spark, feed_dir, work, None, work + "/ckpt2")
     assert _maint_snapshot(spark, work) == first
 
 
