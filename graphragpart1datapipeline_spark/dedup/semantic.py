@@ -186,14 +186,22 @@ def semdedup_index(
 
     Tables: ``centroids`` (cid, embedding), ``units`` (id, __cid,
     __uv), ``centcos`` (id, centroid_id, cent_cos), ``labels``
-    (id, component), ``params`` (tau_nano, k — probes can never
-    silently run a different threshold than the build)."""
+    (id, component), ``params`` (tau_nano, k, vec_col, id_col —
+    probes can never silently run a different threshold or column
+    binding than the build; tau is canonicalized to tau_nano/1e9 at
+    build time so the probe-side reconstruction is bit-identical)."""
     from ..graph.communities import connected_components
     from ..vector.kmeans import centroids_df, kmeans_fit
-    from .incremental import _params_table
 
     if not (0.0 < tau <= 1.0):
         raise ValueError(f"semdedup_index: tau must be in (0, 1], got {tau}")
+    # canonicalize tau to the value that round-trips through the
+    # persisted params table EXACTLY (tau_nano / 1e9): build-time pairs
+    # and every later semdedup_upsert probe compare dots against the
+    # SAME double, so a pair sitting on the threshold can never
+    # classify differently between the batch and the incremental path
+    tau_nano = int(round(tau * 1e9))
+    tau = tau_nano / 1e9
     if target_cluster_size < 1:
         raise ValueError(
             "semdedup_index: target_cluster_size must be >= 1, "
@@ -213,14 +221,16 @@ def semdedup_index(
     uv = _unit_rows(emb, assign, vec_col, id_col)
     pairs = _within_cluster_pairs(uv, uv, tau, id_col, self_pairs=True)
     labels = connected_components(pairs, src="a", dst="b")
+    params = emb.sparkSession.createDataFrame(
+        [(tau_nano, k, vec_col, id_col)],
+        "tau_nano long, k long, vec_col string, id_col string",
+    )
     return {
         "centroids": cents_df,
         "units": uv,
         "centcos": _cent_cos_rows(emb, assign, cents_df, vec_col, id_col),
         "labels": labels,
-        "params": _params_table(
-            emb.sparkSession, tau_nano=int(round(tau * 1e9)), k=k
-        ),
+        "params": params,
     }
 
 
@@ -252,9 +262,25 @@ def semdedup_upsert(
     from ..graph.communities import connected_components_incremental
     from ..vector.search import ivf_assignments
 
-    tau = (
-        index["params"].select("tau_nano").first()[0] / 1e9
-    )
+    prow = index["params"].limit(1).collect()[0].asDict()
+    # exact round-trip: semdedup_index canonicalized its tau to
+    # tau_nano/1e9 before building, so this IS the build-time double
+    tau = prow["tau_nano"] / 1e9
+    bound = {
+        c: (prow[c], probe)
+        for c, probe in (("vec_col", vec_col), ("id_col", id_col))
+        if c in prow and prow[c] != probe
+    }
+    if bound:
+        detail = ", ".join(
+            f"{c}: index={a!r} probe={b!r}" for c, (a, b) in sorted(bound.items())
+        )
+        raise ValueError(
+            "semdedup_upsert: probe column bindings differ from the ones "
+            f"the index was built with ({detail}) — the units/centcos "
+            "tables are only meaningful under the build-time columns; "
+            "rebuild with semdedup_index or probe with matching names"
+        )
     # id-collision gate (the ivf_upsert contract): a re-ingested id
     # would duplicate its rows in units/centcos and silently corrupt
     # groups and survivor picks — one broadcast semi-join, bounded probe

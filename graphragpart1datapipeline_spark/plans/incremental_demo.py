@@ -58,9 +58,11 @@ def _read_latest(spark: SparkSession, d: str) -> DataFrame:
 
 
 def _write_next(df: DataFrame, d: str) -> None:
-    df.write.mode("overwrite").parquet(
-        os.path.join(d, f"v{_latest_version(d) + 1}")
-    )
+    from ..streaming.cdc import _mark_committed
+
+    vdir = os.path.join(d, f"v{_latest_version(d) + 1}")
+    df.write.mode("overwrite").parquet(vdir)
+    _mark_committed(df.sparkSession, vdir)
 
 
 def _lsh_rows(docs: DataFrame) -> DataFrame:

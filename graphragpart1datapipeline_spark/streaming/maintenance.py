@@ -45,7 +45,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .cdc import _latest_version, init_cdc_state
+from .cdc import _latest_version, _mark_committed, init_cdc_state
 
 __all__ = [
     "init_maintenance_state",
@@ -58,10 +58,17 @@ _BM_KEYS = ("postings", "dl", "dfreq", "params")
 
 
 def _write_tables(tables: dict[str, DataFrame], vdir: str, keys) -> None:
+    """Write every sub-table, THEN mark the version directory committed
+    — a multi-table version has no single _SUCCESS of its own, so the
+    explicit marker is what makes the vdir visible to _latest_version
+    (the streaming/cdc.py commit protocol)."""
+    spark = None
     for key in keys:
+        spark = tables[key].sparkSession
         tables[key].write.mode("overwrite").parquet(
             os.path.join(vdir, key)
         )
+    _mark_committed(spark, vdir)
 
 
 def _read_tables(spark: SparkSession, vdir: str, keys) -> dict[str, DataFrame]:
@@ -100,9 +107,9 @@ def init_maintenance_state(
         corpus_emb, threshold=threshold, vec_col=vec_col, id_col=vec_id_col
     )
     labels = connected_components(pairs, src="a", dst="b")
-    labels.write.mode("overwrite").parquet(
-        os.path.join(work_dir, "cc", "v0")
-    )
+    cc0 = os.path.join(work_dir, "cc", "v0")
+    labels.write.mode("overwrite").parquet(cc0)
+    _mark_committed(corpus_docs.sparkSession, cc0)
     bmix = bm25_index(corpus_docs, text_col=text_col, id_col=id_col)
     _write_tables(bmix, os.path.join(work_dir, "bm25", "v0"), _BM_KEYS)
     ivf_build_index(
@@ -218,9 +225,9 @@ def stream_maintenance(
             seq_col,
             op_col=op_col,
         )
-        merged.write.mode("overwrite").parquet(
-            os.path.join(docs_dir, f"v{v + 1}")
-        )
+        docs_vdir = os.path.join(docs_dir, f"v{v + 1}")
+        merged.write.mode("overwrite").parquet(docs_vdir)
+        _mark_committed(spark, docs_vdir)
 
         # 2. the batch's CLEAN increment: the per-key LATEST row decides
         # first (same seq-desc, op-desc tie-break as cdc_upsert_state),
@@ -238,6 +245,14 @@ def stream_maintenance(
             .localCheckpoint(eager=True)
         )
         if inc.isEmpty():
+            # all-delete / all-stale batch: docs v{N+1} is already
+            # committed above, so retention must still run — otherwise
+            # a delete-heavy stream accumulates doc-state versions
+            # unboundedly despite keep_versions
+            if keep_versions is not None:
+                from .cdc import prune_state_versions
+
+                prune_state_versions(spark, docs_dir, keep=keep_versions)
             return
         inc_emb = inc.select(
             F.col(id_col).alias(vec_id_col), F.col(vec_col)
@@ -270,9 +285,9 @@ def stream_maintenance(
         v = _latest_version(cc_dir, spark)
         labels = spark.read.parquet(os.path.join(cc_dir, f"v{v}"))
         labels2 = connected_components_incremental(labels, new_edges)
-        labels2.write.mode("overwrite").parquet(
-            os.path.join(cc_dir, f"v{v + 1}")
-        )
+        cc_vdir = os.path.join(cc_dir, f"v{v + 1}")
+        labels2.write.mode("overwrite").parquet(cc_vdir)
+        _mark_committed(spark, cc_vdir)
 
         # 5. BM25: tokenize only the batch, replace-then-extend postings
         v = _latest_version(bm_dir, spark)

@@ -52,7 +52,10 @@ def sentence_table(
     original positions, whitespace-trimmed, empties dropped. With
     ``max_group_sentences`` set, a group exceeding the bound raises
     in-plan (the pair stage downstream is quadratic in the worst case
-    — refuse loudly instead of melting)."""
+    — refuse loudly instead of melting). The guard is attached to
+    EVERY output column, so no projection of the result can prune it
+    away — a caller selecting only (group, id) still trips the raise
+    the moment any row of an oversized group is evaluated."""
     sent = df.select(
         F.col(group_col).alias("group"),
         F.col(id_col).alias("id"),
@@ -67,26 +70,25 @@ def sentence_table(
     ).filter(F.col("sentence") != "")
     if max_group_sentences is not None:
         wg = Window.partitionBy("group")
-        guard = F.when(
-            F.count(F.lit(1)).over(wg) <= max_group_sentences,
-            F.col("sentence"),
-        ).otherwise(
-            F.raise_error(
-                F.concat(
-                    F.lit(
-                        "textrank_summary: group "
-                    ),
-                    F.col("group").cast("string"),
-                    F.lit(
-                        f" exceeds max_group_sentences={max_group_sentences}"
-                        " — the sentence-pair stage is worst-case quadratic"
-                        " per group; pre-slice the community or raise the"
-                        " bound explicitly"
-                    ),
-                )
+        ok = F.count(F.lit(1)).over(wg) <= max_group_sentences
+        err = F.raise_error(
+            F.concat(
+                F.lit("textrank_summary: group "),
+                F.col("group").cast("string"),
+                F.lit(
+                    f" exceeds max_group_sentences={max_group_sentences}"
+                    " — the sentence-pair stage is worst-case quadratic"
+                    " per group; pre-slice the community or raise the"
+                    " bound explicitly"
+                ),
             )
         )
-        sent = sent.withColumn("sentence", guard)
+        # one window count feeds four guards (same frame — Catalyst
+        # evaluates the Window once); guarding every column means
+        # column pruning can never drop the raise with the data
+        sent = sent.select(
+            *(F.when(ok, F.col(c)).otherwise(err).alias(c) for c in sent.columns)
+        )
     return sent
 
 

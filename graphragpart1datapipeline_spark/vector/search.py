@@ -541,19 +541,47 @@ def ivf_compact(spark, path: str) -> DataFrame:
     hence one file — per centroid partition), a pure layout change:
     rows, assignments, and the ``_stats`` drift baseline are untouched.
     Run it on the maintenance cadence (the q209/q223 loop), not per
-    upsert. Returns the read-back compacted index frame."""
+    upsert. Returns the read-back compacted index frame.
+
+    CRASH SAFETY: the compacted layout is written to ``{path}__tmp``
+    first, then swapped in with two directory renames (old index →
+    ``{path}__old`` → deleted only after the new copy is live). A
+    durable on-disk copy of the index exists at EVERY instant — an
+    in-place overwrite backed only by localCheckpoint executor blocks
+    would destroy the index on a driver/executor loss mid-write, and
+    compaction is routine maintenance over the full index. The rename
+    window is recoverable by inspection: if ``path`` is missing,
+    ``{path}__old`` (or ``__tmp``) holds the complete index — rename
+    it back. (Renames are atomic on HDFS/local FS; on S3 use a
+    rename-capable layer for maintenance jobs.)"""
+    tmp, old = path + "__tmp", path + "__old"
     index = spark.read.parquet(path)
     cols = [c for c in index.columns if c != "centroid_id"]
-    compacted = index.select(
-        *cols, F.col("centroid_id")
-    ).repartition(F.col("centroid_id")).localCheckpoint(eager=True)
-    # localCheckpoint first: the overwrite replaces the very files the
-    # plan would otherwise re-read mid-write (the ivf_delete pattern)
     (
-        compacted.write.mode("overwrite")
+        index.select(*cols, F.col("centroid_id"))
+        .repartition(F.col("centroid_id"))
+        .write.mode("overwrite")
         .partitionBy("centroid_id")
-        .parquet(path)
+        .parquet(tmp)
     )
+    jvm = spark._jvm
+    p_idx = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p_idx.getFileSystem(spark._jsc.hadoopConfiguration())
+    p_tmp = jvm.org.apache.hadoop.fs.Path(tmp)
+    p_old = jvm.org.apache.hadoop.fs.Path(old)
+    if fs.exists(p_old):
+        raise FileExistsError(
+            f"ivf_compact: {old} already exists — a previous compaction "
+            "crashed mid-swap; recover (rename it back over the index if "
+            f"{path} is missing, else delete it) before compacting"
+        )
+    if not fs.rename(p_idx, p_old):
+        raise OSError(f"ivf_compact: rename {path} -> {old} failed")
+    if not fs.rename(p_tmp, p_idx):
+        # put the original back so the index path stays valid
+        fs.rename(p_old, p_idx)
+        raise OSError(f"ivf_compact: rename {tmp} -> {path} failed")
+    fs.delete(p_old, True)
     return spark.read.parquet(path)
 
 
