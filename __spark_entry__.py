@@ -12700,6 +12700,413 @@ def q224(spark, sf_dir):
     ).orderBy("rank")
 
 
+# --------------------------------------------------------------------------
+# Round-8 additions: eval decontamination, PII audit, product quantization
+# (codebook/encode/ADC), DSIR data selection
+# --------------------------------------------------------------------------
+
+
+@_register(
+    "q226_contamination_report",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')
+               AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id, md5(array_to_string(toks[s+1:s+5], ' ')) AS h
+      FROM d, LATERAL (
+        SELECT unnest(range(0, greatest(len(toks) - 4, 0))) AS s) t
+    ), gd AS (
+      SELECT DISTINCT doc_id, h FROM g
+    ), b AS (
+      SELECT DISTINCT h FROM g WHERE doc_id % 23 = 1
+    ), agg AS (
+      SELECT gd.doc_id,
+             COUNT(*) AS total_ngrams,
+             COUNT(*) FILTER (WHERE b.h IS NOT NULL) AS hit_ngrams
+      FROM gd LEFT JOIN b ON gd.h = b.h
+      GROUP BY gd.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(agg.total_ngrams, 0) AS BIGINT) AS total_ngrams,
+           CAST(coalesce(agg.hit_ngrams, 0) AS BIGINT) AS hit_ngrams,
+           CASE WHEN coalesce(agg.total_ngrams, 0) > 0
+                THEN CAST(agg.hit_ngrams AS DOUBLE) / agg.total_ngrams
+                ELSE 0.0 END AS overlap_frac,
+           CAST(CASE WHEN coalesce(agg.total_ngrams, 0) > 0
+                     AND CAST(agg.hit_ngrams AS DOUBLE) / agg.total_ngrams
+                         >= 0.5
+                THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+    FROM d LEFT JOIN agg USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def q226(spark, sf_dir):
+    """Train/test CONTAMINATION detection (the GPT-3/PaLM/Llama
+    decontamination pass): every training document scored by the
+    fraction of its distinct 5-gram hashes that also occur in an eval
+    benchmark — here a held-out slice of the corpus itself
+    (doc_id % 23 == 1), the eval-leak shape that actually happens.
+    The benchmark collapses to a DISTINCT hash set and is BROADCAST;
+    the corpus side is map-only until one doc-keyed aggregation — the
+    100 TB scan never shuffles against the benchmark. Docs shorter
+    than the window are undetectable by construction and report 0.0,
+    not NULL."""
+    from graphragpart1datapipeline_spark.text.contamination import (
+        contamination_report,
+        ngram_hash_set,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 23 == 1).select("text")
+    rep = contamination_report(
+        docs, ngram_hash_set(bench, "text", n=5), n=5, threshold=0.5
+    )
+    return rep.select(
+        "doc_id",
+        "total_ngrams",
+        "hit_ngrams",
+        "overlap_frac",
+        F.col("contaminated").cast("long").alias("contaminated"),
+    ).orderBy("doc_id")
+
+
+_PII_AUDIT_INJECT_SQL = """
+      SELECT source,
+             text || CASE WHEN doc_id % 7 = 0
+                          THEN ' reach user' || CAST(doc_id AS VARCHAR)
+                               || '@example.com'
+                          ELSE '' END
+                  || CASE WHEN doc_id % 11 = 0
+                          THEN ' see https://example.org/p/'
+                               || CAST(doc_id AS VARCHAR)
+                          ELSE '' END
+                  || CASE WHEN doc_id % 13 = 0
+                          THEN ' call 555-010-' || CAST(doc_id AS VARCHAR)
+                          ELSE '' END AS text
+      FROM documents
+"""
+
+
+@_register(
+    "q227_pii_audit",
+    f"""
+    WITH injected AS ({_PII_AUDIT_INJECT_SQL}
+    ), per_kind AS (
+      SELECT source, 'EMAIL' AS kind,
+             len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS n
+      FROM injected
+      UNION ALL
+      SELECT source, 'URL' AS kind,
+             len(regexp_extract_all(text, 'https?://[^\\s]+')) AS n
+      FROM injected
+      UNION ALL
+      SELECT source, 'PHONE' AS kind,
+             len(regexp_extract_all(text,
+               '\\+?[0-9][0-9() -]{{7,}}[0-9]')) AS n
+      FROM injected
+    )
+    SELECT source, kind,
+           CAST(CAST(SUM(n) AS BIGINT) AS BIGINT) AS matches,
+           COUNT(*) FILTER (WHERE n > 0) AS docs_with_match
+    FROM per_kind
+    GROUP BY source, kind
+    ORDER BY source, kind
+    """,
+)
+def q227(spark, sf_dir):
+    """PII AUDIT rollup — the compliance counterpart of q60's
+    redaction: per (source, kind), how many matches and how many
+    documents carried at least one. Deterministic synthetic PII is
+    injected by doc_id residue (the corpus tables are clean by
+    construction) so every pattern arm exercises real matches; counts
+    are row-local ``regexp_count`` JVM expressions + one kind-keyed
+    rollup whose cardinality is #kinds × #sources — map-only over the
+    corpus, the audit never re-reads it per kind (one scan, three
+    projected branches)."""
+    from graphragpart1datapipeline_spark.text import pii_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    injected = docs.select(
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" reach user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" see https://example.org/p/"),
+                    F.col("doc_id").cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(
+                    F.lit(" call 555-010-"),
+                    F.col("doc_id").cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_counts(injected, "text", group_col="source").orderBy(
+        "source", "kind"
+    )
+
+
+def _pq_oracle_sql(
+    m: int = 4,
+    ksub: int = 4,
+    iters: int = 1,
+    dim: int = 64,
+    seed: str = "42",
+    scale: int = 1_000_000,
+    body_only: bool = False,
+) -> str | tuple[str, str]:
+    """Compose the DuckDB replay of pq_train + pq_encode: the corpus
+    exploded into (vec_id, s, subvec) rows, seeded-hash init PER
+    SUBSPACE, then per iteration an argmin squared-L2 assignment (the
+    fixed ``(dot(v,v) - 2·dot(v,c)) + dot(c,c)`` parenthesization of
+    vector/pq.py l2sq_expr) and an exact scaled-integer centroid mean.
+    ``body_only``: return (cte_chain, final_codebook_name) for
+    composition (q229's ADC stage)."""
+    dsub = dim // m
+    l2 = """((list_dot_product({a}.sv, {a}.sv)
+             - 2.0 * list_dot_product({a}.sv, {c}.cv))
+            + list_dot_product({c}.cv, {c}.cv))"""
+    sql = f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), sub AS (
+      SELECT vec_id, t.s,
+             v[CAST(t.s * {dsub} + 1 AS INTEGER)
+               : CAST(t.s * {dsub} + {dsub} AS INTEGER)] AS sv
+      FROM e CROSS JOIN range(0, {m}) t(s)
+    ), init AS (
+      SELECT s, CAST(rn - 1 AS INTEGER) AS cid, sv AS cv FROM (
+        SELECT s, sv,
+               row_number() OVER (
+                 PARTITION BY s
+                 ORDER BY md5('{seed}:' || CAST(s AS VARCHAR) || ':'
+                              || CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        FROM sub) WHERE rn <= {ksub}
+    )"""
+    prev = "init"
+    for i in range(iters):
+        a_l2 = l2.format(a="sub", c="c")
+        sql += f""", a{i} AS (
+      SELECT vec_id, s, sv, cid FROM (
+        SELECT sub.vec_id, sub.s, sub.sv, c.cid,
+               row_number() OVER (PARTITION BY sub.vec_id, sub.s
+                                  ORDER BY {a_l2} ASC, c.cid ASC) AS rn
+        FROM sub JOIN {prev} c ON c.s = sub.s) WHERE rn = 1
+    ), u{i} AS (
+      SELECT s, cid, t.i AS d,
+             SUM(CAST(floor(sv[CAST(t.i AS INTEGER)] * {scale} + 0.5)
+                      AS BIGINT)) AS sm,
+             COUNT(*) AS n
+      FROM a{i} CROSS JOIN range(1, {dsub + 1}) t(i)
+      GROUP BY s, cid, t.i
+    ), c{i + 1} AS (
+      SELECT s, cid, list(sm / (n * {scale}) ORDER BY d) AS cv
+      FROM u{i} GROUP BY s, cid
+    )"""
+        prev = f"c{i + 1}"
+    if body_only:
+        return sql, prev
+    enc_l2 = l2.format(a="sub", c="c")
+    sql += f"""
+    SELECT vec_id, CAST(s AS BIGINT) AS sub, CAST(cid AS BIGINT) AS code
+    FROM (
+      SELECT sub.vec_id, sub.s, c.cid,
+             row_number() OVER (PARTITION BY sub.vec_id, sub.s
+                                ORDER BY {enc_l2} ASC, c.cid ASC) AS rn
+      FROM sub JOIN {prev} c ON c.s = sub.s) WHERE rn = 1
+    ORDER BY vec_id, sub
+    """
+    return sql
+
+
+@_register("q228_pq_encode", _pq_oracle_sql())
+def q228(spark, sf_dir):
+    """PRODUCT QUANTIZATION codebook + encode (Jégou et al. 2011) —
+    the compression layer under every 100 TB serving stack: the
+    64-dim embedding splits into m=4 subspaces, each k-means-quantized
+    independently (one JOINT Lloyd run over the exploded
+    (id, sub, subvec) rows — all subspaces per corpus scan, the
+    centroid-update shuffle m·ksub·dsub rows per partition), and the
+    corpus re-encodes as m integer codes per vector: 256 B of floats →
+    4 codes. Encode is map-only against the broadcast codebook. Every
+    stage replays: seeded per-subspace init, fixed-parenthesization
+    squared-L2 argmin, exact scaled-integer means (q80's arithmetic,
+    partitioned by subspace)."""
+    from graphragpart1datapipeline_spark.vector.pq import (
+        pq_encode,
+        pq_train,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    book = pq_train(emb, m=4, ksub=4, iters=1, seed=42)
+    codes = pq_encode(emb, book)
+    return codes.select(
+        "vec_id",
+        F.col("sub").cast("long").alias("sub"),
+        F.col("code").cast("long").alias("code"),
+    ).orderBy("vec_id", "sub")
+
+
+def _pq_adc_sql(k: int = 10, m: int = 4, dsub: int = 16) -> str:
+    body, book = _pq_oracle_sql(body_only=True)
+    l2q = """((list_dot_product(qs.qsv, qs.qsv)
+              - 2.0 * list_dot_product(qs.qsv, c.cv))
+             + list_dot_product(c.cv, c.cv))"""
+    l2e = """((list_dot_product(sub.sv, sub.sv)
+              - 2.0 * list_dot_product(sub.sv, c.cv))
+             + list_dot_product(c.cv, c.cv))"""
+    return body + f""", codes AS (
+      SELECT vec_id, s, cid AS code FROM (
+        SELECT sub.vec_id, sub.s, c.cid,
+               row_number() OVER (PARTITION BY sub.vec_id, sub.s
+                                  ORDER BY {l2e} ASC, c.cid ASC) AS rn
+        FROM sub JOIN {book} c ON c.s = sub.s) WHERE rn = 1
+    ), q AS (
+      SELECT v AS qv FROM e WHERE vec_id = 0
+    ), qsub AS (
+      SELECT t.s,
+             qv[CAST(t.s * {dsub} + 1 AS INTEGER)
+               : CAST(t.s * {dsub} + {dsub} AS INTEGER)] AS qsv
+      FROM q CROSS JOIN range(0, {m}) t(s)
+    ), dt AS (
+      SELECT c.s, c.cid, {l2q} AS dist
+      FROM {book} c JOIN qsub qs ON qs.s = c.s
+    ), scored AS (
+      SELECT codes.vec_id,
+             CAST(SUM(CAST(dt.dist AS DECIMAL(25,15))) AS DOUBLE)
+               AS adist
+      FROM codes JOIN dt ON dt.s = codes.s AND dt.cid = codes.code
+      GROUP BY codes.vec_id
+    ), top AS (
+      -- select the k rows on the RAW distance (the operator's limit
+      -- happens pre-rounding), then round for the value compare
+      SELECT vec_id, adist FROM scored
+      ORDER BY adist ASC, vec_id ASC LIMIT {k}
+    )
+    SELECT vec_id,
+           floor(adist * 1000000000.0 + 0.5) / 1000000000.0 AS adist
+    FROM top
+    ORDER BY adist ASC, vec_id ASC
+    """
+
+
+@_register("q229_pq_adc_topk", _pq_adc_sql())
+def q229(spark, sf_dir):
+    """ADC top-k over the PQ codes — serving WITHOUT reading a single
+    float vector: the query builds its m·ksub squared-L2 lookup table
+    driver-side (identical fold-order doubles in Python, the JVM, and
+    the oracle), broadcasts it onto the integer codes table, and
+    decimal-sums m lookups per row; top-k is (adist asc, id asc).
+    At 100 TB the scan is the codes table — 48–192× smaller than the
+    embedding column — and composes with the coarse IVF filter for
+    full IVF-PQ serving (pre-filter ``codes`` to the probed
+    clusters)."""
+    from graphragpart1datapipeline_spark.vector.pq import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    book = pq_train(emb, m=4, ksub=4, iters=1, seed=42)
+    codes = pq_encode(emb, book)
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").cast("array<double>"))
+        .head()[0]
+    ]
+    top = pq_adc_topk(codes, book, qvec, k=10)
+    return top.select(
+        "vec_id", _round_det("adist", 9).alias("adist")
+    ).orderBy("adist", "vec_id")
+
+
+@_register(
+    "q230_dsir_selection",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')
+               AS toks
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, g FROM (
+        SELECT doc_id, unnest(toks) AS g FROM d) u WHERE g <> ''
+      UNION ALL
+      SELECT doc_id, g FROM (
+        SELECT doc_id, array_to_string(toks[s+1:s+2], ' ') AS g
+        FROM d, LATERAL (
+          SELECT unnest(range(0, greatest(len(toks) - 1, 0))) AS s) t) b
+      WHERE g <> ''
+    ), feats AS (
+      SELECT doc_id,
+             CAST(CAST('0x' || substring(md5(g), 1, 8) AS UBIGINT) % 512
+                  AS BIGINT) AS bucket,
+             COUNT(*) AS cnt
+      FROM grams GROUP BY doc_id, bucket
+    ), qm AS (
+      SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS qc FROM feats
+      GROUP BY bucket
+    ), pm AS (
+      SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS pc FROM feats
+      WHERE doc_id % 17 = 2 GROUP BY bucket
+    ), totals AS (
+      SELECT (SELECT CAST(SUM(qc) AS BIGINT) FROM qm) AS qt,
+             (SELECT CAST(SUM(pc) AS BIGINT) FROM pm) AS pt
+    ), ratio AS (
+      SELECT qm.bucket,
+             CAST(floor(ln(
+               (CAST(coalesce(pm.pc, 0) + 1 AS DOUBLE) / (t.pt + 512))
+               / (CAST(qm.qc + 1 AS DOUBLE) / (t.qt + 512))
+             ) * 1000000 + 0.5) AS BIGINT) AS illr
+      FROM qm LEFT JOIN pm ON pm.bucket = qm.bucket CROSS JOIN totals t
+    )
+    SELECT doc_id,
+           CAST(CAST(SUM(feats.cnt * ratio.illr) AS BIGINT) AS DOUBLE)
+             / 1000000.0 AS weight
+    FROM feats JOIN ratio ON ratio.bucket = feats.bucket
+    GROUP BY doc_id
+    ORDER BY weight DESC, doc_id ASC LIMIT 50
+    """,
+)
+def q230(spark, sf_dir):
+    """DSIR data selection (Xie et al. 2023): rank every raw document
+    by how target-like it is under hashed unigram+bigram bag-of-words
+    models — p fit on the curated target slice (doc_id % 17 == 2),
+    q on the whole corpus, add-1 smoothing, weight = Σ c_b·llr_b.
+    The shuffle is BUCKET-width (512 rows), never corpus-width; the
+    per-bucket log-ratio table broadcasts onto the corpus feature
+    stream; each bucket's ln is rounded once to a scaled long so the
+    per-doc weight is an exact integer dot product the oracle replays
+    (no floating accumulation across features). Top-50 most
+    target-like returned via distributed top-K (sort+limit, no global
+    window)."""
+    from graphragpart1datapipeline_spark.text.dsir import dsir_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("doc_id") % 17 == 2)
+    w = dsir_weights(docs, target, buckets=512)
+    return w.orderBy(F.desc("weight"), F.asc("doc_id")).limit(50)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q02(spark, "/root/testdata/sf0.001")

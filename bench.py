@@ -152,6 +152,15 @@ HEADLINE = [
     # is headline via q02, exact dedup via q20) and q27 (0.3 s; the
     # moving-window family is headline via q18 + q112).
     "q222_textrank_summaries",
+    # round 8: eval decontamination (corpus 5-gram scan vs broadcast
+    # benchmark set — the q85 shingle profile with a semi-join), PQ
+    # codebook+encode (the joint per-subspace Lloyd run — the
+    # compression layer's scale path), and DSIR selection (bucket-width
+    # shuffle + broadcast log-ratio table over the corpus feature
+    # stream)
+    "q226_contamination_report",
+    "q228_pq_encode",
+    "q230_dsir_selection",
 ]
 
 # Secondary tier: sub-second operators whose family is already
@@ -250,6 +259,12 @@ SECONDARY = [
     # round regardless)
     "q225_semdedup_incremental",
     "q224_ivf_drift_retune",
+    # round 8: the PII audit rollup (scan-bound regexp counts; the
+    # redaction scale path is q60's family) and ADC top-k (same joint
+    # Lloyd as headline q228 plus the broadcast lookup-join — the diff
+    # is the codes-table scan, 1-rep trace suffices)
+    "q227_pii_audit",
+    "q229_pq_adc_topk",
 ]
 
 # Repetitions per query; report the min. The ambient swing on a shared

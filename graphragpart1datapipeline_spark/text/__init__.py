@@ -4,6 +4,7 @@ from .analysis import (  # noqa: F401
     document_fingerprint,
     fulltext_search,
     language_id,
+    pii_counts,
     pii_redact,
     quality_score,
     remove_boilerplate_spans,
@@ -26,6 +27,12 @@ from .chunking import (  # noqa: F401
     recursive_split_chunks,
     stitch_context,
 )
+from .contamination import (  # noqa: F401
+    contamination_report,
+    decontaminate,
+    ngram_hash_set,
+)
+from .dsir import dsir_select, dsir_weights, hashed_ngram_features  # noqa: F401
 from .sections import split_sections  # noqa: F401
 from .summarize import sentence_table, textrank_summary  # noqa: F401
 from .llm import (  # noqa: F401

@@ -248,6 +248,38 @@ def pii_redact(col: Column | str) -> Column:
     return c
 
 
+def pii_counts(
+    df,
+    text_col: str = "text",
+    group_col: str | None = None,
+):
+    """The audit rollup compliance wants NEXT TO :func:`pii_redact`:
+    per PII kind (one row per kind, or per (group, kind) with
+    ``group_col``), how many matches and how many documents had at
+    least one. Counts run each pattern against the RAW text
+    independently (unlike redaction, which chains in order), so the
+    audit answers "how many of each shape occur", not "how many
+    replacements happened".
+
+    Scale shape: ``regexp_count`` per kind is a row-local JVM
+    expression — the per-kind frames are branches of ONE scan (column
+    pruning keeps each branch at the text column), and the rollup is
+    a kind-keyed aggregation whose cardinality is #kinds × #groups."""
+    keys = [group_col] if group_col else []
+    per_kind = None
+    for pat, repl in PII_PATTERNS:
+        kind = repl.strip("[]")
+        cnt = F.regexp_count(F.col(text_col), F.lit(pat))
+        one = df.select(
+            *keys, F.lit(kind).alias("kind"), cnt.alias("__n")
+        )
+        per_kind = one if per_kind is None else per_kind.unionByName(one)
+    return per_kind.groupBy(*keys, "kind").agg(
+        F.sum("__n").alias("matches"),
+        F.count(F.when(F.col("__n") > 0, 1)).alias("docs_with_match"),
+    )
+
+
 def repetition_signals(
     df,
     text_col: str = "text",

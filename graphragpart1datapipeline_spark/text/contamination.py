@@ -1,0 +1,140 @@
+"""Train/test contamination detection — the decontamination pass every
+pretraining pipeline runs before training (GPT-3 appendix C, PaLM §6,
+Llama eval-decontamination): a training document is contaminated when
+too many of its token n-grams also occur in an evaluation benchmark.
+
+The reference pipeline curates a training corpus (clean_dataset.py)
+but has no eval-set hygiene step; this closes that gap as a
+first-class operator.
+
+Scale shape (benchmarks are tiny next to the corpus — that asymmetry
+IS the design):
+
+- the corpus side is map-only until one per-doc aggregation: tokenize,
+  window into n-grams (transform over sequence — no explode before the
+  hash), md5 each window;
+- the benchmark side collapses to a DISTINCT n-gram hash set and is
+  BROADCAST — the 100 TB corpus never shuffles against it;
+- one groupBy(doc) computes (total, hit) counts → overlap fraction.
+So cost is O(corpus tokens) map work + one doc-keyed shuffle,
+identical to the passage-dedup profile (dedup/passages.py). For a
+benchmark too large to broadcast, pre-filter with a bloom filter
+(operators/sketches.py bloom_pruned_join) and keep the same shape.
+
+Determinism / oracle parity: whitespace tokens, md5 window hashes,
+counts are exact longs and the fraction one int/int double division —
+DuckDB replays every stage (q226).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .analysis import tokens
+
+__all__ = ["ngram_hash_set", "contamination_report", "decontaminate"]
+
+
+def _ngram_hashes(df: DataFrame, id_col: str, text_col: str, n: int):
+    """(id, __ngh) — md5 of every space-joined n-token window,
+    duplicates within a document KEPT (the per-doc distinct happens in
+    the aggregation so the fraction is over distinct n-grams)."""
+    toks = tokens(text_col)
+    sz = F.size(toks)
+    starts = F.when(sz >= n, F.sequence(F.lit(0), sz - n)).otherwise(
+        F.slice(F.sequence(F.lit(0), F.lit(0)), 1, 0)
+    )
+    return df.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.transform(
+                starts,
+                lambda s: F.md5(F.concat_ws(" ", F.slice(toks, s + 1, n))),
+            )
+        ).alias("__ngh"),
+    )
+
+
+def ngram_hash_set(
+    bench: DataFrame, text_col: str = "text", n: int = 8
+) -> DataFrame:
+    """The benchmark's DISTINCT n-gram hash set (one column ``__ngh``)
+    — build once per benchmark, broadcast into every contamination
+    scan. Benchmarks are eval-set-sized; if one ever isn't, bloom-prune
+    instead of broadcasting."""
+    return (
+        _ngram_hashes(bench, text_col, text_col, n)
+        .filter(F.col("__ngh").isNotNull())
+        .select("__ngh")
+        .distinct()
+    )
+
+
+def contamination_report(
+    docs: DataFrame,
+    bench_ngrams: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Per-document contamination: (id, total_ngrams, hit_ngrams,
+    overlap_frac, contaminated). ``total_ngrams``/``hit_ngrams`` count
+    DISTINCT n-grams (a boilerplate line repeated inside one doc counts
+    once); ``overlap_frac`` = hit/total (0.0 when the doc is shorter
+    than ``n`` tokens — undetectable, not contaminated);
+    ``contaminated`` = overlap_frac >= threshold.
+
+    ``bench_ngrams`` is :func:`ngram_hash_set`'s output (or any
+    one-column ``__ngh`` frame) — it is broadcast, so the corpus scan
+    never shuffles against the benchmark."""
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(
+            f"contamination_report: threshold must be in (0, 1], got {threshold}"
+        )
+    grams = _ngram_hashes(docs, id_col, text_col, n).dropDuplicates(
+        [id_col, "__ngh"]
+    )
+    hit = F.col("__ngh").isNotNull() & F.col("__hit").isNotNull()
+    marked = grams.join(
+        F.broadcast(bench_ngrams.withColumn("__hit", F.lit(1))),
+        "__ngh",
+        "left",
+    )
+    agg = marked.groupBy(id_col).agg(
+        F.count(F.col("__ngh")).alias("total_ngrams"),
+        F.count(F.when(hit, 1)).alias("hit_ngrams"),
+    )
+    frac = F.when(
+        F.col("total_ngrams") > 0,
+        F.col("hit_ngrams").cast("double") / F.col("total_ngrams"),
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        id_col,
+        "total_ngrams",
+        "hit_ngrams",
+        frac.alias("overlap_frac"),
+        (frac >= threshold).alias("contaminated"),
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    bench_ngrams: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """The training corpus with contaminated documents REMOVED — the
+    report's filter applied as one anti-join-by-flag (docs columns
+    pass through untouched)."""
+    bad = (
+        contamination_report(
+            docs, bench_ngrams, id_col, text_col, n, threshold
+        )
+        .filter(F.col("contaminated"))
+        .select(id_col)
+    )
+    return docs.join(bad, id_col, "left_anti")

@@ -1,0 +1,296 @@
+"""Product quantization (PQ — Jégou, Douze, Schmid 2011, "Product
+Quantization for Nearest Neighbor Search") for the embedding family.
+
+At 100 TB the raw ``array<float>`` embedding column IS the storage and
+scan bill: a 768-dim float corpus is 3 KB/row before any index. PQ
+splits each vector into ``m`` subvectors, k-means-quantizes every
+subspace independently, and stores only the ``m`` one-byte-ish
+centroid codes — 3 KB → ~16–64 B (48–192×), with asymmetric-distance
+(ADC) scoring off a per-query lookup table instead of any float math
+over the corpus. This is the compression layer under every serving
+stack (FAISS IVF-PQ, ScaNN); the engine's coarse IVF
+(vector/search.py) composes with it: IVF prunes WHICH rows to score,
+PQ makes scoring them a table lookup.
+
+Spark shape (all three stages):
+
+- **train**: the corpus explodes once into (id, sub, subvec) rows and
+  ALL ``m`` subspace Lloyd runs train together — per iteration ONE
+  corpus scan, one (id, sub)-keyed argmin aggregation, and one
+  (sub, cid, dim)-keyed exact-integer centroid update whose shuffle
+  payload is m·ksub·dsub rows per partition, independent of corpus
+  size (the vector/kmeans.py update contract, partitioned by
+  subspace).
+- **encode**: map-only — broadcast the m·ksub codebook, per-row argmin
+  per subspace, no shuffle.
+- **ADC search**: the query builds an m·ksub distance table
+  DRIVER-side (k-sized by definition), broadcast-joins it to the codes
+  and decimal-sums m lookups per row — one scan of the CODES (not the
+  vectors), no float vector math in the hot path.
+
+Determinism / oracle parity (q228/q229): seeded-hash init per
+subspace, squared-L2 scored as the fixed-parenthesization
+``(dot(v,v) - 2·dot(v,c)) + dot(c,c)`` of in-order-fold dots (argmin =
+dist asc, cid asc), exact scaled-integer centroid means, and ADC sums
+accumulated in DECIMAL — every stage replays bit-identically in SQL.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .search import dot_expr
+
+__all__ = ["pq_train", "pq_encode", "pq_adc_topk", "l2sq_expr"]
+
+
+def l2sq_expr(a: Column, b: Column) -> Column:
+    """Squared L2 distance with a FIXED parenthesization —
+    ``(dot(a,a) - 2·dot(a,b)) + dot(b,b)`` over in-order-fold dots —
+    so Spark, DuckDB, and the driver-side Python all produce the same
+    double. (The elementwise ``Σ(aᵢ-bᵢ)²`` form is a different IEEE op
+    sequence; never mix the two on one code path.)"""
+    return (
+        dot_expr(a, a) - F.lit(2.0) * dot_expr(a, b)
+    ) + dot_expr(b, b)
+
+
+def _l2sq_py(a: Sequence[float], b: Sequence[float]) -> float:
+    """Driver-side twin of :func:`l2sq_expr` — same fold order, same
+    parenthesization, bit-identical doubles."""
+
+    def dot(x, y):
+        acc = 0.0
+        for xi, yi in zip(x, y):
+            acc = acc + float(xi) * float(yi)
+        return acc
+
+    return (dot(a, a) - 2.0 * dot(a, b)) + dot(b, b)
+
+
+def _subrows(df: DataFrame, vec_col: str, id_col: str, m: int, dsub: int):
+    """(id, sub, __sv) — the vector exploded into its m subvectors
+    (cast to double once, here, so every later stage sees the same
+    values the oracle's CAST sees)."""
+    v = F.col(vec_col).cast("array<double>")
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.struct(
+                    s.cast("int").alias("sub"),
+                    F.slice(v, s * dsub + 1, dsub).alias("__sv"),
+                ),
+            )
+        ).alias("__s"),
+    ).select(id_col, "__s.sub", "__s.__sv")
+
+
+def _vec_dim(df: DataFrame, vec_col: str) -> int:
+    row = df.select(F.size(vec_col).alias("d")).limit(1).collect()
+    if not row:
+        raise ValueError("pq_train: empty corpus")
+    return row[0]["d"]
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iters: int = 2,
+    seed: str | int = 42,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Train the m-subspace codebook: one joint Lloyd run over the
+    exploded (id, sub, subvec) rows (all subspaces per scan). Returns
+    the codebook frame (``sub`` int, ``cid`` int, ``centroid``
+    array<double>) — m·ksub rows, the broadcastable serving artifact.
+
+    Init per subspace: the ksub rows with smallest
+    ``md5(seed ':' sub ':' id)`` (id tiebreak), cid in that order —
+    the vector/kmeans.py seeding rule, partitioned by subspace.
+    Empty clusters keep their previous centroid."""
+    if m < 1 or ksub < 1 or iters < 0:
+        raise ValueError(
+            f"pq_train: need m >= 1, ksub >= 1, iters >= 0; "
+            f"got m={m}, ksub={ksub}, iters={iters}"
+        )
+    dim = _vec_dim(df, vec_col)
+    if dim % m != 0:
+        raise ValueError(
+            f"pq_train: vector dim {dim} is not divisible by m={m}"
+        )
+    dsub = dim // m
+    spark = df.sparkSession
+    sub = _subrows(df, vec_col, id_col, m, dsub)
+    sub.persist()
+    try:
+        # seeded init: ksub smallest hash keys PER subspace, one job
+        from pyspark.sql import Window
+
+        key = F.md5(
+            F.concat(
+                F.lit(f"{seed}:"),
+                F.col("sub").cast("string"),
+                F.lit(":"),
+                F.col(id_col).cast("string"),
+            )
+        )
+        w = Window.partitionBy("sub").orderBy(key, F.col(id_col))
+        seeded = (
+            sub.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= ksub)
+            .select("sub", (F.col("__rn") - 1).alias("cid"), "__sv")
+            .collect()
+        )
+        book = {(r["sub"], r["cid"]): list(r["__sv"]) for r in seeded}
+        for _ in range(iters):
+            cdf = _book_df(spark, book)
+            assigned = _assign(sub, cdf, id_col)
+            upd = (
+                assigned.select(
+                    "sub",
+                    "code",
+                    F.posexplode(
+                        F.transform(
+                            F.col("__sv"),
+                            lambda x: F.floor(
+                                x * scale + F.lit(0.5)
+                            ).cast("long"),
+                        )
+                    ).alias("d", "iv"),
+                )
+                .groupBy("sub", "code", "d")
+                .agg(F.sum("iv").alias("s"), F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            new: dict = {}
+            for r in upd:
+                new.setdefault((r["sub"], r["code"]), {})[r["d"]] = (
+                    r["s"] / (r["n"] * scale)
+                )
+            for sk, comp in new.items():
+                book[sk] = [comp[i] for i in range(dsub)]
+            # keys absent from `new` (empty clusters) keep prior value
+        return _book_df(spark, book, persistable=True)
+    finally:
+        sub.unpersist()
+
+
+def _book_df(spark, book: dict, persistable: bool = False) -> DataFrame:
+    rows = [
+        (int(s), int(c), [float(x) for x in v])
+        for (s, c), v in sorted(book.items())
+    ]
+    name = "centroid" if persistable else "__cv"
+    return spark.createDataFrame(
+        rows, f"sub int, cid int, {name} array<double>"
+    )
+
+
+def _assign(sub: DataFrame, cdf: DataFrame, id_col: str) -> DataFrame:
+    """(id, sub, __sv, code) — argmin squared-L2 per (row, subspace),
+    tie → min cid; ONE aggregation (min of a (dist, cid) struct), no
+    window, the kmeans argmax shape."""
+    cv = "__cv" if "__cv" in cdf.columns else "centroid"
+    scored = sub.join(
+        F.broadcast(cdf.select("sub", "cid", F.col(cv).alias("__cv"))),
+        "sub",
+    ).select(
+        id_col,
+        "sub",
+        "__sv",
+        "cid",
+        l2sq_expr(F.col("__sv"), F.col("__cv")).alias("__d"),
+    )
+    best = scored.groupBy(id_col, "sub").agg(
+        F.min(F.struct("__d", "cid")).alias("__b"),
+        F.first("__sv").alias("__sv"),
+    )
+    return best.select(
+        id_col, "sub", "__sv", F.col("__b.cid").alias("code")
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebook: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Quantize the corpus against a trained codebook: (id, sub, code)
+    rows — m rows per vector, the compressed serving table (persist it
+    partitioned/bucketed by id range; it replaces the float column in
+    the ADC path). Map-only: broadcast codebook, per-row argmin."""
+    maxsub = codebook.select(F.max("sub")).collect()[0][0]
+    if maxsub is None:
+        raise ValueError("pq_encode: empty codebook")
+    nsub = maxsub + 1
+    dim = _vec_dim(df, vec_col)
+    if dim % nsub != 0:
+        raise ValueError(
+            f"pq_encode: vector dim {dim} does not match codebook "
+            f"m={nsub} subspaces"
+        )
+    sub = _subrows(df, vec_col, id_col, nsub, dim // nsub)
+    return _assign(sub, codebook, id_col).select(id_col, "sub", "code")
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebook: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 8,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance top-k: build the per-query (sub, cid) →
+    squared-L2 distance table driver-side (m·ksub entries — serving
+    state, never corpus-sized), broadcast it onto the codes, and
+    decimal-sum the m lookups per row. Returns (id, adist) ordered
+    (adist asc, id asc), k rows — smaller adist = nearer.
+
+    The corpus side touches ONLY the integer codes table: no float
+    vector is read, which is the entire point at 100 TB. Compose with
+    the coarse IVF index by pre-filtering ``codes`` to the probed
+    clusters (ivf_topk's assignment filter) for IVF-PQ serving."""
+    if k < 1:
+        raise ValueError(f"pq_adc_topk: k must be >= 1, got {k}")
+    book = codebook.collect()
+    if not book:
+        raise ValueError("pq_adc_topk: empty codebook")
+    cv = "centroid" if "centroid" in codebook.columns else "__cv"
+    dsub = len(book[0][cv])
+    q = [float(x) for x in query_vec]
+    m = max(r["sub"] for r in book) + 1
+    if m * dsub != len(q):
+        raise ValueError(
+            f"pq_adc_topk: query dim {len(q)} != codebook m*dsub "
+            f"= {m * dsub}"
+        )
+    spark = codes.sparkSession
+    dtable = spark.createDataFrame(
+        [
+            (
+                int(r["sub"]),
+                int(r["cid"]),
+                _l2sq_py(q[r["sub"] * dsub : (r["sub"] + 1) * dsub], r[cv]),
+            )
+            for r in book
+        ],
+        "sub int, code int, __dist double",
+    )
+    scored = codes.join(F.broadcast(dtable), ["sub", "code"]).groupBy(
+        id_col
+    ).agg(
+        F.sum(F.col("__dist").cast("decimal(25,15)"))
+        .cast("double")
+        .alias("adist")
+    )
+    return scored.orderBy(F.asc("adist"), F.asc(id_col)).limit(k)

@@ -1,0 +1,304 @@
+"""Round-8 operator units: contamination detection, PII audit,
+product quantization (train/encode/ADC), DSIR selection."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# contamination
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),          # fully inside the benchmark
+            (2, "a b c d e zz yy xx ww vv"),  # partially contaminated
+            (3, "p q r s t u v w"),           # clean
+            (4, "tiny doc"),                  # shorter than the window
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_contamination_report_fractions(spark):
+    from graphragpart1datapipeline_spark.text.contamination import (
+        contamination_report,
+        ngram_hash_set,
+    )
+
+    docs = _docs(spark)
+    bench = spark.createDataFrame(
+        [("a b c d e f g h i j",)], "text string"
+    )
+    rep = {
+        r["doc_id"]: r
+        for r in contamination_report(
+            docs, ngram_hash_set(bench, n=5), n=5, threshold=0.5
+        ).collect()
+    }
+    # doc 1: all 4 of its 5-grams inside the benchmark text
+    assert rep[1]["total_ngrams"] == 4
+    assert rep[1]["hit_ngrams"] == 4
+    assert rep[1]["overlap_frac"] == 1.0 and rep[1]["contaminated"]
+    # doc 2: only "a b c d e" hits (1 of 6)
+    assert rep[2]["total_ngrams"] == 6 and rep[2]["hit_ngrams"] == 1
+    assert not rep[2]["contaminated"]
+    # doc 3: clean
+    assert rep[3]["hit_ngrams"] == 0 and not rep[3]["contaminated"]
+    # doc 4: shorter than the window — undetectable, 0.0 not NULL
+    assert rep[4]["total_ngrams"] == 0
+    assert rep[4]["overlap_frac"] == 0.0 and not rep[4]["contaminated"]
+
+
+def test_decontaminate_drops_only_flagged(spark):
+    from graphragpart1datapipeline_spark.text.contamination import (
+        decontaminate,
+        ngram_hash_set,
+    )
+
+    docs = _docs(spark)
+    bench = spark.createDataFrame(
+        [("a b c d e f g h i j",)], "text string"
+    )
+    kept = decontaminate(
+        docs, ngram_hash_set(bench, n=5), n=5, threshold=0.5
+    )
+    assert sorted(r["doc_id"] for r in kept.collect()) == [2, 3, 4]
+    # original columns pass through untouched
+    assert kept.columns == docs.columns
+
+
+def test_contamination_threshold_guard(spark):
+    from graphragpart1datapipeline_spark.text.contamination import (
+        contamination_report,
+        ngram_hash_set,
+    )
+
+    docs = _docs(spark)
+    b = ngram_hash_set(docs.select("text"), n=5)
+    with pytest.raises(ValueError, match="threshold"):
+        contamination_report(docs, b, threshold=0.0)
+
+
+# ---------------------------------------------------------------------------
+# PII audit
+# ---------------------------------------------------------------------------
+
+
+def test_pii_counts_kinds_and_groups(spark):
+    from graphragpart1datapipeline_spark.text import pii_counts
+
+    df = spark.createDataFrame(
+        [
+            ("s1", "mail a@b.com and c@d.org plus https://x.io/z"),
+            ("s1", "clean text"),
+            ("s2", "call +1 555 010 1234 now"),
+        ],
+        "source string, text string",
+    )
+    flat = {r["kind"]: r for r in pii_counts(df, "text").collect()}
+    assert flat["EMAIL"]["matches"] == 2
+    assert flat["EMAIL"]["docs_with_match"] == 1
+    assert flat["URL"]["matches"] == 1
+    assert flat["PHONE"]["matches"] == 1
+    grouped = {
+        (r["source"], r["kind"]): r["matches"]
+        for r in pii_counts(df, "text", group_col="source").collect()
+    }
+    assert grouped[("s1", "EMAIL")] == 2
+    assert grouped[("s2", "EMAIL")] == 0
+    assert grouped[("s2", "PHONE")] == 1
+
+
+def test_pii_counts_consistent_with_redaction(spark):
+    from graphragpart1datapipeline_spark.text import pii_counts, pii_redact
+
+    df = spark.createDataFrame(
+        [("x@y.com and http://a.b c",), ("none",)], "text string"
+    )
+    total = sum(
+        r["matches"] for r in pii_counts(df, "text").collect()
+    )
+    changed = df.select(
+        (pii_redact("text") != F.col("text")).cast("int").alias("c")
+    ).agg(F.sum("c")).collect()[0][0]
+    assert total >= changed  # every redacted doc had >= 1 counted match
+
+
+# ---------------------------------------------------------------------------
+# product quantization
+# ---------------------------------------------------------------------------
+
+
+def _emb(spark):
+    # two well-separated groups per subspace so argmin is unambiguous
+    rows = [
+        (1, [1.0, 0.0, 10.0, 0.0]),
+        (2, [1.1, 0.0, 10.1, 0.0]),
+        (3, [0.0, 1.0, 0.0, 10.0]),
+        (4, [0.0, 1.1, 0.0, 10.1]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_pq_train_codebook_shape_and_encode(spark):
+    from graphragpart1datapipeline_spark.vector.pq import (
+        pq_encode,
+        pq_train,
+    )
+
+    emb = _emb(spark)
+    book = pq_train(emb, m=2, ksub=2, iters=2, seed=42)
+    rows = book.collect()
+    assert len(rows) == 4  # m * ksub
+    assert {r["sub"] for r in rows} == {0, 1}
+    assert all(len(r["centroid"]) == 2 for r in rows)
+    codes = pq_encode(emb, book)
+    got = {(r["vec_id"], r["sub"]): r["code"] for r in codes.collect()}
+    assert len(got) == 8  # m rows per vector
+    # rows 1,2 quantize together and apart from 3,4 in BOTH subspaces
+    for s in (0, 1):
+        assert got[(1, s)] == got[(2, s)]
+        assert got[(3, s)] == got[(4, s)]
+        assert got[(1, s)] != got[(3, s)]
+
+
+def test_pq_adc_ranks_near_neighbors_first(spark):
+    from graphragpart1datapipeline_spark.vector.pq import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    emb = _emb(spark)
+    book = pq_train(emb, m=2, ksub=2, iters=2, seed=42)
+    codes = pq_encode(emb, book)
+    top = pq_adc_topk(codes, book, [1.0, 0.0, 10.0, 0.0], k=4).collect()
+    # the query IS group {1,2}: both rank before {3,4}; ties by id
+    assert [r["vec_id"] for r in top[:2]] == [1, 2]
+    assert {r["vec_id"] for r in top[2:]} == {3, 4}
+    assert top[0]["adist"] == top[1]["adist"]  # same code tuple
+
+
+def test_pq_adc_composes_with_cluster_prefilter(spark):
+    """IVF-PQ serving shape: pre-filter the codes to a candidate id
+    set (the coarse probe's output) — ADC then scores only those."""
+    from graphragpart1datapipeline_spark.vector.pq import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    emb = _emb(spark)
+    book = pq_train(emb, m=2, ksub=2, iters=2, seed=42)
+    codes = pq_encode(emb, book).filter(F.col("vec_id").isin([3, 4]))
+    top = pq_adc_topk(codes, book, [1.0, 0.0, 10.0, 0.0], k=4).collect()
+    assert sorted(r["vec_id"] for r in top) == [3, 4]
+
+
+def test_pq_guards(spark):
+    from graphragpart1datapipeline_spark.vector.pq import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    emb = _emb(spark)
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_train(emb, m=3)
+    with pytest.raises(ValueError, match="m >= 1"):
+        pq_train(emb, m=0)
+    book = pq_train(emb, m=2, ksub=2, iters=1)
+    with pytest.raises(ValueError, match="query dim"):
+        pq_adc_topk(pq_encode(emb, book), book, [1.0, 0.0], k=2)
+    bad_dim = spark.createDataFrame(
+        [(9, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="does not match codebook"):
+        pq_encode(bad_dim, book)
+
+
+def test_pq_empty_cluster_keeps_previous_centroid(spark):
+    from graphragpart1datapipeline_spark.vector.pq import pq_train
+
+    # 2 identical vectors, ksub=2: after iteration 1 every row assigns
+    # to one centroid; the emptied one must keep its init value, not
+    # vanish or go NaN
+    emb = spark.createDataFrame(
+        [(1, [5.0, 5.0]), (2, [5.0, 5.0])],
+        "vec_id long, embedding array<double>",
+    )
+    book = pq_train(emb, m=1, ksub=2, iters=2, seed=42)
+    rows = book.collect()
+    assert len(rows) == 2
+    assert all(
+        all(x == x for x in r["centroid"]) for r in rows  # no NaN
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    from graphragpart1datapipeline_spark.text.dsir import dsir_weights
+
+    raw = spark.createDataFrame(
+        [
+            (1, "science physics theorem proof"),
+            (2, "science theorem lemma"),
+            (3, "buy cheap pills now click"),
+            (4, "click buy now"),
+        ],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [("science physics theorem proof lemma",)], "text string"
+    )
+    w = {r["doc_id"]: r["weight"] for r in dsir_weights(raw, target).collect()}
+    assert len(w) == 4
+    assert min(w[1], w[2]) > max(w[3], w[4])
+
+
+def test_dsir_select_top_cut_deterministic(spark):
+    from graphragpart1datapipeline_spark.text.dsir import dsir_select
+
+    raw = spark.createDataFrame(
+        [
+            (1, "science physics theorem proof"),
+            (2, "science theorem lemma"),
+            (3, "buy cheap pills now click"),
+            (4, "click buy now"),
+        ],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [("science physics theorem proof lemma",)], "text string"
+    )
+    sel = dsir_select(raw, target, frac=0.5)
+    assert sorted(r["doc_id"] for r in sel.collect()) == [1, 2]
+    assert set(sel.columns) == {"doc_id", "text", "weight"}
+    with pytest.raises(ValueError, match="frac"):
+        dsir_select(raw, target, frac=0.0)
+
+
+def test_hashed_ngram_features_counts(spark):
+    from graphragpart1datapipeline_spark.text.dsir import (
+        hashed_ngram_features,
+    )
+
+    df = spark.createDataFrame([(1, "a b a")], "doc_id long, text string")
+    # grams: a, b, a (unigrams) + "a b", "b a" (bigrams) = 5 total
+    total = (
+        hashed_ngram_features(df, buckets=1 << 20)
+        .agg(F.sum("cnt"))
+        .collect()[0][0]
+    )
+    assert total == 5
+    with pytest.raises(ValueError, match="buckets"):
+        hashed_ngram_features(df, buckets=1)
