@@ -13107,6 +13107,130 @@ def q230(spark, sf_dir):
     return w.orderBy(F.desc("weight"), F.asc("doc_id")).limit(50)
 
 
+def _ivfpq_sql(
+    k: int = 5, shortlist: int = 20, m: int = 4, dsub: int = 16,
+    n_coarse: int = 8,
+) -> str:
+    """Replay the full two-stage IVF-PQ serving DAG: the q228 codebook
+    chain, the q42-style coarse probe (the query is in the corpus, so
+    nprobe=1 probes exactly its own cluster — identical driver-side
+    double arithmetic), ADC shortlist over the probed candidates'
+    codes, exact-cosine rerank of the shortlist only."""
+    body, book = _pq_oracle_sql(body_only=True)
+    l2q = """((list_dot_product(qs.qsv, qs.qsv)
+              - 2.0 * list_dot_product(qs.qsv, c.cv))
+             + list_dot_product(c.cv, c.cv))"""
+    l2e = """((list_dot_product(sub.sv, sub.sv)
+              - 2.0 * list_dot_product(sub.sv, c.cv))
+             + list_dot_product(c.cv, c.cv))"""
+    ccos = """CASE WHEN sqrt(list_dot_product(e.v, e.v))
+                   * sqrt(list_dot_product(cc.ccv, cc.ccv)) > 0
+              THEN list_dot_product(e.v, cc.ccv)
+                   / (sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(cc.ccv, cc.ccv)))
+              ELSE 0.0 END"""
+    return body + f""", cents AS (
+      SELECT vec_id AS ccid, v AS ccv FROM e WHERE vec_id < {n_coarse}
+    ), cassign AS (
+      SELECT vec_id, ccid FROM (
+        SELECT e.vec_id, cc.ccid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {ccos} DESC, cc.ccid) AS rn
+        FROM e CROSS JOIN cents cc) WHERE rn = 1
+    ), probe AS (
+      SELECT ccid FROM cassign WHERE vec_id = 0
+    ), cand AS (
+      SELECT cassign.vec_id FROM cassign JOIN probe USING (ccid)
+    ), codes AS (
+      SELECT vec_id, s, cid AS code FROM (
+        SELECT sub.vec_id, sub.s, c.cid,
+               row_number() OVER (PARTITION BY sub.vec_id, sub.s
+                                  ORDER BY {l2e} ASC, c.cid ASC) AS rn
+        FROM sub JOIN {book} c ON c.s = sub.s) WHERE rn = 1
+    ), q AS (
+      SELECT v AS qv FROM e WHERE vec_id = 0
+    ), qsub AS (
+      SELECT t.s,
+             qv[CAST(t.s * {dsub} + 1 AS INTEGER)
+               : CAST(t.s * {dsub} + {dsub} AS INTEGER)] AS qsv
+      FROM q CROSS JOIN range(0, {m}) t(s)
+    ), dt AS (
+      SELECT c.s, c.cid, {l2q} AS dist
+      FROM {book} c JOIN qsub qs ON qs.s = c.s
+    ), adc AS (
+      SELECT codes.vec_id,
+             CAST(SUM(CAST(dt.dist AS DECIMAL(25,15))) AS DOUBLE)
+               AS adist
+      FROM codes JOIN cand USING (vec_id)
+      JOIN dt ON dt.s = codes.s AND dt.cid = codes.code
+      GROUP BY codes.vec_id
+    ), short AS (
+      SELECT vec_id FROM adc ORDER BY adist ASC, vec_id ASC
+      LIMIT {shortlist}
+    ), rerank AS (
+      SELECT e.vec_id,
+             CASE WHEN sqrt(list_dot_product(e.v, e.v))
+                       * sqrt(list_dot_product(q.qv, q.qv)) > 0
+                  THEN list_dot_product(e.v, q.qv)
+                       / (sqrt(list_dot_product(e.v, e.v))
+                          * sqrt(list_dot_product(q.qv, q.qv)))
+                  ELSE 0.0 END AS score
+      FROM e JOIN short USING (vec_id), q
+    ), top AS (
+      SELECT vec_id, score FROM rerank
+      ORDER BY score DESC, vec_id ASC LIMIT {k}
+    )
+    SELECT vec_id,
+           floor(score * 1000000000.0 + 0.5) / 1000000000.0 AS score
+    FROM top ORDER BY score DESC, vec_id ASC
+    """
+
+
+@_register("q231_ivfpq_serving", _ivfpq_sql())
+def q231(spark, sf_dir):
+    """The FULL two-stage IVF-PQ serving DAG (FAISS's production
+    shape) as one composed query: coarse IVF probe (nprobe=1 — the
+    query is in the corpus, so the probe lands exactly on its own
+    cluster) reads only the persisted assignment index; PQ asymmetric
+    distance ranks the probed candidates off the integer codes table
+    (no float vectors read); exact cosine reranks ONLY the 20-row
+    shortlist. At 100 TB the float column is touched for 20 rows —
+    everything corpus-sized is the assignment index and the 48–192×
+    compressed codes. Every stage replays: the q228 codebook chain,
+    the q42 probe rule, the q229 ADC arithmetic, and the rerank."""
+    from graphragpart1datapipeline_spark.vector.pq import (
+        ivfpq_topk,
+        pq_encode,
+        pq_train,
+    )
+    from graphragpart1datapipeline_spark.vector.search import (
+        ivf_assignments,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding")
+    )
+    assign = ivf_assignments(
+        emb, cents, "embedding", "vec_id", "embedding", "cid"
+    )
+    book = pq_train(emb, m=4, ksub=4, iters=1, seed=42)
+    codes = pq_encode(emb, book)
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").cast("array<double>"))
+        .head()[0]
+    ]
+    out = ivfpq_topk(
+        emb, codes, book, cents, assign, qvec,
+        k=5, shortlist=20, nprobe=1,
+    )
+    return out.select(
+        "vec_id", _round_det("score", 9).alias("score")
+    ).orderBy(F.desc("score"), F.asc("vec_id"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q02(spark, "/root/testdata/sf0.001")

@@ -153,13 +153,14 @@ HEADLINE = [
     # moving-window family is headline via q18 + q112).
     "q222_textrank_summaries",
     # round 8: eval decontamination (corpus 5-gram scan vs broadcast
-    # benchmark set — the q85 shingle profile with a semi-join), PQ
-    # codebook+encode (the joint per-subspace Lloyd run — the
-    # compression layer's scale path), and DSIR selection (bucket-width
-    # shuffle + broadcast log-ratio table over the corpus feature
-    # stream)
+    # benchmark set — the q85 shingle profile with a semi-join), the
+    # full two-stage IVF-PQ serving DAG (joint per-subspace Lloyd +
+    # encode + coarse probe + ADC shortlist + exact rerank — the
+    # compression layer's scale path end to end), and DSIR selection
+    # (bucket-width shuffle + broadcast log-ratio table over the
+    # corpus feature stream)
     "q226_contamination_report",
-    "q228_pq_encode",
+    "q231_ivfpq_serving",
     "q230_dsir_selection",
 ]
 
@@ -260,10 +261,11 @@ SECONDARY = [
     "q225_semdedup_incremental",
     "q224_ivf_drift_retune",
     # round 8: the PII audit rollup (scan-bound regexp counts; the
-    # redaction scale path is q60's family) and ADC top-k (same joint
-    # Lloyd as headline q228 plus the broadcast lookup-join — the diff
-    # is the codes-table scan, 1-rep trace suffices)
+    # redaction scale path is q60's family); PQ encode and ADC top-k
+    # (stage-level traces of headline q231's DAG — each re-runs the
+    # same joint Lloyd, 1-rep traces suffice)
     "q227_pii_audit",
+    "q228_pq_encode",
     "q229_pq_adc_topk",
 ]
 

@@ -29,7 +29,7 @@ from .chunking import (  # noqa: F401
 )
 from .contamination import (  # noqa: F401
     contamination_report,
-    decontaminate,
+    decontaminate_by_fraction,
     ngram_hash_set,
 )
 from .dsir import dsir_select, dsir_weights, hashed_ngram_features  # noqa: F401

@@ -1,11 +1,18 @@
-"""Train/test contamination detection — the decontamination pass every
-pretraining pipeline runs before training (GPT-3 appendix C, PaLM §6,
-Llama eval-decontamination): a training document is contaminated when
-too many of its token n-grams also occur in an evaluation benchmark.
+"""Train/test contamination REPORTING — the per-document overlap
+FRACTION audit (GPT-3 appendix C / Llama-style dataset reports): a
+training document is contaminated when too large a share of its
+distinct token n-grams also occur in an evaluation benchmark.
+
+Complements (does not replace) :func:`..dedup.ngram.decontaminate`,
+the ABSOLUTE-count flag ("shares ≥ m shingles with any benchmark
+doc") used as the pretrain-demo pipeline's cleanup verb: the count
+rule is the cheap gate, the fraction report is the auditable one —
+it normalizes by document length, so a 10-token quote in a book
+doesn't score like a wholesale eval-set copy. Both ride the same
+broadcast-benchmark shape.
 
 The reference pipeline curates a training corpus (clean_dataset.py)
-but has no eval-set hygiene step; this closes that gap as a
-first-class operator.
+but has no eval-set hygiene step; these close that gap.
 
 Scale shape (benchmarks are tiny next to the corpus — that asymmetry
 IS the design):
@@ -33,7 +40,11 @@ from pyspark.sql import functions as F
 
 from .analysis import tokens
 
-__all__ = ["ngram_hash_set", "contamination_report", "decontaminate"]
+__all__ = [
+    "ngram_hash_set",
+    "contamination_report",
+    "decontaminate_by_fraction",
+]
 
 
 def _ngram_hashes(df: DataFrame, id_col: str, text_col: str, n: int):
@@ -119,7 +130,7 @@ def contamination_report(
     )
 
 
-def decontaminate(
+def decontaminate_by_fraction(
     docs: DataFrame,
     bench_ngrams: DataFrame,
     id_col: str = "doc_id",
@@ -129,7 +140,8 @@ def decontaminate(
 ) -> DataFrame:
     """The training corpus with contaminated documents REMOVED — the
     report's filter applied as one anti-join-by-flag (docs columns
-    pass through untouched)."""
+    pass through untouched). The length-normalized counterpart of
+    :func:`..dedup.ngram.decontaminate`'s absolute-count rule."""
     bad = (
         contamination_report(
             docs, bench_ngrams, id_col, text_col, n, threshold

@@ -18,4 +18,10 @@ from .search import (  # noqa: F401
     lsh_topk,
 )
 from .kmeans import centroids_df, kmeans_fit  # noqa: F401
-from .pq import l2sq_expr, pq_adc_topk, pq_encode, pq_train  # noqa: F401
+from .pq import (  # noqa: F401
+    ivfpq_topk,
+    l2sq_expr,
+    pq_adc_topk,
+    pq_encode,
+    pq_train,
+)

@@ -45,7 +45,13 @@ from pyspark.sql import functions as F
 
 from .search import dot_expr
 
-__all__ = ["pq_train", "pq_encode", "pq_adc_topk", "l2sq_expr"]
+__all__ = [
+    "pq_train",
+    "pq_encode",
+    "pq_adc_topk",
+    "ivfpq_topk",
+    "l2sq_expr",
+]
 
 
 def l2sq_expr(a: Column, b: Column) -> Column:
@@ -294,3 +300,78 @@ def pq_adc_topk(
         .alias("adist")
     )
     return scored.orderBy(F.asc("adist"), F.asc(id_col)).limit(k)
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    codes: DataFrame,
+    codebook: DataFrame,
+    centroids: DataFrame,
+    assignments: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 5,
+    shortlist: int = 20,
+    nprobe: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cent_vec_col: str = "embedding",
+    cent_id_col: str = "cid",
+) -> DataFrame:
+    """The full FAISS-style two-stage IVF-PQ serving DAG as one
+    operator:
+
+    1. COARSE probe — rank the IVF centroids against the query
+       driver-side (the ivf_topk cosine rule: cos desc, cid asc) and
+       keep the ``nprobe`` nearest clusters' ids from the persisted
+       assignment index (partition-pruned scan when the index is
+       partitioned by centroid_id);
+    2. ADC shortlist — rank ONLY those candidates by PQ asymmetric
+       distance over the integer codes table (:func:`pq_adc_topk` on
+       the pre-filtered codes; no float vector read);
+    3. EXACT rerank — score just the ``shortlist`` survivors with
+       exact cosine against the float column and return the top ``k``
+       (score desc, id asc).
+
+    At 100 TB the float column is touched for ``shortlist`` rows ONLY
+    — the probe reads the assignment index, the ranking reads the
+    codes. ``shortlist`` is the recall/cost knob between the PQ
+    approximation and the exact answer."""
+    from .search import cosine_topk
+
+    if k < 1 or shortlist < k or nprobe < 1:
+        raise ValueError(
+            f"ivfpq_topk: need k >= 1, shortlist >= k, nprobe >= 1; "
+            f"got k={k}, shortlist={shortlist}, nprobe={nprobe}"
+        )
+    cents = centroids.select(cent_id_col, cent_vec_col).collect()
+    q = [float(x) for x in query_vec]
+    qn = math.sqrt(sum(x * x for x in q))
+
+    def _cos(vec) -> float:
+        dot = 0.0
+        nc = 0.0
+        for a, b in zip(vec, q):
+            dot += float(a) * float(b)
+            nc += float(a) * float(a)
+        denom = math.sqrt(nc) * qn
+        return dot / denom if denom > 0 else 0.0
+
+    ranked = sorted(cents, key=lambda r: (-_cos(r[1]), r[0]))
+    probe_ids = [r[0] for r in ranked[:nprobe]]
+    cand_ids = assignments.filter(
+        F.col("centroid_id").isin(probe_ids)
+    ).select(id_col)
+    short = pq_adc_topk(
+        codes.join(cand_ids, id_col, "left_semi"),
+        codebook,
+        q,
+        k=shortlist,
+        id_col=id_col,
+    ).select(id_col)
+    return cosine_topk(
+        df.join(F.broadcast(short), id_col),
+        q,
+        k=k,
+        vec_col=vec_col,
+        id_col=id_col,
+    )

@@ -54,9 +54,9 @@ def test_contamination_report_fractions(spark):
     assert rep[4]["overlap_frac"] == 0.0 and not rep[4]["contaminated"]
 
 
-def test_decontaminate_drops_only_flagged(spark):
+def test_decontaminate_by_fraction_drops_only_flagged(spark):
     from graphragpart1datapipeline_spark.text.contamination import (
-        decontaminate,
+        decontaminate_by_fraction,
         ngram_hash_set,
     )
 
@@ -64,7 +64,7 @@ def test_decontaminate_drops_only_flagged(spark):
     bench = spark.createDataFrame(
         [("a b c d e f g h i j",)], "text string"
     )
-    kept = decontaminate(
+    kept = decontaminate_by_fraction(
         docs, ngram_hash_set(bench, n=5), n=5, threshold=0.5
     )
     assert sorted(r["doc_id"] for r in kept.collect()) == [2, 3, 4]
@@ -302,3 +302,44 @@ def test_hashed_ngram_features_counts(spark):
     assert total == 5
     with pytest.raises(ValueError, match="buckets"):
         hashed_ngram_features(df, buckets=1)
+
+
+def test_ivfpq_topk_two_stage(spark):
+    from graphragpart1datapipeline_spark.vector.pq import (
+        ivfpq_topk,
+        pq_encode,
+        pq_train,
+    )
+    from graphragpart1datapipeline_spark.vector.search import (
+        ivf_assignments,
+    )
+
+    emb = _emb(spark)
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 10.0, 0.0]), (1, [0.0, 1.0, 0.0, 10.0])],
+        "cid long, embedding array<double>",
+    )
+    assign = ivf_assignments(
+        emb, cents, "embedding", "vec_id", "embedding", "cid"
+    )
+    book = pq_train(emb, m=2, ksub=2, iters=2, seed=42)
+    codes = pq_encode(emb, book)
+    out = ivfpq_topk(
+        emb, codes, book, cents, assign, [1.0, 0.0, 10.0, 0.0],
+        k=2, shortlist=2, nprobe=1,
+    ).collect()
+    # nprobe=1 confines serving to cluster 0 = rows {1, 2}; the exact
+    # rerank puts the identical vector first
+    assert [r["vec_id"] for r in out] == [1, 2]
+    assert out[0]["score"] > out[1]["score"]
+    # nprobe=2 opens the whole corpus
+    full = ivfpq_topk(
+        emb, codes, book, cents, assign, [1.0, 0.0, 10.0, 0.0],
+        k=4, shortlist=4, nprobe=2,
+    ).collect()
+    assert sorted(r["vec_id"] for r in full) == [1, 2, 3, 4]
+    with pytest.raises(ValueError, match="shortlist >= k"):
+        ivfpq_topk(
+            emb, codes, book, cents, assign,
+            [1.0, 0.0, 10.0, 0.0], k=5, shortlist=2,
+        )
