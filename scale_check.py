@@ -260,6 +260,15 @@ def ops(spark, base: str, extra_bits: int = 0):
     from graphragpart1datapipeline_spark.text.summarize import (
         textrank_summary,
     )
+    from graphragpart1datapipeline_spark.text.contamination import (
+        contamination_report,
+        ngram_hash_set,
+    )
+    from graphragpart1datapipeline_spark.text.dsir import dsir_weights
+    from graphragpart1datapipeline_spark.vector.pq import (
+        pq_encode,
+        pq_train,
+    )
 
     def docs():
         return _docs_df(spark, base)
@@ -517,6 +526,31 @@ def ops(spark, base: str, extra_bits: int = 0):
             group_col="community", m=3, iters=3, min_overlap=1,
             max_group_sentences=500,
         ),
+        # round-8: eval decontamination — benchmark slice collapses to
+        # a broadcast hash set, corpus side map-only + one doc agg;
+        # wall must grow ~linearly with the corpus, never with
+        # corpus × benchmark
+        "contamination": lambda: contamination_report(
+            docs().select("doc_id", "text"),
+            ngram_hash_set(
+                docs().filter(F.col("doc_id") % 23 == 1).select("text"),
+                n=5,
+            ),
+            n=5, threshold=0.5,
+        ),
+        # round-8: DSIR weights — bucket-width (512) shuffle + broadcast
+        # ratio table over the corpus feature stream; linear
+        "dsir_weights": lambda: dsir_weights(
+            docs().select("doc_id", "text"),
+            docs().filter(F.col("doc_id") % 17 == 2).select("text"),
+            buckets=512,
+        ),
+        # round-8: PQ train+encode — the joint per-subspace Lloyd run
+        # (update shuffle m·ksub·dsub rows/partition, corpus-size
+        # independent) + map-only encode; linear in the corpus
+        "pq_encode": lambda: pq_encode(
+            emb(), pq_train(emb(), m=4, ksub=4, iters=1, seed=42)
+        ),
         # 2 edges/node keeps the multi-round join volume inside the
         # bench time envelope; the linear-regime conclusion is the same
         "leiden_distributed": lambda: leiden_communities(
@@ -715,6 +749,15 @@ SCALE_BOUNDS: dict[str, float] = {
     # TextRank's bounded-community regime is linear — pagerank rounds
     # over group-local sentence graphs; ~3x measured headroom
     "textrank_summary": 4.5,
+    # round-8 (standalone calibration, K=4 measured: 1.34 / 1.23 /
+    # 0.97 — all fixed-overhead dominated): contamination and DSIR are
+    # scan-bound map work + bucket/doc-width aggs; PQ's Lloyd update
+    # shuffle is corpus-size independent by construction. Bounds ~3x
+    # the expected K=10 linear wall; a corpus×benchmark or quadratic
+    # regression shows 10x+
+    "contamination": 4.0,
+    "dsir_weights": 4.0,
+    "pq_encode": 3.5,
 }
 
 # Max allowed K×/1× CANDIDATE-pair-count ratio for the pair-space ops
