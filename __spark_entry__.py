@@ -13231,6 +13231,106 @@ def q231(spark, sf_dir):
     ).orderBy(F.desc("score"), F.asc("vec_id"))
 
 
+def _stream_decon_sql(n: int = 5, num_bits: int = 1 << 15, nh: int = 5) -> str:
+    """Replay the stateless streaming decontamination gate: benchmark
+    gram hashes → bloom words (the q189 build), per-doc DISTINCT gram
+    probes (md5 double-hash, all ``nh`` bits set = member), row-local
+    fraction, keep below threshold. The gate is row-local, so the
+    batch replay IS the stream's semantics — stream == batch exactly."""
+    h1 = _HASH60_SQL.format(x="h")
+    h2 = _HASH60B_SQL.format(x="h")
+    return (
+        f"""
+    WITH d AS (
+      SELECT doc_id,
+             string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')
+               AS toks
+      FROM documents
+    ), g AS (
+      SELECT DISTINCT doc_id,
+             md5(array_to_string(toks[s+1:s+{n}], ' ')) AS h
+      FROM d, LATERAL (
+        SELECT unnest(range(0, greatest(len(toks) - {n - 1}, 0))) AS s) t
+    ), """
+        + _bloom_cte(
+            "SELECT DISTINCT h AS k FROM g WHERE doc_id % 23 = 1",
+            num_bits,
+            nh,
+        )
+        + f""",
+    ph AS (SELECT doc_id, h, {h1} % {num_bits} AS h1,
+                  {h2} % {num_bits} AS h2 FROM g),
+    pidx AS (SELECT doc_id, h, ((h1 + i*h2) % {num_bits}) AS idx
+             FROM ph, range({nh}) t(i)),
+    member AS (SELECT doc_id, h FROM pidx p JOIN bloom b
+               ON p.idx//32 = b.wi
+               WHERE (b.word & (CAST(1 AS BIGINT)
+                      << CAST(p.idx%32 AS INTEGER))) <> 0
+               GROUP BY doc_id, h HAVING COUNT(*) = {nh}),
+    agg AS (SELECT g.doc_id,
+                   COUNT(*) AS total_ngrams,
+                   COUNT(m.h) AS hit_ngrams
+            FROM g LEFT JOIN member m
+              ON m.doc_id = g.doc_id AND m.h = g.h
+            GROUP BY g.doc_id),
+    stats AS (SELECT d.doc_id,
+                     CAST(coalesce(agg.total_ngrams, 0) AS BIGINT)
+                       AS total_ngrams,
+                     CAST(coalesce(agg.hit_ngrams, 0) AS BIGINT)
+                       AS hit_ngrams,
+                     CASE WHEN coalesce(agg.total_ngrams, 0) > 0
+                          THEN CAST(agg.hit_ngrams AS DOUBLE)
+                               / agg.total_ngrams
+                          ELSE 0.0 END AS overlap_frac
+              FROM d LEFT JOIN agg USING (doc_id))
+    SELECT doc_id, total_ngrams, hit_ngrams, overlap_frac
+    FROM stats WHERE overlap_frac < 0.5
+    ORDER BY doc_id
+    """
+    )
+
+
+@_register("q232_stream_decontaminate", _stream_decon_sql())
+def q232(spark, sf_dir):
+    """STREAMING decontamination gate — the ingest-time filter in
+    front of the training corpus: a TRUE Structured Streaming pass
+    over the documents (availableNow) where each incoming doc's
+    distinct 5-gram hashes probe the benchmark BLOOM carried as a
+    ~4 KB plan literal. Entirely STATELESS (row-local columns, append
+    mode, no state store, no shuffle) — the firehose is gated at scan
+    parallelism, and bloom false positives can only OVER-drop, never
+    leak contamination past the gate. The DuckDB oracle replays the
+    bloom build + every probe bit, value-checking the drained stream
+    directly (stream == batch is exact because the gate is
+    row-local); q226 is the exact-audit batch counterpart."""
+    import uuid
+
+    from graphragpart1datapipeline_spark.text.contamination import (
+        contamination_bloom,
+        ngram_hash_set,
+        stream_decontaminate,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 23 == 1).select("text")
+    dense = contamination_bloom(ngram_hash_set(bench, "text", n=5))
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    sdf = spark.readStream.schema(schema).parquet(f"{sf_dir}/documents.*")
+    gated = stream_decontaminate(sdf, dense, n=5, threshold=0.5)
+    name = f"q232_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        gated.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "doc_id", "total_ngrams", "hit_ngrams", "overlap_frac"
+    ).orderBy("doc_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q02(spark, "/root/testdata/sf0.001")

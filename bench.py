@@ -267,6 +267,9 @@ SECONDARY = [
     "q227_pii_audit",
     "q228_pq_encode",
     "q229_pq_adc_topk",
+    # streaming decontamination gate (trigger-latency-bound like
+    # q196/q205; the batch scan shape is headline via q226)
+    "q232_stream_decontaminate",
 ]
 
 # Repetitions per query; report the min. The ambient swing on a shared

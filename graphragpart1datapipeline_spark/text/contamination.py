@@ -44,6 +44,9 @@ __all__ = [
     "ngram_hash_set",
     "contamination_report",
     "decontaminate_by_fraction",
+    "contamination_bloom",
+    "contamination_stats_cols",
+    "stream_decontaminate",
 ]
 
 
@@ -150,3 +153,100 @@ def decontaminate_by_fraction(
         .select(id_col)
     )
     return docs.join(bad, id_col, "left_anti")
+
+
+def contamination_bloom(
+    bench_ngrams: DataFrame,
+    num_bits: int = 1 << 15,
+    num_hashes: int = 5,
+) -> list[int]:
+    """The benchmark n-gram set folded into a dense Bloom literal
+    (operators/sketches.py machinery) — the STREAM-shaped form of
+    :func:`ngram_hash_set`: membership becomes a row-local codegen
+    probe, so the gate needs no join, no state, and no shuffle.
+    Sized like bloom_words: ~``num_bits/8`` bytes regardless of
+    benchmark size."""
+    from ..operators.sketches import bloom_dense, bloom_words
+
+    return bloom_dense(
+        bloom_words(bench_ngrams, "__ngh", num_bits, num_hashes), num_bits
+    )
+
+
+def contamination_stats_cols(
+    text_col: str,
+    dense: list[int],
+    num_bits: int = 1 << 15,
+    n: int = 8,
+    num_hashes: int = 5,
+):
+    """(total_ngrams, hit_ngrams, overlap_frac) as ROW-LOCAL column
+    expressions against the benchmark bloom — stateless, so the same
+    expressions run unchanged on a batch frame and a streaming one.
+    Bloom semantics: NO false negatives (every true benchmark n-gram
+    hits), false positives possible — the gate built on these columns
+    over-drops conservatively; :func:`contamination_report` is the
+    exact audit."""
+    from ..operators.sketches import bloom_contains
+
+    toks = tokens(text_col)
+    sz = F.size(toks)
+    starts = F.when(sz >= n, F.sequence(F.lit(0), sz - n)).otherwise(
+        F.slice(F.sequence(F.lit(0), F.lit(0)), 1, 0)
+    )
+    grams = F.array_distinct(
+        F.transform(
+            starts,
+            lambda s: F.md5(F.concat_ws(" ", F.slice(toks, s + 1, n))),
+        )
+    )
+    total = F.size(grams).cast("long")
+    hits = F.size(
+        F.filter(
+            grams,
+            lambda g: bloom_contains(g, dense, num_bits, num_hashes),
+        )
+    ).cast("long")
+    frac = F.when(
+        total > 0, hits.cast("double") / total
+    ).otherwise(F.lit(0.0))
+    return total, hits, frac
+
+
+def stream_decontaminate(
+    sdf: DataFrame,
+    dense: list[int],
+    text_col: str = "text",
+    n: int = 8,
+    threshold: float = 0.1,
+    num_bits: int = 1 << 15,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """STREAMING decontamination gate: drop incoming documents whose
+    distinct-n-gram bloom-hit fraction reaches ``threshold`` — the
+    ingest-time filter in front of the training corpus. Entirely
+    STATELESS (row-local columns, no watermark, no state store,
+    append-mode-safe): the 100 TB property is that a firehose of
+    crawled documents is gated at scan parallelism with the benchmark
+    carried as a ~``num_bits/8``-byte plan literal.
+
+    Conservative by construction: bloom false positives can only
+    OVER-drop (a clean doc discarded), never leak a contaminated one
+    past the gate. Emits ``total_ngrams`` / ``hit_ngrams`` /
+    ``overlap_frac`` audit columns alongside the input columns. Works
+    identically on a batch frame (stream == batch is exact — the
+    expressions are row-local; q232 locks it)."""
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(
+            f"stream_decontaminate: threshold must be in (0, 1], "
+            f"got {threshold}"
+        )
+    total, hits, frac = contamination_stats_cols(
+        text_col, dense, num_bits, n, num_hashes
+    )
+    return (
+        sdf.withColumn("total_ngrams", total)
+        .withColumn("hit_ngrams", hits)
+        .withColumn("overlap_frac", frac)
+        .filter(F.col("overlap_frac") < threshold)
+    )

@@ -343,3 +343,69 @@ def test_ivfpq_topk_two_stage(spark):
             emb, codes, book, cents, assign,
             [1.0, 0.0, 10.0, 0.0], k=5, shortlist=2,
         )
+
+
+def test_stream_decontaminate_gate_batch_equivalence(spark, tmp_path):
+    """The gate is row-local, so applying it to a batch frame and to
+    the same rows streamed must produce identical survivors — and the
+    bloom can only OVER-count hits vs the exact report (no false
+    negatives)."""
+    import os
+
+    from graphragpart1datapipeline_spark.text.contamination import (
+        contamination_bloom,
+        contamination_report,
+        contamination_stats_cols,
+        ngram_hash_set,
+        stream_decontaminate,
+    )
+
+    docs = _docs(spark)
+    bench = spark.createDataFrame(
+        [("a b c d e f g h i j",)], "text string"
+    )
+    bench_set = ngram_hash_set(bench, n=5)
+    dense = contamination_bloom(bench_set, num_bits=1 << 12)
+
+    # batch application of the same row-local columns
+    total, hits, frac = contamination_stats_cols(
+        "text", dense, num_bits=1 << 12, n=5
+    )
+    batch = docs.withColumn("overlap_frac", frac).filter(
+        F.col("overlap_frac") < 0.5
+    )
+    batch_ids = sorted(r["doc_id"] for r in batch.collect())
+
+    # the true stream
+    src = str(tmp_path / "docs_src")
+    docs.write.parquet(src)
+    sdf = spark.readStream.schema(docs.schema).parquet(src)
+    gated = stream_decontaminate(
+        sdf, dense, n=5, threshold=0.5, num_bits=1 << 12
+    )
+    q = (
+        gated.writeStream.format("memory")
+        .queryName("r8_decon_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_ids = sorted(
+        r["doc_id"] for r in spark.table("r8_decon_sink").collect()
+    )
+    assert stream_ids == batch_ids
+    # conservative: bloom hit count >= exact hit count per doc
+    exact = {
+        r["doc_id"]: r["hit_ngrams"]
+        for r in contamination_report(
+            docs, bench_set, n=5, threshold=0.5
+        ).collect()
+    }
+    bloomed = {
+        r["doc_id"]: r["hit_ngrams"]
+        for r in docs.select("doc_id", hits.alias("hit_ngrams")).collect()
+    }
+    assert all(bloomed[d] >= exact[d] for d in exact)
+    with pytest.raises(ValueError, match="threshold"):
+        stream_decontaminate(sdf, dense, threshold=1.5)
