@@ -53,7 +53,14 @@ def build_pretrain_pipeline(
     jaccard_threshold: float = 0.7,
     n_shards: int = 16,
     capacity: int = 512,
+    dsir_frac: float | None = None,
 ) -> Pipeline:
+    """``dsir_frac``: when set, insert a DSIR data-selection stage
+    (text/dsir.py) between decontamination and mixture rebalancing —
+    keep only the top-``dsir_frac`` most target-like documents (target
+    = the deterministic doc_id % 17 == 2 curated slice, q230's rule).
+    ``None`` (default) skips the stage; the rest of the DAG is
+    unchanged either way."""
     p = Pipeline()
     mix = DEFAULT_MIX if target_mix is None else target_mix
 
@@ -119,7 +126,25 @@ def build_pretrain_pipeline(
         ).select("doc_id")
         return corpus.join(leaked, "doc_id", "left_anti")
 
-    @p.stage("rebalanced", deps=["decontaminated"])
+    rebal_dep = "decontaminated"
+    if dsir_frac is not None:
+        rebal_dep = "dsir_selected"
+
+        @p.stage("dsir_selected", deps=["decontaminated"])
+        def dsir_selected(spark: SparkSession, docs: DataFrame) -> DataFrame:
+            # importance-resampling cut: keep the documents that look
+            # most like the curated target slice; the weight column is
+            # dropped so the downstream schema is identical with the
+            # stage on or off
+            from ..text.dsir import dsir_select
+
+            target = docs.filter(F.col("doc_id") % 17 == 2).select("text")
+            return dsir_select(
+                docs, target, frac=dsir_frac, id_col="doc_id",
+                text_col="text",
+            ).drop("weight")
+
+    @p.stage("rebalanced", deps=[rebal_dep])
     def rebalanced(spark: SparkSession, docs: DataFrame) -> DataFrame:
         return rebalance_to_weights(
             docs, stratum_col="lang", targets=mix, id_col="doc_id"

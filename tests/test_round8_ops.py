@@ -409,3 +409,28 @@ def test_stream_decontaminate_gate_batch_equivalence(spark, tmp_path):
     assert all(bloomed[d] >= exact[d] for d in exact)
     with pytest.raises(ValueError, match="threshold"):
         stream_decontaminate(sdf, dense, threshold=1.5)
+
+
+def test_pretrain_pipeline_with_dsir_stage(spark):
+    import math
+
+    from graphragpart1datapipeline_spark.plans.pretrain_demo import (
+        build_pretrain_pipeline,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = build_pretrain_pipeline(sf, dsir_frac=0.6).run(spark)
+    n_clean = out["decontaminated"].count()
+    n_dsir = out["dsir_selected"].count()
+    assert n_dsir == math.ceil(n_clean * 0.6)
+    # selection is a subset of the decontaminated set, schema unchanged
+    assert out["dsir_selected"].columns == out["decontaminated"].columns
+    extra = out["dsir_selected"].join(
+        out["decontaminated"].select("doc_id"), "doc_id", "left_anti"
+    )
+    assert extra.count() == 0
+    # the rest of the funnel still runs off the reduced corpus
+    assert out["rebalanced"].count() <= n_dsir
+    assert out["packed"].count() > 0
+    # default build is unchanged: no dsir stage registered
+    assert "dsir_selected" not in build_pretrain_pipeline(sf).run(spark)
