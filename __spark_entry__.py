@@ -12871,6 +12871,7 @@ def _pq_oracle_sql(
     seed: str = "42",
     scale: int = 1_000_000,
     body_only: bool = False,
+    train_where: str = "TRUE",
 ) -> str | tuple[str, str]:
     """Compose the DuckDB replay of pq_train + pq_encode: the corpus
     exploded into (vec_id, s, subvec) rows, seeded-hash init PER
@@ -12878,7 +12879,10 @@ def _pq_oracle_sql(
     fixed ``(dot(v,v) - 2·dot(v,c)) + dot(c,c)`` parenthesization of
     vector/pq.py l2sq_expr) and an exact scaled-integer centroid mean.
     ``body_only``: return (cte_chain, final_codebook_name) for
-    composition (q229's ADC stage)."""
+    composition (q229's ADC stage). ``train_where``: restrict the
+    Lloyd TRAINING rows (init + every iteration) to a corpus slice —
+    the frozen-codebook incremental contract (q234) — while the
+    encode stage still sees every row."""
     dsub = dim // m
     l2 = """((list_dot_product({a}.sv, {a}.sv)
              - 2.0 * list_dot_product({a}.sv, {c}.cv))
@@ -12891,6 +12895,8 @@ def _pq_oracle_sql(
              v[CAST(t.s * {dsub} + 1 AS INTEGER)
                : CAST(t.s * {dsub} + {dsub} AS INTEGER)] AS sv
       FROM e CROSS JOIN range(0, {m}) t(s)
+    ), tsub AS (
+      SELECT * FROM sub WHERE {train_where}
     ), init AS (
       SELECT s, CAST(rn - 1 AS INTEGER) AS cid, sv AS cv FROM (
         SELECT s, sv,
@@ -12898,7 +12904,7 @@ def _pq_oracle_sql(
                  PARTITION BY s
                  ORDER BY md5('{seed}:' || CAST(s AS VARCHAR) || ':'
                               || CAST(vec_id AS VARCHAR)), vec_id) AS rn
-        FROM sub) WHERE rn <= {ksub}
+        FROM tsub) WHERE rn <= {ksub}
     )"""
     prev = "init"
     for i in range(iters):
@@ -12908,7 +12914,7 @@ def _pq_oracle_sql(
         SELECT sub.vec_id, sub.s, sub.sv, c.cid,
                row_number() OVER (PARTITION BY sub.vec_id, sub.s
                                   ORDER BY {a_l2} ASC, c.cid ASC) AS rn
-        FROM sub JOIN {prev} c ON c.s = sub.s) WHERE rn = 1
+        FROM tsub sub JOIN {prev} c ON c.s = sub.s) WHERE rn = 1
     ), u{i} AS (
       SELECT s, cid, t.i AS d,
              SUM(CAST(floor(sv[CAST(t.i AS INTEGER)] * {scale} + 0.5)
@@ -13329,6 +13335,192 @@ def q232(spark, sf_dir):
     return spark.table(name).select(
         "doc_id", "total_ngrams", "hit_ngrams", "overlap_frac"
     ).orderBy("doc_id")
+
+
+def _pq_recall_sql(k: int = 10, m: int = 4, dsub: int = 16) -> str:
+    """Replay the PQ quality gate: ADC top-k (the q229 chain) vs the
+    exact squared-L2 top-k over the float vectors (SAME metric, same
+    fixed parenthesization — the intersection isolates pure
+    quantization loss, not a metric mismatch)."""
+    body, book = _pq_oracle_sql(body_only=True)
+    l2e = """((list_dot_product(sub.sv, sub.sv)
+              - 2.0 * list_dot_product(sub.sv, c.cv))
+             + list_dot_product(c.cv, c.cv))"""
+    l2q = """((list_dot_product(qs.qsv, qs.qsv)
+              - 2.0 * list_dot_product(qs.qsv, c.cv))
+             + list_dot_product(c.cv, c.cv))"""
+    l2x = """((list_dot_product(e.v, e.v)
+              - 2.0 * list_dot_product(e.v, q.qv))
+             + list_dot_product(q.qv, q.qv))"""
+    return body + f""", codes AS (
+      SELECT vec_id, s, cid AS code FROM (
+        SELECT sub.vec_id, sub.s, c.cid,
+               row_number() OVER (PARTITION BY sub.vec_id, sub.s
+                                  ORDER BY {l2e} ASC, c.cid ASC) AS rn
+        FROM sub JOIN {book} c ON c.s = sub.s) WHERE rn = 1
+    ), q AS (
+      SELECT v AS qv FROM e WHERE vec_id = 0
+    ), qsub AS (
+      SELECT t.s,
+             qv[CAST(t.s * {dsub} + 1 AS INTEGER)
+               : CAST(t.s * {dsub} + {dsub} AS INTEGER)] AS qsv
+      FROM q CROSS JOIN range(0, {m}) t(s)
+    ), dt AS (
+      SELECT c.s, c.cid, {l2q} AS dist
+      FROM {book} c JOIN qsub qs ON qs.s = c.s
+    ), adc AS (
+      SELECT vec_id FROM (
+        SELECT codes.vec_id,
+               CAST(SUM(CAST(dt.dist AS DECIMAL(25,15))) AS DOUBLE)
+                 AS adist
+        FROM codes JOIN dt ON dt.s = codes.s AND dt.cid = codes.code
+        GROUP BY codes.vec_id
+      ) ORDER BY adist ASC, vec_id ASC LIMIT {k}
+    ), exact AS (
+      SELECT e.vec_id FROM e, q
+      ORDER BY {l2x} ASC, e.vec_id ASC LIMIT {k}
+    )
+    SELECT CAST({k} AS BIGINT) AS k,
+           (SELECT COUNT(*) FROM exact JOIN adc USING (vec_id))
+             AS n_hits,
+           CAST((SELECT COUNT(*) FROM exact JOIN adc USING (vec_id))
+                AS DOUBLE) / {k} AS recall
+    """
+
+
+@_register("q233_pq_recall_gate", _pq_recall_sql())
+def q233(spark, sf_dir):
+    """PQ QUALITY GATE — recall@10 of ADC top-k against the EXACT
+    squared-L2 top-k over the float vectors (same metric, same fixed
+    parenthesization, so the intersection isolates pure quantization
+    loss — the m/ksub sizing knob's regression gate, the q160/q203
+    pattern applied to the compression layer). Both arms replay in
+    SQL; the exact arm is one corpus scan, the ADC arm reads only the
+    codes."""
+    from graphragpart1datapipeline_spark.vector.pq import (
+        l2sq_expr,
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    book = pq_train(emb, m=4, ksub=4, iters=1, seed=42)
+    codes = pq_encode(emb, book)
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").cast("array<double>"))
+        .head()[0]
+    ]
+    k = 10
+    adc_ids = pq_adc_topk(codes, book, qvec, k=k).select("vec_id")
+    qlit = F.array(*[F.lit(x) for x in qvec])
+    exact = (
+        emb.select(
+            "vec_id",
+            l2sq_expr(F.col("embedding").cast("array<double>"), qlit)
+            .alias("__d"),
+        )
+        .orderBy(F.asc("__d"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id")
+    )
+    return exact.join(adc_ids, "vec_id", "left_semi").agg(
+        F.lit(k).cast("long").alias("k"),
+        F.count(F.lit(1)).alias("n_hits"),
+        (F.count(F.lit(1)).cast("double") / F.lit(k)).alias("recall"),
+    )
+
+
+def _pq_incr_sql(k: int = 10, m: int = 4, dsub: int = 16) -> str:
+    """Replay the INCREMENTAL PQ index end to end: codebook trained on
+    the day-0 slice ONLY (frozen — the train_where restriction), every
+    row (corpus ∪ increment) encoded against it, ADC top-k over the
+    union codes — exactly what pq_build_index + pq_upsert + pq_query
+    serve, proving upsert == rebuild-encode under the frozen
+    quantizer."""
+    body, book = _pq_oracle_sql(
+        body_only=True, train_where="vec_id % 5 <> 3"
+    )
+    l2e = """((list_dot_product(sub.sv, sub.sv)
+              - 2.0 * list_dot_product(sub.sv, c.cv))
+             + list_dot_product(c.cv, c.cv))"""
+    l2q = """((list_dot_product(qs.qsv, qs.qsv)
+              - 2.0 * list_dot_product(qs.qsv, c.cv))
+             + list_dot_product(c.cv, c.cv))"""
+    return body + f""", codes AS (
+      SELECT vec_id, s, cid AS code FROM (
+        SELECT sub.vec_id, sub.s, c.cid,
+               row_number() OVER (PARTITION BY sub.vec_id, sub.s
+                                  ORDER BY {l2e} ASC, c.cid ASC) AS rn
+        FROM sub JOIN {book} c ON c.s = sub.s) WHERE rn = 1
+    ), q AS (
+      SELECT v AS qv FROM e WHERE vec_id = 0
+    ), qsub AS (
+      SELECT t.s,
+             qv[CAST(t.s * {dsub} + 1 AS INTEGER)
+               : CAST(t.s * {dsub} + {dsub} AS INTEGER)] AS qsv
+      FROM q CROSS JOIN range(0, {m}) t(s)
+    ), dt AS (
+      SELECT c.s, c.cid, {l2q} AS dist
+      FROM {book} c JOIN qsub qs ON qs.s = c.s
+    ), scored AS (
+      SELECT codes.vec_id,
+             CAST(SUM(CAST(dt.dist AS DECIMAL(25,15))) AS DOUBLE)
+               AS adist
+      FROM codes JOIN dt ON dt.s = codes.s AND dt.cid = codes.code
+      GROUP BY codes.vec_id
+    ), top AS (
+      SELECT vec_id, adist FROM scored
+      ORDER BY adist ASC, vec_id ASC LIMIT {k}
+    )
+    SELECT vec_id,
+           floor(adist * 1000000000.0 + 0.5) / 1000000000.0 AS adist
+    FROM top
+    ORDER BY adist ASC, vec_id ASC
+    """
+
+
+@_register("q234_pq_incremental", _pq_incr_sql())
+def q234(spark, sf_dir):
+    """INCREMENTAL PQ index — the compression layer joins the
+    persisted-index maintenance family (q179/q180/q183/q188/q225's
+    contract): the day-0 corpus trains the codebook and builds the
+    codes table (pq_build_index — codebook persisted beside the codes,
+    SELF-DESCRIBING); the day-1 increment is encoded against the
+    FROZEN codebook read back from the index and APPENDED (pq_upsert —
+    id-collision gated; per-vector encoding is independent, so upsert
+    == rebuild-encode exactly, no drift baseline needed); serving
+    reads only the persisted tables (pq_query). The oracle replays the
+    slice-trained Lloyd run, the union encode, and the ADC probe."""
+    import uuid
+
+    from graphragpart1datapipeline_spark.vector.pq import (
+        pq_build_index,
+        pq_query,
+        pq_train,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 5 != 3)
+    inc = emb.filter(F.col("vec_id") % 5 == 3)
+    book = pq_train(corpus, m=4, ksub=4, iters=1, seed=42)
+    path = f"/tmp/q234_pq_{uuid.uuid4().hex[:8]}"
+    pq_build_index(corpus, book, path)
+    from graphragpart1datapipeline_spark.vector.pq import pq_upsert
+
+    pq_upsert(path, inc)
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").cast("array<double>"))
+        .head()[0]
+    ]
+    top = pq_query(spark, path, qvec, k=10)
+    return top.select(
+        "vec_id", _round_det("adist", 9).alias("adist")
+    ).orderBy("adist", "vec_id")
 
 
 def entry(spark: SparkSession) -> DataFrame:

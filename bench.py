@@ -270,6 +270,10 @@ SECONDARY = [
     # streaming decontamination gate (trigger-latency-bound like
     # q196/q205; the batch scan shape is headline via q226)
     "q232_stream_decontaminate",
+    # PQ quality gate + incremental PQ index (each re-runs the q231
+    # Lloyd; the index verbs add IO like q180 — 1-rep traces)
+    "q233_pq_recall_gate",
+    "q234_pq_incremental",
 ]
 
 # Repetitions per query; report the min. The ambient swing on a shared

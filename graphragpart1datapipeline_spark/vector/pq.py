@@ -50,6 +50,11 @@ __all__ = [
     "pq_encode",
     "pq_adc_topk",
     "ivfpq_topk",
+    "pq_build_index",
+    "pq_upsert",
+    "pq_delete",
+    "pq_query",
+    "pq_codebook",
     "l2sq_expr",
 ]
 
@@ -373,5 +378,144 @@ def ivfpq_topk(
         q,
         k=k,
         vec_col=vec_col,
+        id_col=id_col,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Persisted PQ index — the compression layer as a MAINTAINED artifact
+# (the dedup/incremental.py index-family contract: self-describing,
+# frozen quantizer, id-collision-gated increments, loud delete verbs)
+# ---------------------------------------------------------------------------
+
+
+def pq_build_index(
+    df: DataFrame,
+    codebook: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode the corpus and persist the codes table at ``path``
+    (plus the codebook at ``{path}_codebook`` — SELF-DESCRIBING, the
+    ivf ``_centroids`` pattern: upserts and queries read the quantizer
+    from the index instead of trusting a caller-held frame). Returns
+    the read-back codes. Day-N increments go through
+    :func:`pq_upsert`; the codebook is FROZEN at build time (retrain
+    on drift is a rebuild, the ivf_rebuild_on_drift contract)."""
+    spark = df.sparkSession
+    codebook.select("sub", "cid", "centroid").write.mode(
+        "overwrite"
+    ).parquet(path + "_codebook")
+    pq_encode(df, codebook, vec_col, id_col).write.mode(
+        "overwrite"
+    ).parquet(path)
+    return spark.read.parquet(path)
+
+
+def pq_codebook(spark, path: str) -> DataFrame:
+    """The frozen codebook persisted beside the codes table."""
+    try:
+        return spark.read.parquet(path + "_codebook")
+    except Exception as exc:  # AnalysisException: path not found
+        raise FileNotFoundError(
+            f"pq_codebook: no codebook table at {path}_codebook — the "
+            "index is not self-describing; rebuild with pq_build_index"
+        ) from exc
+
+
+def pq_upsert(
+    path: str,
+    new_df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Fold an increment into the persisted codes: encode against the
+    FROZEN codebook (read from the index — a stale caller-held frame
+    can't corrupt the assignment) and APPEND. Per-vector encoding is
+    independent, so upsert == rebuild exactly (no drift baseline
+    needed — the codebook never moves until an explicit rebuild).
+    RAISES on an id collision: codes are replace-nothing append-only,
+    and a re-ingested id would serve duplicate rows from every ADC
+    probe."""
+    spark = new_df.sparkSession
+    book = pq_codebook(spark, path)
+    new_ids = new_df.select(F.col(id_col)).distinct()
+    clashes = (
+        spark.read.parquet(path)
+        .select(id_col)
+        .join(F.broadcast(new_ids), id_col, "left_semi")
+        .limit(5)
+        .collect()
+    )
+    if clashes:
+        sample = ", ".join(str(r[0]) for r in clashes)
+        raise ValueError(
+            "pq_upsert: increment re-ingests ids already present in the "
+            f"index (e.g. {sample}) — every ADC probe would serve "
+            "duplicate rows. Increments must be id-disjoint; to replace "
+            "vectors, pq_delete first or rebuild with pq_build_index."
+        )
+    pq_encode(new_df, book, vec_col, id_col).write.mode("append").parquet(
+        path
+    )
+
+
+def pq_delete(path: str, ids: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """Remove vectors from the persisted codes — the takedown verb.
+    Every vector owns one row PER SUBSPACE, so a delete touches the
+    whole table: the survivors are rewritten to a temp path and
+    swapped in by directory rename (the ivf_compact crash-safety
+    contract — a durable on-disk copy exists at every instant).
+    Refuses to empty the index (an unreadable empty dir shaped like an
+    index is worse than a loud stop). Returns the read-back codes."""
+    spark = ids.sparkSession
+    index = spark.read.parquet(path)
+    doomed = ids.select(id_col).distinct()
+    kept = index.join(F.broadcast(doomed), id_col, "left_anti")
+    if kept.isEmpty():
+        raise ValueError(
+            "pq_delete: deleting every remaining vector would empty the "
+            "index — drop the directory explicitly instead"
+        )
+    tmp, old = path + "__tmp", path + "__old"
+    kept.write.mode("overwrite").parquet(tmp)
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    p_idx = jvm.org.apache.hadoop.fs.Path(path)
+    p_tmp = jvm.org.apache.hadoop.fs.Path(tmp)
+    p_old = jvm.org.apache.hadoop.fs.Path(old)
+    if fs.exists(p_old):
+        raise FileExistsError(
+            f"pq_delete: {old} already exists — a previous swap crashed; "
+            f"recover (rename it back over the index if {path} is "
+            "missing, else delete it) before deleting"
+        )
+    if not fs.rename(p_idx, p_old):
+        raise OSError(f"pq_delete: rename {path} -> {old} failed")
+    if not fs.rename(p_tmp, p_idx):
+        fs.rename(p_old, p_idx)
+        raise OSError(f"pq_delete: rename {tmp} -> {path} failed")
+    fs.delete(p_old, True)
+    return spark.read.parquet(path)
+
+
+def pq_query(
+    spark,
+    path: str,
+    query_vec: Sequence[float],
+    k: int = 8,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k against the PERSISTED index: codes + frozen codebook
+    both read from disk — the serving call owns no state and never
+    sees a float corpus vector."""
+    return pq_adc_topk(
+        spark.read.parquet(path),
+        pq_codebook(spark, path),
+        query_vec,
+        k=k,
         id_col=id_col,
     )

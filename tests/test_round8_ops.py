@@ -434,3 +434,72 @@ def test_pretrain_pipeline_with_dsir_stage(spark):
     assert out["packed"].count() > 0
     # default build is unchanged: no dsir stage registered
     assert "dsir_selected" not in build_pretrain_pipeline(sf).run(spark)
+
+
+def test_pq_index_upsert_equals_rebuild(spark, tmp_path):
+    from graphragpart1datapipeline_spark.vector.pq import (
+        pq_build_index,
+        pq_codebook,
+        pq_encode,
+        pq_query,
+        pq_train,
+        pq_upsert,
+    )
+
+    emb = _emb(spark)
+    day0 = emb.filter(F.col("vec_id") <= 2)
+    inc = emb.filter(F.col("vec_id") > 2)
+    book = pq_train(day0, m=2, ksub=2, iters=2, seed=42)
+    path = str(tmp_path / "pqidx")
+    pq_build_index(day0, book, path)
+    pq_upsert(path, inc)
+    # upsert == rebuild-encode under the frozen codebook
+    rebuilt = sorted(
+        map(tuple, pq_encode(emb, book).collect())
+    )
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == rebuilt
+    # serving reads only persisted tables
+    top = pq_query(spark, path, [1.0, 0.0, 10.0, 0.0], k=4).collect()
+    assert len(top) == 4
+    # the codebook is self-describing
+    assert pq_codebook(spark, path).count() == 4
+    # id collision refuses loudly
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="re-ingests ids"):
+        pq_upsert(path, day0)
+
+
+def test_pq_delete_swap_safe(spark, tmp_path):
+    import os
+
+    from graphragpart1datapipeline_spark.vector.pq import (
+        pq_build_index,
+        pq_delete,
+        pq_train,
+    )
+
+    emb = _emb(spark)
+    book = pq_train(emb, m=2, ksub=2, iters=1, seed=42)
+    path = str(tmp_path / "pqdel")
+    pq_build_index(emb, book, path)
+    out = pq_delete(path, spark.createDataFrame([(1,)], "vec_id long"))
+    assert sorted(set(r["vec_id"] for r in out.collect())) == [2, 3, 4]
+    assert not os.path.exists(path + "__tmp")
+    assert not os.path.exists(path + "__old")
+    # refuses to empty
+    everyone = spark.createDataFrame([(2,), (3,), (4,)], "vec_id long")
+    with pytest.raises(ValueError, match="empty the index"):
+        pq_delete(path, everyone)
+    assert spark.read.parquet(path).select("vec_id").distinct().count() == 3
+    # crashed-swap leftover refuses loudly
+    os.makedirs(path + "__old")
+    with pytest.raises(FileExistsError, match="crashed"):
+        pq_delete(path, spark.createDataFrame([(2,)], "vec_id long"))
+
+
+def test_pq_codebook_missing_is_friendly(spark, tmp_path):
+    from graphragpart1datapipeline_spark.vector.pq import pq_codebook
+
+    with pytest.raises(FileNotFoundError, match="no codebook table"):
+        pq_codebook(spark, str(tmp_path / "nowhere"))
