@@ -206,11 +206,62 @@ def _book_df(spark, book: dict, persistable: bool = False) -> DataFrame:
     )
 
 
+# codebooks up to this many doubles ride in the plan as a literal —
+# the assignment is then ROW-LOCAL (zero shuffle); larger ones fall
+# back to the broadcast-join + argmin-aggregation shape
+_LITERAL_BOOK_MAX_DOUBLES = 65536
+
+
 def _assign(sub: DataFrame, cdf: DataFrame, id_col: str) -> DataFrame:
     """(id, sub, __sv, code) — argmin squared-L2 per (row, subspace),
-    tie → min cid; ONE aggregation (min of a (dist, cid) struct), no
-    window, the kmeans argmax shape."""
+    tie → min cid. The codebook is k-sized serving state by
+    definition, so the default path embeds it as a PLAN LITERAL and
+    computes the argmin as a row-local array fold: NO join, NO
+    corpus-sized shuffle — encode is genuinely map-only, and training
+    iterations shuffle only the m·ksub·dim update rows. A codebook too
+    big for a plan literal (> ~64k doubles) falls back to a broadcast
+    join + one min-struct aggregation (identical arithmetic and
+    tie-break, one corpus-keyed exchange)."""
     cv = "__cv" if "__cv" in cdf.columns else "centroid"
+    rows = cdf.select("sub", "cid", F.col(cv).alias("cv")).collect()
+    bysub: dict[int, list] = {}
+    for r in rows:
+        bysub.setdefault(int(r["sub"]), []).append(
+            (int(r["cid"]), [float(x) for x in r["cv"]])
+        )
+    m = max(bysub) + 1
+    n_doubles = sum(len(vec) for cs in bysub.values() for _, vec in cs)
+    if n_doubles <= _LITERAL_BOOK_MAX_DOUBLES:
+        booklit = F.array(
+            *[
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(cid).cast("int").alias("cid"),
+                            F.array(
+                                *[F.lit(x) for x in vec]
+                            ).alias("cv"),
+                        )
+                        for cid, vec in sorted(bysub.get(s, []))
+                    ]
+                )
+                for s in range(m)
+            ]
+        )
+        cands = F.element_at(booklit, F.col("sub") + 1)
+        scored = F.transform(
+            cands,
+            lambda c: F.struct(
+                l2sq_expr(F.col("__sv"), c.getField("cv")).alias("__d"),
+                c.getField("cid").alias("cid"),
+            ),
+        )
+        # array_sort on (dist, cid) structs = the argmin with the
+        # exact (dist asc, cid asc) tie-break
+        best = F.element_at(F.array_sort(scored), 1)
+        return sub.select(
+            id_col, "sub", "__sv", best.getField("cid").alias("code")
+        )
     scored = sub.join(
         F.broadcast(cdf.select("sub", "cid", F.col(cv).alias("__cv"))),
         "sub",
