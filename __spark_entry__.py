@@ -13523,6 +13523,181 @@ def q234(spark, sf_dir):
     ).orderBy("adist", "vec_id")
 
 
+def _ivfpq_residual_sql(
+    k: int = 10, nprobe: int = 2, m: int = 4, ksub: int = 4,
+    dsub: int = 16, n_coarse: int = 8, iters: int = 1,
+    scale: int = 1_000_000,
+) -> str:
+    """Replay residual IVF-PQ end to end: coarse cosine assignment,
+    exact elementwise residuals v − C[assign(v)], the joint residual
+    Lloyd run, residual encode, per-probed-cluster query-residual
+    distance tables, and the fused ADC rank."""
+    ccos = """CASE WHEN sqrt(list_dot_product(e.v, e.v))
+                   * sqrt(list_dot_product(cc.ccv, cc.ccv)) > 0
+              THEN list_dot_product(e.v, cc.ccv)
+                   / (sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(cc.ccv, cc.ccv)))
+              ELSE 0.0 END"""
+    qcos = """CASE WHEN sqrt(list_dot_product(cc.ccv, cc.ccv))
+                   * sqrt(list_dot_product(q.qv, q.qv)) > 0
+              THEN list_dot_product(cc.ccv, q.qv)
+                   / (sqrt(list_dot_product(cc.ccv, cc.ccv))
+                      * sqrt(list_dot_product(q.qv, q.qv)))
+              ELSE 0.0 END"""
+    l2 = """((list_dot_product({a}.sv, {a}.sv)
+             - 2.0 * list_dot_product({a}.sv, {c}.cv))
+            + list_dot_product({c}.cv, {c}.cv))"""
+    sql = f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), cents AS (
+      SELECT vec_id AS ccid, v AS ccv FROM e WHERE vec_id < {n_coarse}
+    ), cassign AS (
+      SELECT vec_id, ccid FROM (
+        SELECT e.vec_id, cc.ccid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {ccos} DESC, cc.ccid) AS rn
+        FROM e CROSS JOIN cents cc) WHERE rn = 1
+    ), r AS (
+      SELECT e.vec_id, ca.ccid,
+             list_transform(e.v,
+               (x, i) -> x - cc.ccv[CAST(i AS INTEGER)]) AS rv
+      FROM e JOIN cassign ca USING (vec_id)
+      JOIN cents cc ON cc.ccid = ca.ccid
+    ), sub AS (
+      SELECT vec_id, t.s,
+             rv[CAST(t.s * {dsub} + 1 AS INTEGER)
+               : CAST(t.s * {dsub} + {dsub} AS INTEGER)] AS sv
+      FROM r CROSS JOIN range(0, {m}) t(s)
+    ), init AS (
+      SELECT s, CAST(rn - 1 AS INTEGER) AS cid, sv AS cv FROM (
+        SELECT s, sv,
+               row_number() OVER (
+                 PARTITION BY s
+                 ORDER BY md5('42:' || CAST(s AS VARCHAR) || ':'
+                              || CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        FROM sub) WHERE rn <= {ksub}
+    )"""
+    prev = "init"
+    for i in range(iters):
+        a_l2 = l2.format(a="sub", c="c")
+        sql += f""", a{i} AS (
+      SELECT vec_id, s, sv, cid FROM (
+        SELECT sub.vec_id, sub.s, sub.sv, c.cid,
+               row_number() OVER (PARTITION BY sub.vec_id, sub.s
+                                  ORDER BY {a_l2} ASC, c.cid ASC) AS rn
+        FROM sub JOIN {prev} c ON c.s = sub.s) WHERE rn = 1
+    ), u{i} AS (
+      SELECT s, cid, t.i AS d,
+             SUM(CAST(floor(sv[CAST(t.i AS INTEGER)] * {scale} + 0.5)
+                      AS BIGINT)) AS sm,
+             COUNT(*) AS n
+      FROM a{i} CROSS JOIN range(1, {dsub + 1}) t(i)
+      GROUP BY s, cid, t.i
+    ), c{i + 1} AS (
+      SELECT s, cid, list(sm / (n * {scale}) ORDER BY d) AS cv
+      FROM u{i} GROUP BY s, cid
+    )"""
+        prev = f"c{i + 1}"
+    enc_l2 = l2.format(a="sub", c="c")
+    qd_l2 = l2.format(a="qs", c="c").replace("qs.sv", "qs.qsv")
+    sql += f""", codes AS (
+      SELECT vec_id, s, cid AS code FROM (
+        SELECT sub.vec_id, sub.s, c.cid,
+               row_number() OVER (PARTITION BY sub.vec_id, sub.s
+                                  ORDER BY {enc_l2} ASC, c.cid ASC) AS rn
+        FROM sub JOIN {prev} c ON c.s = sub.s) WHERE rn = 1
+    ), q AS (
+      SELECT v AS qv FROM e WHERE vec_id = 0
+    ), qrank AS (
+      SELECT cc.ccid,
+             row_number() OVER (ORDER BY {qcos} DESC, cc.ccid) AS rn
+      FROM cents cc, q
+    ), qr AS (
+      SELECT cc.ccid,
+             list_transform(q.qv,
+               (x, i) -> x - cc.ccv[CAST(i AS INTEGER)]) AS qrv
+      FROM cents cc JOIN qrank USING (ccid), q
+      WHERE qrank.rn <= {nprobe}
+    ), qrsub AS (
+      SELECT ccid, t.s,
+             qrv[CAST(t.s * {dsub} + 1 AS INTEGER)
+               : CAST(t.s * {dsub} + {dsub} AS INTEGER)] AS qsv
+      FROM qr CROSS JOIN range(0, {m}) t(s)
+    ), dt AS (
+      SELECT qs.ccid, c.s, c.cid, {qd_l2} AS dist
+      FROM {prev} c JOIN qrsub qs ON qs.s = c.s
+    ), scored AS (
+      SELECT codes.vec_id,
+             CAST(SUM(CAST(dt.dist AS DECIMAL(25,15))) AS DOUBLE)
+               AS adist
+      FROM codes
+      JOIN cassign ca ON ca.vec_id = codes.vec_id
+      JOIN dt ON dt.ccid = ca.ccid AND dt.s = codes.s
+             AND dt.cid = codes.code
+      GROUP BY codes.vec_id
+    ), top AS (
+      SELECT vec_id, adist FROM scored
+      ORDER BY adist ASC, vec_id ASC LIMIT {k}
+    )
+    SELECT vec_id,
+           floor(adist * 1000000000.0 + 0.5) / 1000000000.0 AS adist
+    FROM top
+    ORDER BY adist ASC, vec_id ASC
+    """
+    return sql
+
+
+@_register("q235_ivfpq_residual", _ivfpq_residual_sql())
+def q235(spark, sf_dir):
+    """RESIDUAL IVF-PQ (the FAISS-faithful IVFPQ): quantize
+    ``v − C[assign(v)]`` instead of v itself — residuals are smaller
+    and better-centered, so the same m·ksub code budget buys more
+    precision. Serving builds ONE distance table PER PROBED CLUSTER
+    from the query residual ``q − C[c]`` (the
+    ``||(q−C[c]) − dequant(r)||²`` identity), all nprobe·m·ksub
+    entries driver-side and broadcast; the corpus side reads only the
+    codes + the assignment index. Every stage replays: the coarse
+    cosine assignment, the exact elementwise residuals, the joint
+    residual Lloyd run, the encode, and the fused per-cluster ADC
+    rank."""
+    from graphragpart1datapipeline_spark.vector.pq import (
+        ivfpq_residual_topk,
+        pq_encode,
+        pq_residuals,
+        pq_train,
+    )
+    from graphragpart1datapipeline_spark.vector.search import (
+        ivf_assignments,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding")
+    )
+    assign = ivf_assignments(
+        emb, cents, "embedding", "vec_id", "embedding", "cid"
+    )
+    res = pq_residuals(emb, cents, assign)
+    book = pq_train(
+        res, m=4, ksub=4, vec_col="residual", id_col="vec_id",
+        iters=1, seed=42,
+    )
+    codes = pq_encode(res, book, vec_col="residual")
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").cast("array<double>"))
+        .head()[0]
+    ]
+    top = ivfpq_residual_topk(
+        codes, assign, book, cents, qvec, k=10, nprobe=2
+    )
+    return top.select(
+        "vec_id", _round_det("adist", 9).alias("adist")
+    ).orderBy("adist", "vec_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q02(spark, "/root/testdata/sf0.001")

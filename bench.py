@@ -271,9 +271,11 @@ SECONDARY = [
     # q196/q205; the batch scan shape is headline via q226)
     "q232_stream_decontaminate",
     # PQ quality gate + incremental PQ index (each re-runs the q231
-    # Lloyd; the index verbs add IO like q180 — 1-rep traces)
+    # Lloyd; the index verbs add IO like q180 — 1-rep traces) and the
+    # residual IVFPQ variant (adds the residual join to the same run)
     "q233_pq_recall_gate",
     "q234_pq_incremental",
+    "q235_ivfpq_residual",
 ]
 
 # Repetitions per query; report the min. The ambient swing on a shared

@@ -77,8 +77,9 @@ def ngram_hash_set(
     — build once per benchmark, broadcast into every contamination
     scan. Benchmarks are eval-set-sized; if one ever isn't, bloom-prune
     instead of broadcasting."""
+    keyed = bench.select(F.col(text_col)).withColumn("__bid", F.lit(1))
     return (
-        _ngram_hashes(bench, text_col, text_col, n)
+        _ngram_hashes(keyed, "__bid", text_col, n)
         .filter(F.col("__ngh").isNotNull())
         .select("__ngh")
         .distinct()

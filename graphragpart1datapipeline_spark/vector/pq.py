@@ -55,6 +55,8 @@ __all__ = [
     "pq_delete",
     "pq_query",
     "pq_codebook",
+    "pq_residuals",
+    "ivfpq_residual_topk",
     "l2sq_expr",
 ]
 
@@ -570,3 +572,127 @@ def pq_query(
         k=k,
         id_col=id_col,
     )
+
+
+# ---------------------------------------------------------------------------
+# Residual IVF-PQ (the FAISS-faithful variant): quantize v − C[assign(v)]
+# instead of v itself — residuals are smaller and better-centered than
+# raw vectors, so the same m·ksub code budget buys more precision
+# ---------------------------------------------------------------------------
+
+
+def pq_residuals(
+    df: DataFrame,
+    centroids: DataFrame,
+    assignments: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cent_vec_col: str = "embedding",
+    cent_id_col: str = "cid",
+) -> DataFrame:
+    """(id, centroid_id, residual) — each vector minus its assigned
+    coarse centroid (exact elementwise double subtraction; the coarse
+    quantizer is the engine's IVF assignment rule). Map-only: the
+    centroid table broadcasts, the assignment index joins on the id.
+    Feed the ``residual`` column to :func:`pq_train` /
+    :func:`pq_encode` for residual codebooks and codes."""
+    cd = centroids.select(
+        F.col(cent_id_col).alias("centroid_id"),
+        F.col(cent_vec_col).cast("array<double>").alias("__cv"),
+    )
+    return (
+        df.select(id_col, F.col(vec_col).cast("array<double>").alias("__v"))
+        .join(assignments.select(id_col, "centroid_id"), id_col)
+        .join(F.broadcast(cd), "centroid_id")
+        .select(
+            id_col,
+            "centroid_id",
+            F.zip_with(
+                "__v", "__cv", lambda a, b: a - b
+            ).alias("residual"),
+        )
+    )
+
+
+def ivfpq_residual_topk(
+    codes: DataFrame,
+    assignments: DataFrame,
+    codebook: DataFrame,
+    centroids: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 8,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    cent_vec_col: str = "embedding",
+    cent_id_col: str = "cid",
+) -> DataFrame:
+    """Residual-ADC top-k: rank the coarse centroids against the query
+    (the ivf_topk cosine rule), and for EACH of the ``nprobe`` probed
+    clusters build its own distance table from the PER-CLUSTER query
+    residual ``q − C[c]`` (nprobe·m·ksub entries, driver-side,
+    broadcast) — the FAISS IVFPQ scoring shape:
+    ``||q − (C[c] + dequant(r))||² = ||(q − C[c]) − dequant(r)||²``.
+    The corpus side touches only the codes + the assignment index;
+    returns (id, adist) ordered (adist asc, id asc), k rows."""
+    if k < 1 or nprobe < 1:
+        raise ValueError(
+            f"ivfpq_residual_topk: need k >= 1, nprobe >= 1; "
+            f"got k={k}, nprobe={nprobe}"
+        )
+    cents = centroids.select(cent_id_col, cent_vec_col).collect()
+    q = [float(x) for x in query_vec]
+    qn = math.sqrt(sum(x * x for x in q))
+
+    def _cos(vec) -> float:
+        dot = 0.0
+        nc = 0.0
+        for a, b in zip(vec, q):
+            dot += float(a) * float(b)
+            nc += float(a) * float(a)
+        denom = math.sqrt(nc) * qn
+        return dot / denom if denom > 0 else 0.0
+
+    ranked = sorted(cents, key=lambda r: (-_cos(r[1]), r[0]))
+    probed = ranked[:nprobe]
+    book = codebook.collect()
+    if not book:
+        raise ValueError("ivfpq_residual_topk: empty codebook")
+    cv = "centroid" if "centroid" in codebook.columns else "__cv"
+    dsub = len(book[0][cv])
+    m = max(r["sub"] for r in book) + 1
+    if m * dsub != len(q):
+        raise ValueError(
+            f"ivfpq_residual_topk: query dim {len(q)} != codebook "
+            f"m*dsub = {m * dsub}"
+        )
+    spark = codes.sparkSession
+    rows = []
+    for pcid, pvec in probed:
+        qres = [qx - float(cx) for qx, cx in zip(q, pvec)]
+        for r in book:
+            s = int(r["sub"])
+            rows.append(
+                (
+                    int(pcid),
+                    s,
+                    int(r["cid"]),
+                    _l2sq_py(qres[s * dsub : (s + 1) * dsub], r[cv]),
+                )
+            )
+    dtable = spark.createDataFrame(
+        rows, "centroid_id long, sub int, code int, __dist double"
+    )
+    cand = codes.join(
+        assignments.select(
+            id_col, F.col("centroid_id").cast("long").alias("centroid_id")
+        ),
+        id_col,
+    )
+    scored = cand.join(
+        F.broadcast(dtable), ["centroid_id", "sub", "code"]
+    ).groupBy(id_col).agg(
+        F.sum(F.col("__dist").cast("decimal(25,15)"))
+        .cast("double")
+        .alias("adist")
+    )
+    return scored.orderBy(F.asc("adist"), F.asc(id_col)).limit(k)

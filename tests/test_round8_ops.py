@@ -503,3 +503,50 @@ def test_pq_codebook_missing_is_friendly(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError, match="no codebook table"):
         pq_codebook(spark, str(tmp_path / "nowhere"))
+
+
+def test_ivfpq_residual_beats_or_ties_plain_pq_shape(spark):
+    """Residual codes reconstruct cluster-relative offsets; on the
+    well-separated toy corpus the residual ADC must rank the query's
+    own cluster first, and the per-cluster tables must confine
+    nprobe=1 serving to that cluster."""
+    from graphragpart1datapipeline_spark.vector.pq import (
+        ivfpq_residual_topk,
+        pq_encode,
+        pq_residuals,
+        pq_train,
+    )
+    from graphragpart1datapipeline_spark.vector.search import (
+        ivf_assignments,
+    )
+
+    emb = _emb(spark)
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 10.0, 0.0]), (1, [0.0, 1.0, 0.0, 10.0])],
+        "cid long, embedding array<double>",
+    )
+    assign = ivf_assignments(
+        emb, cents, "embedding", "vec_id", "embedding", "cid"
+    )
+    res = pq_residuals(emb, cents, assign)
+    got = {r["vec_id"]: r for r in res.collect()}
+    # exact elementwise subtraction
+    assert got[1]["residual"] == [0.0, 0.0, 0.0, 0.0]
+    assert got[3]["residual"] == [0.0, 0.0, 0.0, 0.0]
+    book = pq_train(
+        res, m=2, ksub=2, vec_col="residual", iters=2, seed=42
+    )
+    codes = pq_encode(res, book, vec_col="residual")
+    one = ivfpq_residual_topk(
+        codes, assign, book, cents, [1.0, 0.0, 10.0, 0.0],
+        k=4, nprobe=1,
+    ).collect()
+    assert sorted(r["vec_id"] for r in one) == [1, 2]  # own cluster only
+    both = ivfpq_residual_topk(
+        codes, assign, book, cents, [1.0, 0.0, 10.0, 0.0],
+        k=4, nprobe=2,
+    ).collect()
+    assert [r["vec_id"] for r in both[:1]] == [1]  # exact self first
+    assert sorted(r["vec_id"] for r in both) == [1, 2, 3, 4]
+    with pytest.raises(ValueError, match="query dim"):
+        ivfpq_residual_topk(codes, assign, book, cents, [1.0], k=1)
