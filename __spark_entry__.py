@@ -13698,6 +13698,104 @@ def q235(spark, sf_dir):
     ).orderBy("adist", "vec_id")
 
 
+def _dhash_sql(
+    rows: int = 8, cols: int = 8, bands: int = 4, max_hamming: int = 3
+) -> str:
+    """Replay dHash + the banded hamming pigeonhole join: the 56-term
+    gradient bit pack is exact integer arithmetic, the band chunks are
+    shifts/masks (fingerprints are 56-bit nonnegative, so arithmetic
+    and logical shift agree), the verify is bit_count(xor)."""
+    nbits = rows * (cols - 1)
+    width = nbits // bands
+    terms = " + ".join(
+        f"CASE WHEN v[{r * cols + c + 1}] < v[{r * cols + c + 2}] "
+        f"THEN CAST({1 << (r * (cols - 1) + c)} AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END"
+        for r in range(rows)
+        for c in range(cols - 1)
+    )
+    return f"""
+    WITH e0 AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), e AS (
+      SELECT vec_id, v FROM e0
+      UNION ALL
+      -- deterministic "re-encoded copy": one grid cell nudged — flips
+      -- at most its two adjacent gradient bits, the near-dup shape a
+      -- resized/re-encoded image produces
+      SELECT vec_id + 1000000,
+             list_transform(v,
+               (x, i) -> CASE WHEN i - 1 = vec_id % 64
+                              THEN x + 0.5 ELSE x END)
+      FROM e0 WHERE vec_id % 7 = 0
+    ), fp AS (
+      SELECT vec_id, CAST({terms} AS BIGINT) AS fp FROM e
+    ), chunks AS (
+      SELECT vec_id, fp, t.band,
+             (fp >> CAST(t.band * {width} AS INTEGER))
+               & {(1 << width) - 1} AS chunk
+      FROM fp CROSS JOIN range(0, {bands}) t(band)
+    ), cand AS (
+      SELECT DISTINCT l.vec_id AS a, r.vec_id AS b,
+             l.fp AS fa, r.fp AS fb
+      FROM chunks l JOIN chunks r
+        ON l.band = r.band AND l.chunk = r.chunk AND l.vec_id < r.vec_id
+    )
+    SELECT a, b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(fa, fb)) <= {max_hamming}
+    ORDER BY a, b
+    """
+
+
+@_register("q236_image_dhash_near_dup", _dhash_sql())
+def q236(spark, sf_dir):
+    """Perceptual-hash near-dup (the LAION-style image dedup shape):
+    dHash — horizontal-gradient bits of an 8×8 grayscale grid, the
+    signal that survives resizing/re-encoding where byte hashes can't
+    — packed as a pure integer column expression, then the banded
+    hamming pigeonhole join (dedup/simhash.py's machinery, factored to
+    take ANY fingerprint: only rows sharing a full identical 14-bit
+    band ever pair, recall guaranteed for hamming < bands). The grid
+    here is the embedding table's 64 floats plus a deterministic
+    "re-encoded copy" per seventh grid (one cell nudged — flips at
+    most two gradient bits, the transformation-survivor shape this
+    hash exists to catch and byte hashing can't). The real image
+    decode is the multimodal mapInPandas seam — pillow_decoder emits
+    exactly this grid shape; multimodal.image_near_dup_pairs composes
+    both and is unit-tested through the seam."""
+    from graphragpart1datapipeline_spark.dedup.simhash import (
+        fingerprint_near_dup_pairs,
+    )
+    from graphragpart1datapipeline_spark.multimodal.assets import (
+        dhash_expr,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    vid = F.col("vec_id")
+    pert = base.filter(vid % 7 == 0).select(
+        (vid + 1000000).alias("vec_id"),
+        F.transform(
+            "v",
+            lambda x, i: F.when(i == vid % 64, x + 0.5).otherwise(x),
+        ).alias("v"),
+    )
+    grids = base.unionByName(pert)
+    fp = grids.select(
+        "vec_id", dhash_expr(F.col("v"), 8, 8).alias("fp")
+    )
+    pairs = fingerprint_near_dup_pairs(
+        fp, id_col="vec_id", fp_col="fp",
+        max_hamming=3, bands=4, bits=56,
+    )
+    return pairs.select(
+        "a", "b", F.col("hamming").cast("long").alias("hamming")
+    ).orderBy("a", "b")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q02(spark, "/root/testdata/sf0.001")

@@ -276,6 +276,9 @@ SECONDARY = [
     "q233_pq_recall_gate",
     "q234_pq_incremental",
     "q235_ivfpq_residual",
+    # perceptual-hash image near-dup (integer dhash + banded hamming
+    # join — the simhash family's plan shape, headline via q24/q53)
+    "q236_image_dhash_near_dup",
 ]
 
 # Repetitions per query; report the min. The ambient swing on a shared

@@ -11,7 +11,11 @@ from .minhash import (  # noqa: F401
     minhash_lsh_incremental,
     shingles,
 )
-from .simhash import simhash64, simhash_near_dup_pairs  # noqa: F401
+from .simhash import (  # noqa: F401
+    fingerprint_near_dup_pairs,
+    simhash64,
+    simhash_near_dup_pairs,
+)
 from .ngram import decontaminate, ngram_jaccard_pairs  # noqa: F401
 from .embedding import embedding_near_dup_pairs  # noqa: F401
 from .passages import (  # noqa: F401

@@ -97,9 +97,37 @@ def simhash_near_dup_pairs(
     Hamming ≤ max_hamming. Returns (a, b, hamming)."""
     from ..util import ensure_parallelism
 
-    width = BITS // bands
     df = ensure_parallelism(df)
-    fp = df.select(F.col(id_col), simhash64(text_col).alias("fp")).cache()
+    fp = df.select(F.col(id_col), simhash64(text_col).alias("fp"))
+    return fingerprint_near_dup_pairs(
+        fp, id_col=id_col, fp_col="fp",
+        max_hamming=max_hamming, bands=bands, bits=BITS,
+    )
+
+
+def fingerprint_near_dup_pairs(
+    fp: DataFrame,
+    id_col: str,
+    fp_col: str = "fp",
+    max_hamming: int = 3,
+    bands: int = 4,
+    bits: int = BITS,
+) -> DataFrame:
+    """The banded hamming join over ANY precomputed fingerprint long —
+    the SimHash machinery factored out so other fingerprint families
+    ride the same pigeonhole (image dHash, winnowed doc hashes, …):
+    split the ``bits``-wide fingerprint into ``bands`` chunks, bucket-
+    join on any equal chunk (recall guaranteed for hamming < bands),
+    verify exact bit_count(xor) ≤ max_hamming. Returns (a, b, hamming).
+    Only fingerprints sharing a full identical chunk ever pair — never
+    all-pairs."""
+    if bands < 1 or bits % bands != 0:
+        raise ValueError(
+            f"fingerprint_near_dup_pairs: bits={bits} must divide into "
+            f"bands={bands} equal chunks"
+        )
+    width = bits // bands
+    fp = fp.select(F.col(id_col), F.col(fp_col).alias("fp")).cache()
     chunks = fp.select(
         id_col,
         "fp",

@@ -133,3 +133,74 @@ def frame_sample_plan(
             )
         ).alias("frame_ts_ms"),
     )
+
+
+def dhash_expr(grid_col, rows: int = 8, cols: int = 8):
+    """Difference-hash (dHash — the standard perceptual image hash) of
+    a row-major ``rows``×``cols`` grayscale grid column: bit
+    ``r·(cols−1)+c`` is set iff ``grid[r][c] < grid[r][c+1]`` —
+    horizontal gradients survive resizing, re-encoding, and brightness
+    shifts, which is exactly what byte-level hashing (content_hash)
+    cannot. Pure integer/comparison column expression: whole-stage
+    codegen, zero shuffle, bit-for-bit replayable in SQL. The grid is
+    :func:`pillow_decoder`'s feature output (grayscale thumbnail) or
+    any array column of the right length."""
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    nbits = rows * (cols - 1)
+    if nbits < 1 or nbits > 63:
+        raise ValueError(
+            f"dhash_expr: rows*(cols-1) must be in [1, 63] to pack into "
+            f"a signed long, got {nbits}"
+        )
+    g = (
+        grid_col if isinstance(grid_col, Column) else F.col(grid_col)
+    ).cast("array<double>")
+    out = F.lit(0).cast("long")
+    k = 0
+    for r in range(rows):
+        for c in range(cols - 1):
+            i = r * cols + c
+            out = out + F.when(
+                F.element_at(g, i + 1) < F.element_at(g, i + 2),
+                F.lit(1 << k).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+            k += 1
+    return out
+
+
+def image_near_dup_pairs(
+    assets: DataFrame,
+    decoder: Callable[[bytes], list[float]] | None = None,
+    max_hamming: int = 3,
+    bands: int = 4,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+    kind_col: str = "kind",
+    rows: int = 8,
+    cols: int = 8,
+) -> DataFrame:
+    """LAION-style perceptual image dedup: decode every payload to a
+    grayscale thumbnail grid (the Arrow mapInPandas seam — inject
+    :func:`pillow_decoder` in a real deployment), dHash it, and find
+    near-dup pairs with the banded hamming pigeonhole join
+    (dedup/simhash.py machinery — only images sharing a full identical
+    hash band ever pair, never all-pairs). Returns (a, b, hamming).
+
+    At 100 TB the decode is the cost: it runs ONCE per image
+    (map-only), everything after is 8-byte fingerprints. ``rows``/
+    ``cols`` must match the decoder's grid shape."""
+    from ..dedup.simhash import fingerprint_near_dup_pairs
+
+    feats = decode_image_features(
+        assets, decoder=decoder, id_col=id_col,
+        payload_col=payload_col, kind_col=kind_col,
+    )
+    fp = feats.select(
+        id_col, dhash_expr("feature", rows, cols).alias("fp")
+    )
+    return fingerprint_near_dup_pairs(
+        fp, id_col=id_col, fp_col="fp",
+        max_hamming=max_hamming, bands=bands, bits=rows * (cols - 1),
+    )

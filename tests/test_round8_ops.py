@@ -550,3 +550,63 @@ def test_ivfpq_residual_beats_or_ties_plain_pq_shape(spark):
     assert sorted(r["vec_id"] for r in both) == [1, 2, 3, 4]
     with pytest.raises(ValueError, match="query dim"):
         ivfpq_residual_topk(codes, assign, book, cents, [1.0], k=1)
+
+
+def test_image_near_dup_pairs_through_decode_seam(spark):
+    """The full multimodal composition: payload bytes -> grid (decode
+    seam, deterministic stand-in) -> dHash -> banded hamming join.
+    Identical payloads collide at hamming 0; a one-cell nudge stays
+    within the verify bound; unrelated images never pair."""
+    from graphragpart1datapipeline_spark.multimodal.assets import (
+        dhash_expr,
+        image_near_dup_pairs,
+    )
+
+    def grid_decoder(raw: bytes) -> list[float]:
+        # deterministic 8x8 "thumbnail" keyed by the first byte (a
+        # multiplicative hash per cell — unrelated bases => unrelated
+        # gradient patterns), one cell nudged by the second byte
+        # (re-encode noise)
+        base = raw[0] if raw else 0
+        g = [
+            (((base + 1) * (i + 1) * 2654435761) % 4096) / 4096.0
+            for i in range(64)
+        ]
+        if len(raw) > 1:
+            g[raw[1] % 64] += 0.5
+        return g
+
+    assets = spark.createDataFrame(
+        [
+            ("a1", "image", bytes([10])),
+            ("a2", "image", bytes([10, 5])),   # near-dup of a1
+            ("a3", "image", bytes([200])),     # unrelated
+        ],
+        "asset_id string, kind string, payload binary",
+    )
+    pairs = image_near_dup_pairs(
+        assets, decoder=grid_decoder, max_hamming=3, bands=4
+    ).collect()
+    assert [(r["a"], r["b"]) for r in pairs] == [("a1", "a2")]
+    assert pairs[0]["hamming"] <= 2
+    # dhash_expr guards
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="pack into"):
+        dhash_expr("v", rows=8, cols=9)  # 64 bits > 63
+
+
+def test_fingerprint_near_dup_pairs_guards(spark):
+    from graphragpart1datapipeline_spark.dedup.simhash import (
+        fingerprint_near_dup_pairs,
+    )
+
+    fp = spark.createDataFrame(
+        [(1, 0), (2, 1), (3, 255)], "id long, fp long"
+    )
+    out = fingerprint_near_dup_pairs(
+        fp, id_col="id", max_hamming=1, bands=4, bits=8
+    ).collect()
+    assert [(r["a"], r["b"], r["hamming"]) for r in out] == [(1, 2, 1)]
+    with pytest.raises(ValueError, match="equal chunks"):
+        fingerprint_near_dup_pairs(fp, id_col="id", bands=3, bits=8)
