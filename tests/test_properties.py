@@ -1182,3 +1182,139 @@ def test_cms_one_sided_and_merge_property(spark, keys, split):
         }
         direct = {(r["d"], r["wi"]): r["cnt"] for r in cms.collect()}
         assert merged == direct
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    grids=st.lists(
+        st.lists(
+            st.floats(0, 1, allow_nan=False, width=32),
+            min_size=16,
+            max_size=16,
+        ),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_dhash_hamming_bounded_by_cells_changed(spark, grids):
+    """Changing ONE grid cell flips at most its two adjacent gradient
+    bits — the locality property the perceptual hash exists for."""
+    from graphragpart1datapipeline_spark.multimodal.assets import (
+        dhash_expr,
+    )
+
+    rows = [(i, [float(x) for x in g]) for i, g in enumerate(grids)]
+    # perturbed twin: nudge cell (i % 16) of each grid
+    rows += [
+        (
+            i + 1000,
+            [
+                (x + 0.75) if j == i % 16 else x
+                for j, x in enumerate(g)
+            ],
+        )
+        for i, g in ((r[0], r[1]) for r in rows)
+    ]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    fp = {
+        r["id"]: r["fp"]
+        for r in df.select(
+            "id", dhash_expr(F.col("v"), 4, 4).alias("fp")
+        ).collect()
+    }
+    for i, _ in enumerate(grids):
+        ham = bin(fp[i] ^ fp[i + 1000]).count("1")
+        assert ham <= 2
+        assert 0 <= fp[i] < (1 << 12)  # 4*(4-1)=12 bits, sign clear
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(-4, 4, allow_nan=False, width=32),
+            min_size=8,
+            max_size=8,
+        ),
+        min_size=3,
+        max_size=10,
+        unique_by=lambda v: tuple(v),
+    )
+)
+def test_pq_codes_in_range_and_deterministic(spark, vecs):
+    from graphragpart1datapipeline_spark.vector.pq import (
+        pq_encode,
+        pq_train,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    ksub = min(2, len(vecs))
+    book = pq_train(emb, m=2, ksub=ksub, iters=1, seed=7)
+    codes = pq_encode(emb, book)
+    got = sorted(map(tuple, codes.collect()))
+    # every (vector, subspace) coded exactly once, code in [0, ksub)
+    assert len(got) == 2 * len(vecs)
+    assert all(0 <= c < ksub for _, _, c in got)
+    # bit-for-bit re-run determinism (seeded init, exact means)
+    again = sorted(
+        map(
+            tuple,
+            pq_encode(
+                emb, pq_train(emb, m=2, ksub=ksub, iters=1, seed=7)
+            ).collect(),
+        )
+    )
+    assert again == got
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab "), min_size=0, max_size=40
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_contamination_frac_bounds_and_monotone(spark, docs):
+    """overlap_frac stays in [0, 1] and never DECREASES when the
+    benchmark grows (more benchmark n-grams can only add hits)."""
+    from graphragpart1datapipeline_spark.text.contamination import (
+        contamination_report,
+        ngram_hash_set,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    small = ngram_hash_set(
+        df.filter(F.col("doc_id") == 0).select("text"), n=2
+    )
+    big = ngram_hash_set(df.select("text"), n=2)
+    r_small = {
+        r["doc_id"]: r["overlap_frac"]
+        for r in contamination_report(df, small, n=2).collect()
+    }
+    r_big = {
+        r["doc_id"]: r["overlap_frac"]
+        for r in contamination_report(df, big, n=2).collect()
+    }
+    for d in r_small:
+        assert 0.0 <= r_small[d] <= 1.0
+        assert r_big[d] >= r_small[d]
