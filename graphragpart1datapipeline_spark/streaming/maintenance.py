@@ -13,6 +13,8 @@ half-written table; a crashed batch leaves v{N} intact):
     work_dir/cc/v{N}      connected-component labels
     work_dir/bm25/v{N}    BM25 postings/dl/dfreq/params tables
     work_dir/ivf          partitioned IVF index (ivf_upsert appends)
+    work_dir/pq           PQ codes index (optional — init pq_m=...;
+                          frozen codebook beside it, pq_upsert appends)
 
 ORDER-INDEPENDENCE (what makes stream == batch provable): CDC is
 out-of-order-safe (per-key max-seq wins); each batch's near-dup probe
@@ -88,10 +90,16 @@ def init_maintenance_state(
     vec_col: str = "embedding",
     vec_id_col: str = "vec_id",
     cent_id_col: str = "cid",
+    pq_m: int | None = None,
+    pq_ksub: int = 16,
 ) -> None:
     """Seed v0 of every artifact from the day-0 corpus: CDC doc state,
     LSH near-dup index, CC labels of the day-0 pair graph, BM25 index,
-    IVF index (+ its _stats drift baseline)."""
+    IVF index (+ its _stats drift baseline). ``pq_m``: when set, ALSO
+    train an m-subspace PQ codebook on the day-0 embeddings and build
+    the compressed codes index at ``work_dir/pq`` (vector/pq.py
+    pq_build_index — frozen codebook persisted beside the codes);
+    :func:`stream_maintenance` then folds every increment into it."""
     from ..dedup.embedding import embedding_near_dup_pairs
     from ..dedup.incremental import embedding_lsh_index
     from ..graph.communities import connected_components
@@ -121,6 +129,17 @@ def init_maintenance_state(
         cent_vec_col=vec_col,
         cent_id_col=cent_id_col,
     )
+    if pq_m is not None:
+        from ..vector.pq import pq_build_index, pq_train
+
+        book = pq_train(
+            corpus_emb, m=pq_m, ksub=pq_ksub,
+            vec_col=vec_col, id_col=vec_id_col,
+        )
+        pq_build_index(
+            corpus_emb, book, os.path.join(work_dir, "pq"),
+            vec_col=vec_col, id_col=vec_id_col,
+        )
 
 
 def read_maintenance_state(spark: SparkSession, work_dir: str) -> dict:
@@ -146,6 +165,12 @@ def read_maintenance_state(spark: SparkSession, work_dir: str) -> dict:
     from ..vector.search import ivf_centroids
 
     out["centroids"] = ivf_centroids(spark, out["ivf"])
+    pq_path = os.path.join(work_dir, "pq")
+    jvm = spark._jvm
+    pq_p = jvm.org.apache.hadoop.fs.Path(pq_path + "_codebook")
+    fs = pq_p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(pq_p):
+        out["pq"] = pq_path
     return out
 
 
@@ -209,6 +234,7 @@ def stream_maintenance(
     cc_dir = os.path.join(work_dir, "cc")
     bm_dir = os.path.join(work_dir, "bm25")
     ivf_path = os.path.join(work_dir, "ivf")
+    pq_path = os.path.join(work_dir, "pq")
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -327,6 +353,21 @@ def stream_maintenance(
                 vec_col=vec_col, id_col=vec_id_col,
                 cent_vec_col=vec_col, cent_id_col=cent_id_col,
             )
+            # 6b. PQ codes: when the init built the compressed index,
+            # fold the batch into it against the FROZEN codebook (read
+            # from the self-describing index). Same replay contract as
+            # the IVF append: n_present == 0 already proved this batch
+            # was never applied, and pq_upsert's own collision gate
+            # backstops it.
+            from ..vector.pq import pq_upsert
+
+            jvm = spark._jvm
+            pq_p = jvm.org.apache.hadoop.fs.Path(pq_path + "_codebook")
+            fs = pq_p.getFileSystem(spark._jsc.hadoopConfiguration())
+            if fs.exists(pq_p):
+                pq_upsert(
+                    pq_path, inc_emb, vec_col=vec_col, id_col=vec_id_col
+                )
         elif n_present != n_new:
             raise ValueError(
                 f"stream_maintenance: batch {batch_id} left the IVF "

@@ -610,3 +610,71 @@ def test_fingerprint_near_dup_pairs_guards(spark):
     assert [(r["a"], r["b"], r["hamming"]) for r in out] == [(1, 2, 1)]
     with pytest.raises(ValueError, match="equal chunks"):
         fingerprint_near_dup_pairs(fp, id_col="id", bands=3, bits=8)
+
+
+def test_stream_maintenance_maintains_pq_codes(spark, tmp_path):
+    """With pq_m set at init, the streaming loop folds every increment
+    into the compressed codes index; the final codes equal a full
+    re-encode of corpus ∪ increments against the FROZEN day-0
+    codebook (upsert == rebuild-encode)."""
+    import os
+
+    from graphragpart1datapipeline_spark.streaming.maintenance import (
+        init_maintenance_state,
+        read_maintenance_state,
+        stream_maintenance,
+    )
+    from graphragpart1datapipeline_spark.vector.pq import (
+        pq_codebook,
+        pq_encode,
+    )
+
+    work = str(tmp_path / "work")
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id long, text string"
+    )
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0, 5.0, 0.0]), (2, [0.0, 1.0, 0.0, 5.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 5.0, 0.0]), (1, [0.0, 1.0, 0.0, 5.0])],
+        "cid long, embedding array<double>",
+    )
+    init_maintenance_state(docs, emb, cents, work, pq_m=2, pq_ksub=2)
+
+    schema = (
+        "doc_id long, text string, embedding array<double>, "
+        "seq long, op string"
+    )
+    src = str(tmp_path / "src")
+    inc_rows = [
+        (3, "epsilon zeta", [0.9, 0.1, 4.5, 0.2], 100, "U"),
+        (4, "eta theta", [0.1, 0.8, 0.3, 4.9], 101, "U"),
+    ]
+    for i, row in enumerate(inc_rows):
+        spark.createDataFrame([row], schema).write.mode("append").json(
+            src + f"/f{i}"
+        )
+    q = stream_maintenance(
+        spark.readStream.schema(schema).json(src + "/f*"),
+        work,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+
+    state = read_maintenance_state(spark, work)
+    assert state["pq"] == os.path.join(work, "pq")
+    book = pq_codebook(spark, state["pq"])
+    all_emb = emb.unionByName(
+        spark.createDataFrame(
+            [(r[0], r[2]) for r in inc_rows],
+            "vec_id long, embedding array<double>",
+        )
+    )
+    rebuilt = sorted(map(tuple, pq_encode(all_emb, book).collect()))
+    persisted = sorted(
+        map(tuple, spark.read.parquet(state["pq"]).collect())
+    )
+    assert persisted == rebuilt
