@@ -13796,6 +13796,86 @@ def q236(spark, sf_dir):
     ).orderBy("a", "b")
 
 
+@_register(
+    "q237_sq8_topk",
+    """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), dims AS (
+      SELECT t.d, MIN(v[CAST(t.d AS INTEGER)]) AS mn,
+             MAX(v[CAST(t.d AS INTEGER)]) AS mx
+      FROM e CROSS JOIN range(1, 65) t(d) GROUP BY t.d
+    ), stats AS (
+      SELECT list(mn ORDER BY d) AS mn, list(mx ORDER BY d) AS mx
+      FROM dims
+    ), codes AS (
+      SELECT vec_id,
+             list_transform(v, (x, i) ->
+               CASE WHEN s.mx[CAST(i AS INTEGER)]
+                         - s.mn[CAST(i AS INTEGER)] = 0.0 THEN 0
+                    ELSE CAST(LEAST(255, GREATEST(0,
+                      floor((x - s.mn[CAST(i AS INTEGER)]) * 255.0
+                            / (s.mx[CAST(i AS INTEGER)]
+                               - s.mn[CAST(i AS INTEGER)]) + 0.5)))
+                      AS INTEGER) END) AS c
+      FROM e, stats s
+    ), q AS (
+      SELECT v AS qv FROM e WHERE vec_id = 0
+    ), dq AS (
+      SELECT vec_id,
+             list_transform(c, (cd, i) ->
+               s.mn[CAST(i AS INTEGER)]
+               + (CAST(cd AS DOUBLE)
+                  * (s.mx[CAST(i AS INTEGER)]
+                     - s.mn[CAST(i AS INTEGER)])) / 255.0) AS dv
+      FROM codes, stats s
+    ), scored AS (
+      SELECT dq.vec_id,
+             ((list_dot_product(dq.dv, dq.dv)
+               - 2.0 * list_dot_product(dq.dv, q.qv))
+              + list_dot_product(q.qv, q.qv)) AS adist
+      FROM dq, q
+    ), top AS (
+      SELECT vec_id, adist FROM scored
+      ORDER BY adist ASC, vec_id ASC LIMIT 10
+    )
+    SELECT vec_id,
+           floor(adist * 1000000000.0 + 0.5) / 1000000000.0 AS adist
+    FROM top
+    ORDER BY adist ASC, vec_id ASC
+    """,
+)
+def q237(spark, sf_dir):
+    """SQ8 SCALAR QUANTIZATION top-k — the first rung of the
+    compression ladder (SQ8 4× per-dim fidelity → PQ 48–192× q228 →
+    residual IVFPQ q235; FAISS ScalarQuantizer / Milvus-Qdrant int8):
+    per-dimension exact [min, max] stats (one scan, dim-width
+    shuffle), row-local byte encode with edge clamping, and squared-L2
+    serving over the DEQUANTIZED codes — the scan reads 1-byte codes,
+    not floats. Stats, encode, dequant, and scoring all replay
+    bit-identically (no float accumulation anywhere; fixed op
+    order)."""
+    from graphragpart1datapipeline_spark.vector.squant import (
+        sq8_encode,
+        sq8_stats,
+        sq8_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    mins, maxs = sq8_stats(emb)
+    codes = sq8_encode(emb, mins, maxs)
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").cast("array<double>"))
+        .head()[0]
+    ]
+    top = sq8_topk(codes, mins, maxs, qvec, k=10)
+    return top.select(
+        "vec_id", _round_det("adist", 9).alias("adist")
+    ).orderBy("adist", "vec_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q02(spark, "/root/testdata/sf0.001")

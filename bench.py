@@ -279,6 +279,9 @@ SECONDARY = [
     # perceptual-hash image near-dup (integer dhash + banded hamming
     # join — the simhash family's plan shape, headline via q24/q53)
     "q236_image_dhash_near_dup",
+    # SQ8 scalar quantization (stats + row-local encode + dequant
+    # scan — the exact-scan family's plan shape, headline via q25)
+    "q237_sq8_topk",
 ]
 
 # Repetitions per query; report the min. The ambient swing on a shared

@@ -678,3 +678,46 @@ def test_stream_maintenance_maintains_pq_codes(spark, tmp_path):
         map(tuple, spark.read.parquet(state["pq"]).collect())
     )
     assert persisted == rebuilt
+
+
+def test_sq8_roundtrip_and_topk(spark):
+    from graphragpart1datapipeline_spark.vector.squant import (
+        sq8_dequant_expr,
+        sq8_encode,
+        sq8_stats,
+        sq8_topk,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (1, [0.0, 10.0, 5.0]),
+            (2, [1.0, 20.0, 5.0]),   # dim 2 constant -> span 0
+            (3, [0.5, 15.0, 5.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    mins, maxs = sq8_stats(emb)
+    assert mins == [0.0, 10.0, 5.0] and maxs == [1.0, 20.0, 5.0]
+    codes = sq8_encode(emb, mins, maxs)
+    got = {r["vec_id"]: r["codes"] for r in codes.collect()}
+    assert got[1] == [0, 0, 0]       # at the minimum of every dim
+    assert got[2] == [255, 255, 0]   # at the maximum; constant dim -> 0
+    assert got[3][0] == 128 and got[3][1] == 128  # midpoints round up
+    # dequant error bounded by half a quantization step per dim
+    dq = {
+        r["vec_id"]: r["dv"]
+        for r in codes.select(
+            "vec_id", sq8_dequant_expr("codes", mins, maxs).alias("dv")
+        ).collect()
+    }
+    for vid, orig in ((1, [0.0, 10.0, 5.0]), (3, [0.5, 15.0, 5.0])):
+        for o, d, mn, mx in zip(orig, dq[vid], mins, maxs):
+            step = (mx - mn) / 255.0 if mx > mn else 0.0
+            assert abs(o - d) <= step / 2 + 1e-12
+    # top-k on the quantized corpus ranks the exact-match row first
+    top = sq8_topk(codes, mins, maxs, [0.0, 10.0, 5.0], k=3).collect()
+    assert [r["vec_id"] for r in top] == [1, 3, 2]
+    with pytest.raises(ValueError, match="k must be"):
+        sq8_topk(codes, mins, maxs, [0.0, 10.0, 5.0], k=0)
+    with pytest.raises(ValueError, match="empty corpus"):
+        sq8_stats(emb.filter(F.col("vec_id") > 99))
