@@ -12923,8 +12923,13 @@ def _pq_oracle_sql(
       FROM a{i} CROSS JOIN range(1, {dsub + 1}) t(i)
       GROUP BY s, cid, t.i
     ), c{i + 1} AS (
-      SELECT s, cid, list(sm / (n * {scale}) ORDER BY d) AS cv
-      FROM u{i} GROUP BY s, cid
+      -- empty clusters keep their previous centroid (the pq_train
+      -- contract), hence the LEFT JOIN from the full prior codebook
+      SELECT p.s, p.cid, COALESCE(n.cv, p.cv) AS cv
+      FROM {prev} p LEFT JOIN (
+        SELECT s, cid, list(sm / (n * {scale}) ORDER BY d) AS cv
+        FROM u{i} GROUP BY s, cid) n
+      ON n.s = p.s AND n.cid = p.cid
     )"""
         prev = f"c{i + 1}"
     if body_only:
@@ -13595,8 +13600,12 @@ def _ivfpq_residual_sql(
       FROM a{i} CROSS JOIN range(1, {dsub + 1}) t(i)
       GROUP BY s, cid, t.i
     ), c{i + 1} AS (
-      SELECT s, cid, list(sm / (n * {scale}) ORDER BY d) AS cv
-      FROM u{i} GROUP BY s, cid
+      -- empty clusters keep their previous centroid (pq_train contract)
+      SELECT p.s, p.cid, COALESCE(n.cv, p.cv) AS cv
+      FROM {prev} p LEFT JOIN (
+        SELECT s, cid, list(sm / (n * {scale}) ORDER BY d) AS cv
+        FROM u{i} GROUP BY s, cid) n
+      ON n.s = p.s AND n.cid = p.cid
     )"""
         prev = f"c{i + 1}"
     enc_l2 = l2.format(a="sub", c="c")
