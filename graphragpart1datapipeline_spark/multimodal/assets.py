@@ -167,7 +167,23 @@ def dhash_expr(grid_col, rows: int = 8, cols: int = 8):
                 F.lit(1 << k).cast("long"),
             ).otherwise(F.lit(0).cast("long"))
             k += 1
-    return out
+    # a grid shorter than rows×cols must RAISE, not fingerprint:
+    # element_at past the end is NULL, NULL<NULL is NULL, and the
+    # silent result is a near-zero hash shared by every image — the
+    # banded join then degenerates to ~all-pairs of false near-dups
+    # (e.g. an 8-float stats decoder fed to the default 8×8 grid)
+    return F.when(F.size(g) == rows * cols, out).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"dhash_expr: expected a {rows}x{cols} grid "
+                    f"({rows * cols} elements), got "
+                ),
+                F.size(g).cast("string"),
+                F.lit(" — the decoder's grid shape must match rows/cols"),
+            )
+        ).cast("long")
+    )
 
 
 def image_near_dup_pairs(

@@ -128,13 +128,22 @@ def prune_state_versions(
     ``keep ≥ 2`` preserves the crash contract (the previous version
     survives until the next batch commits on top of the current one).
     UNCOMMITTED directories (no ``_SUCCESS``/``_COMMITTED`` marker —
-    crashed writes) below the newest committed version are GC'd
-    unconditionally; an unmarked directory ABOVE it is left alone,
-    since with marker-writing disabled mid-upgrade it could be a
-    concurrent writer's in-flight version (the serial foreachBatch
-    loop never races itself, but prune stays safe to call out-of-band).
-    Deletion goes through the Hadoop FileSystem API (HDFS/S3-correct).
-    Returns the deleted version numbers."""
+    crashed writes) below the newest committed version are GC'd —
+    EXCEPT when they fall among the newest ``keep`` version numbers
+    overall: a state dir written before the marker protocol existed
+    (or with ``mapreduce.fileoutputcommitter.marksuccessfuljobs``
+    disabled) has valid marker-less versions, and deleting all of them
+    on the first post-upgrade prune would leave a single surviving
+    version — breaking the ``keep ≥ 2`` crash contract exactly when a
+    fallback matters most. Keeping the newest ``keep`` numbers means a
+    genuine crash leftover is GC'd after ``keep`` more batches commit
+    over it, while a pre-upgrade fallback version survives the
+    migration window. An unmarked directory ABOVE the newest committed
+    version is always left alone (a concurrent writer's in-flight
+    version; the serial foreachBatch loop never races itself, but
+    prune stays safe to call out-of-band). Deletion goes through the
+    Hadoop FileSystem API (HDFS/S3-correct). Returns the deleted
+    version numbers."""
     if keep < 1:
         raise ValueError(f"prune_state_versions: keep must be >= 1, got {keep}")
     jvm, fs = _hadoop_fs(spark, state_dir)
@@ -154,7 +163,12 @@ def prune_state_versions(
     committed.sort()
     doomed = committed[:-keep] if len(committed) > keep else []
     if committed:
-        doomed += [v for v in uncommitted if v < committed[-1]]
+        newest_overall = sorted(committed + uncommitted)[-keep:]
+        doomed += [
+            v
+            for v in uncommitted
+            if v < committed[-1] and v not in newest_overall
+        ]
     for v in sorted(doomed):
         fs.delete(jvm.org.apache.hadoop.fs.Path(state_dir, f"v{v}"), True)
     return sorted(doomed)

@@ -164,11 +164,19 @@ def read_maintenance_state(spark: SparkSession, work_dir: str) -> dict:
     out["ivf"] = os.path.join(work_dir, "ivf")
     from ..vector.search import ivf_centroids
 
-    out["centroids"] = ivf_centroids(spark, out["ivf"])
-    pq_path = os.path.join(work_dir, "pq")
     jvm = spark._jvm
+    cent_p = jvm.org.apache.hadoop.fs.Path(out["ivf"] + "_centroids")
+    fs = cent_p.getFileSystem(spark._jsc.hadoopConfiguration())
+    # probe existence first (the pq lookup's pattern): a work_dir whose
+    # IVF index predates centroid persistence still has valid docs /
+    # ndix / cc / bm25 state — a caller who only needs those must not
+    # lose access to everything. ``centroids`` is None for such dirs;
+    # ivf_centroids itself still raises with guidance when called.
+    out["centroids"] = (
+        ivf_centroids(spark, out["ivf"]) if fs.exists(cent_p) else None
+    )
+    pq_path = os.path.join(work_dir, "pq")
     pq_p = jvm.org.apache.hadoop.fs.Path(pq_path + "_codebook")
-    fs = pq_p.getFileSystem(spark._jsc.hadoopConfiguration())
     if fs.exists(pq_p):
         out["pq"] = pq_path
     return out
@@ -353,21 +361,6 @@ def stream_maintenance(
                 vec_col=vec_col, id_col=vec_id_col,
                 cent_vec_col=vec_col, cent_id_col=cent_id_col,
             )
-            # 6b. PQ codes: when the init built the compressed index,
-            # fold the batch into it against the FROZEN codebook (read
-            # from the self-describing index). Same replay contract as
-            # the IVF append: n_present == 0 already proved this batch
-            # was never applied, and pq_upsert's own collision gate
-            # backstops it.
-            from ..vector.pq import pq_upsert
-
-            jvm = spark._jvm
-            pq_p = jvm.org.apache.hadoop.fs.Path(pq_path + "_codebook")
-            fs = pq_p.getFileSystem(spark._jsc.hadoopConfiguration())
-            if fs.exists(pq_p):
-                pq_upsert(
-                    pq_path, inc_emb, vec_col=vec_col, id_col=vec_id_col
-                )
         elif n_present != n_new:
             raise ValueError(
                 f"stream_maintenance: batch {batch_id} left the IVF "
@@ -376,6 +369,40 @@ def stream_maintenance(
                 "rebuild it with ivf_build_index before resuming"
             )
         # else: fully-applied replay of a crashed batch — skip
+
+        # 6b. PQ codes: when the init built the compressed index, fold
+        # the batch into it against the FROZEN codebook (read from the
+        # self-describing index). Replay detection is INDEPENDENT of
+        # the IVF arm's: a crash between ivf_upsert and pq_upsert
+        # replays with the IVF fully applied (n_present == n_new), and
+        # gating PQ on the IVF check would skip the PQ append forever —
+        # the batch's vectors would silently never serve from ADC.
+        from ..vector.pq import pq_upsert
+
+        jvm = spark._jvm
+        pq_p = jvm.org.apache.hadoop.fs.Path(pq_path + "_codebook")
+        fs = pq_p.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(pq_p):
+            pq_present = (
+                spark.read.parquet(pq_path)
+                .select(vec_id_col)
+                .join(F.broadcast(new_ids), vec_id_col, "left_semi")
+                .select(vec_id_col)
+                .distinct()
+                .count()
+            )
+            if pq_present == 0:
+                pq_upsert(
+                    pq_path, inc_emb, vec_col=vec_col, id_col=vec_id_col
+                )
+            elif pq_present != n_new:
+                raise ValueError(
+                    f"stream_maintenance: batch {batch_id} left the PQ "
+                    f"codes partially applied ({pq_present}/{n_new} "
+                    "ids present) — rebuild the PQ index with "
+                    "pq_build_index before resuming"
+                )
+            # else: fully-applied replay — skip
 
         # 7. retention: one full state copy lands per batch — prune to
         # the newest keep_versions AFTER the batch fully committed

@@ -261,19 +261,26 @@ def pii_counts(
     audit answers "how many of each shape occur", not "how many
     replacements happened".
 
-    Scale shape: ``regexp_count`` per kind is a row-local JVM
-    expression — the per-kind frames are branches of ONE scan (column
-    pruning keeps each branch at the text column), and the rollup is
-    a kind-keyed aggregation whose cardinality is #kinds × #groups."""
+    Scale shape: ONE corpus scan — every kind's ``regexp_count`` is a
+    row-local JVM expression in a single projection (an array of
+    (kind, count) structs, exploded to #kinds rows per doc); a
+    union-of-selects would re-read the text column once PER KIND,
+    since Catalyst does not deduplicate scans across union branches.
+    The rollup is a kind-keyed aggregation whose cardinality is
+    #kinds × #groups."""
     keys = [group_col] if group_col else []
-    per_kind = None
-    for pat, repl in PII_PATTERNS:
-        kind = repl.strip("[]")
-        cnt = F.regexp_count(F.col(text_col), F.lit(pat))
-        one = df.select(
-            *keys, F.lit(kind).alias("kind"), cnt.alias("__n")
-        )
-        per_kind = one if per_kind is None else per_kind.unionByName(one)
+    counts = F.array(
+        *[
+            F.struct(
+                F.lit(repl.strip("[]")).alias("kind"),
+                F.regexp_count(F.col(text_col), F.lit(pat)).alias("__n"),
+            )
+            for pat, repl in PII_PATTERNS
+        ]
+    )
+    per_kind = df.select(*keys, F.explode(counts).alias("__kc")).select(
+        *keys, F.col("__kc.kind").alias("kind"), F.col("__kc.__n").alias("__n")
+    )
     return per_kind.groupBy(*keys, "kind").agg(
         F.sum("__n").alias("matches"),
         F.count(F.when(F.col("__n") > 0, 1)).alias("docs_with_match"),

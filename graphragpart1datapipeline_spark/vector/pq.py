@@ -37,7 +37,6 @@ accumulated in DECIMAL — every stage replays bit-identically in SQL.
 
 from __future__ import annotations
 
-import math
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -293,15 +292,31 @@ def pq_encode(
     rows — m rows per vector, the compressed serving table (persist it
     partitioned/bucketed by id range; it replaces the float column in
     the ADC path). Map-only: broadcast codebook, per-row argmin."""
-    maxsub = codebook.select(F.max("sub")).collect()[0][0]
-    if maxsub is None:
+    cv = "centroid" if "centroid" in codebook.columns else "__cv"
+    shape = codebook.select(
+        F.max("sub").alias("maxsub"),
+        F.min(F.size(cv)).alias("dmin"),
+        F.max(F.size(cv)).alias("dmax"),
+    ).collect()[0]
+    if shape["maxsub"] is None:
         raise ValueError("pq_encode: empty codebook")
-    nsub = maxsub + 1
+    nsub = shape["maxsub"] + 1
     dim = _vec_dim(df, vec_col)
     if dim % nsub != 0:
         raise ValueError(
             f"pq_encode: vector dim {dim} does not match codebook "
             f"m={nsub} subspaces"
+        )
+    # a wrong-dimension codebook (trained on a different corpus) must
+    # raise, not encode: zip_with pads with NULLs, every distance goes
+    # NULL, and the argmin would pick codes by null-ordering — a
+    # structurally valid but meaningless codes table
+    if shape["dmin"] != dim // nsub or shape["dmax"] != dim // nsub:
+        raise ValueError(
+            f"pq_encode: codebook centroids have {shape['dmin']}"
+            f"–{shape['dmax']} dims but the corpus subvectors have "
+            f"{dim // nsub} (dim {dim} / m {nsub}) — the codebook was "
+            "trained on a different vector dimension"
         )
     sub = _subrows(df, vec_col, id_col, nsub, dim // nsub)
     return _assign(sub, codebook, id_col).select(id_col, "sub", "code")
@@ -401,21 +416,11 @@ def ivfpq_topk(
             f"ivfpq_topk: need k >= 1, shortlist >= k, nprobe >= 1; "
             f"got k={k}, shortlist={shortlist}, nprobe={nprobe}"
         )
+    from .search import coarse_probe_ids
+
     cents = centroids.select(cent_id_col, cent_vec_col).collect()
     q = [float(x) for x in query_vec]
-    qn = math.sqrt(sum(x * x for x in q))
-
-    def _cos(vec) -> float:
-        dot = 0.0
-        nc = 0.0
-        for a, b in zip(vec, q):
-            dot += float(a) * float(b)
-            nc += float(a) * float(a)
-        denom = math.sqrt(nc) * qn
-        return dot / denom if denom > 0 else 0.0
-
-    ranked = sorted(cents, key=lambda r: (-_cos(r[1]), r[0]))
-    probe_ids = [r[0] for r in ranked[:nprobe]]
+    probe_ids = coarse_probe_ids(cents, q, nprobe)
     cand_ids = assignments.filter(
         F.col("centroid_id").isin(probe_ids)
     ).select(id_col)
@@ -468,9 +473,14 @@ def pq_build_index(
 
 def pq_codebook(spark, path: str) -> DataFrame:
     """The frozen codebook persisted beside the codes table."""
+    from pyspark.errors import AnalysisException
+
+    # catch ONLY the missing-path analysis error: a transient IO /
+    # permission / corrupt-footer failure must surface as itself, not
+    # as "rebuild the index" advice that triggers a full re-encode
     try:
         return spark.read.parquet(path + "_codebook")
-    except Exception as exc:  # AnalysisException: path not found
+    except AnalysisException as exc:
         raise FileNotFoundError(
             f"pq_codebook: no codebook table at {path}_codebook — the "
             "index is not self-describing; rebuild with pq_build_index"
@@ -531,27 +541,11 @@ def pq_delete(path: str, ids: DataFrame, id_col: str = "vec_id") -> DataFrame:
             "pq_delete: deleting every remaining vector would empty the "
             "index — drop the directory explicitly instead"
         )
-    tmp, old = path + "__tmp", path + "__old"
+    from ..util import swap_directory
+
+    tmp = path + "__tmp"
     kept.write.mode("overwrite").parquet(tmp)
-    jvm = spark._jvm
-    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
-        spark._jsc.hadoopConfiguration()
-    )
-    p_idx = jvm.org.apache.hadoop.fs.Path(path)
-    p_tmp = jvm.org.apache.hadoop.fs.Path(tmp)
-    p_old = jvm.org.apache.hadoop.fs.Path(old)
-    if fs.exists(p_old):
-        raise FileExistsError(
-            f"pq_delete: {old} already exists — a previous swap crashed; "
-            f"recover (rename it back over the index if {path} is "
-            "missing, else delete it) before deleting"
-        )
-    if not fs.rename(p_idx, p_old):
-        raise OSError(f"pq_delete: rename {path} -> {old} failed")
-    if not fs.rename(p_tmp, p_idx):
-        fs.rename(p_old, p_idx)
-        raise OSError(f"pq_delete: rename {tmp} -> {path} failed")
-    fs.delete(p_old, True)
+    swap_directory(spark, path, tmp, "pq_delete")
     return spark.read.parquet(path)
 
 
@@ -639,21 +633,14 @@ def ivfpq_residual_topk(
             f"ivfpq_residual_topk: need k >= 1, nprobe >= 1; "
             f"got k={k}, nprobe={nprobe}"
         )
+    from .search import coarse_probe_ids
+
     cents = centroids.select(cent_id_col, cent_vec_col).collect()
     q = [float(x) for x in query_vec]
-    qn = math.sqrt(sum(x * x for x in q))
-
-    def _cos(vec) -> float:
-        dot = 0.0
-        nc = 0.0
-        for a, b in zip(vec, q):
-            dot += float(a) * float(b)
-            nc += float(a) * float(a)
-        denom = math.sqrt(nc) * qn
-        return dot / denom if denom > 0 else 0.0
-
-    ranked = sorted(cents, key=lambda r: (-_cos(r[1]), r[0]))
-    probed = ranked[:nprobe]
+    byid = {r[0]: r[1] for r in cents}
+    probed = [
+        (pid, byid[pid]) for pid in coarse_probe_ids(cents, q, nprobe)
+    ]
     book = codebook.collect()
     if not book:
         raise ValueError("ivfpq_residual_topk: empty codebook")

@@ -532,6 +532,30 @@ def ivf_centroids(spark, path: str) -> DataFrame:
         ) from exc
 
 
+def coarse_probe_ids(cents, query_vec: Sequence[float], nprobe: int) -> list:
+    """THE coarse-quantizer probe rule, in one place: rank collected
+    centroid rows ``(cid, vec)`` by cosine against the query —
+    driver-side, identical double arithmetic to the assignment
+    (in-order fold dot, zero-norm → 0.0), tie-break (cos desc, cid
+    asc) — and return the ``nprobe`` nearest cluster ids. Every IVF
+    serving path (ivf_topk, ivfpq_topk, ivfpq_residual_topk) MUST call
+    this: the rule is a determinism-critical contract, and divergent
+    copies would silently desynchronize the oracle replays."""
+    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec))
+
+    def _cos(vec) -> float:
+        dot = 0.0
+        nc = 0.0
+        for a, b in zip(vec, query_vec):
+            dot += float(a) * float(b)
+            nc += float(a) * float(a)
+        denom = math.sqrt(nc) * qn
+        return dot / denom if denom > 0 else 0.0
+
+    ranked = sorted(cents, key=lambda r: (-_cos(r[1]), r[0]))
+    return [r[0] for r in ranked[:nprobe]]
+
+
 def ivf_compact(spark, path: str) -> DataFrame:
     """Compact the persisted IVF index: every :func:`ivf_upsert` APPENDS
     its own part files, so a daily loop leaves one small file per
@@ -554,7 +578,7 @@ def ivf_compact(spark, path: str) -> DataFrame:
     ``{path}__old`` (or ``__tmp``) holds the complete index — rename
     it back. (Renames are atomic on HDFS/local FS; on S3 use a
     rename-capable layer for maintenance jobs.)"""
-    tmp, old = path + "__tmp", path + "__old"
+    tmp = path + "__tmp"
     index = spark.read.parquet(path)
     cols = [c for c in index.columns if c != "centroid_id"]
     (
@@ -564,24 +588,9 @@ def ivf_compact(spark, path: str) -> DataFrame:
         .partitionBy("centroid_id")
         .parquet(tmp)
     )
-    jvm = spark._jvm
-    p_idx = jvm.org.apache.hadoop.fs.Path(path)
-    fs = p_idx.getFileSystem(spark._jsc.hadoopConfiguration())
-    p_tmp = jvm.org.apache.hadoop.fs.Path(tmp)
-    p_old = jvm.org.apache.hadoop.fs.Path(old)
-    if fs.exists(p_old):
-        raise FileExistsError(
-            f"ivf_compact: {old} already exists — a previous compaction "
-            "crashed mid-swap; recover (rename it back over the index if "
-            f"{path} is missing, else delete it) before compacting"
-        )
-    if not fs.rename(p_idx, p_old):
-        raise OSError(f"ivf_compact: rename {path} -> {old} failed")
-    if not fs.rename(p_tmp, p_idx):
-        # put the original back so the index path stays valid
-        fs.rename(p_old, p_idx)
-        raise OSError(f"ivf_compact: rename {tmp} -> {path} failed")
-    fs.delete(p_old, True)
+    from ..util import swap_directory
+
+    swap_directory(spark, path, tmp, "ivf_compact")
     return spark.read.parquet(path)
 
 
@@ -612,19 +621,7 @@ def ivf_topk(
     When omitted, assignments are computed inline (one corpus scan) —
     fine for one-off queries, wrong for a query loop."""
     cents = centroids.select(cent_id_col, cent_vec_col).collect()
-    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec))
-
-    def _cos(vec) -> float:
-        dot = 0.0
-        nc = 0.0
-        for a, b in zip(vec, query_vec):
-            dot += float(a) * float(b)
-            nc += float(a) * float(a)
-        denom = math.sqrt(nc) * qn
-        return dot / denom if denom > 0 else 0.0
-
-    ranked = sorted(cents, key=lambda r: (-_cos(r[1]), r[0]))
-    probe_ids = [r[0] for r in ranked[:nprobe]]
+    probe_ids = coarse_probe_ids(cents, query_vec, nprobe)
     assign = (
         assignments
         if assignments is not None

@@ -86,10 +86,13 @@ def sq8_encode(
             F.lit(0),
         )
         .otherwise(
+            # clamp on the LONG floor() returns BEFORE any int cast —
+            # a non-ANSI long→int cast of an extreme out-of-range
+            # value wraps silently and would clamp to the WRONG edge
             F.least(
-                F.lit(255),
+                F.lit(255).cast("long"),
                 F.greatest(
-                    F.lit(0),
+                    F.lit(0).cast("long"),
                     F.floor(
                         (x - F.element_at(mn, i + 1))
                         * 255.0
@@ -98,7 +101,7 @@ def sq8_encode(
                             - F.element_at(mn, i + 1)
                         )
                         + 0.5
-                    ).cast("int"),
+                    ),
                 ),
             )
         )
