@@ -13885,6 +13885,293 @@ def q237(spark, sf_dir):
     ).orderBy("adist", "vec_id")
 
 
+@_register(
+    "q238_nb_classifier",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')
+               AS toks
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, g FROM (
+        SELECT doc_id, unnest(toks) AS g FROM d) u WHERE g <> ''
+      UNION ALL
+      SELECT doc_id, g FROM (
+        SELECT doc_id, array_to_string(toks[s+1:s+2], ' ') AS g
+        FROM d, LATERAL (
+          SELECT unnest(range(0, greatest(len(toks) - 1, 0))) AS s) t) b
+      WHERE g <> ''
+    ), feats AS (
+      SELECT doc_id,
+             CAST(CAST('0x' || substring(md5(g), 1, 8) AS UBIGINT) % 512
+                  AS BIGINT) AS bucket,
+             COUNT(*) AS cnt
+      FROM grams GROUP BY doc_id, bucket
+    ), train AS (
+      SELECT doc_id, lang FROM documents WHERE doc_id % 2 = 0
+    ), counts AS (
+      SELECT t.lang, f.bucket, CAST(SUM(f.cnt) AS BIGINT) AS cnt
+      FROM feats f JOIN train t USING (doc_id) GROUP BY 1, 2
+    ), totals AS (
+      SELECT lang, CAST(SUM(cnt) AS BIGINT) AS tot FROM counts GROUP BY 1
+    ), ndocs AS (
+      SELECT lang, COUNT(*) AS nc FROM train GROUP BY 1
+    ), nall AS (SELECT COUNT(*) AS n FROM train),
+    classes AS (
+      SELECT nd.lang,
+             CAST(floor(ln(CAST(nd.nc AS DOUBLE) / na.n) * 1000000 + 0.5)
+                  AS BIGINT) AS iprior,
+             CAST(floor(ln(CAST(1 AS DOUBLE)
+                           / (coalesce(tt.tot, 0) + 512)) * 1000000 + 0.5)
+                  AS BIGINT) AS illw0
+      FROM ndocs nd CROSS JOIN nall na
+      LEFT JOIN totals tt ON tt.lang = nd.lang
+    ), model AS (
+      SELECT c.lang, c.bucket,
+             CAST(floor(ln(CAST(c.cnt + 1 AS DOUBLE) / (t.tot + 512))
+                        * 1000000 + 0.5) AS BIGINT)
+             - CAST(floor(ln(CAST(1 AS DOUBLE) / (t.tot + 512))
+                          * 1000000 + 0.5) AS BIGINT) AS idelta
+      FROM counts c JOIN totals t ON t.lang = c.lang
+    ), test AS (
+      SELECT doc_id FROM documents WHERE doc_id % 2 = 1
+    ), doc_tot AS (
+      SELECT test.doc_id, CAST(coalesce(s.tot, 0) AS BIGINT) AS tot
+      FROM test LEFT JOIN (
+        SELECT doc_id, SUM(cnt) AS tot FROM feats GROUP BY 1) s
+      USING (doc_id)
+    ), matched AS (
+      SELECT f.doc_id, m.lang, CAST(SUM(f.cnt * m.idelta) AS BIGINT)
+               AS imatch
+      FROM feats f JOIN test USING (doc_id)
+      JOIN model m ON m.bucket = f.bucket
+      GROUP BY 1, 2
+    ), scored AS (
+      SELECT dt.doc_id, c.lang,
+             c.iprior + dt.tot * c.illw0 + coalesce(ma.imatch, 0)
+               AS iscore
+      FROM doc_tot dt CROSS JOIN classes c
+      LEFT JOIN matched ma
+        ON ma.doc_id = dt.doc_id AND ma.lang = c.lang
+    )
+    SELECT doc_id, pred, CAST(iscore AS DOUBLE) / 1000000.0 AS score
+    FROM (
+      SELECT doc_id, lang AS pred, iscore,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY iscore DESC, lang ASC) AS rn
+      FROM scored) WHERE rn = 1
+    ORDER BY doc_id
+    """,
+)
+def q238(spark, sf_dir):
+    """Hashed multinomial NAIVE-BAYES classification — the
+    fastText-shaped linear filter every curation stack runs (GPT-3's
+    quality classifier, CCNet's language filter; text/classify.py):
+    train on the even-doc_id half with ``lang`` as the label, predict
+    the held-out odd half. Training shuffles bucket-width counts
+    (512 × 5 classes), never corpus-width; scoring is one corpus
+    feature scan + a broadcast model join in the DIFFERENCE form
+    (prior + tot·llw0 + Σ cnt·Δ), so out-of-vocabulary buckets never
+    need a join row. Every ln is rounded once to a scaled long (the
+    q230 rule) and the argmax compares exact longs — the full
+    train+predict pipeline replays in SQL."""
+    from graphragpart1datapipeline_spark.text.classify import (
+        nb_classify,
+        nb_train,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "text", F.col("lang").alias("label")
+    )
+    test = docs.filter(F.col("doc_id") % 2 == 1)
+    fitted = nb_train(train, label_col="label", buckets=512)
+    return nb_classify(test, fitted, buckets=512).orderBy("doc_id")
+
+
+@_register(
+    "q239_ccnet_buckets",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_transform(string_split_regex(trim(text), '\\s+'),
+                            x -> lower(x)) AS toks
+      FROM documents
+    ), b AS (
+      SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i) r
+    ), c2 AS (
+      SELECT w1, w2, COUNT(*) AS n2 FROM b GROUP BY w1, w2
+    ), c1 AS (
+      SELECT w1, SUM(n2) AS n1 FROM c2 GROUP BY w1
+    ), bs AS (
+      SELECT b.doc_id,
+             CAST(floor((c2.n2 * 1000000.0) / c1.n1 + 0.5) AS BIGINT) AS p
+      FROM b JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+    ), agg AS (
+      SELECT doc_id, COUNT(*) AS n_bigrams, SUM(p) AS s
+      FROM bs GROUP BY doc_id
+    ), scored AS (
+      SELECT d.doc_id,
+             CAST(COALESCE(agg.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+             CAST(COALESCE(agg.s, 0) AS BIGINT) AS lm_score_micro,
+             CASE WHEN COALESCE(agg.n_bigrams, 0) > 0
+                  THEN CAST(agg.s AS DOUBLE) / agg.n_bigrams
+             END AS mean_prob_micro
+      FROM documents d LEFT JOIN agg USING (doc_id)
+    ), samp AS (
+      SELECT doc_id, mean_prob_micro FROM scored
+      WHERE mean_prob_micro IS NOT NULL
+      ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id
+      LIMIT 128
+    ), ranked AS (
+      SELECT mean_prob_micro,
+             row_number() OVER (ORDER BY mean_prob_micro DESC,
+                                doc_id ASC) AS rn,
+             COUNT(*) OVER () AS s
+      FROM samp
+    ), cut AS (
+      SELECT
+        max(CASE WHEN rn = (s + 2) // 3
+                 THEN mean_prob_micro END) AS c1,
+        max(CASE WHEN rn = (2 * s + 2) // 3
+                 THEN mean_prob_micro END) AS c2
+      FROM ranked
+    )
+    SELECT sc.doc_id, sc.n_bigrams, sc.lm_score_micro,
+           sc.mean_prob_micro,
+           CASE WHEN sc.mean_prob_micro IS NULL THEN 'tail'
+                WHEN sc.mean_prob_micro >= cut.c1 THEN 'head'
+                WHEN sc.mean_prob_micro >= cut.c2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM scored sc CROSS JOIN cut
+    """,
+)
+def q239(spark, sf_dir):
+    """CCNet head/middle/tail PERPLEXITY BUCKETING (Wenzek et al.
+    2020) — the canonical curation split: score every document under
+    the bigram LM (q107's exact integer arithmetic), calibrate
+    tercile cutoffs on a BOUNDED deterministic sample (128 docs by
+    smallest md5(seed:id) — a corpus-wide exact tercile would be a
+    distributed selection problem; CCNet itself calibrates on a
+    sample), then label by map-only value comparison. No global sort
+    or window over the corpus anywhere; docs with < 2 tokens land in
+    tail. Cutoffs, scores, and assignment all replay in SQL."""
+    from graphragpart1datapipeline_spark.text.lm import ccnet_buckets
+
+    docs = _t(spark, sf_dir, "documents")
+    return ccnet_buckets(docs, sample_size=128)
+
+
+def _fertility_sql(num_merges: int = 3) -> str:
+    """q88's unrolled BPE-training replay + per-document application of
+    the learned merges (same greedy-left padded replace) + per-language
+    fertility rollup."""
+    sql = """
+    WITH words AS (
+      SELECT tok AS w, COUNT(*) AS wc FROM (
+        SELECT unnest(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'),
+                      ' ')) AS tok
+        FROM documents) WHERE tok <> '' GROUP BY tok
+    ), s0 AS (
+      SELECT wc, ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS s
+      FROM words
+    )"""
+    for r in range(num_merges):
+        sql += f""", p{r} AS (
+      SELECT sym[i] || ' ' || sym[i + 1] AS pair,
+             CAST(SUM(wc) AS BIGINT) AS freq
+      FROM (SELECT wc, string_split(trim(s), ' ') AS sym FROM s{r}),
+           LATERAL (SELECT unnest(range(1, len(sym))) AS i) t
+      GROUP BY 1
+    ), b{r} AS (SELECT pair, freq FROM p{r} ORDER BY freq DESC, pair LIMIT 1)"""
+        if r < num_merges - 1:
+            sql += f""", s{r + 1} AS (
+      SELECT wc,
+             replace(s, ' ' || (SELECT pair FROM b{r}) || ' ',
+                     ' ' || replace((SELECT pair FROM b{r}), ' ', '') || ' ')
+               AS s
+      FROM s{r}
+    )"""
+    apply_expr = "' ' || array_to_string(string_split(tok, ''), ' ') || ' '"
+    for r in range(num_merges):
+        apply_expr = (
+            f"replace({apply_expr}, ' ' || (SELECT pair FROM b{r}) || ' ', "
+            f"' ' || replace((SELECT pair FROM b{r}), ' ', '') || ' ')"
+        )
+    sql += f""", doc_words AS (
+      SELECT doc_id, tok FROM (
+        SELECT doc_id,
+               unnest(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'),
+                      ' ')) AS tok
+        FROM documents) WHERE tok <> ''
+    ), applied AS (
+      SELECT doc_id,
+             len(string_split(trim({apply_expr}), ' ')) AS ns
+      FROM doc_words
+    ), per_doc AS (
+      SELECT doc_id, COUNT(*) AS nw, CAST(SUM(ns) AS BIGINT) AS nsym
+      FROM applied GROUP BY doc_id
+    )
+    SELECT d.lang, COUNT(*) AS n_docs,
+           CAST(SUM(coalesce(p.nw, 0)) AS BIGINT) AS n_words,
+           CAST(SUM(coalesce(p.nsym, 0)) AS BIGINT) AS n_symbols,
+           CASE WHEN SUM(coalesce(p.nw, 0)) > 0
+                THEN floor(CAST(SUM(coalesce(p.nsym, 0)) AS DOUBLE)
+                           / SUM(coalesce(p.nw, 0)) * 1000000 + 0.5)
+                     / 1000000.0
+           END AS fertility
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    GROUP BY d.lang ORDER BY d.lang
+    """
+    return sql
+
+
+@_register("q240_tokenizer_fertility", _fertility_sql(3))
+def q240(spark, sf_dir):
+    """TOKENIZER FERTILITY / vocab-coverage report — the standard
+    tokenizer-QA readout (symbols emitted per whitespace word, by
+    language; multilingual pipelines watch this to catch a vocabulary
+    that fragments some languages into characters): train the BPE
+    merge table (q88's bit-reproducible 3-merge run), apply it
+    map-only to every document (merges ride as plan literals — the
+    corpus never shuffles for the encode), and roll fertility up per
+    language. The division is rounded once with the engine-agnostic
+    half-up rule; counts are exact longs."""
+    from graphragpart1datapipeline_spark.text import bpe_apply, bpe_train
+    from graphragpart1datapipeline_spark.text.analysis import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train(docs, text_col="text", num_merges=3)
+    ap = bpe_apply(docs, merges)
+    nw = F.size(F.filter(tokens("text"), lambda t: t != ""))
+    per = ap.select(
+        "doc_id",
+        "lang",
+        nw.alias("nw"),
+        F.size("bpe_symbols").alias("nsym"),
+    )
+    agg = per.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nw").cast("long").alias("n_words"),
+        F.sum("nsym").cast("long").alias("n_symbols"),
+    )
+    fert = F.when(
+        F.col("n_words") > 0,
+        F.floor(
+            F.col("n_symbols").cast("double")
+            / F.col("n_words")
+            * 1000000
+            + F.lit(0.5)
+        )
+        / F.lit(1000000.0),
+    )
+    return agg.select(
+        "lang", "n_docs", "n_words", "n_symbols", fert.alias("fertility")
+    ).orderBy("lang")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q02(spark, "/root/testdata/sf0.001")

@@ -282,6 +282,13 @@ SECONDARY = [
     # SQ8 scalar quantization (stats + row-local encode + dequant
     # scan — the exact-scan family's plan shape, headline via q25)
     "q237_sq8_topk",
+    # round-8 second wave: the NB classifier and CCNet buckets ride
+    # the hashed-feature / bigram-LM pipelines already headline via
+    # q230/q226; fertility re-runs the q88 BPE train (vocab-table
+    # rounds) plus a map-only apply — 1-rep traces suffice
+    "q238_nb_classifier",
+    "q239_ccnet_buckets",
+    "q240_tokenizer_fertility",
 ]
 
 # Repetitions per query; report the min. The ambient swing on a shared

@@ -32,6 +32,8 @@ from .contamination import (  # noqa: F401
     decontaminate_by_fraction,
     ngram_hash_set,
 )
+from .classify import nb_classify, nb_score, nb_train  # noqa: F401
+from .lm import bigram_lm_score, bigram_lm_train, ccnet_buckets  # noqa: F401
 from .dsir import dsir_select, dsir_weights, hashed_ngram_features  # noqa: F401
 from .sections import split_sections  # noqa: F401
 from .summarize import sentence_table, textrank_summary  # noqa: F401

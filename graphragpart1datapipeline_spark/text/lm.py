@@ -129,3 +129,70 @@ def bigram_lm_score(
             ).alias("mean_prob_micro"),
         )
     )
+
+
+def ccnet_buckets(
+    df: DataFrame,
+    model: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sample_size: int = 128,
+    seed: str | int = 42,
+) -> DataFrame:
+    """CCNet-style head/middle/tail partitioning (Wenzek et al. 2020):
+    score every document with the bigram LM, calibrate two tercile
+    cutoffs, and label each document ``head`` (most model-like),
+    ``middle``, or ``tail``. CCNet trains its curation decisions on
+    exactly this split — keep head, maybe middle, drop tail.
+
+    Scale shape: the cutoffs come from a BOUNDED deterministic
+    calibration sample (the ``sample_size`` scored docs with smallest
+    ``md5(seed ':' id)`` — the engine's seeding rule), NOT from a
+    global rank: a corpus-wide exact tercile is a distributed
+    selection problem, and CCNet itself calibrates thresholds on a
+    sample. The sample is a top-K job (k bounded, driver-merged
+    heaps); bucket assignment is then a map-only comparison over the
+    corpus — no global sort or window anywhere. Documents with < 2
+    tokens (no LM evidence) always land in ``tail``.
+
+    Determinism / oracle parity: scores are q107's exact integer
+    micro-probabilities; the mean is one IEEE division; cutoffs are
+    the sample's nearest-rank tercile values under (mean desc, id
+    asc); assignment is pure value comparison — every stage replays
+    in SQL. Ties AT a cutoff go to the better bucket (>=).
+
+    Returns (id, n_bigrams, lm_score_micro, mean_prob_micro, bucket).
+    """
+    if sample_size < 3:
+        raise ValueError(
+            f"ccnet_buckets: sample_size must be >= 3, got {sample_size}"
+        )
+    scored = bigram_lm_score(df, model, text_col, id_col)
+    nn = scored.filter(F.col("mean_prob_micro").isNotNull())
+    key = F.md5(
+        F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
+    )
+    sample = (
+        nn.select(F.col(id_col), "mean_prob_micro", key.alias("__k"))
+        .orderBy("__k", F.col(id_col))
+        .limit(sample_size)
+        .select(id_col, "mean_prob_micro")
+        .collect()
+    )
+    if not sample:
+        return scored.withColumn("bucket", F.lit("tail"))
+    vals = sorted(
+        sample, key=lambda r: (-r["mean_prob_micro"], r[id_col])
+    )
+    s = len(vals)
+    # nearest-rank tercile cutoffs: head needs mean >= the value at
+    # rank ceil(s/3), middle >= the value at rank ceil(2s/3)
+    c1 = vals[(s + 2) // 3 - 1]["mean_prob_micro"]
+    c2 = vals[(2 * s + 2) // 3 - 1]["mean_prob_micro"]
+    bucket = (
+        F.when(F.col("mean_prob_micro").isNull(), F.lit("tail"))
+        .when(F.col("mean_prob_micro") >= c1, F.lit("head"))
+        .when(F.col("mean_prob_micro") >= c2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return scored.withColumn("bucket", bucket)

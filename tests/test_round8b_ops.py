@@ -1,0 +1,158 @@
+"""Unit locks for the round-8 second-wave operators: hashed
+Naive-Bayes classification (text/classify.py), CCNet perplexity
+bucketing (text/lm.py ccnet_buckets), and the tokenizer-fertility
+rollup (q240's composition). End-to-end value locks are the q238/q239/
+q240 DuckDB oracles."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _labeled(spark):
+    # two clearly-separated classes: fruit vs metal vocabulary
+    return spark.createDataFrame(
+        [
+            (1, "apple banana apple cherry", "fruit"),
+            (2, "banana cherry banana apple", "fruit"),
+            (3, "iron copper zinc iron", "metal"),
+            (4, "copper zinc iron copper", "metal"),
+        ],
+        "doc_id long, text string, label string",
+    )
+
+
+def test_nb_classifier_separates_classes(spark):
+    from graphragpart1datapipeline_spark.text.classify import (
+        nb_classify,
+        nb_train,
+    )
+
+    fitted = nb_train(_labeled(spark), buckets=64)
+    test = spark.createDataFrame(
+        [(10, "apple cherry banana"), (11, "zinc iron copper")],
+        "doc_id long, text string",
+    )
+    preds = {
+        r["doc_id"]: r["pred"]
+        for r in nb_classify(test, fitted, buckets=64).collect()
+    }
+    assert preds == {10: "fruit", 11: "metal"}
+
+
+def test_nb_score_is_exact_integer_arithmetic(spark):
+    """iscore must equal iprior + tot*illw0 + Σ cnt·idelta recomputed
+    by hand from the model tables — no hidden float accumulation."""
+    from graphragpart1datapipeline_spark.text.classify import (
+        nb_score,
+        nb_train,
+    )
+
+    fitted = nb_train(_labeled(spark), buckets=64)
+    model = {
+        (r["label"], r["bucket"]): r["idelta"]
+        for r in fitted["model"].collect()
+    }
+    classes = {
+        r["label"]: (r["iprior"], r["illw0"])
+        for r in fitted["classes"].collect()
+    }
+    test = spark.createDataFrame(
+        [(10, "apple iron apple")], "doc_id long, text string"
+    )
+    from graphragpart1datapipeline_spark.text.dsir import (
+        hashed_ngram_features,
+    )
+
+    feats = {
+        r["bucket"]: r["cnt"]
+        for r in hashed_ngram_features(test, buckets=64).collect()
+    }
+    tot = sum(feats.values())
+    for r in nb_score(test, fitted, buckets=64).collect():
+        iprior, illw0 = classes[r["label"]]
+        expect = iprior + tot * illw0 + sum(
+            cnt * model.get((r["label"], b), 0) for b, cnt in feats.items()
+        )
+        assert r["iscore"] == expect
+        assert r["score"] == expect / 1_000_000.0
+
+
+def test_nb_empty_doc_scores_prior_only(spark):
+    from graphragpart1datapipeline_spark.text.classify import (
+        nb_score,
+        nb_train,
+    )
+
+    fitted = nb_train(_labeled(spark), buckets=64)
+    empty = spark.createDataFrame([(9, "")], "doc_id long, text string")
+    rows = nb_score(empty, fitted, buckets=64).collect()
+    classes = {
+        r["label"]: r["iprior"] for r in fitted["classes"].collect()
+    }
+    assert {r["label"]: r["iscore"] for r in rows} == classes
+
+
+def test_nb_train_guards(spark):
+    from graphragpart1datapipeline_spark.text.classify import nb_train
+
+    with pytest.raises(ValueError, match="buckets"):
+        nb_train(_labeled(spark), buckets=1)
+    with pytest.raises(ValueError, match="empty training set"):
+        nb_train(_labeled(spark).limit(0))
+
+
+def test_ccnet_buckets_orders_and_labels(spark):
+    """Model-likely text (frequent continuations of its contexts)
+    lands in head; docs whose bigrams are RARE GIVEN a common context
+    land below; short docs (< 2 tokens) always tail. NB: under a
+    self-trained bigram MLE a doc of entirely UNIQUE bigrams scores
+    p=1 per bigram (its contexts are seen once) — 'unlikely' means
+    rare continuations of shared contexts, not rare words."""
+    from graphragpart1datapipeline_spark.text.lm import ccnet_buckets
+
+    rows = [(i, "the cat sat on the mat") for i in range(6)]
+    # outliers: 'the' is a very common context, but 'the zig'/'the zag'
+    # each occur once -> p(zig|the) is tiny
+    rows += [(10, "the zig the zag"), (11, "the zog the zud")]
+    rows += [(20, "single")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["bucket"]
+        for r in ccnet_buckets(docs, sample_size=16).collect()
+    }
+    assert all(out[i] == "head" for i in range(6))
+    assert out[20] == "tail"  # no bigrams -> no LM evidence
+    assert out[10] == "tail" and out[11] == "tail"
+
+
+def test_ccnet_buckets_guard_and_all_short(spark):
+    from graphragpart1datapipeline_spark.text.lm import ccnet_buckets
+
+    docs = spark.createDataFrame(
+        [(1, "one"), (2, "two")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="sample_size"):
+        ccnet_buckets(docs, sample_size=2)
+    out = ccnet_buckets(docs, sample_size=8).collect()
+    assert all(r["bucket"] == "tail" for r in out)  # no scored docs
+
+
+def test_fertility_counts_match_bpe_apply(spark):
+    """The q240 rollup arithmetic: symbols per word after 1 merge."""
+    from graphragpart1datapipeline_spark.text import bpe_apply, bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "aa aa ab", "x"), (2, "ba", "y")],
+        "doc_id long, text string, lang string",
+    )
+    merges = bpe_train(docs, num_merges=1)
+    ap = bpe_apply(docs, merges)
+    by_id = {r["doc_id"]: r["bpe_symbols"] for r in ap.collect()}
+    # most frequent pair is 'a a' (freq 3: aa, aa, and inside ab? no —
+    # pairs are within-word: 'a a' appears in aa (x2 words) = 2 + ab
+    # has 'a b' = 1, ba has 'b a' = 1 → 'a a' wins (freq 2, tie-break
+    # lexicographic beats 'a b'/'b a' at 1)
+    assert by_id[1] == ["aa", "aa", "a", "b"]
+    assert by_id[2] == ["b", "a"]
