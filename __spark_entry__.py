@@ -13885,9 +13885,10 @@ def q237(spark, sf_dir):
     ).orderBy("adist", "vec_id")
 
 
-@_register(
-    "q238_nb_classifier",
-    """
+# shared by q238 (broadcast-join scorer) and q241 (row-local plan-
+# literal scorer): integer addition is commutative, so the two
+# pipelines produce bit-identical scores — one oracle locks both
+_NB_ORACLE_SQL = """
     WITH d AS (
       SELECT doc_id,
              string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')
@@ -13962,8 +13963,10 @@ def q237(spark, sf_dir):
                                 ORDER BY iscore DESC, lang ASC) AS rn
       FROM scored) WHERE rn = 1
     ORDER BY doc_id
-    """,
-)
+    """
+
+
+@_register("q238_nb_classifier", _NB_ORACLE_SQL)
 def q238(spark, sf_dir):
     """Hashed multinomial NAIVE-BAYES classification — the
     fastText-shaped linear filter every curation stack runs (GPT-3's
@@ -14170,6 +14173,36 @@ def q240(spark, sf_dir):
     return agg.select(
         "lang", "n_docs", "n_words", "n_symbols", fert.alias("fertility")
     ).orderBy("lang")
+
+
+@_register("q241_nb_rowlocal_gate", _NB_ORACLE_SQL)
+def q241(spark, sf_dir):
+    """ROW-LOCAL classifier twin of q238 — the whole trained model
+    rides in the plan as per-class literal arrays and classification
+    becomes a pure column expression (tokens → grams → md5 bucket →
+    literal lookup folded with ``aggregate``): zero shuffle on the
+    scoring side, no broadcast join, whole-stage codegen — the shape
+    the STREAMING quality gate uses (stream_quality_gate: stateless,
+    append-mode, the CCNet fastText-filter-at-ingest). Integer
+    addition is commutative, so the gram fold equals q238's
+    bucket-count dot product EXACTLY — the SAME oracle locks both
+    pipelines bit-for-bit."""
+    from graphragpart1datapipeline_spark.text.classify import (
+        nb_classify_expr,
+        nb_train,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "text", F.col("lang").alias("label")
+    )
+    test = docs.filter(F.col("doc_id") % 2 == 1)
+    cls = nb_classify_expr(nb_train(train, buckets=512), buckets=512)
+    return test.select(
+        "doc_id",
+        cls.getField("pred").alias("pred"),
+        cls.getField("score").alias("score"),
+    ).orderBy("doc_id")
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -289,6 +289,8 @@ SECONDARY = [
     "q238_nb_classifier",
     "q239_ccnet_buckets",
     "q240_tokenizer_fertility",
+    # row-local plan-literal twin of q238 (the streaming gate's scorer)
+    "q241_nb_rowlocal_gate",
 ]
 
 # Repetitions per query; report the min. The ambient swing on a shared

@@ -32,7 +32,13 @@ from .contamination import (  # noqa: F401
     decontaminate_by_fraction,
     ngram_hash_set,
 )
-from .classify import nb_classify, nb_score, nb_train  # noqa: F401
+from .classify import (  # noqa: F401
+    nb_classify,
+    nb_classify_expr,
+    nb_score,
+    nb_train,
+    stream_quality_gate,
+)
 from .lm import bigram_lm_score, bigram_lm_train, ccnet_buckets  # noqa: F401
 from .dsir import dsir_select, dsir_weights, hashed_ngram_features  # noqa: F401
 from .sections import split_sections  # noqa: F401

@@ -38,12 +38,20 @@ agree bit-for-bit.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .dsir import hashed_ngram_features
 
-__all__ = ["nb_train", "nb_score", "nb_classify"]
+__all__ = [
+    "nb_train",
+    "nb_score",
+    "nb_classify",
+    "nb_classify_expr",
+    "stream_quality_gate",
+]
 
 
 def _iln(expr, scale: int):
@@ -202,4 +210,126 @@ def nb_classify(
         (
             (-F.col("__b.nis")).cast("double") / F.lit(float(scale))
         ).alias("score"),
+    )
+
+
+# model tables up to this many (bucket, class) literal entries ride in
+# the plan as array literals for the row-local scorer — the PQ-codebook
+# literal bound's pattern (vector/pq.py _LITERAL_BOOK_MAX_DOUBLES)
+_LITERAL_MODEL_MAX_ENTRIES = 65536
+
+
+def nb_classify_expr(
+    fitted: dict[str, DataFrame],
+    text_col: str = "text",
+    buckets: int = 4096,
+    scale: int = 1_000_000,
+    label_col: str = "label",
+):
+    """ROW-LOCAL classification column — the whole trained model rides
+    in the plan as per-class literal arrays (idelta indexed by bucket,
+    ≤ buckets·#classes ints; bounded like the PQ codebook literal), so
+    scoring is a pure column expression: tokens → grams → md5 bucket →
+    literal-array lookup folded with ``aggregate`` — zero shuffle,
+    zero state, whole-stage codegen. Integer addition is commutative,
+    so the row-local gram fold equals :func:`nb_score`'s bucket-count
+    dot product EXACTLY (q242 locks the twin against q238's oracle).
+
+    This is the shape a STREAMING gate needs (no groupBy → no state
+    store → append-mode-safe) and what a 100 TB scan wants anyway
+    (the broadcast join disappears entirely).
+
+    Returns a struct column ``(pred, iscore, score)``; tie-break
+    smallest label, identical to :func:`nb_classify`."""
+    class_rows = sorted(
+        fitted["classes"].collect(), key=lambda r: r[label_col]
+    )
+    if not class_rows:
+        raise ValueError("nb_classify_expr: empty classes table")
+    n_entries = buckets * len(class_rows)
+    if n_entries > _LITERAL_MODEL_MAX_ENTRIES:
+        raise ValueError(
+            f"nb_classify_expr: {n_entries} literal model entries "
+            f"(buckets={buckets} × {len(class_rows)} classes) exceeds "
+            f"{_LITERAL_MODEL_MAX_ENTRIES} — too large for a plan "
+            "literal; use nb_score/nb_classify (broadcast join) instead"
+        )
+    deltas: dict = {
+        r[label_col]: [0] * buckets for r in class_rows
+    }
+    for r in fitted["model"].collect():
+        deltas[r[label_col]][r["bucket"]] = int(r["idelta"])
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    sz = F.size(toks)
+    bigrams = F.when(
+        sz >= 2,
+        F.transform(
+            F.sequence(F.lit(0), sz - 2),
+            lambda s: F.concat_ws(" ", F.slice(toks, s + 1, 2)),
+        ),
+    ).otherwise(
+        F.slice(F.sequence(F.lit(0), F.lit(0)), 1, 0).cast("array<string>")
+    )
+    grams = F.filter(F.concat(toks, bigrams), lambda g: g != "")
+    tot = F.size(grams)
+
+    def bucket_of(g):
+        return (
+            F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")
+            % buckets
+        ).cast("int")
+
+    scored = []
+    for r in class_rows:
+        arr = F.lit(deltas[r[label_col]])
+        isc = (
+            F.lit(int(r["iprior"]))
+            + tot.cast("long") * F.lit(int(r["illw0"]))
+            + F.aggregate(
+                grams,
+                F.lit(0).cast("long"),
+                lambda acc, g: acc
+                + F.element_at(arr, bucket_of(g) + 1).cast("long"),
+            )
+        )
+        scored.append(
+            F.struct(
+                (-isc).alias("nis"), F.lit(r[label_col]).alias("lbl")
+            )
+        )
+    best = F.element_at(F.array_sort(F.array(*scored)), 1)
+    iscore = -best.getField("nis")
+    return F.struct(
+        best.getField("lbl").alias("pred"),
+        iscore.alias("iscore"),
+        (iscore.cast("double") / F.lit(float(scale))).alias("score"),
+    )
+
+
+def stream_quality_gate(
+    sdf: DataFrame,
+    fitted: dict[str, DataFrame],
+    keep: Sequence[str],
+    text_col: str = "text",
+    buckets: int = 4096,
+    scale: int = 1_000_000,
+    label_col: str = "label",
+) -> DataFrame:
+    """STREAMING classifier gate: keep only documents whose predicted
+    class is in ``keep`` — the fastText-filter-at-ingest shape (CCNet
+    drops non-target languages, GPT-3 drops low-quality pages, at the
+    crawl firehose). Entirely STATELESS (the :func:`nb_classify_expr`
+    row-local scorer — no watermark, no state store, append-mode-safe):
+    the model rides as a plan literal and the stream is gated at scan
+    parallelism. Emits ``pred`` / ``score`` audit columns alongside
+    the input columns. Works identically on a batch frame (stream ==
+    batch is exact — the expression is row-local)."""
+    keep = list(keep)
+    if not keep:
+        raise ValueError("stream_quality_gate: keep must be non-empty")
+    cls = nb_classify_expr(fitted, text_col, buckets, scale, label_col)
+    return (
+        sdf.withColumn("pred", cls.getField("pred"))
+        .withColumn("score", cls.getField("score"))
+        .filter(F.col("pred").isin(keep))
     )

@@ -156,3 +156,86 @@ def test_fertility_counts_match_bpe_apply(spark):
     # lexicographic beats 'a b'/'b a' at 1)
     assert by_id[1] == ["aa", "aa", "a", "b"]
     assert by_id[2] == ["b", "a"]
+
+
+def test_nb_rowlocal_expr_matches_broadcast_scorer(spark):
+    """The plan-literal row-local scorer and the broadcast-join scorer
+    are the same integer arithmetic — identical (pred, score) on every
+    doc, including the empty-text prior-only row."""
+    from graphragpart1datapipeline_spark.text.classify import (
+        nb_classify,
+        nb_classify_expr,
+        nb_train,
+    )
+
+    fitted = nb_train(_labeled(spark), buckets=64)
+    test = spark.createDataFrame(
+        [(10, "apple cherry banana"), (11, "zinc iron copper"),
+         (12, "apple iron"), (13, "")],
+        "doc_id long, text string",
+    )
+    a = {
+        r["doc_id"]: (r["pred"], r["score"])
+        for r in nb_classify(test, fitted, buckets=64).collect()
+    }
+    cls = nb_classify_expr(fitted, buckets=64)
+    b = {
+        r["doc_id"]: (r["pred"], r["score"])
+        for r in test.select(
+            "doc_id",
+            cls.getField("pred").alias("pred"),
+            cls.getField("score").alias("score"),
+        ).collect()
+    }
+    assert a == b
+
+
+def test_nb_rowlocal_literal_bound(spark):
+    from graphragpart1datapipeline_spark.text.classify import (
+        nb_classify_expr,
+        nb_train,
+    )
+
+    fitted = nb_train(_labeled(spark), buckets=40000)
+    with pytest.raises(ValueError, match="too large for a plan literal"):
+        nb_classify_expr(fitted, buckets=40000)
+
+
+def test_stream_quality_gate_batch_equivalence(spark, tmp_path):
+    """The gate is row-local, so the streamed survivors must equal the
+    batch filter exactly; an empty keep list raises."""
+    from graphragpart1datapipeline_spark.text.classify import (
+        nb_train,
+        stream_quality_gate,
+    )
+
+    fitted = nb_train(_labeled(spark), buckets=64)
+    docs = spark.createDataFrame(
+        [(10, "apple cherry banana"), (11, "zinc iron copper"),
+         (12, "banana banana"), (13, "iron zinc")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="keep must be non-empty"):
+        stream_quality_gate(docs, fitted, [])
+    batch = stream_quality_gate(docs, fitted, ["fruit"], buckets=64)
+    batch_rows = sorted(
+        (r["doc_id"], r["pred"]) for r in batch.collect()
+    )
+    assert [d for d, _ in batch_rows] == [10, 12]
+    src = str(tmp_path / "q_gate_src")
+    docs.write.parquet(src)
+    sdf = spark.readStream.schema(docs.schema).parquet(src)
+    gated = stream_quality_gate(sdf, fitted, ["fruit"], buckets=64)
+    q = (
+        gated.writeStream.format("memory")
+        .queryName("r8b_quality_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["doc_id"], r["pred"])
+        for r in spark.sql("select * from r8b_quality_sink").collect()
+    )
+    assert got == batch_rows
