@@ -14205,6 +14205,107 @@ def q241(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+@_register(
+    "q242_audio_offset_match",
+    """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), base AS (
+      SELECT vec_id,
+             list_transform(range(0, 16), s ->
+               v[CAST(s * 4 + 1 AS INTEGER):CAST(s * 4 + 4 AS INTEGER)])
+               AS frames
+      FROM e
+    ), pert AS (
+      SELECT vec_id + 1000000 AS vec_id, frames[5:16] AS frames
+      FROM base WHERE vec_id % 9 = 0
+    ), clips AS (
+      SELECT * FROM base UNION ALL SELECT * FROM pert
+    ), sh AS (
+      SELECT vec_id, CAST(s AS BIGINT) AS idx,
+             CAST(CAST('0x' || substring(md5(
+               array_to_string(
+                 list_transform(
+                   flatten(frames[CAST(s + 1 AS INTEGER)
+                                  :CAST(s + 3 AS INTEGER)]),
+                   x -> CAST(CAST(floor(x * 2.0 + 0.5) AS BIGINT)
+                             AS VARCHAR)),
+                 ' ')
+             ), 1, 15) AS UBIGINT) AS BIGINT) AS fph
+      FROM clips, LATERAL (
+        SELECT unnest(range(0, greatest(len(frames) - 2, 0))) AS s) t
+    ), dfreq AS (
+      SELECT fph, COUNT(DISTINCT vec_id) AS nids FROM sh GROUP BY fph
+    ), kept AS (
+      SELECT sh.vec_id, sh.idx, sh.fph
+      FROM sh JOIN dfreq USING (fph) WHERE dfreq.nids <= 16
+    ), m AS (
+      SELECT a.vec_id AS a, b.vec_id AS b,
+             b.idx - a.idx AS "offset", COUNT(*) AS n_matches
+      FROM kept a JOIN kept b
+        ON a.fph = b.fph AND a.vec_id < b.vec_id
+      GROUP BY 1, 2, 3
+    )
+    SELECT a, b, CAST("offset" AS BIGINT) AS "offset",
+           CAST(n_matches AS BIGINT) AS n_matches
+    FROM m WHERE n_matches >= 5
+    ORDER BY a, b, "offset"
+    """,
+)
+def q242(spark, sf_dir):
+    """AUDIO COPY DETECTION by offset-histogram fingerprint matching
+    (the Shazam/audfprint shape, multimodal/audio.py): each clip's
+    frame sequence shingles into quantized 3-frame window fingerprints
+    (row-local 60-bit longs); an exact fingerprint self-join (only
+    identical quantized windows ever pair — sub-quadratic pigeonhole,
+    with the audfprint too-common-hash suppression as the skew guard)
+    feeds one (a, b, offset)-keyed count, and a true time-shifted copy
+    shows ONE dominant offset with a long run of matches — which
+    byte-level hashing can never see. Clips here are the embedding
+    table reshaped to 16×4 band-energy frames plus a 4-frame-shifted
+    copy per ninth clip (offset −4, up to 10 shared windows — the
+    same-recording-different-start case); the real decode is the
+    mapInPandas seam (decode_audio_frames), unit-tested through
+    fake_decode_frames."""
+    from graphragpart1datapipeline_spark.multimodal.audio import (
+        audio_match_pairs,
+        frame_shingle_fingerprints,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    frames_expr = F.transform(
+        F.sequence(F.lit(0), F.lit(15)),
+        lambda s: F.slice(v, s * 4 + 1, 4),
+    )
+    vid = F.col("vec_id")
+    # one scan, no union: every ninth clip ALSO emits its 4-frame-
+    # shifted copy from the same projection (a union of two filtered
+    # projections of this lambda expression trips Catalyst's union
+    # constraint rewrite in Spark 4.1 — and one explode is the better
+    # plan regardless)
+    orig = F.struct(vid.alias("vec_id"), frames_expr.alias("frames"))
+    copy = F.struct(
+        (vid + 1000000).alias("vec_id"),
+        F.slice(frames_expr, 5, 12).alias("frames"),
+    )
+    variants = F.when(vid % 9 == 0, F.array(orig, copy)).otherwise(
+        F.array(orig)
+    )
+    clips = emb.select(F.explode(variants).alias("__c")).select(
+        "__c.vec_id", "__c.frames"
+    )
+    fps = frame_shingle_fingerprints(
+        clips, "frames", "vec_id", shingle=3, quant=2.0
+    )
+    pairs = audio_match_pairs(fps, "vec_id", min_matches=5, max_df=16)
+    return pairs.select(
+        "a", "b",
+        F.col("offset").cast("long").alias("offset"),
+        F.col("n_matches").cast("long").alias("n_matches"),
+    ).orderBy("a", "b", "offset")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q02(spark, "/root/testdata/sf0.001")

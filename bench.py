@@ -291,6 +291,9 @@ SECONDARY = [
     "q240_tokenizer_fertility",
     # row-local plan-literal twin of q238 (the streaming gate's scorer)
     "q241_nb_rowlocal_gate",
+    # audio offset-histogram matching (exact-hash pigeonhole join —
+    # the simhash/dhash banded family's cost profile)
+    "q242_audio_offset_match",
 ]
 
 # Repetitions per query; report the min. The ambient swing on a shared

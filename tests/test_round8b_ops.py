@@ -239,3 +239,90 @@ def test_stream_quality_gate_batch_equivalence(spark, tmp_path):
         for r in spark.sql("select * from r8b_quality_sink").collect()
     )
     assert got == batch_rows
+
+
+# ---------------------------------------------------------------------------
+# Audio offset-histogram matching (multimodal/audio.py)
+# ---------------------------------------------------------------------------
+
+
+def test_audio_near_dup_through_decode_seam(spark):
+    """Full composition through the Arrow decode seam: a time-shifted
+    copy of a clip (same payload, decoder drops leading frames) must
+    match its original at ONE dominant offset; unrelated clips must
+    not match. The stub raises without a decoder."""
+    from graphragpart1datapipeline_spark.multimodal.audio import (
+        audio_near_dup_pairs,
+        decode_audio_frames,
+        fake_decode_frames,
+    )
+
+    assets = spark.createDataFrame(
+        [
+            ("clip_a", "audio", bytearray(b"payload-one")),
+            ("clip_b", "audio", bytearray(b"payload-two")),
+            # same recording, started 2 frames later
+            ("clip_a_shift", "audio", bytearray(b"payload-one\x00shift2")),
+        ],
+        "asset_id string, kind string, payload binary",
+    )
+
+    def decoder(raw: bytes) -> list[list[float]]:
+        if raw.endswith(b"\x00shift2"):
+            return fake_decode_frames(raw[: -len(b"\x00shift2")])[2:]
+        return fake_decode_frames(raw)
+
+    pairs = audio_near_dup_pairs(
+        assets, decoder=decoder, min_matches=5
+    ).collect()
+    assert len(pairs) == 1
+    (p,) = pairs
+    assert {p["a"], p["b"]} == {"clip_a", "clip_a_shift"}
+    assert abs(p["offset"]) == 2
+    # 14 frames in the copy -> 12 shared 3-frame windows
+    assert p["n_matches"] == 12
+    with pytest.raises(NotImplementedError, match="no audio codec"):
+        decode_audio_frames(assets)
+
+
+def test_audio_match_common_hash_suppression(spark):
+    """A fingerprint present in more than max_df clips (silence) is
+    dropped before the join — clips sharing ONLY silence never pair."""
+    from graphragpart1datapipeline_spark.multimodal.audio import (
+        audio_match_pairs,
+        frame_shingle_fingerprints,
+    )
+
+    silence = [[0.0, 0.0]] * 6
+    clips = spark.createDataFrame(
+        [(f"s{i}", silence) for i in range(5)],
+        "asset_id string, frames array<array<double>>",
+    )
+    fps = frame_shingle_fingerprints(clips, shingle=3)
+    # every clip carries the identical all-zero windows; with max_df=4
+    # (< 5 clips) they are suppressed -> no pairs at all
+    assert audio_match_pairs(fps, min_matches=1, max_df=4).count() == 0
+    # raising max_df past the clip count lets them match again
+    assert audio_match_pairs(fps, min_matches=1, max_df=10).count() > 0
+
+
+def test_audio_fingerprint_guards_and_short_clips(spark):
+    from graphragpart1datapipeline_spark.multimodal.audio import (
+        audio_match_pairs,
+        frame_shingle_fingerprints,
+    )
+
+    clips = spark.createDataFrame(
+        [("short", [[1.0], [2.0]])],
+        "asset_id string, frames array<array<double>>",
+    )
+    # fewer frames than the shingle -> no fingerprint rows
+    assert frame_shingle_fingerprints(clips, shingle=3).count() == 0
+    with pytest.raises(ValueError, match="shingle"):
+        frame_shingle_fingerprints(clips, shingle=0)
+    with pytest.raises(ValueError, match="quant"):
+        frame_shingle_fingerprints(clips, quant=0.0)
+    with pytest.raises(ValueError, match="min_matches"):
+        audio_match_pairs(
+            frame_shingle_fingerprints(clips), min_matches=0
+        )
