@@ -14306,6 +14306,72 @@ def q242(spark, sf_dir):
     ).orderBy("a", "b", "offset")
 
 
+@_register("q243_nb_incremental", _NB_ORACLE_SQL)
+def q243(spark, sf_dir):
+    """INCREMENTAL NB index — the classifier joins the persisted-index
+    maintenance family (q179/q180/q234's contract), and NB is the rare
+    model whose maintenance verbs are EXACT: counts are additive, so
+    nb_index_upsert == retrain-on-union BIT FOR BIT. Day 0 builds the
+    index on the doc_id%4==0 slice (raw counts + doc registry + params
+    persisted, SELF-DESCRIBING); day 1 folds in the %4==2 slice
+    (id-collision gated, registry-first crash ordering, rename-swap
+    counts); serving derives the model from the folded counts and
+    predicts the held-out odd half. The oracle is q238's FULL RETRAIN
+    on the union (%4∈{0,2} ⇔ %2==0) — split-apply == retrain locked in
+    one hash."""
+    import uuid
+
+    from graphragpart1datapipeline_spark.text.classify import (
+        nb_build_index,
+        nb_classify,
+        nb_index_upsert,
+        nb_model,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    lab = docs.select("doc_id", "text", F.col("lang").alias("label"))
+    day0 = lab.filter(F.col("doc_id") % 4 == 0)
+    inc = lab.filter(F.col("doc_id") % 4 == 2)
+    path = f"/tmp/q243_nb_{uuid.uuid4().hex[:8]}"
+    nb_build_index(day0, path, buckets=512)
+    nb_index_upsert(path, inc)
+    test = docs.filter(F.col("doc_id") % 2 == 1)
+    fitted = nb_model(spark, path)
+    return nb_classify(test, fitted, buckets=512).orderBy("doc_id")
+
+
+@_register(
+    "q244_nb_delete",
+    _NB_ORACLE_SQL.replace("doc_id % 2 = 0", "doc_id % 4 = 0", 1),
+)
+def q244(spark, sf_dir):
+    """NB index DELETE — the takedown verb, and it is EXACT: counts
+    decrement, so nb_index_delete == retrain-without BIT FOR BIT (no
+    other index family can say that — LSH/IVF deletes only remove
+    rows; here the MODEL itself unlearns). Build on all even docs,
+    delete the %4==2 slice (not-registered gate, registry-first crash
+    ordering, rename-swap for both tables, refuses to empty), predict
+    the odd half. The oracle is the full retrain on the surviving
+    %4==0 slice."""
+    import uuid
+
+    from graphragpart1datapipeline_spark.text.classify import (
+        nb_build_index,
+        nb_classify,
+        nb_index_delete,
+        nb_model,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    lab = docs.select("doc_id", "text", F.col("lang").alias("label"))
+    path = f"/tmp/q244_nb_{uuid.uuid4().hex[:8]}"
+    nb_build_index(lab.filter(F.col("doc_id") % 2 == 0), path, buckets=512)
+    nb_index_delete(path, lab.filter(F.col("doc_id") % 4 == 2))
+    test = docs.filter(F.col("doc_id") % 2 == 1)
+    fitted = nb_model(spark, path)
+    return nb_classify(test, fitted, buckets=512).orderBy("doc_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q02(spark, "/root/testdata/sf0.001")

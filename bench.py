@@ -294,6 +294,10 @@ SECONDARY = [
     # audio offset-histogram matching (exact-hash pigeonhole join —
     # the simhash/dhash banded family's cost profile)
     "q242_audio_offset_match",
+    # NB index maintenance verbs (build+upsert / build+delete per run
+    # — IO-dominated like q180/q234, 1-rep traces suffice)
+    "q243_nb_incremental",
+    "q244_nb_delete",
 ]
 
 # Repetitions per query; report the min. The ambient swing on a shared

@@ -51,6 +51,11 @@ __all__ = [
     "nb_classify",
     "nb_classify_expr",
     "stream_quality_gate",
+    "nb_build_index",
+    "nb_model",
+    "nb_params",
+    "nb_index_upsert",
+    "nb_index_delete",
 ]
 
 
@@ -92,11 +97,26 @@ def nb_train(
         .groupBy(label_col, "bucket")
         .agg(F.sum("cnt").alias("cnt"))
     )
-    totals = counts.groupBy(label_col).agg(F.sum("cnt").alias("tot"))
     n_docs = lab.groupBy(label_col).agg(F.count(F.lit(1)).alias("nc"))
     n_all = lab.count()
     if n_all == 0:
         raise ValueError("nb_train: empty training set")
+    return _derive_tables(counts, n_docs, n_all, buckets, scale, label_col)
+
+
+def _derive_tables(
+    counts: DataFrame,
+    n_docs: DataFrame,
+    n_all: int,
+    buckets: int,
+    scale: int,
+    label_col: str,
+) -> dict[str, DataFrame]:
+    """model + classes from raw count tables — shared by :func:`nb_train`
+    (in-memory) and :func:`nb_model` (persisted index), so an index
+    rebuilt from folded counts derives EXACTLY the tables a fresh
+    retrain would (the upsert == retrain contract q243 locks)."""
+    totals = counts.groupBy(label_col).agg(F.sum("cnt").alias("tot"))
     classes = (
         n_docs.join(totals, label_col, "left")
         .select(
@@ -333,3 +353,246 @@ def stream_quality_gate(
         .withColumn("score", cls.getField("score"))
         .filter(F.col("pred").isin(keep))
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted NB index — the classifier as a MAINTAINED artifact
+# (the dedup/incremental.py index-family contract). NB is the rare
+# model whose maintenance verbs are EXACT: counts are mergeable AND
+# decrementable, so upsert == retrain-on-union and delete ==
+# retrain-without, bit for bit.
+# ---------------------------------------------------------------------------
+
+
+def nb_build_index(
+    labeled: DataFrame,
+    path: str,
+    label_col: str = "label",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 4096,
+    scale: int = 1_000_000,
+) -> dict[str, DataFrame]:
+    """Fit and PERSIST the classifier at ``path``: raw bucket counts
+    (``{path}/counts``), the doc registry (``{path}/docs`` — the
+    id-collision gate and the prior's source), and the params table
+    (``{path}/params`` — SELF-DESCRIBING, the ivf ``_centroids``
+    pattern: upserts validate against it instead of trusting the
+    caller). Counts are stored RAW (not log-space) because raw counts
+    are what merges and decrements exactly. Returns the derived
+    model tables."""
+    if buckets < 2:
+        raise ValueError(
+            f"nb_build_index: buckets must be >= 2, got {buckets}"
+        )
+    spark = labeled.sparkSession
+    feats = hashed_ngram_features(
+        labeled.select(id_col, text_col), id_col, text_col, buckets
+    )
+    lab = labeled.select(id_col, label_col)
+    if lab.isEmpty():
+        raise ValueError("nb_build_index: empty training set")
+    counts = (
+        feats.join(lab, id_col)
+        .groupBy(label_col, "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    counts.write.mode("overwrite").parquet(path + "/counts")
+    lab.write.mode("overwrite").parquet(path + "/docs")
+    spark.createDataFrame(
+        [(int(buckets), int(scale), label_col, id_col, text_col)],
+        "buckets long, scale long, label_col string, id_col string, "
+        "text_col string",
+    ).write.mode("overwrite").parquet(path + "/params")
+    return nb_model(spark, path)
+
+
+def nb_params(spark, path: str) -> dict:
+    """The persisted params row as a dict."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        row = spark.read.parquet(path + "/params").collect()[0]
+    except AnalysisException as exc:
+        raise FileNotFoundError(
+            f"nb_params: no params table at {path}/params — not an NB "
+            "index; build with nb_build_index"
+        ) from exc
+    return {k: row[k] for k in row.asDict()}
+
+
+def _nb_check_params(
+    params: dict, buckets: int | None, scale: int | None, verb: str
+) -> tuple[int, int]:
+    """Probe-side params either omitted (read from the index) or equal
+    to the stored ones — a mismatched ``buckets`` would silently score
+    against the wrong hash space (the dedup/incremental _check_params
+    rule)."""
+    b = params["buckets"] if buckets is None else buckets
+    s = params["scale"] if scale is None else scale
+    if b != params["buckets"] or s != params["scale"]:
+        raise ValueError(
+            f"{verb}: caller params (buckets={b}, scale={s}) do not "
+            f"match the index ({params['buckets']}, {params['scale']}) "
+            "— pass none, or the stored values"
+        )
+    return int(b), int(s)
+
+
+def nb_model(spark, path: str) -> dict[str, DataFrame]:
+    """Derive the serving tables from the persisted counts — EXACTLY
+    what a fresh :func:`nb_train` on the registered docs would
+    produce (shared :func:`_derive_tables` arithmetic)."""
+    params = nb_params(spark, path)
+    counts = spark.read.parquet(path + "/counts")
+    docs = spark.read.parquet(path + "/docs")
+    label_col = params["label_col"]
+    n_docs = docs.groupBy(label_col).agg(F.count(F.lit(1)).alias("nc"))
+    n_all = docs.count()
+    if n_all == 0:
+        raise ValueError(f"nb_model: index at {path} has no documents")
+    return _derive_tables(
+        counts, n_docs, n_all, int(params["buckets"]),
+        int(params["scale"]), label_col,
+    )
+
+
+def nb_index_upsert(
+    path: str,
+    new_labeled: DataFrame,
+    buckets: int | None = None,
+    scale: int | None = None,
+) -> None:
+    """Fold a labeled increment into the persisted counts. EXACT:
+    counts are additive, so upsert == retrain-on-union bit for bit
+    (q243's oracle IS the full retrain). RAISES on an id collision —
+    re-ingesting a doc would double its counts silently.
+
+    Crash ordering: the registry appends FIRST, then the counts swap
+    (rename, durable copy at every instant — ``util.swap_directory``).
+    A crash between the two leaves registered ids with stale counts;
+    the REPLAY then raises the collision gate (loud) instead of
+    double-adding counts (silent) — recover by rebuilding with
+    nb_build_index."""
+    from ..util import swap_directory
+
+    spark = new_labeled.sparkSession
+    params = nb_params(spark, path)
+    b, _ = _nb_check_params(params, buckets, scale, "nb_index_upsert")
+    label_col, id_col = params["label_col"], params["id_col"]
+    text_col = params["text_col"]
+    lab = new_labeled.select(id_col, label_col)
+    clashes = (
+        spark.read.parquet(path + "/docs")
+        .join(F.broadcast(lab.select(id_col).distinct()), id_col, "left_semi")
+        .limit(5)
+        .collect()
+    )
+    if clashes:
+        sample = ", ".join(str(r[0]) for r in clashes)
+        raise ValueError(
+            "nb_index_upsert: increment re-ingests registered doc ids "
+            f"(e.g. {sample}) — their counts would double silently. "
+            "nb_index_delete them first, or rebuild with nb_build_index."
+        )
+    feats = hashed_ngram_features(
+        new_labeled.select(id_col, text_col), id_col, text_col, b
+    )
+    inc_counts = (
+        feats.join(lab, id_col)
+        .groupBy(label_col, "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    old = spark.read.parquet(path + "/counts")
+    merged = (
+        old.withColumnRenamed("cnt", "__a")
+        .join(
+            inc_counts.withColumnRenamed("cnt", "__b"),
+            [label_col, "bucket"],
+            "full",
+        )
+        .select(
+            label_col,
+            "bucket",
+            (
+                F.coalesce("__a", F.lit(0)) + F.coalesce("__b", F.lit(0))
+            ).alias("cnt"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    lab.write.mode("append").parquet(path + "/docs")
+    tmp = path + "/counts__tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    swap_directory(spark, path + "/counts", tmp, "nb_index_upsert")
+
+
+def nb_index_delete(path: str, doomed_labeled: DataFrame) -> None:
+    """Remove documents from the index — the takedown verb, and it is
+    EXACT: NB counts decrement, so delete == retrain-without bit for
+    bit (q244's oracle IS the reduced retrain). The caller supplies
+    the full labeled rows (id, text, label) — the text is what is
+    being un-counted. RAISES if any id is not registered (decrementing
+    what was never added corrupts counts) and refuses to empty the
+    index.
+
+    Crash ordering: the registry swap lands FIRST, then the counts
+    swap — a crash between the two leaves de-registered ids with
+    stale counts, and the REPLAY raises the not-registered gate (loud)
+    instead of double-decrementing (silent)."""
+    from ..util import swap_directory
+
+    spark = doomed_labeled.sparkSession
+    params = nb_params(spark, path)
+    b = int(params["buckets"])
+    label_col, id_col = params["label_col"], params["id_col"]
+    text_col = params["text_col"]
+    docs = spark.read.parquet(path + "/docs")
+    doomed_ids = doomed_labeled.select(id_col).distinct()
+    missing = (
+        doomed_ids.join(docs, id_col, "left_anti").limit(5).collect()
+    )
+    if missing:
+        sample = ", ".join(str(r[0]) for r in missing)
+        raise ValueError(
+            "nb_index_delete: ids not registered in the index "
+            f"(e.g. {sample}) — decrementing counts that were never "
+            "added would corrupt the model"
+        )
+    kept_docs = docs.join(
+        F.broadcast(doomed_ids), id_col, "left_anti"
+    ).localCheckpoint(eager=True)
+    if kept_docs.isEmpty():
+        raise ValueError(
+            "nb_index_delete: deleting every registered document would "
+            "empty the index — drop the directory explicitly instead"
+        )
+    feats = hashed_ngram_features(
+        doomed_labeled.select(id_col, text_col), id_col, text_col, b
+    )
+    dec = (
+        feats.join(doomed_labeled.select(id_col, label_col), id_col)
+        .groupBy(label_col, "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    old = spark.read.parquet(path + "/counts")
+    merged = (
+        old.withColumnRenamed("cnt", "__a")
+        .join(
+            dec.withColumnRenamed("cnt", "__b"),
+            [label_col, "bucket"],
+            "left",
+        )
+        .select(
+            label_col,
+            "bucket",
+            (F.col("__a") - F.coalesce("__b", F.lit(0))).alias("cnt"),
+        )
+        .filter(F.col("cnt") > 0)
+        .localCheckpoint(eager=True)
+    )
+    tmp_d = path + "/docs__tmp"
+    kept_docs.write.mode("overwrite").parquet(tmp_d)
+    swap_directory(spark, path + "/docs", tmp_d, "nb_index_delete")
+    tmp_c = path + "/counts__tmp"
+    merged.write.mode("overwrite").parquet(tmp_c)
+    swap_directory(spark, path + "/counts", tmp_c, "nb_index_delete")

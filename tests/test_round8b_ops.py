@@ -326,3 +326,97 @@ def test_audio_fingerprint_guards_and_short_clips(spark):
         audio_match_pairs(
             frame_shingle_fingerprints(clips), min_matches=0
         )
+
+
+# ---------------------------------------------------------------------------
+# Persisted NB index verbs (build / upsert / delete)
+# ---------------------------------------------------------------------------
+
+
+def test_nb_index_upsert_equals_retrain(spark, tmp_path):
+    from graphragpart1datapipeline_spark.text.classify import (
+        nb_build_index,
+        nb_index_upsert,
+        nb_model,
+        nb_train,
+    )
+
+    lab = _labeled(spark)
+    path = str(tmp_path / "nbidx")
+    nb_build_index(lab.filter(F.col("doc_id") <= 2), path, buckets=64)
+    nb_index_upsert(path, lab.filter(F.col("doc_id") > 2))
+    got = nb_model(spark, path)
+    want = nb_train(lab, buckets=64)
+    for key in ("model", "classes"):
+        assert sorted(map(tuple, got[key].collect())) == sorted(
+            map(tuple, want[key].collect())
+        )
+
+
+def test_nb_index_delete_equals_retrain_without(spark, tmp_path):
+    from graphragpart1datapipeline_spark.text.classify import (
+        nb_build_index,
+        nb_index_delete,
+        nb_model,
+        nb_train,
+    )
+
+    lab = _labeled(spark)
+    path = str(tmp_path / "nbdel")
+    nb_build_index(lab, path, buckets=64)
+    nb_index_delete(path, lab.filter(F.col("doc_id") == 2))
+    got = nb_model(spark, path)
+    want = nb_train(lab.filter(F.col("doc_id") != 2), buckets=64)
+    for key in ("model", "classes"):
+        assert sorted(map(tuple, got[key].collect())) == sorted(
+            map(tuple, want[key].collect())
+        )
+
+
+def test_nb_index_delete_removes_emptied_class(spark, tmp_path):
+    """Deleting every doc of a class must remove the class entirely
+    (a zero-doc prior is ln(0)) — the model genuinely unlearns."""
+    from graphragpart1datapipeline_spark.text.classify import (
+        nb_build_index,
+        nb_index_delete,
+        nb_model,
+    )
+
+    lab = _labeled(spark)
+    path = str(tmp_path / "nbcls")
+    nb_build_index(lab, path, buckets=64)
+    nb_index_delete(path, lab.filter(F.col("label") == "metal"))
+    got = nb_model(spark, path)
+    assert [r["label"] for r in got["classes"].collect()] == ["fruit"]
+    assert got["model"].filter(F.col("label") == "metal").count() == 0
+
+
+def test_nb_index_gates(spark, tmp_path):
+    from graphragpart1datapipeline_spark.text.classify import (
+        nb_build_index,
+        nb_index_delete,
+        nb_index_upsert,
+        nb_params,
+    )
+
+    lab = _labeled(spark)
+    path = str(tmp_path / "nbgate")
+    nb_build_index(lab, path, buckets=64)
+    # re-ingesting a registered id -> loud collision
+    with pytest.raises(ValueError, match="re-ingests registered"):
+        nb_index_upsert(path, lab.filter(F.col("doc_id") == 1))
+    # params mismatch -> loud
+    fresh = spark.createDataFrame(
+        [(99, "new doc", "fruit")], "doc_id long, text string, label string"
+    )
+    with pytest.raises(ValueError, match="do not match the index"):
+        nb_index_upsert(path, fresh, buckets=128)
+    # deleting an unregistered id -> loud
+    with pytest.raises(ValueError, match="not registered"):
+        nb_index_delete(path, fresh)
+    # deleting everything -> refuses
+    with pytest.raises(ValueError, match="empty the index"):
+        nb_index_delete(path, lab)
+    # not an index -> friendly
+    with pytest.raises(FileNotFoundError, match="nb_build_index"):
+        nb_params(spark, str(tmp_path / "nowhere"))
