@@ -112,6 +112,43 @@ def _docs_df(spark, base):
     return read_table(spark, base, "documents")
 
 
+def _nb_probe(spark, docs):
+    """Train on the even half, classify the odd half — the q238 shape
+    at probe scale."""
+    from graphragpart1datapipeline_spark.text.classify import (
+        nb_classify,
+        nb_train,
+    )
+
+    d = docs()
+    train = d.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "text", F.col("lang").alias("label")
+    )
+    test = d.filter(F.col("doc_id") % 2 == 1)
+    return nb_classify(test, nb_train(train, buckets=512), buckets=512)
+
+
+def _audio_probe(spark, emb):
+    """Embeddings reshaped to 16×4 frames, shingled and offset-matched
+    — the q242 shape at probe scale (min_matches=1 so the probe counts
+    every alignment the join produces)."""
+    from graphragpart1datapipeline_spark.multimodal.audio import (
+        audio_match_pairs,
+        frame_shingle_fingerprints,
+    )
+
+    e = emb()
+    v = F.col("embedding").cast("array<double>")
+    frames = F.transform(
+        F.sequence(F.lit(0), F.lit(15)), lambda s: F.slice(v, s * 4 + 1, 4)
+    )
+    clips = e.select("vec_id", frames.alias("frames"))
+    fps = frame_shingle_fingerprints(
+        clips, "frames", "vec_id", shingle=3, quant=2.0
+    )
+    return audio_match_pairs(fps, "vec_id", min_matches=1, max_df=16)
+
+
 def _docs_salted_df(spark, base):
     """The pair-probe corpus: the salted companion when it exists (K×
     dirs), else the raw documents (1× base — no copies, no salt
@@ -551,6 +588,15 @@ def ops(spark, base: str, extra_bits: int = 0):
         "pq_encode": lambda: pq_encode(
             emb(), pq_train(emb(), m=4, ksub=4, iters=1, seed=42)
         ),
+        # round-8b: NB train+classify — training shuffles bucket-width
+        # counts, scoring is one corpus feature scan + a broadcast
+        # model join; wall must grow ~linearly with the corpus
+        "nb_classify": lambda: _nb_probe(spark, docs),
+        # round-8b: audio offset-histogram match — shingle fingerprints
+        # are row-local, the self-join is an exact-hash pigeonhole
+        # (distinct clips' quantized windows don't collide), so the
+        # candidate stream and wall stay ~linear in the clip count
+        "audio_match": lambda: _audio_probe(spark, emb),
         # 2 edges/node keeps the multi-round join volume inside the
         # bench time envelope; the linear-regime conclusion is the same
         "leiden_distributed": lambda: leiden_communities(
@@ -758,6 +804,12 @@ SCALE_BOUNDS: dict[str, float] = {
     "contamination": 4.0,
     "dsir_weights": 4.0,
     "pq_encode": 3.5,
+    # round-8b (standalone calibration at K=4, see README): NB is
+    # scan-bound map work + bucket-width count shuffles; the audio
+    # match's exact-hash join pairs only identical quantized windows
+    # (distinct clips don't collide), so both stay ~linear
+    "nb_classify": 4.0,
+    "audio_match": 4.0,
 }
 
 # Max allowed K×/1× CANDIDATE-pair-count ratio for the pair-space ops
