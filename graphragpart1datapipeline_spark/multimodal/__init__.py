@@ -1,5 +1,6 @@
 from .assets import (  # noqa: F401
     decode_image_features,
+    decode_payloads,
     fake_decode_stats,
     frame_sample_plan,
     pillow_decoder,

@@ -32,26 +32,24 @@ def fake_decode_stats(payload: bytes) -> list[float]:
     return [b / 255.0 for b in h[:8]]
 
 
-def decode_image_features(
+def decode_payloads(
     df: DataFrame,
-    decoder: Callable[[bytes], list[float]] | None = None,
+    decoder: Callable,
+    schema: str,
+    out_col: str,
     id_col: str = "asset_id",
     payload_col: str = "payload",
     kind_col: str = "kind",
+    missing_msg: str = "no media codec available in this environment",
 ) -> DataFrame:
-    """Binary payloads → per-asset feature rows via Arrow-batched
-    mapInPandas. ``decoder`` maps raw bytes to a feature vector; real
-    image decode (resize / pixel stats) plugs in here.
-
-    STUB: raises NotImplementedError when no decoder is supplied —
-    the container has no image/audio libs; use ``fake_decode_stats``
-    in tests.
-    """
+    """THE Arrow decode seam, shared by every media family (image
+    features, audio frames): binary payloads → per-asset rows via
+    Arrow-batched mapInPandas, each row carrying (id, kind, byte_len,
+    sha256 content_hash, ``out_col`` = decoder(raw)). One
+    implementation: a fix to the batch shaping / null-payload handling
+    / hash choice must reach every modality at once."""
     if decoder is None:
-        raise NotImplementedError(
-            "no media codec available in this environment; "
-            "inject a decoder (e.g. PIL-based) or use fake_decode_stats"
-        )
+        raise NotImplementedError(missing_msg)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -71,11 +69,35 @@ def decode_image_features(
                 )
             yield pd.DataFrame(
                 rows,
-                columns=[id_col, kind_col, "byte_len", "content_hash", "feature"],
+                columns=[id_col, kind_col, "byte_len", "content_hash", out_col],
             )
 
     return df.select(id_col, kind_col, payload_col).mapInPandas(
-        gen, schema=FEATURE_SCHEMA
+        gen, schema=schema
+    )
+
+
+def decode_image_features(
+    df: DataFrame,
+    decoder: Callable[[bytes], list[float]] | None = None,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+    kind_col: str = "kind",
+) -> DataFrame:
+    """Binary payloads → per-asset feature rows via Arrow-batched
+    mapInPandas (:func:`decode_payloads`). ``decoder`` maps raw bytes
+    to a feature vector; real image decode (resize / pixel stats)
+    plugs in here.
+
+    STUB: raises NotImplementedError when no decoder is supplied —
+    the container has no image/audio libs; use ``fake_decode_stats``
+    in tests.
+    """
+    return decode_payloads(
+        df, decoder, FEATURE_SCHEMA, "feature",
+        id_col, payload_col, kind_col,
+        "no media codec available in this environment; "
+        "inject a decoder (e.g. PIL-based) or use fake_decode_stats",
     )
 
 

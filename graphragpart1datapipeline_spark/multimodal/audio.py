@@ -35,9 +35,8 @@ exact — every stage replays in SQL.
 from __future__ import annotations
 
 import hashlib
-from collections.abc import Callable, Iterator
+from collections.abc import Callable
 
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -90,39 +89,16 @@ def decode_audio_frames(
     STUB: raises NotImplementedError when no decoder is supplied (no
     audio libs in this container); inject an ffmpeg/librosa-backed
     decoder with the identical signature, or ``fake_decode_frames``
-    in tests."""
-    if decoder is None:
-        raise NotImplementedError(
-            "no audio codec available in this environment; inject a "
-            "decoder (e.g. ffmpeg/librosa mel bands) or use "
-            "fake_decode_frames"
-        )
+    in tests. The Arrow mechanics are :func:`..multimodal.assets
+    .decode_payloads` — ONE seam shared with the image family."""
+    from .assets import decode_payloads
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for aid, kind, payload in zip(
-                pdf[id_col], pdf[kind_col], pdf[payload_col]
-            ):
-                raw = bytes(payload) if payload is not None else b""
-                rows.append(
-                    (
-                        aid,
-                        kind,
-                        len(raw),
-                        hashlib.sha256(raw).hexdigest(),
-                        decoder(raw),
-                    )
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    id_col, kind_col, "byte_len", "content_hash", "frames"
-                ],
-            )
-
-    return df.select(id_col, kind_col, payload_col).mapInPandas(
-        gen, schema=FRAMES_SCHEMA
+    return decode_payloads(
+        df, decoder, FRAMES_SCHEMA, "frames",
+        id_col, payload_col, kind_col,
+        "no audio codec available in this environment; inject a "
+        "decoder (e.g. ffmpeg/librosa mel bands) or use "
+        "fake_decode_frames",
     )
 
 

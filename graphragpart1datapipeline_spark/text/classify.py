@@ -116,6 +116,10 @@ def _derive_tables(
     (in-memory) and :func:`nb_model` (persisted index), so an index
     rebuilt from folded counts derives EXACTLY the tables a fresh
     retrain would (the upsert == retrain contract q243 locks)."""
+    # counts is ≤ buckets × #classes rows but its lineage is the full
+    # training scan — materialize once so model/classes (and the two
+    # driver collects nb_classify_expr issues) don't re-run training
+    counts = counts.localCheckpoint(eager=True)
     totals = counts.groupBy(label_col).agg(F.sum("cnt").alias("tot"))
     classes = (
         n_docs.join(totals, label_col, "left")
@@ -174,9 +178,12 @@ def nb_score(
         model = model["model"]
     if classes is None:
         raise ValueError("nb_score: classes table is required")
+    # the corpus feature frame feeds BOTH the doc_tot rollup and the
+    # matched join — materialize it once instead of tokenizing the
+    # 100 TB corpus twice (the dsir_weights pattern)
     feats = hashed_ngram_features(
         df.select(id_col, text_col), id_col, text_col, buckets
-    )
+    ).localCheckpoint(eager=True)
     # a doc with no grams (empty text) still scores: prior only
     doc_tot = df.select(id_col).join(
         feats.groupBy(id_col).agg(F.sum("cnt").alias("tot")),
@@ -279,25 +286,17 @@ def nb_classify_expr(
     }
     for r in fitted["model"].collect():
         deltas[r[label_col]][r["bucket"]] = int(r["idelta"])
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    sz = F.size(toks)
-    bigrams = F.when(
-        sz >= 2,
-        F.transform(
-            F.sequence(F.lit(0), sz - 2),
-            lambda s: F.concat_ws(" ", F.slice(toks, s + 1, 2)),
-        ),
-    ).otherwise(
-        F.slice(F.sequence(F.lit(0), F.lit(0)), 1, 0).cast("array<string>")
-    )
-    grams = F.filter(F.concat(toks, bigrams), lambda g: g != "")
+    from .dsir import gram_array, gram_bucket
+
+    # NULL text coalesces to '' so it scores prior-only (tot 0, empty
+    # gram fold) — EXACTLY nb_score's behavior, where explode drops
+    # the row and doc_tot coalesces to 0. Without this, size(NULL) is
+    # -1 and the NULL fold makes pred a null-ordering artifact.
+    grams = gram_array(F.coalesce(F.col(text_col), F.lit("")))
     tot = F.size(grams)
 
     def bucket_of(g):
-        return (
-            F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")
-            % buckets
-        ).cast("int")
+        return gram_bucket(g, buckets).cast("int")
 
     scored = []
     for r in class_rows:
@@ -482,6 +481,19 @@ def nb_index_upsert(
     label_col, id_col = params["label_col"], params["id_col"]
     text_col = params["text_col"]
     lab = new_labeled.select(id_col, label_col)
+    # an id duplicated WITHIN the increment would double-count AND
+    # double-register (a later delete then leaves phantom counts) —
+    # gate it as loudly as the cross-batch collision
+    sizes = lab.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(id_col).alias("nd"),
+    ).collect()[0]
+    if sizes["n"] != sizes["nd"]:
+        raise ValueError(
+            f"nb_index_upsert: increment contains duplicate ids "
+            f"({sizes['n']} rows, {sizes['nd']} distinct) — dedupe "
+            "before folding in, or counts double silently"
+        )
     clashes = (
         spark.read.parquet(path + "/docs")
         .join(F.broadcast(lab.select(id_col).distinct()), id_col, "left_semi")
@@ -547,16 +559,36 @@ def nb_index_delete(path: str, doomed_labeled: DataFrame) -> None:
     label_col, id_col = params["label_col"], params["id_col"]
     text_col = params["text_col"]
     docs = spark.read.parquet(path + "/docs")
-    doomed_ids = doomed_labeled.select(id_col).distinct()
-    missing = (
-        doomed_ids.join(docs, id_col, "left_anti").limit(5).collect()
-    )
-    if missing:
-        sample = ", ".join(str(r[0]) for r in missing)
+    sizes = doomed_labeled.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(id_col).alias("nd"),
+    ).collect()[0]
+    if sizes["n"] != sizes["nd"]:
         raise ValueError(
-            "nb_index_delete: ids not registered in the index "
-            f"(e.g. {sample}) — decrementing counts that were never "
-            "added would corrupt the model"
+            f"nb_index_delete: takedown set contains duplicate ids "
+            f"({sizes['n']} rows, {sizes['nd']} distinct) — counts "
+            "would decrement twice"
+        )
+    doomed_ids = doomed_labeled.select(id_col).distinct()
+    # gate on the REGISTERED (id, label) pair, not the caller's claim:
+    # a wrong label would decrement the wrong class's counts, and the
+    # cnt > 0 filter below would silently swallow the negatives —
+    # permanent model corruption with no error
+    mismatched = (
+        doomed_labeled.select(id_col, label_col)
+        .join(docs, [id_col, label_col], "left_anti")
+        .limit(5)
+        .collect()
+    )
+    if mismatched:
+        sample = ", ".join(
+            f"({r[0]}, {r[1]!r})" for r in mismatched
+        )
+        raise ValueError(
+            "nb_index_delete: rows not registered with that label "
+            f"(e.g. {sample}) — either the id was never added or the "
+            "supplied label differs from the registered one; "
+            "decrementing would corrupt the model"
         )
     kept_docs = docs.join(
         F.broadcast(doomed_ids), id_col, "left_anti"

@@ -43,7 +43,44 @@ from pyspark.sql import functions as F
 
 from .analysis import tokens
 
-__all__ = ["hashed_ngram_features", "dsir_weights", "dsir_select"]
+__all__ = [
+    "gram_array",
+    "gram_bucket",
+    "hashed_ngram_features",
+    "dsir_weights",
+    "dsir_select",
+]
+
+
+def gram_array(text_col):
+    """Row-local unigram + bigram gram array (non-empty grams, document
+    order) — THE feature construction, shared by
+    :func:`hashed_ngram_features` (which explodes it) and the row-local
+    NB scorer (text/classify.py nb_classify_expr, which folds it with
+    ``aggregate``). One implementation to audit: a private copy in the
+    scorer would let the trained model and the serving expression
+    silently drift apart."""
+    toks = tokens(text_col)
+    sz = F.size(toks)
+    bigrams = F.when(
+        sz >= 2,
+        F.transform(
+            F.sequence(F.lit(0), sz - 2),
+            lambda s: F.concat_ws(" ", F.slice(toks, s + 1, 2)),
+        ),
+    ).otherwise(
+        F.slice(F.sequence(F.lit(0), F.lit(0)), 1, 0).cast("array<string>")
+    )
+    return F.filter(F.concat(toks, bigrams), lambda g: g != "")
+
+
+def gram_bucket(col, buckets: int):
+    """Hash bucket of a gram: md5, first 8 hex chars, mod ``buckets``
+    — the engine's portable-hash idiom, replayable in SQL."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long") % buckets
+    )
 
 
 def hashed_ngram_features(
@@ -53,30 +90,15 @@ def hashed_ngram_features(
     buckets: int = 4096,
 ) -> DataFrame:
     """(id, bucket, cnt) — unigram + bigram counts hashed into
-    ``buckets`` slots (md5 of the space-joined gram, first 8 hex chars
-    mod buckets — the engine's portable-hash idiom). Map-only until
-    the (id, bucket) rollup."""
+    ``buckets`` slots (:func:`gram_array` + :func:`gram_bucket`).
+    Map-only until the (id, bucket) rollup."""
     if buckets < 2:
         raise ValueError(
             f"hashed_ngram_features: buckets must be >= 2, got {buckets}"
         )
-    toks = tokens(text_col)
-    sz = F.size(toks)
-    bigrams = F.when(
-        sz >= 2,
-        F.transform(
-            F.sequence(F.lit(0), sz - 2),
-            lambda s: F.concat_ws(" ", F.slice(toks, s + 1, 2)),
-        ),
-    ).otherwise(F.slice(F.sequence(F.lit(0), F.lit(0)), 1, 0).cast("array<string>"))
-    grams = F.concat(toks, bigrams)
-    bucket = F.conv(F.substring(F.md5(F.col("__gram")), 1, 8), 16, 10).cast(
-        "long"
-    ) % buckets
     return (
-        df.select(F.col(id_col), F.explode(grams).alias("__gram"))
-        .filter(F.col("__gram") != "")
-        .select(id_col, bucket.alias("bucket"))
+        df.select(F.col(id_col), F.explode(gram_array(text_col)).alias("__gram"))
+        .select(id_col, gram_bucket(F.col("__gram"), buckets).alias("bucket"))
         .groupBy(id_col, "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

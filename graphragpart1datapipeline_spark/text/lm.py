@@ -167,7 +167,12 @@ def ccnet_buckets(
         raise ValueError(
             f"ccnet_buckets: sample_size must be >= 3, got {sample_size}"
         )
-    scored = bigram_lm_score(df, model, text_col, id_col)
+    # the scored frame feeds BOTH the calibration-sample collect and
+    # the returned assignment — materialize once, or the self-trained
+    # LM and the corpus scoring run twice (the dsir_weights pattern)
+    scored = bigram_lm_score(df, model, text_col, id_col).localCheckpoint(
+        eager=True
+    )
     nn = scored.filter(F.col("mean_prob_micro").isNotNull())
     key = F.md5(
         F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))

@@ -171,7 +171,7 @@ def test_nb_rowlocal_expr_matches_broadcast_scorer(spark):
     fitted = nb_train(_labeled(spark), buckets=64)
     test = spark.createDataFrame(
         [(10, "apple cherry banana"), (11, "zinc iron copper"),
-         (12, "apple iron"), (13, "")],
+         (12, "apple iron"), (13, ""), (14, None)],
         "doc_id long, text string",
     )
     a = {
@@ -420,3 +420,36 @@ def test_nb_index_gates(spark, tmp_path):
     # not an index -> friendly
     with pytest.raises(FileNotFoundError, match="nb_build_index"):
         nb_params(spark, str(tmp_path / "nowhere"))
+
+
+def test_nb_index_delete_label_mismatch_and_dup_gates(spark, tmp_path):
+    """The delete gate checks the REGISTERED (id, label) pair — a
+    caller-supplied wrong label must raise, never decrement the wrong
+    class; duplicate ids in either verb's batch raise too."""
+    from graphragpart1datapipeline_spark.text.classify import (
+        nb_build_index,
+        nb_index_delete,
+        nb_index_upsert,
+    )
+
+    lab = _labeled(spark)
+    path = str(tmp_path / "nbmis")
+    nb_build_index(lab, path, buckets=64)
+    wrong = spark.createDataFrame(
+        [(1, "apple banana apple cherry", "metal")],  # registered fruit
+        "doc_id long, text string, label string",
+    )
+    with pytest.raises(ValueError, match="not registered with that label"):
+        nb_index_delete(path, wrong)
+    dup = spark.createDataFrame(
+        [(50, "a b", "fruit"), (50, "a b", "fruit")],
+        "doc_id long, text string, label string",
+    )
+    with pytest.raises(ValueError, match="duplicate ids"):
+        nb_index_upsert(path, dup)
+    dup_del = spark.createDataFrame(
+        [(1, "apple banana apple cherry", "fruit")] * 2,
+        "doc_id long, text string, label string",
+    )
+    with pytest.raises(ValueError, match="duplicate ids"):
+        nb_index_delete(path, dup_del)
