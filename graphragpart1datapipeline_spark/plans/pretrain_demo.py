@@ -54,13 +54,22 @@ def build_pretrain_pipeline(
     n_shards: int = 16,
     capacity: int = 512,
     dsir_frac: float | None = None,
+    classifier_keep: list[str] | None = None,
 ) -> Pipeline:
     """``dsir_frac``: when set, insert a DSIR data-selection stage
     (text/dsir.py) between decontamination and mixture rebalancing —
     keep only the top-``dsir_frac`` most target-like documents (target
     = the deterministic doc_id % 17 == 2 curated slice, q230's rule).
     ``None`` (default) skips the stage; the rest of the DAG is
-    unchanged either way."""
+    unchanged either way.
+
+    ``classifier_keep``: when set, insert the NB classifier gate
+    (text/classify.py — the CCNet fastText language filter / GPT-3
+    quality filter slot) right after the heuristic quality gate: the
+    classifier trains on the deterministic doc_id % 17 == 2 labeled
+    slice (lang as the label) and only documents whose PREDICTED
+    class is in the list pass. Uses the row-local plan-literal scorer,
+    so the gate fuses into the scan like the other quality filters."""
     p = Pipeline()
     mix = DEFAULT_MIX if target_mix is None else target_mix
 
@@ -81,7 +90,28 @@ def build_pretrain_pipeline(
         )
         return gated.select(docs.columns)
 
-    @p.stage("exact_deduped", deps=["quality_gated"])
+    dedup_dep = "quality_gated"
+    if classifier_keep is not None:
+        dedup_dep = "classifier_gated"
+
+        @p.stage("classifier_gated", deps=["quality_gated"])
+        def classifier_gated(spark: SparkSession, docs: DataFrame) -> DataFrame:
+            # the learned filter after the heuristic one: NB trained on
+            # the deterministic curated slice, applied as a row-local
+            # plan-literal expression (fuses into the scan); the audit
+            # columns are dropped so the downstream schema is identical
+            # with the stage on or off
+            from ..text.classify import nb_train, stream_quality_gate
+
+            seed_slice = docs.filter(F.col("doc_id") % 17 == 2).select(
+                "doc_id", "text", F.col("lang").alias("label")
+            )
+            fitted = nb_train(seed_slice, buckets=512)
+            return stream_quality_gate(
+                docs, fitted, classifier_keep, buckets=512
+            ).drop("pred", "score")
+
+    @p.stage("exact_deduped", deps=[dedup_dep])
     def exact_deduped(spark: SparkSession, docs: DataFrame) -> DataFrame:
         # cheapest cut first: one hash-groupBy removes byte-identical rows
         return exact_dedup(docs, text_col="text", id_col="doc_id")

@@ -453,3 +453,25 @@ def test_nb_index_delete_label_mismatch_and_dup_gates(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="duplicate ids"):
         nb_index_delete(path, dup_del)
+
+
+def test_pretrain_pipeline_with_classifier_gate(spark):
+    from graphragpart1datapipeline_spark.plans.pretrain_demo import (
+        build_pretrain_pipeline,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = build_pretrain_pipeline(
+        sf, classifier_keep=["en", "de", "es", "fr", "zh"]
+    ).run(spark)
+    # keep-everything gate: schema unchanged, subset of the heuristic
+    # gate's survivors, and the funnel still completes
+    assert out["classifier_gated"].columns == out["quality_gated"].columns
+    n_gate = out["classifier_gated"].count()
+    assert 0 < n_gate <= out["quality_gated"].count()
+    assert out["packed"].count() > 0
+    # a restrictive keep list shrinks the gate output
+    small = build_pretrain_pipeline(sf, classifier_keep=["en"]).run(spark)
+    assert 0 < small["classifier_gated"].count() < n_gate
+    # default build is unchanged: no classifier stage registered
+    assert "classifier_gated" not in build_pretrain_pipeline(sf).run(spark)
