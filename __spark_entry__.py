@@ -14372,6 +14372,62 @@ def q244(spark, sf_dir):
     return nb_classify(test, fitted, buckets=512).orderBy("doc_id")
 
 
+def _ktruss_sql(k: int, rounds: int) -> str:
+    """Unrolled support-peeling rounds (the fixed-round-replay pattern
+    shared with _kcore_sql): round r computes every surviving edge's
+    triangle support as |N(a) ∩ N(b)| (distinct common neighbors) and
+    keeps edges with support ≥ k−2; output = the final round's
+    survivors with their support."""
+    need = k - 2
+    sql = """WITH e0 AS (
+      SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )"""
+    for r in range(rounds):
+        sql += f""", n{r} AS (
+      SELECT a AS n, b AS m FROM e{r} UNION ALL SELECT b, a FROM e{r}
+    ), adj{r} AS (
+      SELECT n, list(DISTINCT m) AS nb FROM n{r} GROUP BY n
+    ), s{r} AS (
+      SELECT e{r}.a, e{r}.b,
+             CAST(len(list_intersect(x.nb, y.nb)) AS BIGINT) AS support
+      FROM e{r} JOIN adj{r} x ON x.n = e{r}.a
+      JOIN adj{r} y ON y.n = e{r}.b
+    )"""
+        if r < rounds - 1:
+            sql += f""", e{r + 1} AS (
+      SELECT a, b FROM s{r} WHERE support >= {need}
+    )"""
+    sql += f"""
+    SELECT a, b, support FROM s{rounds - 1} WHERE support >= {need}
+    ORDER BY a, b
+    """
+    return sql
+
+
+@_register("q245_ktruss", _ktruss_sql(16, 2))
+def q245(spark, sf_dir):
+    """k-TRUSS decomposition (k=16, 2 fixed peel rounds) over the
+    co-purchase graph — the edge-level cohesion filter one notch
+    stronger than q109's k-core (edges need k−2 triangles, not just
+    endpoints with degree k): the community-core / spam-subgraph
+    denoiser that runs before expensive community detection. Per round
+    the support is the adjacency-intersection shape (one node groupBy,
+    two |E|-row joins, row-local array_intersect — no wedge rows ever
+    materialize, |E|+|V| shuffle volume), supports are exact integer
+    counts, and the synchronous peel has no ordering sensitivity — the
+    unrolled rounds replay exactly."""
+    from graphragpart1datapipeline_spark.graph.triangles import (
+        cooccurrence_edges,
+    )
+    from graphragpart1datapipeline_spark.graph.truss import ktruss
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return ktruss(edges, k=16, rounds=2).orderBy("a", "b")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q02(spark, "/root/testdata/sf0.001")

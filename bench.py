@@ -298,6 +298,9 @@ SECONDARY = [
     # — IO-dominated like q180/q234, 1-rep traces suffice)
     "q243_nb_incremental",
     "q244_nb_delete",
+    # k-truss rides the dense co-purchase graph (off-headline like
+    # q193/q198/q105's companions; adjacency-intersection rounds)
+    "q245_ktruss",
 ]
 
 # Repetitions per query; report the min. The ambient swing on a shared

@@ -12,3 +12,4 @@ from .communities import (  # noqa: F401
 )
 from .linkpred import link_prediction_scores  # noqa: F401
 from .triangles import cooccurrence_edges, triangle_counts  # noqa: F401
+from .truss import edge_support, ktruss  # noqa: F401

@@ -475,3 +475,54 @@ def test_pretrain_pipeline_with_classifier_gate(spark):
     assert 0 < small["classifier_gated"].count() < n_gate
     # default build is unchanged: no classifier stage registered
     assert "classifier_gated" not in build_pretrain_pipeline(sf).run(spark)
+
+
+# ---------------------------------------------------------------------------
+# k-truss (graph/truss.py)
+# ---------------------------------------------------------------------------
+
+
+def test_ktruss_peels_to_known_core(spark):
+    """K4 plus a pendant triangle: the 4-truss is exactly the K4 (every
+    K4 edge has 2 common neighbors; the pendant triangle's edges have
+    only 1 and peel — which then cannot resurrect anything)."""
+    from graphragpart1datapipeline_spark.graph.truss import (
+        edge_support,
+        ktruss,
+    )
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    pendant = [(4, 5), (4, 6), (5, 6)]
+    edges = spark.createDataFrame(k4 + pendant, "src long, dst long")
+    supp = {
+        (r["a"], r["b"]): r["support"]
+        for r in edge_support(edges, "src", "dst").collect()
+    }
+    assert supp[(1, 2)] == 2 and supp[(5, 6)] == 1
+    out = ktruss(edges, k=4)  # fixpoint mode
+    assert sorted((r["a"], r["b"]) for r in out.collect()) == sorted(k4)
+    assert all(r["support"] == 2 for r in out.collect())
+    # k=3 keeps everything (every edge is in >= 1 triangle)
+    assert ktruss(edges, k=3).count() == 9
+    # k high enough empties the graph
+    assert ktruss(edges, k=5).count() == 0
+
+
+def test_ktruss_fixed_rounds_superset_and_guards(spark):
+    """A triangle chain where peeling cascades: fixed rounds give a
+    superset of the fixpoint, converging as rounds grow."""
+    from graphragpart1datapipeline_spark.graph.truss import ktruss
+
+    # two triangles sharing edge (2,3); K4 on {5,6,7,8} attached via
+    # triangle (3,5,6)? keep it simple: triangle chain
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4), (3, 5), (4, 5)],
+        "src long, dst long",
+    )
+    r1 = ktruss(edges, k=4, rounds=1).count()
+    fix = ktruss(edges, k=4).count()
+    assert r1 >= fix
+    with pytest.raises(ValueError, match="k must be >= 3"):
+        ktruss(edges, k=2)
+    with pytest.raises(ValueError, match="rounds"):
+        ktruss(edges, k=4, rounds=0)
