@@ -14428,6 +14428,115 @@ def q245(spark, sf_dir):
     return ktruss(edges, k=16, rounds=2).orderBy("a", "b")
 
 
+@_register(
+    "q246_retrieval_metrics",
+    """
+    WITH n AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qv,
+             sqrt(list_dot_product(v, v)) AS qn, label AS qlabel
+      FROM n WHERE vec_id IN (1, 7, 13, 21, 40)
+    ), scored AS (
+      SELECT q.query_id, n.vec_id,
+             CASE WHEN sqrt(list_dot_product(n.v, n.v)) > 0
+                  THEN list_dot_product(n.v, q.qv)
+                       / (sqrt(list_dot_product(n.v, n.v)) * q.qn)
+                  ELSE 0.0 END AS score
+      FROM n CROSS JOIN q
+    ), run AS (
+      SELECT query_id, vec_id, rank FROM (
+        SELECT scored.*,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, vec_id)
+                    AS BIGINT) AS rank
+        FROM scored) WHERE rank <= 10
+    ), qrp AS (
+      SELECT q.query_id, n.vec_id,
+             CASE WHEN n.vec_id % 5 = 0 THEN 2 ELSE 1 END AS rel
+      FROM n CROSS JOIN q WHERE n.label = q.qlabel
+    ), j AS (
+      SELECT run.query_id, run.rank, coalesce(qrp.rel, 0) AS rel
+      FROM run LEFT JOIN qrp USING (query_id, vec_id)
+    ), perq AS (
+      SELECT query_id,
+             coalesce(CAST(floor(
+               1000000.0 / MIN(CASE WHEN rel > 0 THEN rank END) + 0.5)
+               AS BIGINT), 0) AS rr,
+             CAST(SUM(CAST((1 << rel) - 1 AS BIGINT)
+                      * CAST(floor(1000000.0
+                                   / log2(CAST(rank AS DOUBLE) + 1.0)
+                                   + 0.5) AS BIGINT))
+                  AS BIGINT) AS dcg_s
+      FROM j GROUP BY query_id
+    ), ideal AS (
+      SELECT query_id,
+             CAST(SUM(CAST((1 << rel) - 1 AS BIGINT)
+                      * CAST(floor(1000000.0
+                                   / log2(CAST(pos AS DOUBLE) + 1.0)
+                                   + 0.5) AS BIGINT))
+                  AS BIGINT) AS idcg_s
+      FROM (
+        SELECT query_id, rel,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY rel DESC, vec_id ASC) AS pos
+        FROM qrp)
+      WHERE pos <= 10 GROUP BY query_id
+    )
+    SELECT p.query_id, p.rr, p.dcg_s,
+           CAST(coalesce(i.idcg_s, 0) AS BIGINT) AS idcg_s,
+           CASE WHEN coalesce(i.idcg_s, 0) > 0
+                THEN CAST(p.dcg_s AS DOUBLE) / i.idcg_s
+                ELSE 0.0 END AS ndcg
+    FROM perq p LEFT JOIN ideal i USING (query_id)
+    ORDER BY p.query_id
+    """,
+)
+def q246(spark, sf_dir):
+    """RETRIEVAL EVALUATION metrics — MRR + nDCG@10 per query
+    (vector/metrics.py), the TREC-style quality readout next to the
+    engine's recall gates (q160/q186/q233): run = the q217 batched
+    exact top-k for five query vectors; qrels = graded label-match
+    relevance (rel 2 for every fifth matching vector, 1 otherwise).
+    Every log division rounds ONCE to a scaled long (the q230 rule),
+    gains are exact shiftleft longs, DCG/IDCG are exact integer sums,
+    and nDCG is one final double division — the whole metric replays
+    bit-for-bit."""
+    from graphragpart1datapipeline_spark.vector.metrics import (
+        retrieval_metrics,
+    )
+    from graphragpart1datapipeline_spark.vector.search import (
+        multi_query_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qids = [1, 7, 13, 21, 40]
+    queries = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    run = multi_query_topk(
+        emb, queries, k=10, vec_col="embedding", id_col="vec_id",
+        q_vec_col="embedding", q_id_col="query_id",
+    )
+    q_lab = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("__ql")
+    )
+    qrels = (
+        emb.select("vec_id", "label")
+        .crossJoin(F.broadcast(q_lab))
+        .filter(F.col("label") == F.col("__ql"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.when(F.col("vec_id") % 5 == 0, F.lit(2))
+            .otherwise(F.lit(1))
+            .alias("rel"),
+        )
+    )
+    return retrieval_metrics(run, qrels, k=10).orderBy("query_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q02(spark, "/root/testdata/sf0.001")

@@ -301,6 +301,9 @@ SECONDARY = [
     # k-truss rides the dense co-purchase graph (off-headline like
     # q193/q198/q105's companions; adjacency-intersection rounds)
     "q245_ktruss",
+    # retrieval-quality readout (run×qrels joins over serving-sized
+    # frames — the q186/q233 gate family's cost profile)
+    "q246_retrieval_metrics",
 ]
 
 # Repetitions per query; report the min. The ambient swing on a shared

@@ -32,4 +32,5 @@ from .pq import (  # noqa: F401
     pq_train,
     pq_upsert,
 )
+from .metrics import mean_retrieval_metrics, retrieval_metrics  # noqa: F401
 from .squant import sq8_dequant_expr, sq8_encode, sq8_stats, sq8_topk  # noqa: F401

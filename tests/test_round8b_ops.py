@@ -526,3 +526,71 @@ def test_ktruss_fixed_rounds_superset_and_guards(spark):
         ktruss(edges, k=2)
     with pytest.raises(ValueError, match="rounds"):
         ktruss(edges, k=4, rounds=0)
+
+
+# ---------------------------------------------------------------------------
+# Retrieval metrics (vector/metrics.py)
+# ---------------------------------------------------------------------------
+
+
+def test_retrieval_metrics_hand_computed(spark):
+    import math
+
+    from graphragpart1datapipeline_spark.vector.metrics import (
+        mean_retrieval_metrics,
+        retrieval_metrics,
+    )
+
+    run = spark.createDataFrame(
+        # qA: perfect ordering of its two relevant docs
+        [("qA", 10, 1), ("qA", 11, 2), ("qA", 12, 3),
+         # qB: first relevant at rank 2
+         ("qB", 20, 1), ("qB", 21, 2), ("qB", 22, 3),
+         # qC: nothing relevant retrieved (and none exists)
+         ("qC", 30, 1)],
+        "query_id string, vec_id long, rank long",
+    )
+    qrels = spark.createDataFrame(
+        [("qA", 10, 2), ("qA", 11, 1), ("qB", 21, 1), ("qB", 99, 2)],
+        "query_id string, vec_id long, rel long",
+    )
+    out = {
+        r["query_id"]: r
+        for r in retrieval_metrics(run, qrels, k=3).collect()
+    }
+    w = lambda r: math.floor(1_000_000 / math.log2(r + 1) + 0.5)
+    # qA: rr = 1e6; dcg = 3*w1 + 1*w2; ideal ordering identical
+    assert out["qA"]["rr"] == 1_000_000
+    assert out["qA"]["dcg_s"] == 3 * w(1) + 1 * w(2)
+    assert out["qA"]["idcg_s"] == out["qA"]["dcg_s"]
+    assert out["qA"]["ndcg"] == 1.0
+    # qB: rr = round(1e6/2); dcg = 1*w2; ideal = 3*w1 + 1*w2 (doc 99
+    # counts in the ideal even though the run missed it)
+    assert out["qB"]["rr"] == 500_000
+    assert out["qB"]["dcg_s"] == 1 * w(2)
+    assert out["qB"]["idcg_s"] == 3 * w(1) + 1 * w(2)
+    assert out["qB"]["ndcg"] == w(2) / (3 * w(1) + 1 * w(2))
+    # qC: all zeros, ndcg defined as 0.0
+    assert (out["qC"]["rr"], out["qC"]["dcg_s"], out["qC"]["ndcg"]) == (
+        0, 0, 0.0,
+    )
+    roll = mean_retrieval_metrics(retrieval_metrics(run, qrels, k=3)).collect()[0]
+    assert roll["n_queries"] == 3
+    assert abs(roll["mrr"] - (1.0 + 0.5 + 0.0) / 3) < 1e-9
+
+
+def test_retrieval_metrics_guards(spark):
+    from graphragpart1datapipeline_spark.vector.metrics import (
+        retrieval_metrics,
+    )
+
+    run = spark.createDataFrame(
+        [("q", 1, 1)], "query_id string, vec_id long, rank long"
+    )
+    big = spark.createDataFrame(
+        [("q", 1, 40)], "query_id string, vec_id long, rel long"
+    )
+    with pytest.raises(Exception, match="rel exceeds 30"):
+        retrieval_metrics(run, big, k=3).collect()
+    with pytest.raises(ValueError, match="k must be >= 1"):
+        retrieval_metrics(run, big, k=0)
