@@ -72,13 +72,39 @@ def retrieval_metrics(
     - ``ndcg``    dcg_s / idcg_s as one double division (0.0 when the
                   query has no relevant docs at all).
 
-    Every query in ``run`` gets a row, including those with no
-    relevant documents."""
+    EVERY query mentioned in ``run`` or ``qrels`` gets a row — a
+    query whose serving DAG returned nothing (or nothing within k)
+    scores rr=0 / ndcg=0 (the TREC convention), so the
+    :func:`mean_retrieval_metrics` rollup is never inflated by
+    dropping exactly the queries where retrieval failed hardest.
+    Ranks must be 1-based: rank < 1 RAISES (a 0-based rank would make
+    the log2 discount divide by zero and silently wrap to garbage)."""
     if k < 1:
         raise ValueError(f"retrieval_metrics: k must be >= 1, got {k}")
-    r = run.select(
-        F.col(q_col), F.col(id_col), F.col(rank_col).alias("__rank")
-    ).filter(F.col("__rank") <= k)
+    rank_guarded = F.when(
+        F.col("__rank") < 1,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "retrieval_metrics: ranks must be 1-based "
+                    "(>= 1); got "
+                ),
+                F.col("__rank").cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(F.col("__rank").cast("long"))
+    r = (
+        run.select(
+            F.col(q_col), F.col(id_col), F.col(rank_col).alias("__rank")
+        )
+        .select(q_col, id_col, rank_guarded.alias("__rank"))
+        .filter(F.col("__rank") <= k)
+    )
+    universe = (
+        run.select(q_col)
+        .unionByName(qrels.select(q_col))
+        .distinct()
+    )
     # the overflow guard rides inside the rel column itself — every
     # downstream aggregate (DCG and IDCG alike) consumes it, so it
     # cannot be pruned away
@@ -133,11 +159,12 @@ def retrieval_metrics(
         )
     )
     out = (
-        per_q.join(ideal, q_col, "left")
+        universe.join(per_q, q_col, "left")
+        .join(ideal, q_col, "left")
         .select(
             q_col,
-            "rr",
-            "dcg_s",
+            F.coalesce("rr", F.lit(0)).cast("long").alias("rr"),
+            F.coalesce("dcg_s", F.lit(0)).cast("long").alias("dcg_s"),
             F.coalesce("idcg_s", F.lit(0)).cast("long").alias("idcg_s"),
         )
         .withColumn(

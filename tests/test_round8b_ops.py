@@ -594,3 +594,46 @@ def test_retrieval_metrics_guards(spark):
         retrieval_metrics(run, big, k=3).collect()
     with pytest.raises(ValueError, match="k must be >= 1"):
         retrieval_metrics(run, big, k=0)
+    # 0-based ranks must raise, never silently wrap the log2 discount
+    zero_based = spark.createDataFrame(
+        [("q", 1, 0)], "query_id string, vec_id long, rank long"
+    )
+    ok = spark.createDataFrame(
+        [("q", 1, 1)], "query_id string, vec_id long, rel long"
+    )
+    with pytest.raises(Exception, match="1-based"):
+        retrieval_metrics(zero_based, ok, k=3).collect()
+
+
+def test_retrieval_metrics_failed_queries_score_zero(spark):
+    """TREC convention: a query that retrieved nothing (or nothing
+    within k) still gets a row with rr=0/ndcg=0 — the rollup must
+    never be inflated by dropping exactly the failures."""
+    from graphragpart1datapipeline_spark.vector.metrics import (
+        mean_retrieval_metrics,
+        retrieval_metrics,
+    )
+
+    run = spark.createDataFrame(
+        # qGood: hit at rank 1; qLate: only result is beyond k
+        [("qGood", 1, 1), ("qLate", 2, 7)],
+        "query_id string, vec_id long, rank long",
+    )
+    qrels = spark.createDataFrame(
+        # qNone appears only in qrels (run returned zero rows)
+        [("qGood", 1, 1), ("qLate", 2, 1), ("qNone", 3, 2)],
+        "query_id string, vec_id long, rel long",
+    )
+    out = {
+        r["query_id"]: (r["rr"], r["ndcg"])
+        for r in retrieval_metrics(run, qrels, k=3).collect()
+    }
+    assert set(out) == {"qGood", "qLate", "qNone"}
+    assert out["qGood"][0] == 1_000_000 and out["qGood"][1] == 1.0
+    assert out["qLate"] == (0, 0.0)
+    assert out["qNone"] == (0, 0.0)
+    roll = mean_retrieval_metrics(
+        retrieval_metrics(run, qrels, k=3)
+    ).collect()[0]
+    assert roll["n_queries"] == 3
+    assert abs(roll["mrr"] - 1.0 / 3) < 1e-9
