@@ -102,8 +102,14 @@ def ktruss(
                 return kept
             e = kept.select("a", "b")
             continue
-        n_before = supp.count()
-        n_after = kept.count()
+        # one action per round: both counts from a single aggregate
+        # over the checkpointed support frame (two separate count()
+        # jobs would double the iterative loop's job count)
+        counts = supp.agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.count(F.when(F.col("support") >= need, 1)).alias("__k"),
+        ).collect()[0]
+        n_before, n_after = counts["__n"], counts["__k"]
         if n_after == n_before or n_after == 0:
             return kept
         if r >= max_rounds:

@@ -12,3 +12,9 @@ from .audio import (  # noqa: F401
     fake_decode_frames,
     frame_shingle_fingerprints,
 )
+from .video import (  # noqa: F401
+    decode_video_frames,
+    fake_decode_video,
+    video_frame_hashes,
+    video_near_dup_pairs,
+)

@@ -216,12 +216,18 @@ def audio_near_dup_pairs(
 ) -> DataFrame:
     """Full composition: decode (the seam — runs once per clip) →
     shingle fingerprints (row-local) → offset-histogram match.
-    Returns (a, b, offset, n_matches)."""
+    Returns (a, b, offset, n_matches).
+
+    The fingerprint frame is localCheckpoint'ed before matching:
+    ``audio_match_pairs`` consumes it three times (the too-common-hash
+    rollup plus both sides of the self-join), and without the
+    materialization the Arrow decode — the dominant cost at 100 TB —
+    would re-execute once per consumer."""
     frames = decode_audio_frames(
         assets, decoder=decoder, id_col=id_col,
         payload_col=payload_col, kind_col=kind_col,
     )
     fps = frame_shingle_fingerprints(
         frames, "frames", id_col, shingle, quant
-    )
+    ).localCheckpoint(eager=True)
     return audio_match_pairs(fps, id_col, min_matches, max_df)

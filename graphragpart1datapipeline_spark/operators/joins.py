@@ -497,6 +497,13 @@ def not_in_join(
     )
 
 
+# largest broadcast threshold for which the incremental CollectLimit
+# probe may hold threshold+1 single-int marker rows on the driver
+# (~a few MB); above it adaptive_join switches to the job-side
+# count-shape probe whose driver payload is one long
+_PROBE_COLLECT_CAP = 1_000_000
+
+
 def adaptive_join(
     left: DataFrame,
     right: DataFrame,
@@ -520,14 +527,21 @@ def adaptive_join(
        shuffle join (:func:`salted_join_auto`).
     3. else → plain shuffle join (Catalyst/AQE handle the rest).
 
-    The probes are bounded: the broadcast decision takes at most
-    ``broadcast_threshold_rows + 1`` marker rows through a
-    CollectLimit (partitions execute incrementally and stop as soon
-    as the cap is hit — a non-trivial right-side plan is NEVER run to
-    completion the way a ``count()`` would run it, yet the decision
-    stays exact: seeing threshold+1 rows proves "too big" without the
-    true count), and the 3-pass hot-key detection runs only when the
-    broadcast arm is ruled out. Join-type support is
+    The probes are bounded, two regimes. Thresholds up to
+    :data:`_PROBE_COLLECT_CAP` use the INCREMENTAL CollectLimit probe
+    (partitions execute in a geometric ramp and stop as soon as the
+    cap is hit — one big first partition already proves "too big"
+    after a single task; the driver briefly holds ≤ threshold+1
+    1-int marker rows, provably small under the cap). Larger
+    thresholds switch to the JOB-SIDE ``limit(threshold+1).count()``
+    shape: every partition runs but the per-partition LocalLimit caps
+    its row work, and only one long reaches the driver — a caller
+    passing a huge threshold pays bounded executor work, never driver
+    memory. Both regimes are exact: seeing threshold+1 rows proves
+    "too big" without the true count, and a non-trivial right-side
+    plan is never run to completion the way a bare ``count()`` would
+    run it. The 3-pass hot-key detection runs only when the broadcast
+    arm is ruled out. Join-type support is
     :func:`salted_join_auto`'s (inner/left flavors). Pass ``decision``
     (a dict) to observe which arm fired — it gets ``strategy``/
     ``right_rows``/``hot_keys`` entries (``right_rows`` is the probed
@@ -542,11 +556,13 @@ def adaptive_join(
         )
     keys = [on] if isinstance(on, str) else list(on)
     info = decision if decision is not None else {}
-    r_rows = len(
-        right.select(F.lit(1).alias("__probe"))
-        .limit(broadcast_threshold_rows + 1)
-        .collect()
+    probe = right.select(F.lit(1).alias("__probe")).limit(
+        broadcast_threshold_rows + 1
     )
+    if broadcast_threshold_rows <= _PROBE_COLLECT_CAP:
+        r_rows = len(probe.collect())
+    else:
+        r_rows = probe.count()
     info["right_rows"] = r_rows
     if r_rows <= broadcast_threshold_rows:
         info["strategy"] = "broadcast"

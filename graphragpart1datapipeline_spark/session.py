@@ -46,6 +46,16 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # the engine registers ~250 queries; a long session JIT-compiles
+        # thousands of codegen'd stages, and the JVM default code cache
+        # (240 MB) can fill — at which point the JIT silently disables
+        # and every later plan runs interpreted (late-bench queries
+        # slow down round-over-round as coverage grows). 512 MB keeps
+        # compilation alive for the whole run.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=512m",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

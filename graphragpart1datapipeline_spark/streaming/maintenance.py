@@ -57,6 +57,7 @@ __all__ = [
 
 _ND_KEYS = ("buckets", "params")
 _BM_KEYS = ("postings", "dl", "dfreq", "params")
+_NB_KEYS = ("counts", "docs", "params")
 
 
 def _write_tables(tables: dict[str, DataFrame], vdir: str, keys) -> None:
@@ -92,6 +93,8 @@ def init_maintenance_state(
     cent_id_col: str = "cid",
     pq_m: int | None = None,
     pq_ksub: int = 16,
+    nb_label_col: str | None = None,
+    nb_buckets: int = 4096,
 ) -> None:
     """Seed v0 of every artifact from the day-0 corpus: CDC doc state,
     LSH near-dup index, CC labels of the day-0 pair graph, BM25 index,
@@ -99,7 +102,13 @@ def init_maintenance_state(
     train an m-subspace PQ codebook on the day-0 embeddings and build
     the compressed codes index at ``work_dir/pq`` (vector/pq.py
     pq_build_index — frozen codebook persisted beside the codes);
-    :func:`stream_maintenance` then folds every increment into it."""
+    :func:`stream_maintenance` then folds every increment into it.
+    ``nb_label_col``: when set, ``corpus_docs`` (and every change row)
+    must carry that label column; v0 of a VERSIONED NB classifier
+    index (text/classify.py nb_tables — raw counts + doc registry +
+    params) lands at ``work_dir/nb/v0`` and the loop folds every
+    increment with the EXACT additive merge (stream == batch ==
+    retrain, the q243 contract)."""
     from ..dedup.embedding import embedding_near_dup_pairs
     from ..dedup.incremental import embedding_lsh_index
     from ..graph.communities import connected_components
@@ -140,6 +149,15 @@ def init_maintenance_state(
             corpus_emb, book, os.path.join(work_dir, "pq"),
             vec_col=vec_col, id_col=vec_id_col,
         )
+    if nb_label_col is not None:
+        from ..text.classify import nb_tables
+
+        nbt = nb_tables(
+            corpus_docs.select(id_col, text_col, nb_label_col),
+            label_col=nb_label_col, text_col=text_col, id_col=id_col,
+            buckets=nb_buckets,
+        )
+        _write_tables(nbt, os.path.join(work_dir, "nb", "v0"), _NB_KEYS)
 
 
 def read_maintenance_state(spark: SparkSession, work_dir: str) -> dict:
@@ -179,6 +197,12 @@ def read_maintenance_state(spark: SparkSession, work_dir: str) -> dict:
     pq_p = jvm.org.apache.hadoop.fs.Path(pq_path + "_codebook")
     if fs.exists(pq_p):
         out["pq"] = pq_path
+    nb_base = os.path.join(work_dir, "nb")
+    nb_v = _latest_version(nb_base, spark)
+    if nb_v >= 0:
+        out["nb"] = _read_tables(
+            spark, os.path.join(nb_base, f"v{nb_v}"), _NB_KEYS
+        )
     return out
 
 
@@ -197,6 +221,7 @@ def stream_maintenance(
     checkpoint_dir: str | None = None,
     available_now: bool = True,
     keep_versions: int | None = None,
+    drift_frac: float = 0.8,
 ):
     """Run the change stream through the full maintenance DAG with
     foreachBatch; call :func:`init_maintenance_state` first. Returns
@@ -214,16 +239,33 @@ def stream_maintenance(
     the next micro-batch instead of assigning against a stale frame.
     Pass a frame only to pin a specific quantizer.
 
+    ``drift_frac``: the IVF assignment-quality gate threshold handed
+    to ivf_upsert (an increment whose mean assignment cosine falls
+    below ``drift_frac`` × the build baseline raises IvfDriftError —
+    run ivf_rebuild_on_drift). Operating knob: a day-0 slice that is
+    small relative to its increments (or that contains the centroids
+    themselves, inflating the baseline) needs a looser gate.
+
     ``keep_versions``: prune each versioned artifact to the newest N
     copies after every batch (:func:`..cdc.prune_state_versions` —
     ≥ 2 keeps the crash contract). Unpruned, a long-running loop
     stores one full state copy PER MICRO-BATCH; at 100 TB retention
     is the storage bill. ``None`` keeps everything (audit mode).
 
+    NB classifier: when :func:`init_maintenance_state` seeded
+    ``work_dir/nb`` (``nb_label_col=``), every change row must carry
+    that label column and the loop folds each batch's clean increment
+    into a NEW commit-marked version with the EXACT additive merge
+    (text/classify.py nb_fold_increment — stream == batch == retrain,
+    locked by the q243-pattern oracle). Replay-safe through the
+    version protocol: an uncommitted version is invisible, so the
+    replay folds onto the previous one exactly once.
+
     DELETE boundary: 'D' rows tombstone the CDC doc state (so the
     serving read drops them) but do NOT shrink the near-dup/BM25/IVF
     indexes — index takedown is the explicit delete verbs' job
-    (bm25_delete / ivf_delete / embedding_lsh_delete) on the takedown
+    (bm25_delete / ivf_delete / embedding_lsh_delete, and
+    nb_index_delete's arithmetic for the NB artifact) on the takedown
     cadence, not the ingest loop's. A deleted doc can therefore still
     appear as a near-dup NEIGHBOR until those run; its own serving
     rows are already gone at the CDC read."""
@@ -243,6 +285,7 @@ def stream_maintenance(
     bm_dir = os.path.join(work_dir, "bm25")
     ivf_path = os.path.join(work_dir, "ivf")
     pq_path = os.path.join(work_dir, "pq")
+    nb_dir = os.path.join(work_dir, "nb")
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -268,6 +311,23 @@ def stream_maintenance(
         # THEN deletes drop — so a same-batch delete with a higher seq
         # SUPPRESSES the superseded upsert instead of resurrecting it
         # into the indexes
+        # NB classifier: only when the init seeded work_dir/nb — its
+        # label column must then ride every change row, and the clean
+        # increment keeps it alongside (id, text, vec)
+        nb_v = _latest_version(nb_dir, spark)
+        nb_tabs = (
+            _read_tables(spark, os.path.join(nb_dir, f"v{nb_v}"), _NB_KEYS)
+            if nb_v >= 0
+            else None
+        )
+        nb_label_col = (
+            nb_tabs["params"].collect()[0]["label_col"]
+            if nb_tabs is not None
+            else None
+        )
+        inc_cols = [id_col, text_col, vec_col] + (
+            [nb_label_col] if nb_label_col else []
+        )
         wk = Window.partitionBy(id_col).orderBy(
             F.desc(seq_col), F.desc(op_col)
         )
@@ -275,7 +335,7 @@ def stream_maintenance(
             batch_df.withColumn("__rn", F.row_number().over(wk))
             .filter(F.col("__rn") == 1)
             .filter(F.col(op_col) != "D")
-            .select(id_col, text_col, vec_col)
+            .select(*inc_cols)
             .localCheckpoint(eager=True)
         )
         if inc.isEmpty():
@@ -360,6 +420,7 @@ def stream_maintenance(
                 ivf_path, inc_emb, cents,
                 vec_col=vec_col, id_col=vec_id_col,
                 cent_vec_col=vec_col, cent_id_col=cent_id_col,
+                drift_frac=drift_frac,
             )
         elif n_present != n_new:
             raise ValueError(
@@ -404,12 +465,49 @@ def stream_maintenance(
                 )
             # else: fully-applied replay — skip
 
+        # 6c. NB classifier: fold the labeled increment with the EXACT
+        # additive merge into a NEW version (commit-marked — a crash
+        # mid-write leaves v{N} intact and the replay folds onto it
+        # exactly once). Replay detection via the doc registry: the
+        # version marker commits atomically, so batch ids are either
+        # all absent (fold) or all present (fully-applied replay —
+        # skip); anything else is real corruption and raises.
+        if nb_tabs is not None:
+            from ..text.classify import nb_fold_increment
+
+            inc_ids = inc.select(id_col).distinct()
+            n_inc = inc_ids.count()
+            nb_present = (
+                nb_tabs["docs"]
+                .join(F.broadcast(inc_ids), id_col, "left_semi")
+                .count()
+            )
+            if nb_present == 0:
+                folded = nb_fold_increment(
+                    nb_tabs, inc.select(id_col, text_col, nb_label_col)
+                )
+                _write_tables(
+                    folded, os.path.join(nb_dir, f"v{nb_v + 1}"), _NB_KEYS
+                )
+            elif nb_present != n_inc:
+                raise ValueError(
+                    f"stream_maintenance: batch {batch_id} ids are "
+                    f"partially registered in the NB index "
+                    f"({nb_present}/{n_inc}) — the versioned commit "
+                    "protocol cannot produce this; rebuild the nb "
+                    "artifact from the corpus before resuming"
+                )
+            # else: fully-applied replay — skip
+
         # 7. retention: one full state copy lands per batch — prune to
         # the newest keep_versions AFTER the batch fully committed
         if keep_versions is not None:
             from .cdc import prune_state_versions
 
-            for d in (docs_dir, ndix_dir, cc_dir, bm_dir):
+            dirs = [docs_dir, ndix_dir, cc_dir, bm_dir]
+            if nb_tabs is not None:
+                dirs.append(nb_dir)
+            for d in dirs:
                 prune_state_versions(spark, d, keep=keep_versions)
 
     writer = changes.writeStream.foreachBatch(apply_batch).outputMode(

@@ -56,6 +56,9 @@ __all__ = [
     "nb_params",
     "nb_index_upsert",
     "nb_index_delete",
+    "nb_tables",
+    "nb_fold_increment",
+    "nb_model_tables",
 ]
 
 
@@ -380,29 +383,11 @@ def nb_build_index(
     caller). Counts are stored RAW (not log-space) because raw counts
     are what merges and decrements exactly. Returns the derived
     model tables."""
-    if buckets < 2:
-        raise ValueError(
-            f"nb_build_index: buckets must be >= 2, got {buckets}"
-        )
     spark = labeled.sparkSession
-    feats = hashed_ngram_features(
-        labeled.select(id_col, text_col), id_col, text_col, buckets
-    )
-    lab = labeled.select(id_col, label_col)
-    if lab.isEmpty():
-        raise ValueError("nb_build_index: empty training set")
-    counts = (
-        feats.join(lab, id_col)
-        .groupBy(label_col, "bucket")
-        .agg(F.sum("cnt").alias("cnt"))
-    )
-    counts.write.mode("overwrite").parquet(path + "/counts")
-    lab.write.mode("overwrite").parquet(path + "/docs")
-    spark.createDataFrame(
-        [(int(buckets), int(scale), label_col, id_col, text_col)],
-        "buckets long, scale long, label_col string, id_col string, "
-        "text_col string",
-    ).write.mode("overwrite").parquet(path + "/params")
+    tables = nb_tables(labeled, label_col, text_col, id_col, buckets, scale)
+    tables["counts"].write.mode("overwrite").parquet(path + "/counts")
+    tables["docs"].write.mode("overwrite").parquet(path + "/docs")
+    tables["params"].write.mode("overwrite").parquet(path + "/params")
     return nb_model(spark, path)
 
 
@@ -456,6 +441,155 @@ def nb_model(spark, path: str) -> dict[str, DataFrame]:
     )
 
 
+def nb_tables(
+    labeled: DataFrame,
+    label_col: str = "label",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 4096,
+    scale: int = 1_000_000,
+) -> dict[str, DataFrame]:
+    """The three index tables as PURE DataFrames — no writes: raw
+    bucket ``counts`` (raw because raw counts are what merges and
+    decrements exactly), the ``docs`` registry (the collision gate and
+    the prior's source), and the one-row self-describing ``params``.
+    :func:`nb_build_index` persists exactly these in the in-place
+    layout; the versioned streaming-maintenance artifact persists them
+    under ``v{{N}}`` directories — one arithmetic for both."""
+    if buckets < 2:
+        raise ValueError(f"nb_tables: buckets must be >= 2, got {buckets}")
+    spark = labeled.sparkSession
+    feats = hashed_ngram_features(
+        labeled.select(id_col, text_col), id_col, text_col, buckets
+    )
+    lab = labeled.select(id_col, label_col)
+    if lab.isEmpty():
+        raise ValueError("nb_tables: empty training set")
+    counts = (
+        feats.join(lab, id_col)
+        .groupBy(label_col, "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    params = spark.createDataFrame(
+        [(int(buckets), int(scale), label_col, id_col, text_col)],
+        "buckets long, scale long, label_col string, id_col string, "
+        "text_col string",
+    )
+    return {"counts": counts, "docs": lab, "params": params}
+
+
+def _gate_increment(
+    lab: DataFrame, docs: DataFrame, id_col: str, verb: str
+) -> None:
+    """The two increment gates every exact-count fold needs: an id
+    duplicated WITHIN the increment would double-count AND
+    double-register; an id already REGISTERED would double its counts
+    silently on re-ingest. Both raise loudly."""
+    sizes = lab.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(id_col).alias("nd"),
+    ).collect()[0]
+    if sizes["n"] != sizes["nd"]:
+        raise ValueError(
+            f"{verb}: increment contains duplicate ids "
+            f"({sizes['n']} rows, {sizes['nd']} distinct) — dedupe "
+            "before folding in, or counts double silently"
+        )
+    clashes = (
+        docs.join(
+            F.broadcast(lab.select(id_col).distinct()), id_col, "left_semi"
+        )
+        .limit(5)
+        .collect()
+    )
+    if clashes:
+        sample = ", ".join(str(r[0]) for r in clashes)
+        raise ValueError(
+            f"{verb}: increment re-ingests registered doc ids "
+            f"(e.g. {sample}) — their counts would double silently. "
+            "nb_index_delete them first, or rebuild."
+        )
+
+
+def _merged_counts(
+    old: DataFrame, inc: DataFrame, label_col: str
+) -> DataFrame:
+    """old + increment bucket counts, full-outer coalesced add — the
+    EXACT additive merge (upsert == retrain-on-union bit for bit)."""
+    return (
+        old.withColumnRenamed("cnt", "__a")
+        .join(
+            inc.withColumnRenamed("cnt", "__b"),
+            [label_col, "bucket"],
+            "full",
+        )
+        .select(
+            label_col,
+            "bucket",
+            (
+                F.coalesce("__a", F.lit(0)) + F.coalesce("__b", F.lit(0))
+            ).alias("cnt"),
+        )
+    )
+
+
+def nb_fold_increment(
+    tables: dict[str, DataFrame], new_labeled: DataFrame
+) -> dict[str, DataFrame]:
+    """PURE functional fold of a labeled increment into the NB table
+    set (no writes — the versioned streaming-maintenance building
+    block; :func:`nb_index_upsert` is the in-place twin): new counts =
+    old + increment (exact additive merge), new docs = old ∪
+    increment. Params (buckets, column names) come from the table set
+    itself, never the caller. Gates: duplicate-in-increment and
+    already-registered ids both RAISE.
+
+    Crash atomicity belongs to the CALLER's write protocol: the
+    streaming loop writes the folded tables as a NEW version directory
+    and commit-marks it, so a crash mid-write leaves the previous
+    version intact and an at-least-once replay folds onto it exactly
+    once (the registered-id gate catches a double fold loudly)."""
+    p = tables["params"].collect()[0]
+    label_col, id_col = p["label_col"], p["id_col"]
+    text_col, buckets = p["text_col"], int(p["buckets"])
+    lab = new_labeled.select(id_col, label_col)
+    _gate_increment(lab, tables["docs"], id_col, "nb_fold_increment")
+    feats = hashed_ngram_features(
+        new_labeled.select(id_col, text_col), id_col, text_col, buckets
+    )
+    inc_counts = (
+        feats.join(lab, id_col)
+        .groupBy(label_col, "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    return {
+        "counts": _merged_counts(
+            tables["counts"], inc_counts, label_col
+        ).localCheckpoint(eager=True),
+        "docs": tables["docs"].unionByName(lab).localCheckpoint(eager=True),
+        "params": tables["params"],
+    }
+
+
+def nb_model_tables(tables: dict[str, DataFrame]) -> dict[str, DataFrame]:
+    """Derive the serving model/classes tables from an NB table set —
+    :func:`nb_model` without the path reads (the versioned-artifact
+    serving path); shared :func:`_derive_tables` arithmetic, so a
+    folded table set derives EXACTLY what a fresh retrain on the
+    registered docs would."""
+    p = tables["params"].collect()[0]
+    label_col = p["label_col"]
+    docs = tables["docs"]
+    n_docs = docs.groupBy(label_col).agg(F.count(F.lit(1)).alias("nc"))
+    n_all = docs.count()
+    if n_all == 0:
+        raise ValueError("nb_model_tables: table set has no documents")
+    return _derive_tables(
+        tables["counts"], n_docs, n_all, int(p["buckets"]),
+        int(p["scale"]), label_col,
+    )
+
+
 def nb_index_upsert(
     path: str,
     new_labeled: DataFrame,
@@ -481,32 +615,9 @@ def nb_index_upsert(
     label_col, id_col = params["label_col"], params["id_col"]
     text_col = params["text_col"]
     lab = new_labeled.select(id_col, label_col)
-    # an id duplicated WITHIN the increment would double-count AND
-    # double-register (a later delete then leaves phantom counts) —
-    # gate it as loudly as the cross-batch collision
-    sizes = lab.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.countDistinct(id_col).alias("nd"),
-    ).collect()[0]
-    if sizes["n"] != sizes["nd"]:
-        raise ValueError(
-            f"nb_index_upsert: increment contains duplicate ids "
-            f"({sizes['n']} rows, {sizes['nd']} distinct) — dedupe "
-            "before folding in, or counts double silently"
-        )
-    clashes = (
-        spark.read.parquet(path + "/docs")
-        .join(F.broadcast(lab.select(id_col).distinct()), id_col, "left_semi")
-        .limit(5)
-        .collect()
+    _gate_increment(
+        lab, spark.read.parquet(path + "/docs"), id_col, "nb_index_upsert"
     )
-    if clashes:
-        sample = ", ".join(str(r[0]) for r in clashes)
-        raise ValueError(
-            "nb_index_upsert: increment re-ingests registered doc ids "
-            f"(e.g. {sample}) — their counts would double silently. "
-            "nb_index_delete them first, or rebuild with nb_build_index."
-        )
     feats = hashed_ngram_features(
         new_labeled.select(id_col, text_col), id_col, text_col, b
     )
@@ -516,21 +627,8 @@ def nb_index_upsert(
         .agg(F.sum("cnt").alias("cnt"))
     )
     old = spark.read.parquet(path + "/counts")
-    merged = (
-        old.withColumnRenamed("cnt", "__a")
-        .join(
-            inc_counts.withColumnRenamed("cnt", "__b"),
-            [label_col, "bucket"],
-            "full",
-        )
-        .select(
-            label_col,
-            "bucket",
-            (
-                F.coalesce("__a", F.lit(0)) + F.coalesce("__b", F.lit(0))
-            ).alias("cnt"),
-        )
-        .localCheckpoint(eager=True)
+    merged = _merged_counts(old, inc_counts, label_col).localCheckpoint(
+        eager=True
     )
     lab.write.mode("append").parquet(path + "/docs")
     tmp = path + "/counts__tmp"

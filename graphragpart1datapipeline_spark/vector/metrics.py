@@ -1,7 +1,7 @@
-"""Retrieval evaluation metrics — MRR and nDCG@k (Järvelin &
-Kekäläinen 2002) over a run table, the TREC-style readout every
-serving stack reports next to recall (which the engine's q160/q186/
-q233 recall gates already cover). Feed it any ranking the engine
+"""Retrieval evaluation metrics — MRR, nDCG@k (Järvelin & Kekäläinen
+2002), recall@k, and AP@k / MAP over a run table: the standard
+trec_eval readout set (the engine's q160/q186/q233 recall GATES
+remain the pass/fail thresholds; this is the reporting surface). Feed it any ranking the engine
 produces (multi_query_topk, ivf/pq/bm25/RRF serving DAGs) plus a
 qrels table, get per-query and corpus-level quality.
 
@@ -59,7 +59,8 @@ def retrieval_metrics(
     rel_col: str = "rel",
     scale: int = 1_000_000,
 ) -> DataFrame:
-    """Per-query metrics: (q_col, rr, dcg_s, idcg_s, ndcg).
+    """Per-query metrics: (q_col, rr, dcg_s, idcg_s, ndcg, rel_ret,
+    rel_tot, recall, ap_s, ap) — the full TREC readout set.
 
     - ``rr``      reciprocal rank of the first rel>0 result, scaled:
                   ``round(scale / rank)`` (0 when nothing relevant was
@@ -71,25 +72,41 @@ def retrieval_metrics(
                   the tiebreak never changes the value), top k.
     - ``ndcg``    dcg_s / idcg_s as one double division (0.0 when the
                   query has no relevant docs at all).
+    - ``rel_ret`` relevant docs retrieved within k (exact count).
+    - ``rel_tot`` the query's total relevant docs in qrels (exact).
+    - ``recall``  recall@k = rel_ret / rel_tot, one double division
+                  (0.0 when the query has no relevant docs).
+    - ``ap_s``    Σ over retrieved relevant ranks r ≤ k of the scaled
+                  precision ``round(scale · hits@r / r)`` — each
+                  rational P@r rounds ONCE to a long, then sums
+                  exactly.
+    - ``ap``      average precision @k: ap_s / (scale · rel_tot) as
+                  one double division (the trec_eval convention —
+                  denominator is the TOTAL relevant count, so
+                  truncation at k is penalized; 0.0 when rel_tot=0).
+                  MAP is :func:`mean_retrieval_metrics`'s mean of
+                  these.
 
     EVERY query mentioned in ``run`` or ``qrels`` gets a row — a
     query whose serving DAG returned nothing (or nothing within k)
     scores rr=0 / ndcg=0 (the TREC convention), so the
     :func:`mean_retrieval_metrics` rollup is never inflated by
     dropping exactly the queries where retrieval failed hardest.
-    Ranks must be 1-based: rank < 1 RAISES (a 0-based rank would make
-    the log2 discount divide by zero and silently wrap to garbage)."""
+    Ranks must be 1-based: a NULL rank or rank < 1 RAISES (a 0-based
+    rank would make the log2 discount divide by zero and silently wrap
+    to garbage; a NULL one would be silently dropped by the ``<= k``
+    filter — both are malformed run tables, so both fail loudly)."""
     if k < 1:
         raise ValueError(f"retrieval_metrics: k must be >= 1, got {k}")
     rank_guarded = F.when(
-        F.col("__rank") < 1,
+        F.col("__rank").isNull() | (F.col("__rank") < 1),
         F.raise_error(
             F.concat(
                 F.lit(
                     "retrieval_metrics: ranks must be 1-based "
                     "(>= 1); got "
                 ),
-                F.col("__rank").cast("string"),
+                F.coalesce(F.col("__rank").cast("string"), F.lit("NULL")),
             )
         ).cast("long"),
     ).otherwise(F.col("__rank").cast("long"))
@@ -130,7 +147,22 @@ def retrieval_metrics(
     joined = r.join(qr, [q_col, id_col], "left").select(
         q_col, "__rank", F.coalesce("__rel", F.lit(0)).alias("__rel")
     )
-    per_q = joined.groupBy(q_col).agg(
+    # cumulative relevant-hits at each rank — the P@r numerator (ranks
+    # are unique per query in any row_number-built run, so the window
+    # frame is deterministic)
+    wcum = Window.partitionBy(q_col).orderBy(F.asc("__rank"))
+    with_hits = joined.withColumn(
+        "__hits",
+        F.sum(F.when(F.col("__rel") > 0, 1).otherwise(0)).over(wcum),
+    )
+    ap_term = F.when(
+        F.col("__rel") > 0,
+        F.floor(
+            F.lit(float(scale)) * F.col("__hits") / F.col("__rank")
+            + F.lit(0.5)
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    per_q = with_hits.groupBy(q_col).agg(
         F.coalesce(
             F.floor(
                 F.lit(float(scale))
@@ -144,6 +176,13 @@ def retrieval_metrics(
         F.sum(
             _gain(F.col("__rel")) * _discount(F.col("__rank"), scale)
         ).alias("dcg_s"),
+        F.sum(F.when(F.col("__rel") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("rel_ret"),
+        F.sum(ap_term).alias("ap_s"),
+    )
+    rel_tot = qr.groupBy(q_col).agg(
+        F.count(F.lit(1)).cast("long").alias("rel_tot")
     )
     w = Window.partitionBy(q_col).orderBy(
         F.desc("__rel"), F.asc(id_col)
@@ -161,11 +200,15 @@ def retrieval_metrics(
     out = (
         universe.join(per_q, q_col, "left")
         .join(ideal, q_col, "left")
+        .join(rel_tot, q_col, "left")
         .select(
             q_col,
             F.coalesce("rr", F.lit(0)).cast("long").alias("rr"),
             F.coalesce("dcg_s", F.lit(0)).cast("long").alias("dcg_s"),
             F.coalesce("idcg_s", F.lit(0)).cast("long").alias("idcg_s"),
+            F.coalesce("rel_ret", F.lit(0)).cast("long").alias("rel_ret"),
+            F.coalesce("rel_tot", F.lit(0)).cast("long").alias("rel_tot"),
+            F.coalesce("ap_s", F.lit(0)).cast("long").alias("ap_s"),
         )
         .withColumn(
             "ndcg",
@@ -173,6 +216,25 @@ def retrieval_metrics(
                 F.col("idcg_s") > 0,
                 F.col("dcg_s").cast("double") / F.col("idcg_s"),
             ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "recall",
+            F.when(
+                F.col("rel_tot") > 0,
+                F.col("rel_ret").cast("double") / F.col("rel_tot"),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "ap",
+            F.when(
+                F.col("rel_tot") > 0,
+                F.col("ap_s").cast("double")
+                / (F.col("rel_tot") * F.lit(float(scale))),
+            ).otherwise(F.lit(0.0)),
+        )
+        .select(
+            q_col, "rr", "dcg_s", "idcg_s", "ndcg",
+            "rel_ret", "rel_tot", "recall", "ap_s", "ap",
         )
     )
     return out
@@ -184,17 +246,24 @@ def mean_retrieval_metrics(
     scale: int = 1_000_000,
 ) -> DataFrame:
     """One-row corpus rollup of :func:`retrieval_metrics`: (n_queries,
-    mrr, mean_ndcg). MRR sums the exact scaled reciprocal ranks and
-    divides once; mean nDCG decimal-accumulates the per-query doubles
-    (order-independent) and divides once."""
+    mrr, mean_ndcg, mean_recall, map). MRR sums the exact scaled
+    reciprocal ranks and divides once; mean nDCG / recall / MAP
+    decimal-accumulate the per-query doubles (order-independent) and
+    divide once each."""
+
+    def _dmean(col: str):
+        return (
+            F.sum(F.col(col).cast("decimal(25,15)")).cast("double")
+            / F.count(F.lit(1))
+        )
+
     return per_query.agg(
         F.count(F.lit(1)).alias("n_queries"),
         (
             F.sum("rr").cast("double")
             / (F.count(F.lit(1)) * F.lit(float(scale)))
         ).alias("mrr"),
-        (
-            F.sum(F.col("ndcg").cast("decimal(25,15)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("mean_ndcg"),
+        _dmean("ndcg").alias("mean_ndcg"),
+        _dmean("recall").alias("mean_recall"),
+        _dmean("ap").alias("map"),
     )

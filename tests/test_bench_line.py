@@ -29,6 +29,12 @@ def _fake_out(names, detail=True):
     }
     if detail:
         out["detail_file"] = bench.DETAIL_FILE
+    # the load sentinel rides the line in every real emission — the
+    # length lock must price it in
+    out["load"] = {
+        "start": {"load1": 99.99, "load5": 99.99, "procs_running": 9999},
+        "end": {"load1": 99.99, "load5": 99.99, "procs_running": 9999},
+    }
     return out
 
 
@@ -45,6 +51,15 @@ def test_real_headline_under_limit():
     assert parsed["detail_file"] == bench.DETAIL_FILE
     assert parsed["queries_total"] == len(names)
     assert parsed["queries_in_line"] == len(parsed["queries"])
+    assert parsed["load"]["start"]["procs_running"] == 9999
+
+
+def test_load_sentinel_shape():
+    s = bench.load_sentinel()
+    assert set(s) == {"load1", "load5", "procs_running"}
+    assert s["load1"] >= 0 and s["load5"] >= 0
+    # this test process is running, so at least one R-state process
+    assert s["procs_running"] >= 1
 
 
 def test_pathological_many_long_names_under_limit():

@@ -1,0 +1,443 @@
+"""Round-9 fixes and operators.
+
+Covers the round-8 ADVICE findings (retrieval-metrics NULL-rank guard,
+audio fingerprint materialization) and the round-8 VERDICT tasks
+(k-truss single-action fixpoint counting, adaptive_join's job-side
+probe regime for huge thresholds).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# retrieval_metrics: NULL rank must raise, not silently drop (ADVICE low)
+# ---------------------------------------------------------------------------
+
+
+def test_retrieval_metrics_null_rank_raises(spark):
+    from graphragpart1datapipeline_spark.vector.metrics import (
+        retrieval_metrics,
+    )
+
+    run = spark.createDataFrame(
+        [("q1", 10, 1), ("q1", 11, None)],
+        "query_id string, vec_id long, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [("q1", 10, 1)], "query_id string, vec_id long, rel int"
+    )
+    with pytest.raises(Exception, match="1-based"):
+        retrieval_metrics(run, qrels, k=10).collect()
+
+
+def test_retrieval_metrics_valid_ranks_still_pass(spark):
+    from graphragpart1datapipeline_spark.vector.metrics import (
+        retrieval_metrics,
+    )
+
+    run = spark.createDataFrame(
+        [("q1", 10, 1), ("q1", 11, 2)],
+        "query_id string, vec_id long, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [("q1", 11, 1)], "query_id string, vec_id long, rel int"
+    )
+    row = retrieval_metrics(run, qrels, k=10).collect()[0]
+    # first relevant at rank 2 -> rr = scale/2
+    assert row["rr"] == 500_000
+
+
+# ---------------------------------------------------------------------------
+# k-truss: fixpoint mode uses ONE action per round (verdict task 5) and
+# converges to the same edge set as a generous fixed-round unroll
+# ---------------------------------------------------------------------------
+
+
+def _truss_toy(spark):
+    # K4 on {1,2,3,4} (every edge in 2 triangles) plus a pendant path
+    # 4-5-6 that peels away for k=4
+    edges = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+        (4, 5), (5, 6),
+    ]
+    return spark.createDataFrame(edges, "src long, dst long")
+
+
+def test_ktruss_fixpoint_matches_fixed_round_unroll(spark):
+    from graphragpart1datapipeline_spark.graph.truss import ktruss
+
+    e = _truss_toy(spark)
+    fix = {
+        (r["a"], r["b"], r["support"])
+        for r in ktruss(e, k=4).collect()
+    }
+    unrolled = {
+        (r["a"], r["b"], r["support"])
+        for r in ktruss(e, k=4, rounds=10).collect()
+    }
+    assert fix == unrolled
+    # the K4 survives with every edge in exactly 2 triangles
+    assert fix == {
+        (1, 2, 2), (1, 3, 2), (1, 4, 2), (2, 3, 2), (2, 4, 2), (3, 4, 2)
+    }
+
+
+def test_ktruss_fixpoint_single_action_per_round(spark):
+    """The peel loop must issue ONE job per round for its counts: both
+    n_before and n_after come from a single aggregate over the
+    checkpointed support frame."""
+    from graphragpart1datapipeline_spark.graph.truss import ktruss
+
+    e = _truss_toy(spark)
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+
+    def jobs_of(tag, fn):
+        sc.setJobGroup(tag, tag)
+        try:
+            fn()
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        return len(tracker.getJobIdsForGroup(tag) or [])
+
+    # this graph fixes at 2 peel rounds; rounds=2 runs the identical
+    # checkpoint materializations WITHOUT the convergence counting, so
+    # the job-count difference isolates the counting cost: exactly one
+    # aggregate ACTION per round, which AQE materializes as 2 jobs
+    # (shuffle stage + result stage). The old two-count loop paid two
+    # actions = 4 AQE jobs per round (diff 8 here) — lock under that.
+    fixed = jobs_of("ktruss-fixed", lambda: ktruss(e, k=4, rounds=2))
+    fixpoint = jobs_of("ktruss-fixpoint", lambda: ktruss(e, k=4))
+    rounds = 2
+    assert fixpoint - fixed <= 2 * rounds + 1, (
+        f"fixpoint={fixpoint} fixed={fixed} jobs — more than one "
+        "counting action per peel round"
+    )
+
+
+# ---------------------------------------------------------------------------
+# adaptive_join: huge thresholds switch to the job-side count probe
+# (driver holds one long), small thresholds keep the incremental take
+# ---------------------------------------------------------------------------
+
+
+def test_adaptive_join_huge_threshold_uses_count_probe(spark):
+    from graphragpart1datapipeline_spark.operators import adaptive_join
+    from graphragpart1datapipeline_spark.operators.joins import (
+        _PROBE_COLLECT_CAP,
+    )
+
+    right = spark.range(500).select(
+        F.col("id").alias("k"), F.lit("t").alias("tag")
+    )
+    left = spark.range(10).select(
+        F.col("id").alias("k"), F.lit(1.0).alias("v")
+    )
+    info: dict = {}
+    out = adaptive_join(
+        left, right, "k",
+        broadcast_threshold_rows=_PROBE_COLLECT_CAP + 1,
+        decision=info,
+    )
+    # 500 rows <= huge threshold: exact probe value, broadcast arm
+    assert info["right_rows"] == 500
+    assert info["strategy"] == "broadcast"
+    assert out.count() == 10
+
+
+# ---------------------------------------------------------------------------
+# audio_near_dup_pairs materializes fingerprints once (ADVICE medium)
+# ---------------------------------------------------------------------------
+
+
+def test_audio_near_dup_decode_runs_once_per_clip(spark):
+    """The Arrow decode seam is the 100 TB cost; audio_match_pairs
+    consumes the fingerprint frame three times, so without the
+    localCheckpoint the decoder would run 2-3x per clip."""
+    from graphragpart1datapipeline_spark.multimodal.audio import (
+        audio_near_dup_pairs,
+    )
+
+    calls = spark.sparkContext.accumulator(0)
+
+    def counting_decoder(payload: bytes):
+        calls.add(1)
+        base = payload[0]
+        return [
+            [float((base + i) % 7), float((base + i) % 5)]
+            for i in range(10)
+        ]
+
+    assets = spark.createDataFrame(
+        [(f"a{i}", bytes([i * 3 % 251]) * 4, "audio") for i in range(6)],
+        "asset_id string, payload binary, kind string",
+    ).repartition(2)
+    audio_near_dup_pairs(
+        assets, decoder=counting_decoder, min_matches=2, max_df=16
+    ).collect()
+    # one decode per clip — the localCheckpoint happens right after
+    # fingerprinting, so the accumulator sees exactly 6 calls
+    assert calls.value == 6, (
+        f"decoder ran {calls.value} times for 6 clips — the "
+        "fingerprint frame is being recomputed per consumer"
+    )
+
+
+# ---------------------------------------------------------------------------
+# HTML -> text extraction (verdict task 2)
+# ---------------------------------------------------------------------------
+
+
+HTML_GOLDENS = [
+    (
+        "<html><head><style>p{c:1}</style>"
+        "<script>if (a<b && c>d) {}</script></head>"
+        "<body><h1>Title</h1><p>Hello <b>world</b> &amp;amp; more</p>"
+        "<div>a &lt; b</div></body></html>",
+        "Title\nHello world &amp; more\na < b",
+    ),
+    ("plain text, a < b stays", "plain text, a < b stays"),
+    (
+        "<!-- c --><p>p1</p>\n<p>p2&nbsp;&nbsp;end</p><br><hr/>tail",
+        "p1\np2 end\ntail",
+    ),
+    (
+        "<ul><li>one</li><li>two</li></ul>",
+        "one\ntwo",
+    ),
+    ("<SCRIPT>\nx\n</script >after<p>&#39;q&#34;</p>", "after\n'q\""),
+    ("", ""),
+    ("   \n\n  ", ""),
+]
+
+
+def test_html_to_text_goldens(spark):
+    from graphragpart1datapipeline_spark.text.html import html_to_text
+
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(HTML_GOLDENS)],
+        "i long, h string",
+    )
+    got = [
+        r["t"]
+        for r in df.select("i", html_to_text("h").alias("t"))
+        .orderBy("i")
+        .collect()
+    ]
+    for (src, want), out in zip(HTML_GOLDENS, got):
+        assert out == want, f"{src!r}: {out!r} != {want!r}"
+
+
+def test_html_to_text_sql_twin_parity(spark):
+    """The generated DuckDB chain must produce byte-identical output —
+    the q247 oracle's whole premise."""
+    import duckdb
+
+    from graphragpart1datapipeline_spark.text.html import (
+        html_to_text,
+        html_to_text_sql,
+    )
+
+    fixtures = [h for h, _ in HTML_GOLDENS] + [
+        "<div class='a'><span>nested <i>tags</i></span></div>",
+        "<table><tr><td>c1</td><td>c2</td></tr></table>&copy; x",
+    ]
+    con = duckdb.connect()
+    duck = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {html_to_text_sql('h')} FROM "
+            "(SELECT unnest(?) AS h)",
+            [fixtures],
+        ).fetchall()
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(fixtures)], "i long, h string"
+    )
+    sp = [
+        r["t"]
+        for r in df.select("i", html_to_text("h").alias("t"))
+        .orderBy("i")
+        .collect()
+    ]
+    assert sp == duck
+
+
+# ---------------------------------------------------------------------------
+# video copy detection (verdict task 3)
+# ---------------------------------------------------------------------------
+
+
+def test_video_near_dup_detects_shifted_copy(spark):
+    """Two clips sharing a run of keyframes at one alignment must pair
+    at ONE dominant offset; an unrelated clip must not pair."""
+    from graphragpart1datapipeline_spark.multimodal.video import (
+        fake_decode_video,
+        video_near_dup_pairs,
+    )
+
+    base = fake_decode_video(b"clip-a", n_frames=12)
+
+    def decoder(raw: bytes):
+        if raw == b"orig":
+            return base
+        if raw == b"shifted":
+            return base[4:]  # frames 4..11 — offset +4, 8 shared
+        return fake_decode_video(raw, n_frames=12)
+
+    assets = spark.createDataFrame(
+        [
+            ("orig", b"orig", "video"),
+            ("shift", b"shifted", "video"),
+            ("other", b"unrelated", "video"),
+        ],
+        "asset_id string, payload binary, kind string",
+    )
+    rows = video_near_dup_pairs(
+        assets, decoder=decoder, min_matches=5
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    pair = tuple(sorted([r["a"], r["b"]]))
+    assert pair == ("orig", "shift")
+    assert abs(r["offset"]) == 4 and r["n_matches"] == 8
+
+
+def test_video_decode_runs_once_per_clip(spark):
+    from graphragpart1datapipeline_spark.multimodal.video import (
+        fake_decode_video,
+        video_near_dup_pairs,
+    )
+
+    calls = spark.sparkContext.accumulator(0)
+
+    def counting(raw: bytes):
+        calls.add(1)
+        return fake_decode_video(raw, n_frames=6)
+
+    assets = spark.createDataFrame(
+        [(f"v{i}", bytes([i]) * 3, "video") for i in range(5)],
+        "asset_id string, payload binary, kind string",
+    ).repartition(2)
+    video_near_dup_pairs(assets, decoder=counting, min_matches=2).collect()
+    assert calls.value == 5
+
+
+def test_video_frame_hashes_shape_and_gate(spark):
+    from graphragpart1datapipeline_spark.multimodal.video import (
+        video_frame_hashes,
+    )
+
+    good = spark.createDataFrame(
+        [("a", [[float(j) for j in range(64)]] * 3)],
+        "asset_id string, frames array<array<double>>",
+    )
+    rows = video_frame_hashes(good).collect()
+    assert [r["idx"] for r in rows] == [0, 1, 2]
+    # ascending grid: every comparison true -> all 56 bits set
+    assert all(r["fph"] == (1 << 56) - 1 for r in rows)
+    bad = spark.createDataFrame(
+        [("b", [[1.0, 2.0]])],
+        "asset_id string, frames array<array<double>>",
+    )
+    with pytest.raises(Exception, match="grid"):
+        video_frame_hashes(bad).collect()
+
+
+# ---------------------------------------------------------------------------
+# recall@k and AP@k next to MRR/nDCG (verdict task 8) — hand-computed
+# ---------------------------------------------------------------------------
+
+
+def test_retrieval_metrics_recall_and_ap_hand_computed(spark):
+    from graphragpart1datapipeline_spark.vector.metrics import (
+        mean_retrieval_metrics,
+        retrieval_metrics,
+    )
+
+    run = spark.createDataFrame(
+        [("qA", 10, 1), ("qA", 11, 2), ("qA", 12, 3),
+         ("qB", 20, 1), ("qB", 21, 2), ("qB", 22, 3),
+         ("qC", 30, 1)],
+        "query_id string, vec_id long, rank long",
+    )
+    qrels = spark.createDataFrame(
+        [("qA", 10, 2), ("qA", 11, 1), ("qB", 21, 1), ("qB", 99, 2)],
+        "query_id string, vec_id long, rel long",
+    )
+    out = {
+        r["query_id"]: r
+        for r in retrieval_metrics(run, qrels, k=3).collect()
+    }
+    # qA: both relevant retrieved at ranks 1,2 -> recall 1.0;
+    # P@1 = 1, P@2 = 1 -> ap_s = 2e6, ap = 2e6 / (2 * 1e6) = 1.0
+    assert (out["qA"]["rel_ret"], out["qA"]["rel_tot"]) == (2, 2)
+    assert out["qA"]["recall"] == 1.0
+    assert out["qA"]["ap_s"] == 2_000_000 and out["qA"]["ap"] == 1.0
+    # qB: one of two relevant retrieved, at rank 2 -> recall 0.5;
+    # P@2 = 1/2 -> ap_s = 500_000, ap = 500_000 / 2e6 = 0.25 (the
+    # trec_eval convention: the MISSED doc 99 stays in the
+    # denominator)
+    assert (out["qB"]["rel_ret"], out["qB"]["rel_tot"]) == (1, 2)
+    assert out["qB"]["recall"] == 0.5
+    assert out["qB"]["ap_s"] == 500_000 and out["qB"]["ap"] == 0.25
+    # qC: no qrels at all -> everything 0
+    assert (
+        out["qC"]["rel_ret"], out["qC"]["rel_tot"],
+        out["qC"]["recall"], out["qC"]["ap"],
+    ) == (0, 0, 0.0, 0.0)
+    roll = mean_retrieval_metrics(
+        retrieval_metrics(run, qrels, k=3)
+    ).collect()[0]
+    assert abs(roll["mean_recall"] - (1.0 + 0.5 + 0.0) / 3) < 1e-12
+    assert abs(roll["map"] - (1.0 + 0.25 + 0.0) / 3) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# NB fold (the versioned streaming-maintenance building block,
+# verdict task 4): fold-of-increments == retrain-on-union, bit for bit
+# ---------------------------------------------------------------------------
+
+
+def test_nb_fold_increment_equals_retrain(spark):
+    from graphragpart1datapipeline_spark.text.classify import (
+        nb_fold_increment,
+        nb_model_tables,
+        nb_score,
+        nb_tables,
+        nb_train,
+    )
+
+    rows = [
+        (i, f"alpha beta w{i % 5} gamma" * (1 + i % 3), f"L{i % 2}")
+        for i in range(30)
+    ]
+    full = spark.createDataFrame(
+        rows, "doc_id long, text string, label string"
+    )
+    day0 = full.filter(F.col("doc_id") % 3 == 0)
+    inc1 = full.filter(F.col("doc_id") % 3 == 1)
+    inc2 = full.filter(F.col("doc_id") % 3 == 2)
+    tabs = nb_tables(day0, buckets=64)
+    tabs = nb_fold_increment(tabs, inc1)
+    tabs = nb_fold_increment(tabs, inc2)
+    folded = nb_model_tables(tabs)
+    retrained = nb_train(full, buckets=64)
+    test = full.select("doc_id", "text")
+
+    def scores(model):
+        return sorted(
+            (r["doc_id"], r["label"], r["iscore"])
+            for r in nb_score(test, model, buckets=64).collect()
+        )
+
+    assert scores(folded) == scores(retrained)
+    # gates: re-folding an already-registered increment raises
+    with pytest.raises(ValueError, match="re-ingests registered"):
+        nb_fold_increment(tabs, inc1)
+    dup = inc1.unionByName(inc1)
+    with pytest.raises(ValueError, match="duplicate ids"):
+        nb_fold_increment(nb_tables(day0, buckets=64), dup)
