@@ -14879,6 +14879,158 @@ def q247(spark, sf_dir):
     )
 
 
+def _url_fixture_sql() -> str:
+    """The synthetic crawl-URL feed both URL queries share: every doc
+    gets a MESSY variant (uppercase scheme/host, www, default port,
+    doubled + trailing slashes, tracking params, unsorted query,
+    fragment); every third doc ALSO emits the already-canonical form —
+    the same-page-two-spellings case URL dedup exists for."""
+    return """
+      SELECT doc_id, 0 AS variant,
+             'HTTP://WWW.Site' || (doc_id % 7) || '.COM:80//Path'
+             || (doc_id % 5)
+             || '/sub/?b=2&utm_source=feed&a=1&fbclid=z' || doc_id
+             || '#sec' AS url
+      FROM documents
+      UNION ALL
+      SELECT doc_id, 1 AS variant,
+             'http://site' || (doc_id % 7) || '.com/Path'
+             || (doc_id % 5) || '/sub?a=1&b=2' AS url
+      FROM documents WHERE doc_id % 3 = 0
+    """
+
+
+def _url_fixture(docs: DataFrame) -> DataFrame:
+    did = F.col("doc_id")
+    v0 = F.concat(
+        F.lit("HTTP://WWW.Site"), (did % 7).cast("string"),
+        F.lit(".COM:80//Path"), (did % 5).cast("string"),
+        F.lit("/sub/?b=2&utm_source=feed&a=1&fbclid=z"),
+        did.cast("string"), F.lit("#sec"),
+    )
+    v1 = F.concat(
+        F.lit("http://site"), (did % 7).cast("string"),
+        F.lit(".com/Path"), (did % 5).cast("string"),
+        F.lit("/sub?a=1&b=2"),
+    )
+    variants = F.when(
+        did % 3 == 0,
+        F.array(
+            F.struct(F.lit(0).alias("variant"), v0.alias("url")),
+            F.struct(F.lit(1).alias("variant"), v1.alias("url")),
+        ),
+    ).otherwise(F.array(F.struct(F.lit(0).alias("variant"), v0.alias("url"))))
+    return docs.select(
+        "doc_id", "n_chars", F.explode(variants).alias("__v")
+    ).select(
+        "doc_id", "n_chars",
+        F.col("__v.variant").alias("variant"), F.col("__v.url").alias("url"),
+    )
+
+
+def _url_canon_sql() -> str:
+    from graphragpart1datapipeline_spark.text.urls import canonical_url_sql, url_domain_sql
+
+    return f"""
+    WITH raw AS ({_url_fixture_sql()}
+    ), c AS (
+      SELECT doc_id, {canonical_url_sql("url")} AS canon,
+             {url_domain_sql("url")} AS domain
+      FROM raw
+    )
+    SELECT canon, domain,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper
+    FROM c GROUP BY canon, domain ORDER BY canon
+    """
+
+
+@_register("q250_url_canonical_dedup", _url_canon_sql())
+def q250(spark, sf_dir):
+    """URL CANONICALIZATION + URL-KEY DEDUP (text/urls.py) — the
+    crawl-frontier hygiene pass that runs BEFORE any content pass
+    (URL dedup costs a string expression; content dedup costs a
+    corpus scan): scheme/host lowercased, www and default ports
+    stripped, slashes collapsed, fragment dropped, tracking params
+    (utm_*/fbclid/gclid/msclkid/ref) removed and the remainder
+    SORTED — so the messy spelling and the clean spelling of the same
+    page land in one group (the keeper rule here: smallest doc_id).
+    Row-local JVM expression chain (regexp_extract/split/filter/
+    array_sort), zero shuffle until the one group-by; the oracle's
+    canonical expression is GENERATED from the same regex constants
+    (canonical_url_sql — the html_to_text_sql discipline)."""
+    from graphragpart1datapipeline_spark.text.urls import (
+        canonical_url,
+        url_domain,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    raw = _url_fixture(docs)
+    return (
+        raw.select(
+            "doc_id",
+            canonical_url("url").alias("canon"),
+            url_domain("url").alias("domain"),
+        )
+        .groupBy("canon", "domain")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("keeper"),
+        )
+        .orderBy("canon")
+    )
+
+
+def _domain_cap_sql() -> str:
+    from graphragpart1datapipeline_spark.text.urls import url_domain_sql
+
+    return f"""
+    WITH raw AS ({_url_fixture_sql()}
+    ), d AS (
+      SELECT r.doc_id, documents.n_chars,
+             {url_domain_sql("r.url")} AS domain
+      FROM raw r JOIN documents USING (doc_id) WHERE r.variant = 0
+    ), ranked AS (
+      SELECT doc_id, n_chars, domain,
+             CAST(row_number() OVER (
+               PARTITION BY domain
+               ORDER BY n_chars DESC, doc_id ASC) AS BIGINT)
+               AS domain_rank
+      FROM d
+    )
+    SELECT doc_id, domain, domain_rank, n_chars
+    FROM ranked WHERE domain_rank <= 3
+    ORDER BY domain, domain_rank
+    """
+
+
+@_register("q251_domain_cap", _domain_cap_sql())
+def q251(spark, sf_dir):
+    """PER-DOMAIN VOLUME CAP (text/urls.py domain_cap) — the C4/
+    Gopher curation rule: no domain contributes more than ``cap``
+    documents, ranked by quality (here n_chars desc, doc_id asc as
+    the deterministic tiebreak). One window over the canonical domain
+    key — W3's top-k-within-group shape on the curation axis; the cap
+    bounds output per key, so a mega-domain costs one skewed sort
+    task, never a blowup."""
+    from graphragpart1datapipeline_spark.text.urls import domain_cap
+
+    docs = _t(spark, sf_dir, "documents")
+    raw = _url_fixture(docs).filter(F.col("variant") == 0)
+    capped = domain_cap(
+        raw, "url", cap=3,
+        order_by=[F.desc("n_chars"), F.asc("doc_id")],
+        keep_rank=True,
+    )
+    return capped.select(
+        "doc_id", "domain",
+        F.col("domain_rank").cast("long").alias("domain_rank"),
+        "n_chars",
+    ).orderBy("domain", "domain_rank")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q02(spark, "/root/testdata/sf0.001")

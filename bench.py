@@ -312,6 +312,10 @@ SECONDARY = [
     # gated every round regardless)
     "q247_html_extract",
     "q248_video_offset_match",
+    # URL hygiene: canonicalize+dedup is a scan-bound expression chain
+    # + one groupBy; the domain cap is W3's top-k-within-group window
+    "q250_url_canonical_dedup",
+    "q251_domain_cap",
 ]
 
 # Repetitions per query; report the min. The ambient swing on a shared

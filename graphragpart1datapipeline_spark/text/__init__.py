@@ -49,3 +49,12 @@ from .llm import (  # noqa: F401
     extractive_generator,
     generate_with,
 )
+from .html import html_to_text, html_to_text_sql  # noqa: F401
+from .urls import (  # noqa: F401
+    canonical_url,
+    canonical_url_sql,
+    domain_cap,
+    url_domain,
+    url_domain_sql,
+    url_key,
+)

@@ -1,0 +1,221 @@
+"""URL canonicalization, URL-key dedup, and per-domain caps — the
+crawl-frontier hygiene layer every 100 TB pipeline runs BEFORE any
+content pass (URL dedup costs a string expression; content dedup
+costs a corpus scan): the same page is crawled as
+``HTTP://WWW.Site.COM:80/a//b/?utm_source=x&b=2&a=1#frag`` and
+``http://site.com/a/b?a=1&b=2``, and per-domain volume caps (the
+C4/Gopher curation rule) need a stable domain key.
+
+Canonicalization rules (the standard safe set — RFC 3986 §6 syntax
+normalization plus the universally-applied tracking-param strip):
+
+1. trim surrounding whitespace; drop the ``#fragment``.
+2. scheme lowercased; missing scheme defaults to ``http``.
+3. host lowercased; one leading ``www.`` stripped.
+4. default ports dropped (``:80`` for http, ``:443`` for https);
+   other ports kept.
+5. path: runs of ``/`` collapsed to one, trailing ``/`` stripped
+   (root path becomes empty string, matching the hostname-only form).
+6. query: split on ``&``, tracking params dropped
+   (``utm_*``, ``fbclid``, ``gclid``, ``msclkid``, ``ref``), empty
+   fragments dropped, remainder SORTED bytewise and rejoined — param
+   order never splits a dedup group.
+
+Everything is row-local JVM column work (regexp_extract / split /
+filter / array_sort / concat) — zero shuffle, whole-stage codegen,
+scan-bound at 100 TB, and every primitive has an exact DuckDB twin
+(regexp_extract / string_split / list_filter / list_sort), so the
+whole rule replays bit-for-bit in the oracle (q250/q251).
+
+``domain_cap`` is the C4-style per-domain volume cap: rank within
+domain by a caller-supplied quality ordering, keep the top ``cap``.
+One window over the domain key — the same single-shuffle shape as
+W3's top-k-within-group.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "TRACKING_PARAMS",
+    "canonical_url",
+    "canonical_url_sql",
+    "url_domain",
+    "url_domain_sql",
+    "url_key",
+    "domain_cap",
+]
+
+# exact-name strips plus the utm_ prefix family
+TRACKING_PARAMS = ("fbclid", "gclid", "msclkid", "ref")
+
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+# the scheme is STRIPPED first ("rest"), then host/path/query parse
+# from the remainder — an optional-scheme group inside the path regex
+# would mis-parse no-path URLs (http://h.com → path "/h.com") under
+# the leftmost-first preference BOTH engines share
+_SCHEME_STRIP_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://"
+_HOSTPORT_RE = r"^([^/?#]*)"
+_PATH_RE = r"^[^/?#]*(/[^?#]*)"
+_QUERY_RE = r"\?([^#]*)"
+
+
+def _is_tracking(param: Column) -> Column:
+    name = F.split(param, "=", 2)[0]
+    cond = name.startswith("utm_")
+    for p in TRACKING_PARAMS:
+        cond = cond | (name == F.lit(p))
+    return cond
+
+
+def canonical_url(col: Column | str) -> Column:
+    """The canonical form as one row-local expression (rules above)."""
+    u = F.trim(F.col(col) if isinstance(col, str) else col)
+    scheme_raw = F.regexp_extract(u, _SCHEME_RE, 1)
+    scheme = F.when(scheme_raw == "", F.lit("http")).otherwise(
+        F.lower(scheme_raw)
+    )
+    rest = F.regexp_replace(u, _SCHEME_STRIP_RE, "")
+    hostport = F.lower(F.regexp_extract(rest, _HOSTPORT_RE, 1))
+    host = F.regexp_replace(
+        F.regexp_replace(hostport, r":[0-9]*$", ""), r"^www\.", ""
+    )
+    port_raw = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    port = F.when(
+        (port_raw == "")
+        | ((scheme == "http") & (port_raw == "80"))
+        | ((scheme == "https") & (port_raw == "443")),
+        F.lit(""),
+    ).otherwise(F.concat(F.lit(":"), port_raw))
+    path_raw = F.regexp_extract(rest, _PATH_RE, 1)
+    path = F.regexp_replace(
+        F.regexp_replace(path_raw, r"/+", "/"), r"/$", ""
+    )
+    query_raw = F.regexp_extract(rest, _QUERY_RE, 1)
+    params = F.filter(
+        F.split(query_raw, "&", -1),
+        lambda x: (x != "") & ~_is_tracking(x),
+    )
+    qsorted = F.array_join(F.array_sort(params), "&")
+    query = F.when(qsorted == "", F.lit("")).otherwise(
+        F.concat(F.lit("?"), qsorted)
+    )
+    return F.concat(scheme, F.lit("://"), host, port, path, query)
+
+
+def url_domain(col: Column | str) -> Column:
+    """The canonical host (lowercased, www-stripped, port dropped) —
+    the per-domain cap/rollup key."""
+    u = F.trim(F.col(col) if isinstance(col, str) else col)
+    rest = F.regexp_replace(u, _SCHEME_STRIP_RE, "")
+    hostport = F.lower(F.regexp_extract(rest, _HOSTPORT_RE, 1))
+    return F.regexp_replace(
+        F.regexp_replace(hostport, r":[0-9]*$", ""), r"^www\.", ""
+    )
+
+
+def _sql_re(pat: str) -> str:
+    """A regex constant as a DuckDB string literal (the patterns
+    contain no single quotes, asserted so a future edit fails loudly
+    instead of silently generating broken SQL)."""
+    assert "'" not in pat, pat
+    return "'" + pat + "'"
+
+
+def canonical_url_sql(expr: str) -> str:
+    """The identical canonicalization as a DuckDB SQL expression over
+    ``expr`` — GENERATED from the same regex constants as the Spark
+    column (the html_to_text_sql discipline), so the oracle cannot
+    drift from the engine rule."""
+    u = f"trim({expr})"
+    scheme = (
+        f"(CASE WHEN regexp_extract({u}, {_sql_re(_SCHEME_RE)}, 1) = '' "
+        f"THEN 'http' ELSE lower(regexp_extract({u}, "
+        f"{_sql_re(_SCHEME_RE)}, 1)) END)"
+    )
+    rest = f"regexp_replace({u}, {_sql_re(_SCHEME_STRIP_RE)}, '')"
+    hostport = f"lower(regexp_extract({rest}, {_sql_re(_HOSTPORT_RE)}, 1))"
+    host = (
+        f"regexp_replace(regexp_replace({hostport}, ':[0-9]*$', ''), "
+        "'^www\\.', '')"
+    )
+    port_raw = f"regexp_extract({hostport}, ':([0-9]+)$', 1)"
+    port = (
+        f"(CASE WHEN {port_raw} = '' "
+        f"OR ({scheme} = 'http' AND {port_raw} = '80') "
+        f"OR ({scheme} = 'https' AND {port_raw} = '443') "
+        f"THEN '' ELSE ':' || {port_raw} END)"
+    )
+    path = (
+        "regexp_replace(regexp_replace("
+        f"regexp_extract({rest}, {_sql_re(_PATH_RE)}, 1), "
+        "'/+', '/', 'g'), '/$', '')"
+    )
+    tracking = " OR ".join(
+        f"string_split(x, '=')[1] = '{p}'" for p in TRACKING_PARAMS
+    )
+    params = (
+        f"list_filter(string_split(regexp_extract({rest}, "
+        f"{_sql_re(_QUERY_RE)}, 1), '&'), "
+        f"x -> x <> '' AND NOT (starts_with(string_split(x, '=')[1], "
+        f"'utm_') OR {tracking}))"
+    )
+    # DuckDB array_to_string([], sep) is NULL, not '' — coalesce or a
+    # param-free URL canonicalizes to NULL (the q85 gotcha)
+    qsorted = f"coalesce(array_to_string(list_sort({params}), '&'), '')"
+    query = f"(CASE WHEN {qsorted} = '' THEN '' ELSE '?' || {qsorted} END)"
+    return f"({scheme} || '://' || {host} || {port} || {path} || {query})"
+
+
+def url_domain_sql(expr: str) -> str:
+    """:func:`url_domain`'s DuckDB twin, generated from the same
+    constants."""
+    u = f"trim({expr})"
+    rest = f"regexp_replace({u}, {_sql_re(_SCHEME_STRIP_RE)}, '')"
+    hostport = f"lower(regexp_extract({rest}, {_sql_re(_HOSTPORT_RE)}, 1))"
+    return (
+        f"regexp_replace(regexp_replace({hostport}, ':[0-9]*$', ''), "
+        "'^www\\.', '')"
+    )
+
+
+def url_key(col: Column | str) -> Column:
+    """md5 of the canonical form — the fixed-width join/dedup key (the
+    engine's portable-hash idiom; two URLs dedup iff they canonicalize
+    equal)."""
+    return F.md5(canonical_url(col))
+
+
+def domain_cap(
+    df: DataFrame,
+    url_col: str = "url",
+    cap: int = 1000,
+    order_by: list[Column] | None = None,
+    keep_rank: bool = False,
+) -> DataFrame:
+    """C4/Gopher-style per-domain volume cap: keep at most ``cap``
+    rows per canonical domain, ranked by ``order_by`` (default: the
+    URL's canonical form ascending — deterministic but arbitrary;
+    pass a quality ordering like ``[F.desc("quality"), F.asc("id")]``
+    in production). One window over the domain key — a single
+    domain-keyed shuffle; a mega-domain is exactly the skew a salted
+    pre-aggregation would need at the extreme, but the cap itself
+    bounds the output per key so the window never materializes more
+    than it keeps per task after the rank filter."""
+    if cap < 1:
+        raise ValueError(f"domain_cap: cap must be >= 1, got {cap}")
+    order = order_by if order_by is not None else [
+        F.asc(canonical_url(url_col))
+    ]
+    d = df.withColumn("__domain", url_domain(url_col))
+    w = Window.partitionBy("__domain").orderBy(*order)
+    ranked = d.withColumn("__rank", F.row_number().over(w)).filter(
+        F.col("__rank") <= cap
+    )
+    if keep_rank:
+        return ranked.withColumnRenamed(
+            "__domain", "domain"
+        ).withColumnRenamed("__rank", "domain_rank")
+    return ranked.drop("__domain", "__rank")

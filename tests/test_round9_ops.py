@@ -441,3 +441,101 @@ def test_nb_fold_increment_equals_retrain(spark):
     dup = inc1.unionByName(inc1)
     with pytest.raises(ValueError, match="duplicate ids"):
         nb_fold_increment(nb_tables(day0, buckets=64), dup)
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + domain cap
+# ---------------------------------------------------------------------------
+
+
+URL_GOLDENS = [
+    (
+        "HTTP://WWW.Example.COM:80//Path/sub/?b=2&utm_source=x&a=1"
+        "&fbclid=zz#frag",
+        "http://example.com/Path/sub?a=1&b=2",
+        "example.com",
+    ),
+    ("https://Site.org:443/", "https://site.org", "site.org"),
+    ("site.org/page?ref=abc", "http://site.org/page", "site.org"),
+    ("http://h.com", "http://h.com", "h.com"),
+    # non-default port and non-http scheme keep their port
+    ("ftp://Files.X.com:21/pub/", "ftp://files.x.com:21/pub", "files.x.com"),
+    # 'www' inside the host name is NOT stripped, only the label prefix
+    ("http://www.www-site.com/www/", "http://www-site.com/www",
+     "www-site.com"),
+]
+
+
+def test_canonical_url_goldens(spark):
+    from graphragpart1datapipeline_spark.text.urls import (
+        canonical_url,
+        url_domain,
+    )
+
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _, _) in enumerate(URL_GOLDENS)],
+        "i long, u string",
+    )
+    rows = (
+        df.select(
+            "i", canonical_url("u").alias("c"), url_domain("u").alias("d")
+        )
+        .orderBy("i")
+        .collect()
+    )
+    for (src, want_c, want_d), r in zip(URL_GOLDENS, rows):
+        assert r["c"] == want_c, f"{src!r}: {r['c']!r}"
+        assert r["d"] == want_d, f"{src!r}: {r['d']!r}"
+
+
+def test_canonical_url_sql_twin_parity(spark):
+    import duckdb
+
+    from graphragpart1datapipeline_spark.text.urls import (
+        canonical_url,
+        canonical_url_sql,
+    )
+
+    fixtures = [u for u, _, _ in URL_GOLDENS] + [
+        "  http://a.b.com:8080/x//y/  ",
+        "http://h.com?z=1&y=&x=2",
+        "HtTpS://WWW.X.io/A/B?utm_medium=m&q=hi&Q=2&gclid=1&msclkid=2",
+    ]
+    con = duckdb.connect()
+    duck = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {canonical_url_sql('u')} FROM (SELECT unnest(?) AS u)",
+            [fixtures],
+        ).fetchall()
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(fixtures)], "i long, u string"
+    )
+    sp = [
+        r["c"]
+        for r in df.select("i", canonical_url("u").alias("c"))
+        .orderBy("i")
+        .collect()
+    ]
+    assert sp == duck
+
+
+def test_domain_cap(spark):
+    from graphragpart1datapipeline_spark.text.urls import domain_cap
+
+    rows = [
+        (i, f"http://WWW.d{i % 2}.com/p{i}", float(100 - i))
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "id long, url string, quality double")
+    out = domain_cap(
+        df, "url", cap=2,
+        order_by=[F.desc("quality"), F.asc("id")], keep_rank=True,
+    ).collect()
+    assert len(out) == 4  # 2 domains x cap 2
+    kept = {(r["domain"], r["id"]) for r in out}
+    # highest-quality (lowest id) two per domain survive
+    assert kept == {("d0.com", 0), ("d0.com", 2), ("d1.com", 1), ("d1.com", 3)}
+    with pytest.raises(ValueError, match="cap must be >= 1"):
+        domain_cap(df, "url", cap=0)
