@@ -55,6 +55,7 @@ def build_pretrain_pipeline(
     capacity: int = 512,
     dsir_frac: float | None = None,
     classifier_keep: list[str] | None = None,
+    html_input: bool = False,
 ) -> Pipeline:
     """``dsir_frac``: when set, insert a DSIR data-selection stage
     (text/dsir.py) between decontamination and mixture rebalancing —
@@ -69,7 +70,14 @@ def build_pretrain_pipeline(
     classifier trains on the deterministic doc_id % 17 == 2 labeled
     slice (lang as the label) and only documents whose PREDICTED
     class is in the list pass. Uses the row-local plan-literal scorer,
-    so the gate fuses into the scan like the other quality filters."""
+    so the gate fuses into the scan like the other quality filters.
+
+    ``html_input``: when True, the corpus ``text`` column is raw HTML
+    (the real-crawl shape — the reference sidesteps this by fetching
+    Wikipedia plaintext) and an EXTRACTION stage (text/html.py
+    html_to_text, q247's oracle-locked rule chain) runs first, before
+    any quality/dedup pass reads the text; schema is identical with
+    the stage on or off."""
     p = Pipeline()
     mix = DEFAULT_MIX if target_mix is None else target_mix
 
@@ -77,7 +85,19 @@ def build_pretrain_pipeline(
     def documents(spark: SparkSession) -> DataFrame:
         return read_table(spark, sf_dir, "documents")
 
-    @p.stage("quality_gated", deps=["documents"])
+    gate_dep = "documents"
+    if html_input:
+        gate_dep = "extracted"
+
+        @p.stage("extracted", deps=["documents"])
+        def extracted(spark: SparkSession, docs: DataFrame) -> DataFrame:
+            # crawl HTML -> plain text before anything reads the text;
+            # a pure row-local regexp chain, fuses into the scan
+            from ..text.html import html_to_text
+
+            return docs.withColumn("text", html_to_text("text"))
+
+    @p.stage("quality_gated", deps=[gate_dep])
     def quality_gated(spark: SparkSession, docs: DataFrame) -> DataFrame:
         # row-local signals only — all three filters fuse into the scan
         sig = repetition_signals(docs.select("doc_id", "text"), "text", "doc_id")

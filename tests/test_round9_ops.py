@@ -521,6 +521,56 @@ def test_canonical_url_sql_twin_parity(spark):
     assert sp == duck
 
 
+def test_pretrain_pipeline_html_input(spark, tmp_path):
+    """The crawl-HTML entry point: a documents table whose text is raw
+    HTML runs through the DAG with html_input=True — extraction happens
+    BEFORE any quality/dedup pass, the extracted text matches
+    html_to_text, and the schema is identical with the stage off."""
+    from graphragpart1datapipeline_spark.plans.pretrain_demo import (
+        build_pretrain_pipeline,
+    )
+    from graphragpart1datapipeline_spark.text.html import html_to_text
+
+    langs = ["en", "zh", "es", "de", "fr"]
+    rows = [
+        (
+            i,
+            f"<html><body><h1>Doc {i}</h1><p>"
+            + f"alpha w{i % 11} beta gamma delta " * 8
+            + "</p><script>var x=1;</script></body></html>",
+            langs[i % 5],
+            "crawl",
+            100,
+        )
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
+    sf = str(tmp_path)
+    docs.write.mode("overwrite").parquet(sf + "/documents.parquet")
+    out = build_pretrain_pipeline(sf, n_shards=4, capacity=64,
+                                  html_input=True).run(spark)
+    ext = out["extracted"]
+    # extraction matches the operator applied directly
+    want = {
+        r["doc_id"]: r["t"]
+        for r in docs.select(
+            "doc_id", html_to_text("text").alias("t")
+        ).collect()
+    }
+    got = {r["doc_id"]: r["text"] for r in ext.collect()}
+    assert got == want
+    assert all("<" not in t for t in got.values())
+    # schema identical with the stage off, and the funnel completes
+    off = build_pretrain_pipeline(sf, n_shards=4, capacity=64).run(spark)
+    assert out["packed"].columns == off["packed"].columns
+    assert "extracted" not in off
+    assert out["packed"].count() > 0
+
+
 def test_domain_cap(spark):
     from graphragpart1datapipeline_spark.text.urls import domain_cap
 
