@@ -15031,6 +15031,137 @@ def q251(spark, sf_dir):
     ).orderBy("domain", "domain_rank")
 
 
+def _frontier_gate_sql(num_bits: int = 1 << 15, nh: int = 5) -> str:
+    """Replay the stateless seen-URL frontier gate: canonical keys of
+    the even-doc messy URLs → bloom words → every incoming URL's key
+    probes all ``nh`` bits — survivors are the NOT-members. The gate
+    is row-local, so the batch replay IS the stream's semantics."""
+    from graphragpart1datapipeline_spark.text.urls import canonical_url_sql
+
+    h1 = _HASH60_SQL.format(x="h")
+    h2 = _HASH60B_SQL.format(x="h")
+    return (
+        f"""
+    WITH raw AS (
+      SELECT doc_id, 0 AS variant,
+             'HTTP://WWW.Site' || (doc_id % 7) || '.COM:80//doc/'
+             || doc_id || '/?b=2&utm_source=feed&a=1#x' AS url
+      FROM documents
+      UNION ALL
+      SELECT doc_id, 1 AS variant,
+             'http://site' || (doc_id % 7) || '.com/doc/' || doc_id
+             || '?a=1&b=2' AS url
+      FROM documents WHERE doc_id % 3 = 0
+    ), c AS (
+      SELECT doc_id, variant, {canonical_url_sql("url")} AS canon
+      FROM raw
+    ), keyed AS (
+      SELECT doc_id, variant, canon, md5(canon) AS h FROM c
+    ), """
+        + _bloom_cte(
+            "SELECT DISTINCT md5(canon) AS k FROM c "
+            "WHERE variant = 0 AND doc_id % 2 = 0",
+            num_bits,
+            nh,
+        )
+        + f""",
+    ph AS (SELECT DISTINCT h, {h1} % {num_bits} AS h1,
+                  {h2} % {num_bits} AS h2 FROM keyed),
+    pidx AS (SELECT h, ((h1 + i*h2) % {num_bits}) AS idx
+             FROM ph, range({nh}) t(i)),
+    member AS (SELECT h FROM pidx p JOIN bloom b
+               ON p.idx//32 = b.wi
+               WHERE (b.word & (CAST(1 AS BIGINT)
+                      << CAST(p.idx%32 AS INTEGER))) <> 0
+               GROUP BY h HAVING COUNT(*) = {nh})
+    SELECT k.doc_id, CAST(k.variant AS BIGINT) AS variant, k.canon
+    FROM keyed k LEFT JOIN member m ON m.h = k.h
+    WHERE m.h IS NULL
+    ORDER BY k.doc_id, k.variant
+    """
+    )
+
+
+@_register("q252_url_frontier_gate", _frontier_gate_sql())
+def q252(spark, sf_dir):
+    """STREAMING SEEN-URL FRONTIER GATE (text/urls.py) — the
+    have-we-crawled-this filter at the very front of an ingest
+    pipeline: the seen frontier snapshot (the even-doc messy URLs)
+    folds into a ~4 KB bloom over CANONICAL url keys; a TRUE
+    Structured Streaming pass (availableNow) canonicalizes each
+    incoming URL row-locally and drops members — append mode, no
+    state store, no shuffle, gated at scan parallelism (the q232
+    shape on the URL axis). Canonicalization is what makes the gate
+    real: the CLEAN spelling of a seen messy URL shares its canonical
+    key, so it is recognized as seen — exact string matching would
+    re-crawl it. Error direction is the frontier's (opposite of
+    decontamination): a seen URL is NEVER double-crawled (no false
+    negatives); a bloom false positive drops a new URL at the sized
+    fp rate. The oracle replays the bloom build and every probe bit,
+    value-checking the drained stream directly."""
+    import uuid
+
+    from graphragpart1datapipeline_spark.text.urls import (
+        canonical_url,
+        url_frontier_gate,
+        url_seen_bloom,
+    )
+
+    def fixture(frame):
+        # doc-UNIQUE paths (unlike q250's deliberately-colliding
+        # fixture): the seen set must not cover the whole URL space
+        did = F.col("doc_id")
+        v0 = F.concat(
+            F.lit("HTTP://WWW.Site"), (did % 7).cast("string"),
+            F.lit(".COM:80//doc/"), did.cast("string"),
+            F.lit("/?b=2&utm_source=feed&a=1#x"),
+        )
+        v1 = F.concat(
+            F.lit("http://site"), (did % 7).cast("string"),
+            F.lit(".com/doc/"), did.cast("string"), F.lit("?a=1&b=2"),
+        )
+        variants = F.when(
+            did % 3 == 0,
+            F.array(
+                F.struct(F.lit(0).alias("variant"), v0.alias("url")),
+                F.struct(F.lit(1).alias("variant"), v1.alias("url")),
+            ),
+        ).otherwise(
+            F.array(F.struct(F.lit(0).alias("variant"), v0.alias("url")))
+        )
+        return frame.select(
+            "doc_id", F.explode(variants).alias("__v")
+        ).select(
+            "doc_id",
+            F.col("__v.variant").alias("variant"),
+            F.col("__v.url").alias("url"),
+        )
+
+    docs = _t(spark, sf_dir, "documents")
+    seen = fixture(docs).filter(
+        (F.col("variant") == 0) & (F.col("doc_id") % 2 == 0)
+    )
+    dense = url_seen_bloom(seen, "url")
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    sdf = spark.readStream.schema(schema).parquet(f"{sf_dir}/documents.*")
+    incoming = fixture(sdf)
+    gated = url_frontier_gate(incoming, dense, "url").select(
+        "doc_id",
+        F.col("variant").cast("long").alias("variant"),
+        canonical_url("url").alias("canon"),
+    )
+    name = f"q252_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        gated.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("doc_id", "variant")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q02(spark, "/root/testdata/sf0.001")

@@ -313,9 +313,11 @@ SECONDARY = [
     "q247_html_extract",
     "q248_video_offset_match",
     # URL hygiene: canonicalize+dedup is a scan-bound expression chain
-    # + one groupBy; the domain cap is W3's top-k-within-group window
+    # + one groupBy; the domain cap is W3's top-k-within-group window;
+    # the frontier gate is trigger-latency-bound like q196/q205/q232
     "q250_url_canonical_dedup",
     "q251_domain_cap",
+    "q252_url_frontier_gate",
 ]
 
 # Repetitions per query; report the min. The ambient swing on a shared

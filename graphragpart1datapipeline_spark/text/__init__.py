@@ -56,5 +56,7 @@ from .urls import (  # noqa: F401
     domain_cap,
     url_domain,
     url_domain_sql,
+    url_frontier_gate,
     url_key,
+    url_seen_bloom,
 )

@@ -45,6 +45,9 @@ __all__ = [
     "url_domain",
     "url_domain_sql",
     "url_key",
+    "url_seen_bloom",
+    "url_frontier_gate",
+    "bloom_key_member",
     "domain_cap",
 ]
 
@@ -186,6 +189,59 @@ def url_key(col: Column | str) -> Column:
     engine's portable-hash idiom; two URLs dedup iff they canonicalize
     equal)."""
     return F.md5(canonical_url(col))
+
+
+def url_seen_bloom(
+    seen: DataFrame,
+    url_col: str = "url",
+    num_bits: int = 1 << 15,
+    num_hashes: int = 5,
+) -> list[int]:
+    """A Bloom literal over the CANONICAL url keys of a seen-frontier
+    snapshot (operators/sketches.py machinery — ~num_bits/8 bytes no
+    matter how many URLs). Pair with :func:`url_frontier_gate` for the
+    stateless have-we-crawled-this gate."""
+    from ..operators.sketches import bloom_dense, bloom_words
+
+    keys = seen.select(url_key(url_col).alias("__uk"))
+    return bloom_dense(
+        bloom_words(keys, "__uk", num_bits, num_hashes), num_bits
+    )
+
+
+def url_frontier_gate(
+    df: DataFrame,
+    dense: list[int],
+    url_col: str = "url",
+    num_bits: int = 1 << 15,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """The crawl-frontier seen-URL gate: keep rows whose canonical url
+    key is NOT in the seen bloom. Entirely STATELESS and row-local
+    (canonicalize → md5 key → bloom probe, all codegen column work,
+    the bloom rides as a plan literal) — so the same expression gates
+    a batch frame and an append-mode stream identically, at scan
+    parallelism, with no state store and no shuffle.
+
+    Error direction (OPPOSITE of the decontamination gate, state it
+    loudly): no false negatives means a SEEN url is ALWAYS dropped —
+    the gate never double-crawls; a bloom false positive drops a
+    genuinely NEW url at the fp rate. That is the trade every
+    production frontier accepts — size ``num_bits`` for the fp budget,
+    and the next crawl cycle re-discovers anything lost."""
+    probe = bloom_key_member(url_key(url_col), dense, num_bits, num_hashes)
+    return df.filter(~probe)
+
+
+def bloom_key_member(
+    key: Column, dense: list[int], num_bits: int, num_hashes: int
+) -> Column:
+    """Row-local bloom membership of an arbitrary key column (thin
+    alias over sketches.bloom_contains, re-exported here so frontier
+    callers need one import)."""
+    from ..operators.sketches import bloom_contains
+
+    return bloom_contains(key, dense, num_bits, num_hashes)
 
 
 def domain_cap(

@@ -571,6 +571,31 @@ def test_pretrain_pipeline_html_input(spark, tmp_path):
     assert out["packed"].count() > 0
 
 
+def test_url_frontier_gate_stream_equals_batch(spark):
+    """The gate is row-local, so batch and stream survivors are
+    identical; canonical matching catches re-spelled seen URLs."""
+    from graphragpart1datapipeline_spark.text.urls import (
+        url_frontier_gate,
+        url_seen_bloom,
+    )
+
+    seen = spark.createDataFrame(
+        [(1, "HTTP://WWW.A.com:80/x/?utm_source=s&q=1")],
+        "id long, url string",
+    )
+    dense = url_seen_bloom(seen, "url")
+    incoming = spark.createDataFrame(
+        [
+            (1, "http://a.com/x?q=1"),      # clean spelling of SEEN
+            (2, "http://a.com/y?q=1"),      # new path
+            (3, "https://a.com/x?q=1"),     # different scheme -> new
+        ],
+        "id long, url string",
+    )
+    out = url_frontier_gate(incoming, dense, "url").collect()
+    assert sorted(r["id"] for r in out) == [2, 3]
+
+
 def test_domain_cap(spark):
     from graphragpart1datapipeline_spark.text.urls import domain_cap
 
