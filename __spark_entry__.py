@@ -15162,6 +15162,114 @@ def q252(spark, sf_dir):
     return spark.table(name).orderBy("doc_id", "variant")
 
 
+def _warc_sql() -> str:
+    """Replay the full ingest chain: per-doc WARC records string_agg'd
+    into per-file blobs (doc_id order), sentinel split + header
+    extraction + body cut, HTML bodies through the GENERATED q247
+    extraction chain."""
+    from graphragpart1datapipeline_spark.text.html import html_to_text_sql
+
+    crlf = "chr(13) || chr(10)"
+    return f"""
+    WITH rec AS (
+      SELECT doc_id, doc_id % 10 AS warc_file,
+             'WARC-Type: response' || {crlf} ||
+             'WARC-Target-URI: http://site' || (doc_id % 7)
+             || '.com/doc/' || doc_id || {crlf} ||
+             'Content-Type: text/html' || {crlf} || {crlf} ||
+             '<html><body><h1>Doc ' || doc_id || '</h1><p>'
+             || replace(text, '. ', '.</p><p>') || '</p></body></html>'
+             || {crlf} || {crlf} AS r
+      FROM documents
+    ), blobs AS (
+      SELECT warc_file,
+             string_agg('WARC/1.0' || {crlf} || r, '' ORDER BY doc_id)
+               AS warc
+      FROM rec GROUP BY warc_file
+    ), split AS (
+      SELECT warc_file,
+             list_filter(string_split(warc, 'WARC/1.0' || {crlf}),
+                         x -> x <> '') AS recs
+      FROM blobs
+    ), exploded AS (
+      SELECT warc_file, CAST(s AS BIGINT) AS rec_idx,
+             recs[CAST(s + 1 AS INTEGER)] AS rec
+      FROM split, LATERAL (
+        SELECT unnest(range(0, len(recs))) AS s) t
+    ), parsed AS (
+      SELECT warc_file, rec_idx,
+             regexp_extract(rec, 'WARC-Type: ([^\r\n]*)', 1)
+               AS warc_type,
+             regexp_extract(rec, 'WARC-Target-URI: ([^\r\n]*)', 1)
+               AS target_uri,
+             regexp_extract(rec, 'Content-Type: ([^\r\n]*)', 1)
+               AS content_type,
+             regexp_replace(
+               regexp_extract(rec, '(?s)\r\n\r\n(.*)$', 1),
+               '(?s)\r\n\r\n$', '') AS body
+      FROM exploded
+    )
+    SELECT warc_file, rec_idx, warc_type, target_uri, content_type,
+           {html_to_text_sql("body")} AS text_clean
+    FROM parsed
+    ORDER BY warc_file, rec_idx
+    """
+
+
+@_register("q253_warc_ingest", _warc_sql())
+def q253(spark, sf_dir):
+    """WARC RECORD PARSING + the FULL crawl-ingest chain (text/warc.py
+    + text/html.py) — the entry format of every real crawl corpus
+    (Common Crawl ships WARC; the reference's API fetch skips this
+    front entirely): documents are packed into synthetic multi-record
+    WARC file blobs (one file per doc_id%10, records in doc_id order —
+    a deterministic string_agg both engines replay), then the parser
+    splits on the record sentinel, extracts WARC-Type /
+    WARC-Target-URI / Content-Type, cuts the body at the first blank
+    line, and HTML bodies flow through q247's extraction chain — WARC
+    → records → HTML → text in ONE oracle-locked plan, all row-local
+    after a single file-keyed aggregation. Text-mode bodies only by
+    documented design (byte-exact binary payloads belong behind the
+    Arrow decode seam like every other codec)."""
+    from graphragpart1datapipeline_spark.text.warc import (
+        warc_record_text,
+        warc_records,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    crlf = "\r\n"
+    rec = F.concat(
+        F.lit("WARC-Type: response" + crlf),
+        F.lit("WARC-Target-URI: http://site"), (did % 7).cast("string"),
+        F.lit(".com/doc/"), did.cast("string"), F.lit(crlf),
+        F.lit("Content-Type: text/html" + crlf + crlf),
+        F.lit("<html><body><h1>Doc "), did.cast("string"),
+        F.lit("</h1><p>"),
+        F.replace(F.col("text"), F.lit(". "), F.lit(".</p><p>")),
+        F.lit("</p></body></html>" + crlf + crlf),
+    )
+    blobs = (
+        docs.select((did % 10).alias("warc_file"),
+                    F.struct(did.alias("doc_id"), rec.alias("r")).alias("__s"))
+        .groupBy("warc_file")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("__s")),
+                    lambda x: F.concat(F.lit("WARC/1.0" + crlf), x["r"]),
+                ),
+                "",
+            ).alias("warc")
+        )
+    )
+    recs = warc_records(blobs, "warc", keep_cols=["warc_file"])
+    return recs.select(
+        "warc_file", "rec_idx", "warc_type", "target_uri", "content_type",
+        warc_record_text(recs).alias("text_clean"),
+    ).orderBy("warc_file", "rec_idx")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q02(spark, "/root/testdata/sf0.001")

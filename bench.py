@@ -318,6 +318,9 @@ SECONDARY = [
     "q250_url_canonical_dedup",
     "q251_domain_cap",
     "q252_url_frontier_gate",
+    # WARC ingest: one file-keyed agg + a row-local split/extract
+    # chain (the q247 family's cost profile on the packed blobs)
+    "q253_warc_ingest",
 ]
 
 # Repetitions per query; report the min. The ambient swing on a shared

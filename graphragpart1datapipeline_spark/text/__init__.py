@@ -60,3 +60,4 @@ from .urls import (  # noqa: F401
     url_key,
     url_seen_bloom,
 )
+from .warc import warc_record_text, warc_records  # noqa: F401

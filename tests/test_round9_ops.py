@@ -571,6 +571,46 @@ def test_pretrain_pipeline_html_input(spark, tmp_path):
     assert out["packed"].count() > 0
 
 
+def test_warc_records_parse(spark):
+    from graphragpart1datapipeline_spark.text.warc import (
+        warc_record_text,
+        warc_records,
+    )
+
+    crlf = "\r\n"
+    blob = (
+        "WARC/1.0" + crlf
+        + "WARC-Type: response" + crlf
+        + "WARC-Target-URI: http://a.com/1" + crlf
+        + "Content-Type: text/html" + crlf + crlf
+        + "<html><body><p>hello <b>world</b></p></body></html>"
+        + crlf + crlf
+        + "WARC/1.0" + crlf
+        + "WARC-Type: metadata" + crlf
+        + "WARC-Target-URI: http://a.com/2" + crlf
+        + "Content-Type: application/json" + crlf + crlf
+        + '{"k": 1}' + crlf + crlf
+    )
+    df = spark.createDataFrame([(7, blob)], "fid long, warc string")
+    recs = warc_records(df, "warc", keep_cols=["fid"])
+    rows = recs.select(
+        "fid", "rec_idx", "warc_type", "target_uri", "content_type",
+        warc_record_text(recs).alias("t"),
+    ).orderBy("rec_idx").collect()
+    assert len(rows) == 2
+    r0, r1 = rows
+    assert (r0["warc_type"], r0["target_uri"]) == (
+        "response", "http://a.com/1",
+    )
+    # HTML body went through extraction; JSON body passed through
+    assert r0["t"] == "hello world"
+    assert (r1["warc_type"], r1["content_type"]) == (
+        "metadata", "application/json",
+    )
+    assert r1["t"] == '{"k": 1}'
+    assert [r["fid"] for r in rows] == [7, 7]
+
+
 def test_url_frontier_gate_stream_equals_batch(spark):
     """The gate is row-local, so batch and stream survivors are
     identical; canonical matching catches re-spelled seen URLs."""
