@@ -15270,6 +15270,104 @@ def q253(spark, sf_dir):
     ).orderBy("warc_file", "rec_idx")
 
 
+_SCRIPT_SNIPPETS = {
+    0: " 这是中文测试文本内容",
+    1: " Это кириллица текст",
+    2: " こんにちは世界のテスト",
+    3: "",
+}
+
+
+def _script_profile_sql() -> str:
+    """Replay the script-fraction profile: same literal-character
+    classes (GENERATED from SCRIPT_RANGES — RE2 lacks \\uXXXX, so the
+    classes are actual characters, byte-identical in both engines),
+    counts via len(regexp_extract_all), the same letter-total
+    division, the engine half-up rounding."""
+    from graphragpart1datapipeline_spark.text.analysis import SCRIPT_RANGES
+
+    cnt = {
+        n: f"len(regexp_extract_all(txt, '[{r}]'))" for n, r in SCRIPT_RANGES
+    }
+    total = " + ".join(cnt.values())
+    fracs = ", ".join(
+        f"CASE WHEN tot > 0 THEN floor(CAST(c_{n} AS DOUBLE) / tot "
+        f"* 1000000 + 0.5) / 1000000 ELSE 0.0 END AS f_{n}"
+        for n, _ in SCRIPT_RANGES
+    )
+    names = [n for n, _ in SCRIPT_RANGES]
+    dom = f"'{names[0]}'"
+    best = f"c_{names[0]}"
+    for n in names[1:]:
+        dom = f"(CASE WHEN c_{n} > {best} THEN '{n}' ELSE {dom} END)"
+        best = f"greatest(c_{n}, {best})"
+    counts_sel = ", ".join(f"{v} AS c_{n}" for n, v in cnt.items())
+    snip = " || ".join(
+        f"(CASE WHEN doc_id % 4 = {k} THEN '{v}' ELSE '' END)"
+        for k, v in _SCRIPT_SNIPPETS.items()
+        if v
+    )
+    return f"""
+    WITH injected AS (
+      SELECT doc_id, text || {snip} AS txt FROM documents
+    ), counted AS (
+      SELECT doc_id, {counts_sel} FROM injected
+    ), totaled AS (
+      SELECT *, CAST({" + ".join(f"c_{n}" for n in names)} AS DOUBLE)
+               AS tot
+      FROM counted
+    )
+    SELECT doc_id,
+           (CASE WHEN tot <= 0 THEN 'none' ELSE {dom} END)
+             AS dominant,
+           {fracs}
+    FROM totaled ORDER BY doc_id
+    """
+
+
+@_register("q254_script_profile", _script_profile_sql())
+def q254(spark, sf_dir):
+    """UNICODE SCRIPT PROFILING (text/analysis.py script_fractions /
+    dominant_script) — the multilingual-curation signal that runs
+    before any model-based language ID: per-script character fractions
+    over explicit codepoint-range classes (actual characters, NOT
+    \\p{{script=...}} — Java and RE2 spell script properties
+    differently and RE2 lacks \\uXXXX, so literal classes are the only
+    byte-identical dual-dialect form) and the argmax dominant script.
+    A doc whose claimed lang disagrees with its dominant script is
+    mislabeled junk — the standard pre-filter. Fixtures inject Han /
+    Cyrillic / Kana snippets on a doc_id modulus; every count is one
+    row-local regexp pass, fractions divide by the letter total and
+    round with the engine half-up rule."""
+    from graphragpart1datapipeline_spark.text.analysis import (
+        SCRIPT_RANGES,
+        dominant_script,
+        script_fractions,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    snip = F.concat(
+        *[
+            F.when(did % 4 == k, F.lit(v)).otherwise(F.lit(""))
+            for k, v in _SCRIPT_SNIPPETS.items()
+            if v
+        ]
+    )
+    injected = docs.select(
+        "doc_id", F.concat(F.col("text"), snip).alias("txt")
+    )
+    fr = script_fractions("txt")
+    return injected.select(
+        "doc_id",
+        dominant_script("txt").alias("dominant"),
+        *[
+            _round_det(fr[n], 6).alias(f"f_{n}")
+            for n, _ in SCRIPT_RANGES
+        ],
+    ).orderBy("doc_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q02(spark, "/root/testdata/sf0.001")

@@ -321,6 +321,8 @@ SECONDARY = [
     # WARC ingest: one file-keyed agg + a row-local split/extract
     # chain (the q247 family's cost profile on the packed blobs)
     "q253_warc_ingest",
+    # script profiling: scan-bound regexp counts (the q227 profile)
+    "q254_script_profile",
 ]
 
 # Repetitions per query; report the min. The ambient swing on a shared

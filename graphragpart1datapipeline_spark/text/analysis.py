@@ -59,6 +59,72 @@ def language_id(col: Column | str) -> Column:
     return F.when(best_hits <= 0, F.lit("und")).otherwise(best_lang)
 
 
+# Unicode SCRIPT ranges as explicit codepoint classes — deliberately
+# NOT \p{script=...}: Java and RE2 spell script properties differently
+# (\p{IsHan} / \p{script=Han} vs \p{Han}), and RE2 lacks \uXXXX
+# escapes entirely, so the classes are built from ACTUAL characters —
+# byte-identical pattern text in both engines (the dual-dialect rule
+# every oracle-replayed regex here follows). Ranges cover the
+# dominant blocks, not every historic supplement — a curation signal,
+# not a Unicode census.
+SCRIPT_RANGES: tuple[tuple[str, str], ...] = (
+    ("latin", "A-Za-zÀ-ɏ"),
+    ("cyrillic", "Ѐ-ӿ"),
+    ("arabic", "؀-ۿ"),
+    ("devanagari", "ऀ-ॿ"),
+    ("han", "一-鿿"),
+    ("kana", "぀-ヿ"),
+    ("hangul", "가-힯ᄀ-ᇿ"),
+)
+
+
+def script_fractions(col: Column | str) -> Column:
+    """Per-script character fractions as a (script, frac) struct array
+    plus the dominant script — the curation signal a multilingual
+    100 TB corpus filters on before any model-based language ID (a
+    doc claiming lang='en' that is 90% Han codepoints is mislabeled
+    junk): counts each :data:`SCRIPT_RANGES` class over the raw text,
+    divides by the LETTER total (sum of all script counts — spaces,
+    digits, punctuation excluded so prose and code-ish docs compare),
+    all row-local ``regexp_count`` work in one projection."""
+    c = F.col(col) if isinstance(col, str) else col
+    counts = {
+        name: F.regexp_count(c, F.lit(f"[{rng}]"))
+        for name, rng in SCRIPT_RANGES
+    }
+    total = None
+    for v in counts.values():
+        total = v if total is None else total + v
+    total = total.cast("double")
+    return F.struct(
+        *[
+            F.when(total > 0, counts[name].cast("double") / total)
+            .otherwise(F.lit(0.0))
+            .alias(name)
+            for name, _ in SCRIPT_RANGES
+        ]
+    )
+
+
+def dominant_script(col: Column | str) -> Column:
+    """Argmax script name over :func:`script_fractions`'s counts
+    ('none' when the text has no letters at all); ties break by
+    :data:`SCRIPT_RANGES` order — deterministic, SQL-replayable."""
+    c = F.col(col) if isinstance(col, str) else col
+    counts = {
+        name: F.regexp_count(c, F.lit(f"[{rng}]"))
+        for name, rng in SCRIPT_RANGES
+    }
+    names = [n for n, _ in SCRIPT_RANGES]
+    best_name = F.lit(names[0])
+    best = counts[names[0]]
+    for name in names[1:]:
+        cond = counts[name] > best
+        best_name = F.when(cond, F.lit(name)).otherwise(best_name)
+        best = F.when(cond, counts[name]).otherwise(best)
+    return F.when(best <= 0, F.lit("none")).otherwise(best_name)
+
+
 def quality_score(col: Column | str) -> Column:
     """Composite document-quality score in [0, 1]:
     0.4 * length_score (tokens/100 capped at 1)

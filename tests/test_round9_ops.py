@@ -571,6 +571,39 @@ def test_pretrain_pipeline_html_input(spark, tmp_path):
     assert out["packed"].count() > 0
 
 
+def test_script_profile(spark):
+    from graphragpart1datapipeline_spark.text.analysis import (
+        dominant_script,
+        script_fractions,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "hello world"),
+            (1, "这是中文"),
+            (2, "Это кириллица"),
+            (3, "123 !!! ..."),
+            (4, "abc 一二三四"),  # 3 latin vs 4 han
+        ],
+        "id long, t string",
+    )
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            dominant_script("t").alias("d"),
+            script_fractions("t").alias("f"),
+        ).collect()
+    }
+    assert rows[0]["d"] == "latin" and rows[0]["f"]["latin"] == 1.0
+    assert rows[1]["d"] == "han" and rows[1]["f"]["han"] == 1.0
+    assert rows[2]["d"] == "cyrillic"
+    # Cyrillic text: all letters are Cyrillic
+    assert rows[2]["f"]["cyrillic"] == 1.0
+    assert rows[3]["d"] == "none"
+    assert rows[4]["d"] == "han" and abs(rows[4]["f"]["latin"] - 3 / 7) < 1e-12
+
+
 def test_warc_records_parse(spark):
     from graphragpart1datapipeline_spark.text.warc import (
         warc_record_text,
