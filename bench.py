@@ -307,11 +307,12 @@ SECONDARY = [
     # round 9: HTML→text extraction (pure regexp chain, scan-bound
     # like q227's PII counts) and video offset matching (the q242
     # audio matcher's exact plan shape over dHash fingerprints).
-    # NOT benched: q249 (streaming NB maintenance: versioned-parquet
-    # round-trips per micro-batch by design, q223's regime — oracle-
-    # gated every round regardless)
     "q247_html_extract",
     "q248_video_offset_match",
+    # streaming NB maintenance: versioned-parquet round-trips per
+    # micro-batch by design (q223's regime) — 1-rep trace so the
+    # fold's wall cost is tracked round-over-round (r9 verdict #9)
+    "q249_stream_nb_maintenance",
     # URL hygiene: canonicalize+dedup is a scan-bound expression chain
     # + one groupBy; the domain cap is W3's top-k-within-group window;
     # the frontier gate is trigger-latency-bound like q196/q205/q232
@@ -321,6 +322,26 @@ SECONDARY = [
     # WARC ingest: one file-keyed agg + a row-local split/extract
     # chain (the q247 family's cost profile on the packed blobs)
     "q253_warc_ingest",
+    # round 10: byte-exact binary WARC reader → decode seam → dHash
+    # pairs (two Arrow stages + the q236 banded join; fingerprints
+    # localCheckpoint'd so parse+decode run once)
+    "q255_warc_binary_image_near_dup",
+    # PDF decode seam: one Arrow pass (encode + decode round-trip +
+    # sha256) — scan-bound, the q38 media family's cost profile
+    "q256_pdf_text_extract",
+    # persisted fingerprint index: increment-sized band probe (the
+    # q81/q183/q234 incremental family's cost profile on dHash longs)
+    "q257_fingerprint_index_incremental",
+    # KN backoff trigram: one corpus scan + 5 vocab-bounded groupBys +
+    # broadcast-join scoring (the n-gram LM family is headline via
+    # q107; this is its higher-order twin)
+    "q258_kn_trigram_score",
+    # politeness scheduling: one domain-keyed window (q251's shape)
+    "q259_politeness_schedule",
+    # unigram-LM tokenizer training: one corpus word count + 2 EM
+    # rounds of vocab-sized checkpointed DP layers (the q88 BPE
+    # two-tier regime; ~100 tiny jobs by design, 1-rep trace)
+    "q260_unigram_tokenizer_train",
     # script profiling: scan-bound regexp counts (the q227 profile)
     "q254_script_profile",
 ]
@@ -378,33 +399,9 @@ def run_query(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def load_sentinel() -> dict:
-    """Self-diagnosing load snapshot for the bench artifact: 1/5-min
-    loadavg plus the count of currently RUNNING processes (state R in
-    /proc — the concurrent-compute signal; sleeping daemons don't
-    count). Two rounds in a row the driver's bench ran concurrently
-    with other load and reported +20% while isolated reruns were flat;
-    with the snapshot IN the artifact, a hot box is visible in the
-    number itself instead of needing a forensic rerun."""
-    try:
-        l1, l5, _ = os.getloadavg()
-    except OSError:  # pragma: no cover - /proc-less platform
-        l1 = l5 = -1.0
-    running = 0
-    try:
-        for pid in os.listdir("/proc"):
-            if not pid.isdigit():
-                continue
-            try:
-                with open(f"/proc/{pid}/stat") as f:
-                    # field 3 (after the parenthesized comm) is state
-                    if f.read().rsplit(")", 1)[1].split()[0] == "R":
-                        running += 1
-            except OSError:
-                continue
-    except OSError:  # pragma: no cover
-        running = -1
-    return {"load1": round(l1, 2), "load5": round(l5, 2), "procs_running": running}
+# canonical implementation lives in scale_check so scale_block can
+# load-gate its wall asserts without a circular import (round-10)
+from scale_check import load_sentinel  # noqa: E402
 
 
 def session_hygiene(spark) -> None:

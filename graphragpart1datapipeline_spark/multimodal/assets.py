@@ -32,6 +32,22 @@ def fake_decode_stats(payload: bytes) -> list[float]:
     return [b / 255.0 for b in h[:8]]
 
 
+def fake_decode_gray8x8(payload: bytes) -> list[float]:
+    """Deterministic grid 'decoder' for the binary-WARC → image chain
+    (q255): the first 64 payload bytes ARE the 8×8 grayscale thumbnail
+    (one byte per cell) scaled to [0, 1] — exactly the shape
+    :func:`pillow_decoder` emits, so the dhash/near-dup machinery
+    downstream is identical. Raises on a short payload: a truncated
+    image must fail loudly, not fingerprint as near-black (the
+    dhash_expr raise-on-wrong-size rule, one stage earlier)."""
+    if payload is None or len(payload) < 64:
+        raise ValueError(
+            "fake_decode_gray8x8: payload must carry >= 64 grid bytes, "
+            f"got {0 if payload is None else len(payload)}"
+        )
+    return [b / 255.0 for b in payload[:64]]
+
+
 def decode_payloads(
     df: DataFrame,
     decoder: Callable,

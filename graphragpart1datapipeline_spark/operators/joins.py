@@ -498,10 +498,13 @@ def not_in_join(
 
 
 # largest broadcast threshold for which the incremental CollectLimit
-# probe may hold threshold+1 single-int marker rows on the driver
-# (~a few MB); above it adaptive_join switches to the job-side
-# count-shape probe whose driver payload is one long
-_PROBE_COLLECT_CAP = 1_000_000
+# probe may hold threshold+1 single-int marker rows on the driver.
+# 100k Row objects is real driver memory (~10-20 MB of Python Row
+# overhead, not the ints themselves — round-9 ADVICE corrected the
+# earlier "~a few MB at 1M rows" estimate); above the cap
+# adaptive_join switches to the job-side count-shape probe whose
+# driver payload is one long
+_PROBE_COLLECT_CAP = 100_000
 
 
 def adaptive_join(

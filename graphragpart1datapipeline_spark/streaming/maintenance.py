@@ -259,7 +259,15 @@ def stream_maintenance(
     (text/classify.py nb_fold_increment — stream == batch == retrain,
     locked by the q243-pattern oracle). Replay-safe through the
     version protocol: an uncommitted version is invisible, so the
-    replay folds onto the previous one exactly once.
+    replay folds onto the previous one exactly once. INSERT-ONLY
+    contract (same as the bm25/ivf arms, stated explicitly): a batch
+    whose ids are ALL already registered in the NB index is treated
+    as a fully-applied replay and skipped — so an op='U' re-crawl of
+    a registered id updates the CDC doc state but deliberately does
+    NOT touch the NB counts. Updating a registered doc's label/text
+    in the NB artifact requires the explicit takedown cadence:
+    nb_index_delete the old rows, then re-ingest — the same
+    delete-verb boundary the DELETE paragraph below describes.
 
     DELETE boundary: 'D' rows tombstone the CDC doc state (so the
     serving read drops them) but do NOT shrink the near-dup/BM25/IVF

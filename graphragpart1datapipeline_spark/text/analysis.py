@@ -79,8 +79,9 @@ SCRIPT_RANGES: tuple[tuple[str, str], ...] = (
 
 
 def script_fractions(col: Column | str) -> Column:
-    """Per-script character fractions as a (script, frac) struct array
-    plus the dominant script — the curation signal a multilingual
+    """Per-script character fractions as a per-script struct (the
+    argmax lives in :func:`dominant_script`) — the curation signal a
+    multilingual
     100 TB corpus filters on before any model-based language ID (a
     doc claiming lang='en' that is 90% Han codepoints is mislabeled
     junk): counts each :data:`SCRIPT_RANGES` class over the raw text,

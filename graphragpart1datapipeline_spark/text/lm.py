@@ -131,6 +131,182 @@ def bigram_lm_score(
     )
 
 
+def doc_trigrams(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+):
+    """Lower-cased word trigrams per document, row-local (the
+    :func:`doc_bigrams` shape one order up): tokens → transform over
+    the leading n-2 slots → explode. Documents with < 3 tokens produce
+    no rows here; scorers re-attach them with a left join."""
+    toks = F.transform(tokens(text_col), lambda t: F.lower(t))
+    return (
+        df.select(F.col(id_col), toks.alias("__toks"))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.slice(
+                        "__toks",
+                        1,
+                        F.greatest(F.size("__toks") - 2, F.lit(0)),
+                    ),
+                    lambda x, i: F.struct(
+                        x.alias("w1"),
+                        F.get("__toks", i + 1).alias("w2"),
+                        F.get("__toks", i + 2).alias("w3"),
+                    ),
+                )
+            ).alias("__tg"),
+        )
+        .select(
+            id_col,
+            F.col("__tg.w1").alias("w1"),
+            F.col("__tg.w2").alias("w2"),
+            F.col("__tg.w3").alias("w3"),
+        )
+    )
+
+
+def kn_trigram_train(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> dict[str, DataFrame]:
+    """Train the Kneser-Ney backoff trigram model (round-9 verdict
+    task 7 — the CCNet filter's actual KenLM shape, one order short of
+    its 5-gram): FIVE tables, every one derived from the single
+    trigram-type table with vocab-bounded groupBys (the corpus is
+    scanned ONCE; at 100 TB the model tables are orders of magnitude
+    smaller than the corpus and broadcast at scoring time):
+
+    * ``tri``   (w1,w2,w3,c3)       — trigram counts.
+    * ``ctx12`` (w1,w2,c2ctx,n1p12) — context totals + distinct-
+      continuation counts N1+(w1,w2,·), the discount leftover mass.
+    * ``cont2`` (w2,w3,cc2)         — KN CONTINUATION bigram counts
+      N1+(·,w2,w3): in how many distinct left-contexts was (w2,w3)
+      seen — Kneser-Ney's defining substitution (a bigram frequent
+      only inside one fixed phrase backs off LOW).
+    * ``ctx2``  (w2,ccctx2,n1p2)    — continuation context totals.
+    * ``cont1`` (w3,cont3)          — continuation unigram counts
+      N1+(·,·,w3) over bigram TYPES; P_cont(w3) = cont3 / #types.
+    """
+    tg = doc_trigrams(df, text_col, id_col)
+    tri = tg.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c3"))
+    ctx12 = tri.groupBy("w1", "w2").agg(
+        F.sum("c3").alias("c2ctx"), F.count(F.lit(1)).alias("n1p12")
+    )
+    cont2 = tri.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("cc2"))
+    ctx2 = cont2.groupBy("w2").agg(
+        F.sum("cc2").alias("ccctx2"), F.count(F.lit(1)).alias("n1p2")
+    )
+    cont1 = cont2.groupBy("w3").agg(F.count(F.lit(1)).alias("cont3"))
+    return {
+        "tri": tri, "ctx12": ctx12, "cont2": cont2,
+        "ctx2": ctx2, "cont1": cont1,
+    }
+
+
+def kn_trigram_score(
+    df: DataFrame,
+    model: dict[str, DataFrame] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: tuple[int, int] = (3, 4),
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Score every document under the absolute-discount backoff
+    trigram model (default: trained on ``df`` itself). Per trigram
+    (D = ``discount`` as an exact fraction, default 3/4):
+
+    * seen trigram:     p = (4·c3 − 3) / (4·c2ctx)
+    * else, seen (w1,w2) context: back off with
+      α(w1,w2) = 3·N1+(w1,w2,·) / (4·c2ctx) — the EXACT mass the
+      discount freed; unseen context → α = 1 (the KenLM rule);
+    * bigram level uses KN CONTINUATION counts (cc2 / ccctx2) with
+      the same discount, backing off to
+    * P_cont(w3) = cont3 / #bigram-types, OOV → 1 / (#types + 1).
+
+    Every probability is a ratio (or product of ratios) of EXACT
+    integer counts evaluated in a fixed IEEE operation order, then
+    ``ln`` is taken ONCE per trigram and half-up rounded to a scaled
+    long (micro-nats — the q230 rule: libm final-ulp wobble is
+    absorbed by the single rounding), so the per-document sum is
+    exact BIGINT arithmetic and the whole train+score pipeline
+    replays in SQL (q258). Returns (id, n_trigrams, kn_ll_micro,
+    mean_ll_micro); documents with < 3 tokens keep a row with
+    n_trigrams = 0 and NULL mean. The one driver-side scalar is the
+    bigram-type total (bounded, the q239 cutoff-collect pattern)."""
+    if model is None:
+        model = kn_trigram_train(df, text_col, id_col)
+    dn, dd = discount
+    if not (0 < dn < dd):
+        raise ValueError(
+            f"kn_trigram_score: discount must be a fraction in (0,1), "
+            f"got {dn}/{dd}"
+        )
+    n_types = model["cont2"].count()
+    b = F.broadcast if broadcast_model else (lambda x: x)
+    tg = doc_trigrams(df, text_col, id_col)
+    j = (
+        tg.join(b(model["tri"]), ["w1", "w2", "w3"], "left")
+        .join(b(model["ctx12"]), ["w1", "w2"], "left")
+        .join(b(model["cont2"]), ["w2", "w3"], "left")
+        .join(b(model["ctx2"]), ["w2"], "left")
+        .join(b(model["cont1"]), ["w3"], "left")
+    )
+    dnl, ddl = F.lit(float(dn)), F.lit(float(dd))
+    pu = F.when(
+        F.col("cont3").isNotNull(),
+        F.col("cont3").cast("double") / F.lit(float(n_types)),
+    ).otherwise(F.lit(1.0) / F.lit(float(n_types + 1)))
+    pb = F.when(
+        F.col("cc2").isNotNull(),
+        (ddl * F.col("cc2") - dnl) / (ddl * F.col("ccctx2")),
+    ).otherwise(
+        F.when(
+            F.col("ccctx2").isNotNull(),
+            (dnl * F.col("n1p2")) / (ddl * F.col("ccctx2")),
+        ).otherwise(F.lit(1.0))
+        * pu
+    )
+    p = F.when(
+        F.col("c3").isNotNull(),
+        (ddl * F.col("c3") - dnl) / (ddl * F.col("c2ctx")),
+    ).otherwise(
+        F.when(
+            F.col("c2ctx").isNotNull(),
+            (dnl * F.col("n1p12")) / (ddl * F.col("c2ctx")),
+        ).otherwise(F.lit(1.0))
+        * pb
+    )
+    ll = F.floor(
+        F.log(p) * F.lit(float(PROB_SCALE)) + F.lit(0.5)
+    ).cast("long")
+    per_doc = (
+        j.select(F.col(id_col), ll.alias("__ll"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.sum("__ll").alias("kn_ll_micro"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_trigrams", F.lit(0))
+            .cast("long")
+            .alias("n_trigrams"),
+            F.coalesce("kn_ll_micro", F.lit(0))
+            .cast("long")
+            .alias("kn_ll_micro"),
+            F.when(
+                F.coalesce("n_trigrams", F.lit(0)) > 0,
+                F.col("kn_ll_micro").cast("double") / F.col("n_trigrams"),
+            ).alias("mean_ll_micro"),
+        )
+    )
+
+
 def ccnet_buckets(
     df: DataFrame,
     model: DataFrame | None = None,

@@ -11,7 +11,8 @@ normalization plus the universally-applied tracking-param strip):
 
 1. trim surrounding whitespace; drop the ``#fragment``.
 2. scheme lowercased; missing scheme defaults to ``http``.
-3. host lowercased; one leading ``www.`` stripped.
+3. userinfo (``user:pass@``) dropped; host lowercased; one leading
+   ``www.`` stripped.
 4. default ports dropped (``:80`` for http, ``:443`` for https);
    other ports kept.
 5. path: runs of ``/`` collapsed to one, trailing ``/`` stripped
@@ -49,6 +50,7 @@ __all__ = [
     "url_frontier_gate",
     "bloom_key_member",
     "domain_cap",
+    "politeness_schedule",
 ]
 
 # exact-name strips plus the utm_ prefix family
@@ -61,6 +63,12 @@ _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
 # the leftmost-first preference BOTH engines share
 _SCHEME_STRIP_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://"
 _HOSTPORT_RE = r"^([^/?#]*)"
+# userinfo ('user:pass@') is stripped from the authority: the same
+# page with and without credentials must land in ONE dedup group and
+# ONE domain-cap bucket (round-9 verdict finding — keeping it split
+# both). '@' cannot appear unencoded inside userinfo or host per
+# RFC 3986, so everything up to the first '@' is exactly the userinfo.
+_USERINFO_RE = r"^[^@/]*@"
 _PATH_RE = r"^[^/?#]*(/[^?#]*)"
 _QUERY_RE = r"\?([^#]*)"
 
@@ -81,7 +89,9 @@ def canonical_url(col: Column | str) -> Column:
         F.lower(scheme_raw)
     )
     rest = F.regexp_replace(u, _SCHEME_STRIP_RE, "")
-    hostport = F.lower(F.regexp_extract(rest, _HOSTPORT_RE, 1))
+    hostport = F.regexp_replace(
+        F.lower(F.regexp_extract(rest, _HOSTPORT_RE, 1)), _USERINFO_RE, ""
+    )
     host = F.regexp_replace(
         F.regexp_replace(hostport, r":[0-9]*$", ""), r"^www\.", ""
     )
@@ -113,7 +123,9 @@ def url_domain(col: Column | str) -> Column:
     the per-domain cap/rollup key."""
     u = F.trim(F.col(col) if isinstance(col, str) else col)
     rest = F.regexp_replace(u, _SCHEME_STRIP_RE, "")
-    hostport = F.lower(F.regexp_extract(rest, _HOSTPORT_RE, 1))
+    hostport = F.regexp_replace(
+        F.lower(F.regexp_extract(rest, _HOSTPORT_RE, 1)), _USERINFO_RE, ""
+    )
     return F.regexp_replace(
         F.regexp_replace(hostport, r":[0-9]*$", ""), r"^www\.", ""
     )
@@ -139,7 +151,10 @@ def canonical_url_sql(expr: str) -> str:
         f"{_sql_re(_SCHEME_RE)}, 1)) END)"
     )
     rest = f"regexp_replace({u}, {_sql_re(_SCHEME_STRIP_RE)}, '')"
-    hostport = f"lower(regexp_extract({rest}, {_sql_re(_HOSTPORT_RE)}, 1))"
+    hostport = (
+        f"regexp_replace(lower(regexp_extract({rest}, "
+        f"{_sql_re(_HOSTPORT_RE)}, 1)), {_sql_re(_USERINFO_RE)}, '')"
+    )
     host = (
         f"regexp_replace(regexp_replace({hostport}, ':[0-9]*$', ''), "
         "'^www\\.', '')"
@@ -177,7 +192,10 @@ def url_domain_sql(expr: str) -> str:
     constants."""
     u = f"trim({expr})"
     rest = f"regexp_replace({u}, {_sql_re(_SCHEME_STRIP_RE)}, '')"
-    hostport = f"lower(regexp_extract({rest}, {_sql_re(_HOSTPORT_RE)}, 1))"
+    hostport = (
+        f"regexp_replace(lower(regexp_extract({rest}, "
+        f"{_sql_re(_HOSTPORT_RE)}, 1)), {_sql_re(_USERINFO_RE)}, '')"
+    )
     return (
         f"regexp_replace(regexp_replace({hostport}, ':[0-9]*$', ''), "
         "'^www\\.', '')"
@@ -242,6 +260,66 @@ def bloom_key_member(
     from ..operators.sketches import bloom_contains
 
     return bloom_contains(key, dense, num_bits, num_hashes)
+
+
+def politeness_schedule(
+    df: DataFrame,
+    url_col: str = "url",
+    gap_slots: int = 16,
+    slot_ms: int = 1000,
+    start_epoch_ms: int = 0,
+    order_by: list[Column] | None = None,
+) -> DataFrame:
+    """POLITENESS SCHEDULING for the crawl frontier (round-9 verdict
+    task 10 — the operator between :func:`url_frontier_gate` and a
+    real fetcher): assign every candidate URL a deterministic fetch
+    slot such that the SAME domain is never hit more often than once
+    per ``gap_slots`` slots (the robots.txt crawl-delay discipline),
+    while different domains interleave freely.
+
+    Rule, fully replayable: ``domain_seq`` = the URL's 0-based rank
+    within its canonical domain under ``order_by`` (default: canonical
+    URL asc, pass a priority ordering in production — MUST be a total
+    order or the schedule is nondeterministic); the domain's phase
+    ``offset`` = md5(domain) mod ``gap_slots`` (the portable-hash
+    idiom — staggers domains so they don't all burst at slot 0);
+    ``slot = offset + domain_seq · gap_slots``;
+    ``fetch_at_ms = start_epoch_ms + slot · slot_ms``. Consecutive
+    same-domain fetches are therefore EXACTLY ``gap_slots`` slots
+    apart — the per-domain gap invariant — and the whole schedule is
+    a pure function of the frontier snapshot (re-running it after a
+    crash reproduces the identical timetable).
+
+    One window over the domain key (the :func:`domain_cap` shuffle
+    shape — at 100 TB a mega-domain is exactly the key that needs the
+    cap applied FIRST, which also bounds this window's output). Adds
+    (domain, domain_seq, slot, fetch_at_ms)."""
+    if gap_slots < 1:
+        raise ValueError(
+            f"politeness_schedule: gap_slots must be >= 1, got {gap_slots}"
+        )
+    if slot_ms < 1:
+        raise ValueError(
+            f"politeness_schedule: slot_ms must be >= 1, got {slot_ms}"
+        )
+    order = order_by if order_by is not None else [
+        F.asc(canonical_url(url_col))
+    ]
+    d = df.withColumn("domain", url_domain(url_col))
+    offset = (
+        F.conv(F.substring(F.md5(F.col("domain")), 1, 8), 16, 10)
+        .cast("long")
+        % gap_slots
+    )
+    w = Window.partitionBy("domain").orderBy(*order)
+    ranked = d.withColumn(
+        "domain_seq", (F.row_number().over(w) - 1).cast("long")
+    )
+    slot = (offset + F.col("domain_seq") * gap_slots).cast("long")
+    return ranked.withColumn("slot", slot).withColumn(
+        "fetch_at_ms",
+        (F.lit(start_epoch_ms) + F.col("slot") * slot_ms).cast("long"),
+    )
 
 
 def domain_cap(

@@ -18,31 +18,72 @@ shuffle, whole-stage codegen, scan-bound at 100 TB, and every
 primitive has an exact DuckDB twin, so the parse replays bit-for-bit
 (q253 runs the FULL ingest chain: WARC → records → HTML → text).
 
-SIMPLIFICATION, stated loudly: the body is delimited by the record
-terminator, not by counting ``Content-Length`` bytes — correct for
-text-mode WARC whose payloads do not themselves contain a bare
-``\\r\\n\\r\\nWARC/1.0`` sequence (true of HTML/text responses; HTML
-escapes make the sentinel unrepresentable in content). BINARY
-payloads (images in WARC) need the byte-exact reader, which belongs
-behind the Arrow decode seam (multimodal/assets.py) exactly like the
-image codecs — this parser is the curation-text path.
+Two readers, one contract:
+
+* :func:`warc_records` — TEXT-MODE, pure column work. The body is
+  delimited by the record terminator, not by counting
+  ``Content-Length`` bytes — correct for text-mode WARC whose
+  payloads do not themselves contain a bare ``\\r\\n\\r\\nWARC/1.0``
+  sequence (true of HTML/text responses; HTML escapes make the
+  sentinel unrepresentable in content). Fully SQL-replayable.
+* :func:`warc_records_binary` — BYTE-EXACT, the Arrow mapInPandas
+  seam (the multimodal/assets.py pattern). Payload length is COUNTED
+  from the mandatory ``Content-Length`` header, so binary payloads
+  (images — most Common Crawl records by count) that contain the
+  record sentinel in their bytes round-trip intact. This is the
+  reader that feeds decode_image_features → dhash → near-dup
+  (q255); one blob = one Arrow row = one parse pass, so at 100 TB
+  the parallelism is file-level, exactly how warc files ship
+  (~1 GB each), with zero shuffle until an explicit rollup.
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["warc_records", "warc_record_text"]
+__all__ = [
+    "warc_records",
+    "warc_records_binary",
+    "warc_record_text",
+    "warc_header_sql",
+]
 
 _SENTINEL = "WARC/1.0\r\n"
 
+# the header BLOCK is everything before the first blank line — headers
+# are extracted from it, never from the whole record, so an
+# HTTP-response BODY's own 'Content-Type:' line can never stand in for
+# a missing WARC header (round-9 verdict finding: whole-record extract
+# bled the payload's value when the header block lacked the name)
+_HEADER_BLOCK_RE = r"(?s)^(.*?)\r\n\r\n"
+
+
+def _header_value_re(name: str) -> str:
+    """Regex for one header's value, shared verbatim by both dialects
+    (names are case-sensitive per the spec's canonical forms, which is
+    what every writer emits)."""
+    return name + r": ([^\r\n]*)"
+
 
 def _header(rec: Column, name: str) -> Column:
-    """One header value from a record's header block (first match;
-    header names are case-sensitive per the spec's canonical forms,
-    which is what every writer emits)."""
-    return F.regexp_extract(rec, name + r": ([^\r\n]*)", 1)
+    """One header value from a record's PRE-BLANK-LINE header block
+    (first match); '' when the block lacks the header — the body's
+    embedded copies are unreachable by construction."""
+    block = F.regexp_extract(rec, _HEADER_BLOCK_RE, 1)
+    return F.regexp_extract(block, _header_value_re(name), 1)
+
+
+def warc_header_sql(rec_expr: str, name: str) -> str:
+    """:func:`_header`'s DuckDB twin, GENERATED from the same regex
+    constants (the canonical_url_sql discipline) so the oracle's
+    header rule cannot drift from the engine's."""
+    for pat in (_HEADER_BLOCK_RE, _header_value_re(name)):
+        assert "'" not in pat, pat
+    block = f"regexp_extract({rec_expr}, '{_HEADER_BLOCK_RE}', 1)"
+    return f"regexp_extract({block}, '{_header_value_re(name)}', 1)"
 
 
 def warc_records(
@@ -94,3 +135,117 @@ def warc_record_text(
         F.col(content_type_col).startswith("text/html"),
         html_to_text(F.col(body_col)),
     ).otherwise(F.col(body_col))
+
+
+_SENTINEL_B = b"WARC/1.0\r\n"
+_BLANK_B = b"\r\n\r\n"
+
+BINARY_RECORD_FIELDS = (
+    "rec_idx long, warc_type string, target_uri string, "
+    "content_type string, content_length long, payload binary"
+)
+
+
+def _parse_warc_blob(blob: bytes) -> Iterator[tuple]:
+    """Byte-exact record iterator over one WARC file blob: headers are
+    parsed from the pre-blank-line block (the same anchoring rule as
+    the text-mode reader), the payload is EXACTLY ``Content-Length``
+    bytes — a payload containing the record sentinel in its bytes
+    (any image) is returned intact. A record without Content-Length
+    is malformed per ISO 28500 §5.3 (the header is mandatory) and
+    raises loudly — silently guessing the boundary is how a corrupt
+    record swallows its successors."""
+    pos = 0
+    idx = 0
+    n = len(blob)
+    while pos < n:
+        start = blob.find(_SENTINEL_B, pos)
+        if start < 0:
+            break
+        hdr_start = start + len(_SENTINEL_B)
+        hdr_end = blob.find(_BLANK_B, hdr_start)
+        if hdr_end < 0:
+            raise ValueError(
+                f"warc_records_binary: record {idx} has no blank line "
+                "after its header block — truncated or not WARC"
+            )
+        headers: dict[str, str] = {}
+        for line in blob[hdr_start:hdr_end].decode(
+            "utf-8", "replace"
+        ).split("\r\n"):
+            name, sep, value = line.partition(":")
+            if sep:
+                headers[name.strip()] = value.strip()
+        if "Content-Length" not in headers:
+            raise ValueError(
+                f"warc_records_binary: record {idx} has no "
+                "Content-Length header — mandatory per ISO 28500; "
+                "a text-mode blob belongs in warc_records"
+            )
+        clen = int(headers["Content-Length"])
+        body_start = hdr_end + len(_BLANK_B)
+        if body_start + clen > n:
+            raise ValueError(
+                f"warc_records_binary: record {idx} declares "
+                f"Content-Length={clen} but only "
+                f"{n - body_start} bytes remain — truncated blob"
+            )
+        payload = blob[body_start : body_start + clen]
+        yield (
+            idx,
+            headers.get("WARC-Type", ""),
+            headers.get("WARC-Target-URI", ""),
+            headers.get("Content-Type", ""),
+            clen,
+            payload,
+        )
+        pos = body_start + clen
+        # the two-CRLF record terminator follows the counted payload
+        if blob[pos : pos + len(_BLANK_B)] == _BLANK_B:
+            pos += len(_BLANK_B)
+        idx += 1
+
+
+def warc_records_binary(
+    df: DataFrame,
+    blob_col: str = "warc",
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Explode BINARY WARC file blobs into one row per record:
+    (``keep_cols``..., rec_idx, warc_type, target_uri, content_type,
+    content_length, payload) — the byte-exact reader (payload counted
+    from Content-Length, see :func:`_parse_warc_blob`). Arrow-batched
+    mapInPandas, 1 blob → N record rows, zero shuffle; chain the
+    image payloads straight into
+    multimodal.assets.decode_payloads/dhash_expr (q255)."""
+    import pandas as pd
+
+    keep = keep_cols if keep_cols is not None else []
+    keep_types = "".join(
+        f"{f.name} {f.dataType.simpleString()}, "
+        for f in (df.select(*keep).schema.fields if keep else [])
+    )
+    schema = keep_types + BINARY_RECORD_FIELDS
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            *keep,
+            "rec_idx",
+            "warc_type",
+            "target_uri",
+            "content_type",
+            "content_length",
+            "payload",
+        ]
+        for pdf in batches:
+            rows = []
+            for tup in pdf.itertuples(index=False):
+                d = tup._asdict()
+                blob = d[blob_col]
+                raw = bytes(blob) if blob is not None else b""
+                kv = [d[k] for k in keep]
+                for rec in _parse_warc_blob(raw):
+                    rows.append((*kv, *rec))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(*keep, blob_col).mapInPandas(gen, schema=schema)

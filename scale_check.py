@@ -30,6 +30,16 @@ true pair structure is exactly K× the base (per-copy token bijection)
 — against ``PAIR_BOUNDS_FACTOR[op] · K``; their wall ratio is
 recorded but informational (wall on bursty bucket-cap work swung
 1.5× run-to-run and produced round-4's false watch item).
+
+Round 10: the remaining WALL-ratio asserts are LOAD-GATED. Wall
+bounds swing ~1.5× with box state (round-9's repeated_passages
+"violation" at 8.32 vs 7.5 happened on a slow-session box while the
+counted pair ratios — the module's real signal — were clean at
+3.1–4.0). When the load sentinel taken at block start shows
+``load1 >= WALL_ASSERT_MAX_LOAD1`` the wall bounds are recorded as
+informational (``wall_asserts: "skipped_load"`` in the payload) and
+only the exactly-reproducible pair-count bounds can raise
+violations; on an idle box the wall asserts stay enforced.
 """
 
 from __future__ import annotations
@@ -852,6 +862,42 @@ PAIR_BOUNDS_FACTOR: dict[str, float] = {
 # 2^ceil(log2 K) bucket growth restores constant occupancy); the
 # remaining excluded ops are sub-second/noise-dominated and add more
 # wall-clock than signal per round.
+# wall asserts are enforced only when the box is this idle at block
+# start; pair-count asserts are load-independent and always enforced
+WALL_ASSERT_MAX_LOAD1 = 1.0
+
+
+def load_sentinel() -> dict:
+    """Self-diagnosing load snapshot for the bench/scale artifacts:
+    1/5-min loadavg plus the count of currently RUNNING processes
+    (state R in /proc — the concurrent-compute signal; sleeping
+    daemons don't count). Two rounds in a row the driver's bench ran
+    concurrently with other load and reported +20% while isolated
+    reruns were flat; with the snapshot IN the artifact, a hot box is
+    visible in the number itself instead of needing a forensic rerun.
+    Lives here (not bench.py) so :func:`scale_block` can gate its
+    wall asserts on it without a circular import."""
+    try:
+        l1, l5, _ = os.getloadavg()
+    except OSError:  # pragma: no cover - /proc-less platform
+        l1 = l5 = -1.0
+    running = 0
+    try:
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/stat") as f:
+                    # field 3 (after the parenthesized comm) is state
+                    if f.read().rsplit(")", 1)[1].split()[0] == "R":
+                        running += 1
+            except OSError:
+                continue
+    except OSError:  # pragma: no cover
+        running = -1
+    return {"load1": round(l1, 2), "load5": round(l5, 2), "procs_running": running}
+
+
 BENCH_SUBSET = [
     "exact_dedup",
     "minhash_lsh",
@@ -890,7 +936,15 @@ def scale_block(
     reproducible at fixed data — against ``PAIR_BOUNDS``; their wall
     ratio is recorded but informational (wall on these ops swings with
     bursty bucket-cap work; round-4 verdict watch item). Everything
-    else keeps the wall-clock bound in ``SCALE_BOUNDS``."""
+    else keeps the wall-clock bound in ``SCALE_BOUNDS`` — LOAD-GATED:
+    enforced only when the sentinel taken here shows
+    ``load1 < WALL_ASSERT_MAX_LOAD1`` (a busy box inflates wall
+    ratios ~1.5× and produced round-9's false repeated_passages trip;
+    pair-count bounds are load-independent and always enforced). The
+    payload records the sentinel and whether wall bounds were
+    enforced (``wall_asserts``)."""
+    sentinel = load_sentinel()
+    wall_enforced = 0 <= sentinel["load1"] < WALL_ASSERT_MAX_LOAD1
     out_dir = f"/tmp/spark_graft_scale_{k}x"
     build_scaled(spark, sf_dir, k, out_dir)
     extra_bits = max(0, (k - 1).bit_length())  # ceil(log2(k))
@@ -911,6 +965,8 @@ def scale_block(
         for n, r in ratio.items():
             if n in pair_ratio:
                 continue  # pair-counted op: wall is informational
+            if not wall_enforced:
+                continue  # hot box: wall ratios measure load, not plans
             if r is not None and n in SCALE_BOUNDS and r > SCALE_BOUNDS[n]:
                 violations[n] = {"ratio": r, "bound": SCALE_BOUNDS[n]}
         for n, r in pair_ratio.items():
@@ -927,6 +983,8 @@ def scale_block(
         "base_pairs": base_p,
         "scaled_pairs": big_p,
         "pair_ratio": pair_ratio,
+        "load": sentinel,
+        "wall_asserts": "enforced" if wall_enforced else "skipped_load",
         **({"violations": violations} if do_assert else {}),
     }
 
