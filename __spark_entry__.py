@@ -16074,6 +16074,421 @@ def q260(spark, sf_dir):
     ).orderBy("piece")
 
 
+def _png_grid_decoder(raw: bytes) -> list[float]:
+    """q261's image decoder: the fixture's PNG payloads are the 8-byte
+    PNG magic followed by the 64-byte grid, so the grid starts at
+    byte 9 (module-level for picklability — the seam ships it to
+    executors)."""
+    from graphragpart1datapipeline_spark.multimodal.assets import (
+        fake_decode_gray8x8,
+    )
+
+    return fake_decode_gray8x8(raw[8:])
+
+
+_MIME_DECLARED = {
+    0: "text/HTML; charset=utf-8",
+    1: "text/plain",
+    2: "",
+    3: "text/plain",
+}
+
+_PNG_MAGIC_HEX = "89504E470D0A1A0A"
+
+
+def _mime_warc_blobs(docs: DataFrame) -> DataFrame:
+    """Synthetic BINARY WARC fixture for q261: one record per doc,
+    packed into one blob per doc_id%8. Record class = doc_id%4 —
+    0: an HTML body declared with case+params noise
+    (``text/HTML; charset=utf-8``); 1: a fake-PDF container DECLARED
+    ``text/plain`` (the lying-server case — the sniff must override);
+    2: a PNG-magic + md5-grid payload with an EMPTY declared type
+    (sniff is the only signal); 3: plain text truthfully declared.
+    Every payload class is rebuildable in SQL (md5-grid bytes exactly
+    as q255)."""
+    from graphragpart1datapipeline_spark.text.pdf import FAKE_PDF_MAGIC
+
+    def build(pdf):
+        import hashlib
+
+        import pandas as pd
+
+        recs = []
+        for _, row in pdf.sort_values("doc_id").iterrows():
+            did = int(row["doc_id"])
+            text = row["text"]
+            m = did % 4
+            if m == 0:
+                body = (
+                    f"<html><body><h1>Doc {did}</h1><p>"
+                    + text.replace(". ", ".</p><p>")
+                    + "</p></body></html>"
+                )
+                payload = body.encode()
+            elif m == 1:
+                payload = (
+                    FAKE_PDF_MAGIC + f"Title {did}\n\n{text}"
+                ).encode()
+            elif m == 2:
+                grid = bytearray()
+                for j in range(64):
+                    grid.append(
+                        int(
+                            hashlib.md5(f"{did}-{j}".encode()).hexdigest()[
+                                :2
+                            ],
+                            16,
+                        )
+                    )
+                payload = bytes.fromhex(_PNG_MAGIC_HEX) + bytes(grid)
+            else:
+                payload = text.encode()
+            recs.append(
+                _warc_rec(f"doc://{did}", _MIME_DECLARED[m], payload)
+            )
+        return pd.DataFrame(
+            {
+                "warc_file": [int(pdf["warc_file"].iloc[0])],
+                "warc": [b"".join(recs)],
+            }
+        )
+
+    return (
+        docs.select(
+            "doc_id", "text", (F.col("doc_id") % 8).alias("warc_file")
+        )
+        .groupBy("warc_file")
+        .applyInPandas(build, "warc_file long, warc binary")
+    )
+
+
+def _mime_route_sql() -> str:
+    """Oracle for q261: rebuild each record class's payload HEX and
+    declared type, replay the GENERATED sniff/route chain
+    (route_mime_sql — the MAGIC_RULES table is the single source),
+    then the per-route outputs: html/pdf/plain text lengths via the
+    GENERATED extraction chain, image fingerprints via the GENERATED
+    dHash CASE chain. The byte round-trip through the binary WARC
+    reader and the Arrow decode seams is the Spark side's to prove
+    (the q255/q256 discipline)."""
+    from graphragpart1datapipeline_spark.text.html import html_to_text_sql
+    from graphragpart1datapipeline_spark.text.mime import route_mime_sql
+    from graphragpart1datapipeline_spark.text.pdf import FAKE_PDF_MAGIC
+
+    assert FAKE_PDF_MAGIC.endswith("\n") and "'" not in FAKE_PDF_MAGIC
+    magic = "'" + FAKE_PDF_MAGIC[:-1] + "' || chr(10)"
+    hexd = "'0123456789abcdef'"
+    key = "CAST(doc_id AS VARCHAR) || '-' || CAST(j AS VARCHAR)"
+    cell = (
+        f"(strpos({hexd}, substr(md5({key}), 1, 1)) - 1) * 16 + "
+        f"(strpos({hexd}, substr(md5({key}), 2, 1)) - 1)"
+    )
+    decl = " ".join(
+        f"WHEN {k} THEN '{v}'" for k, v in _MIME_DECLARED.items()
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id, doc_id % 4 AS m, text,
+             '<html><body><h1>Doc ' || doc_id || '</h1><p>'
+               || replace(text, '. ', '.</p><p>')
+               || '</p></body></html>' AS html_body,
+             'Title ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10)
+               || text AS pdf_text
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             list_transform(range(0, 64), j -> {cell}) AS grid,
+             upper(array_to_string(
+               list_transform(range(0, 64),
+                              j -> substr(md5({key}), 1, 2)), '')) AS ghex
+      FROM base WHERE m = 2
+    ), payload AS (
+      SELECT b.doc_id, b.m, b.text, b.html_body, b.pdf_text, g.grid,
+             CASE b.m
+               WHEN 0 THEN hex(encode(b.html_body))
+               WHEN 1 THEN hex(encode({magic} || b.pdf_text))
+               WHEN 2 THEN '{_PNG_MAGIC_HEX}' || g.ghex
+               ELSE hex(encode(b.text)) END AS hx,
+             CASE b.m {decl} END AS decl
+      FROM base b LEFT JOIN g USING (doc_id)
+    ), routed AS (
+      SELECT *, {route_mime_sql("hx", "decl")} AS route FROM payload
+    )
+    SELECT doc_id, route,
+           CAST(CASE route
+             WHEN 'text/html' THEN length({html_to_text_sql("html_body")})
+             WHEN 'application/pdf' THEN length(pdf_text)
+             WHEN 'text/plain' THEN length(text) END AS BIGINT)
+             AS text_chars,
+           CASE WHEN route = 'image/png'
+                THEN {_dhash_sql("grid")} END AS fp
+    FROM routed ORDER BY doc_id
+    """
+
+
+@_register("q261_mime_routed_ingest", _mime_route_sql())
+def q261(spark, sf_dir):
+    """MIME SNIFFING + ROUTED CRAWL INGEST (text/mime.py — the
+    dispatch step between the binary WARC reader and the per-format
+    processors; round-10 wave 2): servers lie about Content-Type, so
+    the router sniffs magic bytes first (hex-prefix CASE chain over
+    the binary payload, row-local, codegen) and trusts the declared
+    header only when no magic matches. The fixture exercises every
+    arm: an honest HTML record (normalization of case + ;params), a
+    fake-PDF DECLARED text/plain (the sniff overrides the lie), a PNG
+    with an EMPTY declared type (the sniff is the only signal), and
+    honest plain text. Routed processing: HTML → q247's extraction
+    chain (pure column work — utf-8 decode is JVM-side), PDF → the
+    q256 Arrow decode seam, PNG → the q255 grid decode + dHash, text
+    → passthrough; one relaxed union of the branch outputs. The
+    parsed records localCheckpoint before fanning out to 4 branch
+    consumers, so the byte parse runs ONCE per blob. At 100 TB every
+    branch is map-only; the sniff fuses into the scan."""
+    from graphragpart1datapipeline_spark.multimodal.assets import (
+        FEATURE_SCHEMA,
+        decode_payloads,
+        dhash_expr,
+    )
+    from graphragpart1datapipeline_spark.text.html import html_to_text
+    from graphragpart1datapipeline_spark.text.mime import route_mime
+    from graphragpart1datapipeline_spark.text.pdf import (
+        decode_pdf_text,
+        fake_decode_pdf_text,
+    )
+    from graphragpart1datapipeline_spark.text.warc import (
+        warc_records_binary,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    blobs = _mime_warc_blobs(docs)
+    recs = warc_records_binary(blobs, "warc", keep_cols=["warc_file"])
+    routed = recs.select(
+        F.regexp_extract("target_uri", "doc://([0-9]+)", 1)
+        .cast("long")
+        .alias("doc_id"),
+        route_mime("payload", "content_type").alias("route"),
+        "payload",
+    ).localCheckpoint(eager=True)
+    route = F.col("route")
+    nul = F.lit(None).cast("long")
+    txt = routed.filter(route.isin("text/html", "text/plain")).select(
+        "doc_id",
+        "route",
+        F.when(
+            route == "text/html",
+            F.length(html_to_text(F.decode("payload", "UTF-8"))),
+        )
+        .otherwise(F.length(F.decode("payload", "UTF-8")))
+        .cast("long")
+        .alias("text_chars"),
+        nul.alias("fp"),
+    )
+    pdf = decode_pdf_text(
+        routed.filter(route == "application/pdf").select(
+            F.col("doc_id").cast("string").alias("asset_id"),
+            F.lit("pdf").alias("kind"),
+            "payload",
+        ),
+        decoder=fake_decode_pdf_text,
+    ).select(
+        F.col("asset_id").cast("long").alias("doc_id"),
+        F.lit("application/pdf").alias("route"),
+        F.length("text").cast("long").alias("text_chars"),
+        nul.alias("fp"),
+    )
+    img = decode_payloads(
+        routed.filter(route == "image/png").select(
+            F.col("doc_id").cast("string").alias("asset_id"),
+            F.lit("image").alias("kind"),
+            "payload",
+        ),
+        _png_grid_decoder,
+        FEATURE_SCHEMA,
+        "feature",
+    ).select(
+        F.col("asset_id").cast("long").alias("doc_id"),
+        F.lit("image/png").alias("route"),
+        nul.alias("text_chars"),
+        dhash_expr("feature", 8, 8).cast("long").alias("fp"),
+    )
+    return txt.unionByName(pdf).unionByName(img).orderBy("doc_id")
+
+
+def _robots_sql() -> str:
+    """Oracle for q262: rebuild the per-domain robots.txt bodies, then
+    replay the ENTIRE parse (line split on \\r?\\n, comment strip,
+    field/value extraction, UA-block running-sum grouping, exact-agent
+    vs * group selection, conservative wildcard transforms) and the
+    longest-match resolution over the q250 URL fixture — every stage
+    in portable SQL (windows + regexp + starts_with)."""
+    from graphragpart1datapipeline_spark.text.urls import (
+        canonical_url_sql,
+        url_domain_sql,
+    )
+
+    return f"""
+    WITH dom AS (
+      SELECT DISTINCT doc_id % 7 AS d FROM documents
+    ), bodies AS (
+      SELECT 'site' || d || '.com' AS domain,
+        '# robots for site' || d || chr(10) ||
+        'User-agent: *' || chr(13) || chr(10) ||
+        'Disallow: /Path' || (d % 5) || chr(10) ||
+        'Allow: /Path' || (d % 5) || '/sub' || chr(10) ||
+        'Disallow: /Path' || ((d + 2) % 5) || '/sub' || chr(10) ||
+        'Disallow: /private*' || d || chr(10) ||
+        'Allow: /ok*page' || chr(10) ||
+        'Disallow:' ||
+        CASE WHEN d % 2 = 0 THEN chr(10) || chr(10) ||
+          'User-agent: GraftBot' || chr(10) ||
+          'User-agent: backup-bot' || chr(10) ||
+          'Disallow: /Path' || ((d + 1) % 5) || chr(10) ||
+          'Crawl-delay: 5'
+        ELSE '' END AS body
+      FROM dom
+    ), lines AS (
+      SELECT domain, s AS pos,
+             trim(regexp_replace(ls[CAST(s + 1 AS INTEGER)],
+                                 '#.*$', '')) AS l
+      FROM (SELECT domain, string_split_regex(body, '\\r?\\n') AS ls
+            FROM bodies),
+           LATERAL (SELECT unnest(range(0, len(ls))) AS s) t
+    ), fields AS (
+      SELECT domain, pos,
+             lower(regexp_extract(l, '^([A-Za-z-]+)\\s*:', 1)) AS field,
+             trim(regexp_replace(l, '^[A-Za-z-]+\\s*:', '')) AS value
+      FROM lines
+    ), marked AS (
+      SELECT *, (field = 'user-agent') AS is_ua,
+             COALESCE(lag(field = 'user-agent')
+               OVER (PARTITION BY domain ORDER BY pos), FALSE) AS prev_ua
+      FROM fields
+    ), grouped AS (
+      SELECT *, SUM(CASE WHEN is_ua AND NOT prev_ua THEN 1 ELSE 0 END)
+             OVER (PARTITION BY domain ORDER BY pos
+                   ROWS UNBOUNDED PRECEDING) AS grp
+      FROM marked
+    ), ua AS (
+      SELECT domain, grp,
+             MAX(CASE WHEN lower(value) = 'graftbot' THEN 1 ELSE 0 END)
+               AS m_exact,
+             MAX(CASE WHEN value = '*' THEN 1 ELSE 0 END) AS m_any
+      FROM grouped WHERE is_ua GROUP BY 1, 2
+    ), de AS (
+      SELECT domain, MAX(m_exact) AS has_exact FROM ua GROUP BY 1
+    ), applicable AS (
+      SELECT ua.domain, grp FROM ua JOIN de USING (domain)
+      WHERE CASE WHEN has_exact = 1 THEN m_exact = 1 ELSE m_any = 1 END
+    ), rules1 AS (
+      SELECT g.domain, g.field AS rule, g.value
+      FROM grouped g JOIN applicable a
+        ON g.domain = a.domain AND g.grp = a.grp
+      WHERE g.field IN ('allow', 'disallow') AND g.grp >= 1
+    ), rules AS (
+      SELECT domain, rule,
+             CASE WHEN rule = 'disallow'
+                  THEN regexp_extract(value, '^([^*$]*)', 1)
+                  ELSE value END AS rpath
+      FROM rules1
+      WHERE value <> ''
+        AND NOT (rule = 'allow' AND regexp_matches(value, '[*$]'))
+    ), raw AS ({_url_fixture_sql()}
+    ), urls AS (
+      SELECT doc_id, {canonical_url_sql("url")} AS canon,
+             {url_domain_sql("url")} AS domain
+      FROM raw WHERE variant = 0
+    ), upath AS (
+      SELECT doc_id, domain,
+             CASE WHEN p = '' THEN '/' ELSE p END AS path
+      FROM (SELECT doc_id, domain,
+              regexp_extract(canon,
+                '^[a-z0-9+.-]+://[^/?#]*([^?#]*)', 1) AS p
+            FROM urls)
+    ), j AS (
+      SELECT u.doc_id, u.domain, u.path, r.rule, r.rpath,
+             length(r.rpath) * 2
+               + CASE WHEN r.rule = 'allow' THEN 1 ELSE 0 END AS score
+      FROM upath u LEFT JOIN rules r
+        ON u.domain = r.domain AND starts_with(u.path, r.rpath)
+    ), best AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id
+        ORDER BY score DESC NULLS LAST, rpath DESC, rule) AS rn
+      FROM j
+    )
+    SELECT doc_id, domain, path, rule AS matched_rule,
+           rpath AS matched_path,
+           (rule IS NULL OR rule = 'allow') AS allowed
+    FROM best WHERE rn = 1 ORDER BY doc_id
+    """
+
+
+@_register("q262_robots_compliance", _robots_sql())
+def q262(spark, sf_dir):
+    """ROBOTS.TXT PARSING + FRONTIER COMPLIANCE (text/robots.py —
+    RFC 9309; round-10 wave 2, the legal/politeness gate between
+    frontier seeding and the politeness scheduler q259): per-domain
+    robots bodies are parsed into UA groups (consecutive User-agent
+    lines start a group — a running-sum window over line position),
+    the EXACT-agent groups govern when any exist (case-insensitive;
+    the fixture's even domains carry a 'GraftBot' group that must
+    override the '*' group), else the '*' groups; comments, blank
+    lines, unknown fields (Crawl-delay) are skipped; wildcard rules
+    are honored CONSERVATIVELY (Disallow truncated at the first
+    wildcard — over-blocks; wildcard Allow dropped) — the engine may
+    over-respect robots.txt, never under-respect it. The frontier
+    filter resolves RFC longest-match (specificity = prefix length;
+    tie → Allow) per URL with the rules BROADCAST — the frontier
+    never shuffles. Output is the audit view (allowed + matched
+    rule), every stage oracle-replayed including the parse."""
+    from graphragpart1datapipeline_spark.text.robots import (
+        robots_frontier_filter,
+        robots_rules,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    dom = docs.select((F.col("doc_id") % 7).alias("d")).distinct()
+    ds = F.col("d").cast("string")
+    a = (F.col("d") % 5).cast("string")
+    b = ((F.col("d") + 2) % 5).cast("string")
+    c = ((F.col("d") + 1) % 5).cast("string")
+    body = F.concat(
+        F.lit("# robots for site"), ds,
+        F.lit("\nUser-agent: *\r\nDisallow: /Path"), a,
+        F.lit("\nAllow: /Path"), a,
+        F.lit("/sub\nDisallow: /Path"), b,
+        F.lit("/sub\nDisallow: /private*"), ds,
+        F.lit("\nAllow: /ok*page\nDisallow:"),
+        F.coalesce(
+            F.when(
+                F.col("d") % 2 == 0,
+                F.concat(
+                    F.lit(
+                        "\n\nUser-agent: GraftBot\n"
+                        "User-agent: backup-bot\nDisallow: /Path"
+                    ),
+                    c,
+                    F.lit("\nCrawl-delay: 5"),
+                ),
+            ),
+            F.lit(""),
+        ),
+    )
+    robots = dom.select(
+        F.concat(F.lit("site"), ds, F.lit(".com")).alias("domain"),
+        body.alias("robots_txt"),
+    )
+    rules = robots_rules(robots, agent="graftbot")
+    urls = _url_fixture(docs).filter(F.col("variant") == 0)
+    out = robots_frontier_filter(
+        urls, rules, url_col="url", id_col="doc_id", keep_blocked=True
+    )
+    return out.select(
+        "doc_id", "domain", "path", "matched_rule", "matched_path",
+        "allowed",
+    ).orderBy("doc_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q02(spark, "/root/testdata/sf0.001")

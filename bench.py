@@ -344,6 +344,12 @@ SECONDARY = [
     "q260_unigram_tokenizer_train",
     # script profiling: scan-bound regexp counts (the q227 profile)
     "q254_script_profile",
+    # mime sniff + routed ingest: one binary parse pass fanning to 4
+    # map-only branches (sniff fuses into the scan; q255/q256 seams)
+    "q261_mime_routed_ingest",
+    # robots compliance: KB-sized per-domain parse windows + one
+    # broadcast longest-match window over the frontier
+    "q262_robots_compliance",
 ]
 
 # Repetitions per query; report the min. The ambient swing on a shared
