@@ -15755,9 +15755,9 @@ def q257(spark, sf_dir):
     ).orderBy("a", "b")
 
 
-@_register(
-    "q258_kn_trigram_score",
-    """
+# q258's full train+score replay — also the scoring CTE of q264's
+# KN-based CCNet bucketing (nested WITH inside a CTE is fine in DuckDB)
+_KN_SCORE_SQL = """
     WITH t AS (
       SELECT doc_id,
              list_transform(string_split_regex(trim(text), '\\s+'),
@@ -15826,8 +15826,10 @@ def q257(spark, sf_dir):
                 THEN CAST(agg.s AS DOUBLE) / agg.n_trigrams
            END AS mean_ll_micro
     FROM documents d LEFT JOIN agg USING (doc_id)
-    """,
-)
+    """
+
+
+@_register("q258_kn_trigram_score", _KN_SCORE_SQL)
 def q258(spark, sf_dir):
     """KNESER-NEY BACKOFF TRIGRAM LM (text/lm.py — round-9 verdict
     task 7; the CCNet filter's actual KenLM shape, one order short of
@@ -15926,14 +15928,62 @@ _UNIGRAM_PARAMS = dict(
 )
 
 
-def _unigram_sql() -> str:
-    """Oracle for q260: the ENTIRE unigram-LM training replayed —
-    seed vocabulary, then per EM round the Viterbi DP with positions
-    UNROLLED as CTE layers (the k-core fixed-round pattern), the
-    exact-score backpointer rule (MIN j among maximizers = longest
-    final piece), the backtrace unrolled, hard counts, prune (chars
-    floored at 1), and the micro-nat M-step. GENERATED from the same
-    parameters the engine trains with."""
+def _unigram_dp_cte(tag: str, pieces_name: str, L: int) -> str:
+    """One Viterbi DP + backtrace round against ``pieces_name`` as a
+    CTE chain (positions unrolled — the k-core fixed-round pattern;
+    MIN-j backpointer = longest final piece): emits the backtrace
+    tables ``s{tag}_t``. Shared by the training rounds (q260) and the
+    encode round (q263) so the DP rule exists ONCE."""
+    parts = [f"""
+    , e{tag} AS (
+      SELECT c.w, c.j, c.i, pc.ll
+      FROM cand c JOIN {pieces_name} pc USING (piece)
+    ), a{tag}_0 AS MATERIALIZED (
+      SELECT w, CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS best
+      FROM words
+    )"""]
+    for i in range(1, L + 1):
+        parts.append(f"""
+    , b{tag}_{i} AS MATERIALIZED (
+      SELECT e.w, CAST({i} AS BIGINT) AS i,
+             MAX(a.best + e.ll) AS best
+      FROM e{tag} e JOIN a{tag}_{i - 1} a ON a.w = e.w AND a.i = e.j
+      WHERE e.i = {i} GROUP BY e.w
+    ), a{tag}_{i} AS MATERIALIZED (
+      SELECT * FROM a{tag}_{i - 1} UNION ALL SELECT * FROM b{tag}_{i}
+    )""")
+    parts.append(f"""
+    , sc{tag} AS MATERIALIZED (
+      SELECT e.w, e.i, e.j, a.best + e.ll AS score
+      FROM e{tag} e JOIN a{tag}_{L} a ON a.w = e.w AND a.i = e.j
+    ), ch{tag} AS MATERIALIZED (
+      SELECT s.w, s.i, MIN(s.j) AS j
+      FROM sc{tag} s JOIN a{tag}_{L} b
+        ON b.w = s.w AND b.i = s.i AND b.best = s.score
+      GROUP BY s.w, s.i
+    ), p{tag}_0 AS MATERIALIZED (
+      SELECT w, wc, CAST(length(w) AS BIGINT) AS pos FROM words
+    )""")
+    for t in range(1, L + 1):
+        parts.append(f"""
+    , s{tag}_{t} AS MATERIALIZED (
+      SELECT p.w, p.wc, c.j, p.pos,
+             substring(p.w, CAST(c.j + 1 AS INTEGER),
+                       CAST(p.pos - c.j AS INTEGER)) AS piece
+      FROM p{tag}_{t - 1} p JOIN ch{tag} c ON c.w = p.w AND c.i = p.pos
+      WHERE p.pos > 0
+    ), p{tag}_{t} AS MATERIALIZED (
+      SELECT w, wc, j AS pos FROM s{tag}_{t})""")
+    return "".join(parts)
+
+
+def _unigram_body_sql() -> tuple[str, int]:
+    """The shared q260/q263 CTE chain — word counts, candidate spans,
+    seed vocabulary, then every EM training round (DP via
+    :func:`_unigram_dp_cte`, hard counts, prune with chars floored at
+    1, micro-nat M-step). Returns (sql, last) where ``pieces{last}``
+    is the trained vocabulary. GENERATED from the same parameters the
+    engine trains with."""
     p = _UNIGRAM_PARAMS
     L, maxp = p["max_word_len"], p["max_piece_len"]
     sql = [f"""
@@ -15973,45 +16023,7 @@ def _unigram_sql() -> str:
       FROM kept0, tot0
     )"""]
     for r in range(p["rounds"]):
-        sql.append(f"""
-    , e{r} AS (
-      SELECT c.w, c.j, c.i, pc.ll
-      FROM cand c JOIN pieces{r} pc USING (piece)
-    ), a{r}_0 AS MATERIALIZED (
-      SELECT w, CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS best
-      FROM words
-    )""")
-        for i in range(1, L + 1):
-            sql.append(f"""
-    , b{r}_{i} AS MATERIALIZED (
-      SELECT e.w, CAST({i} AS BIGINT) AS i,
-             MAX(a.best + e.ll) AS best
-      FROM e{r} e JOIN a{r}_{i - 1} a ON a.w = e.w AND a.i = e.j
-      WHERE e.i = {i} GROUP BY e.w
-    ), a{r}_{i} AS MATERIALIZED (
-      SELECT * FROM a{r}_{i - 1} UNION ALL SELECT * FROM b{r}_{i}
-    )""")
-        sql.append(f"""
-    , sc{r} AS MATERIALIZED (
-      SELECT e.w, e.i, e.j, a.best + e.ll AS score
-      FROM e{r} e JOIN a{r}_{L} a ON a.w = e.w AND a.i = e.j
-    ), ch{r} AS MATERIALIZED (
-      SELECT s.w, s.i, MIN(s.j) AS j
-      FROM sc{r} s JOIN a{r}_{L} b
-        ON b.w = s.w AND b.i = s.i AND b.best = s.score
-      GROUP BY s.w, s.i
-    ), p{r}_0 AS MATERIALIZED (
-      SELECT w, wc, CAST(length(w) AS BIGINT) AS pos FROM words
-    )""")
-        for t in range(1, L + 1):
-            sql.append(f"""
-    , s{r}_{t} AS MATERIALIZED (
-      SELECT p.w, p.wc, c.j, p.pos,
-             substring(p.w, CAST(c.j + 1 AS INTEGER),
-                       CAST(p.pos - c.j AS INTEGER)) AS piece
-      FROM p{r}_{t - 1} p JOIN ch{r} c ON c.w = p.w AND c.i = p.pos
-      WHERE p.pos > 0
-    ), p{r}_{t} AS MATERIALIZED (SELECT w, wc, j AS pos FROM s{r}_{t})""")
+        sql.append(_unigram_dp_cte(str(r), f"pieces{r}", L))
         uses = " UNION ALL ".join(
             f"SELECT wc, piece FROM s{r}_{t}" for t in range(1, L + 1)
         )
@@ -16037,10 +16049,57 @@ def _unigram_sql() -> str:
       FROM kp{r}, tot{r + 1}
     )""")
         last = r + 1
-    sql.append(f"""
+    return "".join(sql), last
+
+
+def _unigram_sql() -> str:
+    """Oracle for q260: the trained vocabulary (the full
+    :func:`_unigram_body_sql` chain — seed, unrolled DP/backtrace
+    rounds, prune, M-step)."""
+    body, last = _unigram_body_sql()
+    return body + f"""
     SELECT piece, cnt, ll AS ll_micro FROM pieces{last} ORDER BY piece
-    """)
-    return "".join(sql)
+    """
+
+
+def _unigram_encode_sql() -> str:
+    """Oracle for q263: the q260 training chain, then ONE MORE DP +
+    backtrace round (the identical generated CTEs — the encode rule
+    IS the E-step rule) against the final vocabulary, per-word piece
+    counts, and the q240-shaped per-language fertility rollup."""
+    body, last = _unigram_body_sql()
+    L = _UNIGRAM_PARAMS["max_word_len"]
+    uses = " UNION ALL ".join(
+        f"SELECT w FROM sx_{t}" for t in range(1, L + 1)
+    )
+    return body + _unigram_dp_cte("x", f"pieces{last}", L) + f"""
+    , np AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS n_pieces
+      FROM ({uses}) u GROUP BY w
+    ), doc_words AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 string_split_regex(trim(text), '\\s+'),
+                 x -> lower(x))) AS w
+        FROM documents) u
+      WHERE w <> ''
+    ), pd AS (
+      SELECT doc_id, COUNT(*) AS nw,
+             CAST(SUM(n_pieces) AS BIGINT) AS np
+      FROM doc_words JOIN np USING (w) GROUP BY doc_id
+    )
+    SELECT d.lang, COUNT(*) AS n_docs,
+           CAST(SUM(COALESCE(pd.nw, 0)) AS BIGINT) AS n_words,
+           CAST(SUM(COALESCE(pd.np, 0)) AS BIGINT) AS n_pieces,
+           CASE WHEN SUM(COALESCE(pd.nw, 0)) > 0
+                THEN floor(CAST(SUM(COALESCE(pd.np, 0)) AS DOUBLE)
+                           / SUM(COALESCE(pd.nw, 0)) * 1000000 + 0.5)
+                     / 1000000.0
+           END AS fertility
+    FROM documents d LEFT JOIN pd USING (doc_id)
+    GROUP BY d.lang ORDER BY d.lang
+    """
 
 
 @_register("q260_unigram_tokenizer_train", _unigram_sql())
@@ -16487,6 +16546,558 @@ def q262(spark, sf_dir):
         "doc_id", "domain", "path", "matched_rule", "matched_path",
         "allowed",
     ).orderBy("doc_id")
+
+
+@_register("q263_unigram_encode_fertility", _unigram_encode_sql())
+def q263(spark, sf_dir):
+    """UNIGRAM-LM TOKENIZER ENCODE + FERTILITY (text/unigram.py
+    unigram_encode_words — round-10 wave 2, the runtime apply for
+    q260's trained vocabulary, completing the SentencePiece lineage
+    the way bpe_apply completes bpe_train): the trained pieces
+    Viterbi-segment every DISTINCT word (the identical DP + MIN-j
+    tiebreak as training, so encode(w) is exactly the segmentation
+    the counts were estimated on), then the corpus apply is a
+    BROADCAST join of (word → n_pieces) onto the token stream — the
+    corpus never shuffles for the encode (the q240 BPE-fertility
+    shape) — rolled up per language with the engine-agnostic half-up
+    fertility division. The unigram fertility lands beside q240's BPE
+    fertility on the same rollup axis: the tokenizer-QA comparison
+    multilingual pipelines actually make. The oracle replays training
+    PLUS one more generated DP round against the final vocabulary —
+    the encode rule exists once (_unigram_dp_cte) in both dialects."""
+    from graphragpart1datapipeline_spark.text.analysis import tokens
+    from graphragpart1datapipeline_spark.text.unigram import (
+        unigram_encode_words,
+        unigram_train,
+        unigram_words,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    p = _UNIGRAM_PARAMS
+    pieces = unigram_train(docs, text_col="text", **p)
+    words = unigram_words(
+        docs, "text", p["max_word_len"]
+    ).localCheckpoint(eager=True)
+    enc = unigram_encode_words(
+        words, pieces, p["max_piece_len"], p["max_word_len"]
+    )
+    doc_words = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(tokens("text"), lambda t: F.lower(t))
+        ).alias("w"),
+    ).filter(F.col("w") != "")
+    per = (
+        doc_words.join(F.broadcast(enc.select("w", "n_pieces")), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("nw"),
+            F.sum("n_pieces").alias("np"),
+        )
+    )
+    agg = (
+        docs.select("doc_id", "lang")
+        .join(per, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce("nw", F.lit(0))).cast("long").alias("n_words"),
+            F.sum(F.coalesce("np", F.lit(0))).cast("long").alias("n_pieces"),
+        )
+    )
+    fert = F.when(
+        F.col("n_words") > 0,
+        F.floor(
+            F.col("n_pieces").cast("double")
+            / F.col("n_words")
+            * 1000000
+            + F.lit(0.5)
+        )
+        / F.lit(1000000.0),
+    )
+    return agg.select(
+        "lang", "n_docs", "n_words", "n_pieces", fert.alias("fertility")
+    ).orderBy("lang")
+
+
+def _kn_buckets_sql() -> str:
+    """Oracle for q264: q258's full KN train+score chain nested as a
+    CTE, then the q239 bucketing replay (deterministic md5 sample,
+    nearest-rank tercile cutoffs, >= assignment) on mean_ll_micro."""
+    return f"""
+    WITH scored AS ({_KN_SCORE_SQL}
+    ), samp AS (
+      SELECT doc_id, mean_ll_micro FROM scored
+      WHERE mean_ll_micro IS NOT NULL
+      ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id
+      LIMIT 128
+    ), ranked AS (
+      SELECT mean_ll_micro,
+             row_number() OVER (ORDER BY mean_ll_micro DESC,
+                                doc_id ASC) AS rn,
+             COUNT(*) OVER () AS s
+      FROM samp
+    ), cut AS (
+      SELECT
+        max(CASE WHEN rn = (s + 2) // 3
+                 THEN mean_ll_micro END) AS c1,
+        max(CASE WHEN rn = (2 * s + 2) // 3
+                 THEN mean_ll_micro END) AS c2
+      FROM ranked
+    )
+    SELECT sc.doc_id, sc.n_trigrams, sc.kn_ll_micro, sc.mean_ll_micro,
+           CASE WHEN sc.mean_ll_micro IS NULL THEN 'tail'
+                WHEN sc.mean_ll_micro >= cut.c1 THEN 'head'
+                WHEN sc.mean_ll_micro >= cut.c2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM scored sc CROSS JOIN cut
+    ORDER BY sc.doc_id
+    """
+
+
+@_register("q264_ccnet_buckets_kn", _kn_buckets_sql())
+def q264(spark, sf_dir):
+    """CCNet BUCKETING OVER THE KNESER-NEY TRIGRAM (text/lm.py
+    ccnet_buckets_kn / score_buckets — round-10 wave 2, closing the
+    q258 verdict task's optional tail: 'q239 buckets re-based on
+    it'): the calibrate-and-assign stage is now FACTORED
+    (score_buckets) so any per-document quality score buckets the
+    same way — the bigram ccnet_buckets delegates to it unchanged
+    (q239's oracle locks that), and the KN mean micro-nat
+    log-likelihood rides it here. Model trained on the EVEN half
+    (the q258 regime — a trusted-slice stand-in, CCNet trains on
+    Wikipedia), every doc scored under the full backoff chain,
+    cutoffs from the bounded md5 sample, assignment map-only. At
+    100 TB: one corpus scan + five broadcast joins for scoring, a
+    top-K sample job, then a scan-fused comparison — no global sort
+    or window anywhere."""
+    from graphragpart1datapipeline_spark.text.lm import (
+        ccnet_buckets_kn,
+        kn_trigram_train,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    model = kn_trigram_train(docs.filter(F.col("doc_id") % 2 == 0))
+    return ccnet_buckets_kn(docs, model, sample_size=128).orderBy(
+        "doc_id"
+    )
+
+
+def _sitemap_sql() -> str:
+    """Oracle for q265: rebuild the per-domain sitemap XML (urlset
+    blobs string_agg'd in doc order + sitemapindex blobs for every
+    third domain), replay the GENERATED loc extraction + trim, the
+    index-kind exclusion, canonical grouping, the exact seen
+    anti-join, and the q259 politeness slot arithmetic."""
+    from graphragpart1datapipeline_spark.text.sitemap import (
+        sitemap_locs_sql,
+    )
+    from graphragpart1datapipeline_spark.text.urls import (
+        canonical_url_sql,
+        url_domain_sql,
+    )
+
+    return f"""
+    WITH ent AS (
+      SELECT doc_id, doc_id % 7 AS d,
+             '<url><loc>  HTTP://WWW.Site' || (doc_id % 7)
+             || '.COM:80//doc/' || doc_id || '/?b=2#x  </loc>'
+             || '<lastmod>2026-01-0' || (doc_id % 9 + 1)
+             || '</lastmod></url>'
+             || CASE WHEN doc_id % 3 = 0
+                  THEN '<url><loc>http://site' || (doc_id % 7)
+                       || '.com/doc/' || doc_id || '?b=2</loc></url>'
+                  ELSE '' END AS e
+      FROM documents
+    ), urlsets AS (
+      SELECT '<?xml version="1.0"?><urlset xmlns='
+             || '"http://www.sitemaps.org/schemas/sitemap/0.9">'
+             || string_agg(e, '' ORDER BY doc_id) || '</urlset>' AS xml
+      FROM ent GROUP BY d
+    ), indexes AS (
+      SELECT DISTINCT '<?xml version="1.0"?><sitemapindex>'
+             || '<sitemap><loc>http://site' || d
+             || '.com/sitemap1.xml</loc></sitemap>'
+             || '<sitemap><loc>http://site' || d
+             || '.com/sitemap2.xml</loc></sitemap>'
+             || '</sitemapindex>' AS xml
+      FROM ent WHERE d % 3 = 0
+    ), blobs AS (
+      SELECT xml FROM urlsets UNION ALL SELECT xml FROM indexes
+    ), locs AS (
+      SELECT trim(l) AS loc
+      FROM (SELECT {sitemap_locs_sql("xml")} AS ls FROM blobs
+            WHERE NOT contains(xml, '<sitemapindex')),
+           LATERAL (SELECT unnest(ls) AS l) t
+    ), seed AS (
+      SELECT {canonical_url_sql("loc")} AS canon,
+             {url_domain_sql("loc")} AS domain,
+             CAST(COUNT(*) AS BIGINT) AS n_spellings
+      FROM locs GROUP BY 1, 2
+    ), seen AS (
+      SELECT DISTINCT {canonical_url_sql("u")} AS canon
+      FROM (SELECT 'http://site' || (doc_id % 7) || '.com/doc/'
+                   || doc_id || '?b=2' AS u
+            FROM documents WHERE doc_id % 2 = 0) s
+    ), fresh AS (
+      SELECT * FROM seed
+      WHERE canon NOT IN (SELECT canon FROM seen)
+    ), ranked AS (
+      SELECT canon, domain, n_spellings,
+             CAST(row_number() OVER (
+               PARTITION BY domain ORDER BY canon) - 1
+               AS BIGINT) AS domain_seq
+      FROM fresh
+    ), slotted AS (
+      SELECT canon, domain, n_spellings, domain_seq,
+             CAST(CAST('0x' || substring(md5(domain), 1, 8) AS UBIGINT)
+                  % 16 AS BIGINT)
+               + domain_seq * 16 AS slot
+      FROM ranked
+    )
+    SELECT canon, domain, n_spellings, domain_seq,
+           CAST(slot AS BIGINT) AS slot,
+           CAST(slot * 250 AS BIGINT) AS fetch_at_ms
+    FROM slotted ORDER BY canon
+    """
+
+
+@_register("q265_sitemap_frontier_seed", _sitemap_sql())
+def q265(spark, sf_dir):
+    """SITEMAP PARSING + FRONTIER SEEDING (text/sitemap.py — round-10
+    wave 2, the crawl front's OTHER URL source besides discovered
+    links): per-domain urlset XML (messy whitespace-padded loc
+    spellings, unpaired lastmod metadata the seeder must ignore) plus
+    sitemapindex blobs for every third domain (child-sitemap
+    pointers — fetch-loop input, EXCLUDED from page seeding by the
+    root-kind tag). Locs extract row-locally (the GENERATED LOC_RE in
+    both dialects), canonicalize (the sitemap spelling and the seen
+    snapshot's CLEAN spelling of one page share a canonical key),
+    group per canonical URL, exact anti-join against the seen
+    frontier (the batch twin of q252's streaming bloom gate), and the
+    survivors flow straight into q259's politeness scheduler — the
+    complete seed-to-timetable chain in ONE oracle-locked plan. At
+    100 TB: scan-bound extraction, one canonical groupBy, a key-only
+    anti-join, one domain-keyed window."""
+    from graphragpart1datapipeline_spark.text.sitemap import (
+        sitemap_frontier_seed,
+    )
+    from graphragpart1datapipeline_spark.text.urls import (
+        politeness_schedule,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    ds7 = (did % 7).cast("string")
+    ent = F.concat(
+        F.lit("<url><loc>  HTTP://WWW.Site"), ds7,
+        F.lit(".COM:80//doc/"), did.cast("string"),
+        F.lit("/?b=2#x  </loc><lastmod>2026-01-0"),
+        (did % 9 + 1).cast("string"),
+        F.lit("</lastmod></url>"),
+        F.coalesce(
+            F.when(
+                did % 3 == 0,
+                F.concat(
+                    F.lit("<url><loc>http://site"), ds7,
+                    F.lit(".com/doc/"), did.cast("string"),
+                    F.lit("?b=2</loc></url>"),
+                ),
+            ),
+            F.lit(""),
+        ),
+    )
+    urlsets = (
+        docs.select(
+            (did % 7).alias("d"),
+            F.struct(did.alias("doc_id"), ent.alias("e")).alias("__s"),
+        )
+        .groupBy("d")
+        .agg(
+            F.concat(
+                F.lit(
+                    '<?xml version="1.0"?><urlset xmlns='
+                    '"http://www.sitemaps.org/schemas/sitemap/0.9">'
+                ),
+                F.array_join(
+                    F.transform(
+                        F.sort_array(F.collect_list("__s")),
+                        lambda x: x["e"],
+                    ),
+                    "",
+                ),
+                F.lit("</urlset>"),
+            ).alias("xml")
+        )
+        .select("xml")
+    )
+    indexes = (
+        docs.select((did % 7).alias("d"))
+        .filter(F.col("d") % 3 == 0)
+        .distinct()
+        .select(
+            F.concat(
+                F.lit('<?xml version="1.0"?><sitemapindex>'),
+                F.lit("<sitemap><loc>http://site"),
+                F.col("d").cast("string"),
+                F.lit(".com/sitemap1.xml</loc></sitemap>"),
+                F.lit("<sitemap><loc>http://site"),
+                F.col("d").cast("string"),
+                F.lit(".com/sitemap2.xml</loc></sitemap>"),
+                F.lit("</sitemapindex>"),
+            ).alias("xml")
+        )
+    )
+    sitemaps = urlsets.unionByName(indexes)
+    seen = docs.filter(did % 2 == 0).select(
+        F.concat(
+            F.lit("http://site"), ds7, F.lit(".com/doc/"),
+            did.cast("string"), F.lit("?b=2"),
+        ).alias("url")
+    )
+    seed = sitemap_frontier_seed(sitemaps, seen)
+    out = politeness_schedule(
+        seed, url_col="canon", gap_slots=16, slot_ms=250,
+        order_by=[F.asc("canon")],
+    )
+    return out.select(
+        "canon", "domain", "n_spellings", "domain_seq", "slot",
+        "fetch_at_ms",
+    ).orderBy("canon")
+
+
+def _stream_ingest_sql(num_bits: int = 1 << 15, nh: int = 5) -> str:
+    """Oracle for q266: replay the WHOLE streamed ingest chain in
+    batch SQL — single-record WARC blobs per doc, header extraction
+    (generated), the seen-URL bloom gate bit-for-bit (the q252
+    machinery — seen keys are the MESSY spellings' canonicals, the
+    records carry the clean spelling), declared-type normalization
+    (generated from text/mime.py), HTML extraction (generated), and
+    the curation columns. Every stage is row-local, so the batch
+    replay IS the stream's semantics."""
+    from graphragpart1datapipeline_spark.text.html import html_to_text_sql
+    from graphragpart1datapipeline_spark.text.mime import media_type_sql
+    from graphragpart1datapipeline_spark.text.urls import canonical_url_sql
+
+    h1 = _HASH60_SQL.format(x="h")
+    h2 = _HASH60B_SQL.format(x="h")
+    seen = (
+        "SELECT DISTINCT md5("
+        + canonical_url_sql("u")
+        + ") AS k FROM (SELECT 'HTTP://WWW.Site' || (doc_id % 7) "
+        "|| '.COM:80//doc/' || doc_id || '/' AS u "
+        "FROM documents WHERE doc_id % 2 = 0) s"
+    )
+    return (
+        f"""
+    WITH rec AS (
+      SELECT doc_id,
+             'http://site' || (doc_id % 7) || '.com/doc/' || doc_id
+               AS uri,
+             CASE doc_id % 3 WHEN 0 THEN 'text/HTML; charset=utf-8'
+                             WHEN 1 THEN 'text/plain'
+                             ELSE 'Text/Plain; q=0.9' END AS ctype,
+             CASE WHEN doc_id % 3 = 0
+                  THEN '<html><body><h1>Doc ' || doc_id || '</h1><p>'
+                       || replace(text, '. ', '.</p><p>')
+                       || '</p></body></html>'
+                  ELSE text END AS body
+      FROM documents
+    ), c AS (
+      SELECT doc_id, uri, ctype, body,
+             {canonical_url_sql("uri")} AS canon
+      FROM rec
+    ), keyed AS (
+      SELECT doc_id, uri, ctype, body, md5(canon) AS h FROM c
+    ), """
+        + _bloom_cte(seen, num_bits, nh)
+        + f""",
+    ph AS (SELECT DISTINCT h, {h1} % {num_bits} AS h1,
+                  {h2} % {num_bits} AS h2 FROM keyed),
+    pidx AS (SELECT h, ((h1 + i*h2) % {num_bits}) AS idx
+             FROM ph, range({nh}) t(i)),
+    member AS (SELECT h FROM pidx p JOIN bloom b
+               ON p.idx//32 = b.wi
+               WHERE (b.word & (CAST(1 AS BIGINT)
+                      << CAST(p.idx%32 AS INTEGER))) <> 0
+               GROUP BY h HAVING COUNT(*) = {nh}),
+    surv AS (
+      SELECT k.doc_id, k.uri, k.ctype, k.body
+      FROM keyed k LEFT JOIN member m ON m.h = k.h
+      WHERE m.h IS NULL
+    ), routed AS (
+      SELECT doc_id, uri, {media_type_sql("ctype")} AS route, body
+      FROM surv
+    ), extracted AS (
+      SELECT doc_id, uri, route,
+             CASE WHEN route = 'text/html'
+                  THEN {html_to_text_sql("body")}
+                  ELSE body END AS tc
+      FROM routed
+    )
+    SELECT doc_id, uri, route,
+           CAST(length(tc) AS BIGINT) AS n_chars,
+           CAST(CASE WHEN trim(tc) = '' THEN 0
+                ELSE len(string_split_regex(trim(tc), '\\s+'))
+                END AS BIGINT) AS n_tokens
+    FROM extracted ORDER BY doc_id
+    """
+    )
+
+
+@_register("q266_stream_crawl_ingest", _stream_ingest_sql())
+def q266(spark, sf_dir):
+    """STREAMING CRAWL-INGEST DAG (round-10 wave 2 — the crawl
+    front's stages composed into ONE append-mode Structured Streaming
+    pass): incoming docs arrive as single-record text-mode WARC blobs
+    (stateless — one record per row, no aggregation anywhere), the
+    parser splits/extracts row-locally (q253's machinery), the
+    seen-URL bloom gate drops already-crawled pages (q252's plan
+    literal — the seen snapshot recorded the MESSY spellings, the
+    stream carries the clean ones; canonical keys match them), the
+    declared Content-Type normalizes through text/mime.py (text-mode
+    streams trust the header by the module's documented rule — byte
+    sniffing lives on the binary path, q261), HTML bodies run q247's
+    extraction chain, and curation columns (chars, tokens) come out
+    the other end. A TRUE availableNow stream into a memory sink; no
+    state store, no shuffle, no watermark — the whole DAG is
+    stateless column work, so it runs at scan parallelism on an
+    infinite stream, and the batch SQL replay IS its semantics
+    (value-checked directly)."""
+    import uuid
+
+    from graphragpart1datapipeline_spark.text.analysis import token_count
+    from graphragpart1datapipeline_spark.text.html import html_to_text
+    from graphragpart1datapipeline_spark.text.mime import media_type
+    from graphragpart1datapipeline_spark.text.urls import (
+        url_frontier_gate,
+        url_seen_bloom,
+    )
+    from graphragpart1datapipeline_spark.text.warc import warc_records
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    seen = docs.filter(did % 2 == 0).select(
+        F.concat(
+            F.lit("HTTP://WWW.Site"), (did % 7).cast("string"),
+            F.lit(".COM:80//doc/"), did.cast("string"), F.lit("/"),
+        ).alias("url")
+    )
+    dense = url_seen_bloom(seen, "url")
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    sdf = spark.readStream.schema(schema).parquet(f"{sf_dir}/documents.*")
+    crlf = "\r\n"
+    ctype = (
+        F.when(did % 3 == 0, F.lit("text/HTML; charset=utf-8"))
+        .when(did % 3 == 1, F.lit("text/plain"))
+        .otherwise(F.lit("Text/Plain; q=0.9"))
+    )
+    body = F.when(
+        did % 3 == 0,
+        F.concat(
+            F.lit("<html><body><h1>Doc "), did.cast("string"),
+            F.lit("</h1><p>"),
+            F.replace(F.col("text"), F.lit(". "), F.lit(".</p><p>")),
+            F.lit("</p></body></html>"),
+        ),
+    ).otherwise(F.col("text"))
+    blob = F.concat(
+        F.lit("WARC/1.0" + crlf + "WARC-Type: response" + crlf),
+        F.lit("WARC-Target-URI: http://site"), (did % 7).cast("string"),
+        F.lit(".com/doc/"), did.cast("string"), F.lit(crlf),
+        F.lit("Content-Type: "), ctype, F.lit(crlf + crlf),
+        body, F.lit(crlf + crlf),
+    )
+    recs = warc_records(
+        sdf.select("doc_id", blob.alias("warc")), "warc",
+        keep_cols=["doc_id"],
+    )
+    gated = url_frontier_gate(recs, dense, "target_uri")
+    route = media_type("content_type")
+    tc = F.when(
+        route == "text/html", html_to_text(F.col("body"))
+    ).otherwise(F.col("body"))
+    out = gated.select(
+        "doc_id",
+        F.col("target_uri").alias("uri"),
+        route.alias("route"),
+        F.length(tc).cast("long").alias("n_chars"),
+        token_count(tc).cast("long").alias("n_tokens"),
+    )
+    name = f"q266_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("doc_id")
+
+
+@_register(
+    "q267_exact_distributed_quantiles",
+    """
+    WITH s AS (
+      SELECT CASE WHEN doc_id % 2 = 0 THEN n_chars
+                  ELSE -n_chars END AS v
+      FROM documents
+    ), n AS (SELECT COUNT(*) AS n FROM s
+    ), r AS (
+      SELECT v, row_number() OVER (ORDER BY v) AS rn FROM s
+    ), q(q_label, num, den) AS (
+      VALUES ('p33', 1, 3), ('p50', 1, 2), ('p67', 2, 3)
+    ), k AS (
+      SELECT q_label, CAST((num * n.n + den - 1) // den AS BIGINT) AS k,
+             CAST(n.n AS BIGINT) AS n
+      FROM q CROSS JOIN n
+    )
+    SELECT k.q_label, k.k, CAST(r.v AS BIGINT) AS value,
+           CAST((SELECT COUNT(*) FROM s WHERE s.v <= r.v) AS BIGINT)
+             AS n_le,
+           k.n
+    FROM k JOIN r ON r.rn = k.k
+    ORDER BY q_label
+    """,
+)
+def q267(spark, sf_dir):
+    """EXACT DISTRIBUTED QUANTILE SELECTION (operators/selection.py —
+    round-10 wave 2): the TRUE corpus-wide nearest-rank tercile/median
+    cutoffs by radix bisection — 4 bounded 16-bit-digit histogram
+    passes per quantile instead of a global sort, the
+    distributed-selection answer to the problem the CCNet bucketing
+    docstring names (q239/q264 calibrate on a bounded sample exactly
+    like CCNet; this is the exact rung when an auditable corpus-wide
+    threshold is worth 4 scans; the one-pass approximate rung is
+    q51/q86's sketches). The fixture column is SIGNED (odd docs
+    negated) so the top-digit sign bias is exercised; ``n_le`` proves
+    the rank property of every returned cutoff against an independent
+    count. The oracle computes the same nearest-rank values by
+    row_number — the algorithm is Spark's, the RESULT is the
+    contract."""
+    from graphragpart1datapipeline_spark.operators.selection import (
+        exact_quantiles_long,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    signed = docs.select(
+        F.when(did % 2 == 0, F.col("n_chars"))
+        .otherwise(-F.col("n_chars"))
+        .cast("long")
+        .alias("v")
+    ).localCheckpoint(eager=True)
+    fracs = [(1, 3), (1, 2), (2, 3)]
+    labels = ["p33", "p50", "p67"]
+    res = exact_quantiles_long(signed, "v", fracs)
+    rows = []
+    for lbl, (k, val, n) in zip(labels, res):
+        n_le = signed.filter(F.col("v") <= val).count()
+        rows.append((lbl, k, val, n_le, n))
+    return spark.createDataFrame(
+        rows, "q_label string, k long, value long, n_le long, n long"
+    ).orderBy("q_label")
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -350,6 +350,21 @@ SECONDARY = [
     # robots compliance: KB-sized per-domain parse windows + one
     # broadcast longest-match window over the frontier
     "q262_robots_compliance",
+    # unigram encode: vocab-sized DP + broadcast apply (the q260
+    # training regime plus one more round of tiny jobs, 1-rep trace)
+    "q263_unigram_encode_fertility",
+    # KN-based CCNet bucketing: q258's scan+broadcast scoring + a
+    # bounded sample job + map-only assignment
+    "q264_ccnet_buckets_kn",
+    # sitemap seeding: scan-bound loc extraction + canonical groupBy
+    # + key anti-join + one domain window
+    "q265_sitemap_frontier_seed",
+    # streaming crawl ingest: stateless availableNow drain (fixed
+    # trigger overhead like q252, not per-row cost)
+    "q266_stream_crawl_ingest",
+    # exact distributed quantiles: 3 quantiles x 4 histogram passes
+    # over a checkpointed long column + rank-proof counts
+    "q267_exact_distributed_quantiles",
 ]
 
 # Repetitions per query; report the min. The ambient swing on a shared

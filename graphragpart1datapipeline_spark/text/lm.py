@@ -339,41 +339,86 @@ def ccnet_buckets(
 
     Returns (id, n_bigrams, lm_score_micro, mean_prob_micro, bucket).
     """
-    if sample_size < 3:
-        raise ValueError(
-            f"ccnet_buckets: sample_size must be >= 3, got {sample_size}"
-        )
     # the scored frame feeds BOTH the calibration-sample collect and
     # the returned assignment — materialize once, or the self-trained
     # LM and the corpus scoring run twice (the dsir_weights pattern)
     scored = bigram_lm_score(df, model, text_col, id_col).localCheckpoint(
         eager=True
     )
-    nn = scored.filter(F.col("mean_prob_micro").isNotNull())
+    return score_buckets(
+        scored, "mean_prob_micro", id_col, sample_size, seed
+    )
+
+
+def score_buckets(
+    scored: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    sample_size: int = 128,
+    seed: str | int = 42,
+) -> DataFrame:
+    """The calibrate-and-assign stage of :func:`ccnet_buckets`,
+    factored so ANY per-document quality score buckets the same way
+    (the KN trigram rides it in :func:`ccnet_buckets_kn`): tercile
+    cutoffs from the bounded deterministic sample (``sample_size``
+    scored rows with smallest ``md5(seed ':' id)``), then a map-only
+    ``bucket`` assignment (ties AT a cutoff go to the better bucket;
+    NULL scores → tail). ``scored`` should already be materialized if
+    it is expensive — this function collects the bounded sample and
+    returns ``scored`` + ``bucket``."""
+    if sample_size < 3:
+        raise ValueError(
+            f"score_buckets: sample_size must be >= 3, got {sample_size}"
+        )
+    nn = scored.filter(F.col(score_col).isNotNull())
     key = F.md5(
         F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
     )
     sample = (
-        nn.select(F.col(id_col), "mean_prob_micro", key.alias("__k"))
+        nn.select(F.col(id_col), score_col, key.alias("__k"))
         .orderBy("__k", F.col(id_col))
         .limit(sample_size)
-        .select(id_col, "mean_prob_micro")
+        .select(id_col, score_col)
         .collect()
     )
     if not sample:
         return scored.withColumn("bucket", F.lit("tail"))
-    vals = sorted(
-        sample, key=lambda r: (-r["mean_prob_micro"], r[id_col])
-    )
+    vals = sorted(sample, key=lambda r: (-r[score_col], r[id_col]))
     s = len(vals)
-    # nearest-rank tercile cutoffs: head needs mean >= the value at
+    # nearest-rank tercile cutoffs: head needs score >= the value at
     # rank ceil(s/3), middle >= the value at rank ceil(2s/3)
-    c1 = vals[(s + 2) // 3 - 1]["mean_prob_micro"]
-    c2 = vals[(2 * s + 2) // 3 - 1]["mean_prob_micro"]
+    c1 = vals[(s + 2) // 3 - 1][score_col]
+    c2 = vals[(2 * s + 2) // 3 - 1][score_col]
     bucket = (
-        F.when(F.col("mean_prob_micro").isNull(), F.lit("tail"))
-        .when(F.col("mean_prob_micro") >= c1, F.lit("head"))
-        .when(F.col("mean_prob_micro") >= c2, F.lit("middle"))
+        F.when(F.col(score_col).isNull(), F.lit("tail"))
+        .when(F.col(score_col) >= c1, F.lit("head"))
+        .when(F.col(score_col) >= c2, F.lit("middle"))
         .otherwise(F.lit("tail"))
     )
     return scored.withColumn("bucket", bucket)
+
+
+def ccnet_buckets_kn(
+    df: DataFrame,
+    model: dict[str, DataFrame] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sample_size: int = 128,
+    seed: str | int = 42,
+    discount: tuple[int, int] = (3, 4),
+) -> DataFrame:
+    """CCNet bucketing over the KNESER-NEY trigram LM — one fidelity
+    rung closer to CCNet's actual KenLM filter than the bigram
+    :func:`ccnet_buckets`: score with :func:`kn_trigram_score`
+    (mean micro-nat log-likelihood — higher = more model-like, the
+    same orientation as the bigram mean, so the >= cutoff rule
+    carries over unchanged), then :func:`score_buckets`. Documents
+    with < 3 tokens have NULL mean and land in tail. Train on a
+    TRUSTED reference slice by passing ``model`` (CCNet trains on
+    Wikipedia); default is self-trained."""
+    scored = kn_trigram_score(
+        df, model, text_col, id_col, discount
+    ).localCheckpoint(eager=True)
+    return score_buckets(
+        scored, "mean_ll_micro", id_col, sample_size, seed
+    )

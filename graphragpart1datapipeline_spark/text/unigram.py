@@ -49,6 +49,7 @@ __all__ = [
     "unigram_words",
     "unigram_seed",
     "unigram_viterbi_counts",
+    "unigram_encode_words",
     "unigram_train",
 ]
 
@@ -166,16 +167,18 @@ def unigram_seed(
     return _with_ll(chars.unionByName(multi))
 
 
-def unigram_viterbi_counts(
+def _viterbi_hops(
     words: DataFrame,
     pieces: DataFrame,
     max_piece_len: int = 4,
     max_word_len: int = 12,
 ) -> DataFrame:
-    """E-step: Viterbi-segment every word under ``pieces`` (piece, ll)
-    and return hard counts (piece, cnt = Σ wc over path uses, with
-    multiplicity). Table-form DP, positions unrolled (the k-core
-    fixed-round shape, replayable in SQL):
+    """The shared Viterbi core (E-step counting AND encode ride on
+    it): segment every word under ``pieces`` (piece, ll) and return
+    one row per path piece — (w, wc, hop, piece), ``hop`` the 0-based
+    backtrace step counted from the word END (hop 0 = the LAST
+    piece). Table-form DP, positions unrolled (the k-core fixed-round
+    shape, replayable in SQL):
 
     edges (w, j, i, ll) = substring spans joined to the piece table
     (inner — spans not in the vocab simply don't exist; single chars
@@ -237,7 +240,7 @@ def unigram_viterbi_counts(
     # hop is checkpointed for the same double-reference reason
     pos = words.select("w", "wc", F.length("w").cast("long").alias("pos"))
     segs = []
-    for _ in range(max_word_len):
+    for t in range(max_word_len):
         hop = (
             pos.filter(F.col("pos") > 0)
             .join(
@@ -250,7 +253,9 @@ def unigram_viterbi_counts(
         )
         segs.append(
             hop.select(
+                "w",
                 "wc",
+                F.lit(t).cast("long").alias("hop"),
                 F.expr(
                     "substring(w, cast(j + 1 as int), cast(pos - j as int))"
                 ).alias("piece"),
@@ -260,7 +265,53 @@ def unigram_viterbi_counts(
     out = segs[0]
     for s in segs[1:]:
         out = out.unionByName(s)
-    return out.groupBy("piece").agg(F.sum("wc").alias("cnt"))
+    return out
+
+
+def unigram_viterbi_counts(
+    words: DataFrame,
+    pieces: DataFrame,
+    max_piece_len: int = 4,
+    max_word_len: int = 12,
+) -> DataFrame:
+    """E-step: hard counts (piece, cnt = Σ wc over Viterbi path uses,
+    with multiplicity) — one groupBy over :func:`_viterbi_hops`."""
+    hops = _viterbi_hops(words, pieces, max_piece_len, max_word_len)
+    return hops.groupBy("piece").agg(F.sum("wc").alias("cnt"))
+
+
+def unigram_encode_words(
+    words: DataFrame,
+    pieces: DataFrame,
+    max_piece_len: int = 4,
+    max_word_len: int = 12,
+) -> DataFrame:
+    """ENCODE (the tokenizer apply — SentencePiece's runtime twin of
+    training's E-step): Viterbi-segment every distinct word under a
+    TRAINED (piece, ll) vocabulary and return (w, n_pieces, encoded)
+    — ``encoded`` the space-joined piece sequence in word order
+    (hop runs from the END, so order = hop descending; hops are
+    unique per word, making the sort total). The same DP/tiebreak as
+    training, so encode(w) is exactly the segmentation the counts
+    were estimated on. Two-tier scale shape: the DP runs on the
+    DISTINCT-word table (vocab-sized); applying to a corpus is then
+    a broadcast join of (w → encoded) onto the token stream — the
+    corpus never shuffles (q263)."""
+    # the true longest word bounds the useful layers (train's clamp)
+    row = words.agg(F.max(F.length("w")).alias("m")).head()
+    max_word_len = min(max_word_len, int(row["m"] or 0) or 1)
+    hops = _viterbi_hops(words, pieces, max_piece_len, max_word_len)
+    ordered = F.reverse(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("hop"), F.col("piece")))
+        )
+    )
+    return hops.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pieces"),
+        F.array_join(
+            F.transform(ordered, lambda s: s["piece"]), " "
+        ).alias("encoded"),
+    )
 
 
 def unigram_train(

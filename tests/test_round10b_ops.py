@@ -185,3 +185,159 @@ def test_robots_frontier_longest_match_and_default_allow(spark):
         for r in robots_frontier_filter(urls, rules).collect()
     }
     assert kept == {2, 4, 5, 6}
+
+
+# ------------------------------------------------------- unigram encode
+
+def test_unigram_encode_matches_training_segmentation(spark):
+    """encode(w) must be the exact segmentation the E-step counted:
+    re-deriving counts from the encoded pieces reproduces
+    unigram_viterbi_counts, and the joined pieces rebuild the word."""
+    from graphragpart1datapipeline_spark.text.unigram import (
+        unigram_encode_words,
+        unigram_train,
+        unigram_viterbi_counts,
+        unigram_words,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "hello yellow mellow hello fellow") for i in range(4)],
+        "doc_id long, text string",
+    )
+    words = unigram_words(docs, "text", 8)
+    pieces = unigram_train(docs, "text", rounds=1, max_word_len=8)
+    enc = {
+        r["w"]: (r["n_pieces"], r["encoded"])
+        for r in unigram_encode_words(words, pieces, 4, 8).collect()
+    }
+    assert set(enc) == {"hello", "yellow", "mellow", "fellow"}
+    for w, (np_, e) in enc.items():
+        parts = e.split(" ")
+        assert "".join(parts) == w
+        assert len(parts) == np_
+    # counts re-derived from encode == the E-step's counts
+    wc = {r["w"]: r["wc"] for r in words.collect()}
+    derived: dict[str, int] = {}
+    for w, (_, e) in enc.items():
+        for p in e.split(" "):
+            derived[p] = derived.get(p, 0) + wc[w]
+    estep = {
+        r["piece"]: r["cnt"]
+        for r in unigram_viterbi_counts(words, pieces, 4, 8).collect()
+    }
+    assert derived == estep
+
+
+# ------------------------------------------------- score_buckets / KN
+
+def test_score_buckets_generic_and_kn(spark):
+    """score_buckets terciles any score column (NULL → tail); the KN
+    wrapper rides it with mean_ll_micro."""
+    from graphragpart1datapipeline_spark.text.lm import (
+        ccnet_buckets_kn,
+        score_buckets,
+    )
+
+    scored = spark.createDataFrame(
+        [(1, 30), (2, 20), (3, 10), (4, None)],
+        "doc_id long, s long",
+    )
+    out = {
+        r["doc_id"]: r["bucket"]
+        for r in score_buckets(scored, "s", sample_size=3).collect()
+    }
+    assert out == {1: "head", 2: "middle", 3: "tail", 4: "tail"}
+    with pytest.raises(ValueError, match="sample_size"):
+        score_buckets(scored, "s", sample_size=2)
+    docs = spark.createDataFrame(
+        [
+            (i, "the quick brown fox jumps over the lazy dog " * 3)
+            for i in range(6)
+        ]
+        + [(9, "zz")],
+        "doc_id long, text string",
+    )
+    kn = ccnet_buckets_kn(docs, sample_size=3)
+    rows = {r["doc_id"]: r for r in kn.collect()}
+    assert rows[9]["bucket"] == "tail"  # < 3 tokens, NULL mean
+    assert {rows[i]["bucket"] for i in range(6)} <= {"head", "middle"}
+
+
+# ------------------------------------------------------------ sitemap
+
+SITEMAP = (
+    '<?xml version="1.0"?><urlset>'
+    "<url><loc>  HTTP://WWW.Ex.COM:80//a/?x=1  </loc>"
+    "<lastmod>2026-01-01</lastmod></url>"
+    "<url><loc>http://ex.com/a?x=1</loc></url>"
+    "<url><loc>http://ex.com/b</loc></url>"
+    "</urlset>"
+)
+SITEMAP_INDEX = (
+    '<?xml version="1.0"?><sitemapindex>'
+    "<sitemap><loc>http://ex.com/sitemap1.xml</loc></sitemap>"
+    "</sitemapindex>"
+)
+
+
+def test_sitemap_locs_kinds_and_trim(spark):
+    from graphragpart1datapipeline_spark.text.sitemap import sitemap_locs
+
+    df = spark.createDataFrame(
+        [(1, SITEMAP), (2, SITEMAP_INDEX)], "sid long, xml string"
+    )
+    rows = sitemap_locs(df, "xml", keep_cols=["sid"]).collect()
+    by_sid = {}
+    for r in rows:
+        by_sid.setdefault(r["sid"], []).append((r["kind"], r["loc_idx"], r["loc"]))
+    assert by_sid[1][0] == ("urlset", 0, "HTTP://WWW.Ex.COM:80//a/?x=1")
+    assert [l for _, _, l in by_sid[1]] == [
+        "HTTP://WWW.Ex.COM:80//a/?x=1",
+        "http://ex.com/a?x=1",
+        "http://ex.com/b",
+    ]
+    assert by_sid[2] == [("index", 0, "http://ex.com/sitemap1.xml")]
+
+
+def test_sitemap_frontier_seed_collapses_and_drops_seen(spark):
+    """Messy + clean spellings collapse to one canonical seed row;
+    seen canonicals are anti-joined out; index locs never seed."""
+    from graphragpart1datapipeline_spark.text.sitemap import (
+        sitemap_frontier_seed,
+    )
+
+    maps = spark.createDataFrame(
+        [(1, SITEMAP), (2, SITEMAP_INDEX)], "sid long, xml string"
+    )
+    seen = spark.createDataFrame(
+        [("HTTP://ex.com/b/",)], "url string"
+    )
+    rows = {
+        r["canon"]: r["n_spellings"]
+        for r in sitemap_frontier_seed(maps, seen).collect()
+    }
+    assert rows == {"http://ex.com/a?x=1": 2}
+
+
+# ---------------------------------------------------- exact selection
+
+def test_exact_kth_matches_sorted_with_negatives(spark):
+    from graphragpart1datapipeline_spark.operators.selection import (
+        exact_kth_long,
+        exact_quantiles_long,
+    )
+
+    vals = [7, -3, 0, 42, -(1 << 50), (1 << 50) + 3, -1, 5, 5, -3]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    s = sorted(vals)
+    for k in (1, 2, 5, len(vals)):
+        assert exact_kth_long(df, k) == s[k - 1]
+    with pytest.raises(ValueError, match="exceeds the row count"):
+        exact_kth_long(df, len(vals) + 1)
+    with pytest.raises(ValueError, match="k must be >= 1"):
+        exact_kth_long(df, 0)
+    qs = exact_quantiles_long(df, "v", [(1, 2), (1, 1)])
+    assert qs[0] == (5, s[4], 10)
+    assert qs[1] == (10, s[9], 10)
+    with pytest.raises(ValueError, match="fraction"):
+        exact_quantiles_long(df, "v", [(0, 1)])
