@@ -17100,6 +17100,259 @@ def q267(spark, sf_dir):
     ).orderBy("q_label")
 
 
+def _recrawl_sql() -> str:
+    """Oracle for q268: rebuild urlset XML with per-block lastmod
+    (some entries deliberately without one), replay the BLOCK-wise
+    split + per-block regexp pairing (loc/lastmod can never pair
+    across blocks by construction), canonical grouping with MAX
+    lastmod, the crawl-log join, and the staleness rule."""
+    from graphragpart1datapipeline_spark.text.sitemap import (
+        LASTMOD_RE,
+        LOC_RE,
+    )
+    from graphragpart1datapipeline_spark.text.urls import (
+        canonical_url_sql,
+        url_domain_sql,
+    )
+
+    assert "'" not in LOC_RE and "'" not in LASTMOD_RE
+    return f"""
+    WITH ent AS (
+      SELECT doc_id, doc_id % 7 AS d,
+             '<url><loc>  HTTP://WWW.Site' || (doc_id % 7)
+             || '.COM:80//doc/' || doc_id || '/?b=2#x  </loc>'
+             || CASE WHEN doc_id % 11 <> 0
+                  THEN '<lastmod>2026-01-0' || (doc_id % 9 + 1)
+                       || '</lastmod>'
+                  ELSE '' END
+             || '</url>'
+             || CASE WHEN doc_id % 3 = 0
+                  THEN '<url><loc>http://site' || (doc_id % 7)
+                       || '.com/doc/' || doc_id || '?b=2</loc></url>'
+                  ELSE '' END AS e
+      FROM documents
+    ), urlsets AS (
+      SELECT '<?xml version="1.0"?><urlset>'
+             || string_agg(e, '' ORDER BY doc_id) || '</urlset>' AS xml
+      FROM ent GROUP BY d
+    ), blocks AS (
+      SELECT bl[CAST(s + 1 AS INTEGER)] AS b
+      FROM (SELECT string_split(xml, '<url>') AS bl FROM urlsets),
+           LATERAL (SELECT unnest(range(1, len(bl))) AS s) t
+    ), e2 AS (
+      SELECT trim(regexp_extract(b, '{LOC_RE}', 1)) AS loc,
+             trim(regexp_extract(b, '{LASTMOD_RE}', 1)) AS lastmod
+      FROM blocks
+    ), canon AS (
+      SELECT {canonical_url_sql("loc")} AS canon,
+             {url_domain_sql("loc")} AS domain, lastmod
+      FROM e2 WHERE loc <> ''
+    ), grouped AS (
+      SELECT canon, domain, MAX(lastmod) AS lastmod
+      FROM canon GROUP BY 1, 2
+    ), log AS (
+      SELECT {canonical_url_sql("u")} AS canon, MAX(ts) AS crawled_at
+      FROM (SELECT 'http://site' || (doc_id % 7) || '.com/doc/'
+                   || doc_id || '?b=2' AS u,
+                   '2026-01-05' AS ts
+            FROM documents WHERE doc_id % 2 = 0) s
+      GROUP BY 1
+    ), j AS (
+      SELECT g.canon, g.domain, g.lastmod, log.crawled_at,
+             CASE WHEN log.crawled_at IS NULL THEN 'new'
+                  WHEN g.lastmod = '' THEN 'no-lastmod'
+                  WHEN g.lastmod > log.crawled_at THEN 'updated'
+             END AS reason
+      FROM grouped g LEFT JOIN log USING (canon)
+    )
+    SELECT canon, domain, lastmod, crawled_at, reason
+    FROM j WHERE reason IS NOT NULL ORDER BY canon
+    """
+
+
+@_register("q268_sitemap_recrawl", _recrawl_sql())
+def q268(spark, sf_dir):
+    """SITEMAP lastmod PAIRING + RE-CRAWL SELECTION (text/sitemap.py
+    sitemap_entries / sitemap_recrawl — round-10 wave 3: freshness,
+    the protocol's whole reason for lastmod): ``<url>`` blocks split
+    POSITIONALLY so loc and lastmod pair per block — an entry without
+    lastmod keeps '' rather than stealing its neighbor's (the
+    pairing sitemap_locs documents as out of its scope, now done
+    right); entries collapse per canonical key keeping MAX lastmod (a
+    page listed in several sitemaps re-crawls once); the last-crawl
+    log joins on canonical keys and STALE pages come out with a
+    reason — never crawled ('new'), lastmod after the logged crawl
+    ('updated', ISO-8601 lexical compare), or no freshness evidence
+    ('no-lastmod', conservatively re-crawled). Fresh pages drop. At
+    100 TB: scan-bound block split, one canonical groupBy, one
+    key join."""
+    from graphragpart1datapipeline_spark.text.sitemap import (
+        sitemap_recrawl,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    ds7 = (did % 7).cast("string")
+    ent = F.concat(
+        F.lit("<url><loc>  HTTP://WWW.Site"), ds7,
+        F.lit(".COM:80//doc/"), did.cast("string"),
+        F.lit("/?b=2#x  </loc>"),
+        F.coalesce(
+            F.when(
+                did % 11 != 0,
+                F.concat(
+                    F.lit("<lastmod>2026-01-0"),
+                    (did % 9 + 1).cast("string"),
+                    F.lit("</lastmod>"),
+                ),
+            ),
+            F.lit(""),
+        ),
+        F.lit("</url>"),
+        F.coalesce(
+            F.when(
+                did % 3 == 0,
+                F.concat(
+                    F.lit("<url><loc>http://site"), ds7,
+                    F.lit(".com/doc/"), did.cast("string"),
+                    F.lit("?b=2</loc></url>"),
+                ),
+            ),
+            F.lit(""),
+        ),
+    )
+    urlsets = (
+        docs.select(
+            (did % 7).alias("d"),
+            F.struct(did.alias("doc_id"), ent.alias("e")).alias("__s"),
+        )
+        .groupBy("d")
+        .agg(
+            F.concat(
+                F.lit('<?xml version="1.0"?><urlset>'),
+                F.array_join(
+                    F.transform(
+                        F.sort_array(F.collect_list("__s")),
+                        lambda x: x["e"],
+                    ),
+                    "",
+                ),
+                F.lit("</urlset>"),
+            ).alias("xml")
+        )
+        .select("xml")
+    )
+    log = docs.filter(did % 2 == 0).select(
+        F.concat(
+            F.lit("http://site"), ds7, F.lit(".com/doc/"),
+            did.cast("string"), F.lit("?b=2"),
+        ).alias("url"),
+        F.lit("2026-01-05").alias("crawled_at"),
+    )
+    out = sitemap_recrawl(urlsets, log)
+    return out.select(
+        "canon", "domain", "lastmod", "crawled_at", "reason"
+    ).orderBy("canon")
+
+
+_EXPECTED_SCRIPTS = {"en": "latin", "de": "latin", "fr": "latin"}
+# 'es' deliberately unmapped: an uncovered language must yield NULL
+# expected_script and never flag
+
+
+def _lang_script_sql() -> str:
+    """Oracle for q269: the fixture text classes, the GENERATED
+    per-script counts + argmax (the q254 literal-character classes),
+    the expected-script CASE generated from the SAME dict the engine
+    uses, and the three-condition mismatch rule."""
+    from graphragpart1datapipeline_spark.text.analysis import (
+        SCRIPT_RANGES,
+    )
+
+    cnt = {
+        n: f"len(regexp_extract_all(txt, '[{r}]'))" for n, r in SCRIPT_RANGES
+    }
+    names = [n for n, _ in SCRIPT_RANGES]
+    dom = f"'{names[0]}'"
+    best = f"c_{names[0]}"
+    for n in names[1:]:
+        dom = f"(CASE WHEN c_{n} > {best} THEN '{n}' ELSE {dom} END)"
+        best = f"greatest(c_{n}, {best})"
+    counts_sel = ", ".join(f"{v} AS c_{n}" for n, v in cnt.items())
+    exp = "NULL"
+    for lang, script in sorted(_EXPECTED_SCRIPTS.items()):
+        exp = (
+            f"(CASE WHEN lower(lang) = '{lang}' THEN '{script}' "
+            f"ELSE {exp} END)"
+        )
+    return f"""
+    WITH fx AS (
+      SELECT doc_id, lang,
+             CASE doc_id % 4
+               WHEN 0 THEN repeat('这是中文测试内容 ', 1 + doc_id % 5)
+               WHEN 3 THEN '12345 67890 !!'
+               WHEN 2 THEN text || ' こんにちは'
+               ELSE text END AS txt
+      FROM documents
+    ), counted AS (
+      SELECT doc_id, lang, {counts_sel} FROM fx
+    ), tagged AS (
+      SELECT doc_id, lang,
+             (CASE WHEN {" + ".join(f"c_{n}" for n in names)} <= 0
+                   THEN 'none' ELSE {dom} END) AS dominant,
+             CAST({exp} AS VARCHAR) AS expected_script
+      FROM counted
+    )
+    SELECT doc_id, lang, dominant, expected_script,
+           COALESCE(expected_script IS NOT NULL
+                    AND dominant <> 'none'
+                    AND dominant <> expected_script, FALSE) AS mismatch
+    FROM tagged ORDER BY doc_id
+    """
+
+
+@_register("q269_lang_script_mismatch", _lang_script_sql())
+def q269(spark, sf_dir):
+    """LANGUAGE ↔ SCRIPT CONSISTENCY FILTER (text/analysis.py
+    lang_script_mismatch / expected_script — round-10 wave 3: the
+    mislabeled-language pre-filter q254's module docstring promises):
+    a doc whose CLAIMED language disagrees with its DOMINANT Unicode
+    script is mislabeled junk — the standard cheap check every
+    multilingual corpus runs BEFORE model-based lang-ID (script
+    counting is a regexp; a lang-ID model is a corpus pass). Fixture
+    classes: docs rewritten fully Han (claimed en/de/es/fr → flagged
+    when mapped), Kana-suffixed but still Latin-dominant (NOT
+    flagged — fractions, not presence), digits-only ('none' dominant
+    = no evidence, not flagged), and untouched Latin; 'es' is
+    deliberately absent from the expected map, so es-claimed docs
+    yield NULL expected_script and never flag. Everything is
+    row-local column work fused into the scan; the oracle's count
+    classes, argmax, and expected CASE are all GENERATED from the
+    same constants."""
+    from graphragpart1datapipeline_spark.text.analysis import (
+        lang_script_mismatch,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    txt = (
+        F.when(
+            did % 4 == 0,
+            F.repeat(F.lit("这是中文测试内容 "), (did % 5 + 1).cast("int")),
+        )
+        .when(did % 4 == 3, F.lit("12345 67890 !!"))
+        .when(did % 4 == 2, F.concat(F.col("text"), F.lit(" こんにちは")))
+        .otherwise(F.col("text"))
+    )
+    fx = docs.select("doc_id", "lang", txt.alias("txt"))
+    out = lang_script_mismatch(
+        fx, _EXPECTED_SCRIPTS, lang_col="lang", text_col="txt"
+    )
+    return out.select(
+        "doc_id", "lang", "dominant", "expected_script", "mismatch"
+    ).orderBy("doc_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q02(spark, "/root/testdata/sf0.001")

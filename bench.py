@@ -365,6 +365,10 @@ SECONDARY = [
     # exact distributed quantiles: 3 quantiles x 4 histogram passes
     # over a checkpointed long column + rank-proof counts
     "q267_exact_distributed_quantiles",
+    # sitemap recrawl: block split + canonical groupBy + key join
+    "q268_sitemap_recrawl",
+    # lang/script mismatch: scan-bound regexp counts (q254's profile)
+    "q269_lang_script_mismatch",
 ]
 
 # Repetitions per query; report the min. The ambient swing on a shared

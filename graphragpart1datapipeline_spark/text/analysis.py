@@ -126,6 +126,53 @@ def dominant_script(col: Column | str) -> Column:
     return F.when(best <= 0, F.lit("none")).otherwise(best_name)
 
 
+def expected_script(lang_col: Column | str, expected: dict[str, str]) -> Column:
+    """The script a claimed language SHOULD be written in, as a plan
+    literal CASE over ``expected`` (lang code → script name from
+    :data:`SCRIPT_RANGES`); NULL for languages the map doesn't cover
+    (no claim → no evidence). Unknown script names raise at plan
+    build — a typo would silently flag every document."""
+    names = {n for n, _ in SCRIPT_RANGES}
+    bad = {s for s in expected.values() if s not in names}
+    if bad:
+        raise ValueError(
+            f"expected_script: unknown script name(s) {sorted(bad)}; "
+            f"valid: {sorted(names)}"
+        )
+    c = F.col(lang_col) if isinstance(lang_col, str) else lang_col
+    out = F.lit(None).cast("string")
+    for lang, script in sorted(expected.items()):
+        out = F.when(F.lower(c) == lang.lower(), F.lit(script)).otherwise(
+            out
+        )
+    return out
+
+
+def lang_script_mismatch(
+    df,
+    expected: dict[str, str],
+    lang_col: str = "lang",
+    text_col: str = "text",
+):
+    """The mislabeled-language pre-filter :func:`script_fractions`'
+    docstring promises (a doc whose CLAIMED language disagrees with
+    its DOMINANT script is mislabeled junk — the standard check every
+    multilingual corpus runs before model-based lang-ID): adds
+    ``dominant`` (argmax script), ``expected_script`` (the claim's
+    script, NULL when unmapped), and ``mismatch`` — true only when
+    there IS a claim, the text HAS letters ('none' dominant is no
+    evidence), and the two disagree. All row-local column work; the
+    flag fuses into the scan (q269)."""
+    dom = dominant_script(text_col)
+    exp = expected_script(lang_col, expected)
+    mismatch = exp.isNotNull() & (dom != F.lit("none")) & (dom != exp)
+    return (
+        df.withColumn("dominant", dom)
+        .withColumn("expected_script", exp)
+        .withColumn("mismatch", F.coalesce(mismatch, F.lit(False)))
+    )
+
+
 def quality_score(col: Column | str) -> Column:
     """Composite document-quality score in [0, 1]:
     0.4 * length_score (tokens/100 capped at 1)

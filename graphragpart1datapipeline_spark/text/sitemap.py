@@ -38,9 +38,17 @@ from pyspark.sql import functions as F
 
 from .urls import canonical_url, url_domain
 
-__all__ = ["sitemap_locs", "sitemap_frontier_seed", "LOC_RE"]
+__all__ = [
+    "sitemap_locs",
+    "sitemap_entries",
+    "sitemap_frontier_seed",
+    "sitemap_recrawl",
+    "LOC_RE",
+    "LASTMOD_RE",
+]
 
 LOC_RE = "<loc>([^<]*)</loc>"
+LASTMOD_RE = "<lastmod>([^<]*)</lastmod>"
 
 
 def sitemap_locs(
@@ -77,6 +85,76 @@ def sitemap_locs_sql(xml_expr: str) -> str:
     trims after posexplode)."""
     assert "'" not in LOC_RE
     return f"regexp_extract_all({xml_expr}, '{LOC_RE}', 1)"
+
+
+def sitemap_entries(
+    df: DataFrame,
+    xml_col: str = "xml",
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """PAIRED sitemap entries — (``keep_cols``..., entry_idx, loc,
+    lastmod): the ``<url>`` blocks split positionally (one block =
+    one entry, so loc and lastmod pair BY BLOCK, never by global
+    position — the pairing :func:`sitemap_locs` documents as out of
+    its scope), then per-block regexp extracts; ``lastmod`` is ''
+    when the entry has none. Only ``<urlset>`` documents have
+    ``<url>`` blocks, so index blobs yield no rows here. ``lastmod``
+    stays the protocol's W3C/ISO-8601 STRING — lexical order IS
+    chronological order for it, which is what :func:`sitemap_recrawl`
+    compares by (documented; no timezone parsing)."""
+    keep = keep_cols if keep_cols is not None else []
+    blocks = F.split(F.col(xml_col), "<url>", -1)
+    out = df.select(
+        *keep, F.posexplode(blocks).alias("__bi", "__b")
+    ).filter(F.col("__bi") > 0)
+    return out.select(
+        *keep,
+        (F.col("__bi") - 1).cast("long").alias("entry_idx"),
+        F.trim(F.regexp_extract("__b", LOC_RE, 1)).alias("loc"),
+        F.trim(F.regexp_extract("__b", LASTMOD_RE, 1)).alias("lastmod"),
+    )
+
+
+def sitemap_recrawl(
+    sitemaps: DataFrame,
+    crawl_log: DataFrame,
+    xml_col: str = "xml",
+    log_url_col: str = "url",
+    log_ts_col: str = "crawled_at",
+) -> DataFrame:
+    """The RE-crawl selector (freshness, the sitemap protocol's whole
+    reason for ``lastmod``): canonical-key join of the sitemap
+    entries against the last-crawl log and keep pages that are STALE
+    — never crawled (no log row) or ``lastmod`` after the logged
+    crawl time (ISO-8601 lexical compare; an entry WITHOUT lastmod is
+    conservatively stale — the site gave no freshness evidence, and
+    skipping it would mean never re-crawling that page). Entries
+    collapse per canonical key keeping the MAX lastmod (a page listed
+    in several sitemaps re-crawls once). Returns (canon, domain,
+    lastmod, crawled_at, reason ∈ {'new','updated','no-lastmod'}).
+    One canonical groupBy + one key join — increment-sized."""
+    ent = sitemap_entries(sitemaps, xml_col).filter(F.col("loc") != "")
+    canon = ent.select(
+        canonical_url("loc").alias("canon"),
+        url_domain("loc").alias("domain"),
+        F.col("lastmod"),
+    )
+    grouped = canon.groupBy("canon", "domain").agg(
+        F.max("lastmod").alias("lastmod")
+    )
+    log = crawl_log.select(
+        canonical_url(log_url_col).alias("canon"),
+        F.col(log_ts_col).alias("crawled_at"),
+    ).groupBy("canon").agg(F.max("crawled_at").alias("crawled_at"))
+    j = grouped.join(log, "canon", "left")
+    reason = (
+        F.when(F.col("crawled_at").isNull(), F.lit("new"))
+        .when(F.col("lastmod") == "", F.lit("no-lastmod"))
+        .when(F.col("lastmod") > F.col("crawled_at"), F.lit("updated"))
+    )
+    return j.withColumn("reason", reason).filter(
+        F.col("reason").isNotNull()
+    )
 
 
 def sitemap_frontier_seed(

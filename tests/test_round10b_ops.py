@@ -341,3 +341,158 @@ def test_exact_kth_matches_sorted_with_negatives(spark):
     assert qs[1] == (10, s[9], 10)
     with pytest.raises(ValueError, match="fraction"):
         exact_quantiles_long(df, "v", [(0, 1)])
+
+
+# -------------------------------------------- sitemap entries / recrawl
+
+def test_sitemap_entries_block_pairing(spark):
+    """loc/lastmod pair per <url> block — a block without lastmod
+    yields '' and never steals a neighbor's; index blobs yield no
+    entries."""
+    from graphragpart1datapipeline_spark.text.sitemap import (
+        sitemap_entries,
+    )
+
+    xml = (
+        "<urlset>"
+        "<url><loc> http://ex.com/a </loc>"
+        "<lastmod>2026-02-01</lastmod></url>"
+        "<url><loc>http://ex.com/b</loc></url>"
+        "<url><lastmod>2026-03-01</lastmod>"
+        "<loc>http://ex.com/c</loc></url>"
+        "</urlset>"
+    )
+    df = spark.createDataFrame(
+        [(1, xml), (2, SITEMAP_INDEX)], "sid long, xml string"
+    )
+    rows = sorted(
+        (r["sid"], r["entry_idx"], r["loc"], r["lastmod"])
+        for r in sitemap_entries(df, "xml", keep_cols=["sid"]).collect()
+    )
+    assert rows == [
+        (1, 0, "http://ex.com/a", "2026-02-01"),
+        (1, 1, "http://ex.com/b", ""),
+        (1, 2, "http://ex.com/c", "2026-03-01"),
+    ]
+
+
+def test_sitemap_recrawl_reasons(spark):
+    from graphragpart1datapipeline_spark.text.sitemap import (
+        sitemap_recrawl,
+    )
+
+    xml = (
+        "<urlset>"
+        "<url><loc>http://ex.com/new</loc>"
+        "<lastmod>2026-01-02</lastmod></url>"
+        "<url><loc>http://ex.com/updated</loc>"
+        "<lastmod>2026-01-09</lastmod></url>"
+        "<url><loc>http://ex.com/fresh</loc>"
+        "<lastmod>2026-01-02</lastmod></url>"
+        "<url><loc>http://ex.com/nolastmod</loc></url>"
+        # the same page in a second spelling with an OLDER lastmod:
+        # max-collapse keeps 2026-01-09
+        "<url><loc>HTTP://ex.com/updated/</loc>"
+        "<lastmod>2026-01-01</lastmod></url>"
+        "</urlset>"
+    )
+    maps = spark.createDataFrame([(xml,)], "xml string")
+    log = spark.createDataFrame(
+        [
+            ("http://ex.com/updated", "2026-01-05"),
+            ("http://ex.com/fresh", "2026-01-05"),
+            ("http://ex.com/nolastmod", "2026-01-05"),
+        ],
+        "url string, crawled_at string",
+    )
+    rows = {
+        r["canon"]: (r["reason"], r["lastmod"])
+        for r in sitemap_recrawl(maps, log).collect()
+    }
+    assert rows == {
+        "http://ex.com/new": ("new", "2026-01-02"),
+        "http://ex.com/updated": ("updated", "2026-01-09"),
+        "http://ex.com/nolastmod": ("no-lastmod", ""),
+    }
+
+
+# ------------------------------------------------ lang/script mismatch
+
+def test_lang_script_mismatch_rules(spark):
+    from graphragpart1datapipeline_spark.text.analysis import (
+        expected_script,
+        lang_script_mismatch,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "en", "plain english text"),
+            (2, "en", "这是中文测试内容这是中文测试内容"),
+            (3, "xx", "这是中文测试内容这是中文测试内容"),
+            (4, "en", "12345 !!"),
+            (5, "en", "english with a bit of 中文"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    out = {
+        r["doc_id"]: (r["dominant"], r["expected_script"], r["mismatch"])
+        for r in lang_script_mismatch(df, {"en": "latin"}).collect()
+    }
+    assert out[1] == ("latin", "latin", False)
+    assert out[2] == ("han", "latin", True)
+    assert out[3] == ("han", None, False)      # unmapped lang: no claim
+    assert out[4] == ("none", "latin", False)  # no letters: no evidence
+    assert out[5] == ("latin", "latin", False)
+    with pytest.raises(ValueError, match="unknown script"):
+        expected_script(F.col("lang"), {"en": "klingon"})
+
+
+# ---------------------------------------------------- crawl demo plan
+
+def test_crawl_pipeline_composes(spark, sf_dir):
+    """The composed crawl DAG: funnel monotone through every gate,
+    per-domain cap and gap invariants hold, parse preserves rows, and
+    a re-run reproduces the identical timetable."""
+    from graphragpart1datapipeline_spark.plans.crawl_demo import (
+        build_crawl_pipeline,
+    )
+
+    out = build_crawl_pipeline(sf_dir, domain_cap_n=20).run(spark)
+    n_docs = out["documents"].count()
+    n_front = out["frontier"].count()
+    assert n_front == n_docs
+    unseen_ids = {r["doc_id"] for r in out["unseen"].collect()}
+    assert unseen_ids and all(i % 2 == 1 for i in unseen_ids)
+    allowed_ids = {r["doc_id"] for r in out["allowed"].collect()}
+    assert allowed_ids < unseen_ids
+    # graftbot's exact group disallows /Path{(d+1)%5}/doc on site{d}
+    assert all((i % 5) != ((i % 7) + 1) % 5 for i in allowed_ids)
+    assert any((i % 5) == (i % 7) % 5 for i in allowed_ids), (
+        "the * group's Disallow must NOT apply to graftbot"
+    )
+    capped = out["capped"]
+    per_dom = capped.groupBy(F.expr("doc_id % 7")).count().collect()
+    assert all(r["count"] <= 20 for r in per_dom)
+    sched = out["scheduled"]
+    assert sched.count() == capped.count()
+    by_dom: dict[str, list[int]] = {}
+    for r in sched.collect():
+        by_dom.setdefault(r["domain"], []).append(r["fetch_at_ms"])
+    for times in by_dom.values():
+        times.sort()
+        assert all(
+            b - a == 16 * 250 for a, b in zip(times, times[1:])
+        )
+    assert out["records"].count() == sched.count()
+    curated = out["curated"]
+    rows = curated.collect()
+    assert rows and all(r["route"] == "text/html" for r in rows)
+    assert all("<" not in r["text"].split(">")[0] for r in rows[:5])
+    # determinism: identical timetable on a re-run
+    again = build_crawl_pipeline(sf_dir, domain_cap_n=20).run(spark)
+    t1 = {(r["doc_id"], r["fetch_at_ms"]) for r in sched.collect()}
+    t2 = {
+        (r["doc_id"], r["fetch_at_ms"])
+        for r in again["scheduled"].collect()
+    }
+    assert t1 == t2
