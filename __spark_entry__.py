@@ -17353,6 +17353,298 @@ def q269(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _redirect_edges_sql() -> str:
+    """The q270 redirect-edge fixture: chains r0→r1→r2→r3→final with
+    depth gated on doc_id moduli (so hops 1–4 all occur), the r0→r1
+    hop's TARGET spelled messy (canonical matching is what connects
+    it to hop 1's clean source), and a 2-cycle per 25th doc."""
+    return """
+      SELECT 'http://r0.site' || (doc_id % 7) || '.com/' || doc_id AS src,
+             'HTTP://WWW.R1.Site' || (doc_id % 7) || '.COM:80//'
+               || doc_id AS dst
+      FROM documents
+      UNION ALL
+      SELECT 'http://r1.site' || (doc_id % 7) || '.com/' || doc_id,
+             'http://r2.site' || (doc_id % 7) || '.com/' || doc_id
+      FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT 'http://r2.site' || (doc_id % 7) || '.com/' || doc_id,
+             'http://r3.site' || (doc_id % 7) || '.com/' || doc_id
+      FROM documents WHERE doc_id % 4 = 0
+      UNION ALL
+      SELECT 'http://r3.site' || (doc_id % 7) || '.com/' || doc_id,
+             'http://final.site' || (doc_id % 7) || '.com/' || doc_id
+      FROM documents WHERE doc_id % 8 = 0
+      UNION ALL
+      SELECT 'http://loop.site' || (doc_id % 7) || '.com/' || doc_id
+               || 'a',
+             'http://loop.site' || (doc_id % 7) || '.com/' || doc_id
+               || 'b'
+      FROM documents WHERE doc_id % 25 = 0
+      UNION ALL
+      SELECT 'http://loop.site' || (doc_id % 7) || '.com/' || doc_id
+               || 'b',
+             'http://loop.site' || (doc_id % 7) || '.com/' || doc_id
+               || 'a'
+      FROM documents WHERE doc_id % 25 = 0
+    """
+
+
+def _redirect_sql(max_hops: int = 8) -> str:
+    """Oracle for q270: canonical edge mapping, then the pointer-
+    doubling rounds UNROLLED (each a self left-join with hop
+    addition — the same composition the engine checkpoints), then the
+    terminal probe for the looped flag."""
+    from graphragpart1datapipeline_spark.text.urls import canonical_url_sql
+
+    rounds = max(1, (max_hops - 1).bit_length())
+    sql = [f"""
+    WITH e AS ({_redirect_edges_sql()}
+    ), m AS (
+      SELECT DISTINCT {canonical_url_sql("src")} AS src,
+             {canonical_url_sql("dst")} AS dst
+      FROM e
+    ), c0 AS (
+      SELECT src, dst, CAST(1 AS BIGINT) AS hops FROM m
+    )"""]
+    for r in range(1, rounds + 1):
+        sql.append(f""", c{r} AS MATERIALIZED (
+      SELECT c.src, COALESCE(n.dst, c.dst) AS dst,
+             CAST(c.hops + COALESCE(n.hops, 0) AS BIGINT) AS hops
+      FROM c{r - 1} c LEFT JOIN c{r - 1} n ON c.dst = n.src
+    )""")
+    sql.append(f"""
+    SELECT c.src, c.dst AS final, c.hops,
+           (t.src IS NOT NULL) AS looped
+    FROM c{rounds} c
+    LEFT JOIN (SELECT DISTINCT src FROM m) t ON c.dst = t.src
+    ORDER BY c.src
+    """)
+    return "".join(sql)
+
+
+@_register("q270_redirect_resolution", _redirect_sql())
+def q270(spark, sf_dir):
+    """HTTP REDIRECT-CHAIN RESOLUTION (text/redirects.py — round-10
+    wave 4: the link-graph normalization between fetching and
+    frontier/dedup bookkeeping; ~a fifth of real fetches answer 3xx):
+    POINTER DOUBLING over the canonical-keyed redirect mapping —
+    ceil(log2(max_hops)) = 3 self-joins resolve every chain up to 8
+    hops (vs 8 one-hop rounds), each round localCheckpoint'd (the
+    iterative-op lineage rule); canonical keys mean a messy-spelled
+    Location header never splits a chain (the r0→r1 hop is spelled
+    messy on the target side, clean on the source side — the join
+    still connects). Redirect LOOPS exhaust the hop budget and come
+    out flagged ``looped`` (the fetch-abandon case), detected by one
+    terminal probe join; a source with two targets raises loudly.
+    The oracle unrolls the identical composition rounds."""
+    from graphragpart1datapipeline_spark.text.redirects import (
+        resolve_redirects,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    d7 = (did % 7).cast("string")
+    ids = did.cast("string")
+
+    def u(host_prefix: str, suffix: str = "") -> F.Column:
+        return F.concat(
+            F.lit(f"http://{host_prefix}.site"), d7, F.lit(".com/"),
+            ids, F.lit(suffix),
+        )
+
+    messy_r1 = F.concat(
+        F.lit("HTTP://WWW.R1.Site"), d7, F.lit(".COM:80//"), ids
+    )
+    variants = F.filter(
+        F.array(
+            F.struct(F.lit(0).alias("k"), u("r0").alias("src"),
+                     messy_r1.alias("dst")),
+            F.struct(F.lit(1).alias("k"), u("r1").alias("src"),
+                     u("r2").alias("dst")),
+            F.struct(F.lit(2).alias("k"), u("r2").alias("src"),
+                     u("r3").alias("dst")),
+            F.struct(F.lit(3).alias("k"), u("r3").alias("src"),
+                     u("final").alias("dst")),
+            F.struct(F.lit(4).alias("k"), u("loop", "a").alias("src"),
+                     u("loop", "b").alias("dst")),
+            F.struct(F.lit(5).alias("k"), u("loop", "b").alias("src"),
+                     u("loop", "a").alias("dst")),
+        ),
+        lambda s: (s["k"] == 0)
+        | ((s["k"] == 1) & (did % 2 == 0))
+        | ((s["k"] == 2) & (did % 4 == 0))
+        | ((s["k"] == 3) & (did % 8 == 0))
+        | ((s["k"] >= 4) & (did % 25 == 0)),
+    )
+    edges = docs.select(F.explode(variants).alias("__v")).select(
+        F.col("__v.src").alias("src"), F.col("__v.dst").alias("dst")
+    )
+    out = resolve_redirects(edges, max_hops=8)
+    return out.select("src", "final", "hops", "looped").orderBy("src")
+
+
+def _crawl_delay_sql() -> str:
+    """Oracle for q271: the q262 parse machinery over new bodies,
+    Crawl-delay extraction under the same group-selection rule
+    (numeric lines only, MAX per domain, exact group overrides and
+    does NOT fall back), delay→gap conversion, and the per-domain
+    slot arithmetic with gap a column."""
+    from graphragpart1datapipeline_spark.text.urls import (
+        canonical_url_sql,
+        url_domain_sql,
+    )
+
+    return f"""
+    WITH dom AS (
+      SELECT DISTINCT doc_id % 7 AS d FROM documents
+    ), bodies AS (
+      SELECT d, 'site' || d || '.com' AS domain,
+        'User-agent: *' || chr(10) ||
+        'Crawl-delay: ' || (2 + d % 3) || chr(10) ||
+        'Disallow: /private' ||
+        CASE WHEN d % 2 = 0 THEN chr(10) || chr(10) ||
+          'User-agent: GraftBot' || chr(10) ||
+          CASE WHEN d = 6 THEN 'Crawl-delay: fast'
+               ELSE 'Crawl-delay: 7' END
+        ELSE '' END AS body
+      FROM dom
+    ), lines AS (
+      SELECT domain, s AS pos,
+             trim(regexp_replace(ls[CAST(s + 1 AS INTEGER)],
+                                 '#.*$', '')) AS l
+      FROM (SELECT domain, string_split_regex(body, '\\r?\\n') AS ls
+            FROM bodies),
+           LATERAL (SELECT unnest(range(0, len(ls))) AS s) t
+    ), fields AS (
+      SELECT domain, pos,
+             lower(regexp_extract(l, '^([A-Za-z-]+)\\s*:', 1)) AS field,
+             trim(regexp_replace(l, '^[A-Za-z-]+\\s*:', '')) AS value
+      FROM lines
+    ), marked AS (
+      SELECT *, (field = 'user-agent') AS is_ua,
+             COALESCE(lag(field = 'user-agent')
+               OVER (PARTITION BY domain ORDER BY pos), FALSE) AS prev_ua
+      FROM fields
+    ), grouped AS (
+      SELECT *, SUM(CASE WHEN is_ua AND NOT prev_ua THEN 1 ELSE 0 END)
+             OVER (PARTITION BY domain ORDER BY pos
+                   ROWS UNBOUNDED PRECEDING) AS grp
+      FROM marked
+    ), ua AS (
+      SELECT domain, grp,
+             MAX(CASE WHEN lower(value) = 'graftbot' THEN 1 ELSE 0 END)
+               AS m_exact,
+             MAX(CASE WHEN value = '*' THEN 1 ELSE 0 END) AS m_any
+      FROM grouped WHERE is_ua GROUP BY 1, 2
+    ), de AS (
+      SELECT domain, MAX(m_exact) AS has_exact FROM ua GROUP BY 1
+    ), applicable AS (
+      SELECT ua.domain, grp FROM ua JOIN de USING (domain)
+      WHERE CASE WHEN has_exact = 1 THEN m_exact = 1 ELSE m_any = 1 END
+    ), delays AS (
+      SELECT g.domain, MAX(CAST(g.value AS BIGINT)) AS delay_s
+      FROM grouped g JOIN applicable a
+        ON g.domain = a.domain AND g.grp = a.grp
+      WHERE g.field = 'crawl-delay' AND g.grp >= 1
+        AND regexp_matches(g.value, '^[0-9]+$')
+      GROUP BY 1
+    ), gaps AS (
+      SELECT domain, delay_s * 4 AS gap FROM delays
+    ), raw AS ({_url_fixture_sql()}
+    ), urls AS (
+      SELECT doc_id, {canonical_url_sql("url")} AS canon,
+             {url_domain_sql("url")} AS domain
+      FROM raw WHERE variant = 0
+    ), withgap AS (
+      SELECT u.doc_id, u.canon, u.domain,
+             CAST(COALESCE(g.gap, 16) AS BIGINT) AS gap
+      FROM urls u LEFT JOIN gaps g USING (domain)
+    ), ranked AS (
+      SELECT doc_id, domain, gap,
+             CAST(row_number() OVER (
+               PARTITION BY domain ORDER BY canon, doc_id) - 1
+               AS BIGINT) AS domain_seq
+      FROM withgap
+    ), slotted AS (
+      SELECT doc_id, domain, gap, domain_seq,
+             CAST(CAST('0x' || substring(md5(domain), 1, 8) AS UBIGINT)
+                  % CAST(gap AS UBIGINT) AS BIGINT)
+               + domain_seq * gap AS slot
+      FROM ranked
+    )
+    SELECT doc_id, domain, gap AS gap_slots, domain_seq,
+           CAST(slot AS BIGINT) AS slot,
+           CAST(slot * 250 AS BIGINT) AS fetch_at_ms
+    FROM slotted ORDER BY doc_id
+    """
+
+
+@_register("q271_crawl_delay_schedule", _crawl_delay_sql())
+def q271(spark, sf_dir):
+    """ROBOTS Crawl-delay → PER-DOMAIN POLITENESS (text/robots.py
+    robots_crawl_delay + text/urls.py politeness_schedule_per_domain
+    — round-10 wave 4, wiring the site's OWN politeness request into
+    q259's scheduler): Crawl-delay lines extract under the exact same
+    group-selection rule as the path rules (the fixture's even
+    domains carry a GraftBot group whose delay 7 OVERRIDES the '*'
+    group's 2–4; domain 6's exact group requests a NON-numeric delay,
+    which is ignored and — because the governing group made no valid
+    request — the domain falls to the DEFAULT gap, not to '*'s);
+    numeric seconds only, MAX per domain (the politest reading).
+    Delays convert to slots (delay·1000/slot_ms) and ride the
+    schedule as a BROADCAST column: phase = md5(domain) mod gap_d,
+    slot = phase + rank·gap_d — consecutive same-domain fetches
+    exactly gap_d apart, per domain. Same single domain-keyed
+    window."""
+    from graphragpart1datapipeline_spark.text.robots import (
+        robots_crawl_delay,
+    )
+    from graphragpart1datapipeline_spark.text.urls import (
+        canonical_url,
+        politeness_schedule_per_domain,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    dom = docs.select((F.col("doc_id") % 7).alias("d")).distinct()
+    ds = F.col("d").cast("string")
+    body = F.concat(
+        F.lit("User-agent: *\nCrawl-delay: "),
+        (F.col("d") % 3 + 2).cast("string"),
+        F.lit("\nDisallow: /private"),
+        F.coalesce(
+            F.when(
+                F.col("d") % 2 == 0,
+                F.concat(
+                    F.lit("\n\nUser-agent: GraftBot\n"),
+                    F.when(
+                        F.col("d") == 6, F.lit("Crawl-delay: fast")
+                    ).otherwise(F.lit("Crawl-delay: 7")),
+                ),
+            ),
+            F.lit(""),
+        ),
+    )
+    robots = dom.select(
+        F.concat(F.lit("site"), ds, F.lit(".com")).alias("domain"),
+        body.alias("robots_txt"),
+    )
+    delays = robots_crawl_delay(robots, agent="graftbot")
+    gaps = delays.select(
+        "domain", (F.col("delay_s") * 4).alias("gap_slots")
+    )
+    urls = _url_fixture(docs).filter(F.col("variant") == 0)
+    out = politeness_schedule_per_domain(
+        urls.select("doc_id", "url"), gaps, url_col="url",
+        default_gap=16, slot_ms=250,
+        order_by=[F.asc(canonical_url("url")), F.asc("doc_id")],
+    )
+    return out.select(
+        "doc_id", "domain", "gap_slots", "domain_seq", "slot",
+        "fetch_at_ms",
+    ).orderBy("doc_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q02(spark, "/root/testdata/sf0.001")

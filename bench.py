@@ -369,6 +369,12 @@ SECONDARY = [
     "q268_sitemap_recrawl",
     # lang/script mismatch: scan-bound regexp counts (q254's profile)
     "q269_lang_script_mismatch",
+    # redirect resolution: 3 pointer-doubling self-joins on the
+    # edge-sized canonical mapping + one terminal probe
+    "q270_redirect_resolution",
+    # crawl-delay politeness: KB parse windows + broadcast gap join +
+    # one domain window
+    "q271_crawl_delay_schedule",
 ]
 
 # Repetitions per query; report the min. The ambient swing on a shared

@@ -43,22 +43,26 @@ from pyspark.sql import functions as F
 
 from .urls import canonical_url, url_domain
 
-__all__ = ["robots_rules", "robots_frontier_filter", "request_path"]
+__all__ = [
+    "robots_rules",
+    "robots_crawl_delay",
+    "robots_frontier_filter",
+    "request_path",
+]
 
 
-def robots_rules(
+def _applicable_lines(
     df: DataFrame,
     agent: str,
-    body_col: str = "robots_txt",
-    domain_col: str = "domain",
-) -> DataFrame:
-    """Parse one ``robots.txt`` body per domain into the applicable
-    rules for ``agent``: (domain, rule ∈ {'allow','disallow'}, path)
-    — exact-agent groups when any exist, else ``*`` groups; wildcard
-    rules already conservatively transformed (module docstring)."""
+    body_col: str,
+    domain_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """The shared parse core: (marked, applicable) — every line with
+    its field/value/UA-group id, and the (domain, grp) pairs that
+    govern ``agent`` (exact groups when any exist, else ``*``)."""
     if not agent or agent.strip() == "*":
         raise ValueError(
-            f"robots_rules: agent must be a concrete product token, "
+            f"robots: agent must be a concrete product token, "
             f"got {agent!r}"
         )
     lines = df.select(
@@ -113,6 +117,20 @@ def robots_rules(
         )
         .select("domain", "grp")
     )
+    return marked, applicable
+
+
+def robots_rules(
+    df: DataFrame,
+    agent: str,
+    body_col: str = "robots_txt",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Parse one ``robots.txt`` body per domain into the applicable
+    rules for ``agent``: (domain, rule ∈ {'allow','disallow'}, path)
+    — exact-agent groups when any exist, else ``*`` groups; wildcard
+    rules already conservatively transformed (module docstring)."""
+    marked, applicable = _applicable_lines(df, agent, body_col, domain_col)
     rules0 = marked.filter(
         F.col("field").isin("allow", "disallow") & (F.col("grp") >= 1)
     ).select("domain", "grp", F.col("field").alias("rule"), "value")
@@ -128,6 +146,36 @@ def robots_rules(
             & ~((F.col("rule") == "allow") & wildcard)
         )
         .select("domain", "rule", path.alias("path"))
+    )
+
+
+def robots_crawl_delay(
+    df: DataFrame,
+    agent: str,
+    body_col: str = "robots_txt",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Per-domain ``Crawl-delay`` (the de-facto extension most
+    crawlers honor; RFC 9309 leaves it out, so its absence is normal)
+    from the groups governing ``agent`` — the same group-selection
+    rule as :func:`robots_rules`, so an exact-agent group's delay
+    OVERRIDES the ``*`` group's (and an exact group WITHOUT a numeric
+    delay yields none for the domain — the governing group made no
+    request; it does not fall back to ``*``, documented). Integer
+    seconds only; non-numeric values are ignored. When several
+    applicable lines remain, the MAXIMUM wins (the conservative,
+    politest reading). Returns (domain, delay_s). Feed into
+    :func:`~.urls.politeness_schedule_per_domain`."""
+    marked, applicable = _applicable_lines(df, agent, body_col, domain_col)
+    lines = marked.filter(
+        (F.col("field") == "crawl-delay")
+        & (F.col("grp") >= 1)
+        & F.col("value").rlike(r"^[0-9]+$")
+    ).select("domain", "grp", F.col("value").cast("long").alias("delay_s"))
+    return (
+        lines.join(applicable, ["domain", "grp"])
+        .groupBy("domain")
+        .agg(F.max("delay_s").alias("delay_s"))
     )
 
 

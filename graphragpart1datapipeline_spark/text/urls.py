@@ -51,6 +51,7 @@ __all__ = [
     "bloom_key_member",
     "domain_cap",
     "politeness_schedule",
+    "politeness_schedule_per_domain",
 ]
 
 # exact-name strips plus the utm_ prefix family
@@ -319,6 +320,85 @@ def politeness_schedule(
     return ranked.withColumn("slot", slot).withColumn(
         "fetch_at_ms",
         (F.lit(start_epoch_ms) + F.col("slot") * slot_ms).cast("long"),
+    )
+
+
+def politeness_schedule_per_domain(
+    df: DataFrame,
+    domain_gaps: DataFrame,
+    url_col: str = "url",
+    default_gap: int = 16,
+    slot_ms: int = 1000,
+    start_epoch_ms: int = 0,
+    order_by: list[Column] | None = None,
+) -> DataFrame:
+    """:func:`politeness_schedule` with a PER-DOMAIN gap — the
+    robots.txt ``Crawl-delay`` integration (pair with
+    :func:`~.robots.robots_crawl_delay`): ``domain_gaps`` is a
+    (domain, gap_slots) table, BROADCAST onto the frontier;
+    domains without a row use ``default_gap``. The rule is the fixed
+    one with gap a column: phase = md5(domain) mod gap_d, slot =
+    phase + rank·gap_d — so consecutive same-domain fetches are
+    EXACTLY gap_d slots apart while the phase stays inside the
+    domain's own gap. Non-positive gaps in the table raise at plan
+    execution (a zero gap would schedule every fetch at the phase).
+    Same single domain-keyed window; adds (domain, gap_slots,
+    domain_seq, slot, fetch_at_ms)."""
+    if default_gap < 1:
+        raise ValueError(
+            f"politeness_schedule_per_domain: default_gap must be >= 1, "
+            f"got {default_gap}"
+        )
+    if slot_ms < 1:
+        raise ValueError(
+            f"politeness_schedule_per_domain: slot_ms must be >= 1, "
+            f"got {slot_ms}"
+        )
+    order = order_by if order_by is not None else [
+        F.asc(canonical_url(url_col))
+    ]
+    d = df.withColumn("domain", url_domain(url_col)).join(
+        F.broadcast(
+            domain_gaps.select(
+                "domain", F.col("gap_slots").cast("long").alias("__g")
+            )
+        ),
+        "domain",
+        "left",
+    )
+    gap = F.coalesce(
+        F.when(
+            F.col("__g") < 1,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "politeness_schedule_per_domain: non-positive "
+                        "gap for domain "
+                    ),
+                    F.col("domain"),
+                )
+            ).cast("long"),
+        ).otherwise(F.col("__g")),
+        F.lit(default_gap).cast("long"),
+    )
+    offset = (
+        F.conv(F.substring(F.md5(F.col("domain")), 1, 8), 16, 10)
+        .cast("long")
+        % gap
+    )
+    w = Window.partitionBy("domain").orderBy(*order)
+    ranked = d.withColumn(
+        "domain_seq", (F.row_number().over(w) - 1).cast("long")
+    )
+    slot = (offset + F.col("domain_seq") * gap).cast("long")
+    return (
+        ranked.withColumn("gap_slots", gap)
+        .withColumn("slot", slot)
+        .withColumn(
+            "fetch_at_ms",
+            (F.lit(start_epoch_ms) + F.col("slot") * slot_ms).cast("long"),
+        )
+        .drop("__g")
     )
 
 

@@ -496,3 +496,113 @@ def test_crawl_pipeline_composes(spark, sf_dir):
         for r in again["scheduled"].collect()
     }
     assert t1 == t2
+
+
+# --------------------------------------------------- redirects
+
+def test_resolve_redirects_chain_loop_and_guard(spark):
+    from graphragpart1datapipeline_spark.text.redirects import (
+        resolve_redirects,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            ("http://a.com/1", "HTTP://WWW.B.com:80//1"),  # messy target
+            ("http://b.com/1", "http://c.com/1"),
+            ("http://c.com/1", "http://d.com/1"),
+            ("http://x.com/l", "http://y.com/l"),
+            ("http://y.com/l", "http://x.com/l"),
+        ],
+        "src string, dst string",
+    )
+    out = {
+        r["src"]: (r["final"], r["hops"], r["looped"])
+        for r in resolve_redirects(edges, max_hops=8).collect()
+    }
+    assert out["http://a.com/1"] == ("http://d.com/1", 3, False)
+    assert out["http://b.com/1"] == ("http://d.com/1", 2, False)
+    assert out["http://c.com/1"] == ("http://d.com/1", 1, False)
+    assert out["http://x.com/l"][2] is True
+    assert out["http://y.com/l"][2] is True
+    with pytest.raises(ValueError, match="multiple redirect targets"):
+        resolve_redirects(
+            spark.createDataFrame(
+                [("http://a.com/x", "http://b.com/1"),
+                 ("http://a.com/x", "http://b.com/2")],
+                "src string, dst string",
+            )
+        )
+    with pytest.raises(ValueError, match="max_hops"):
+        resolve_redirects(edges, max_hops=0)
+
+
+# ------------------------------------------- crawl-delay politeness
+
+ROBOTS_CD = (
+    "User-agent: *\nCrawl-delay: 3\nDisallow: /x\n\n"
+    "User-agent: GraftBot\nCrawl-delay: 9"
+)
+
+
+def test_robots_crawl_delay_group_selection(spark):
+    from graphragpart1datapipeline_spark.text.robots import (
+        robots_crawl_delay,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("a.com", ROBOTS_CD),
+            ("b.com", "User-agent: *\nCrawl-delay: 4\nCrawl-delay: 6"),
+            ("c.com", "User-agent: *\nCrawl-delay: soon"),
+        ],
+        "domain string, robots_txt string",
+    )
+    got = {
+        r["domain"]: r["delay_s"]
+        for r in robots_crawl_delay(df, agent="graftbot").collect()
+    }
+    # exact group overrides; max of applicable lines; non-numeric
+    # yields no row at all
+    assert got == {"a.com": 9, "b.com": 6}
+    other = {
+        r["domain"]: r["delay_s"]
+        for r in robots_crawl_delay(df, agent="elsebot").collect()
+    }
+    assert other == {"a.com": 3, "b.com": 6}
+
+
+def test_politeness_per_domain_gap_invariant(spark):
+    from graphragpart1datapipeline_spark.text.urls import (
+        politeness_schedule_per_domain,
+    )
+
+    urls = spark.createDataFrame(
+        [(i, f"http://{'slow' if i % 2 else 'fast'}.com/p{i}")
+         for i in range(20)],
+        "doc_id long, url string",
+    )
+    gaps = spark.createDataFrame(
+        [("slow.com", 32)], "domain string, gap_slots long"
+    )
+    rows = politeness_schedule_per_domain(
+        urls, gaps, default_gap=4, slot_ms=100,
+        order_by=[F.asc("doc_id")],
+    ).collect()
+    by_dom: dict[str, list[int]] = {}
+    gset = {}
+    for r in rows:
+        by_dom.setdefault(r["domain"], []).append(r["fetch_at_ms"])
+        gset[r["domain"]] = r["gap_slots"]
+    assert gset == {"slow.com": 32, "fast.com": 4}
+    for dom, times in by_dom.items():
+        times.sort()
+        step = gset[dom] * 100
+        assert all(b - a == step for a, b in zip(times, times[1:]))
+        assert times[0] < gset[dom] * 100  # phase inside the gap
+    bad = spark.createDataFrame(
+        [("slow.com", 0)], "domain string, gap_slots long"
+    )
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkRuntimeError
+    with pytest.raises(Exception, match="non-positive"):
+        politeness_schedule_per_domain(urls, bad).collect()
