@@ -8456,14 +8456,19 @@ def q176(spark, sf_dir):
 
     # checkpoint: the chunk frame feeds BOTH passage scoring and the
     # stitch probe (same double-scan fix as q175)
+    # guide §8: decide with small rows first — only the 20 FUSED docs'
+    # chunks are ever consumed (passage scoring + stitch), so chunk
+    # those docs, not the corpus (row-local 1→N op: filter-before-chunk
+    # is value-identical per doc; the oracle replays the same join)
     chunks = fixed_stride_chunks(
-        docs, id_col="doc_id", text_col="text",
+        docs.join(
+            F.broadcast(fused.select(F.col("id").alias("doc_id"))), "doc_id"
+        ),
+        id_col="doc_id", text_col="text",
         chunk_tokens=32, overlap_tokens=8,
     ).localCheckpoint(eager=True)
     terms = sorted({t.lower() for t in _BM25_TERMS})
-    cand = chunks.join(
-        F.broadcast(fused.select(F.col("id").alias("doc_id"))), "doc_id"
-    ).select(
+    cand = chunks.select(
         "doc_id",
         "chunk_index",
         F.size(
@@ -8551,14 +8556,19 @@ def q185(spark, sf_dir):
     fused = rrf_fuse([vecr, bm], id_col="id", k0=60, k=20).localCheckpoint(
         eager=True
     )
+    # guide §8: decide with small rows first — only the 20 FUSED docs'
+    # chunks are ever consumed (passage scoring + stitch), so chunk
+    # those docs, not the corpus (row-local 1→N op: filter-before-chunk
+    # is value-identical per doc; the oracle replays the same join)
     chunks = fixed_stride_chunks(
-        docs, id_col="doc_id", text_col="text",
+        docs.join(
+            F.broadcast(fused.select(F.col("id").alias("doc_id"))), "doc_id"
+        ),
+        id_col="doc_id", text_col="text",
         chunk_tokens=32, overlap_tokens=8,
     ).localCheckpoint(eager=True)
     terms = sorted({t.lower() for t in _BM25_TERMS})
-    cand = chunks.join(
-        F.broadcast(fused.select(F.col("id").alias("doc_id"))), "doc_id"
-    ).select(
+    cand = chunks.select(
         "doc_id",
         "chunk_index",
         F.size(
@@ -10792,14 +10802,18 @@ def _rag_serving_mmr_frame(
         cands, k=5, lam=0.7, vec_col="embedding", id_col="id",
         rel_col="rrf_score",
     )
+    # guide §8: only the 5 SELECTED docs' chunks are consumed — chunk
+    # those docs, not the corpus (filter-before-chunk is
+    # value-identical for the row-local 1→N chunker)
     chunks = fixed_stride_chunks(
-        docs, id_col="doc_id", text_col="text",
+        docs.join(
+            F.broadcast(sel.select(F.col("id").alias("doc_id"))), "doc_id"
+        ),
+        id_col="doc_id", text_col="text",
         chunk_tokens=32, overlap_tokens=8,
     ).localCheckpoint(eager=True)
     terms = sorted({t.lower() for t in _BM25_TERMS})
-    cand = chunks.join(
-        F.broadcast(sel.select(F.col("id").alias("doc_id"))), "doc_id"
-    ).select(
+    cand = chunks.select(
         "doc_id",
         "chunk_index",
         F.size(
@@ -11299,14 +11313,19 @@ def q211(spark, sf_dir):
     fused = rrf_fuse([vecr, bm], id_col="id", k0=60, k=20).localCheckpoint(
         eager=True
     )
+    # guide §8: decide with small rows first — only the 20 FUSED docs'
+    # chunks are ever consumed (passage scoring + stitch), so chunk
+    # those docs, not the corpus (row-local 1→N op: filter-before-chunk
+    # is value-identical per doc; the oracle replays the same join)
     chunks = fixed_stride_chunks(
-        docs, id_col="doc_id", text_col="text",
+        docs.join(
+            F.broadcast(fused.select(F.col("id").alias("doc_id"))), "doc_id"
+        ),
+        id_col="doc_id", text_col="text",
         chunk_tokens=32, overlap_tokens=8,
     ).localCheckpoint(eager=True)
     terms = sorted({t.lower() for t in _BM25_TERMS})
-    cand = chunks.join(
-        F.broadcast(fused.select(F.col("id").alias("doc_id"))), "doc_id"
-    ).select(
+    cand = chunks.select(
         "doc_id",
         "chunk_index",
         F.size(

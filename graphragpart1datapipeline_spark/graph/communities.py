@@ -64,7 +64,7 @@ def connected_components(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     labels = (
         sym.select(F.col("a").alias("id"))
@@ -100,7 +100,7 @@ def connected_components(
         # Checkpoint BEFORE the convergence probe: the probe and the next
         # round then both read the materialized frame, instead of
         # recomputing the propagation join twice per round.
-        new_labels = new_labels.localCheckpoint(eager=True)
+        new_labels = new_labels.localCheckpoint(eager=False)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
@@ -702,7 +702,7 @@ def label_propagation_communities(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     labels = (
         sym.select(F.col("a").alias("id"))
@@ -724,7 +724,7 @@ def label_propagation_communities(
                 ).alias("best")
             )
             .select("id", F.col("best.label").alias("label"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return labels
 
@@ -976,7 +976,7 @@ def _local_move_round(
     return (
         labels.join(best, "id")
         .select("id", F.col("best_c").alias("lab"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
 
@@ -1006,7 +1006,7 @@ def _canonical_edges(
         can = base.drop("w").distinct().withColumn("w", F.lit(1).cast("long"))
     else:
         can = base.groupBy("a", "b").agg(F.sum("w").alias("w"))
-    return can.localCheckpoint(eager=True)
+    return can.localCheckpoint(eager=False)
 
 
 def _level_degrees(can: DataFrame) -> DataFrame:
@@ -1028,7 +1028,7 @@ def _level_degrees(can: DataFrame) -> DataFrame:
         )
         .groupBy("id")
         .agg(F.sum("dw").alias("deg"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
 
@@ -1110,7 +1110,7 @@ def louvain_communities(
                 "lab",
             )
             .select("id", F.col("__new").alias("lab"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         if level < levels - 1:
             la = labels.select(F.col("id").alias("a"), F.col("lab").alias("la"))
@@ -1123,7 +1123,7 @@ def louvain_communities(
                     F.greatest("la", "lb").alias("b"),
                 )
                 .agg(F.sum("w").alias("w"))
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
     if membership is None:
         return spark.createDataFrame([], "id string, community string")
@@ -1248,7 +1248,7 @@ def _leiden_from_canonical(
             )
             .filter(F.col("li") == F.col("lj"))
             .select("i", "j", "w")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         ctot = (
             labels.join(deg, "id")
@@ -1270,7 +1270,7 @@ def _leiden_from_canonical(
                     * (F.col("ctot") - F.col("deg")).cast("double")
                 ).alias("wc"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         rlab = deg.select("id", F.col("id").alias("rlab"))
         for _ in range(refine_rounds):
@@ -1359,7 +1359,7 @@ def _leiden_from_canonical(
                     "id",
                     F.coalesce("new_rlab", "rlab").alias("rlab"),
                 )
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
         # ---- contraction on the refined partition --------------------
         node_map = (
@@ -1373,13 +1373,13 @@ def _leiden_from_canonical(
                 "__cur",
             )
             .select("id", F.col("__new").alias("rlab"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         init = (
             rlab.join(labels, "id")
             .select(F.col("rlab").alias("id"), "lab")
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         ra = rlab.select(F.col("id").alias("a"), F.col("rlab").alias("la"))
         rb = rlab.select(F.col("id").alias("b"), F.col("rlab").alias("lb"))
@@ -1391,7 +1391,7 @@ def _leiden_from_canonical(
                 F.greatest("la", "lb").alias("b"),
             )
             .agg(F.sum("w").alias("w"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     if last_labels is None:
         return spark.createDataFrame([], "id string, community string")
@@ -1501,7 +1501,7 @@ def partition_comparison(
         F.col(id_col).cast("string").alias("id"),
         F.col(b_col).cast("string").alias("cb"),
     )
-    j = sa.join(sb, "id").localCheckpoint(eager=True)
+    j = sa.join(sb, "id").localCheckpoint(eager=False)
     n = j.count()
     if n > 2_000_000_000:
         raise ValueError(
@@ -1589,7 +1589,7 @@ def connected_components_incremental(
     lab = labels.select(
         F.col(id_col).alias("id"),
         F.col(comp_col).alias("component"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     e = new_edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
     )

@@ -148,11 +148,12 @@ def pagerank(
         )
     e_deg = e.join(deg, "src")
     if checkpoint:
-        # ONE eager materialization executes the upstream edge plan
-        # exactly once; everything else (nodes, count, every round)
-        # derives from the in-memory frame. Checkpointing nodes/e_deg
-        # separately would re-execute the upstream plan per checkpoint.
-        e_deg = e_deg.localCheckpoint(eager=True)
+        # ONE materialization executes the upstream edge plan exactly
+        # once; everything else (nodes, count, every round) derives
+        # from the pinned frame. LAZY (round-10, guide §1.2): the first
+        # consuming action (the nodes count below) materializes it in
+        # the same job instead of paying a dedicated eager job.
+        e_deg = e_deg.localCheckpoint(eager=False)
     # every src survived the inner deg join, so the node set is
     # recoverable from e_deg — no second pass over the input
     nodes = (
@@ -161,7 +162,7 @@ def pagerank(
         .distinct()
     )
     if checkpoint:
-        nodes = nodes.localCheckpoint(eager=True)
+        nodes = nodes.localCheckpoint(eager=False)
     n = nodes.count()
     if n == 0:
         return nodes.select("id", F.lit(0).cast("long").alias("rank"))
@@ -178,7 +179,7 @@ def pagerank(
             hint(seed_ids.withColumn("__seed", F.lit(True))), "id", "left"
         ).select("id", F.coalesce("__seed", F.lit(False)).alias("__seed"))
         if checkpoint:
-            nodes = nodes.localCheckpoint(eager=True)
+            nodes = nodes.localCheckpoint(eager=False)
         s = nodes.filter(F.col("__seed")).count()
         if s == 0:
             raise ValueError(

@@ -39,6 +39,20 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Round-10 measured DECISION (guide §1): keep AQE's default
+        # parallelismFirst=true. An interleaved same-session A/B over
+        # the whole headline (per-query A/B/A/B reps, /tmp/ab_pfirst)
+        # read 102.9s (true) vs 120.7s (false@64m advisory): honoring
+        # the advisory SIZE serializes the CPU-dense small-byte stages
+        # (q105 pair explosion 4.9→12.5s, q178 10.3 vs 3.7s) for only
+        # a ~0.5s win on the iterative graph loops. Partition sizing
+        # stays scale-adaptive through AQE either way; the advisory
+        # size remains env-tunable for cluster runs where bytes/task
+        # should dominate (guide §2.2 recommends 100MB-1GB there).
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION_BYTES", "64m"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

@@ -298,47 +298,93 @@ def bm25_topk(
     decimal-accumulated so term order can't matter). The default
     ln(1 + rational) is standard BM25+ (libm ln may differ in the last
     ulp across engines). Ties rank deterministically by id.
+
+    Round-10 optimization (guide §2.3/§2.4 — shuffle fewer bytes,
+    remove shuffles outright): per-term tf is a row-local array count
+    (|terms| is query-sized), so the old explode→groupBy(doc,term)
+    postings shuffle AND the corpus×corpus tf⋈dl sort-merge join are
+    gone. What remains: ONE map-side-combined agg producing
+    (n_docs, sum_dl, df_1..df_T) as a 1-row broadcast, then ONE scoring
+    scan ending in TakeOrderedAndProject. Zero corpus-sized exchanges
+    at any scale. Scores are the same IEEE expressions per (tf, dl,
+    df, N) and the per-doc sum is the same exact decimal(38,12)
+    accumulation (term order can't matter), so results are
+    bit-identical — locked by the unchanged q103/q104/q176/... oracles.
     """
     from pyspark.sql import Window
 
     qterms = sorted({t.lower() for t in terms})
-    toks = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
-    dl = toks.select(id_col, F.size("__toks").alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    if not qterms:
+        raise ValueError("bm25_topk: need at least one query term")
+    toks = tokens(text_col)
+    def _tf(term: str):
+        # one-arg lambda: F.filter treats two-arg lambdas as (x, i)
+        return F.size(F.filter(toks, lambda t: F.lower(t) == F.lit(term)))
+
+    def _has(term: str):
+        return F.exists(toks, lambda t: F.lower(t) == F.lit(term))
+
+    tf_cols = [_tf(q).alias(f"__tf_{i}") for i, q in enumerate(qterms)]
+    # stats pass: dl needs no lowering, df_i only needs EXISTS — the
+    # cheapest possible full-corpus pass
+    stats = df.select(
+        F.size(toks).alias("dl"),
+        *[_has(q).cast("long").alias(f"__h_{i}") for i, q in enumerate(qterms)],
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum(f"__h_{i}").alias(f"__df_{i}")
+            for i in range(len(qterms))
+        ],
     )
-    posts = (
-        toks.select(F.col(id_col), F.explode("__toks").alias("__t"))
-        .select(id_col, F.lower("__t").alias("term"))
-        .filter(F.col("term").isin(*qterms))
-    )
-    tf = posts.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = (
-        tf.join(F.broadcast(dfreq), "term")
-        .join(dl, id_col)
-        .crossJoin(F.broadcast(stats))
-    )
+    per_doc = df.select(F.col(id_col), F.size(toks).alias("dl"), *tf_cols)
+    scored = per_doc.crossJoin(F.broadcast(stats))
     avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
-    rational = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (
-        F.col("df") + F.lit(0.5)
-    )
-    idf = F.log(F.lit(1.0) + rational) if log_idf else rational
-    denom = F.col("tf") + F.lit(k1) * (
-        F.lit(1.0) - F.lit(b) + F.lit(b) * (F.col("dl") / avgdl)
-    )
-    term_score = idf * (F.col("tf") * F.lit(k1 + 1.0)) / denom
-    per_doc = (
-        scored.withColumn("__s", term_score)
-        .groupBy(id_col)
-        .agg(
-            F.sum(F.col("__s").cast("decimal(38,12)"))
-            .cast("double")
-            .alias("score"),
-            F.count(F.lit(1)).alias("matched_terms"),
+    # contributions are cast to decimal(25,12) (scale 12 — the same
+    # rounding as the old cast to decimal(38,12)) and added PAIRWISE
+    # (balanced tree): Spark widens decimal precision by 1 per ADD
+    # LEVEL, so the tree keeps precision at 25+ceil(log2(T)) ≤ 38 for
+    # thousands of terms where a left fold would overflow precision at
+    # T=14 and silently drop scale to 11. Exact decimal adds in any
+    # grouping equal the old groupBy SUM bit-for-bit.
+    zero_dec = F.lit(0).cast("decimal(25,12)")
+    contribs = []
+    hits = []
+    for i in range(len(qterms)):
+        tf_c = F.col(f"__tf_{i}")
+        df_c = F.col(f"__df_{i}")
+        rational = (F.col("n_docs") - df_c + F.lit(0.5)) / (
+            df_c + F.lit(0.5)
         )
-    )
-    topk = per_doc.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+        idf = F.log(F.lit(1.0) + rational) if log_idf else rational
+        denom = tf_c + F.lit(k1) * (
+            F.lit(1.0) - F.lit(b) + F.lit(b) * (F.col("dl") / avgdl)
+        )
+        term_score = idf * (tf_c * F.lit(k1 + 1.0)) / denom
+        contribs.append(
+            F.when(tf_c > 0, term_score.cast("decimal(25,12)")).otherwise(
+                zero_dec
+            )
+        )
+        hits.append(F.when(tf_c > 0, F.lit(1)).otherwise(F.lit(0)))
+    while len(contribs) > 1:  # balanced pairwise reduction
+        contribs = [
+            contribs[j] + contribs[j + 1]
+            if j + 1 < len(contribs)
+            else contribs[j]
+            for j in range(0, len(contribs), 2)
+        ]
+    score_dec = contribs[0]
+    matched = hits[0]
+    for h in hits[1:]:
+        matched = matched + h
+    per_doc_scored = scored.select(
+        F.col(id_col),
+        score_dec.cast("double").alias("score"),
+        matched.cast("long").alias("matched_terms"),
+    ).filter(F.col("matched_terms") >= 1)
+    topk = per_doc_scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
     w = Window.orderBy(F.desc("score"), F.asc(id_col))
     return topk.withColumn("rank", F.row_number().over(w).cast("long"))
 

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .search import dot_expr, l2_norm_expr
+from .search import l2_norm_expr
 
 
 def mmr_rerank(
@@ -56,8 +56,31 @@ def mmr_rerank(
         raise ValueError(
             f"mmr_rerank: max_candidates must be >= 1, got {max_candidates}"
         )
-    probe = candidates.limit(max_candidates + 1).count()
-    if probe > max_candidates:
+    nrm = l2_norm_expr(F.col(vec_col))
+    # Round-10 optimization (guide §1.2/§5): the greedy loop used to be
+    # k+2 driver round-trips (count probe, checkpoint, k ordered head()
+    # jobs) over a frame that is candidate-sized BY CONTRACT. ONE
+    # bounded collect (limit max+1 both enforces the contract and
+    # fetches the rows) and a driver-side greedy replay the identical
+    # arithmetic: unit-normalization stays in-plan (unchanged exprs);
+    # the dot product is the same in-order IEEE fold as dot_expr
+    # (acc = acc + x*y, left to right); max-over-selected and the
+    # (mmr desc, id asc) argmax are order-insensitive comparisons of
+    # the same doubles — so the greedy trace is bit-identical (locked
+    # by the q204/q207/q208 oracles).
+    rows = (
+        candidates.select(
+            F.col(id_col),
+            F.col(rel_col).cast("double").alias("__rel"),
+            F.when(
+                nrm > 0,
+                F.transform(F.col(vec_col), lambda x: x.cast("double") / nrm),
+            ).alias("__u"),
+        )
+        .limit(max_candidates + 1)
+        .collect()
+    )
+    if len(rows) > max_candidates:
         raise ValueError(
             f"mmr_rerank: candidate frame exceeds max_candidates="
             f"{max_candidates} — MMR is a SERVING-stage re-ranker over a "
@@ -65,51 +88,42 @@ def mmr_rerank(
             "first (cosine_topk/lsh_topk/ivf_topk), or raise "
             "max_candidates explicitly if you really mean it"
         )
-    nrm = l2_norm_expr(F.col(vec_col))
-    cand = candidates.select(
-        F.col(id_col),
-        F.col(rel_col).cast("double").alias("__rel"),
-        F.when(
-            nrm > 0,
-            F.transform(F.col(vec_col), lambda x: x.cast("double") / nrm),
-        ).alias("__u"),
-    ).localCheckpoint(eager=True)
 
+    def _dot(u, su):
+        acc = 0.0
+        for x, y in zip(u, su):
+            acc = acc + x * y
+        return acc
+
+    cand_rows = [
+        (r[id_col], r["__rel"], list(r["__u"]) if r["__u"] is not None else None)
+        for r in rows
+    ]
     picked: list = []  # rows: (id, rel, mmr)
-    remaining = cand
+    picked_vecs: list = []
+    remaining = list(cand_rows)
     for rank in range(1, k + 1):
-        if rank == 1:
-            scored = remaining.select(
-                id_col, "__rel", (F.lit(lam) * F.col("__rel")).alias("__mmr")
-            )
-        else:
-            sel = cand.filter(
-                F.col(id_col).isin([p[0] for p in picked])
-            ).select(F.col("__u").alias("__su"))
-            maxsim = (
-                remaining.crossJoin(F.broadcast(sel))
-                .select(
-                    id_col,
-                    F.coalesce(
-                        dot_expr(F.col("__u"), F.col("__su")), F.lit(0.0)
-                    ).alias("__sim"),
+        best = None  # (mmr, id, rel)
+        for cid, rel, u in remaining:
+            if rank == 1:
+                mmr = lam * rel
+            else:
+                maxsim = max(
+                    0.0 if (u is None or sv is None) else _dot(u, sv)
+                    for sv in picked_vecs
                 )
-                .groupBy(id_col)
-                .agg(F.max("__sim").alias("__maxsim"))
-            )
-            scored = remaining.join(maxsim, id_col).select(
-                id_col,
-                "__rel",
-                (
-                    F.lit(lam) * F.col("__rel")
-                    - F.lit(1.0 - lam) * F.col("__maxsim")
-                ).alias("__mmr"),
-            )
-        top = scored.orderBy(F.desc("__mmr"), F.asc(id_col)).head()
-        if top is None:
+                mmr = lam * rel - (1.0 - lam) * maxsim
+            if (
+                best is None
+                or mmr > best[0]
+                or (mmr == best[0] and cid < best[1])
+            ):
+                best = (mmr, cid, rel, u)
+        if best is None:
             break
-        picked.append((top[id_col], top["__rel"], top["__mmr"]))
-        remaining = remaining.filter(F.col(id_col) != F.lit(top[id_col]))
+        picked.append((best[1], best[2], best[0]))
+        picked_vecs.append(best[3])
+        remaining = [c for c in remaining if c[0] != best[1]]
 
     spark = candidates.sparkSession
     # id field keeps the CANDIDATES' id type (string doc ids are as

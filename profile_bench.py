@@ -40,14 +40,18 @@ def main() -> None:
 
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import shutil
+
+    shutil.rmtree(EVDIR, ignore_errors=True)
     os.makedirs(EVDIR, exist_ok=True)
-    for f in os.listdir(EVDIR):
-        os.unlink(os.path.join(EVDIR, f))
     spark = get_spark(
         app_name="graphrag-spark-profile",
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": EVDIR,
+            # plain single-file JSON so the parser below can read it
+            "spark.eventLog.rolling.enabled": "false",
+            "spark.eventLog.compress": "false",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -112,6 +116,20 @@ def main() -> None:
 
     # ---- parse the event log --------------------------------------
     ev_path = os.path.join(EVDIR, app_id)
+    if not os.path.exists(ev_path):
+        # Spark 4 rolling layout: eventlog_v2_<appid>/events_1_... files
+        d = os.path.join(EVDIR, f"eventlog_v2_{app_id}")
+        parts = sorted(
+            os.path.join(d, f)
+            for f in os.listdir(d)
+            if f.startswith("events_")
+        )
+        merged = os.path.join(EVDIR, "merged.jsonl")
+        with open(merged, "w") as out_f:
+            for p in parts:
+                with open(p) as in_f:
+                    out_f.write(in_f.read())
+        ev_path = merged
     jobs: dict[int, dict] = {}
     stage_to_job: dict[int, int] = {}
     stage_info: dict[int, dict] = {}
