@@ -2807,8 +2807,9 @@ def q80(spark, sf_dir):
     assignment uses the in-order-fold cosine (argmax = cos desc, cid
     asc) and the centroid mean is an exact scaled-integer sum, so the
     DuckDB oracle replays the entire iterative run and hash-matches
-    the final (vec_id, centroid_id) table. Per round: one corpus scan,
-    one groupBy(id) argmax, one k·dim-sized update shuffle."""
+    the final (vec_id, centroid_id) table. Per round: ONE map-only
+    corpus scan (row-local literal-centroid argmax) feeding the
+    k·dim-sized update shuffle."""
     from graphragpart1datapipeline_spark.vector.kmeans import kmeans_fit
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -9386,7 +9387,9 @@ def q189(spark, sf_dir):
     dim = sup.filter(F.col("s_acctbal") >= 6000).select(
         F.col("s_suppkey").alias("l_suppkey")
     ).distinct()
-    words = bloom_words(dim, "l_suppkey", nb, nh).localCheckpoint(eager=True)
+    # lazy: the immediate collect inside bloom_dense materializes and
+    # pins the blocks in the same job (round-11, guide §1.2/§5)
+    words = bloom_words(dim, "l_suppkey", nb, nh).localCheckpoint(eager=False)
     bits_set = words.groupBy().agg(
         F.sum(F.bit_count("word")).alias("bits_set")
     )

@@ -9,11 +9,13 @@ THE LINE IS LENGTH-BOUNDED. The recording harness keeps only the last
 ~2,000 characters of stdout; round 4's line grew to 2,883 chars (56
 queries + the in-line scale_check block) and was truncated past
 parseability (BENCH_r04.json: parsed null). :func:`compact_line`
-therefore guarantees < :data:`LINE_LIMIT` (1,900) chars by keeping the
-SLOWEST queries in the line and dropping the fastest ones from the
-line only — the full per-query table, the secondary tier, and the
-scale_check block always land in ``BENCH_DETAIL.json`` at the repo
-root (pointed to by ``detail_file``). Length-locked by
+guarantees < :data:`LINE_LIMIT` (1,900) chars. Since round 11 the
+line's membership is DETERMINISTIC: every headline query rides the
+line every round (2-decimal line values; ``load`` in the detail file
+only), so PERF comparisons never see phantom drops — the full
+3-decimal per-query table, the secondary tier, the load sentinel and
+the scale_check block always land in ``BENCH_DETAIL.json`` at the
+repo root (pointed to by ``detail_file``). Length-locked by
 tests/test_bench_line.py, including a driver-sim that parses the last
 2,000 chars of the real emission.
 
@@ -393,17 +395,25 @@ DETAIL_FILE = "BENCH_DETAIL.json"
 
 def compact_line(out: dict, limit: int = LINE_LIMIT) -> str:
     """Serialize ``out`` to a single JSON line PROVABLY under ``limit``
-    characters: the ``queries`` dict keeps the slowest entries first
-    and drops the fastest from the LINE (never from the detail file)
-    as soon as the serialized length would cross the bound;
-    ``queries_in_line``/``queries_total`` record the truncation.
-    ``scale_check`` never rides the line — it lives in the detail file.
+    characters with DETERMINISTIC membership (round-10 verdict #3: the
+    old keep-slowest-55 rule made queries near the cut flap in and out
+    of the line round-over-round, producing phantom "dropped_from_bench"
+    reports for queries that ran and improved — q19 in round 10).
 
-    Deterministic worst-case: even a pathological ``out`` (hundreds of
-    long-named queries) yields a parseable line, because entries are
-    added one at a time against the measured serialized length."""
+    Determinism is bought with bytes, not by dropping entries: line
+    values are rounded to 2 decimals (the detail file keeps 3) and the
+    ``load`` sentinel rides the detail file only, which fits the FULL
+    headline set under the 1,900-char bound whenever every per-query
+    time is < 100 s (slowest headline query is ~8 s; locked by
+    tests/test_bench_line.py). The old slowest-first drop loop remains
+    solely as a backstop so even a pathological payload (hundreds of
+    queries, 5-digit seconds) still yields a parseable line;
+    ``queries_in_line``/``queries_total`` record any truncation.
+    ``scale_check`` never rides the line — it lives in the detail file."""
     base = {
-        k: v for k, v in out.items() if k not in ("queries", "scale_check")
+        k: v
+        for k, v in out.items()
+        if k not in ("queries", "scale_check", "load")
     }
     timings = out.get("queries", {})
     base["queries_total"] = len(timings)
@@ -413,7 +423,7 @@ def compact_line(out: dict, limit: int = LINE_LIMIT) -> str:
     base["queries_in_line"] = 0
     line = json.dumps(base, separators=(",", ":"))
     for name, sec in ranked:
-        kept[name] = sec
+        kept[name] = round(sec, 2)
         base["queries_in_line"] = len(kept)
         cand = json.dumps(base, separators=(",", ":"))
         if len(cand) >= limit:

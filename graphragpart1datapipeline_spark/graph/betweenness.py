@@ -57,13 +57,13 @@ def betweenness_sampled(
         e = e.unionByName(
             edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
         )
-    e = e.filter(F.col("a") != F.col("b")).distinct().localCheckpoint(eager=True)
+    e = e.filter(F.col("a") != F.col("b")).distinct().localCheckpoint(eager=False)
 
     lvl = (
         sources.select(F.col(sources.columns[0]).alias("s"))
         .distinct()
         .select("s", F.col("s").alias("v"), F.lit(1).cast("long").alias("sigma"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     visited = lvl.select("s", "v")
     levels = [lvl]
@@ -74,7 +74,7 @@ def betweenness_sampled(
             .join(visited, ["s", "v"], "left_anti")
             .groupBy("s", "v")
             .agg(F.sum("sigma").alias("sigma"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         if nxt.limit(1).count() == 0:
             break
@@ -144,7 +144,7 @@ def betweenness_sampled(
             levels[L]
             .join(dsum, ["s", "v"], "left")
             .select("s", "v", "sigma", F.coalesce("D", F.lit(0)).alias("D"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         per_level.append(delta)
 

@@ -50,7 +50,7 @@ def bfs_distances(
         e = e.unionByName(
             edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
         )
-    e = e.filter(F.col("a") != F.col("b")).distinct().localCheckpoint(eager=True)
+    e = e.filter(F.col("a") != F.col("b")).distinct().localCheckpoint(eager=False)
 
     dist = (
         seeds.select(F.col(seeds.columns[0]).alias("id"))
@@ -60,7 +60,7 @@ def bfs_distances(
             F.lit(0).cast("int").alias("dist"),
             F.col("id").alias("nearest_seed"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     frontier = dist
     for hop in range(1, max_hops + 1):
@@ -73,11 +73,11 @@ def bfs_distances(
             .select(
                 "id", F.lit(hop).cast("int").alias("dist"), "nearest_seed"
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         if reached.limit(1).count() == 0:
             break
-        dist = dist.unionByName(reached).localCheckpoint(eager=True)
+        dist = dist.unionByName(reached).localCheckpoint(eager=False)
         frontier = reached
     return dist
 
@@ -105,7 +105,7 @@ def bfs_per_source_distances(
         e = e.unionByName(
             edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
         )
-    e = e.filter(F.col("a") != F.col("b")).distinct().localCheckpoint(eager=True)
+    e = e.filter(F.col("a") != F.col("b")).distinct().localCheckpoint(eager=False)
     dist = (
         sources.select(F.col(sources.columns[0]).alias("source"))
         .distinct()
@@ -114,7 +114,7 @@ def bfs_per_source_distances(
             F.col("source").alias("id"),
             F.lit(0).cast("int").alias("dist"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     frontier = dist
     for hop in range(1, max_hops + 1):
@@ -126,10 +126,10 @@ def bfs_per_source_distances(
             .select(
                 "source", "id", F.lit(hop).cast("int").alias("dist")
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         if reached.limit(1).count() == 0:
             break
-        dist = dist.unionByName(reached).localCheckpoint(eager=True)
+        dist = dist.unionByName(reached).localCheckpoint(eager=False)
         frontier = reached
     return dist

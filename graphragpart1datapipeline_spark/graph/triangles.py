@@ -160,7 +160,19 @@ def _triangle_counts_adjacency(
     set: for edge (a,b), C = N⁺(a) ∩ N⁺(b) closes |C| triangles —
     credit a, b once per element and every c ∈ C once. The exploded
     credit stream is exactly 3·#triangles rows; everything else is
-    |E|- or |V|-sized."""
+    |E|- or |V|-sized.
+
+    Round-11 (guide §1.2/§2.4): the credit stream is ONE row-local
+    Generate per scored edge instead of three unionAll passes, so the
+    expensive array_intersect output is consumed exactly once and its
+    own checkpoint (which materialized every common-neighbor array)
+    disappears outright. Credit rows and their long sums are
+    bit-identical to the 3-branch union. The edge checkpoint stays
+    EAGER deliberately: e feeds the adjacency groupBy and the join
+    spine, two stages the scheduler runs in parallel inside the first
+    consuming job — a lazy checkpoint lets both race to compute the
+    unmaterialized partitions concurrently (duplicated cooccurrence
+    work; measured +15% on q105 when lazy)."""
     if checkpoint:
         e = e.localCheckpoint(eager=True)
     adj = e.groupBy(F.col("a").alias("v")).agg(
@@ -183,19 +195,23 @@ def _triangle_counts_adjacency(
         .select("a", "b", F.array_intersect("na", "nb").alias("c"))
         .filter(F.size("c") > 0)
     )
-    if checkpoint:
-        per_edge = per_edge.localCheckpoint(eager=True)
     cnt = F.size("c").cast("long")
-    credits = (
-        per_edge.select(F.col("a").alias("node"), cnt.alias("n"))
-        .unionAll(per_edge.select(F.col("b").alias("node"), cnt.alias("n")))
-        .unionAll(
-            per_edge.select(
-                F.explode("c").alias("node"),
-                F.lit(1).cast("long").alias("n"),
+    credits = per_edge.select(
+        F.explode(
+            F.concat(
+                F.array(
+                    F.struct(F.col("a").alias("node"), cnt.alias("n")),
+                    F.struct(F.col("b").alias("node"), cnt.alias("n")),
+                ),
+                F.transform(
+                    "c",
+                    lambda x: F.struct(
+                        x.alias("node"), F.lit(1).cast("long").alias("n")
+                    ),
+                ),
             )
-        )
-    )
+        ).alias("__cr")
+    ).select("__cr.node", "__cr.n")
     return credits.groupBy("node").agg(F.sum("n").alias("triangles"))
 
 
@@ -251,6 +267,9 @@ def ktruss_edges(
     while True:
         r += 1
         if checkpoint:
+            # eager deliberately: e feeds the adjacency groupBy AND the
+            # join spine — parallel stages would race to compute a lazy
+            # checkpoint's partitions (see _triangle_counts_adjacency)
             e = e.localCheckpoint(eager=True)
         adj = e.groupBy(F.col("a").alias("v")).agg(
             F.sort_array(F.collect_list("b")).alias("nbrs")
@@ -270,12 +289,27 @@ def ktruss_edges(
             .select("a", "b", F.array_intersect("na", "nb").alias("c"))
             .filter(F.size("c") > 0)
         )
-        tri = pe.select("a", "b", F.explode("c").alias("cc"))
-        credits = (
-            tri.select("a", "b")
-            .unionAll(tri.select(F.col("a"), F.col("cc").alias("b")))
-            .unionAll(tri.select(F.col("b").alias("a"), F.col("cc").alias("b")))
-        )
+        # one row-local Generate per scored edge (same rewrite as
+        # _triangle_counts_adjacency's credit stream): each common
+        # neighbor cc > b > a credits the three canonical edges (a,b),
+        # (a,cc), (b,cc) — identical rows to the old explode + 3-way
+        # unionAll, produced in one pass over pe
+        credits = pe.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "c",
+                        lambda cc: F.array(
+                            F.struct(
+                                F.col("a").alias("a"), F.col("b").alias("b")
+                            ),
+                            F.struct(F.col("a").alias("a"), cc.alias("b")),
+                            F.struct(F.col("b").alias("a"), cc.alias("b")),
+                        ),
+                    )
+                )
+            ).alias("__cr")
+        ).select("__cr.a", "__cr.b")
         sup = credits.groupBy("a", "b").agg(
             F.count(F.lit(1)).alias("support")
         )

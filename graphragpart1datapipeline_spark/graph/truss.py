@@ -94,7 +94,7 @@ def ktruss(
     need = k - 2
     r = 0
     while True:
-        supp = edge_support(e).localCheckpoint(eager=True)
+        supp = edge_support(e).localCheckpoint(eager=False)
         kept = supp.filter(F.col("support") >= need)
         r += 1
         if rounds is not None:

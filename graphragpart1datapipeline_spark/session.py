@@ -49,6 +49,9 @@ def get_spark(
         # stays scale-adaptive through AQE either way; the advisory
         # size remains env-tunable for cluster runs where bytes/task
         # should dominate (guide §2.2 recommends 100MB-1GB there).
+        # NOTE: the "64m" local default IS Spark's own default — the
+        # config line documents the measured decision and the env
+        # knob; it is not itself a tuning change.
         .config(
             "spark.sql.adaptive.advisoryPartitionSizeInBytes",
             os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION_BYTES", "64m"),

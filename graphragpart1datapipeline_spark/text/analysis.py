@@ -316,6 +316,16 @@ def bm25_topk(
     qterms = sorted({t.lower() for t in terms})
     if not qterms:
         raise ValueError("bm25_topk: need at least one query term")
+    # the balanced pairwise decimal reduction widens precision by 1 per
+    # add level: 25 + ceil(log2(T)) must stay <= 38, i.e. T <= 8192 —
+    # beyond that Spark (allowPrecisionLoss=true) would silently drop
+    # scale and break the exact-sum contract, so refuse loudly
+    if len(qterms) > 8192:
+        raise ValueError(
+            f"bm25_topk: {len(qterms)} distinct query terms exceeds the "
+            "8192 bound of the exact decimal(25,12) pairwise summation "
+            "(25 + log2(T) decimal digits must stay <= 38)"
+        )
     toks = tokens(text_col)
     def _tf(term: str):
         # one-arg lambda: F.filter treats two-arg lambdas as (x, i)
@@ -344,10 +354,10 @@ def bm25_topk(
     # contributions are cast to decimal(25,12) (scale 12 — the same
     # rounding as the old cast to decimal(38,12)) and added PAIRWISE
     # (balanced tree): Spark widens decimal precision by 1 per ADD
-    # LEVEL, so the tree keeps precision at 25+ceil(log2(T)) ≤ 38 for
-    # thousands of terms where a left fold would overflow precision at
-    # T=14 and silently drop scale to 11. Exact decimal adds in any
-    # grouping equal the old groupBy SUM bit-for-bit.
+    # LEVEL, so the tree keeps precision at 25+ceil(log2(T)) ≤ 38 up to
+    # T=8192 terms (guarded above) where a left fold would overflow
+    # precision at T=14 and silently drop scale to 11. Exact decimal
+    # adds in any grouping equal the old groupBy SUM bit-for-bit.
     zero_dec = F.lit(0).cast("decimal(25,12)")
     contribs = []
     hits = []

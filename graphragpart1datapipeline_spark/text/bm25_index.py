@@ -22,8 +22,10 @@ Index tables:
 Upsert semantics are true UPSERT: an incoming rid replaces its old
 rows (the delete side is an anti-join against the increment-sized,
 broadcastable rid set), and ``dfreq`` is updated for TOUCHED TERMS
-ONLY (added-minus-removed per-term delta joined onto the old table —
-never a full postings regroup).
+ONLY (±1 delta rows unioned onto the old table and re-summed per term
+— vocabulary-sized work, never a full postings regroup; expressed as
+union + groupBy rather than an outer join so a serving-side term
+filter pushes through to every branch).
 
 Exactness: :func:`bm25_query` reproduces :func:`bm25_topk`'s IEEE op
 sequence term by term (same rational idf, same decimal-accumulated
@@ -112,22 +114,28 @@ def bm25_upsert(
         .join(F.broadcast(new_ids), "rid", "left_anti")
         .unionByName(dl_n)
     )
-    # touched terms only: +1 per term per added doc, -1 per removed
-    delta = (
-        tf_n.select("term", F.lit(1).alias("__d"))
-        .unionByName(removed.select("term", F.lit(-1).alias("__d")))
-        .groupBy("term")
-        .agg(F.sum("__d").alias("__delta"))
-    )
+    # touched terms only: +1 per term per added doc, -1 per removed.
+    # Round-11 (guide §2.4): the delta used to fold in via a FULL OUTER
+    # join + coalesce-add — semantically a per-term sum, but a shape
+    # Catalyst cannot push a downstream term filter through (predicates
+    # on the coalesced key of a full outer join are not pushable), so
+    # bm25_query's `term isin (qterms)` stopped at the join and every
+    # corpus-postings branch below it ran UNFILTERED (the 66-Exchange
+    # q179 plan). The same sum expressed as union + groupBy is
+    # bit-identical (exact integer adds in any grouping) and fully
+    # transparent to pushdown: the query's term filter now reaches
+    # just-above-the-explode on every branch, so the (rid, term)
+    # shuffles carry query-term rows only. One exchange instead of
+    # three (delta groupBy + two full-outer SMJ exchanges).
     dfreq = (
         index["dfreq"]
-        .join(delta, "term", "full_outer")
-        .select(
-            "term",
-            (
-                F.coalesce("df", F.lit(0)) + F.coalesce("__delta", F.lit(0))
-            ).alias("df"),
+        .select("term", F.col("df").cast("long").alias("__d"))
+        .unionByName(tf_n.select("term", F.lit(1).cast("long").alias("__d")))
+        .unionByName(
+            removed.select("term", F.lit(-1).cast("long").alias("__d"))
         )
+        .groupBy("term")
+        .agg(F.sum("__d").alias("df"))
         .filter(F.col("df") > 0)
     )
     return {
@@ -159,16 +167,19 @@ def bm25_delete(
     removed = index["postings"].join(F.broadcast(rid), "rid")
     postings = index["postings"].join(F.broadcast(rid), "rid", "left_anti")
     dl = index["dl"].join(F.broadcast(rid), "rid", "left_anti")
-    delta = removed.groupBy("term").agg(
-        F.count(F.lit(1)).alias("__removed")
-    )
+    # union + groupBy instead of left-join-minus (round-11, same
+    # pushdown rationale as bm25_upsert's dfreq): bit-identical — terms
+    # only in `removed` sum negative and are dropped by the df > 0
+    # filter exactly as the left join dropped them, and a downstream
+    # term filter pushes through both branches
     dfreq = (
         index["dfreq"]
-        .join(delta, "term", "left")
-        .select(
-            "term",
-            (F.col("df") - F.coalesce("__removed", F.lit(0))).alias("df"),
+        .select("term", F.col("df").cast("long").alias("__d"))
+        .unionByName(
+            removed.select("term", F.lit(-1).cast("long").alias("__d"))
         )
+        .groupBy("term")
+        .agg(F.sum("__d").alias("df"))
         .filter(F.col("df") > 0)
     )
     return {

@@ -100,7 +100,7 @@ def bpe_train(
     the output is exactly classic greedy BPE (property-tested), which
     remains the oracle-replayable default (q88)."""
     spark = df.sparkSession
-    words = _word_symbols(df, text_col).localCheckpoint(eager=True)
+    words = _word_symbols(df, text_col).localCheckpoint(eager=False)
     merges: list[tuple[int, str, str, int]] = []
     while len(merges) < num_merges:
         want = min(merges_per_round, num_merges - len(merges))
@@ -134,7 +134,7 @@ def bpe_train(
                 F.lit(f" {pair} "),
                 F.lit(f" {pair.replace(' ', '')} "),
             )
-        words = words.withColumn("s", expr).localCheckpoint(eager=True)
+        words = words.withColumn("s", expr).localCheckpoint(eager=False)
     return spark.createDataFrame(
         merges, "rank int, pair string, merged string, freq long"
     )

@@ -122,7 +122,7 @@ def _derive_tables(
     # counts is ≤ buckets × #classes rows but its lineage is the full
     # training scan — materialize once so model/classes (and the two
     # driver collects nb_classify_expr issues) don't re-run training
-    counts = counts.localCheckpoint(eager=True)
+    counts = counts.localCheckpoint(eager=False)
     totals = counts.groupBy(label_col).agg(F.sum("cnt").alias("tot"))
     classes = (
         n_docs.join(totals, label_col, "left")

@@ -131,7 +131,7 @@ def dsir_weights(
     # 100 TB corpus twice
     rf = hashed_ngram_features(
         raw_f, id_col, text_col, buckets
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     tf = hashed_ngram_features(
         tgt_f.select(F.lit(0).alias("__tid"), text_col),
         "__tid",

@@ -82,7 +82,7 @@ def excise_copy_spans(
             ).alias("pos"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     toks = df.select(
         F.col(id_col),

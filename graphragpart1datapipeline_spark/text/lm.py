@@ -418,7 +418,7 @@ def ccnet_buckets_kn(
     Wikipedia); default is self-trained."""
     scored = kn_trigram_score(
         df, model, text_col, id_col, discount
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     return score_buckets(
         scored, "mean_ll_micro", id_col, sample_size, seed
     )

@@ -60,7 +60,7 @@ def resolve_redirects(
             canonical_url(dst_col).alias("dst"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     dup = (
         m.groupBy("src")
@@ -92,7 +92,7 @@ def resolve_redirects(
                     + F.coalesce("__h", F.lit(0))
                 ).cast("long").alias("hops"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     # looped = the resolved target still has an outgoing redirect
     # (hop budget exhausted): probe via a left join on the mapping

@@ -125,6 +125,10 @@ def textrank_summary(
             f"textrank_summary: min_overlap must be >= 1, got {min_overlap}"
         )
     sw = sorted(STOPWORDS["en"] if stopwords is None else stopwords)
+    # eager deliberately: sent feeds both the token/pair/PageRank chain
+    # and the final rank join — parallel stages in the consuming job
+    # would race to compute a lazy checkpoint's partitions (round-11
+    # measured decision; see OPTIMIZATION_r11.md)
     sent = sentence_table(
         df, group_col, id_col, text_col, max_group_sentences
     ).localCheckpoint(eager=True)
@@ -153,6 +157,13 @@ def textrank_summary(
             )
         ).alias("tok"),
     )
+    # MEASURED DECISION (round-11, guide §1): a collect_set +
+    # row-local pair-generation rewrite (the cooccurrence_edges
+    # pattern) was tried here and ran ~25-40% SLOWER at sf0.1 than
+    # this self-join — the node keys are long composite strings, and
+    # materializing k² string-pair structs per (group, tok) array row
+    # loses to the streamed codegen join + immediate partial
+    # aggregation. Kept the join.
     a = toks.select("group", "tok", F.col("node").alias("na"))
     b = toks.select("group", "tok", F.col("node").alias("nb"))
     pairs = (

@@ -189,7 +189,7 @@ def _viterbi_hops(
     cand = _candidates(words, max_piece_len)
     edges = cand.join(
         F.broadcast(pieces.select("piece", "ll")), "piece"
-    ).select("w", "j", "i", "ll").localCheckpoint(eager=True)
+    ).select("w", "j", "i", "ll").localCheckpoint(eager=False)
     # DP by position. Each settled layer is eagerly checkpointed: a
     # layer feeds BOTH later layers' joins and the final union, and
     # un-checkpointed that double reference re-expands the lineage
@@ -199,7 +199,7 @@ def _viterbi_hops(
     layer0 = words.select(
         "w", F.lit(0).cast("long").alias("i"),
         F.lit(0).cast("long").alias("best"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     layers = [layer0]
     for i in range(1, max_word_len + 1):
         lo = max(0, i - max_piece_len)
@@ -215,7 +215,7 @@ def _viterbi_hops(
             .groupBy("w")
             .agg(F.max(F.col("best") + F.col("ll")).alias("best"))
             .select("w", F.lit(i).cast("long").alias("i"), "best")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         layers.append(step)
     acc = layers[0]
@@ -234,7 +234,7 @@ def _viterbi_hops(
         .filter(F.col("score") == F.col("bi"))
         .groupBy("w", "i")
         .agg(F.min("j").alias("j"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # backtrace, unrolled: pos walks len(w) -> 0 emitting pieces; each
     # hop is checkpointed for the same double-reference reason
@@ -249,7 +249,7 @@ def _viterbi_hops(
                 ),
                 ["w", "pos"],
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         segs.append(
             hop.select(
@@ -347,7 +347,7 @@ def unigram_train(
         _candidates(words, 1)
         .select("piece")
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     pieces = unigram_seed(words, max_piece_len, seed_multi).localCheckpoint(
         eager=True

@@ -43,11 +43,17 @@ def mmr_rerank(
     trace). Vectors are unit-normalized once; zero vectors get
     similarity 0 to everything.
 
-    ``max_candidates`` is an ENFORCED contract, not advice: MMR issues
-    k driver round-trips over the candidate frame, which is only sane
-    when that frame is a retriever's top-k' output. A corpus-sized
-    frame raises (bounded ``limit(max+1).count()`` probe — the
-    PassJoin pattern) instead of silently hammering the driver."""
+    ``max_candidates`` is an ENFORCED contract, not advice: MMR pulls
+    the candidate frame to the driver in ONE bounded
+    ``limit(max_candidates + 1).collect()`` (the limit both enforces
+    the contract and fetches the rows) and runs the greedy loop
+    driver-side, which is only sane when that frame is a retriever's
+    top-k' output. A corpus-sized frame raises instead of silently
+    hammering the driver.
+
+    NaN relevance is normalized to sort FIRST (like Spark's
+    ``orderBy(desc)``), so selection order does not depend on collect
+    order even for direct library callers that feed NaN scores."""
     if k < 1:
         raise ValueError(f"mmr_rerank: k must be >= 1, got {k}")
     if not (0.0 <= lam <= 1.0):
@@ -90,6 +96,12 @@ def mmr_rerank(
         )
 
     def _dot(u, su):
+        # mismatched lengths: the in-plan dot_expr (zip_with) null-pads
+        # the shorter vector -> null product -> null sum -> coalesce to
+        # 0.0 similarity; plain zip would silently truncate instead, so
+        # reproduce the 0.0 contract explicitly for ragged vectors
+        if len(u) != len(su):
+            return 0.0
         acc = 0.0
         for x, y in zip(u, su):
             acc = acc + x * y
@@ -102,8 +114,19 @@ def mmr_rerank(
     picked: list = []  # rows: (id, rel, mmr)
     picked_vecs: list = []
     remaining = list(cand_rows)
+    import math
+
+    def _sort_key(x: float) -> float:
+        # Spark's orderBy(desc) sorts NaN FIRST (NaN > everything); a
+        # raw Python `>` would never select a NaN after a non-NaN best
+        # and make the pick depend on collect order. Unreachable from
+        # the in-repo callers (rrf/cosine scores are never NaN) but a
+        # latent divergence for direct library users.
+        return math.inf if math.isnan(x) else x
+
     for rank in range(1, k + 1):
         best = None  # (mmr, id, rel)
+        best_key = None
         for cid, rel, u in remaining:
             if rank == 1:
                 mmr = lam * rel
@@ -113,12 +136,14 @@ def mmr_rerank(
                     for sv in picked_vecs
                 )
                 mmr = lam * rel - (1.0 - lam) * maxsim
+            key = _sort_key(mmr)
             if (
                 best is None
-                or mmr > best[0]
-                or (mmr == best[0] and cid < best[1])
+                or key > best_key
+                or (key == best_key and cid < best[1])
             ):
                 best = (mmr, cid, rel, u)
+                best_key = key
         if best is None:
             break
         picked.append((best[1], best[2], best[0]))

@@ -250,33 +250,53 @@ def ivf_assignments(
 ) -> DataFrame:
     """IVF index build: assign every vector to its max-cosine centroid
     (ties → lowest centroid id). The centroid table is small by
-    definition (k ≪ n) so it broadcasts; the assignment is one scan of
-    the corpus with no shuffle of the vectors themselves. At 100 TB the
-    (id, centroid_id) output is persisted and the corpus is repartitioned
-    /bucketed BY centroid_id so a probe reads only its clusters.
-    Returns (id_col, centroid_id)."""
-    from pyspark.sql import Window
+    definition (k ≪ n) so it broadcasts; the argmax is ONE max-struct
+    aggregation with map-side partial aggregation — the n×k scored
+    rows collapse to n per map partition before the exchange (round 11,
+    guide §2.3 "aggregate before you shuffle"; the old shape was a
+    window ``row_number`` that SORTED all n×k scored rows through a
+    corpus-wide exchange with no partial aggregation). Arithmetic and
+    the (cos desc, cid asc) tie-break are bit-identical to the window
+    (max of a (cos, −cid) struct; negation is order-reversing for
+    doubles under Spark's SQL ordering, ±0.0 and ties included).
 
+    A fully shuffle-free literal-argmax variant (the vector/pq.py
+    ``_assign`` pattern) was measured at sf0.1 and REJECTED for this
+    API: eagerly collecting the centroid frame adds a driver job per
+    call, which costs more at bench scale than the exchange it removes
+    (q42/q185/q211/q180 each pay 1-4 calls per run); callers that
+    already hold driver-side centroids (kmeans' Lloyd loop) use the
+    literal form directly. At 100 TB the (id, centroid_id) output is
+    persisted and the corpus is repartitioned/bucketed BY centroid_id
+    so a probe reads only its clusters. Returns (id_col, centroid_id)."""
     v = df.select(F.col(id_col), F.col(vec_col).alias("__v"))
     c = centroids.select(
         F.col(cent_id_col).alias("__cid"), F.col(cent_vec_col).alias("__cv")
     )
+    cid_type = c.schema["__cid"].dataType.simpleString()
     scored = v.join(F.broadcast(c)).select(
-        id_col, "__cid", cosine_expr(F.col("__v"), F.col("__cv")).alias("__cos")
+        id_col,
+        "__cid",
+        cosine_expr(F.col("__v"), F.col("__cv")).alias("__cos"),
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("__cos"), F.asc("__cid"))
-    best = scored.withColumn("__rn", F.row_number().over(w)).filter(
-        F.col("__rn") == 1
+    best = scored.groupBy(id_col).agg(
+        F.max(
+            F.struct(
+                F.col("__cos").alias("c"),
+                (-F.col("__cid")).cast("long").alias("nc"),
+            )
+        ).alias("__b")
+    )
+    out = best.select(
+        id_col,
+        (-F.col("__b.nc")).cast(cid_type).alias("centroid_id"),
+        F.col("__b.c").alias("assign_cos"),
     )
     if include_score:
         # assignment QUALITY (winning cosine) — what ivf_upsert's
         # drift gate aggregates; not part of the index contract
-        return best.select(
-            id_col,
-            F.col("__cid").alias("centroid_id"),
-            F.col("__cos").alias("assign_cos"),
-        )
-    return best.select(id_col, F.col("__cid").alias("centroid_id"))
+        return out
+    return out.drop("assign_cos")
 
 
 def ivf_build_index(
